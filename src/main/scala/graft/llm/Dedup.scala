@@ -1,0 +1,171 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed to be
+  * shuffle-minimal at 100 TB:
+  *
+  *  - exact: one hash-groupBy (map-side combine) on a content fingerprint;
+  *  - MinHash+LSH: signature = k min-hashes computed as k aggregate columns
+  *    in ONE groupBy (no k-fold explode); candidate pairs via band-bucket
+  *    self-join (only same-bucket rows meet, never a cross join);
+  *  - SimHash: 64-bit fingerprint via 64 sum-aggregates in one groupBy;
+  *    near pairs via 16-bit band join + popcount verify;
+  *  - n-gram Jaccard: exact verification on candidate pairs from a shared-
+  *    shingle join (skew-guarded by dropping ultra-common shingles);
+  *  - embedding cosine: see Similarity.nearDupPairs.
+  *
+  * All hash mixing is deterministic (fixed seeds), so runs are reproducible.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
+    * One shuffle (groupBy fp), map-side combined. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------- shingling helpers
+
+  /** Word w-shingles of the text (w consecutive lowercased tokens joined by
+    * a space), distinct per doc. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) < w, when(size(toks) > 0, array(array_join(toks, " ")))
+        .otherwise(array().cast("array<string>")))
+      .otherwise(transform(sequence(lit(0), size(toks) - w),
+        i => array_join(slice(toks, i + 1, lit(w)), " "))))
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** Large Mersenne prime for the universal-hash family h_i(x)=(a_i·x+b_i) mod p. */
+  private val P = 2305843009213693951L // 2^61 - 1
+  private def mix(seed: Long, i: Int): Long = {
+    // splitmix64 over (seed, i) — deterministic per hash-function index
+    var z = seed + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+
+  /** MinHash signatures: one row per doc with `k` signature columns computed
+    * as k `min(...)` aggregates over the exploded shingle set — a single
+    * shuffle keyed by doc id, all expressions codegen'd. */
+  def minhashSignatures(docs: DataFrame, k: Int = 128,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(wordShingles(col(textCol), 3)).as("shingle"))
+      .withColumn("h", abs(xxhash64(col("shingle"))))
+    val sigCols = (0 until k).map { i =>
+      min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) + lit(mix(0xf00dL, i)), lit(P)))
+        .as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Near-duplicate pairs via banded LSH over MinHash signatures.
+    * `bands`×`rowsPerBand` must equal the signature width. Pairs whose
+    * estimated Jaccard (fraction of equal signature positions) ≥ `threshold`
+    * survive. Join key is (band index, band hash) — only same-bucket docs
+    * ever meet. Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, idCol, textCol)
+      .withColumn("sig", array((0 until k).map(i => col(s"mh_$i")): _*))
+      .select(col(idCol), col("sig"))
+    val banded = sig.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(concat_ws("_",
+          (0 until r).map(j => col("sig")(b * r + j)): _*)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band"), col("bk.bh"))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash fingerprint per doc: per-token 64-bit hash, each bit
+    * votes ±1, fingerprint bit j = sign of the column-j sum. Computed as 64
+    * sum-aggregates in one groupBy. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * bands (pigeonhole: hamming ≤ 3 ⇒ some band equal); verified with
+    * popcount(xor) ≤ maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = simhash(docs, idCol, textCol)
+    val banded = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.bh"))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b")).agg(min("hamming").as("hamming"))
+  }
+
+  // --------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs. Candidates = docs sharing ≥1
+    * shingle (skew guard: shingles appearing in > `maxDf` docs are dropped —
+    * they create quadratic hot keys and carry no discriminative signal).
+    * Exact Jaccard = shared / (|A| + |B| − shared) ≥ threshold. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("shingle"))
+    val filtered = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val aa = filtered.select(col("shingle"), col(idCol).as("id_a"))
+    val bb = filtered.select(col("shingle"), col(idCol).as("id_b"))
+    val shared = aa.join(bb, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("n_sh", "n_a").withColumnRenamed(idCol, "id_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("n_sh", "n_b").withColumnRenamed(idCol, "id_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

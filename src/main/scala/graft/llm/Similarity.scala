@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query set
+  *    against the corpus; one pass, no shuffle of the corpus, window top-k
+  *    per query. The at-scale baseline when queries ≪ corpus.
+  *  - `lshTopK`: random-hyperplane LSH variant — corpus and queries are
+  *    bucketed by sign bits; only same-bucket (multi-probe: and near-bucket)
+  *    pairs are scored. Recall < 1, cost ~ corpus/2^bits per query. The
+  *    scale path when both sides are large.
+  *
+  * Dot products are pure `zip_with`/`aggregate` expressions (no UDFs).
+  * Hyperplanes are generated from a fixed seed → deterministic results.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns (0 for zero-norm). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Exact top-k: for each row of `queries` (small — broadcast), the k most
+    * cosine-similar rows of `corpus`. Returns (query_id, corpus_id, cos, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(q)
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------- LSH variant
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim` coords in
+    * [-1,1], from splitmix64 of the fixed seed. */
+  private def planes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var z0 = seed
+    def next(): Long = { z0 += 0x9e3779b97f4a7c15L
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31) }
+    Array.fill(bits)(Array.fill(dim)(
+      (next().toDouble / Long.MaxValue.toDouble)))
+  }
+
+  /** Sign-bit bucket id of a vector under the hyperplanes. */
+  private def bucketCol(vec: Column, hp: Array[Array[Double]]): Column =
+    hp.zipWithIndex.map { case (plane, j) =>
+      val planeArr = array(plane.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(vec, planeArr, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k via random-hyperplane buckets. `probeBits=0` probes
+    * only the exact bucket; `probeBits=n` additionally probes the n buckets
+    * at hamming distance 1 on the lowest n bits (recall/cost dial). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 12, probeBits: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = planes(bits, dim, seed)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      bucketCol(col(vecCol), hp).as("bucket"))
+    // queries explode to 1 + probeBits probe buckets each
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      bucketCol(col(vecCol), hp).as("b0"))
+    val probes = (0 until probeBits).map(j => col("b0").bitwiseXOR(lit(1L << j)))
+    val q = qBase.select(col("query_id"), col("q_vec"),
+        explode(array((col("b0") +: probes): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+      .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (both sides the full corpus):
+    * LSH-bucketed self-join, cosine ≥ threshold. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = planes(bits, dim, seed)
+    val c = corpus.select(col(idCol), col(vecCol),
+      bucketCol(col(vecCol), hp).as("bucket"))
+    val a = c.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = c.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  /** Exact near-duplicate pairs (quadratic — oracle/verification sizes only). */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

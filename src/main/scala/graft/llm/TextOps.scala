@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, n-gram language ID, document fingerprinting.
+  * All pure Column compositions (codegen'd, partition-parallel, no UDFs) —
+  * they run at 100 TB exactly like any projection.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text; empty text ⇒ empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(text)), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: one token per word-piece of ≤4 chars —
+    * ceil(len/4) per whitespace word, a standard cheap proxy for byte-pair
+    * token counts. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Punctuation character count (explicit class, engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Small multilingual stopword inventory for ID + quality scoring. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "en", "que", "por"))
+
+  private def hitCount(text: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(wordArr, t)))
+  }
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hitCount(text, all).cast("double") / tokenCount(text))
+  }
+
+  /** n-gram/stopword-heuristic language ID: argmax of per-language stopword
+    * hit counts; 'und' (undetermined) when nothing hits. Deterministic
+    * tie-break by language code. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitCount(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: length band + moderate punctuation +
+    * healthy stopword ratio + mean-word-length band. The exact formula is
+    * engine-defined; what matters is determinism and portability. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = when(n < 100, n / 100.0).when(n > 20000, lit(0.5)).otherwise(lit(1.0))
+    val punct = punctRatio(text)
+    val punctScore = when(punct > 0.2, lit(0.3)).otherwise(lit(1.0))
+    val sw = stopwordRatio(text)
+    val swScore = when(sw >= 0.05 && sw <= 0.6, lit(1.0)).otherwise(lit(0.5))
+    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+  }
+
+  /** Normalized-document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. Identical content ⇒ identical fingerprint,
+    * robust to case/spacing noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Whole-table convenience: annotate a documents frame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_est", bpeTokenEstimate(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.mat
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{CatalogOps, PartitionSpec, TableRef}
+import graft.exec.{AtomicWriter, Incremental, SnapshotExec}
+import graft.settings.SettingParser
+
+/** The M1–M14 materialization state machines of the reference
+  * (macros/materializations/ directory), driven as in-process Spark plans.
+  * Plans are ADTs/DataFrames end-to-end; `spark.sql` appears only where the
+  * user supplies a SQL model body (like dbt's compiled SELECT).
+  */
+object Materializer {
+
+  sealed trait IncrementalStrategy
+  object IncrementalStrategy {
+    final case class Merge(updateColumns: Seq[String] = Nil,
+        excludeColumns: Seq[String] = Nil) extends IncrementalStrategy
+    case object DeleteInsert extends IncrementalStrategy
+    case object Append extends IncrementalStrategy
+    case object InsertOverwrite extends IncrementalStrategy
+  }
+
+  /** M1 `table`: CTAS with contract enforcement hook. Ref
+    * relations/table/create.sql:1-76. */
+  def table(spark: SparkSession, target: TableRef, df: DataFrame,
+      partition: PartitionSpec = PartitionSpec.None,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      notNullColumns: Seq[String] = Nil,
+      contract: Option[Seq[(String, String)]] = None): Unit = {
+    contract.foreach(enforceContract(df, _))
+    enforceNotNull(df, notNullColumns)
+    AtomicWriter.createOrReplace(spark, df, target, partition, bucketBy)
+  }
+
+  /** M2 `view`: CREATE OR REPLACE VIEW. Ref relations/view/create.sql. */
+  def view(spark: SparkSession, target: TableRef, sql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW ${target.render} AS $sql")
+
+  /** M3 `incremental` driver: first-run CTAS; full-refresh drop+CTAS; else
+    * stage source as a temp table (mirrors the reference's temp-table CTAS —
+    * incremental.sql:54-99 — and breaks lineage so strategies may scan the
+    * target) then dispatch. Append + unique_key is forbidden
+    * (ref incremental.sql:36-38). */
+  def incremental(spark: SparkSession, target: TableRef, src: DataFrame,
+      strategy: IncrementalStrategy,
+      uniqueKey: Seq[String] = Nil,
+      partition: PartitionSpec = PartitionSpec.None,
+      predicates: Seq[Column] = Nil,
+      fullRefresh: Boolean = false): Unit = {
+    import IncrementalStrategy._
+    if (strategy == Append && uniqueKey.nonEmpty)
+      throw new IllegalArgumentException(
+        "append strategy forbids unique_key (reference parity: incremental.sql:36-38)")
+    val exists = spark.catalog.tableExists(target.render.replace("`", ""))
+    if (!exists || fullRefresh) {
+      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition),
+        target, partition)
+      return
+    }
+    val tmp = target.copy(name = target.name + "__dbt_tmp")
+    AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition), tmp)
+    try {
+      val staged = spark.table(tmp.render)
+      strategy match {
+        case Merge(upd, excl) =>
+          Incremental.merge(spark, target, staged, uniqueKey, partition, upd, excl, predicates)
+        case DeleteInsert =>
+          Incremental.deleteInsert(spark, target, staged, uniqueKey, partition, predicates)
+        case Append =>
+          Incremental.append(spark, target, staged, partition)
+        case InsertOverwrite =>
+          Incremental.insertOverwriteDynamic(spark, target, staged, partition)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${tmp.render}")
+  }
+
+  /** M10 `materialized_view`: managed table + stored definition + refresh;
+    * config-diff decides refresh vs replace (ref _materialized_view.py:98-128,
+    * impl.py:113-158). No automatic query rewrite (the reference exposes
+    * `disable_rewrite` and we always behave as if it is set). */
+  def materializedView(spark: SparkSession, target: TableRef, sql: String,
+      tblProperties: Map[String, String] = Map.empty): Unit = {
+    AtomicWriter.createOrReplace(spark, spark.sql(sql), target)
+    val props = tblProperties + ("graft.mv.query" -> sql)
+    val rendered = props.map { case (k, v) =>
+      s"'${k.replace("'", "\\'")}'='${v.replace("'", "\\'")}'"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
+  }
+
+  /** `ALTER MATERIALIZED VIEW … REBUILD` equivalent: recompute from the
+    * stored definition (ref relations/materialized_view/refresh.sql). */
+  def refreshMaterializedView(spark: SparkSession, target: TableRef): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${target.render}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sql = props.getOrElse("graft.mv.query",
+      throw new IllegalStateException(s"${target.render} is not a graft materialized view"))
+    AtomicWriter.overwriteTable(spark, spark.sql(sql), target)
+    spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ('graft.mv.query'='${sql.replace("'", "\\'")}')")
+  }
+
+  /** M12 `raw`: run an arbitrary SQL script verbatim after extracting the
+    * `SET k=v;` header into session conf (ref materializations/raw.sql +
+    * wrapper.py SettingParser flow). */
+  def raw(spark: SparkSession, script: String): DataFrame = {
+    val parsed = SettingParser.parse(script)
+    parsed.settings.foreach { case (k, v) =>
+      // Only spark.* keys are real session conf; engine hints (odps.*) are
+      // accepted and ignored, matching the reference's pass-through hints.
+      if (k.startsWith("spark.")) spark.conf.set(k, v)
+    }
+    spark.sql(parsed.remainingQuery)
+  }
+
+  /** M13 `clone`: drop target; recreate from source. OSS parquet has no
+    * zero-copy clone, so this is a file-level copy via CTAS
+    * (ref materializations/clone.sql). */
+  def clone(spark: SparkSession, src: TableRef, target: TableRef): Unit =
+    AtomicWriter.createOrReplace(spark, spark.table(src.render), target)
+
+  /** M14 `ephemeral`: inline as a (temp) view — composition is lazy by
+    * construction in Spark. */
+  def ephemeral(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  // ---------------------------------------------------------------- checks
+
+  /** Contract enforcement: declared (name, type) list must equal the plan's
+    * schema (ref relations/table/create.sql contract path). */
+  def enforceContract(df: DataFrame, declared: Seq[(String, String)]): Unit = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+    if (actual != declared)
+      throw new IllegalArgumentException(
+        s"contract violation: declared=$declared actual=$actual")
+  }
+
+  /** NOT NULL enforcement on write — Spark file sources don't enforce
+    * nullability, so assert before writing (ref ConstraintSupport.ENFORCED,
+    * impl.py:70-76). Single column-pruned scan over the violating columns. */
+  def enforceNotNull(df: DataFrame, notNullColumns: Seq[String]): Unit =
+    if (notNullColumns.nonEmpty) {
+      val cond = notNullColumns.map(c => col(c).isNull).reduce(_ || _)
+      val bad = df.filter(cond).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"NOT NULL constraint violated on one of: ${notNullColumns.mkString(", ")}")
+    }
+}

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
+  * force + LSH), text analysis, multimodal plumbing. Oracles are provided
+  * where DuckDB can express the semantics; hash-family ops (xxhash64-based)
+  * get the driver's rows-only check.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** documents ∪ perturbed duplicates: every doc_id%5==0 doc reappears under
+    * id+1000000 with trailing whitespace (same normalized content). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), concat(col("text"), lit("  ")).as("text")))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** near-identical variants: append one token — high but <1 Jaccard. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker")).as("text")))
+  }
+
+  // ------------------------------------------------------------ exact dedup
+
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithDups(s, dir)).orderBy(col("fp"))
+
+  private val d01Sql =
+    s"""WITH docs2 AS ($docsWithDupsSql)
+       |SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       |       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+       |FROM docs2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- MinHash LSH
+
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(docsWithNearDups(s, dir),
+        threshold = 0.5, k = 64, bands = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // --------------------------------------------------------------- SimHash
+
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docsWithNearDups(s, dir), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // -------------------------------------------------------- n-gram Jaccard
+
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3, threshold = 0.5,
+        maxDf = 1000)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val d04Sql =
+    """WITH docs2 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
+      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------- similarity search
+
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s01Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+      |               c.vec_id) AS rank
+      |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        bits = 8, probeBits = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** embeddings ∪ perturbed copies (every 4th vector reappears under
+    * id+100000 with +0.05 added to every coordinate — cos ≈ 0.92-0.95 to its
+    * source, far above the ~0.51 max between natural pairs). */
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    // capped at 500 vectors: s03 is the quadratic verification baseline
+    // (identical at the sf0.01 correctness scale); s04 is the scale path
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+  }
+
+  private val embWithNearDupsSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |WHERE vec_id < 500
+      |UNION ALL
+      |SELECT vec_id + 100000,
+      |       list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+      |FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 500""".stripMargin
+
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsExact(embWithNearDups(s, dir), threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val s03Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embWithNearDups(s, dir), threshold = 0.9, dim = 64,
+        bits = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // --------------------------------------------------------- text analysis
+
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    TextOps.analyze(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .drop("text")
+      .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql = {
+    val langHits = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'hits': CAST(len(list_filter(tk, x -> list_contains($arr, x))) AS INT), 'lang': '$lang'}"
+    }.mkString(",\n        ")
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |scored AS (SELECT doc_id, text, tk,
+       |    list_max([
+       |        $langHits
+       |    ]) AS best,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(tk,
+       |        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base)
+       |SELECT doc_id, n_tokens,
+       |  COALESCE(n_bpe_est, 0) AS n_bpe_est,
+       |  round(CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(n_punct AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+       |  round(CASE WHEN n_tokens = 0 THEN 0.0
+       |             ELSE CAST(sw_hits AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
+       |  CASE WHEN struct_extract(best, 'hits') = 0 THEN 'und'
+       |       ELSE struct_extract(best, 'lang') END AS lang_id,
+       |  round(
+       |    (CASE WHEN length(text) < 100 THEN length(text) / 100.0
+       |          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +
+       |    (CASE WHEN length(text) = 0 THEN 1.0
+       |          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2
+       |          THEN 0.3 ELSE 1.0 END) * 0.3 +
+       |    (CASE WHEN n_tokens = 0 THEN 0.5
+       |          WHEN CAST(sw_hits AS DOUBLE) / n_tokens >= 0.05 AND
+       |               CAST(sw_hits AS DOUBLE) / n_tokens <= 0.6
+       |          THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  private def mm01(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      t(s, dir, "documents").limit(200), "doc_id", "text")
+    Multimodal.extractFeatures(s, media, "doc_id")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("features"))).as("total_feats"))
+      .orderBy(col("kind"))
+  }
+
+  private def mm02(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(
+      t(s, dir, "documents").limit(200), "doc_id", "text")
+    val resized = Multimodal.resize(media, 640, 480)
+    val frames = Multimodal.sampleFrames(media, "doc_id", fps = 1.0)
+      .groupBy().agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_videos"))
+    resized.agg(max(col("resized_width")).as("max_w"),
+        max(col("resized_height")).as("max_h"),
+        count(lit(1)).as("n_media"))
+      .crossJoin(frames)
+  }
+
+  // ---------------------------------------------------------------- export
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01 _),
+    "d02_minhash_lsh_pairs" -> (d02 _),
+    "d03_simhash_pairs" -> (d03 _),
+    "d04_ngram_jaccard_pairs" -> (d04 _),
+    "s01_cosine_topk_brute" -> (s01 _),
+    "s02_cosine_topk_lsh" -> (s02 _),
+    "s03_embed_neardup_exact" -> (s03 _),
+    "s04_embed_neardup_lsh" -> (s04 _),
+    "t01_text_analysis" -> (t01 _),
+    "mm01_media_features" -> (mm01 _),
+    "mm02_media_resize_frames" -> (mm02 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d04_ngram_jaccard_pairs" -> d04Sql,
+    "s01_cosine_topk_brute" -> s01Sql,
+    "s03_embed_neardup_exact" -> s03Sql,
+    "t01_text_analysis" -> t01Sql)
+}

@@ -1,0 +1,477 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.exec.{Incremental, SnapshotExec}
+import graft.mat.{Materializer, SeedLoader}
+import graft.mat.Materializer.IncrementalStrategy
+
+/** Write-path coverage: every materialization/incremental operator (M1–M14)
+  * driven end-to-end against the driver's testdata; each query returns the
+  * FINAL TABLE STATE, and the oracle SQL computes the same state relationally
+  * in DuckDB. Each query gets its own database so reruns are hermetic.
+  */
+object MatQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private def freshDb(s: SparkSession, db: String): Unit = {
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    s.sql(s"CREATE DATABASE $db")
+  }
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Source-modification used by the merge/delete+insert scenarios: rows from
+    * 1995 onward with bumped price and status 'U'. */
+  private def modifiedSrc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+
+  private val modifiedSrcSql =
+    """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |       o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'""".stripMargin
+
+  private def finalOrders(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  // ------------------------------------------------------------- M1 table
+
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m01")
+    val df = t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    Materializer.table(s, TableRef("g_m01.seg_stats"), df,
+      notNullColumns = Seq("c_mktsegment"))
+    s.table("g_m01.seg_stats").orderBy(col("c_mktsegment"))
+  }
+
+  private val m01Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- M2 view
+
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m02")
+    Materializer.table(s, TableRef("g_m02.li"),
+      t(s, dir, "lineitem").filter(col("l_quantity") >= 25))
+    Materializer.view(s, TableRef("g_m02.v_flag"),
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM g_m02.li GROUP BY l_returnflag""".stripMargin)
+    s.table("g_m02.v_flag").orderBy(col("l_returnflag"))
+  }
+
+  private val m02Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------- M3/M4 incremental merge
+
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m03")
+    val tgt = TableRef("g_m03.orders_inc")
+    Materializer.table(s, tgt, t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
+    Materializer.incremental(s, tgt, modifiedSrc(s, dir),
+      IncrementalStrategy.Merge(), uniqueKey = Seq("o_orderkey"))
+    finalOrders(s.table(tgt.render))
+  }
+
+  private val m03Sql =
+    s"""WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+       |src AS ($modifiedSrcSql)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |FROM (SELECT * FROM src UNION ALL
+       |      SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+       |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------- M4 merge on auto-partitioned table
+
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m04")
+    val part = PartitionSpec.Auto("o_orderdate", "month", Some("pt"))
+    val tgt = TableRef("g_m04.orders_part")
+    Materializer.table(s, tgt, graft.exec.AtomicWriter.withPartitionCols(
+      t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp")),
+      part), part)
+    Materializer.incremental(s, tgt, modifiedSrc(s, dir),
+      IncrementalStrategy.Merge(), uniqueKey = Seq("o_orderkey"), partition = part)
+    s.table(tgt.render)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"), col("pt"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val m04Sql =
+    s"""WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+       |src AS ($modifiedSrcSql)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       |       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS pt
+       |FROM (SELECT * FROM src UNION ALL
+       |      SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------- M5 delete+insert
+
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m05")
+    val tgt = TableRef("g_m05.orders_di")
+    Materializer.table(s, tgt, t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp")))
+    // predicate restricts deletion to non-'F' target rows: matched 'F' rows
+    // survive AND the src row is inserted (genuine delete+insert semantics,
+    // distinct from merge)
+    Materializer.incremental(s, tgt, modifiedSrc(s, dir),
+      IncrementalStrategy.DeleteInsert, uniqueKey = Seq("o_orderkey"),
+      predicates = Seq(col("o_orderstatus") =!= "F"))
+    finalOrders(s.table(tgt.render))
+  }
+
+  private val m05Sql =
+    s"""WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+       |src AS ($modifiedSrcSql)
+       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |FROM (SELECT * FROM src UNION ALL
+       |      SELECT * FROM tgt WHERE NOT (o_orderstatus <> 'F' AND
+       |        o_orderkey IN (SELECT o_orderkey FROM src)))
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- M6 append
+
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m06")
+    val tgt = TableRef("g_m06.orders_app")
+    Materializer.table(s, tgt, t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-01-01").cast("timestamp")))
+    Materializer.incremental(s, tgt, t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
+      IncrementalStrategy.Append)
+    finalOrders(s.table(tgt.render))
+  }
+
+  private val m06Sql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------- M7 insert_overwrite (dynamic)
+
+  /** Daily aggregate of events, second-precision-safe. */
+  private def eventsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("pt"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+
+  private val eventsAggSql =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS pt, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def firstDays(s: SparkSession, dir: String, k: Int): Seq[String] =
+    t(s, dir, "events").select(date_format(col("ts"), "yyyy-MM-dd").as("pt"))
+      .distinct().orderBy(col("pt")).limit(k).collect().map(_.getString(0)).toSeq
+
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m07")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val tgt = TableRef("g_m07.daily")
+    Materializer.table(s, tgt, eventsAgg(s, dir), part)
+    val days = firstDays(s, dir, 3)
+    val src = eventsAgg(s, dir).filter(col("pt").isin(days: _*))
+      .withColumn("total_value", col("total_value") * 2)
+    Materializer.incremental(s, tgt, src, IncrementalStrategy.InsertOverwrite,
+      partition = part)
+    s.table(tgt.render).orderBy(col("pt"), col("event_type"))
+  }
+
+  private val m07Sql =
+    s"""WITH agg AS ($eventsAggSql),
+       |days AS (SELECT pt FROM (SELECT DISTINCT pt FROM agg) ORDER BY pt LIMIT 3)
+       |SELECT pt, event_type, n, total_value FROM agg WHERE pt NOT IN (SELECT pt FROM days)
+       |UNION ALL
+       |SELECT pt, event_type, n, total_value * 2 AS total_value FROM agg
+       |WHERE pt IN (SELECT pt FROM days)
+       |ORDER BY pt, event_type""".stripMargin
+
+  // -------------------------------------- M7b insert_overwrite (static)
+
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m08")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val tgt = TableRef("g_m08.daily")
+    Materializer.table(s, tgt, eventsAgg(s, dir), part)
+    val days = firstDays(s, dir, 2) // list 2 partitions …
+    val src = eventsAgg(s, dir).filter(col("pt") === days.head) // … source only 1
+      .withColumn("total_value", col("total_value") * 2)
+    Incremental.insertOverwriteStatic(s, tgt, src, part, days)
+    s.table(tgt.render).orderBy(col("pt"), col("event_type"))
+  }
+
+  private val m08Sql =
+    s"""WITH agg AS ($eventsAggSql),
+       |days AS (SELECT pt, row_number() OVER (ORDER BY pt) AS rn
+       |         FROM (SELECT DISTINCT pt FROM agg) QUALIFY rn <= 2)
+       |SELECT pt, event_type, n, total_value FROM agg
+       |WHERE pt NOT IN (SELECT pt FROM days)
+       |UNION ALL
+       |SELECT pt, event_type, n, total_value * 2 AS total_value FROM agg
+       |WHERE pt = (SELECT MIN(pt) FROM days)
+       |ORDER BY pt, event_type""".stripMargin
+
+  // ----------------------------------------------------- M8 microbatch
+
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m09")
+    val part = PartitionSpec.Auto("ts_sec", "day", Some("pt"))
+    val tgt = TableRef("g_m09.events_mb")
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+    Materializer.table(s, tgt,
+      graft.exec.AtomicWriter.withPartitionCols(base, part), part)
+    val days = firstDays(s, dir, 4)
+    val lo = java.sql.Timestamp.valueOf(days(1) + " 00:00:00")
+    val hi = java.sql.Timestamp.valueOf(days(3) + " 00:00:00")
+    val src = base.withColumn("value", col("value") * 2)
+    Incremental.microbatch(s, tgt, src, "ts_sec", part, lo, hi)
+    s.table(tgt.render)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts_sec").cast("timestamp_ntz").as("ts_sec"), col("pt"))
+      .orderBy(col("event_id"))
+  }
+
+  private val m09Sql =
+    """WITH base AS (SELECT event_id, user_id, event_type, value,
+      |        date_trunc('second', ts) AS ts_sec,
+      |        strftime(date_trunc('day', ts), '%Y-%m-%d') AS pt FROM events),
+      |days AS (SELECT pt, row_number() OVER (ORDER BY pt) AS rn
+      |         FROM (SELECT DISTINCT pt FROM base) QUALIFY rn <= 4),
+      |lo AS (SELECT pt FROM days WHERE rn = 2), hi AS (SELECT pt FROM days WHERE rn = 4)
+      |SELECT event_id, user_id, event_type,
+      |  CASE WHEN pt >= (SELECT pt FROM lo) AND pt < (SELECT pt FROM hi)
+      |       THEN value * 2 ELSE value END AS value,
+      |  CAST(ts_sec AS TIMESTAMP) AS ts_sec, pt
+      |FROM base ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------- M9 snapshot SCD-2
+
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m10")
+    val tgt = TableRef("g_m10.cust_snap")
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"), t1.as("updated_at"))
+    SnapshotExec.run(s, tgt, base, Seq("id"),
+      SnapshotExec.TimestampStrategy("updated_at"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val src2 = base.filter(col("id") % 10 =!= 0)
+      .unionByName(base.filter(col("id") % 10 === 0)
+        .withColumn("bal", col("bal") + 100.0).withColumn("updated_at", t2))
+      .unionByName(base.filter(col("id") % 100 === 0)
+        .withColumn("id", col("id") + 1000000).withColumn("updated_at", t2))
+    SnapshotExec.run(s, tgt, src2, Seq("id"),
+      SnapshotExec.TimestampStrategy("updated_at"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    s.table(tgt.render)
+      .select(col("id"), col("name"), col("bal"),
+        col("dbt_updated_at").cast("timestamp_ntz").as("dbt_updated_at"),
+        col("dbt_valid_from").cast("timestamp_ntz").as("dbt_valid_from"),
+        col("dbt_valid_to").cast("timestamp_ntz").as("dbt_valid_to"),
+        col("dbt_scd_id"))
+      .orderBy(col("id"), col("dbt_valid_from"))
+  }
+
+  private val m10Sql =
+    """WITH base AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+      |                     TIMESTAMP '2024-01-01 00:00:00' AS t1,
+      |                     TIMESTAMP '2024-02-01 00:00:00' AS t2 FROM customer)
+      |SELECT id, name, bal, dbt_updated_at, dbt_valid_from, dbt_valid_to, dbt_scd_id
+      |FROM (
+      |  -- unchanged keys: open v1
+      |  SELECT id, name, bal, t1 AS dbt_updated_at, t1 AS dbt_valid_from,
+      |         CAST(NULL AS TIMESTAMP) AS dbt_valid_to,
+      |         md5(concat_ws('|', CAST(id AS VARCHAR), CAST(t1 AS VARCHAR))) AS dbt_scd_id
+      |  FROM base WHERE id % 10 <> 0
+      |  UNION ALL
+      |  -- changed keys: closed v1
+      |  SELECT id, name, bal, t1, t1, t2,
+      |         md5(concat_ws('|', CAST(id AS VARCHAR), CAST(t1 AS VARCHAR)))
+      |  FROM base WHERE id % 10 = 0
+      |  UNION ALL
+      |  -- changed keys: open v2
+      |  SELECT id, name, bal + 100.0, t2, t2, CAST(NULL AS TIMESTAMP),
+      |         md5(concat_ws('|', CAST(id AS VARCHAR), CAST(t2 AS VARCHAR)))
+      |  FROM base WHERE id % 10 = 0
+      |  UNION ALL
+      |  -- new keys: open v1 at t2
+      |  SELECT id + 1000000, name, bal, t2, t2, CAST(NULL AS TIMESTAMP),
+      |         md5(concat_ws('|', CAST(id + 1000000 AS VARCHAR), CAST(t2 AS VARCHAR)))
+      |  FROM base WHERE id % 100 = 0
+      |) ORDER BY id, dbt_valid_from""".stripMargin
+
+  // --------------------------------------------------------- M11 seed CSV
+
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m11")
+    val rows = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice").cast("decimal(18,2)").cast("string").as("price_s"),
+        col("p_size"))
+      .orderBy(col("p_partkey")).collect()
+    val csv = new StringBuilder("id,name,price,psize,created_at\n")
+    rows.foreach { r =>
+      val name = r.getString(1).replace("\"", "\"\"")
+      csv.append(s"""${r.getLong(0)},"$name",${r.getString(2)},${r.getInt(3)},2024-01-15 10:30:00\n""")
+    }
+    val f = java.nio.file.Files.createTempDirectory("graft_seed").resolve("seed.csv")
+    java.nio.file.Files.writeString(f, csv.toString)
+    SeedLoader.seed(s, f.toString, TableRef("g_m11.seeded"))
+    s.table("g_m11.seeded")
+      .select(col("id"), col("name"), col("price").cast("double").as("price"),
+        col("psize"), col("created_at").cast("timestamp_ntz").as("created_at"))
+      .orderBy(col("id"))
+  }
+
+  private val m11Sql =
+    """SELECT p_partkey AS id, p_name AS name,
+      |  CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(38,18)) AS DOUBLE) AS price,
+      |  CAST(p_size AS BIGINT) AS psize,
+      |  TIMESTAMP '2024-01-15 10:30:00' AS created_at
+      |FROM part WHERE p_partkey <= 200 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ M12 raw + SET header
+
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("m12_orders")
+    Materializer.raw(s,
+      """-- leading comment is skipped
+        |set odps.sql.type.system.odps2=true;
+        |set spark.sql.adaptive.enabled=true;
+        |SELECT o_orderstatus, COUNT(*) AS n FROM m12_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val m12Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- M13 clone
+
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m13")
+    Materializer.table(s, TableRef("g_m13.geo"),
+      t(s, dir, "nation").join(t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    Materializer.clone(s, TableRef("g_m13.geo"), TableRef("g_m13.geo_clone"))
+    s.table("g_m13.geo_clone").orderBy(col("n_nationkey"))
+  }
+
+  private val m13Sql =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ----------------------------------------- M10 materialized view + refresh
+
+  private def m14(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m14")
+    t(s, dir, "orders").createOrReplaceTempView("m14_orders")
+    val mvSql =
+      """SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m14_orders GROUP BY 1, 2""".stripMargin
+    Materializer.materializedView(s, TableRef("g_m14.daily_rev"), mvSql)
+    Materializer.refreshMaterializedView(s, TableRef("g_m14.daily_rev"))
+    s.table("g_m14.daily_rev").orderBy(col("order_date"), col("o_orderstatus"))
+  }
+
+  private val m14Sql =
+    """SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- M14 ephemeral
+
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    Materializer.ephemeral(s, "m15_big_cust",
+      t(s, dir, "customer").filter(col("c_acctbal") > 5000))
+    Materializer.ephemeral(s, "m15_cust_orders",
+      t(s, dir, "orders").join(s.table("m15_big_cust"),
+        col("o_custkey") === col("c_custkey")))
+    s.table("m15_cust_orders")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val m15Sql =
+    """WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 5000),
+      |cust_orders AS (SELECT * FROM orders JOIN big_cust ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM cust_orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_table_ctas" -> (m01 _),
+    "m02_view" -> (m02 _),
+    "m03_incr_merge" -> (m03 _),
+    "m04_incr_merge_autopart" -> (m04 _),
+    "m05_incr_delete_insert" -> (m05 _),
+    "m06_incr_append" -> (m06 _),
+    "m07_insert_overwrite_dyn" -> (m07 _),
+    "m08_insert_overwrite_static" -> (m08 _),
+    "m09_microbatch" -> (m09 _),
+    "m10_snapshot_scd2" -> (m10 _),
+    "m11_seed_csv" -> (m11 _),
+    "m12_raw_set_header" -> (m12 _),
+    "m13_clone" -> (m13 _),
+    "m14_mview_refresh" -> (m14 _),
+    "m15_ephemeral" -> (m15 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_table_ctas" -> m01Sql,
+    "m02_view" -> m02Sql,
+    "m03_incr_merge" -> m03Sql,
+    "m04_incr_merge_autopart" -> m04Sql,
+    "m05_incr_delete_insert" -> m05Sql,
+    "m06_incr_append" -> m06Sql,
+    "m07_insert_overwrite_dyn" -> m07Sql,
+    "m08_insert_overwrite_static" -> m08Sql,
+    "m09_microbatch" -> m09Sql,
+    "m10_snapshot_scd2" -> m10Sql,
+    "m11_seed_csv" -> m11Sql,
+    "m12_raw_set_header" -> m12Sql,
+    "m13_clone" -> m13Sql,
+    "m14_mview_refresh" -> m14Sql,
+    "m15_ephemeral" -> m15Sql)
+}

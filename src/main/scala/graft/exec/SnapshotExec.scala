@@ -37,16 +37,21 @@ object SnapshotExec {
       snapshotAt: java.sql.Timestamp,
       invalidateHardDeletes: Boolean = false): Unit = {
 
-    val updatedAtCol: Column = strategy match {
-      case TimestampStrategy(u)  => col(u)
+    // updated-at must be resolved against a specific frame: the snapshot's
+    // open rows and the source both carry the column, so an unqualified
+    // reference would be ambiguous inside their join.
+    def updOf(df: DataFrame): Column = strategy match {
+      case TimestampStrategy(u)   => df(u)
       case CheckStrategy(_, expr) => expr
     }
-    def withMeta(df: DataFrame): DataFrame = df
-      .withColumn("dbt_updated_at", updatedAtCol.cast("timestamp"))
-      .withColumn("dbt_valid_from", updatedAtCol.cast("timestamp"))
-      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
-      .withColumn("dbt_scd_id",
-        Fns.scdId((key.map(col) :+ updatedAtCol.cast("string")): _*))
+    def withMeta(df: DataFrame): DataFrame = {
+      val u = updOf(df)
+      df.withColumn("dbt_updated_at", u.cast("timestamp"))
+        .withColumn("dbt_valid_from", u.cast("timestamp"))
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+        .withColumn("dbt_scd_id",
+          Fns.scdId((key.map(col) :+ u.cast("string")): _*))
+    }
 
     if (!spark.catalog.tableExists(target.render.replace("`", ""))) {
       AtomicWriter.createOrReplace(spark, withMeta(src), target)
@@ -71,7 +76,7 @@ object SnapshotExec {
     // 1. close out changed current versions
     val closedOut = changed.select(
       (snap.columns.toSeq.filterNot(_ == "dbt_valid_to").map(c => open(c).as(c)) :+
-        updatedAtCol.cast("timestamp").as("dbt_valid_to")): _*)
+        updOf(src).cast("timestamp").as("dbt_valid_to")): _*)
       .select(snap.columns.map(col).toIndexedSeq: _*)
     // 2. new versions of changed rows + brand-new keys
     // (name-based joins below: the frames share lineage, so expression-id

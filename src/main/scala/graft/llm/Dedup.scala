@@ -59,11 +59,13 @@ object Dedup {
     * shuffle keyed by doc id, all expressions codegen'd. */
   def minhashSignatures(docs: DataFrame, k: Int = 128,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // h < 2^31 and a < 2^30 keep a·h+b < 2^62: no overflow under ANSI mode
     val sh = docs.select(col(idCol),
         explode(wordShingles(col(textCol), 3)).as("shingle"))
-      .withColumn("h", abs(xxhash64(col("shingle"))))
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(1L << 31)))
     val sigCols = (0 until k).map { i =>
-      min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) + lit(mix(0xf00dL, i)), lit(P)))
+      min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) +
+          lit(mix(0xf00dL, i) % 1000000007L), lit(P)))
         .as(s"mh_$i")
     }
     sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)

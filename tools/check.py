@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle results (sorted rows, columns sorted by name)."""
+import duckdb, glob, json, math, os, sys
+import pyarrow.parquet as pq
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = sys.argv[3:] if len(sys.argv) > 3 else None
+
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"): return v.isoformat()[:26]
+    if isinstance(v, list): return tuple(norm(x) for x in v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal): return round(float(v), 9)
+    except Exception: pass
+    return v
+
+def rows_of(cols, table):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in idx]
+    data = table
+    out = []
+    for row in data:
+        out.append(tuple(norm(row[i]) for i in idx))
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return names, out
+
+passed = failed = skipped = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d): continue
+    if only and name not in only: continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"NOOUT  {name}"); failed += 1; continue
+    t = pq.read_table(files[0])
+    spark_cols = t.column_names
+    spark_rows = [tuple(r.values()) for r in t.to_pylist()]
+    spark_rows = [[r[i] for i in range(len(spark_cols))] for r in spark_rows]
+    if name not in oracles:
+        print(f"ROWS   {name}: {len(spark_rows)} rows (no oracle)")
+        skipped += 1
+        continue
+    try:
+        res = con.execute(oracles[name])
+        duck_cols = [c[0] for c in res.description]
+        duck_rows = res.fetchall()
+    except Exception as e:
+        print(f"ORAFAIL {name}: {str(e).splitlines()[0][:160]}")
+        failed += 1; continue
+    sn, sr = rows_of(spark_cols, spark_rows)
+    dn, dr = rows_of(duck_cols, duck_rows)
+    if sn != dn:
+        print(f"SCHEMA {name}: spark={sn} duck={dn}"); failed += 1; continue
+    if len(sr) != len(dr):
+        print(f"NROWS  {name}: spark={len(sr)} duck={len(dr)}"); failed += 1; continue
+    if sr != dr:
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        print(f"VALUES {name}: first diffs {bad}")
+        failed += 1; continue
+    print(f"OK     {name} ({len(sr)} rows)")
+    passed += 1
+print(f"\n{passed} ok, {failed} failed, {skipped} rows-only")
+sys.exit(1 if failed else 0)

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.exec.Incremental
+import graft.mat.Materializer
+import graft.mat.Materializer.IncrementalStrategy
+
+/** Strategy × partition-flavor matrix, mirroring the reference's
+  * tests/functional/maxcompute/test_incremental_partition.py fixture
+  * (FIXTURES.md §5): 5 seeded rows p01–p05 plus inserted row (6, Frank, p06);
+  * every cell must end with ids 1..6. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed() = Seq(
+    (1L, "Alice", "2024-10-01", "p01"), (2L, "Bob", "2024-10-02", "p02"),
+    (3L, "Carol", "2024-10-03", "p03"), (4L, "Dave", "2024-10-04", "p04"),
+    (5L, "Eve", "2024-10-05", "p05"))
+    .toDF("id", "name", "event_time", "pt")
+    .withColumn("event_time", col("event_time").cast("timestamp"))
+
+  private def delta() = Seq(
+    (5L, "Eve2", "2024-10-05", "p05"), // update
+    (6L, "Frank", "2024-10-06", "p06")) // insert
+    .toDF("id", "name", "event_time", "pt")
+    .withColumn("event_time", col("event_time").cast("timestamp"))
+
+  private var n = 0
+  private def fresh(partition: PartitionSpec): TableRef = {
+    n += 1
+    val ref = TableRef(s"default.inc_spec_$n")
+    Materializer.table(spark,
+      ref, graft.exec.AtomicWriter.withPartitionCols(seed(), partition), partition)
+    ref
+  }
+
+  private def idsAndNames(ref: TableRef): Seq[(Long, String)] =
+    spark.table(ref.render).select($"id", $"name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+  private val flavors: Seq[(String, PartitionSpec)] = Seq(
+    "none" -> PartitionSpec.None,
+    "static-pt" -> PartitionSpec.Static(Seq("pt" -> "string")),
+    "auto-day" -> PartitionSpec.Auto("event_time", "day"),
+    "auto-named-month" -> PartitionSpec.Auto("event_time", "month", Some("pt_month")))
+
+  for ((fname, part) <- flavors) {
+    test(s"merge × $fname ⇒ ids 1..6, id 5 updated") {
+      val ref = fresh(part)
+      Incremental.merge(spark, ref, graft.exec.AtomicWriter.withPartitionCols(delta(), part),
+        uniqueKey = Seq("id"), partition = part)
+      val got = idsAndNames(ref)
+      assert(got.map(_._1) == (1L to 6L))
+      assert(got.find(_._1 == 5L).get._2 == "Eve2")
+    }
+
+    test(s"delete+insert × $fname ⇒ ids 1..6, id 5 updated") {
+      val ref = fresh(part)
+      Incremental.deleteInsert(spark, ref,
+        graft.exec.AtomicWriter.withPartitionCols(delta(), part),
+        uniqueKey = Seq("id"), partition = part)
+      val got = idsAndNames(ref)
+      assert(got.map(_._1) == (1L to 6L))
+      assert(got.find(_._1 == 5L).get._2 == "Eve2")
+    }
+  }
+
+  test("merge × multi-field key (name, pt)") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    val d = Seq((5L, "Eve", "2024-10-05", "p05"), (6L, "Frank", "2024-10-06", "p06"))
+      .toDF("id", "name", "event_time", "pt")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    Incremental.merge(spark, ref, d, uniqueKey = Seq("name", "pt"), partition = part)
+    assert(idsAndNames(ref).map(_._1) == (1L to 6L))
+  }
+
+  test("merge update-column subsetting and exclusion") {
+    val ref = fresh(PartitionSpec.None)
+    val d = Seq((5L, "EveX", "2099-01-01", "pXX"))
+      .toDF("id", "name", "event_time", "pt")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    Incremental.merge(spark, ref, d, uniqueKey = Seq("id"),
+      updateColumns = Seq("name"))
+    val r5 = spark.table(ref.render).filter($"id" === 5).collect().head
+    assert(r5.getAs[String]("name") == "EveX")
+    assert(r5.getAs[String]("pt") == "p05") // untouched: not in update set
+  }
+
+  test("merge with no unique key degrades to append (ref merge.sql:52-58)") {
+    val ref = fresh(PartitionSpec.None)
+    Incremental.merge(spark, ref, delta(), uniqueKey = Nil)
+    assert(spark.table(ref.render).count() == 7) // 5 + 2, id 5 duplicated
+  }
+
+  test("append + unique_key is rejected (ref incremental.sql:36-38)") {
+    val ref = fresh(PartitionSpec.None)
+    intercept[IllegalArgumentException] {
+      Materializer.incremental(spark, ref, delta(),
+        IncrementalStrategy.Append, uniqueKey = Seq("id"))
+    }
+  }
+
+  test("insert_overwrite requires partition_by (ref insert_overwrite.sql:4-9)") {
+    val ref = fresh(PartitionSpec.None)
+    intercept[IllegalArgumentException] {
+      Incremental.insertOverwriteDynamic(spark, ref, delta(), PartitionSpec.None)
+    }
+  }
+
+  test("dynamic insert_overwrite replaces only source partitions") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    val d = Seq((50L, "New5", "2024-10-05", "p05")).toDF("id", "name", "event_time", "pt")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    Incremental.insertOverwriteDynamic(spark, ref, d, part)
+    val got = idsAndNames(ref)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 50L)) // p05 replaced, rest intact
+  }
+
+  test("static insert_overwrite empties listed partitions absent from source") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    val d = Seq((50L, "New5", "2024-10-05", "p05")).toDF("id", "name", "event_time", "pt")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    Incremental.insertOverwriteStatic(spark, ref, d, part, Seq("p04", "p05"))
+    val got = idsAndNames(ref)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 50L)) // p04 emptied, p05 replaced
+  }
+
+  test("idempotent re-run of dynamic insert_overwrite") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    val d = delta()
+    Incremental.insertOverwriteDynamic(spark, ref, d, part)
+    val first = idsAndNames(ref)
+    Incremental.insertOverwriteDynamic(spark, ref, d, part)
+    assert(idsAndNames(ref) == first)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE  quick  Brown fox jumps over the lazy dog near the river bank today"), // case/ws variant of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near-dup of 1
+    (4L, "completely different content about spark catalyst optimizer internals"),
+    (5L, "der hund und die katze sind nicht mit der maus und dem igel zu hause"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 1&2 merge
+    assert(out.find(_.getAs[Long]("dup_count") == 2L).get.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct pair") {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash finds near-identical docs within hamming budget") {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard computes exact overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) == 1.0) // identical after normalization
+    assert(pairs.keySet.contains((1L, 3L)))
+    assert(pairs((1L, 3L)) < 1.0)
+  }
+
+  test("brute-force top-k: self is rank 1 with cos 1.0; ranks are dense") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), k = 3)
+      .orderBy($"rank").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("corpus_id") == 1L)
+    assert(out(0).getAs[Double]("cos") == 1.0)
+    assert(out(1).getAs[Long]("corpus_id") == 2L) // nearest non-self
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("LSH top-k returns the true nearest neighbour for clustered vectors") {
+    val emb = Seq(
+      (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(0.99f)),
+      (3L, Seq.fill(8)(-1.0f)), (4L, (Seq.fill(4)(1.0f) ++ Seq.fill(4)(-1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1), k = 2, dim = 8,
+      bits = 4, probeBits = 2)
+      .orderBy($"rank").collect()
+    assert(out.nonEmpty && out.head.getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("language id picks stopword-dominant language; empty → und") {
+    val out = docs.select($"doc_id", TextOps.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+    val empty = spark.range(1).select(TextOps.langId(lit("zzz qqq")).as("l"))
+      .collect().head.getString(0)
+    assert(empty == "und")
+  }
+
+  test("token counts, ratios and fingerprint are deterministic") {
+    val r = docs.filter($"doc_id" === 1)
+      .select(TextOps.tokenCount($"text").as("n"),
+        TextOps.punctRatio($"text").as("p"),
+        TextOps.fingerprint($"text").as("fp"))
+      .collect().head
+    assert(r.getAs[Int]("n") == 14)
+    assert(r.getAs[Double]("p") == 0.0)
+    val fp2 = docs.filter($"doc_id" === 2)
+      .select(TextOps.fingerprint($"text")).collect().head.getString(0)
+    assert(r.getAs[String]("fp") == fp2) // normalization-invariant
+  }
+
+  test("multimodal: synthesize → extract features → frame sampling plumbing") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(media.schema("media").dataType.simpleString.contains("payload:binary"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id")
+    val got = feats.collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getAs[Seq[Float]]("features").length == 8))
+    // determinism: same payload ⇒ same features
+    val f2 = Multimodal.extractFeatures(spark, media, "doc_id").collect()
+    assert(got.map(_.toSeq).toSet == f2.map(_.toSeq).toSet)
+    val frames = Multimodal.sampleFrames(media, "doc_id", fps = 1.0)
+    val vids = media.filter(col("media.meta.kind") === "video").count()
+    if (vids > 0) assert(frames.select("doc_id").distinct().count() == vids)
+  }
+}

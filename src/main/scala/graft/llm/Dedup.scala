@@ -154,9 +154,12 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(wordShingles(col(textCol), n)).as("shingle"))
-    val filtered = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf).drop("df")
+    // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
+    // window (which would shuffle AND sort every (doc, shingle) row)
+    val hotShingles = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val filtered = sh.join(hotShingles, Seq("shingle"), "left_anti")
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val aa = filtered.select(col("shingle"), col(idCol).as("id_a"))
     val bb = filtered.select(col("shingle"), col(idCol).as("id_b"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** 100 TB-discipline regression tests: the physical plans the engine
+  * produces must keep their scale-critical properties — filters pushed to
+  * the parquet scan, columns pruned, small dimensions broadcast, partial
+  * (map-side) aggregation. A correctness-preserving change that loses one
+  * of these would be a silent 100× regression at scale. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(SimpleMode)
+
+  test("filter+project query pushes predicates into the parquet scan") {
+    val p = plan("q03_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "range not pushed")
+    // column pruning: scan must not read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax"), s"scan not pruned: $readSchema")
+  }
+
+  test("star join broadcasts every dimension (no shuffle join)") {
+    val p = plan("q02_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+    // one shuffle for the groupBy (+ one for the final orderBy), nothing more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"extra shuffles:\n$p")
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("scalar subquery is broadcast, not recomputed per row") {
+    val p = plan("q13_scalar_subquery")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar agg not broadcast:\n$p")
+  }
+
+  test("brute-force top-k broadcasts the query side") {
+    val p = plan("s01_cosine_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+}

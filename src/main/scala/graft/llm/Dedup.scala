@@ -152,8 +152,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 1000, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // join/aggregate on the 64-bit hash of each shingle, not the string —
+    // fixed-width keys shuffle and compare far cheaper, and a 64-bit
+    // collision across one document corpus is vanishingly unlikely
     val sh = docs.select(col(idCol),
       explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
     // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
     // window (which would shuffle AND sort every (doc, shingle) row)
     val hotShingles = sh.groupBy(col("shingle"))

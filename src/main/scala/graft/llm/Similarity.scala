@@ -19,15 +19,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns (0 for zero-norm). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(dot(a, a))
-    val nb = sqrt(dot(b, b))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  /** Cosine similarity of two array<float/double> columns (0 for zero-norm).
+    * Backed by the codegen'd native expression
+    * [[graft.functions.CosineSimilarity]] — a single fused loop instead of
+    * zip_with+aggregate lambda interpretation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k: for each row of `queries` (small — broadcast), the k most
     * cosine-similar rows of `corpus`. Returns (query_id, corpus_id, cos, rank). */

@@ -81,9 +81,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // persisted: the signature pipeline (shingle explode + k min-aggs) feeds
+    // both sides of the band self-join — without this it runs twice
     val sig = minhashSignatures(docs, k, idCol, textCol)
       .withColumn("sig", array((0 until k).map(i => col(s"mh_$i")): _*))
       .select(col(idCol), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(concat_ws("_",
@@ -128,6 +131,7 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -163,7 +167,9 @@ object Dedup {
     val hotShingles = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select(col("shingle"))
+    // persisted: feeds the per-doc sizes AND both sides of the pair join
     val filtered = sh.join(hotShingles, Seq("shingle"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val aa = filtered.select(col("shingle"), col(idCol).as("id_a"))
     val bb = filtered.select(col("shingle"), col(idCol).as("id_b"))

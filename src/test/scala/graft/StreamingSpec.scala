@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.mat.Materializer
+import graft.streaming.Streaming
+
+/** The streaming execution mode must produce the SAME final state as its
+  * batch twin (SURVEY.md §2.6: streaming is optional, semantics are pinned
+  * by the batch operators). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed aggregation over the events stream matches the batch result") {
+    val events = Tables.t(spark, dir, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("stream_src")
+    events.write.mode("overwrite").parquet(tmp.toString) // µs-normalized copy
+    val stream = Streaming.parquetStream(spark, tmp.toString)
+    val agg = Streaming.windowedCounts(stream, "ts", "1 hour", "1 day")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_counts")
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    val want = events
+      .groupBy(date_trunc("day", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming microbatch reaches the same table state as batch insert_overwrite") {
+    val events = Tables.t(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value",
+        date_trunc("second", $"ts").as("ts_sec"))
+    val part = PartitionSpec.Auto("ts_sec", "day", Some("pt"))
+
+    // batch twin
+    val batchRef = TableRef("default.mb_batch")
+    Materializer.table(spark, batchRef,
+      graft.exec.AtomicWriter.withPartitionCols(events, part), part)
+
+    // streaming path into an empty table with the same schema
+    val streamRef = TableRef("default.mb_stream")
+    Materializer.table(spark, streamRef,
+      graft.exec.AtomicWriter.withPartitionCols(events, part).limit(0), part)
+    val tmp = java.nio.file.Files.createTempDirectory("stream_mb")
+    events.write.mode("overwrite").parquet(tmp.toString)
+    val stream = Streaming.parquetStream(spark, tmp.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt")
+    val q = Streaming.microbatchStream(spark, stream, streamRef, part, ckpt.toString)
+    Streaming.runToCompletion(q)
+
+    val a = spark.table(batchRef.render).orderBy($"event_id").collect().toSeq
+    val b = spark.table(streamRef.render).orderBy($"event_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}

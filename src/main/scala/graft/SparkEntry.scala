@@ -473,6 +473,25 @@ object SparkEntry {
       |  make_date(2024, 2, 1) AS made_date
       |FROM customer WHERE c_custkey <= 500 ORDER BY 1""".stripMargin
 
+  private def f08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // any_value over a group-constant expression ⇒ deterministic
+        Fns.anyValue(substring(col("o_orderpriority"), 1, 1)).as("prio_digit"),
+        Fns.boolOr(col("o_orderstatus") === "F").as("has_f"),
+        Fns.boolOr(col("o_orderstatus") === "X").as("has_x"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val f08Sql =
+    """SELECT o_orderpriority,
+      |  any_value(substring(o_orderpriority, 1, 1)) AS prio_digit,
+      |  bool_or(o_orderstatus = 'F') AS has_f,
+      |  bool_or(o_orderstatus = 'X') AS has_x,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =====================================================================
   // exported maps (filled further in Part 2: materializations + LLM ops)
   // =====================================================================
@@ -499,7 +518,8 @@ object SparkEntry {
     "f04_strings" -> (f04 _),
     "f05_hash" -> (f05 _),
     "f06_arrays" -> (f06 _),
-    "f07_casts" -> (f07 _)
+    "f07_casts" -> (f07 _),
+    "f08_agg_fns" -> (f08 _)
   ) ++ MatQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -524,6 +544,7 @@ object SparkEntry {
     "f04_strings" -> f04Sql,
     "f05_hash" -> f05Sql,
     "f06_arrays" -> f06Sql,
-    "f07_casts" -> f07Sql
+    "f07_casts" -> f07Sql,
+    "f08_agg_fns" -> f08Sql
   ) ++ MatQueries.oracleSql ++ LlmQueries.oracleSql
 }

@@ -139,6 +139,43 @@ object CatalogOps {
   def setTableComment(spark: SparkSession, ref: TableRef, comment: String): Unit =
     spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ('comment'='${comment.replace("'", "\\'")}')")
 
+  /** Column comments (ref persist_docs.sql:1-25). */
+  def setColumnComment(spark: SparkSession, ref: TableRef, column: String,
+      comment: String): Unit =
+    spark.sql(s"ALTER TABLE ${ref.render} ALTER COLUMN `$column` " +
+      s"COMMENT '${comment.replace("'", "\\'")}'")
+
+  def getColumnComments(spark: SparkSession, ref: TableRef): Map[String, String] =
+    spark.catalog.listColumns(ref.render.replace("`", "")).collect()
+      .flatMap(c => Option(c.description).map(c.name -> _)).toMap
+
+  /** Catalog crawl for docs generation: one row per table with database,
+    * name, type, comment, column list (ref impl.py:299-374). Metadata-only. */
+  def crawl(spark: SparkSession, db: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables(db).collect().toSeq.map { t =>
+      val fq = (Option(t.database).toSeq :+ t.name).mkString(".")
+      val cols = spark.catalog.listColumns(fq).collect()
+        .map(c => s"${c.name}:${c.dataType}").mkString(",")
+      (Option(t.database).getOrElse(""), t.name, t.tableType,
+        Option(t.description).getOrElse(""), cols)
+    }.toDF("table_database", "table_name", "table_type", "table_comment", "columns")
+  }
+
+  /** Source freshness from table metadata: newest file mtime under the
+    * table's storage (ref impl.py:447-462 last_data_modified_time). */
+  def lastModified(spark: SparkSession, ref: TableRef): Option[java.sql.Timestamp] = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(ref.render.replace("`", ""))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val loc = new java.io.File(new java.net.URI(meta.location.toString))
+    def newest(f: java.io.File): Long =
+      if (f.isFile) f.lastModified
+      else Option(f.listFiles).map(_.map(newest).foldLeft(0L)(math.max)).getOrElse(0L)
+    val t = newest(loc)
+    if (t == 0L) None else Some(new java.sql.Timestamp(t))
+  }
+
   /** Grants shim: no ACL in OSS Spark; persist the grant config as table
     * properties so the diff-based apply logic stays observable
     * (ref impl.py:509-558). */

@@ -22,16 +22,30 @@ object Materializer {
     case object InsertOverwrite extends IncrementalStrategy
   }
 
-  /** M1 `table`: CTAS with contract enforcement hook. Ref
-    * relations/table/create.sql:1-76. */
+  /** M1 `table`: CTAS with contract enforcement, tblproperties, lifecycle
+    * (days-to-live stored as a property — OSS Spark has no TTL enforcement;
+    * a reaper can act on it), bucketing (the delta-table `write.bucket.num`
+    * analogue). Ref relations/table/create.sql:1-76. */
   def table(spark: SparkSession, target: TableRef, df: DataFrame,
       partition: PartitionSpec = PartitionSpec.None,
       bucketBy: Option[(Int, Seq[String])] = None,
       notNullColumns: Seq[String] = Nil,
-      contract: Option[Seq[(String, String)]] = None): Unit = {
+      contract: Option[Seq[(String, String)]] = None,
+      tblProperties: Map[String, String] = Map.empty,
+      lifecycleDays: Option[Int] = None,
+      comment: Option[String] = None): Unit = {
     contract.foreach(enforceContract(df, _))
     enforceNotNull(df, notNullColumns)
     AtomicWriter.createOrReplace(spark, df, target, partition, bucketBy)
+    val props = tblProperties ++
+      lifecycleDays.map("graft.lifecycle.days" -> _.toString) ++
+      comment.map("comment" -> _)
+    if (props.nonEmpty) {
+      val rendered = props.map { case (k, v) =>
+        s"'${k.replace("'", "\\'")}'='${v.replace("'", "\\'")}'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
+    }
   }
 
   /** M2 `view`: CREATE OR REPLACE VIEW. Ref relations/view/create.sql. */

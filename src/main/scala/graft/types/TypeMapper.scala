@@ -1,0 +1,74 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Reference-type-name ⇄ Spark DataType mapping, including the label
+  * normalization the reference applies (`column.py:16-22`:
+  * TEXT→STRING, INTEGER→INT, BOOL→BOOLEAN, NUMERIC→DECIMAL, REAL→FLOAT)
+  * and the DECIMAL(p,s)/CHAR(n)/VARCHAR(n) shapes (`column.py:31-46`).
+  */
+object TypeMapper {
+
+  private val normalization = Map(
+    "TEXT" -> "STRING", "INTEGER" -> "INT", "BOOL" -> "BOOLEAN",
+    "NUMERIC" -> "DECIMAL", "REAL" -> "FLOAT")
+
+  private val decimalRx = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val decimalPRx = """DECIMAL\s*\(\s*(\d+)\s*\)""".r
+  private val charRx = """(?:CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)""".r
+  private val arrayRx = """ARRAY\s*<\s*(.+)\s*>""".r
+  private val mapRx = """MAP\s*<\s*([^,]+)\s*,\s*(.+)\s*>""".r
+
+  /** Normalize a reference type label (ref column.py:16-22). */
+  def normalize(label: String): String = {
+    val up = label.trim.toUpperCase
+    normalization.getOrElse(up, up)
+  }
+
+  /** Reference type name → Spark DataType. The reference's DATETIME and
+    * TIMESTAMP both land on TimestampType (session-zoned; the reference
+    * deliberately avoids NTZ — impl.py:394-401). */
+  def toSpark(label: String): DataType = normalize(label) match {
+    case "TINYINT" => ByteType
+    case "SMALLINT" => ShortType
+    case "INT" => IntegerType
+    case "BIGINT" => LongType
+    case "FLOAT" => FloatType
+    case "DOUBLE" => DoubleType
+    case "BOOLEAN" => BooleanType
+    case "STRING" => StringType
+    case "BINARY" => BinaryType
+    case "DATE" => DateType
+    case "DATETIME" | "TIMESTAMP" => TimestampType
+    case "TIMESTAMP_NTZ" => TimestampNTZType
+    case "DECIMAL" => DecimalType(38, 18)
+    case decimalRx(p, s) => DecimalType(p.toInt, s.toInt)
+    case decimalPRx(p) => DecimalType(p.toInt, 0)
+    case charRx(n) => StringType // engine stores as string; length is DDL fidelity
+    case arrayRx(inner) => ArrayType(toSpark(inner))
+    case mapRx(k, v) => MapType(toSpark(k), toSpark(v))
+    case other => throw new IllegalArgumentException(s"unknown type: $other")
+  }
+
+  /** Spark DataType → reference type name (for DDL rendering/docs). */
+  def toRef(dt: DataType): String = dt match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case StringType => "STRING"
+    case BinaryType => "BINARY"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP_NTZ"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case a: ArrayType => s"ARRAY<${toRef(a.elementType)}>"
+    case m: MapType => s"MAP<${toRef(m.keyType)},${toRef(m.valueType)}>"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name}:${toRef(f.dataType)}").mkString("STRUCT<", ",", ">")
+    case other => throw new IllegalArgumentException(s"unmapped: $other")
+  }
+}

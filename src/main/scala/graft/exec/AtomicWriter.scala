@@ -1,6 +1,7 @@
 package graft.exec
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.catalog.{PartitionSpec, TableRef}
 
 /** All table mutation goes through this writer. OSS parquet has no row-level
@@ -8,13 +9,20 @@ import graft.catalog.{PartitionSpec, TableRef}
   *
   *  - whole-table ops write a staging table, then swap it in (drop + rename —
   *    a metadata + file-move operation, no data rewrite);
-  *  - partition-scoped ops stage only the touched partitions and use Spark's
-  *    dynamic partition-overwrite (`partitionOverwriteMode=dynamic`), so a
-  *    100 TB table with a 3-partition delta rewrites 3 partitions, not 100 TB.
+  *  - partition-scoped ops stage ONLY the touched partitions, then move the
+  *    staged partition directories into the target and re-register them in
+  *    the catalog — one data pass over the delta, zero passes over the rest
+  *    of the table. A 100 TB table with a 3-partition delta rewrites 3
+  *    partitions and moves 3 directories.
+  *
+  * Partitioned writes repartition by the partition columns first so each
+  * partition value is written by one task — without this, every task writes
+  * a file into every partition it sees (tasks × partitions small files, the
+  * classic Spark anti-pattern at scale).
   *
   * Reading from the table being overwritten is illegal in Spark, hence the
   * staging hop: result plans that scan the target are first materialized into
-  * `<t>__graft_stg`, breaking lineage before the overwrite.
+  * `<t>__graft_stg`, breaking lineage before the swap.
   *
   * Ref semantics: transactional-table MERGE/DELETE/UPDATE
   * (reference relations/table/create.sql:44-49, test_core.py:1128-1140)
@@ -29,12 +37,17 @@ object AtomicWriter {
   def createOrReplace(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None,
       bucketBy: Option[(Int, Seq[String])] = None): Unit = {
-    val out = withPartitionCols(df, partition)
+    val pcols = partition.partitionColumns
+    var out = withPartitionCols(df, partition)
+    // one writing task per partition value → one file per partition
+    if (pcols.nonEmpty && bucketBy.isEmpty)
+      out = out.repartition(pcols.map(col): _*)
     spark.sql(s"DROP TABLE IF EXISTS ${target.render}")
     var w = out.write.mode(SaveMode.Overwrite).format("parquet")
-    val pcols = partition.partitionColumns
     if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
-    bucketBy.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*) }
+    bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
+    }
     w.saveAsTable(target.render)
   }
 
@@ -48,38 +61,47 @@ object AtomicWriter {
     spark.sql(s"ALTER TABLE ${stg.render} RENAME TO ${target.render}")
   }
 
-  /** Replace ONLY the partitions present in `df` (dynamic partition
-    * overwrite); other partitions of `target` are untouched — this is the
-    * at-scale path for merge/insert_overwrite on partitioned tables. */
+  /** Replace ONLY the partitions present in `df`; other partitions of
+    * `target` are untouched. One data pass: `df` is written to a staging
+    * table, then each staged partition directory is MOVED into the target
+    * and re-registered (drop partition + rename dir + add partition). */
   def overwritePartitions(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec): Unit = {
     require(partition.partitionColumns.nonEmpty, "overwritePartitions needs partition columns")
+    val pcols = partition.partitionColumns
     val stg = stgName(target)
-    // Stage to break lineage (df may scan target).
-    createOrReplace(spark, df, stg, partition)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Stage to break lineage (df may scan target), aligned to target layout.
+    val tgtCols = spark.table(target.render).columns
+    createOrReplace(spark,
+      withPartitionCols(df, partition).select(tgtCols.map(col).toIndexedSeq: _*),
+      stg, partition)
     try {
-      // insertInto is position-based with partition columns LAST — the same
-      // contract as the reference's dynamic-partition INSERT
-      // (merge.sql:100-116: data cols then partition cols).
-      val tgtCols = spark.table(target.render).columns
-      spark.table(stg.render)
-        .select(tgtCols.map(org.apache.spark.sql.functions.col): _*)
-        .write.mode(SaveMode.Overwrite).insertInto(target.render)
-    } finally {
-      prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-      spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
-    }
+      val stgDir = tableDir(spark, stg)
+      val tgtDir = tableDir(spark, target)
+      val staged = partitionDirs(stgDir, pcols.size)
+      staged.foreach { rel =>
+        val spec = specOf(rel)
+        spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION ($spec)")
+        val dst = new java.io.File(tgtDir, rel)
+        deleteRec(dst) // DROP PARTITION may leave the dir; clear it
+        dst.getParentFile.mkdirs()
+        if (!new java.io.File(stgDir, rel).renameTo(dst))
+          throw new java.io.IOException(s"rename failed: $rel")
+        spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS PARTITION ($spec)")
+      }
+      spark.sql(s"REFRESH TABLE ${target.render}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
   }
 
   /** Plain append (`INSERT INTO`), position-based, partition cols last. */
   def append(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None): Unit = {
     val tgtCols = spark.table(target.render).columns
-    withPartitionCols(df, partition)
-      .select(tgtCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Append).insertInto(target.render)
+    var out = withPartitionCols(df, partition)
+      .select(tgtCols.map(col).toIndexedSeq: _*)
+    val pcols = partition.partitionColumns
+    if (pcols.nonEmpty) out = out.repartition(pcols.map(col): _*)
+    out.write.mode(SaveMode.Append).insertInto(target.render)
   }
 
   /** Inject the generated auto-partition column if the spec calls for one
@@ -90,4 +112,50 @@ object AtomicWriter {
         df.withColumn(a.genCol, a.genExpr(df))
       case _ => df
     }
+
+  // ------------------------------------------------------------------ files
+
+  private def tableDir(spark: SparkSession, ref: TableRef): java.io.File = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(ref.render.replace("`", ""))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    new java.io.File(new java.net.URI(meta.location.toString))
+  }
+
+  /** Relative `k1=v1[/k2=v2…]` paths of all leaf partition dirs. */
+  private def partitionDirs(root: java.io.File, depth: Int): Seq[String] = {
+    def walk(dir: java.io.File, d: Int): Seq[String] =
+      Option(dir.listFiles).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .flatMap { f =>
+          if (d == 1) Seq(f.getName)
+          else walk(f, d - 1).map(f.getName + "/" + _)
+        }
+    walk(root, depth)
+  }
+
+  /** `k1=v1/k2=v2` → ``k1`='v1', `k2`='v2'` (hive-unescaped). */
+  private def specOf(rel: String): String =
+    rel.split("/").map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      val uv = unescapePathName(v).replace("'", "\\'")
+      s"`$k`='$uv'"
+    }.mkString(", ")
+
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
 }

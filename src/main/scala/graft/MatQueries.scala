@@ -439,6 +439,33 @@ object MatQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM cust_orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------ delta table UPDATE/DELETE (ref M1
+  // transactional flavor + test_core.py:1128-1140)
+
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m16")
+    val tgt = TableRef("g_m16.cust_delta")
+    // delta table: transactional + primary key + fixed bucket count
+    // (ref relations/table/create.sql:17,30-35,46-48)
+    Materializer.table(s, tgt,
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment")),
+      bucketBy = Some((16, Seq("c_custkey"))),
+      tblProperties = Map("transactional" -> "true", "write.bucket.num" -> "16"),
+      notNullColumns = Seq("c_custkey"))
+    graft.exec.Mutations.update(s, tgt,
+      Map("c_acctbal" -> (col("c_acctbal") + 50.0)), col("c_custkey") % 7 === 0)
+    graft.exec.Mutations.delete(s, tgt, col("c_custkey") % 13 === 0)
+    s.table(tgt.render).orderBy(col("c_custkey"))
+  }
+
+  private val m16Sql =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer WHERE c_custkey % 13 <> 0
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -456,7 +483,8 @@ object MatQueries {
     "m12_raw_set_header" -> (m12 _),
     "m13_clone" -> (m13 _),
     "m14_mview_refresh" -> (m14 _),
-    "m15_ephemeral" -> (m15 _))
+    "m15_ephemeral" -> (m15 _),
+    "m16_delta_update_delete" -> (m16 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -473,5 +501,6 @@ object MatQueries {
     "m12_raw_set_header" -> m12Sql,
     "m13_clone" -> m13Sql,
     "m14_mview_refresh" -> m14Sql,
-    "m15_ephemeral" -> m15Sql)
+    "m15_ephemeral" -> m15Sql,
+    "m16_delta_update_delete" -> m16Sql)
 }

@@ -1,0 +1,77 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+
+/** Row-level DELETE / UPDATE / TRUNCATE on parquet tables — the reference's
+  * transactional-table operations (`tblproperties("transactional"="true")`,
+  * exercised by test_core.py:1128-1140) re-expressed as scoped rewrites:
+  *
+  *  - on a PARTITIONED table, only partitions containing affected rows are
+  *    rewritten (predicate → touched-partition scan → dynamic overwrite);
+  *  - unpartitioned tables take the staged whole-table swap.
+  *
+  * TRUNCATE is the catalog operation (adapters.sql:6-12).
+  */
+object Mutations {
+
+  /** DELETE FROM target WHERE pred. */
+  def delete(spark: SparkSession, target: TableRef, pred: Column,
+      partition: PartitionSpec = PartitionSpec.None): Unit = {
+    val tgt = spark.table(target.render)
+    partition.partitionColumns match {
+      case Nil =>
+        AtomicWriter.overwriteTable(spark, tgt.filter(!pred), target, partition)
+      case pcols =>
+        val touched = tgt.filter(pred)
+          .select(pcols.map(c => col(c).cast("string")): _*)
+          .distinct().collect().map(_.toSeq.map(_.toString))
+        if (touched.nonEmpty) {
+          val touchedCond = touched.map { vals =>
+            pcols.zip(vals).map { case (c, v) => col(c).cast("string") === v }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          AtomicWriter.overwritePartitions(spark,
+            tgt.filter(touchedCond && !pred), target, partition)
+        }
+    }
+  }
+
+  /** UPDATE target SET assignments WHERE pred. Partition columns may not be
+    * assigned (rows never move across partitions — same discipline as the
+    * reference's merge, merge.sql:7-16). */
+  def update(spark: SparkSession, target: TableRef,
+      assignments: Map[String, Column], pred: Column,
+      partition: PartitionSpec = PartitionSpec.None): Unit = {
+    val pset = partition.partitionColumns.toSet
+    require(!assignments.keys.exists(pset), "cannot assign partition columns")
+    val tgt = spark.table(target.render)
+    def applied = tgt.select(tgt.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(pred, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    partition.partitionColumns match {
+      case Nil =>
+        AtomicWriter.overwriteTable(spark, applied, target, partition)
+      case pcols =>
+        val touched = tgt.filter(pred)
+          .select(pcols.map(c => col(c).cast("string")): _*)
+          .distinct().collect().map(_.toSeq.map(_.toString))
+        if (touched.nonEmpty) {
+          val touchedCond = touched.map { vals =>
+            pcols.zip(vals).map { case (c, v) => col(c).cast("string") === v }
+              .reduce(_ && _)
+          }.reduce(_ || _)
+          AtomicWriter.overwritePartitions(spark,
+            applied.filter(touchedCond), target, partition)
+        }
+    }
+  }
+
+  /** TRUNCATE TABLE (ref adapters.sql:6-12). */
+  def truncate(spark: SparkSession, target: TableRef): Unit =
+    spark.sql(s"TRUNCATE TABLE ${target.render}")
+}

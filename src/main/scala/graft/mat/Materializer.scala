@@ -73,10 +73,23 @@ object Materializer {
         target, partition)
       return
     }
+    // Temp-table staging exists to break lineage when the model reads
+    // {{ this }} (the reference always CTASes a temp table). When the source
+    // plan does NOT scan the target we skip the staging write entirely —
+    // at scale that's one full materialization of the delta saved.
+    val scansTarget = {
+      val ident = target.render.replace("`", "").toLowerCase
+      src.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.exists(_.identifier.unquotedString.toLowerCase == ident) => ()
+      }.isDefined
+    }
     val tmp = target.copy(name = target.name + "__dbt_tmp")
-    AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition), tmp)
+    if (scansTarget)
+      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition), tmp)
     try {
-      val staged = spark.table(tmp.render)
+      val staged = if (scansTarget) spark.table(tmp.render)
+        else AtomicWriter.withPartitionCols(src, partition)
       strategy match {
         case Merge(upd, excl) =>
           Incremental.merge(spark, target, staged, uniqueKey, partition, upd, excl, predicates)

@@ -1,0 +1,28 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution AQE can't fix (e.g. the
+  * skewed side is the OUTPUT of an exchange AQE already coalesced, or the
+  * join is bucketed so AQE skew-splitting is bypassed).
+  *
+  * `saltedJoin` explodes the small side `saltFactor`× and spreads the big
+  * side's hot keys across `saltFactor` shuffle partitions: join key becomes
+  * (key, salt) with salt = crc32(whole row) % saltFactor on the big side and
+  * explode(0..saltFactor-1) on the small side. Results are identical to the
+  * plain join; the shuffle is `saltFactor`-way wider on hot keys.
+  */
+object Skew {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      joinType: String = "inner", saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0)
+    val bigS = big.withColumn("__salt",
+      pmod(crc32(concat_ws("", big.columns.map(c => col(c).cast("string")): _*)),
+        lit(saltFactor)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

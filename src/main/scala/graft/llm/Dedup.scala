@@ -42,10 +42,33 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(w)), " "))))
   }
 
+  /** 64-bit hashes of the word w-shingles, WITHOUT materializing shingle
+    * strings: hash each token once, then mix w consecutive token-hashes with
+    * position-dependent rotate-xor (bitwise only — safe under ANSI mode).
+    * At 100 TB the string churn of building every shingle dominates the
+    * pipeline; this keeps it all in fixed-width longs. Distinct per doc. */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val hs = transform(TextOps.tokens(text), t => xxhash64(t))
+    def rotl(x: Column, k: Int): Column =
+      shiftleft(x, k).bitwiseOR(shiftrightunsigned(x, 64 - k))
+    def mixW(i: Column): Column =
+      (0 until w).map(j => rotl(element_at(hs, i + j + 1), 7 * j + 1))
+        .reduce(_.bitwiseXOR(_))
+    array_distinct(
+      when(size(hs) < w,
+        when(size(hs) > 0,
+          array(aggregate(hs, lit(0L), (acc, h) => rotl(acc, 9).bitwiseXOR(h))))
+        .otherwise(array().cast("array<bigint>")))
+      .otherwise(transform(sequence(lit(0), size(hs) - w), mixW(_))))
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
-  /** Large Mersenne prime for the universal-hash family h_i(x)=(a_i·x+b_i) mod p. */
-  private val P = 2305843009213693951L // 2^61 - 1
+  /** Prime modulus for the universal-hash family h_i(x)=(a_i·x+b_i) mod p.
+    * Must be SMALL relative to a·h (≈2^61) so the product wraps many times —
+    * with p > a·h the family is monotone in h and every min-hash collapses
+    * to a function of min(h) alone. */
+  private val P = 1000000007L
   private def mix(seed: Long, i: Int): Long = {
     // splitmix64 over (seed, i) — deterministic per hash-function index
     var z = seed + 0x9e3779b97f4a7c15L * (i + 1)
@@ -61,8 +84,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // h < 2^31 and a < 2^30 keep a·h+b < 2^62: no overflow under ANSI mode
     val sh = docs.select(col(idCol),
-        explode(wordShingles(col(textCol), 3)).as("shingle"))
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(1L << 31)))
+        explode(shingleHashes(col(textCol), 3)).as("shingle"))
+      .withColumn("h", pmod(col("shingle"), lit(1L << 31)))
     val sigCols = (0 until k).map { i =>
       min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) +
           lit(mix(0xf00dL, i) % 1000000007L), lit(P)))
@@ -160,8 +183,7 @@ object Dedup {
     // fixed-width keys shuffle and compare far cheaper, and a 64-bit
     // collision across one document corpus is vanishingly unlikely
     val sh = docs.select(col(idCol),
-      explode(wordShingles(col(textCol), n)).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      explode(shingleHashes(col(textCol), n)).as("shingle"))
     // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
     // window (which would shuffle AND sort every (doc, shingle) row)
     val hotShingles = sh.groupBy(col("shingle"))

@@ -21,7 +21,8 @@ class LlmSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair and not the distinct pair") {
-    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 16)
+    // bands=32 (r=2): band-match probability 1-(1-J²)³² ≈ 1 for J ≈ 0.6
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)))

@@ -42,15 +42,24 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(w)), " "))))
   }
 
+  /** Per-token 64-bit hashes. */
+  def tokenHashes(text: Column): Column =
+    transform(TextOps.tokens(text), t => xxhash64(t))
+
+  private def rotl(x: Column, k: Int): Column =
+    shiftleft(x, k).bitwiseOR(shiftrightunsigned(x, 64 - k))
+
   /** 64-bit hashes of the word w-shingles, WITHOUT materializing shingle
-    * strings: hash each token once, then mix w consecutive token-hashes with
-    * position-dependent rotate-xor (bitwise only — safe under ANSI mode).
-    * At 100 TB the string churn of building every shingle dominates the
-    * pipeline; this keeps it all in fixed-width longs. Distinct per doc. */
-  def shingleHashes(text: Column, w: Int): Column = {
-    val hs = transform(TextOps.tokens(text), t => xxhash64(t))
-    def rotl(x: Column, k: Int): Column =
-      shiftleft(x, k).bitwiseOR(shiftrightunsigned(x, 64 - k))
+    * strings: mix w consecutive token-hashes with position-dependent
+    * rotate-xor (bitwise only — safe under ANSI mode). At 100 TB the string
+    * churn of building every shingle dominates the pipeline; this keeps it
+    * in fixed-width longs.
+    *
+    * IMPORTANT: `hs` must be a bound column (e.g. via `withColumn`), not an
+    * inline expression — HOF lambdas don't CSE, so an inline `transform`
+    * referenced through `element_at` would re-run per element (O(n²)/doc).
+    * Distinct per doc. */
+  def shingleHashesOf(hs: Column, w: Int): Column = {
     def mixW(i: Column): Column =
       (0 until w).map(j => rotl(element_at(hs, i + j + 1), 7 * j + 1))
         .reduce(_.bitwiseXOR(_))
@@ -61,6 +70,12 @@ object Dedup {
         .otherwise(array().cast("array<bigint>")))
       .otherwise(transform(sequence(lit(0), size(hs) - w), mixW(_))))
   }
+
+  /** (doc, shingle-hash) rows: token-hash array bound as a column first. */
+  def explodedShingleHashes(docs: DataFrame, w: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokenHashes(col(textCol)).as("__hs"))
+      .select(col(idCol), explode(shingleHashesOf(col("__hs"), w)).as("shingle"))
 
   // ------------------------------------------------------------ MinHash LSH
 
@@ -83,8 +98,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 128,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // h < 2^31 and a < 2^30 keep a·h+b < 2^62: no overflow under ANSI mode
-    val sh = docs.select(col(idCol),
-        explode(shingleHashes(col(textCol), 3)).as("shingle"))
+    val sh = explodedShingleHashes(docs, 3, idCol, textCol)
       .withColumn("h", pmod(col("shingle"), lit(1L << 31)))
     val sigCols = (0 until k).map { i =>
       min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) +
@@ -182,8 +196,7 @@ object Dedup {
     // join/aggregate on the 64-bit hash of each shingle, not the string —
     // fixed-width keys shuffle and compare far cheaper, and a 64-bit
     // collision across one document corpus is vanishingly unlikely
-    val sh = docs.select(col(idCol),
-      explode(shingleHashes(col(textCol), n)).as("shingle"))
+    val sh = explodedShingleHashes(docs, n, idCol, textCol)
     // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
     // window (which would shuffle AND sort every (doc, shingle) row)
     val hotShingles = sh.groupBy(col("shingle"))

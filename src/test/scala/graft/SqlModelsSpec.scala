@@ -1,0 +1,53 @@
+package graft
+
+import graft.catalog.TableRef
+import graft.pipeline.SqlModels
+
+class SqlModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ref/source/this placeholders render to relations") {
+    val sql = "SELECT * FROM {{ ref('stg_orders') }} o " +
+      "JOIN {{ source('raw', 'customers') }} c ON o.k = c.k " +
+      "WHERE o.id > (SELECT max(id) FROM {{ this }})"
+    val out = SqlModels.render(sql, TableRef("db.me"),
+      r => TableRef(s"db.$r"), (s, t) => TableRef(s"${s}_lake.$t"))
+    assert(out.contains("`db`.`stg_orders`"))
+    assert(out.contains("`raw_lake`.`customers`"))
+    assert(out.contains("`db`.`me`"))
+    assert(SqlModels.refsOf(sql) == Seq("stg_orders"))
+  }
+
+  test("a dbt-style SQL model runs end-to-end: view over a ref'd table") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqlm")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "grp", "amount")
+      .write.mode("overwrite").saveAsTable("sqlm.stg_pay")
+    SqlModels.runSqlModel(spark, "sqlm", "pay_by_grp",
+      """set spark.sql.adaptive.enabled=true;
+        |SELECT grp, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM {{ ref('stg_pay') }} GROUP BY grp""".stripMargin)
+    val got = spark.table("sqlm.pay_by_grp").orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("a", 40.0), ("b", 20.0)))
+  }
+
+  test("incremental merge model with {{ this }} subquery predicate (ref test_core.py:237-248)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sqlm2")
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("sqlm2.src_rows")
+    // first run: CTAS
+    SqlModels.runSqlModel(spark, "sqlm2", "inc",
+      "SELECT * FROM {{ ref('src_rows') }}", "incremental_merge", Seq("id"))
+    assert(spark.table("sqlm2.inc").count() == 2)
+    // second run: only rows beyond max(id) of {{ this }}, plus an update
+    Seq((2L, 999L), (3L, 300L)).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("sqlm2.src_rows")
+    SqlModels.runSqlModel(spark, "sqlm2", "inc",
+      "SELECT * FROM {{ ref('src_rows') }} WHERE id >= (SELECT max(id) FROM {{ this }})",
+      "incremental_merge", Seq("id"))
+    val got = spark.table("sqlm2.inc").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 999L), (3L, 300L)))
+  }
+}

@@ -22,6 +22,63 @@ object Materializer {
     case object InsertOverwrite extends IncrementalStrategy
   }
 
+  /** `on_schema_change` modes (ref incremental.sql + adapters/columns.sql:
+    * ignore | append_new_columns | sync_all_columns | fail). */
+  sealed trait OnSchemaChange
+  object OnSchemaChange {
+    /** drop source-only columns, keep target schema (dbt default). */
+    case object Ignore extends OnSchemaChange
+    /** ALTER TABLE ADD COLUMNS for source-only columns. */
+    case object AppendNewColumns extends OnSchemaChange
+    /** add source-only columns AND drop target-only columns (parquet v1 has
+      * no DROP COLUMNS ⇒ implemented as a schema-projecting rewrite). */
+    case object SyncAllColumns extends OnSchemaChange
+    /** raise on any difference. */
+    case object Fail extends OnSchemaChange
+  }
+
+  /** Reconcile target schema with the source's before an incremental run.
+    * Returns the source projected to the final target schema. */
+  private def processSchemaChange(spark: SparkSession, target: TableRef,
+      src: DataFrame, mode: OnSchemaChange): DataFrame = {
+    import OnSchemaChange._
+    val tgtSchema = spark.table(target.render).schema
+    val tgtCols = tgtSchema.map(_.name)
+    val srcOnly = src.schema.filterNot(f => tgtCols.contains(f.name))
+    val tgtOnly = tgtCols.filterNot(src.columns.contains)
+    (mode, srcOnly.isEmpty && tgtOnly.isEmpty) match {
+      case (_, true) => src
+      case (Fail, _) => throw new IllegalStateException(
+        s"schema changed: source-only=${srcOnly.map(_.name)} target-only=$tgtOnly")
+      case (Ignore, _) =>
+        // keep target schema; missing source columns become NULLs
+        src.select(tgtSchema.map(f =>
+          (if (src.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+      case (AppendNewColumns, _) =>
+        if (srcOnly.nonEmpty) {
+          val ddl = srcOnly.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(s"ALTER TABLE ${target.render} ADD COLUMNS ($ddl)")
+        }
+        val newSchema = spark.table(target.render).schema
+        src.select(newSchema.map(f =>
+          (if (src.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+      case (SyncAllColumns, _) =>
+        // final schema = (target ∩ source) ++ source-only, in target order
+        val keep = tgtSchema.filter(f => src.columns.contains(f.name))
+        val finalCols = keep.map(_.name) ++ srcOnly.map(_.name)
+        if (tgtOnly.nonEmpty || srcOnly.nonEmpty) {
+          val tgt = spark.table(target.render)
+          val rewritten = tgt.select(keep.map(f => col(f.name)): _*)
+            .select((keep.map(f => col(f.name)) ++
+              srcOnly.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
+          graft.exec.AtomicWriter.overwriteTable(spark, rewritten, target)
+        }
+        src.select(finalCols.map(col): _*)
+    }
+  }
+
   /** M1 `table`: CTAS with contract enforcement, tblproperties, lifecycle
     * (days-to-live stored as a property — OSS Spark has no TTL enforcement;
     * a reaper can act on it), bucketing (the delta-table `write.bucket.num`
@@ -57,22 +114,25 @@ object Materializer {
     * incremental.sql:54-99 — and breaks lineage so strategies may scan the
     * target) then dispatch. Append + unique_key is forbidden
     * (ref incremental.sql:36-38). */
-  def incremental(spark: SparkSession, target: TableRef, src: DataFrame,
+  def incremental(spark: SparkSession, target: TableRef, srcIn: DataFrame,
       strategy: IncrementalStrategy,
       uniqueKey: Seq[String] = Nil,
       partition: PartitionSpec = PartitionSpec.None,
       predicates: Seq[Column] = Nil,
-      fullRefresh: Boolean = false): Unit = {
+      fullRefresh: Boolean = false,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
     import IncrementalStrategy._
     if (strategy == Append && uniqueKey.nonEmpty)
       throw new IllegalArgumentException(
         "append strategy forbids unique_key (reference parity: incremental.sql:36-38)")
     val exists = spark.catalog.tableExists(target.render.replace("`", ""))
     if (!exists || fullRefresh) {
-      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition),
+      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(srcIn, partition),
         target, partition)
       return
     }
+    val src = processSchemaChange(spark, target,
+      AtomicWriter.withPartitionCols(srcIn, partition), onSchemaChange)
     // Temp-table staging exists to break lineage when the model reads
     // {{ this }} (the reference always CTASes a temp table). When the source
     // plan does NOT scan the target we skip the staging write entirely —

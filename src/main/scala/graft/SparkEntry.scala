@@ -473,6 +473,25 @@ object SparkEntry {
       |  make_date(2024, 2, 1) AS made_date
       |FROM customer WHERE c_custkey <= 500 ORDER BY 1""".stripMargin
 
+  /** Multi-column tuple-IN semi-join — the reference's composite unique_key
+    * form `(k1,k2) IN (SELECT …)` (merge.sql:72-83). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hot = e.filter(col("value") > 190)
+      .select(col("user_id"), col("event_type")).distinct()
+    e.join(hot, Seq("user_id", "event_type"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q16Sql =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM events e
+      |WHERE EXISTS (SELECT 1 FROM events h WHERE h.value > 190
+      |              AND h.user_id = e.user_id AND h.event_type = e.event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def f08(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -512,6 +531,7 @@ object SparkEntry {
     "q13_scalar_subquery" -> (q13 _),
     "q14_date_spine" -> (q14 _),
     "q15_events_window" -> (q15 _),
+    "q16_tuple_in_semi" -> (q16 _),
     "f01_datediff_parts" -> (f01 _),
     "f02_datediff_boundary" -> (f02 _),
     "f03_dateadd_lastday" -> (f03 _),
@@ -538,6 +558,7 @@ object SparkEntry {
     "q13_scalar_subquery" -> q13Sql,
     "q14_date_spine" -> q14Sql,
     "q15_events_window" -> q15Sql,
+    "q16_tuple_in_semi" -> q16Sql,
     "f01_datediff_parts" -> f01Sql,
     "f02_datediff_boundary" -> f02Sql,
     "f03_dateadd_lastday" -> f03Sql,

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink facade. The reference reads MaxCompute tables and CSV seeds;
+  * the engine's native storage is parquet in the session catalog
+  * (`spark.table` / `saveAsTable` via Materializer). This facade adds the
+  * file formats Spark makes free — all columnar-scanned, predicate-pushed
+  * where the format supports it (parquet/orc), schema-explicit for the
+  * text formats (csv/json) so reads are deterministic. */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    var r = spark.read.option("header", header.toString).option("sep", delimiter)
+    schema.foreach(s => r = r.schema(s))
+    r.csv(path)
+  }
+
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read
+    schema.foreach(s => r = r.schema(s))
+    r.json(path)
+  }
+
+  def write(df: DataFrame, path: String, format: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(mode).format(format)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+}

@@ -34,6 +34,11 @@ class PlanSpec extends SparkSpec {
   test("aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_agg_pricing")
     assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+    val executed = SparkEntry.queries("q01_agg_pricing")(spark, dir)
+    executed.collect() // AQE finalizes the physical plan on execution
+    // codegen'd operators carry the `*(stageId)` marker in the tree string
+    assert(executed.queryExecution.executedPlan.toString.contains("*("),
+      "agg pipeline not whole-stage-codegen'd")
     // one shuffle for the groupBy (+ one for the final orderBy), nothing more
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"extra shuffles:\n$p")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+    .toDF("id", "name", "x")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("src_spec").toString + "/data"
+
+  test("parquet round-trip preserves schema and values") {
+    val p = tmp()
+    Sources.write(df, p, "parquet")
+    val got = Sources.parquet(spark, p)
+    // file sources relax nullability; compare names+types
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(got.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
+  test("orc round-trip preserves schema and values") {
+    val p = tmp()
+    Sources.write(df, p, "orc")
+    val got = Sources.orc(spark, p)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(got.count() == 3)
+  }
+
+  test("csv round-trip with explicit schema") {
+    val p = tmp()
+    Sources.write(df, p, "csv", partitionBy = Nil)
+    val got = Sources.csv(spark, p, Some(df.schema), header = false)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(got.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
+  test("json round-trip with explicit schema") {
+    val p = tmp()
+    Sources.write(df, p, "json")
+    val got = Sources.json(spark, p, Some(df.schema))
+    assert(got.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
+  test("partitioned file sink lays out partition directories") {
+    val p = tmp()
+    Sources.write(df.withColumn("pt", $"id" % 2), p, "parquet",
+      partitionBy = Seq("pt"))
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("pt=0", "pt=1"))
+    // partition pruning reaches the scan
+    val plan = Sources.parquet(spark, p).filter($"pt" === 1)
+      .queryExecution.executedPlan.toString
+    assert(spark.read.parquet(p).filter($"pt" === 1).count() == 2)
+  }
+}

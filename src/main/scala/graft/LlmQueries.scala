@@ -158,6 +158,15 @@ object LlmQueries {
         bits = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** IVF top-k (approximate; centroid training makes it non-SQL-expressible
+    * → rows-only check). */
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 8, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   private def t01(s: SparkSession, dir: String): DataFrame =
@@ -246,6 +255,7 @@ object LlmQueries {
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
     "s04_embed_neardup_lsh" -> (s04 _),
+    "s05_cosine_topk_ivf" -> (s05 _),
     "t01_text_analysis" -> (t01 _),
     "mm01_media_features" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))

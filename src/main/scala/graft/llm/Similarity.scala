@@ -88,6 +88,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------- IVF variant
+
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered into
+    * `nlist` centroids (k-means), each vector assigned to its nearest
+    * centroid's inverted list; a query scores only the lists of its
+    * `nprobe` nearest centroids — cost ≈ corpus·nprobe/nlist per query.
+    * Deterministic (fixed seed). Centroids are tiny → broadcast joins. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = broadcast(spark.createDataFrame(centroids)
+      .toDF("centroid_id", "centroid"))
+    // assign corpus rows to their single nearest centroid
+    val corpusScored = corpus.crossJoin(centDf)
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    val assigned = corpusScored
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("centroid_id"), col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    // queries probe their nprobe nearest centroids
+    val qScored = queries.crossJoin(centDf)
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    val probes = qScored.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):
     * LSH-bucketed self-join, cosine ≥ threshold. */
   def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,

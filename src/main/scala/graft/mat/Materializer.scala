@@ -177,6 +177,27 @@ object Materializer {
     spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
   }
 
+  /** Apply-with-config-diff: decides REFRESH vs REPLACE the way the
+    * reference does (impl.py:113-158 — diff the persisted configuration
+    * against the requested one; unchanged ⇒ cheap refresh, changed ⇒ drop +
+    * recreate). Returns "created" | "refreshed" | "replaced". */
+  def materializedViewApply(spark: SparkSession, target: TableRef, sql: String,
+      tblProperties: Map[String, String] = Map.empty): String = {
+    if (!spark.catalog.tableExists(target.render.replace("`", ""))) {
+      materializedView(spark, target, sql, tblProperties); "created"
+    } else {
+      val props = spark.sql(s"SHOW TBLPROPERTIES ${target.render}")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val sameQuery = props.get("graft.mv.query").contains(sql)
+      // diff ONLY the fields we persist; None-vs-unset discipline — a key
+      // absent from the request is "leave as is", not "reset"
+      // (ref impl.py:120-125)
+      val sameProps = tblProperties.forall { case (k, v) => props.get(k).contains(v) }
+      if (sameQuery && sameProps) { refreshMaterializedView(spark, target); "refreshed" }
+      else { materializedView(spark, target, sql, tblProperties); "replaced" }
+    }
+  }
+
   /** `ALTER MATERIALIZED VIEW … REBUILD` equivalent: recompute from the
     * stored definition (ref relations/materialized_view/refresh.sql). */
   def refreshMaterializedView(spark: SparkSession, target: TableRef): Unit = {

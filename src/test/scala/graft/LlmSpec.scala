@@ -107,4 +107,20 @@ class LlmSpec extends SparkSpec {
     val vids = media.filter(col("media.meta.kind") === "video").count()
     if (vids > 0) assert(frames.select("doc_id").distinct().count() == vids)
   }
+
+  test("IVF top-k finds the true nearest neighbour for clustered vectors") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.tabulate(8)(j => base * (1.0f + 0.01f * ((i + j) % 5))))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(spark, emb, emb.filter($"vec_id" === 0), k = 3,
+      nlist = 2, nprobe = 1)
+    val rows = out.orderBy($"rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("corpus_id") == 0L) // self found via its list
+    assert(rows.head.getAs[Double]("cos") == 1.0)
+    // with 2 well-separated clusters and nprobe=1, results stay in-cluster
+    assert(rows.forall(_.getAs[Long]("corpus_id") % 2 == 0))
+  }
 }

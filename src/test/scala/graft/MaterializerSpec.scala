@@ -106,4 +106,21 @@ class MaterializerSpec extends SparkSpec {
       spark.table("eph_a").filter($"k" === 1))
     assert(spark.table("eph_b").count() == 1)
   }
+
+  test("MV apply: unchanged config refreshes, changed config replaces (ref impl.py:113-158)") {
+    import graft.mat.Materializer
+    Materializer.table(spark, TableRef("default.mvd_base"),
+      Seq((1, 10)).toDF("k", "v"))
+    val sql1 = "SELECT CAST(SUM(v) AS BIGINT) AS total FROM default.mvd_base"
+    assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql1) == "created")
+    assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql1) == "refreshed")
+    val sql2 = "SELECT CAST(SUM(v * 2) AS BIGINT) AS total FROM default.mvd_base"
+    assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql2) == "replaced")
+    assert(spark.table("default.mvd").collect().head.getLong(0) == 20L)
+    // property change also replaces
+    assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql2,
+      Map("graft.lifecycle.days" -> "7")) == "replaced")
+    assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql2,
+      Map("graft.lifecycle.days" -> "7")) == "refreshed")
+  }
 }

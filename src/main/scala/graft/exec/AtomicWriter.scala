@@ -79,15 +79,22 @@ object AtomicWriter {
       val stgDir = tableDir(spark, stg)
       val tgtDir = tableDir(spark, target)
       val staged = partitionDirs(stgDir, pcols.size)
-      staged.foreach { rel =>
-        val spec = specOf(rel)
-        spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION ($spec)")
-        val dst = new java.io.File(tgtDir, rel)
-        deleteRec(dst) // DROP PARTITION may leave the dir; clear it
-        dst.getParentFile.mkdirs()
-        if (!new java.io.File(stgDir, rel).renameTo(dst))
-          throw new java.io.IOException(s"rename failed: $rel")
-        spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS PARTITION ($spec)")
+      if (staged.nonEmpty) {
+        // batched catalog DDL: one DROP + one ADD for ALL touched partitions
+        // (per-partition statements are ~50 ms each — at 1000 touched
+        // partitions that's the difference between 0.1 s and 100 s)
+        val specs = staged.map(specOf)
+        spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS " +
+          specs.map(s => s"PARTITION ($s)").mkString(", "))
+        staged.foreach { rel =>
+          val dst = new java.io.File(tgtDir, rel)
+          deleteRec(dst) // DROP PARTITION may leave the dir; clear it
+          dst.getParentFile.mkdirs()
+          if (!new java.io.File(stgDir, rel).renameTo(dst))
+            throw new java.io.IOException(s"rename failed: $rel")
+        }
+        spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
+          specs.map(s => s"PARTITION ($s)").mkString(" "))
       }
       spark.sql(s"REFRESH TABLE ${target.render}")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")

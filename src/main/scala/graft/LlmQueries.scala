@@ -198,6 +198,8 @@ object LlmQueries {
        |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
        |  FROM base)
        |SELECT doc_id, n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+       |    AS n_regex_tokens,
        |  COALESCE(n_bpe_est, 0) AS n_bpe_est,
        |  round(CASE WHEN length(text) = 0 THEN 0.0
        |             ELSE CAST(n_punct AS DOUBLE) / length(text) END, 6) AS punct_ratio,
@@ -217,6 +219,19 @@ object LlmQueries {
        |          THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
        |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowed rolling-hash fingerprints (substring-level dup candidates):
+    * xxhash64-based → rows-only check. Doc pairs sharing ≥ minShared
+    * fingerprints, over docs ∪ near-dup variants. */
+  private def t02(s: SparkSession, dir: String): DataFrame = {
+    val fps = TextOps.winnowFingerprints(docsWithNearDups(s, dir))
+    val a = fps.select(col("fp_hash"), col("doc_id").as("id_a"))
+    val b = fps.select(col("fp_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp_hash")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 20)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ------------------------------------------------------------ multimodal
@@ -257,6 +272,7 @@ object LlmQueries {
     "s04_embed_neardup_lsh" -> (s04 _),
     "s05_cosine_topk_ivf" -> (s05 _),
     "t01_text_analysis" -> (t01 _),
+    "t02_winnow_fingerprints" -> (t02 _),
     "mm01_media_features" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))
 

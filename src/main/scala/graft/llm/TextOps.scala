@@ -76,17 +76,58 @@ object TextOps {
     round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
   }
 
+  /** BPE-ish regex token count: one token per word / digit / punctuation
+    * mark (the standard cheap proxy for byte-pair tokenizers, engine-
+    * portable pattern). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("bigint")
+
   /** Normalized-document fingerprint: md5 of lowercased,
     * whitespace-collapsed text. Identical content ⇒ identical fingerprint,
     * robust to case/spacing noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (MOSS-style): rolling 64-bit hashes of character
+    * k-grams over the normalized text, then the minimum hash of each sliding
+    * window of `window` consecutive k-gram hashes — a deterministic sparse
+    * set of local fingerprints. Two documents sharing any long-enough
+    * substring share fingerprints, which makes this the candidate generator
+    * for substring-level (not whole-doc) duplication.
+    * `hs` must be bound as a column before calling (HOF lambdas don't CSE). */
+  def winnowingFingerprintsOf(kgramHashes: Column, window: Int): Column =
+    array_distinct(
+      when(size(kgramHashes) === 0, array().cast("array<bigint>"))
+        .when(size(kgramHashes) <= window, array(array_min(kgramHashes)))
+        .otherwise(transform(sequence(lit(0), size(kgramHashes) - window),
+          i => array_min(slice(kgramHashes, i + 1, lit(window))))))
+
+  /** Character k-gram rolling hashes over an ALREADY-BOUND normalized text
+    * column (an inline expression here would be re-evaluated per k-gram —
+    * HOF lambdas don't CSE). */
+  def kgramHashesOf(norm: Column, k: Int): Column =
+    when(length(norm) < k,
+      when(length(norm) > 0, array(xxhash64(norm)))
+        .otherwise(array().cast("array<bigint>")))
+      .otherwise(transform(sequence(lit(1), length(norm) - k + 1),
+        i => xxhash64(norm.substr(i, lit(k)))))
+
+  /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__norm"))
+      .select(col(idCol), kgramHashesOf(col("__norm"), k).as("__kg"))
+      .select(col(idCol),
+        explode(winnowingFingerprintsOf(col("__kg"), window)).as("fp_hash"))
+
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
       .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_regex_tokens", regexTokenCount(t))
       .withColumn("n_bpe_est", bpeTokenEstimate(t))
       .withColumn("punct_ratio", round(punctRatio(t), 6))
       .withColumn("stopword_ratio", round(stopwordRatio(t), 6))

@@ -59,4 +59,74 @@ object Streaming {
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }
+
+  // --------------------------------------------------------- stateful ops
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: events of a user
+    * more than `gap` apart start a new session; sessions are emitted when
+    * the event-time watermark passes their close. Custom keyed state — the
+    * construct the built-in windowed aggregations can't express. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gap: java.time.Duration,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gap.toMillis
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessionEvent],
+            state: GroupState[List[SessionState]]) =>
+          // fold the batch's events (sorted by time) into open sessions
+          val sorted = batch.map(_.ts.getTime).toSeq.sorted
+          var sessions = state.getOption.getOrElse(Nil)
+          sorted.foreach { t =>
+            sessions = sessions match {
+              case head :: rest if t - head.last <= gapMs =>
+                SessionState(head.start, math.max(head.last, t), head.n + 1) :: rest
+              case all => SessionState(t, t, 1) :: all
+            }
+          }
+          // emit sessions closed by the watermark; keep the rest as state
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition(s => s.last + gapMs < wm)
+          if (open.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(open)
+            // wake up when the OLDEST open session becomes closable (must be
+            // > current watermark); scheduling off the newest would strand
+            // early sessions of users who also have late events
+            state.setTimeoutTimestamp(math.max(open.map(_.last).min + gapMs, wm + 1))
+          }
+          closed.reverseIterator.map(s => Session(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+      }
+  }
+
+  /** Batch twin of `sessionize` (for parity checks): gap-based session
+    * assignment with window functions. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", org.apache.spark.sql.functions.lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("session_idx")
+  }
 }

@@ -61,4 +61,33 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("stateful sessionization: streaming closed sessions match the batch twin") {
+    import graft.streaming.Streaming.SessionEvent
+    val events = Tables.t(spark, dir, "events")
+      .select($"user_id", date_trunc("second", $"ts").as("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("sess_src")
+    events.write.mode("overwrite").parquet(tmp.toString)
+    val stream = graft.streaming.Streaming.parquetStream(spark, tmp.toString)
+      .as[SessionEvent]
+    val sessions = graft.streaming.Streaming.sessionize(stream,
+      java.time.Duration.ofMinutes(30), watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_out")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val batch = graft.streaming.Streaming.sessionizeBatch(events, 30)
+    // the stream's final watermark leaves the last session per user OPEN —
+    // compare against the batch sessions that end before the max event time
+    // minus the gap (those are closed in both)
+    val cutoff = events.agg(max($"ts")).collect().head.getTimestamp(0).getTime - 30*60000L
+    val closedBatch = batch.filter(unix_millis($"session_end") < lit(cutoff))
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    assert(got.nonEmpty)
+    val gotKeys = got.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val batchKeys = closedBatch.map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(batchKeys.subsetOf(gotKeys),
+      s"missing sessions: ${(batchKeys -- gotKeys).take(3)}")
+  }
 }

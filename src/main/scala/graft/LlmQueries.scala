@@ -224,15 +224,10 @@ object LlmQueries {
   /** Winnowed rolling-hash fingerprints (substring-level dup candidates):
     * xxhash64-based → rows-only check. Doc pairs sharing ≥ minShared
     * fingerprints, over docs ∪ near-dup variants. */
-  private def t02(s: SparkSession, dir: String): DataFrame = {
-    val fps = TextOps.winnowFingerprints(docsWithNearDups(s, dir))
-    val a = fps.select(col("fp_hash"), col("doc_id").as("id_a"))
-    val b = fps.select(col("fp_hash"), col("doc_id").as("id_b"))
-    a.join(b, Seq("fp_hash")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= 20)
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowNearDupPairs(docsWithNearDups(s, dir), minShared = 20,
+        maxDf = 50)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // ------------------------------------------------------------ multimodal
 

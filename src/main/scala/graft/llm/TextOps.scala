@@ -114,13 +114,34 @@ object TextOps {
         i => xxhash64(norm.substr(i, lit(k)))))
 
   /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 8, window: Int = 4,
+  def winnowFingerprints(docs: DataFrame, k: Int = 12, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
         regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__norm"))
       .select(col(idCol), kgramHashesOf(col("__norm"), k).as("__kg"))
       .select(col(idCol),
         explode(winnowingFingerprintsOf(col("__kg"), window)).as("fp_hash"))
+
+  /** Doc pairs sharing ≥ `minShared` winnowed fingerprints — substring-level
+    * duplication candidates. Fingerprints occurring in more than `maxDf`
+    * docs are dropped before pairing (common-phrase k-grams are quadratic
+    * hot keys with no discriminative value — same skew guard as the n-gram
+    * Jaccard path). */
+  def winnowNearDupPairs(docs: DataFrame, minShared: Int, maxDf: Int = 500,
+      k: Int = 12, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, window, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("fp_hash"))
+    val filtered = fps.join(hot, Seq("fp_hash"), "left_anti")
+    val a = filtered.select(col("fp_hash"), col(idCol).as("id_a"))
+    val b = filtered.select(col("fp_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp_hash")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

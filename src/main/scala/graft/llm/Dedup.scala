@@ -92,21 +92,15 @@ object Dedup {
     (z ^ (z >>> 31)) & Long.MaxValue
   }
 
-  /** MinHash signatures: one row per doc with `k` signature columns computed
-    * as k `min(...)` aggregates over the exploded shingle set — a single
-    * shuffle keyed by doc id, all expressions codegen'd. */
+  /** MinHash signatures: one row per doc with a k-wide `sig` array, computed
+    * by the single-pass [[graft.functions.MinHashAgg]] custom aggregate over
+    * the exploded shingle set — one shuffle keyed by doc id, one primitive
+    * buffer update per (doc, shingle) row. */
   def minhashSignatures(docs: DataFrame, k: Int = 128,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // h < 2^31 and a < 2^30 keep a·h+b < 2^62: no overflow under ANSI mode
-    val sh = explodedShingleHashes(docs, 3, idCol, textCol)
-      .withColumn("h", pmod(col("shingle"), lit(1L << 31)))
-    val sigCols = (0 until k).map { i =>
-      min(pmod(col("h") * lit(mix(0x5eedL, i) % 1000000007L + 1) +
-          lit(mix(0xf00dL, i) % 1000000007L), lit(P)))
-        .as(s"mh_$i")
-    }
-    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    explodedShingleHashes(docs, 3, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg(col("shingle"), k).as("sig"))
 
   /** Near-duplicate pairs via banded LSH over MinHash signatures.
     * `bands`×`rowsPerBand` must equal the signature width. Pairs whose
@@ -118,11 +112,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // persisted: the signature pipeline (shingle explode + k min-aggs) feeds
+    // persisted: the signature pipeline (shingle explode + minhash agg) feeds
     // both sides of the band self-join — without this it runs twice
     val sig = minhashSignatures(docs, k, idCol, textCol)
-      .withColumn("sig", array((0 until k).map(i => col(s"mh_$i")): _*))
-      .select(col(idCol), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map { b =>

@@ -117,8 +117,15 @@ object Fns {
     case other => throw new IllegalArgumentException(s"last_day part: $other")
   }
 
-  /** `date_spine`: one row per `part` boundary in [start, end), as a
-    * single-column DataFrame builder — see `Fns.dateSpineDf`. */
+  /** `date_spine` as a DataFrame: one row per `part` boundary in
+    * [start, end] (ref utils/date_spine.sql:77-121 — generate_series +
+    * row_number re-expressed as `sequence` + `explode`). */
+  def dateSpineDf(spark: org.apache.spark.sql.SparkSession, part: String,
+      start: String, end: String): org.apache.spark.sql.DataFrame =
+    spark.range(1).select(explode(dateSpineCol(part,
+      lit(start).cast("date"), lit(end).cast("date"))).as("date_" + norm(part)))
+
+  /** `date_spine` element array (inclusive end), used by `dateSpineDf`. */
   def dateSpineCol(part: String, start: Column, end: Column): Column = {
     val step = norm(part) match {
       case "year"    => expr("interval 1 year")

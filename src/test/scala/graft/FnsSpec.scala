@@ -92,6 +92,9 @@ class FnsSpec extends SparkSpec {
       lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"))).as("d"))
       .count()
     assert(n == 31)
+    val df = Fns.dateSpineDf(spark, "month", "2024-01-01", "2024-12-01")
+    assert(df.columns.toSeq == Seq("date_month"))
+    assert(df.count() == 12)
   }
 
   test("array_construct produces a typed empty array") {

@@ -473,6 +473,27 @@ object SparkEntry {
       |  make_date(2024, 2, 1) AS made_date
       |FROM customer WHERE c_custkey <= 500 ORDER BY 1""".stripMargin
 
+  /** Distinct-count sketches: per-group HLL sketch agg + estimate, plus a
+    * union across groups (mergeable-sketch property — the thing that makes
+    * approximate distinct counts cheap at 100 TB: partial sketches combine
+    * without a global shuffle of raw values). Estimates are engine-specific
+    * ⇒ rows-only check; the exact count rides along as a sanity anchor. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    perType.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+      .unionByName(
+        perType.agg(hll_union_agg(col("sk")).as("sk"),
+            sum(lit(0L)).as("ignore"))
+          .select(lit("__all__").as("event_type"),
+            hll_sketch_estimate(col("sk")).as("approx_users"),
+            lit(-1L).as("exact_users")))
+      .orderBy(col("event_type"))
+  }
+
   /** Multi-column tuple-IN semi-join — the reference's composite unique_key
     * form `(k1,k2) IN (SELECT …)` (merge.sql:72-83). */
   private def q16(s: SparkSession, dir: String): DataFrame = {
@@ -532,6 +553,7 @@ object SparkEntry {
     "q14_date_spine" -> (q14 _),
     "q15_events_window" -> (q15 _),
     "q16_tuple_in_semi" -> (q16 _),
+    "q17_hll_sketches" -> (q17 _),
     "f01_datediff_parts" -> (f01 _),
     "f02_datediff_boundary" -> (f02 _),
     "f03_dateadd_lastday" -> (f03 _),

@@ -167,6 +167,67 @@ object LlmQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** L2 normalization + int8 quantization over embeddings (oracle-checked:
+    * both are pure list arithmetic). */
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        Similarity.l2Normalize(col("v")).as("nv"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .select(col("vec_id"),
+        round(Similarity.l2Norm(col("v")), 6).as("norm"),
+        round(element_at(col("nv"), 1), 6).as("n_first"),
+        round(Similarity.l2Norm(col("nv")), 6).as("unit_norm"),
+        round(col("q").getField("scale"), 9).as("scale"),
+        element_at(col("q").getField("codes"), 1).as("code_first"))
+      .orderBy(col("vec_id"))
+
+  private val s06Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 200),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e)
+      |SELECT vec_id, round(norm, 6) AS norm,
+      |  round(v[1] / norm, 6) AS n_first,
+      |  round(sqrt(list_sum(list_transform(v, x -> (x/norm)*(x/norm)))), 6) AS unit_norm,
+      |  round(scale, 9) AS scale,
+      |  CAST(round(v[1] / scale, 0) AS INT) AS code_first
+      |FROM n ORDER BY vec_id""".stripMargin
+
+  /** Text cleaning: HTML/URL/email stripping + whitespace collapse, applied
+    * to deterministically-noised documents; cleaned output must equal the
+    * cleaned original. */
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val noisy = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" <b>bold tag</b> visit https://example.com/x?q=1 or www.foo.org "),
+        lit("mail bob@example.com now")).as("text"))
+    noisy.select(col("doc_id"),
+        TextOps.cleanText(col("text")).as("cleaned"))
+      .withColumn("n_chars_clean", length(col("cleaned")).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql =
+    """WITH noisy AS (SELECT doc_id,
+      |    text || ' <b>bold tag</b> visit https://example.com/x?q=1 or www.foo.org '
+      |         || 'mail bob@example.com now' AS text
+      |  FROM documents),
+      |cleaned AS (SELECT doc_id,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |          '(https?://|www\.)[^\s]+', ' ', 'g'),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS cleaned
+      |  FROM noisy)
+      |SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- text analysis
 
   private def t01(s: SparkSession, dir: String): DataFrame =
@@ -266,8 +327,10 @@ object LlmQueries {
     "s03_embed_neardup_exact" -> (s03 _),
     "s04_embed_neardup_lsh" -> (s04 _),
     "s05_cosine_topk_ivf" -> (s05 _),
+    "s06_normalize_quantize" -> (s06 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
+    "t03_text_cleaning" -> (t03 _),
     "mm01_media_features" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))
 
@@ -276,5 +339,7 @@ object LlmQueries {
     "d04_ngram_jaccard_pairs" -> d04Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s03_embed_neardup_exact" -> s03Sql,
-    "t01_text_analysis" -> t01Sql)
+    "t01_text_analysis" -> t01Sql,
+    "s06_normalize_quantize" -> s06Sql,
+    "t03_text_cleaning" -> t03Sql)
 }

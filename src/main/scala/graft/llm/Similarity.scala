@@ -40,6 +40,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** L2 norm of an array<float/double> column. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** L2-normalize (zero vectors pass through unchanged). `v` should be a
+    * bound column (HOF-lambda CSE rule). */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n === 0, v.cast("array<double>"))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization with a per-vector scale = max|x|/127:
+    * returns (scale, array<int> codes). The standard storage/bandwidth dial
+    * for embedding corpora (4× smaller than float32, 8× than float64). */
+  def quantizeInt8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    struct(scale.as("scale"),
+      when(scale === 0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => round(x.cast("double") / scale, 0).cast("int")))
+        .as("codes"))
+  }
+
+  /** Dequantize back to array<double>. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   // ------------------------------------------------------------- LSH variant
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim` coords in

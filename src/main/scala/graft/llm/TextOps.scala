@@ -143,6 +143,24 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  // ---------------------------------------------------------- text cleaning
+
+  /** Strip HTML/XML tags. */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+
+  /** Remove URLs (http/https/www forms). */
+  def stripUrls(text: Column): Column =
+    regexp_replace(text, "(https?://|www\\.)[^\\s]+", " ")
+
+  /** Remove email addresses. */
+  def stripEmails(text: Column): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+
+  /** Full cleaning pass: tags → urls → emails → collapse whitespace. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(stripEmails(stripUrls(stripHtml(text))), "\\s+", " "))
+
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

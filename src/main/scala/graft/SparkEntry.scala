@@ -473,6 +473,46 @@ object SparkEntry {
       |  make_date(2024, 2, 1) AS made_date
       |FROM customer WHERE c_custkey <= 500 ORDER BY 1""".stripMargin
 
+  /** Window-function depth: rank family, ntile, lead/lag, running and
+    * framed aggregates over a deterministic total order. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+          .cast("double").as("running_total"),
+        count(lit(1)).over(running).as("running_n"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  private val q18Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  COUNT(*) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rnk""".stripMargin
+
   /** Distinct-count sketches: per-group HLL sketch agg + estimate, plus a
     * union across groups (mergeable-sketch property — the thing that makes
     * approximate distinct counts cheap at 100 TB: partial sketches combine
@@ -554,6 +594,7 @@ object SparkEntry {
     "q15_events_window" -> (q15 _),
     "q16_tuple_in_semi" -> (q16 _),
     "q17_hll_sketches" -> (q17 _),
+    "q18_window_depth" -> (q18 _),
     "f01_datediff_parts" -> (f01 _),
     "f02_datediff_boundary" -> (f02 _),
     "f03_dateadd_lastday" -> (f03 _),
@@ -581,6 +622,7 @@ object SparkEntry {
     "q14_date_spine" -> q14Sql,
     "q15_events_window" -> q15Sql,
     "q16_tuple_in_semi" -> q16Sql,
+    "q18_window_depth" -> q18Sql,
     "f01_datediff_parts" -> f01Sql,
     "f02_datediff_boundary" -> f02Sql,
     "f03_dateadd_lastday" -> f03Sql,

@@ -290,7 +290,8 @@ object SparkEntry {
 
   private val q15Sql =
     """SELECT user_id, COUNT(*) AS n_events,
-      |  MAX(gap_sec) AS max_gap_sec, MIN(gap_sec) AS min_gap_sec
+      |  CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec,
+      |  CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec
       |FROM (SELECT user_id,
       |        epoch(date_trunc('second', ts)) -
       |        epoch(date_trunc('second', lag(ts, 1) OVER

@@ -20,6 +20,7 @@ import graft.catalog.{PartitionSpec, TableRef}
 object Incremental {
 
   private val SEP = "\u0001"
+  private val PRED = "__graft_pred"
 
   private def keyCond(tgt: DataFrame, src: DataFrame, keys: Seq[String]): Column =
     keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
@@ -46,19 +47,33 @@ object Incremental {
         else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
       base.filterNot(excludeColumns.contains)
     }
-    val pred: Column = predicates.foldLeft(lit(true))(_ && _)
+    // incremental_predicates reference TARGET rows (reference contract);
+    // evaluate them on the target frame alone as a boolean flag column so
+    // unqualified col("x") never hits AMBIGUOUS_REFERENCE against src
+    // columns of the same name. NULL predicate ⇒ not a merge candidate.
+    val tgtF = tgt.withColumn(PRED,
+      coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
 
     // matched rows: keep target values except the updatable columns
-    val joined = tgt.join(srcP, keyCond(tgt, srcP, uniqueKey) && pred, "inner")
+    val joined = tgtF.join(srcP,
+      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "inner")
     val updated = joined.select(dataCols.map { c =>
-      (if (updatable.contains(c)) srcP(c) else tgt(c)).as(c)
+      (if (updatable.contains(c)) srcP(c) else tgtF(c)).as(c)
     }: _*)
     // untouched target rows
-    val untouched = tgt.join(srcP.select(uniqueKey.map(srcP(_)): _*),
-      keyCond(tgt, srcP, uniqueKey) && pred, "left_anti")
-    // brand-new source rows
-    val inserted = srcP.join(tgt.select(uniqueKey.map(tgt(_)): _*),
-      keyCond(srcP, tgt, uniqueKey), "left_anti")
+    val untouched = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*),
+      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
+      .select(dataCols.map(col): _*)
+    // NOT-MATCHED source rows. The reference puts incremental_predicates in
+    // the MERGE ON clause alongside key equality (merge.sql:21-38), so a
+    // source row keyed to a pred-FALSE target row is not-matched and gets
+    // INSERTED (the documented incremental_predicates duplicate footgun —
+    // kept verbatim for parity).
+    val candidateKeys = tgtF.filter(tgtF(PRED))
+      .select(uniqueKey.map(tgtF(_)): _*)
+    val inserted = srcP.join(candidateKeys,
+      uniqueKey.map(k => srcP(k) <=> candidateKeys(k)).reduce(_ && _),
+      "left_anti")
       .select(dataCols.map(col): _*)
 
     val result = untouched.unionByName(updated).unionByName(inserted)
@@ -76,9 +91,12 @@ object Incremental {
     if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
     val tgt = spark.table(target.render)
     val srcP = AtomicWriter.withPartitionCols(src, partition)
-    val pred: Column = predicates.foldLeft(lit(true))(_ && _)
-    val kept = tgt.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
-      keyCond(tgt, srcP, uniqueKey) && pred, "left_anti")
+    // predicates resolved against the target frame only (see merge)
+    val tgtF = tgt.withColumn(PRED,
+      coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
+    val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
+      .select(tgt.columns.map(col).toIndexedSeq: _*)
     val inserted = srcP.select(tgt.columns.map(col).toIndexedSeq: _*)
     writeResult(spark, kept.unionByName(inserted), target, partition,
       touchedPartitions(spark, tgt, srcP, uniqueKey, partition))

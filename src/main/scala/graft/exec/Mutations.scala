@@ -16,13 +16,17 @@ import graft.catalog.{PartitionSpec, TableRef}
   */
 object Mutations {
 
-  /** DELETE FROM target WHERE pred. */
+  /** DELETE FROM target WHERE pred. SQL DELETE removes only rows where the
+    * predicate is TRUE — rows where it evaluates NULL survive, so the
+    * survivor filter is `NOT coalesce(pred, false)`, not `!pred` (3VL). */
   def delete(spark: SparkSession, target: TableRef, pred: Column,
       partition: PartitionSpec = PartitionSpec.None): Unit = {
     val tgt = spark.table(target.render)
+    val survives = !coalesce(pred, lit(false))
     partition.partitionColumns match {
       case Nil =>
-        AtomicWriter.overwriteTable(spark, tgt.filter(!pred), target, partition)
+        AtomicWriter.overwriteTable(spark, tgt.filter(survives), target,
+          partition)
       case pcols =>
         val touched = tgt.filter(pred)
           .select(pcols.map(c => col(c).cast("string")): _*)
@@ -33,7 +37,7 @@ object Mutations {
               .reduce(_ && _)
           }.reduce(_ || _)
           AtomicWriter.overwritePartitions(spark,
-            tgt.filter(touchedCond && !pred), target, partition)
+            tgt.filter(touchedCond && survives), target, partition)
         }
     }
   }

@@ -10,14 +10,24 @@ import org.apache.spark.sql.functions._
   * `saltedJoin` explodes the small side `saltFactor`× and spreads the big
   * side's hot keys across `saltFactor` shuffle partitions: join key becomes
   * (key, salt) with salt = crc32(whole row) % saltFactor on the big side and
-  * explode(0..saltFactor-1) on the small side. Results are identical to the
-  * plain join; the shuffle is `saltFactor`-way wider on hot keys.
+  * explode(0..saltFactor-1) on the small side. For the supported join types
+  * (inner / left / left_semi / left_anti / cross — where unmatched
+  * small-side rows never surface) results are identical to the plain join;
+  * the shuffle is `saltFactor`-way wider on hot keys.
   */
 object Skew {
+
+  private val SAFE_TYPES =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       joinType: String = "inner", saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each UNMATCHED small-side row saltFactor
+    // times (one per exploded salt copy) — only types where unmatched
+    // small-side rows never surface are allowed.
+    require(SAFE_TYPES.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti/cross, not $joinType")
     val bigS = big.withColumn("__salt",
       pmod(crc32(concat_ws("", big.columns.map(c => col(c).cast("string")): _*)),
         lit(saltFactor)).cast("int"))

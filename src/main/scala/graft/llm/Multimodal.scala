@@ -98,7 +98,7 @@ object Multimodal {
     media.filter(col("media.meta.kind") === "video")
       .select(col(idCol),
         explode(sequence(lit(0L),
-          greatest(floor(col("media.meta.duration_ms") / lit(1000.0 / fps * 1000)).cast("long") - 1, lit(0L))))
+          greatest(floor(col("media.meta.duration_ms") / lit(1000.0 / fps)).cast("long") - 1, lit(0L))))
           .as("frame_idx"))
       .withColumn("frame_ts_ms",
         (col("frame_idx") * lit(1000.0 / fps)).cast("long"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.Executors
 import scala.collection.mutable
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
@@ -40,52 +40,56 @@ object ModelGraph {
     require(byName.size == models.size, "duplicate model names")
     models.foreach(m => m.deps.foreach(d =>
       require(byName.contains(d), s"${m.name}: unknown dep $d")))
-    // cycle check (Kahn)
+    // cycle check (Kahn) — also yields the topological order we build
+    // futures in below
+    val topo = mutable.ArrayBuffer.empty[String]
     locally {
       val indeg = mutable.Map(models.map(m => m.name -> m.deps.size): _*)
       val out = models.flatMap(m => m.deps.map(_ -> m.name))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val q = mutable.Queue(models.filter(_.deps.isEmpty).map(_.name): _*)
-      var seen = 0
       while (q.nonEmpty) {
-        val n = q.dequeue(); seen += 1
+        val n = q.dequeue(); topo += n
         out.getOrElse(n, Nil).foreach { m =>
           indeg(m) -= 1; if (indeg(m) == 0) q.enqueue(m)
         }
       }
-      require(seen == models.size, "model graph has a cycle")
+      require(topo.size == models.size, "model graph has a cycle")
     }
 
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = new ConcurrentHashMap[String, Future[Status]]()
-
-    def futureOf(name: String): Future[Status] =
-      futures.computeIfAbsent(name, _ => {
-        val m = byName(name)
-        Future.sequence(m.deps.map(futureOf)).flatMap { depStatuses =>
-          val blocked = m.deps.zip(depStatuses).collectFirst {
-            case (d, Failed(_)) => d
-            case (d, Skipped(_)) => d
-          }
-          blocked match {
-            case Some(d) => Future.successful(Skipped(d))
-            case None => Future {
-              Try {
-                m.preHook(spark)
-                m.build(spark)
-                m.postHook(spark)
-              } match {
-                case Success(_) => Success_
-                case Failure(e) => Failed(e)
-              }
+    // Futures are created eagerly in topological order into a plain Map —
+    // a dep's future always exists before its dependents'. (A recursive
+    // ConcurrentHashMap.computeIfAbsent here is forbidden by its contract
+    // and can deadlock when dependent keys hash to the same bin.)
+    val futures = mutable.Map.empty[String, Future[Status]]
+    topo.foreach { name =>
+      val m = byName(name)
+      val depFutures = m.deps.map(futures)
+      futures(name) = Future.sequence(depFutures).flatMap { depStatuses =>
+        val blocked = m.deps.zip(depStatuses).collectFirst {
+          case (d, Failed(_)) => d
+          case (d, Skipped(_)) => d
+        }
+        blocked match {
+          case Some(d) => Future.successful(Skipped(d))
+          case None => Future {
+            Try {
+              m.preHook(spark)
+              m.build(spark)
+              m.postHook(spark)
+            } match {
+              case Success(_) => Success_
+              case Failure(e) => Failed(e)
             }
           }
         }
-      })
+      }
+    }
 
     try {
-      val all = Future.sequence(models.map(m => futureOf(m.name).map(m.name -> _)))
+      val all = Future.sequence(models.map(m => futures(m.name).map(m.name -> _)))
       Await.result(all, Duration.Inf).toMap
     } finally pool.shutdown()
   }

@@ -76,6 +76,42 @@ class IncrementalSpec extends SparkSpec {
     assert(idsAndNames(ref).map(_._1) == (1L to 6L))
   }
 
+  test("merge with incremental_predicates on a shared non-key column") {
+    // tgt and src share every column name: an unqualified predicate used to
+    // raise AMBIGUOUS_REFERENCE; it must resolve against the TARGET.
+    val ref = fresh(PartitionSpec.None)
+    Incremental.merge(spark, ref, delta(), uniqueKey = Seq("id"),
+      predicates = Seq(col("name") =!= "Eve"))
+    val got = idsAndNames(ref)
+    // target row 5 (Eve) fails the ON predicate ⇒ not matched ⇒ kept as-is,
+    // AND the source row (5, Eve2) is not-matched ⇒ inserted (MERGE ON
+    // semantics, merge.sql:21-38 — the documented duplicate footgun)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 5L, 6L))
+    assert(got.filter(_._1 == 5L).map(_._2).sorted == Seq("Eve", "Eve2"))
+  }
+
+  test("delete+insert with incremental_predicates on a shared non-key column") {
+    val ref = fresh(PartitionSpec.None)
+    Incremental.deleteInsert(spark, ref, delta().filter($"id" === 6),
+      uniqueKey = Seq("id"), predicates = Seq(col("name") =!= "Nobody"))
+    assert(idsAndNames(ref).map(_._1) == (1L to 6L))
+  }
+
+  test("merge predicate that evaluates NULL leaves the target row untouched") {
+    val ref = TableRef("default.inc_nullpred")
+    Seq((1L, Some(1L), "a"), (2L, None, "b")).toDF("id", "v", "name")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    val d = Seq((1L, Option(9L), "a9"), (2L, Option(9L), "b9"))
+      .toDF("id", "v", "name")
+    // predicate v > 0 is NULL for target id=2 ⇒ not matched ⇒ target row
+    // kept untouched and the source row inserted (MERGE ON semantics)
+    Incremental.merge(spark, ref, d, uniqueKey = Seq("id"),
+      predicates = Seq(col("v") > 0))
+    val got = spark.table(ref.render).orderBy("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "a9"), (2L, "b"), (2L, "b9")))
+  }
+
   test("merge update-column subsetting and exclusion") {
     val ref = fresh(PartitionSpec.None)
     val d = Seq((5L, "EveX", "2099-01-01", "pXX"))

@@ -108,6 +108,27 @@ class LlmSpec extends SparkSpec {
     if (vids > 0) assert(frames.select("doc_id").distinct().count() == vids)
   }
 
+  test("frame sampling emits duration_ms * fps / 1000 frames per video") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    for (fps <- Seq(1.0, 2.0)) {
+      val expected = media.filter(col("media.meta.kind") === "video")
+        .select(col("doc_id"),
+          greatest(floor(col("media.meta.duration_ms") * fps / 1000.0), lit(1.0))
+            .cast("long").as("want"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Multimodal.sampleFrames(media, "doc_id", fps)
+        .groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"fps=$fps")
+      // frame_idx * (1000/fps) must stay inside the clip
+      val maxTs = Multimodal.sampleFrames(media, "doc_id", fps)
+        .join(media.select(col("doc_id"),
+          col("media.meta.duration_ms").as("dur")), Seq("doc_id"))
+        .filter(col("frame_ts_ms") >= col("dur")).count()
+      assert(maxTs == 0, s"fps=$fps: frame timestamps past clip end")
+    }
+  }
+
   test("IVF top-k finds the true nearest neighbour for clustered vectors") {
     val vecs = (0 until 40).map { i =>
       val base = if (i % 2 == 0) 1.0f else -1.0f

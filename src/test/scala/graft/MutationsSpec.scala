@@ -27,6 +27,28 @@ class MutationsSpec extends SparkSpec {
       .toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("delete keeps rows where the predicate is NULL (3VL)") {
+    val ref = TableRef("default.mut_null_pred")
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(3L)))
+      .toDF("id", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    // DELETE WHERE v > 5: row 1 goes; row 2 (v NULL ⇒ predicate NULL) stays
+    Mutations.delete(spark, ref, $"v" > 5)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
+  test("partitioned delete keeps NULL-predicate rows in touched partitions") {
+    val ref = TableRef("default.mut_null_pred_part")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    Materializer.table(spark, ref,
+      Seq((1L, Some(10L), "p1"), (2L, None, "p1"), (3L, Some(3L), "p2"))
+        .toDF("id", "v", "pt"), part)
+    Mutations.delete(spark, ref, $"v" > 5, part)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
   test("delete on partitioned table rewrites only touched partitions") {
     val part = PartitionSpec.Static(Seq("pt" -> "string"))
     val ref = fresh(part)

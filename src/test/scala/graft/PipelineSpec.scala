@@ -22,6 +22,23 @@ class PipelineSpec extends SparkSpec {
     assert(seq.indexOf("d") > seq.indexOf("c"))
   }
 
+  test("wide graph with dependents listed before deps completes (no recursive-update hang)") {
+    // Regression: futures used to be built via a recursive
+    // ConcurrentHashMap.computeIfAbsent, which deadlocks/throws when a dep's
+    // key hashes into the same bin — dependent-first ordering across many
+    // names makes that reachable. Now futures build eagerly in topo order.
+    val ran = new AtomicInteger(0)
+    val chains = (0 until 40).flatMap { i =>
+      Seq( // dependent deliberately listed BEFORE its dep
+        Model(s"leaf_$i", deps = Seq(s"mid_$i"))(_ => ran.incrementAndGet()),
+        Model(s"mid_$i", deps = Seq("root"))(_ => ran.incrementAndGet()))
+    }
+    val models = chains :+ Model("root")(_ => ran.incrementAndGet())
+    val st = ModelGraph.run(spark, models, parallelism = 8)
+    assert(st.size == 81 && st.values.forall(_ == Success_))
+    assert(ran.get() == 81)
+  }
+
   test("a failing node skips its transitive dependents; siblings still run") {
     val ran = new AtomicInteger(0)
     val models = Seq(

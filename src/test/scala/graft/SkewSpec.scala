@@ -16,6 +16,20 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("right/full outer joins are rejected (would duplicate unmatched small rows)") {
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "one"), (9L, "nine")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, Seq("k"), jt)
+      }
+    // semi/anti stay allowed and exact
+    val anti = Skew.saltedJoin(big, small, Seq("k"), "left_anti").collect()
+    assert(anti.isEmpty)
+    val semi = Skew.saltedJoin(big, small, Seq("k"), "left_semi").collect()
+    assert(semi.map(_.getString(1)).toSeq == Seq("a"))
+  }
+
   test("salted left join preserves unmatched rows exactly once") {
     val big = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("k", "v")
     val small = Seq((1L, "one")).toDF("k", "name")

@@ -16,15 +16,18 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
+    # NB: floats/decimals are TAGGED so an int-vs-double column mismatch fails
+    # here like it does in the driver's format-sensitive hash (Python would
+    # otherwise treat 3600 == 3600.0 and hide it — bit us on q15).
     if v is None: return None
     if isinstance(v, float):
         if math.isnan(v): return "nan"
-        return round(v, 9)
+        return ("f", round(v, 9))
     if hasattr(v, "isoformat"): return v.isoformat()[:26]
     if isinstance(v, list): return tuple(norm(x) for x in v)
     try:
         import decimal
-        if isinstance(v, decimal.Decimal): return round(float(v), 9)
+        if isinstance(v, decimal.Decimal): return ("f", round(float(v), 9))
     except Exception: pass
     return v
 

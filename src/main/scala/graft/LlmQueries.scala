@@ -283,8 +283,8 @@ object LlmQueries {
   }
 
   /** Winnowed rolling-hash fingerprints (substring-level dup candidates):
-    * xxhash64-based → rows-only check. Doc pairs sharing ≥ minShared
-    * fingerprints, over docs ∪ near-dup variants. */
+    * engine-defined hash family → rows-only check. Doc pairs sharing ≥
+    * minShared fingerprints, over docs ∪ near-dup variants. */
   private def t02(s: SparkSession, dir: String): DataFrame =
     TextOps.winnowNearDupPairs(docsWithNearDups(s, dir), minShared = 20,
         maxDf = 50)

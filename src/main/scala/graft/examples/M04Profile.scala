@@ -24,6 +24,20 @@ object M04Profile {
     val src = orders.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    // phase simulation of merge internals
+    val srcP = graft.exec.AtomicWriter.withPartitionCols(src, part)
+      .persist()
+    val tgtDf = spark.table(tgt.render)
+    time("src persist+count")(srcP.count())
+    val touched = time("touched partitions") {
+      val fromSrc = srcP.select(col("pt").cast("string")).distinct()
+      val matched = tgtDf.join(srcP.select(col("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_semi").select(col("pt").cast("string")).distinct()
+      fromSrc.union(matched).distinct().collect().map(_.getString(0)).toSet
+    }
+    println("TOUCHED=" + touched.size)
+    val scopedTgt = tgtDf.filter(col("pt").cast("string").isin(touched.toSeq: _*))
+    time("scoped tgt count")(scopedTgt.count())
     time("merge") {
       Materializer.incremental(spark, tgt, src, IncrementalStrategy.Merge(),
         uniqueKey = Seq("o_orderkey"), partition = part)

@@ -21,16 +21,44 @@ object Incremental {
 
   private val SEP = "\u0001"
   private val PRED = "__graft_pred"
+  private val SMARK = "__graft_src"
 
   private def keyCond(tgt: DataFrame, src: DataFrame, keys: Seq[String]): Column =
     keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
+
+  /** Scope the target scan to the touched partitions BEFORE joining — an
+    * explicit partition-pruning predicate on the scan, rather than relying
+    * on a post-join filter pushing down through joins/generates. At 100 TB
+    * this is the difference between reading the delta's partitions and
+    * reading the table. */
+  private def scoped(tgt: DataFrame, partition: PartitionSpec,
+      touched: Option[Set[String]]): DataFrame =
+    (partition.partitionColumns, touched) match {
+      case (pcols, Some(parts)) if pcols.nonEmpty =>
+        tgt.filter(concat_ws(SEP, pcols.map(c => col(c).cast("string")): _*)
+          .isin(parts.toSeq: _*))
+      case _ => tgt
+    }
 
   /** `merge` (M4): upsert on unique keys.
     * No keys ⇒ plain append (ref merge.sql:52-58).
     * `updateColumns`/`excludeColumns` subset the UPDATE SET; partition
     * columns are excluded from updates by default so rows never move across
     * partitions (ref merge.sql:7-16).
-    * `predicates` restrict which target rows are merge candidates. */
+    * `predicates` restrict which target rows are merge candidates — they
+    * live in the MERGE ON clause alongside key equality (merge.sql:21-38),
+    * so a source row keyed to a pred-FALSE target row is not-matched and
+    * gets INSERTED (the documented incremental_predicates duplicate footgun
+    * — kept verbatim for parity).
+    *
+    * Physical shape (100 TB discipline): the target scan is scoped to the
+    * touched partitions BEFORE joining, then (a) one LEFT join
+    * tgt→src does update-and-keep in a single pass — broadcast-hash when
+    * the delta is small, so the big side never shuffles — and (b) one
+    * keys-only anti join emits the inserts (column-pruned target scan).
+    * A full-outer formulation would be a single join but cannot broadcast
+    * (Spark has no broadcast full-outer hash join) and would shuffle every
+    * touched target row. */
   def merge(spark: SparkSession, target: TableRef, src: DataFrame,
       uniqueKey: Seq[String],
       partition: PartitionSpec = PartitionSpec.None,
@@ -40,45 +68,43 @@ object Incremental {
     if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
     val tgt = spark.table(target.render)
     val srcP = AtomicWriter.withPartitionCols(src, partition)
-    val dataCols = tgt.columns.toSeq
-    val pcols = partition.partitionColumns.toSet
-    val updatable: Seq[String] = {
-      val base = if (updateColumns.nonEmpty) updateColumns
-        else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
-      base.filterNot(excludeColumns.contains)
-    }
-    // incremental_predicates reference TARGET rows (reference contract);
-    // evaluate them on the target frame alone as a boolean flag column so
-    // unqualified col("x") never hits AMBIGUOUS_REFERENCE against src
-    // columns of the same name. NULL predicate ⇒ not a merge candidate.
-    val tgtF = tgt.withColumn(PRED,
-      coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataCols = tgt.columns.toSeq
+      val pcols = partition.partitionColumns.toSet
+      val updatable: Seq[String] = {
+        val base = if (updateColumns.nonEmpty) updateColumns
+          else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
+        base.filterNot(excludeColumns.contains)
+      }
+      val touched = touchedPartitions(spark, tgt, srcP, uniqueKey, partition)
+      // incremental_predicates reference TARGET rows (reference contract);
+      // evaluate them on the target frame alone as a boolean flag column so
+      // unqualified col("x") never hits AMBIGUOUS_REFERENCE against src
+      // columns of the same name. NULL predicate ⇒ not a merge candidate.
+      val tgtF = scoped(tgt, partition, touched).withColumn(PRED,
+        coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
+      val srcM = srcP.withColumn(SMARK, lit(1))
 
-    // matched rows: keep target values except the updatable columns
-    val joined = tgtF.join(srcP,
-      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "inner")
-    val updated = joined.select(dataCols.map { c =>
-      (if (updatable.contains(c)) srcP(c) else tgtF(c)).as(c)
-    }: _*)
-    // untouched target rows
-    val untouched = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*),
-      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
-      .select(dataCols.map(col): _*)
-    // NOT-MATCHED source rows. The reference puts incremental_predicates in
-    // the MERGE ON clause alongside key equality (merge.sql:21-38), so a
-    // source row keyed to a pred-FALSE target row is not-matched and gets
-    // INSERTED (the documented incremental_predicates duplicate footgun —
-    // kept verbatim for parity).
-    val candidateKeys = tgtF.filter(tgtF(PRED))
-      .select(uniqueKey.map(tgtF(_)): _*)
-    val inserted = srcP.join(candidateKeys,
-      uniqueKey.map(k => srcP(k) <=> candidateKeys(k)).reduce(_ && _),
-      "left_anti")
-      .select(dataCols.map(col): _*)
-
-    val result = untouched.unionByName(updated).unionByName(inserted)
-    writeResult(spark, result, target, partition,
-      touchedPartitions(spark, tgt, srcP, uniqueKey, partition))
+      // (a) update-and-keep in ONE pass: matched-and-pred rows take the
+      // source's updatable columns, everything else keeps target values
+      val hit = srcM(SMARK).isNotNull && tgtF(PRED)
+      val joined = tgtF.join(srcM, keyCond(tgtF, srcM, uniqueKey), "left")
+      val upserted = joined.select(dataCols.map { c =>
+        (if (updatable.contains(c)) when(hit, srcM(c)).otherwise(tgtF(c))
+         else tgtF(c)).as(c)
+      }: _*)
+      // (b) NOT-MATCHED source rows, via a keys-only (column-pruned) anti
+      // join against the pred-true target keys
+      val candidateKeys = tgtF.filter(tgtF(PRED))
+        .select(uniqueKey.map(tgtF(_)): _*)
+      val inserted = srcP.join(candidateKeys,
+        uniqueKey.map(k => srcP(k) <=> candidateKeys(k)).reduce(_ && _),
+        "left_anti")
+        .select(dataCols.map(col): _*)
+      writeResult(spark, upserted.unionByName(inserted), target, partition,
+        touched)
+    } finally srcP.unpersist()
   }
 
   /** `delete+insert` (M5): delete target rows whose key appears in source
@@ -91,15 +117,18 @@ object Incremental {
     if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
     val tgt = spark.table(target.render)
     val srcP = AtomicWriter.withPartitionCols(src, partition)
-    // predicates resolved against the target frame only (see merge)
-    val tgtF = tgt.withColumn(PRED,
-      coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
-    val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
-      keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
-      .select(tgt.columns.map(col).toIndexedSeq: _*)
-    val inserted = srcP.select(tgt.columns.map(col).toIndexedSeq: _*)
-    writeResult(spark, kept.unionByName(inserted), target, partition,
-      touchedPartitions(spark, tgt, srcP, uniqueKey, partition))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = touchedPartitions(spark, tgt, srcP, uniqueKey, partition)
+      // predicates resolved against the target frame only (see merge)
+      val tgtF = scoped(tgt, partition, touched).withColumn(PRED,
+        coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
+      val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+        keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
+        .select(tgt.columns.map(col).toIndexedSeq: _*)
+      val inserted = srcP.select(tgt.columns.map(col).toIndexedSeq: _*)
+      writeResult(spark, kept.unionByName(inserted), target, partition, touched)
+    } finally srcP.unpersist()
   }
 
   /** `append` (M6): INSERT INTO, position-based, partition cols last. */

@@ -137,22 +137,16 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: per-token 64-bit hash, each bit
-    * votes ±1, fingerprint bit j = sign of the column-j sum. Computed as 64
-    * sum-aggregates in one groupBy. */
+    * votes ±1, fingerprint bit j = sign of the column-j sum. Computed by the
+    * single-pass [[graft.functions.SimHashAgg]] (one primitive-buffer update
+    * per token; same result as 64 sum-aggregate columns, without generating
+    * a 64-slot aggregate class). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol),
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col(idCol), fp.as("simhash"))
-  }
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg(xxhash64(col("tok"))).as("simhash"))
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * bands (pigeonhole: hamming ≤ 3 ⇒ some band equal); verified with
@@ -188,7 +182,10 @@ object Dedup {
     // join/aggregate on the 64-bit hash of each shingle, not the string —
     // fixed-width keys shuffle and compare far cheaper, and a 64-bit
     // collision across one document corpus is vanishingly unlikely
+    // persisted: the shingle pipeline feeds the df guard AND the filtered
+    // set — without this the tokenize+shingle+explode job runs twice
     val sh = explodedShingleHashes(docs, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
     // window (which would shuffle AND sort every (doc, shingle) row)
     val hotShingles = sh.groupBy(col("shingle"))

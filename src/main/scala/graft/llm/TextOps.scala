@@ -113,14 +113,19 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), length(norm) - k + 1),
         i => xxhash64(norm.substr(i, lit(k)))))
 
-  /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc. */
+  /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc,
+    * computed by the fused native kernel
+    * [[graft.functions.WinnowFingerprints]] (O(len) rolling hash +
+    * monotonic-deque window minimum; the HOF composition above is the
+    * portable reference formulation but is O(len·window) with two
+    * intermediate arrays per row). */
   def winnowFingerprints(docs: DataFrame, k: Int = 12, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
         regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__norm"))
-      .select(col(idCol), kgramHashesOf(col("__norm"), k).as("__kg"))
       .select(col(idCol),
-        explode(winnowingFingerprintsOf(col("__kg"), window)).as("fp_hash"))
+        explode(graft.functions.WinnowFingerprints(col("__norm"), k, window))
+          .as("fp_hash"))
 
   /** Doc pairs sharing ≥ `minShared` winnowed fingerprints — substring-level
     * duplication candidates. Fingerprints occurring in more than `maxDf`

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.AsOfJoin
+
+/** Depth coverage of the relational surface beyond SURVEY §2.2's minimum:
+  * grouping sets, pivot, lateral/positional explode, exact percentiles,
+  * extended string functions, and the as-of temporal join (an operator
+  * Spark lacks natively — see [[graft.exec.AsOfJoin]]). Every query here is
+  * DuckDB-oracle-checked.
+  */
+object DepthQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  // -------------------------------------------- q19 grouping sets + grouping()
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("g_prio"), col("g_status"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  private val q19Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_prio, g_status, o_orderpriority NULLS FIRST,
+      |  o_orderstatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- q20 pivot
+
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("l_returnflag"))
+
+  private val q20Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus='O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+      |  CAST(SUM(CASE WHEN l_linestatus='F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------- q21 lateral positional explode
+
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        posexplode(split(col("o_orderpriority"), "-")))
+      .select(col("o_orderkey"), col("col").as("part"),
+        (col("pos") + 1).cast("bigint").as("pos"))
+      .orderBy(col("o_orderkey"), col("pos"))
+
+  private val q21Sql =
+    """SELECT o_orderkey,
+      |  unnest(string_split(o_orderpriority, '-')) AS part,
+      |  unnest(range(1, len(string_split(o_orderpriority, '-')) + 1)) AS pos
+      |FROM orders WHERE o_orderkey <= 1000
+      |ORDER BY o_orderkey, pos""".stripMargin
+
+  // ----------------------------------------------- q22 exact percentiles
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("med_qty"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.75))")
+          .as("iqr"))
+      .orderBy(col("l_returnflag"))
+
+  private val q22Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med_qty,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.75]) AS iqr
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ q23 as-of join
+
+  /** Attach the most recent purchase (per user, at-or-before) to each
+    * click — DuckDB's ASOF LEFT JOIN is the oracle. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") <= 200)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp_ntz").as("click_ts"),
+        col("r_event_id").as("purchase_id"),
+        round(col("r_value"), 6).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  private val q23Sql =
+    """SELECT l.user_id, l.event_id AS click_id, l.ts AS click_ts,
+      |  r.event_id AS purchase_id, round(r.value, 6) AS purchase_value
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'click' AND user_id <= 200) l
+      |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+      |      WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.user_id, click_id""".stripMargin
+
+  // ------------------------------------------- f09 extended string surface
+
+  private def f09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        lpad(col("o_orderpriority"), 12, "*").as("lp"),
+        rpad(col("o_orderstatus"), 3, ".").as("rp"),
+        reverse(col("o_orderpriority")).as("rev"),
+        ascii(col("o_orderstatus")).as("asc_c"),
+        translate(col("o_orderpriority"), "-AEIOU", "_aeiou").as("tr"),
+        repeat(col("o_orderstatus"), 3).as("rep"),
+        locate("URGENT", col("o_orderpriority")).as("sp"),
+        initcap(lower(col("o_orderpriority"))).as("ic"))
+      .orderBy(col("o_orderkey"))
+
+  private val f09Sql =
+    """SELECT o_orderkey,
+      |  lpad(o_orderpriority, 12, '*') AS lp,
+      |  rpad(o_orderstatus, 3, '.') AS rp,
+      |  reverse(o_orderpriority) AS rev,
+      |  ascii(o_orderstatus) AS asc_c,
+      |  translate(o_orderpriority, '-AEIOU', '_aeiou') AS tr,
+      |  repeat(o_orderstatus, 3) AS rep,
+      |  strpos(o_orderpriority, 'URGENT') AS sp,
+      |  list_aggregate(list_transform(string_split(lower(o_orderpriority), ' '),
+      |    x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS ic
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_grouping_sets" -> (q19 _),
+    "q20_pivot" -> (q20 _),
+    "q21_posexplode" -> (q21 _),
+    "q22_percentiles" -> (q22 _),
+    "q23_asof_join" -> (q23 _),
+    "f09_strings_ext" -> (f09 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q19_grouping_sets" -> q19Sql,
+    "q20_pivot" -> q20Sql,
+    "q21_posexplode" -> q21Sql,
+    "q22_percentiles" -> q22Sql,
+    "q23_asof_join" -> q23Sql,
+    "f09_strings_ext" -> f09Sql)
+}

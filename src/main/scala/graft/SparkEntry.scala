@@ -604,7 +604,7 @@ object SparkEntry {
     "f06_arrays" -> (f06 _),
     "f07_casts" -> (f07 _),
     "f08_agg_fns" -> (f08 _)
-  ) ++ MatQueries.queries ++ LlmQueries.queries
+  ) ++ MatQueries.queries ++ LlmQueries.queries ++ DepthQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" -> q01Sql,
@@ -632,5 +632,5 @@ object SparkEntry {
     "f06_arrays" -> f06Sql,
     "f07_casts" -> f07Sql,
     "f08_agg_fns" -> f08Sql
-  ) ++ MatQueries.oracleSql ++ LlmQueries.oracleSql
+  ) ++ MatQueries.oracleSql ++ LlmQueries.oracleSql ++ DepthQueries.oracleSql
 }

@@ -152,6 +152,57 @@ object DepthQueries {
       |    x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS ic
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------- dt01 generic data tests
+
+  /** The dbt `dbt test` surface (unique / not_null / accepted_values /
+    * relationships, Tutorial.md:152-198) against the testdata, with two
+    * deliberately failing cases; returns (test_name, failures, status). */
+  private def dt01(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.DataTests
+    import graft.exec.DataTests._
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val customer = t(s, dir, "customer")
+    val tests = Seq(
+      Test("accepted_values_status_fo",
+        acceptedValues(orders, "o_orderstatus", Seq("F", "O")), Warn),
+      Test("not_null_c_name", notNull(customer, "c_name")),
+      Test("relationships_li_orders1000",
+        relationships(lineitem, "l_orderkey",
+          orders.filter(col("o_orderkey") <= 1000), "o_orderkey")),
+      Test("unique_lineitem_orderkey", unique(lineitem, Seq("l_orderkey"))),
+      Test("unique_orders", unique(orders, Seq("o_orderkey"))))
+    val results = DataTests.run(s, tests)
+    import s.implicits._
+    results.map(r => (r.name, r.failures, r.status match {
+        case Pass => "pass"
+        case Warned(_) => "warn"
+        case Failed(_) => "error"
+      })).toDF("test_name", "failures", "status")
+      .orderBy(col("test_name"))
+  }
+
+  private val dt01Sql =
+    """SELECT 'accepted_values_status_fo' AS test_name,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |     AND o_orderstatus NOT IN ('F','O')) AS failures, 'warn' AS status
+      |UNION ALL SELECT 'not_null_c_name',
+      |  (SELECT COUNT(*) FROM customer WHERE c_name IS NULL), 'pass'
+      |UNION ALL SELECT 'relationships_li_orders1000',
+      |  (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM orders o
+      |       WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey <= 1000)),
+      |  'error'
+      |UNION ALL SELECT 'unique_lineitem_orderkey',
+      |  (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+      |     WHERE l_orderkey IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1)),
+      |  'error'
+      |UNION ALL SELECT 'unique_orders',
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+      |     WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1)),
+      |  'pass'
+      |ORDER BY test_name""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,7 +211,8 @@ object DepthQueries {
     "q21_posexplode" -> (q21 _),
     "q22_percentiles" -> (q22 _),
     "q23_asof_join" -> (q23 _),
-    "f09_strings_ext" -> (f09 _))
+    "f09_strings_ext" -> (f09 _),
+    "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -168,5 +220,6 @@ object DepthQueries {
     "q21_posexplode" -> q21Sql,
     "q22_percentiles" -> q22Sql,
     "q23_asof_join" -> q23Sql,
-    "f09_strings_ext" -> f09Sql)
+    "f09_strings_ext" -> f09Sql,
+    "dt01_data_tests" -> dt01Sql)
 }

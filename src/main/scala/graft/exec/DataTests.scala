@@ -1,0 +1,93 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableRef
+
+/** dbt generic data tests — the `dbt test` surface the reference inherits
+  * from dbt-core (Tutorial.md:152-198 runs all four against MaxCompute;
+  * tests/functional/adapter/test_basic.py exercises them). Each test is a
+  * query returning the FAILING rows; 0 rows ⇒ pass (Tutorial.md:179).
+  *
+  * Engine mapping (all single-shuffle, partition-parallel):
+  *  - unique:          groupBy(keys).count > 1  (map-side combined)
+  *  - not_null:        filter(isNull) — pure scan, no shuffle
+  *  - accepted_values: filter(!isin) — pure scan
+  *  - relationships:   left_anti join child→parent (AQE broadcasts the
+  *                     parent's distinct keys when small)
+  *
+  * `store_failures` persists each test's failing rows as a table
+  * (dbt's audit schema); severity `Warn` reports without failing the run.
+  */
+object DataTests {
+
+  sealed trait Severity
+  case object Error extends Severity
+  case object Warn extends Severity
+
+  final case class Test(
+      name: String,
+      failingRows: DataFrame,
+      severity: Severity = Error,
+      /** fail only when failures exceed this count (dbt error_if default 0) */
+      errorIf: Long = 0)
+
+  sealed trait Status
+  case object Pass extends Status
+  final case class Failed(failures: Long) extends Status
+  final case class Warned(failures: Long) extends Status
+
+  final case class Result(name: String, failures: Long, status: Status)
+
+  // ------------------------------------------------------------ test builders
+
+  /** Rows whose (cols) tuple occurs more than once — non-NULL keys only,
+    * matching dbt's unique test (NULLs are not_null's business). */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > 1)
+
+  /** Rows where `c` is NULL. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNull)
+
+  /** Rows whose `c` is outside `values` (NULL passes, as in dbt). */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[Any]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(values: _*))
+
+  /** Child rows whose `childCol` has no match in parent's `parentCol`
+    * (NULL child keys pass, as in dbt). */
+  def relationships(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame =
+    child.filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+
+  /** Custom singular test: any user query; rows returned = failures. */
+  def singular(failing: DataFrame): DataFrame = failing
+
+  // ------------------------------------------------------------------ runner
+
+  /** Run tests; optionally store each test's failing rows as
+    * `<storeFailuresIn>.<test name>` (dbt store_failures). */
+  def run(spark: SparkSession, tests: Seq[Test],
+      storeFailuresIn: Option[String] = None): Seq[Result] =
+    tests.map { t =>
+      val failures = storeFailuresIn match {
+        case Some(db) =>
+          val ref = TableRef(s"$db.${t.name}")
+          AtomicWriter.createOrReplace(spark, t.failingRows, ref)
+          spark.table(ref.render).count()
+        case None => t.failingRows.count()
+      }
+      val status =
+        if (failures <= t.errorIf) Pass
+        else t.severity match {
+          case Warn => Warned(failures)
+          case Error => Failed(failures)
+        }
+      Result(t.name, failures, status)
+    }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.exec.DataTests
+import graft.exec.DataTests._
+
+/** dbt generic data tests (ref Tutorial.md:152-198, test_basic.py). */
+class DataTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val users = Seq(
+    (1L, Some("a"), "active"), (2L, Some("b"), "active"),
+    (2L, Some("c"), "inactive"), (3L, None, "active"),
+    (4L, Some("d"), "deleted"), (5L, Some("e"), null))
+    .toDF("id", "name", "status")
+
+  private val parents = Seq(1L, 2L, 3L).toDF("pid")
+
+  test("unique: non-null duplicate keys fail with their counts") {
+    val f = unique(users, Seq("id")).collect()
+    assert(f.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+  }
+
+  test("not_null: null rows fail") {
+    assert(notNull(users, "name").select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("accepted_values: out-of-set fails, NULL passes") {
+    val f = acceptedValues(users, "status", Seq("active", "inactive"))
+    assert(f.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("relationships: orphans fail, NULL child keys pass") {
+    val children = Seq(Some(1L), Some(9L), None).toDF("pid")
+    val f = relationships(children, "pid", parents, "pid")
+    assert(f.as[Option[Long]].collect().toSeq == Seq(Some(9L)))
+  }
+
+  test("runner: severity + error_if thresholds; store_failures persists") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS dt_audit")
+    val results = DataTests.run(spark, Seq(
+      Test("uniq", unique(users, Seq("id"))),
+      Test("uniq_warn", unique(users, Seq("id")), Warn),
+      Test("uniq_tolerant", unique(users, Seq("id")), errorIf = 1),
+      Test("nn_name", notNull(users, "name"))),
+      storeFailuresIn = Some("dt_audit"))
+    val byName = results.map(r => r.name -> r.status).toMap
+    assert(byName("uniq") == Failed(1))
+    assert(byName("uniq_warn") == Warned(1))
+    assert(byName("uniq_tolerant") == Pass)
+    assert(byName("nn_name") == Failed(1))
+    // failures stored as audit tables
+    assert(spark.table("dt_audit.uniq").count() == 1)
+    assert(spark.table("dt_audit.nn_name").count() == 1)
+  }
+}

@@ -152,6 +152,30 @@ object DepthQueries {
       |    x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS ic
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------- q24 correlated scalar subquery
+
+  /** Correlated scalar subquery (Catalyst de-correlates to an aggregate +
+    * left join — asserted in PlanSpec); exercised through the SQL-string
+    * path the reference generates. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q24_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("q24_lineitem")
+    s.sql("""SELECT o_orderkey, o_totalprice,
+      (SELECT MAX(l.l_extendedprice) FROM q24_lineitem l
+       WHERE l.l_orderkey = o.o_orderkey) AS max_item,
+      (SELECT COUNT(*) FROM q24_lineitem l
+       WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      FROM q24_orders o WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+  }
+
+  private val q24Sql =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT MAX(l.l_extendedprice) FROM lineitem l
+      |   WHERE l.l_orderkey = o.o_orderkey) AS max_item,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      |FROM orders o WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -212,6 +236,7 @@ object DepthQueries {
     "q22_percentiles" -> (q22 _),
     "q23_asof_join" -> (q23 _),
     "f09_strings_ext" -> (f09 _),
+    "q24_correlated_subquery" -> (q24 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -221,5 +246,6 @@ object DepthQueries {
     "q22_percentiles" -> q22Sql,
     "q23_asof_join" -> q23Sql,
     "f09_strings_ext" -> f09Sql,
+    "q24_correlated_subquery" -> q24Sql,
     "dt01_data_tests" -> dt01Sql)
 }

@@ -112,6 +112,28 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Seq((1L, "a9"), (2L, "b"), (2L, "b9")))
   }
 
+  test("merge leaves untouched partitions' files physically unmodified") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    def filesOf(p: String): Map[String, Long] = {
+      val ident = spark.sessionState.sqlParser
+        .parseTableIdentifier(ref.render.replace("`", ""))
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+      val dir = new java.io.File(loc, s"pt=$p")
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.isFile).map(f => f.getName -> f.lastModified).toMap
+    }
+    val p02Before = filesOf("p02")
+    assert(p02Before.nonEmpty)
+    // delta touches p05 (update) and p06 (insert) only
+    Incremental.merge(spark, ref, delta(), uniqueKey = Seq("id"),
+      partition = part)
+    assert(idsAndNames(ref).map(_._1) == (1L to 6L))
+    assert(filesOf("p02") == p02Before,
+      "untouched partition p02 was rewritten")
+  }
+
   test("merge update-column subsetting and exclusion") {
     val ref = fresh(PartitionSpec.None)
     val d = Seq((5L, "EveX", "2099-01-01", "pXX"))

@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
       s"scalar agg not broadcast:\n$p")
   }
 
+  test("correlated scalar subqueries de-correlate to aggregate + join") {
+    val opt = SparkEntry.queries("q24_correlated_subquery")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join"), s"not de-correlated:\n$opt")
+    assert(opt.toLowerCase.contains("aggregate"), s"no aggregate:\n$opt")
+  }
+
   test("brute-force top-k broadcasts the query side") {
     val p = plan("s01_cosine_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

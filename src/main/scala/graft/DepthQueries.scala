@@ -176,6 +176,31 @@ object DepthQueries {
       |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
       |FROM orders o WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------ q25 NOT IN three-valued semantics
+
+  /** Pins NOT IN's 3VL footgun (ref test_core.py:370-378 relies on NOT IN):
+    * a NULL anywhere in the subquery makes NOT IN yield no rows, while the
+    * NULL-free subquery behaves like an anti join. Spark's null-aware anti
+    * join must reproduce both. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q25_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("q25_lineitem")
+    s.sql("""SELECT
+      (SELECT COUNT(*) FROM q25_orders WHERE o_orderkey NOT IN
+        (SELECT CASE WHEN l_orderkey = 1 THEN NULL ELSE l_orderkey END
+         FROM q25_lineitem)) AS with_null,
+      (SELECT COUNT(*) FROM q25_orders WHERE o_orderkey NOT IN
+        (SELECT l_orderkey FROM q25_lineitem)) AS clean""")
+  }
+
+  private val q25Sql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+      |    (SELECT CASE WHEN l_orderkey = 1 THEN NULL ELSE l_orderkey END
+      |     FROM lineitem)) AS with_null,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+      |    (SELECT l_orderkey FROM lineitem)) AS clean""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -237,6 +262,7 @@ object DepthQueries {
     "q23_asof_join" -> (q23 _),
     "f09_strings_ext" -> (f09 _),
     "q24_correlated_subquery" -> (q24 _),
+    "q25_not_in_nulls" -> (q25 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -247,5 +273,6 @@ object DepthQueries {
     "q23_asof_join" -> q23Sql,
     "f09_strings_ext" -> f09Sql,
     "q24_correlated_subquery" -> q24Sql,
+    "q25_not_in_nulls" -> q25Sql,
     "dt01_data_tests" -> dt01Sql)
 }

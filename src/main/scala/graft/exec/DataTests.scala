@@ -68,6 +68,22 @@ object DataTests {
   /** Custom singular test: any user query; rows returned = failures. */
   def singular(failing: DataFrame): DataFrame = failing
 
+  /** dbt's `check_relations_equal` (test_core.py:29) / unit-test compare:
+    * symmetric difference of the two relations tagged by side, counting
+    * duplicates (bag semantics via a per-side row counter). Empty ⇒ equal. */
+  def relationsEqual(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    def counted(df: DataFrame) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+    counted(a).withColumn("side", lit("a"))
+      .unionByName(counted(b).withColumn("side", lit("b")))
+      .groupBy(cols.map(col) :+ col("__n"): _*)
+      .agg(collect_set(col("side")).as("sides"))
+      .filter(size(col("sides")) === 1)
+      .select(cols.map(col) :+ col("__n").as("n_records") :+
+        element_at(col("sides"), 1).as("only_in"): _*)
+  }
+
   // ------------------------------------------------------------------ runner
 
   /** Run tests; optionally store each test's failing rows as

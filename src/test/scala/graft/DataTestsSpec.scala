@@ -35,6 +35,21 @@ class DataTestsSpec extends SparkSpec {
     assert(f.as[Option[Long]].collect().toSeq == Seq(Some(9L)))
   }
 
+  test("relationsEqual: equal bags pass; row-count and value diffs surface") {
+    val a = Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("id", "v")
+    val same = Seq((2L, "y"), (1L, "x"), (2L, "y")).toDF("id", "v")
+    assert(relationsEqual(a, same).isEmpty)
+    // duplicate-count difference is a difference (bag semantics)
+    val fewer = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val d1 = relationsEqual(a, fewer).collect()
+    assert(d1.nonEmpty)
+    // value difference tagged by side
+    val changed = Seq((1L, "x"), (2L, "z"), (2L, "y")).toDF("id", "v")
+    val d2 = relationsEqual(a, changed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(d2.contains((2L, "y", "a")) && d2.contains((2L, "z", "b")))
+  }
+
   test("runner: severity + error_if thresholds; store_failures persists") {
     spark.sql("CREATE DATABASE IF NOT EXISTS dt_audit")
     val results = DataTests.run(spark, Seq(

@@ -168,10 +168,16 @@ object CatalogOps {
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(ref.render.replace("`", ""))
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val loc = new java.io.File(new java.net.URI(meta.location.toString))
-    def newest(f: java.io.File): Long =
-      if (f.isFile) f.lastModified
-      else Option(f.listFiles).map(_.map(newest).foldLeft(0L)(math.max)).getOrElse(0L)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def newest(p: org.apache.hadoop.fs.Path): Long = {
+      val stats =
+        try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => Array.empty }
+      stats.map(s =>
+        if (s.isFile) s.getModificationTime else newest(s.getPath))
+        .foldLeft(0L)(math.max)
+    }
     val t = newest(loc)
     if (t == 0L) None else Some(new java.sql.Timestamp(t))
   }

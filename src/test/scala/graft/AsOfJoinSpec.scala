@@ -46,6 +46,33 @@ class AsOfJoinSpec extends SparkSpec {
       == trades.count())
   }
 
+  test("randomized: matches the brute-force definition on 500 rows") {
+    val rnd = new scala.util.Random(42)
+    val lrows = Seq.tabulate(250)(i =>
+      (rnd.nextInt(8).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i.toLong))
+    val rrows = Seq.tabulate(250)(i =>
+      (rnd.nextInt(8).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), i * 10.0))
+    val l = lrows.toDF("k", "ts", "lid")
+    val r = rrows.toDF("k", "ts", "px")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts")
+      .select($"lid", $"r_px").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // brute force: per left row, the max-ts right row at or before, ties by
+    // the same (ts, arrival-order) resolution the window uses is irrelevant
+    // here because px of equal-ts rows differ — pick max ts then ANY px from
+    // the tied set and assert membership
+    lrows.foreach { case (k, ts, lid) =>
+      val cands = rrows.filter(rr => rr._1 == k && !rr._2.after(ts))
+      if (cands.isEmpty) assert(got(lid).isEmpty, s"lid=$lid expected no match")
+      else {
+        val maxTs = cands.map(_._2.getTime).max
+        val valid = cands.filter(_._2.getTime == maxTs).map(_._3).toSet
+        assert(got(lid).isDefined && valid.contains(
+          got(lid).get.asInstanceOf[Double]), s"lid=$lid wrong match")
+      }
+    }
+  }
+
   test("plan is one window over the union, not a range join") {
     val plan = AsOfJoin.backward(trades, quotes, Seq("sym"), "ts", "ts")
       .queryExecution.optimizedPlan.toString

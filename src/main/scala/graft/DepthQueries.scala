@@ -201,6 +201,35 @@ object DepthQueries {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
       |    (SELECT l_orderkey FROM lineitem)) AS clean""".stripMargin
 
+  // ----------------------------------------------- q26 gap sessionization
+
+  /** Batch gap-sessionization (30-min) — the batch twin of the streaming
+    * flatMapGroupsWithState sessionizer, oracle-checked against the same
+    * cumulative-flag window formulation in DuckDB. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.sessionizeBatch(
+        t(s, dir, "events").filter(col("user_id") <= 100)
+          .select(col("user_id"), col("ts")), gapMinutes = 30)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q26Sql =
+    """WITH e AS (SELECT user_id, ts FROM events WHERE user_id <= 100),
+      |g AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |        THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, SUM(new_s) OVER
+      |        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -263,6 +292,7 @@ object DepthQueries {
     "f09_strings_ext" -> (f09 _),
     "q24_correlated_subquery" -> (q24 _),
     "q25_not_in_nulls" -> (q25 _),
+    "q26_sessionize" -> (q26 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -274,5 +304,6 @@ object DepthQueries {
     "f09_strings_ext" -> f09Sql,
     "q24_correlated_subquery" -> q24Sql,
     "q25_not_in_nulls" -> q25Sql,
+    "q26_sessionize" -> q26Sql,
     "dt01_data_tests" -> dt01Sql)
 }

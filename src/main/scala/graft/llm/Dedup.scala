@@ -111,17 +111,15 @@ object Dedup {
       k: Int = 128, bands: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // persisted: the signature pipeline (shingle explode + minhash agg) feeds
     // both sides of the band self-join — without this it runs twice
     val sig = minhashSignatures(docs, k, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band bucket keys via the native long-mixing kernel (one expression)
+    // instead of bands × xxhash64(concat_ws(…)) string churn
     val banded = sig.select(col(idCol), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(concat_ws("_",
-          (0 until r).map(j => col("sig")(b * r + j)): _*)).as("bh"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("sig"), col("bk.band"), col("bk.bh"))
+        posexplode(graft.functions.BandHashes(col("sig"), bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("sig").as("sig_b"))
     val est = aggregate(zip_with(col("sig_a"), col("sig_b"),

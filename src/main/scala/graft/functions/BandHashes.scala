@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   * mixing longs directly. */
 case class BandHashes(child: Expression, bands: Int)
     extends UnaryExpression {
+  require(bands > 0, s"bands must be positive (bands=$bands)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     extends UnaryExpression {
+  require(k > 0 && window > 0, s"k and window must be positive (k=$k, window=$window)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.exec.{AtomicWriter, Maintenance}
+import graft.mat.Materializer
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact rewrites only many-file partitions; content unchanged") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = TableRef("default.maint_compact")
+    Materializer.table(spark, ref,
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "pt"), part)
+    // fragment p1 with 5 single-row appends
+    (10L to 14L).foreach { i =>
+      AtomicWriter.append(spark,
+        Seq((i, s"x$i", "p1")).toDF("id", "v", "pt"), ref, part)
+    }
+    val before = Maintenance.partitionFileCounts(spark, ref, part)
+    assert(before("pt=p1") >= 6)
+    assert(before("pt=p2") == 1)
+    val content = spark.table(ref.render).orderBy("id").collect().map(_.toSeq)
+
+    val compacted = Maintenance.compact(spark, ref, part, maxFiles = 3)
+    assert(compacted == Seq("pt=p1"))
+    val after = Maintenance.partitionFileCounts(spark, ref, part)
+    assert(after("pt=p1") == 1, s"p1 not compacted: $after")
+    assert(after("pt=p2") == 1)
+    assert(spark.table(ref.render).orderBy("id").collect().map(_.toSeq)
+      .toSeq == content.toSeq)
+    // idempotent: nothing left to compact
+    assert(Maintenance.compact(spark, ref, part, maxFiles = 3).isEmpty)
+  }
+
+  test("analyze records row-count statistics for the optimizer") {
+    val ref = TableRef("default.maint_stats")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    Maintenance.analyze(spark, ref)
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(ref.render)).stats
+    assert(stats.isDefined && stats.get.rowCount.contains(BigInt(3)))
+  }
+}

@@ -111,6 +111,48 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose timestamp lies in
+    * [left.ts − before, left.ts + after]. Watermarks on BOTH sides bound
+    * the join state Spark must retain (without them the state grows
+    * unboundedly — the classic stream-join footgun at scale). Inputs must
+    * carry (key, ts) columns with the given names; remaining columns pass
+    * through prefixed l_/r_. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, watermark: String,
+      before: String, after: String): DataFrame = {
+    def tagged(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df) { (d, c) =>
+        if (c == key || c == tsCol) d else d.withColumnRenamed(c, p + c)
+      }
+    val l = tagged(left, "l_").withColumnRenamed(tsCol, "l_ts")
+      .withWatermark("l_ts", watermark)
+    val r = tagged(right, "r_").withColumnRenamed(key, "r_key")
+      .withColumnRenamed(tsCol, "r_ts").withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+      .drop("r_key")
+  }
+
+  /** Batch twin of `intervalJoin` (same shape, no watermarks). */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, before: String, after: String): DataFrame = {
+    def tagged(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df) { (d, c) =>
+        if (c == key || c == tsCol) d else d.withColumnRenamed(c, p + c)
+      }
+    val l = tagged(left, "l_").withColumnRenamed(tsCol, "l_ts")
+    val r = tagged(right, "r_").withColumnRenamed(key, "r_key")
+      .withColumnRenamed(tsCol, "r_ts")
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+      .drop("r_key")
+  }
+
   /** Batch twin of `sessionize` (for parity checks): gap-based session
     * assignment with window functions. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {

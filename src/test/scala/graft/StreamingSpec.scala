@@ -62,6 +62,38 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("watermarked stream-stream interval join matches the batch twin") {
+    val ev = Tables.t(spark, dir, "events")
+      .filter($"user_id" <= 40)
+      .select($"user_id", date_trunc("second", $"ts").as("ts"),
+        $"event_id", $"event_type", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val t1 = java.nio.file.Files.createTempDirectory("ij_l")
+    val t2 = java.nio.file.Files.createTempDirectory("ij_r")
+    clicks.write.mode("overwrite").parquet(t1.toString)
+    purchases.write.mode("overwrite").parquet(t2.toString)
+    val joined = Streaming.intervalJoin(
+      Streaming.parquetStream(spark, t1.toString),
+      Streaming.parquetStream(spark, t2.toString),
+      key = "user_id", tsCol = "ts", watermark = "0 seconds",
+      before = "1 HOUR", after = "1 HOUR")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ij_out")
+      .select($"user_id", $"l_event_id", $"r_event_id", $"r_value")
+      .collect().map(_.toSeq).toSet
+    val want = Streaming.intervalJoinBatch(clicks, purchases,
+        "user_id", "ts", "1 HOUR", "1 HOUR")
+      .select($"user_id", $"l_event_id", $"r_event_id", $"r_value")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"diff: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("stateful sessionization: streaming closed sessions match the batch twin") {
     import graft.streaming.Streaming.SessionEvent
     val events = Tables.t(spark, dir, "events")

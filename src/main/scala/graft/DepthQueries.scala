@@ -152,6 +152,27 @@ object DepthQueries {
       |    x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS ic
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------- f10 edit-distance functions
+
+  /** levenshtein (plain + thresholded, Spark returns −1 above the bound —
+    * emulated in the oracle) over customer names: the classic record-
+    * linkage primitive. */
+  private def f10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
+        levenshtein(col("c_name"), lit("Customer#000000001"), 3).as("lev_t3"),
+        levenshtein(col("c_mktsegment"), col("c_name")).as("lev_cols"))
+      .orderBy(col("c_custkey"))
+
+  private val f10Sql =
+    """SELECT c_custkey,
+      |  levenshtein(c_name, 'Customer#000000001') AS lev,
+      |  CASE WHEN levenshtein(c_name, 'Customer#000000001') > 3 THEN -1
+      |       ELSE levenshtein(c_name, 'Customer#000000001') END AS lev_t3,
+      |  levenshtein(c_mktsegment, c_name) AS lev_cols
+      |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------- q24 correlated scalar subquery
 
   /** Correlated scalar subquery (Catalyst de-correlates to an aggregate +
@@ -290,6 +311,7 @@ object DepthQueries {
     "q22_percentiles" -> (q22 _),
     "q23_asof_join" -> (q23 _),
     "f09_strings_ext" -> (f09 _),
+    "f10_edit_distance" -> (f10 _),
     "q24_correlated_subquery" -> (q24 _),
     "q25_not_in_nulls" -> (q25 _),
     "q26_sessionize" -> (q26 _),
@@ -302,6 +324,7 @@ object DepthQueries {
     "q22_percentiles" -> q22Sql,
     "q23_asof_join" -> q23Sql,
     "f09_strings_ext" -> f09Sql,
+    "f10_edit_distance" -> f10Sql,
     "q24_correlated_subquery" -> q24Sql,
     "q25_not_in_nulls" -> q25Sql,
     "q26_sessionize" -> q26Sql,

@@ -35,6 +35,8 @@ object PerfProbe {
     time("d03 simhash fp only")(Dedup.simhash(docs).count())
     time("d03 full")(Dedup.simhashNearDupPairs(docs, 3).count())
     time("d04 full")(Dedup.ngramJaccardPairs(docs, 3, 0.5, 1000).count())
+    time("d04 full again (warm)")(
+      Dedup.ngramJaccardPairs(docs, 3, 0.5, 1000).count())
     time("t02 fps only")(TextOps.winnowFingerprints(docs).count())
     time("t02 full")(TextOps.winnowNearDupPairs(docs, 20, maxDf = 50).count())
     time("t02 full again (warm)")(

@@ -111,6 +111,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact deduplication on key columns with bounded state:
+    * duplicates arriving within the watermark horizon are dropped, and
+    * per-key state is evicted once the watermark passes it — the streaming
+    * twin of `Dedup.exact`/`dropDuplicates`, and the standard ingest-side
+    * dedup for training-data pipelines (unbounded-state `dropDuplicates`
+    * on a stream would OOM; the watermark bound is what scales). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key whose timestamp lies in
     * [left.ts − before, left.ts + after]. Watermarks on BOTH sides bound

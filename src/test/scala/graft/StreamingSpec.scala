@@ -62,6 +62,25 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("streaming dedup with watermark matches batch dropDuplicates") {
+    val ev = Tables.t(spark, dir, "events")
+      .select($"event_id", date_trunc("second", $"ts").as("ts"), $"user_id")
+    // plant duplicates: every 5th event appears twice
+    val dup = ev.unionByName(ev.filter($"event_id" % 5 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_src")
+    dup.write.mode("overwrite").parquet(tmp.toString)
+    val deduped = Streaming.dedupStream(
+      Streaming.parquetStream(spark, tmp.toString),
+      tsCol = "ts", watermark = "1 hour", keys = Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    val want = ev.select($"event_id").distinct().as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+
   test("watermarked stream-stream interval join matches the batch twin") {
     val ev = Tables.t(spark, dir, "events")
       .filter($"user_id" <= 40)

@@ -19,11 +19,11 @@ object ScaleProbe {
     }
     spark.range(10000000L).selectExpr("sum(id)").collect() // warmup
 
-    // n key-shifted copies with per-copy alphabet rotation: copies share no
-    // tokens, so corpus size grows n× while the near-dup STRUCTURE per copy
-    // (not the near-dup count per doc) stays constant — the honest scaling
-    // setup for dedup ops, where verbatim copies would quadratically grow
-    // the true output pair count itself.
+    // n key-shifted copies with per-copy alphabet rotation: copies share
+    // (almost) no tokens — digit/punctuation tokens survive rotation — so
+    // corpus size grows n× while the near-dup STRUCTURE per copy stays
+    // roughly constant. The honest scaling setup for dedup ops, where
+    // verbatim copies would quadratically grow the true output pair count.
     def docsX(n: Int): DataFrame = {
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       val d = Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))

@@ -164,7 +164,7 @@ object AtomicWriter {
       s"`$k`='$uv'"
     }.mkString(", ")
 
-  private def unescapePathName(s: String): String = {
+  private[exec] def unescapePathName(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

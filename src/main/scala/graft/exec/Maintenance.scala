@@ -9,11 +9,12 @@ import graft.catalog.{PartitionSpec, TableRef}
   * management to MaxCompute):
   *
   *  - `compact`: small-file compaction — rewrite partitions whose file
-  *    count exceeds a threshold into ~`targetFileBytes` files. Incremental
-  *    strategies append/rewrite per-delta; after many cycles a partition
-  *    accumulates files, and scan cost at scale is dominated by file-open
-  *    overhead. Only offending partitions are rewritten (partition-scoped,
-  *    same one-data-pass discipline as AtomicWriter).
+  *    count exceeds a threshold, bounding output file size via
+  *    `maxRecordsPerFile`. Incremental strategies append/rewrite per-delta;
+  *    after many cycles a partition accumulates files, and scan cost at
+  *    scale is dominated by file-open overhead. Only offending partitions
+  *    are rewritten (partition-scoped, same one-data-pass discipline as
+  *    AtomicWriter).
   *  - `analyze`: table + column statistics (ANALYZE TABLE) so the
   *    cost-based optimizer has row counts / NDVs for broadcast and join
   *    reorder decisions.
@@ -42,13 +43,19 @@ object Maintenance {
     walk(root, depth, "").toMap
   }
 
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   /** Compact partitions with more than `maxFiles` data files. Each is
     * rewritten through the atomic partition swap; untouched partitions keep
-    * their files byte-identical. Returns the compacted partition paths. */
+    * their files byte-identical. One writing task per partition (that IS
+    * the compaction — parallelism comes from compacting many partitions at
+    * once), with file size bounded by `maxRecordsPerFile` (0 = single file
+    * per partition). Directory names are Hive-unescaped and the
+    * null-partition sentinel maps to IS NULL, so escaped values (':', '%')
+    * and NULL partitions compact correctly. Returns the compacted paths. */
   def compact(spark: SparkSession, target: TableRef, partition: PartitionSpec,
-      maxFiles: Int = 8): Seq[String] = {
+      maxFiles: Int = 8, maxRecordsPerFile: Long = 0L): Seq[String] = {
     require(partition.partitionColumns.nonEmpty, "compact needs a partitioned table")
-    val pcols = partition.partitionColumns
     val offending = partitionFileCounts(spark, target, partition)
       .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (offending.nonEmpty) {
@@ -56,11 +63,18 @@ object Maintenance {
       val conds = offending.map { rel =>
         rel.split("/").map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          col(k).cast("string") === v
+          val uv = AtomicWriter.unescapePathName(v)
+          if (uv == HiveDefaultPartition) col(k).isNull
+          else col(k).cast("string") === uv
         }.reduce(_ && _)
       }.reduce(_ || _)
       val rows = spark.table(target.render).filter(conds)
-      AtomicWriter.overwritePartitions(spark, rows, target, partition)
+      val confKey = "spark.sql.files.maxRecordsPerFile"
+      val prev = spark.conf.get(confKey, "0")
+      try {
+        spark.conf.set(confKey, maxRecordsPerFile.toString)
+        AtomicWriter.overwritePartitions(spark, rows, target, partition)
+      } finally spark.conf.set(confKey, prev)
     }
     offending
   }

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   private val SAFE_TYPES =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross",
+      "semi", "anti") // Spark accepts the short aliases too
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       joinType: String = "inner", saltFactor: Int = 8): DataFrame = {

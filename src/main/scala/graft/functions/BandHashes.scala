@@ -44,6 +44,11 @@ object BandHashes {
 
   def compute(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    // silent degradation guard: bands > n would hash every row to the same
+    // per-band constant (quadratic bucket blowup); non-dividing bands would
+    // silently ignore trailing signature entries
+    require(n > 0 && n % bands == 0,
+      s"signature length $n must be a positive multiple of bands=$bands")
     val r = n / bands
     val out = new Array[Long](bands)
     var b = 0

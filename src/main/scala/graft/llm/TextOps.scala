@@ -89,36 +89,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Winnowing fingerprints (MOSS-style): rolling 64-bit hashes of character
-    * k-grams over the normalized text, then the minimum hash of each sliding
-    * window of `window` consecutive k-gram hashes — a deterministic sparse
-    * set of local fingerprints. Two documents sharing any long-enough
-    * substring share fingerprints, which makes this the candidate generator
-    * for substring-level (not whole-doc) duplication.
-    * `hs` must be bound as a column before calling (HOF lambdas don't CSE). */
-  def winnowingFingerprintsOf(kgramHashes: Column, window: Int): Column =
-    array_distinct(
-      when(size(kgramHashes) === 0, array().cast("array<bigint>"))
-        .when(size(kgramHashes) <= window, array(array_min(kgramHashes)))
-        .otherwise(transform(sequence(lit(0), size(kgramHashes) - window),
-          i => array_min(slice(kgramHashes, i + 1, lit(window))))))
-
-  /** Character k-gram rolling hashes over an ALREADY-BOUND normalized text
-    * column (an inline expression here would be re-evaluated per k-gram —
-    * HOF lambdas don't CSE). */
-  def kgramHashesOf(norm: Column, k: Int): Column =
-    when(length(norm) < k,
-      when(length(norm) > 0, array(xxhash64(norm)))
-        .otherwise(array().cast("array<bigint>")))
-      .otherwise(transform(sequence(lit(1), length(norm) - k + 1),
-        i => xxhash64(norm.substr(i, lit(k)))))
-
-  /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc,
-    * computed by the fused native kernel
-    * [[graft.functions.WinnowFingerprints]] (O(len) rolling hash +
-    * monotonic-deque window minimum; the HOF composition above is the
-    * portable reference formulation but is O(len·window) with two
-    * intermediate arrays per row). */
+  /** (doc_id, fingerprint) rows — winnowed k-gram fingerprints per doc
+    * (MOSS-style: rolling 64-bit hashes of character k-grams, then the
+    * minimum of each sliding window of `window` hashes; documents sharing
+    * a substring of ≥ k+window−1 chars share a fingerprint). Computed by
+    * the fused native kernel [[graft.functions.WinnowFingerprints]]
+    * (O(len) rolling hash + monotonic-deque window minimum — the
+    * equivalent HOF composition is O(len·window) with two intermediate
+    * arrays per row). */
   def winnowFingerprints(docs: DataFrame, k: Int = 12, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),

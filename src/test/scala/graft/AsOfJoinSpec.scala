@@ -79,4 +79,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Window"))
     assert(!plan.toLowerCase.contains("join"))
   }
+
+  test("NULL keys/timestamps follow ON-clause semantics (no fabricated matches)") {
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:05")), "ok"),
+      (None, Some(ts("2024-01-01 10:00:05")), "nullKey"),
+      (Some(1L), None, "nullTs"))
+      .toDF("sym", "ts", "trade")
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (None, Some(ts("2024-01-01 09:00:00")), 666.0),  // NULL key: never matches
+      (Some(1L), None, 667.0))                          // NULL ts: never matches
+      .toDF("sym", "ts", "px")
+    for (dir <- Seq("b", "f")) {
+      val out = (if (dir == "b") AsOfJoin.backward(l, r, Seq("sym"), "ts", "ts")
+        else AsOfJoin.forward(l, r, Seq("sym"), "ts", "ts"))
+        .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+      assert(out.size == 3, s"left rows must be preserved ($dir)")
+      assert(out("nullKey").isEmpty, s"NULL-key left row matched ($dir)")
+      assert(out("nullTs").isEmpty, s"NULL-ts left row matched ($dir)")
+      assert(!out.values.flatten.toSet.exists(v => v == 666.0 || v == 667.0),
+        s"NULL-key/ts right row fabricated a match ($dir)")
+    }
+    val back = AsOfJoin.backward(l, r, Seq("sym"), "ts", "ts")
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    assert(back("ok") == Some(100.0))
+  }
 }

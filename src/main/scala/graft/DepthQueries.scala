@@ -173,6 +173,27 @@ object DepthQueries {
       |  levenshtein(c_mktsegment, c_name) AS lev_cols
       |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------- f11 regex function family
+
+  private def f11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+        regexp_extract(col("c_name"), "([A-Za-z]+)#([0-9]+)", 2).as("idpart"),
+        col("c_name").rlike("^Customer").as("is_cust"),
+        size(expr("regexp_extract_all(c_name, '0', 0)")).cast("bigint").as("zeros"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+      .orderBy(col("c_custkey"))
+
+  private val f11Sql =
+    """SELECT c_custkey,
+      |  regexp_extract(c_name, '[0-9]+') AS digits,
+      |  regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS idpart,
+      |  regexp_matches(c_name, '^Customer') AS is_cust,
+      |  len(regexp_extract_all(c_name, '0')) AS zeros,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+      |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------- q24 correlated scalar subquery
 
   /** Correlated scalar subquery (Catalyst de-correlates to an aggregate +
@@ -251,6 +272,31 @@ object DepthQueries {
       |  CAST(MAX(ts) AS TIMESTAMP) AS session_end, COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------- q27 keep-latest-per-key dedupe
+
+  /** dbt-utils' `deduplicate` pattern: one surviving row per key, picked by
+    * row_number over an ordering — the most common staging-model idiom. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderstatus"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q27Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |       o_orderstatus
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -312,9 +358,11 @@ object DepthQueries {
     "q23_asof_join" -> (q23 _),
     "f09_strings_ext" -> (f09 _),
     "f10_edit_distance" -> (f10 _),
+    "f11_regex" -> (f11 _),
     "q24_correlated_subquery" -> (q24 _),
     "q25_not_in_nulls" -> (q25 _),
     "q26_sessionize" -> (q26 _),
+    "q27_dedupe_latest" -> (q27 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -325,8 +373,10 @@ object DepthQueries {
     "q23_asof_join" -> q23Sql,
     "f09_strings_ext" -> f09Sql,
     "f10_edit_distance" -> f10Sql,
+    "f11_regex" -> f11Sql,
     "q24_correlated_subquery" -> q24Sql,
     "q25_not_in_nulls" -> q25Sql,
     "q26_sessionize" -> q26Sql,
+    "q27_dedupe_latest" -> q27Sql,
     "dt01_data_tests" -> dt01Sql)
 }

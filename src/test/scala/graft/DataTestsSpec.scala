@@ -50,6 +50,29 @@ class DataTestsSpec extends SparkSpec {
     assert(d2.contains((2L, "y", "a")) && d2.contains((2L, "z", "b")))
   }
 
+  test("unit tests: fixtures in, expected out, diff on mismatch") {
+    import graft.exec.UnitTests
+    val fixtureOrders = Seq((1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0))
+      .toDF("ok", "status", "price")
+    val model = (s: org.apache.spark.sql.SparkSession) =>
+      s.sql("SELECT status, COUNT(*) AS n, SUM(price) AS total " +
+        "FROM ut_orders GROUP BY status")
+    val expectGood = Seq(("F", 2L, 40.0), ("O", 1L, 20.0))
+      .toDF("status", "n", "total")
+    val r1 = UnitTests.run(spark, "agg_by_status",
+      Map("ut_orders" -> fixtureOrders), model, expectGood)
+    assert(r1.passed, r1.diff.collect().mkString(";"))
+    val expectBad = Seq(("F", 2L, 40.0), ("O", 9L, 20.0))
+      .toDF("status", "n", "total")
+    val r2 = UnitTests.run(spark, "agg_by_status_bad",
+      Map("ut_orders" -> fixtureOrders), model, expectBad)
+    assert(!r2.passed)
+    val sides = r2.diff.select("only_in").as[String].collect().toSet
+    assert(sides == Set("a", "b")) // actual vs expected rows both surfaced
+    // fixture views are cleaned up
+    assert(!spark.catalog.tableExists("ut_orders"))
+  }
+
   test("runner: severity + error_if thresholds; store_failures persists") {
     spark.sql("CREATE DATABASE IF NOT EXISTS dt_audit")
     val results = DataTests.run(spark, Seq(

@@ -297,6 +297,62 @@ object DepthQueries {
       |      FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  // ----------------------------------- q28 market share (TPC-H Q8 shape)
+
+  /** Eight-relation star join (nation twice) + conditional-share aggregate —
+    * the optimizer-stress query: join reorder, dimension broadcast, date
+    * and size pushdown all have to land for this to be cheap. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").as("n1")
+    val n2 = t(s, dir, "nation").as("n2")
+    val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume")
+    val base = t(s, dir, "customer")
+      .join(n1, col("c_nationkey") === col("n1.n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n1.n_regionkey") === col("r_regionkey"))
+      .join(t(s, dir, "orders").filter(
+        col("o_orderdate").between("1995-01-01", "1996-12-31")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("n2.n_nationkey"))
+      .join(t(s, dir, "part").filter(col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .select(year(col("o_orderdate")).cast("bigint").as("o_year"),
+        vol, col("n2.n_name").as("s_nation"))
+    base.groupBy(col("o_year"))
+      .agg(
+        round((sum(when(col("s_nation") === "NATION_2", col("volume"))
+            .otherwise(0)) / sum(col("volume"))).cast("double"), 6)
+          .as("mkt_share"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q28Sql =
+    """SELECT o_year,
+      |  round(CAST(SUM(CASE WHEN s_nation = 'NATION_2' THEN volume ELSE 0 END)
+      |    / SUM(volume) AS DOUBLE), 6) AS mkt_share,
+      |  COUNT(*) AS n_rows
+      |FROM (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS s_nation
+      |  FROM customer
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      |    AND p_size <= 25)
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -363,6 +419,7 @@ object DepthQueries {
     "q25_not_in_nulls" -> (q25 _),
     "q26_sessionize" -> (q26 _),
     "q27_dedupe_latest" -> (q27 _),
+    "q28_market_share" -> (q28 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -378,5 +435,6 @@ object DepthQueries {
     "q25_not_in_nulls" -> q25Sql,
     "q26_sessionize" -> q26Sql,
     "q27_dedupe_latest" -> q27Sql,
+    "q28_market_share" -> q28Sql,
     "dt01_data_tests" -> dt01Sql)
 }

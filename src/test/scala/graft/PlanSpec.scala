@@ -55,6 +55,17 @@ class PlanSpec extends SparkSpec {
       s"scalar agg not broadcast:\n$p")
   }
 
+  test("eight-relation market-share join broadcasts dims and pushes filters") {
+    val p = plan("q28_market_share")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    // p_size and the date range reach the parquet scans
+    assert(p.contains("LessThanOrEqual(p_size,25)"), s"p_size not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
+    // small dims broadcast; the single big-table (lineitem) side may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dims not broadcast:\n$p")
+  }
+
   test("correlated scalar subqueries de-correlate to aggregate + join") {
     val opt = SparkEntry.queries("q24_correlated_subquery")(spark, dir)
       .queryExecution.optimizedPlan.toString

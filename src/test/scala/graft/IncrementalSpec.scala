@@ -177,6 +177,27 @@ class IncrementalSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 50L)) // p05 replaced, rest intact
   }
 
+  test("dynamic insert_overwrite with multi-column partitions (ref test_insert_overwrite_multi_partition.py)") {
+    val part = PartitionSpec.Static(Seq("k1" -> "string", "k2" -> "string"))
+    val ref = TableRef("default.inc_multi_part")
+    val seed0 = Seq((1L, "a", "p1", "q1"), (2L, "b", "p1", "q2"),
+      (3L, "c", "p2", "q1")).toDF("id", "v", "k1", "k2")
+    Materializer.table(spark, ref, seed0, part)
+    // second run with a new (k1,k2) partition: only partitions present in
+    // the source are replaced, existing ones are preserved
+    val src = seed0.unionByName(
+      Seq((4L, "d", "p3", "q1")).toDF("id", "v", "k1", "k2"))
+    Incremental.insertOverwriteDynamic(spark, ref, src, part)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a third run whose source holds ONLY the new partition must leave the
+    // other (k1,k2) partitions untouched
+    Incremental.insertOverwriteDynamic(spark, ref,
+      Seq((5L, "e", "p3", "q1")).toDF("id", "v", "k1", "k2"), part)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("static insert_overwrite empties listed partitions absent from source") {
     val part = PartitionSpec.Static(Seq("pt" -> "string"))
     val ref = fresh(part)

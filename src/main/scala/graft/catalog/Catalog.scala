@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** Three-part relation name, rendered with backtick quoting.
   * Ref model: dbt/adapters/maxcompute/relation.py:15-54 (project aliases
@@ -137,13 +138,13 @@ object CatalogOps {
 
   /** Comments persist via table properties (ref impl.py:629-669). */
   def setTableComment(spark: SparkSession, ref: TableRef, comment: String): Unit =
-    spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ('comment'='${comment.replace("'", "\\'")}')")
+    spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ('comment'='${Fns.escapeSingleQuotes(comment)}')")
 
   /** Column comments (ref persist_docs.sql:1-25). */
   def setColumnComment(spark: SparkSession, ref: TableRef, column: String,
       comment: String): Unit =
     spark.sql(s"ALTER TABLE ${ref.render} ALTER COLUMN `$column` " +
-      s"COMMENT '${comment.replace("'", "\\'")}'")
+      s"COMMENT '${Fns.escapeSingleQuotes(comment)}'")
 
   def getColumnComments(spark: SparkSession, ref: TableRef): Map[String, String] =
     spark.catalog.listColumns(ref.render.replace("`", "")).collect()

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem => HFileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.catalog.{PartitionSpec, TableRef}
+import graft.functions.Fns
 
 /** All table mutation goes through this writer. OSS parquet has no row-level
   * ACID, so mutation = rewrite-then-swap:
@@ -31,6 +32,10 @@ import graft.catalog.{PartitionSpec, TableRef}
   */
 object AtomicWriter {
 
+  /** Separator joining multi-column partition values in `touched` sets
+    * (shared with Incremental/Mutations' touched-partition scans). */
+  private[exec] val SEP = "\u0001"
+
   private def stgName(t: TableRef): TableRef =
     t.copy(name = t.name + "__graft_stg")
 
@@ -53,21 +58,61 @@ object AtomicWriter {
   }
 
   /** Atomically replace `target`'s contents with `df`, where `df` may scan
-    * `target` itself (merge/delete rewrites). Stages then swaps. */
+    * `target` itself (merge/delete rewrites). Stages, renames the old table
+    * ASIDE, swaps the staging in, then drops the old — the target name never
+    * dangles unbound for more than the one rename, and a crash mid-swap
+    * leaves the data recoverable under `__graft_old`. */
   def overwriteTable(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None): Unit = {
     val stg = stgName(target)
+    val old = target.copy(name = target.name + "__graft_old")
     createOrReplace(spark, df, stg, partition)
-    spark.sql(s"DROP TABLE IF EXISTS ${target.render}")
+    spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
+    val existed = spark.catalog.tableExists(target.render.replace("`", ""))
+    if (existed) {
+      spark.sql(s"ALTER TABLE ${target.render} RENAME TO ${old.render}")
+      repairPartitionLocations(spark, old)
+    }
     spark.sql(s"ALTER TABLE ${stg.render} RENAME TO ${target.render}")
+    repairPartitionLocations(spark, target)
+    if (existed) spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
+  }
+
+  /** RENAME moves a managed table's directory but leaves each PARTITION's
+    * registered location pointing at the pre-rename path — a later
+    * DROP PARTITION (or DROP TABLE) would then purge an unrelated
+    * directory (e.g. a freshly staged one). Rewrite every partition's
+    * location to sit under the table's current root. */
+  private def repairPartitionLocations(spark: SparkSession, ref: TableRef): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(ref.render.replace("`", ""))
+    val meta = cat.getTableMetadata(ident)
+    if (meta.partitionColumnNames.isEmpty) return
+    val root = meta.location.toString.stripSuffix("/")
+    val parts = cat.listPartitions(ident)
+    val fixed = parts.map { p =>
+      val rel = meta.partitionColumnNames
+        .map(c => s"$c=${escapePathName(p.spec(c))}").mkString("/")
+      p.copy(storage = p.storage.copy(
+        locationUri = Some(new java.net.URI(s"$root/$rel"))))
+    }
+    if (fixed.nonEmpty) cat.alterPartitions(ident, fixed)
   }
 
   /** Replace ONLY the partitions present in `df`; other partitions of
     * `target` are untouched. One data pass: `df` is written to a staging
     * table, then each staged partition directory is MOVED into the target
-    * and re-registered (drop partition + rename dir + add partition). */
+    * and re-registered (drop partition + rename dir + add partition).
+    *
+    * `touched` (SEP-joined partition values, as produced by the callers'
+    * touched-partition scan) declares the partitions the operation OWNS:
+    * a touched partition with NO staged rows ends up EMPTY (dropped).
+    * Without it, a DELETE that empties a whole partition would stage
+    * nothing for it and silently leave the old files in place. */
   def overwritePartitions(spark: SparkSession, df: DataFrame, target: TableRef,
-      partition: PartitionSpec): Unit = {
+      partition: PartitionSpec,
+      touched: Option[Set[String]] = None): Unit = {
     require(partition.partitionColumns.nonEmpty, "overwritePartitions needs partition columns")
     val pcols = partition.partitionColumns
     val stg = stgName(target)
@@ -98,6 +143,31 @@ object AtomicWriter {
         }
         spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
           specs.map(s => s"PARTITION ($s)").mkString(" "))
+      }
+      // touched-but-not-staged partitions were fully emptied by the
+      // operation: drop their registration and files
+      touched.foreach { owned =>
+        val stagedValues = staged.map(rel =>
+          rel.split("/").map(seg =>
+            unescapePathName(seg.split("=", 2)(1))).mkString(SEP)).toSet
+        val emptied = owned -- stagedValues
+        if (emptied.nonEmpty) {
+          val specs = emptied.toSeq.sorted.map { joined =>
+            val vals = joined.split(SEP, -1)
+            pcols.zip(vals).map { case (c, v) =>
+              s"`$c`='${Fns.escapeSingleQuotes(v)}'"
+            }.mkString(", ")
+          }
+          spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS " +
+            specs.map(s => s"PARTITION ($s)").mkString(", "))
+          emptied.foreach { joined =>
+            val vals = joined.split(SEP, -1)
+            val rel = pcols.zip(vals)
+              .map { case (c, v) => s"$c=${escapePathName(v)}" }.mkString("/")
+            val dir = new HPath(tgtDir, rel)
+            if (fs.exists(dir)) fs.delete(dir, true)
+          }
+        }
       }
       spark.sql(s"REFRESH TABLE ${target.render}")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
@@ -160,9 +230,17 @@ object AtomicWriter {
   private def specOf(rel: String): String =
     rel.split("/").map { seg =>
       val Array(k, v) = seg.split("=", 2)
-      val uv = unescapePathName(v).replace("'", "\\'")
+      val uv = Fns.escapeSingleQuotes(unescapePathName(v))
       s"`$k`='$uv'"
     }.mkString(", ")
+
+  /** Hive-style path escaping (inverse of unescapePathName for the chars we
+    * produce): everything outside [A-Za-z0-9._-] → %XX. */
+  private def escapePathName(s: String): String =
+    s.flatMap { c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c.toString
+      else f"%%${c.toInt}%02X"
+    }
 
   private[exec] def unescapePathName(s: String): String = {
     val sb = new StringBuilder

@@ -3,6 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.{PartitionSpec, TableRef}
+import graft.functions.Fns
 
 /** The five incremental-update strategies of the reference
   * (macros/materializations/incremental/), re-expressed as join rewrites on
@@ -19,7 +20,7 @@ import graft.catalog.{PartitionSpec, TableRef}
   */
 object Incremental {
 
-  private val SEP = "\u0001"
+  private val SEP = AtomicWriter.SEP
   private val PRED = "__graft_pred"
   private val SMARK = "__graft_src"
 
@@ -163,7 +164,7 @@ object Incremental {
     val present = srcP.select(col(pcol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     partitions.filterNot(present).foreach { p =>
-      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${p.replace("'", "\\'")}')")
+      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${Fns.escapeSingleQuotes(p)}')")
     }
   }
 
@@ -223,6 +224,8 @@ object Incremental {
         val pruned = result.filter(
           concat_ws(SEP, pcols.map(c => col(c).cast("string")): _*)
             .isin(parts.toSeq: _*))
-        AtomicWriter.overwritePartitions(spark, pruned, target, p)
+        // pass the touched set so partitions the op fully emptied (e.g.
+        // every row's key deleted and re-inserted elsewhere) get dropped
+        AtomicWriter.overwritePartitions(spark, pruned, target, p, Some(parts))
     }
 }

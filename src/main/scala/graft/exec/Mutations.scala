@@ -36,8 +36,12 @@ object Mutations {
             pcols.zip(vals).map { case (c, v) => col(c).cast("string") === v }
               .reduce(_ && _)
           }.reduce(_ || _)
+          // declare the touched set so a partition whose every row is
+          // deleted ends up DROPPED, not silently left with its old files
+          val touchedSet = touched.map(_.mkString(AtomicWriter.SEP)).toSet
           AtomicWriter.overwritePartitions(spark,
-            tgt.filter(touchedCond && survives), target, partition)
+            tgt.filter(touchedCond && survives), target, partition,
+            Some(touchedSet))
         }
     }
   }

@@ -78,28 +78,38 @@ object SnapshotExec {
       (snap.columns.toSeq.filterNot(_ == "dbt_valid_to").map(c => open(c).as(c)) :+
         updOf(src).cast("timestamp").as("dbt_valid_to")): _*)
       .select(snap.columns.map(col).toIndexedSeq: _*)
-    // 2. new versions of changed rows + brand-new keys
-    // (name-based joins below: the frames share lineage, so expression-id
-    //  join conditions would be ambiguous self-joins)
-    val newKeys = src.join(open.select(key.map(open(_)): _*), key, "left_anti")
+    // 2. new versions of changed rows + brand-new keys.
+    // Name-based joins are used because the frames share lineage
+    // (expression-id conditions would be ambiguous self-joins), but a bare
+    // usingColumns join is null-UNSAFE while the match above is <=> — a
+    // NULL-key row would be closed out AND stay open AND insert twice. So
+    // the anti/semi joins run on a single NULL-proof hashed key column.
+    val KH = "__graft_kh"
+    def kh(df: DataFrame): DataFrame = df.withColumn(KH,
+      md5(concat_ws("\u0001",
+        key.map(k => coalesce(col(k).cast("string"), lit("\u0002NULL"))): _*)))
+
+    val newKeys = kh(src).join(kh(open).select(col(KH)), Seq(KH), "left_anti")
+      .drop(KH)
     val changedSrc = changed.select(src.columns.map(c => src(c).as(c)).toIndexedSeq: _*)
     val inserted = withMeta(changedSrc.unionByName(newKeys))
       .select(snap.columns.map(col).toIndexedSeq: _*)
     // 3. untouched open versions (unchanged matches + unmatched-by-src keys)
-    val changedKeys = changedSrc.select(key.map(col): _*).distinct()
-    var untouchedOpen = open.join(changedKeys, key, "left_anti")
+    val changedKH = kh(changedSrc).select(col(KH)).distinct()
+    var untouchedOpen = kh(open).join(changedKH, Seq(KH), "left_anti")
     // 4. hard-delete invalidation
     if (invalidateHardDeletes) {
-      val srcKeys = src.select(key.map(col): _*).distinct()
-      val deletedKeys = untouchedOpen.join(srcKeys, key, "left_anti")
-      val stillOpen = untouchedOpen.join(srcKeys, key, "left_semi")
+      val srcKH = kh(src).select(col(KH)).distinct()
+      val deletedKeys = untouchedOpen.join(srcKH, Seq(KH), "left_anti")
+      val stillOpen = untouchedOpen.join(srcKH, Seq(KH), "left_semi")
       val invalidated = deletedKeys.withColumn("dbt_valid_to", lit(snapshotAt))
       untouchedOpen = stillOpen.unionByName(invalidated)
     }
+    val untouchedOpenClean = untouchedOpen.drop(KH)
 
     val result = closedHist
       .unionByName(closedOut)
-      .unionByName(untouchedOpen)
+      .unionByName(untouchedOpenClean)
       .unionByName(inserted)
     AtomicWriter.overwriteTable(spark, result, target, PartitionSpec.None)
   }

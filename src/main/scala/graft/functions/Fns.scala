@@ -50,23 +50,13 @@ object Fns {
   /** `date(y,m,d)` literal. Ref: utils/date.sql:2-5. */
   def makeDateCol(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
 
-  /** `dateadd(part, n, d)` — week = 7 days, quarter = 3 months; sub-day
-    * parts force a timestamp result. Ref: utils/dateadd.sql:2-21. */
-  def dateAdd(part: String, n: Int, d: Column): Column = norm(part) match {
-    case "year"    => add_months(d, n * 12).cast(dtOf(d))
-    case "quarter" => add_months(d, n * 3).cast(dtOf(d))
-    case "month"   => add_months(d, n).cast(dtOf(d))
-    case "week"    => date_add(d, n * 7).cast(dtOf(d))
-    case "day"     => date_add(d, n).cast(dtOf(d))
-    case sub       => // hour/minute/second/millisecond: timestamp arithmetic
-      timestamp_add(sub, lit(n), d.cast("timestamp"))
-  }
-
-  // dateadd on a date keeps date type for day-and-coarser parts; on a
-  // timestamp keeps the time-of-day. We can't inspect the input type of an
-  // unresolved Column, so callers pass timestamps for time-preserving math;
-  // the cast below is a no-op for dates.
-  private def dtOf(d: Column): String = "timestamp"
+  /** `dateadd(part, n, d)` — timestamp result, time-of-day PRESERVED for
+    * every part (`timestampadd` covers year…microsecond natively; the
+    * earlier `date_add`/`add_months` composition truncated timestamps to
+    * midnight for day-and-coarser parts). Week/quarter normalize to the
+    * native units. Ref: utils/dateadd.sql:2-21. */
+  def dateAdd(part: String, n: Int, d: Column): Column =
+    timestamp_add(norm(part), lit(n), d.cast("timestamp"))
 
   /** Date-typed variant (result stays a date). */
   def dateAddDate(part: String, n: Int, d: Column): Column = norm(part) match {
@@ -146,8 +136,9 @@ object Fns {
   /** `split_part(s, delim, n)` — 1-based; negative n counts from the end.
     * Ref: utils/split_part.sql:2-19. */
   def splitPart(s: Column, delim: String, n: Int): Column = {
-    val parts = split(s, java.util.regex.Pattern.quote(delim))
-    if (n >= 0) element_at(parts, n) else element_at(parts, n)
+    require(n != 0,
+      "split_part is 1-based: positive from the start, negative from the end")
+    element_at(split(s, java.util.regex.Pattern.quote(delim)), n)
   }
 
   /** `position(sub, s)` — 1-based, 0 when absent. Ref: utils/position.sql. */

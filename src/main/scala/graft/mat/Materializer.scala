@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.catalog.{CatalogOps, PartitionSpec, TableRef}
 import graft.exec.{AtomicWriter, Incremental, SnapshotExec}
 import graft.settings.SettingParser
+import graft.functions.Fns
 
 /** The M1–M14 materialization state machines of the reference
   * (macros/materializations/ directory), driven as in-process Spark plans.
@@ -40,7 +41,8 @@ object Materializer {
   /** Reconcile target schema with the source's before an incremental run.
     * Returns the source projected to the final target schema. */
   private def processSchemaChange(spark: SparkSession, target: TableRef,
-      src: DataFrame, mode: OnSchemaChange): DataFrame = {
+      src: DataFrame, mode: OnSchemaChange,
+      partition: PartitionSpec = PartitionSpec.None): DataFrame = {
     import OnSchemaChange._
     val tgtSchema = spark.table(target.render).schema
     val tgtCols = tgtSchema.map(_.name)
@@ -68,12 +70,20 @@ object Materializer {
         // final schema = (target ∩ source) ++ source-only, in target order
         val keep = tgtSchema.filter(f => src.columns.contains(f.name))
         val finalCols = keep.map(_.name) ++ srcOnly.map(_.name)
+        // partition columns must survive the sync — dropping one would
+        // change the table's layout out from under the running strategy
+        val lost = partition.partitionColumns.filterNot(finalCols.contains)
+        require(lost.isEmpty,
+          s"sync_all_columns would drop partition column(s) ${lost.mkString(", ")}")
         if (tgtOnly.nonEmpty || srcOnly.nonEmpty) {
           val tgt = spark.table(target.render)
           val rewritten = tgt.select(keep.map(f => col(f.name)): _*)
             .select((keep.map(f => col(f.name)) ++
               srcOnly.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
-          graft.exec.AtomicWriter.overwriteTable(spark, rewritten, target)
+          // rewrite WITH the partition spec — the default would silently
+          // recreate a partitioned target as an unpartitioned table
+          graft.exec.AtomicWriter.overwriteTable(spark, rewritten, target,
+            partition)
         }
         src.select(finalCols.map(col): _*)
     }
@@ -99,7 +109,7 @@ object Materializer {
       comment.map("comment" -> _)
     if (props.nonEmpty) {
       val rendered = props.map { case (k, v) =>
-        s"'${k.replace("'", "\\'")}'='${v.replace("'", "\\'")}'"
+        s"'${Fns.escapeSingleQuotes(k)}'='${Fns.escapeSingleQuotes(v)}'"
       }.mkString(", ")
       spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
     }
@@ -132,16 +142,25 @@ object Materializer {
       return
     }
     val src = processSchemaChange(spark, target,
-      AtomicWriter.withPartitionCols(srcIn, partition), onSchemaChange)
+      AtomicWriter.withPartitionCols(srcIn, partition), onSchemaChange,
+      partition)
     // Temp-table staging exists to break lineage when the model reads
     // {{ this }} (the reference always CTASes a temp table). When the source
     // plan does NOT scan the target we skip the staging write entirely —
     // at scale that's one full materialization of the delta saved.
     val scansTarget = {
-      val ident = target.render.replace("`", "").toLowerCase
+      val raw = target.render.replace("`", "").toLowerCase
+      // analyzed identifiers are database-qualified; an unqualified
+      // TableRef must be compared against its current-database form too
+      val qualified =
+        if (raw.contains(".")) raw
+        else s"${spark.catalog.currentDatabase.toLowerCase}.$raw"
       src.queryExecution.analyzed.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation
-            if r.catalogTable.exists(_.identifier.unquotedString.toLowerCase == ident) => ()
+            if r.catalogTable.exists { ct =>
+              val id = ct.identifier.unquotedString.toLowerCase
+              id == raw || id == qualified
+            } => ()
       }.isDefined
     }
     val tmp = target.copy(name = target.name + "__dbt_tmp")
@@ -172,7 +191,7 @@ object Materializer {
     AtomicWriter.createOrReplace(spark, spark.sql(sql), target)
     val props = tblProperties + ("graft.mv.query" -> sql)
     val rendered = props.map { case (k, v) =>
-      s"'${k.replace("'", "\\'")}'='${v.replace("'", "\\'")}'"
+      s"'${Fns.escapeSingleQuotes(k)}'='${Fns.escapeSingleQuotes(v)}'"
     }.mkString(", ")
     spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
   }
@@ -206,7 +225,7 @@ object Materializer {
     val sql = props.getOrElse("graft.mv.query",
       throw new IllegalStateException(s"${target.render} is not a graft materialized view"))
     AtomicWriter.overwriteTable(spark, spark.sql(sql), target)
-    spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ('graft.mv.query'='${sql.replace("'", "\\'")}')")
+    spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ('graft.mv.query'='${Fns.escapeSingleQuotes(sql)}')")
   }
 
   /** M12 `raw`: run an arbitrary SQL script verbatim after extracting the

@@ -85,15 +85,29 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[SessionEvent],
             state: GroupState[List[SessionState]]) =>
-          // fold the batch's events (sorted by time) into open sessions
-          val sorted = batch.map(_.ts.getTime).toSeq.sorted
-          var sessions = state.getOption.getOrElse(Nil)
-          sorted.foreach { t =>
-            sessions = sessions match {
-              case head :: rest if t - head.last <= gapMs =>
-                SessionState(head.start, math.max(head.last, t), head.n + 1) :: rest
-              case all => SessionState(t, t, 1) :: all
+          // Insert an event into the start-ascending session list: it joins
+          // the session whose [start−gap, last+gap] envelope contains it
+          // (NOT merely the newest session — a late-but-above-watermark
+          // event must extend the session it chronologically belongs to,
+          // and may lower its start), and a grown session merges with its
+          // successor when the gap between them closes.
+          def insert(sessions: List[SessionState], t: Long): List[SessionState] = {
+            val (before, rest) = sessions.span(s => s.last + gapMs < t)
+            rest match {
+              case h :: tail if t >= h.start - gapMs =>
+                val m = SessionState(math.min(h.start, t), math.max(h.last, t), h.n + 1)
+                tail match {
+                  case nxt :: t2 if nxt.start - gapMs <= m.last =>
+                    before ++ (SessionState(m.start, math.max(m.last, nxt.last),
+                      m.n + nxt.n) :: t2)
+                  case _ => before ++ (m :: tail)
+                }
+              case _ => before ++ (SessionState(t, t, 1) :: rest)
             }
+          }
+          var sessions = state.getOption.getOrElse(Nil)
+          batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            sessions = insert(sessions, t)
           }
           // emit sessions closed by the watermark; keep the rest as state
           val wm = state.getCurrentWatermarkMs()
@@ -106,7 +120,7 @@ object Streaming {
             // early sessions of users who also have late events
             state.setTimeoutTimestamp(math.max(open.map(_.last).min + gapMs, wm + 1))
           }
-          closed.reverseIterator.map(s => Session(user,
+          closed.iterator.map(s => Session(user,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
       }
   }

@@ -45,6 +45,17 @@ class FnsSpec extends SparkSpec {
     assert(one[java.sql.Date](Fns.dateAddDate("year", -1, d)).toString == "2023-01-15")
   }
 
+  test("dateadd preserves time-of-day on timestamps for every part") {
+    val t = lit("2024-03-01 12:34:56").cast("timestamp")
+    for (part <- Seq("year", "quarter", "month", "week", "day")) {
+      val got = one[java.sql.Timestamp](Fns.dateAdd(part, 1, t))
+      assert(got.toString.endsWith("12:34:56.0"),
+        s"$part dropped time-of-day: $got")
+    }
+    assert(one[java.sql.Timestamp](Fns.dateAdd("day", 1, t)).toString ==
+      "2024-03-02 12:34:56.0")
+  }
+
   test("last_day month/year/week; quarter is a compile error (reference parity)") {
     val d = lit("2024-02-15").cast("date")
     assert(one[java.sql.Date](Fns.lastDayOf(d, "month")).toString == "2024-02-29")

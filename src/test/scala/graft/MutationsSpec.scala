@@ -58,6 +58,24 @@ class MutationsSpec extends SparkSpec {
     assert(spark.table(ref.render).filter($"pt" === "p2").count() == 2)
   }
 
+  test("delete that empties a whole partition drops it (rows AND files)") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    // delete EVERY row of p1 (ids 1,2)
+    Mutations.delete(spark, ref, $"pt" === "p1", part)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(3L, 4L), "p1 rows must be gone")
+    // partition is deregistered and its directory removed
+    val parts = spark.sql(s"SHOW PARTITIONS ${ref.render}")
+      .collect().map(_.getString(0)).toSeq
+    assert(!parts.exists(_.contains("pt=p1")), s"p1 still registered: $parts")
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(ref.render.replace("`", ""))
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(ident).location.toString))
+    assert(!new java.io.File(loc, "pt=p1").exists, "p1 files left behind")
+  }
+
   test("update with assignment; partition columns protected") {
     val part = PartitionSpec.Static(Seq("pt" -> "string"))
     val ref = fresh(part)

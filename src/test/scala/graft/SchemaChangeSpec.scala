@@ -53,6 +53,39 @@ class SchemaChangeSpec extends SparkSpec {
     assert(t.count() == 3)
   }
 
+  test("sync_all_columns on a PARTITIONED target preserves partitioning") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = TableRef("default.osc_part")
+    Materializer.table(spark, ref,
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "pt"), part)
+    val widenedP = Seq((2L, "b2", 99L, "p2"), (3L, "c", 100L, "p2"))
+      .toDF("id", "v", "extra", "pt")
+    Materializer.incremental(spark, ref, widenedP,
+      IncrementalStrategy.Merge(), uniqueKey = Seq("id"), partition = part,
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    val t = spark.table(ref.render)
+    assert(t.columns.toSet == Set("id", "v", "extra", "pt"))
+    assert(t.count() == 3)
+    // table must STILL be partitioned by pt
+    val parts = spark.sql(s"SHOW PARTITIONS ${ref.render}")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts.exists(_.contains("pt=p1")) && parts.exists(_.contains("pt=p2")),
+      s"partitioning lost: $parts")
+  }
+
+  test("sync_all_columns refuses to drop a partition column") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = TableRef("default.osc_part_lost")
+    Materializer.table(spark, ref,
+      Seq((1L, "a", "p1")).toDF("id", "v", "pt"), part)
+    val noPt = Seq((2L, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Materializer.incremental(spark, ref, noPt,
+        IncrementalStrategy.Merge(), uniqueKey = Seq("id"), partition = part,
+        onSchemaChange = OnSchemaChange.SyncAllColumns)
+    }
+  }
+
   test("fail: raises on any schema difference") {
     val ref = fresh()
     intercept[IllegalStateException] {

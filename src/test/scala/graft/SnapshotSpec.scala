@@ -50,6 +50,31 @@ class SnapshotSpec extends SparkSpec {
     assert(snap.select($"dbt_scd_id").distinct().count() == 4)
   }
 
+  test("NULL-key rows version correctly (no duplicate/stale open versions)") {
+    val ref = freshRef()
+    val v1 = Seq((Option(1L), "Alice", 100L, "2024-01-01 00:00:00"),
+      (Option.empty[Long], "NoKey", 50L, "2024-01-01 00:00:00"))
+      .toDF("id", "name", "value", "updated_at")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    SnapshotExec.run(spark, ref, v1, Seq("id"),
+      SnapshotExec.TimestampStrategy("updated_at"), ts("2024-01-01 00:00:00"))
+    val v2 = v1.withColumn("value",
+        when($"id".isNull, lit(51L)).otherwise($"value"))
+      .withColumn("updated_at",
+        when($"id".isNull, lit("2024-02-01 00:00:00").cast("timestamp"))
+          .otherwise($"updated_at"))
+    SnapshotExec.run(spark, ref, v2, Seq("id"),
+      SnapshotExec.TimestampStrategy("updated_at"), ts("2024-02-01 00:00:00"))
+    val nulls = spark.table(ref.render).filter($"id".isNull)
+      .orderBy($"dbt_valid_from").collect()
+    // exactly one closed + one open version — not closed-and-stale-open-and-double-inserted
+    assert(nulls.length == 2, s"got ${nulls.length} NULL-key versions")
+    assert(nulls(0).getAs[java.sql.Timestamp]("dbt_valid_to") != null)
+    assert(nulls(0).getAs[Long]("value") == 50L)
+    assert(nulls(1).getAs[java.sql.Timestamp]("dbt_valid_to") == null)
+    assert(nulls(1).getAs[Long]("value") == 51L)
+  }
+
   test("idempotent re-run: same source second time is a no-op") {
     val ref = freshRef()
     SnapshotExec.run(spark, ref, base(), Seq("id"),

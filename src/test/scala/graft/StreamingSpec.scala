@@ -113,6 +113,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"diff: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("sessionize: a late event joins the session it belongs to, not the newest") {
+    import graft.streaming.Streaming.SessionEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Streaming.sessionize(mem.toDS(),
+      java.time.Duration.ofMinutes(5), watermark = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    def ev(sec: Long) = SessionEvent(1L, new java.sql.Timestamp(sec * 1000))
+    // batch 1: two sessions far apart — [1000,1000] and [3000,3000]
+    mem.addData(ev(1000), ev(3000)); q.processAllAvailable()
+    // batch 2: late event t=1100 (above watermark) belongs to the FIRST
+    // session — the old head-only merge attached it to [3000,3000]
+    mem.addData(ev(1100)); q.processAllAvailable()
+    // batch 3: advance watermark far enough to close the first session
+    mem.addData(ev(12000)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_late")
+      .orderBy($"session_start").collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+        r.getLong(3))).toSeq
+    assert(out.contains((1000L, 1100L, 2L)),
+      s"first session must be [1000,1100] with 2 events, got $out")
+  }
+
   test("stateful sessionization: streaming closed sessions match the batch twin") {
     import graft.streaming.Streaming.SessionEvent
     val events = Tables.t(spark, dir, "events")

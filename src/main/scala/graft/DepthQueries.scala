@@ -194,6 +194,29 @@ object DepthQueries {
       |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed
       |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------- f12 aggregate predicates + arg-max
+
+  /** bool_and / count_if / max_by / min_by (DuckDB bool_and / count_if /
+    * arg_max / arg_min). The per-group price extremes are unique in this
+    * dataset, so the arg-max family is deterministic. */
+  private def f12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+        expr("count_if(o_orderstatus = 'F')").as("n_f"),
+        expr("max_by(o_orderkey, o_totalprice)").as("priciest_key"),
+        expr("min_by(o_orderkey, o_totalprice)").as("cheapest_key"))
+      .orderBy(col("o_orderpriority"))
+
+  private val f12Sql =
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  count_if(o_orderstatus = 'F') AS n_f,
+      |  arg_max(o_orderkey, o_totalprice) AS priciest_key,
+      |  arg_min(o_orderkey, o_totalprice) AS cheapest_key
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------- q24 correlated scalar subquery
 
   /** Correlated scalar subquery (Catalyst de-correlates to an aggregate +
@@ -415,6 +438,7 @@ object DepthQueries {
     "f09_strings_ext" -> (f09 _),
     "f10_edit_distance" -> (f10 _),
     "f11_regex" -> (f11 _),
+    "f12_agg_argmax" -> (f12 _),
     "q24_correlated_subquery" -> (q24 _),
     "q25_not_in_nulls" -> (q25 _),
     "q26_sessionize" -> (q26 _),
@@ -431,6 +455,7 @@ object DepthQueries {
     "f09_strings_ext" -> f09Sql,
     "f10_edit_distance" -> f10Sql,
     "f11_regex" -> f11Sql,
+    "f12_agg_argmax" -> f12Sql,
     "q24_correlated_subquery" -> q24Sql,
     "q25_not_in_nulls" -> q25Sql,
     "q26_sessionize" -> q26Sql,

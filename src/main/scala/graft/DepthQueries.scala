@@ -86,14 +86,17 @@ object DepthQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").as("med_qty"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.75))")
-          .as("iqr"))
+        // scalar p25/p75, not an array(0.25,0.75) column: the driver's
+        // correctness harness can't hash array cells (numpy.ndarray crash)
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").as("p25"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)").as("p75"))
       .orderBy(col("l_returnflag"))
 
   private val q22Sql =
     """SELECT l_returnflag,
       |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med_qty,
-      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.75]) AS iqr
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------ q23 as-of join
@@ -212,7 +215,7 @@ object DepthQueries {
   private val f12Sql =
     """SELECT o_orderpriority,
       |  bool_and(o_totalprice > 1000) AS all_over_1k,
-      |  count_if(o_orderstatus = 'F') AS n_f,
+      |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
       |  arg_max(o_orderkey, o_totalprice) AS priciest_key,
       |  arg_min(o_orderkey, o_totalprice) AS cheapest_key
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin

@@ -1,8 +1,9 @@
 package graft.exec
 
 import org.apache.hadoop.fs.{FileSystem => HFileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
 import graft.catalog.{PartitionSpec, TableRef}
 import graft.functions.Fns
 
@@ -34,7 +35,24 @@ object AtomicWriter {
 
   /** Separator joining multi-column partition values in `touched` sets
     * (shared with Incremental/Mutations' touched-partition scans). */
-  private[exec] val SEP = "\u0001"
+  private[graft] val SEP = "\u0001"
+
+  /** Hive's directory name for the NULL (and empty-string) partition value —
+    * what Spark writes on disk and registers in the catalog spec. */
+  private[graft] val HiveDefaultPartition =
+    ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** The ONE canonical encoding of a row's partition values as a touched-set
+    * key: each column encoded independently (NULL and '' → the Hive
+    * default-partition sentinel, matching what Spark writes on disk), then
+    * SEP-joined. Never build touched keys with bare concat_ws — it SKIPS
+    * NULLs, truncating multi-column keys and orphaning the NULL partition
+    * from the emptied-partition cleanup. */
+  private[graft] def partitionKey(values: Seq[Column]): Column =
+    concat_ws(SEP, values.map { v =>
+      val s = v.cast("string")
+      when(s.isNull || s === lit(""), lit(HiveDefaultPartition)).otherwise(s)
+    }: _*)
 
   private def stgName(t: TableRef): TableRef =
     t.copy(name = t.name + "__graft_stg")
@@ -89,13 +107,19 @@ object AtomicWriter {
       .parseTableIdentifier(ref.render.replace("`", ""))
     val meta = cat.getTableMetadata(ident)
     if (meta.partitionColumnNames.isEmpty) return
-    val root = meta.location.toString.stripSuffix("/")
+    val root = new HPath(meta.location)
     val parts = cat.listPartitions(ident)
     val fixed = parts.map { p =>
+      // getPartitionPathString applies Spark's own escaping and maps
+      // null/'' values to the default-partition sentinel; building the URI
+      // via Path (not new URI(string)) keeps escaped dir names like
+      // 'k=a%3Ab' literal instead of percent-DECODING them into a path
+      // that doesn't exist on disk.
       val rel = meta.partitionColumnNames
-        .map(c => s"$c=${escapePathName(p.spec(c))}").mkString("/")
+        .map(c => ExternalCatalogUtils.getPartitionPathString(c, p.spec(c)))
+        .mkString("/")
       p.copy(storage = p.storage.copy(
-        locationUri = Some(new java.net.URI(s"$root/$rel"))))
+        locationUri = Some(new HPath(root, rel).toUri)))
     }
     if (fixed.nonEmpty) cat.alterPartitions(ident, fixed)
   }
@@ -145,12 +169,22 @@ object AtomicWriter {
           specs.map(s => s"PARTITION ($s)").mkString(" "))
       }
       // touched-but-not-staged partitions were fully emptied by the
-      // operation: drop their registration and files
+      // operation: drop their registration and files. Staged dir names and
+      // touched keys share the partitionKey encoding (NULL/'' → the Hive
+      // default-partition sentinel, per column, SEP-joined), so NULL
+      // partitions compare equal instead of silently never matching.
       touched.foreach { owned =>
         val stagedValues = staged.map(rel =>
           rel.split("/").map(seg =>
             unescapePathName(seg.split("=", 2)(1))).mkString(SEP)).toSet
         val emptied = owned -- stagedValues
+        // a malformed key (wrong arity) must fail loudly, not produce a
+        // PARTIAL spec that drops every sibling under a truncated prefix
+        emptied.foreach { joined =>
+          require(joined.split(SEP, -1).length == pcols.length,
+            s"touched key '$joined' has ${joined.split(SEP, -1).length} values " +
+              s"for ${pcols.length} partition columns ${pcols.mkString("(", ",", ")")}")
+        }
         if (emptied.nonEmpty) {
           val specs = emptied.toSeq.sorted.map { joined =>
             val vals = joined.split(SEP, -1)
@@ -234,24 +268,13 @@ object AtomicWriter {
       s"`$k`='$uv'"
     }.mkString(", ")
 
-  /** Hive-style path escaping (inverse of unescapePathName for the chars we
-    * produce): everything outside [A-Za-z0-9._-] → %XX. */
+  /** Spark/Hive's own dir-name escaping — NOT a home-grown variant: Spark
+    * leaves space/'+'/etc. literal and only ever emits 2-hex %XX sequences,
+    * so anything else round-trips wrongly against dirs Spark itself wrote. */
   private def escapePathName(s: String): String =
-    s.flatMap { c =>
-      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c.toString
-      else f"%%${c.toInt}%02X"
-    }
+    ExternalCatalogUtils.escapePathName(s)
 
-  private[exec] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private[exec] def unescapePathName(s: String): String =
+    ExternalCatalogUtils.unescapePathName(s)
 
 }

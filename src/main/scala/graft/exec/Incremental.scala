@@ -36,7 +36,7 @@ object Incremental {
       touched: Option[Set[String]]): DataFrame =
     (partition.partitionColumns, touched) match {
       case (pcols, Some(parts)) if pcols.nonEmpty =>
-        tgt.filter(concat_ws(SEP, pcols.map(c => col(c).cast("string")): _*)
+        tgt.filter(AtomicWriter.partitionKey(pcols.map(col))
           .isin(parts.toSeq: _*))
       case _ => tgt
     }
@@ -202,7 +202,7 @@ object Incremental {
     val pcols = partition.partitionColumns
     if (pcols.isEmpty) return None
     def pkey(df: DataFrame): Column =
-      concat_ws(SEP, pcols.map(c => df(c).cast("string")): _*)
+      AtomicWriter.partitionKey(pcols.map(df(_)))
     val fromSrc = srcP.select(pkey(srcP).as("p")).distinct()
     val matchedTgt = tgt
       .join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
@@ -222,8 +222,7 @@ object Incremental {
       case (p, Some(parts)) =>
         val pcols = p.partitionColumns
         val pruned = result.filter(
-          concat_ws(SEP, pcols.map(c => col(c).cast("string")): _*)
-            .isin(parts.toSeq: _*))
+          AtomicWriter.partitionKey(pcols.map(col)).isin(parts.toSeq: _*))
         // pass the touched set so partitions the op fully emptied (e.g.
         // every row's key deleted and re-inserted elsewhere) get dropped
         AtomicWriter.overwritePartitions(spark, pruned, target, p, Some(parts))

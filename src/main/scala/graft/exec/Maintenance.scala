@@ -43,7 +43,7 @@ object Maintenance {
     walk(root, depth, "").toMap
   }
 
-  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  private val HiveDefaultPartition = AtomicWriter.HiveDefaultPartition
 
   /** Compact partitions with more than `maxFiles` data files. Each is
     * rewritten through the atomic partition swap; untouched partitions keep
@@ -64,7 +64,11 @@ object Maintenance {
         rel.split("/").map { seg =>
           val Array(k, v) = seg.split("=", 2)
           val uv = AtomicWriter.unescapePathName(v)
-          if (uv == HiveDefaultPartition) col(k).isNull
+          // Spark routes BOTH null and '' partition values into the
+          // default-partition dir — compacting it must pick up both, or the
+          // swap discards the ''-valued rows
+          if (uv == HiveDefaultPartition)
+            col(k).isNull || col(k).cast("string") === ""
           else col(k).cast("string") === uv
         }.reduce(_ && _)
       }.reduce(_ || _)

@@ -28,20 +28,18 @@ object Mutations {
         AtomicWriter.overwriteTable(spark, tgt.filter(survives), target,
           partition)
       case pcols =>
-        val touched = tgt.filter(pred)
-          .select(pcols.map(c => col(c).cast("string")): _*)
-          .distinct().collect().map(_.toSeq.map(_.toString))
-        if (touched.nonEmpty) {
-          val touchedCond = touched.map { vals =>
-            pcols.zip(vals).map { case (c, v) => col(c).cast("string") === v }
-              .reduce(_ && _)
-          }.reduce(_ || _)
+        // NULL-safe: touched keys use the canonical partitionKey encoding
+        // (NULL → default-partition sentinel), so deleting from a NULL
+        // partition neither NPEs nor escapes the emptied-partition cleanup
+        val key = AtomicWriter.partitionKey(pcols.map(col))
+        val touchedSet = tgt.filter(pred).select(key.as("p"))
+          .distinct().collect().map(_.getString(0)).toSet
+        if (touchedSet.nonEmpty) {
           // declare the touched set so a partition whose every row is
           // deleted ends up DROPPED, not silently left with its old files
-          val touchedSet = touched.map(_.mkString(AtomicWriter.SEP)).toSet
           AtomicWriter.overwritePartitions(spark,
-            tgt.filter(touchedCond && survives), target, partition,
-            Some(touchedSet))
+            tgt.filter(key.isin(touchedSet.toSeq: _*) && survives), target,
+            partition, Some(touchedSet))
         }
     }
   }
@@ -65,17 +63,12 @@ object Mutations {
       case Nil =>
         AtomicWriter.overwriteTable(spark, applied, target, partition)
       case pcols =>
-        val touched = tgt.filter(pred)
-          .select(pcols.map(c => col(c).cast("string")): _*)
-          .distinct().collect().map(_.toSeq.map(_.toString))
-        if (touched.nonEmpty) {
-          val touchedCond = touched.map { vals =>
-            pcols.zip(vals).map { case (c, v) => col(c).cast("string") === v }
-              .reduce(_ && _)
-          }.reduce(_ || _)
+        val key = AtomicWriter.partitionKey(pcols.map(col))
+        val touchedSet = tgt.filter(pred).select(key.as("p"))
+          .distinct().collect().map(_.getString(0)).toSet
+        if (touchedSet.nonEmpty)
           AtomicWriter.overwritePartitions(spark,
-            applied.filter(touchedCond), target, partition)
-        }
+            applied.filter(key.isin(touchedSet.toSeq: _*)), target, partition)
     }
   }
 

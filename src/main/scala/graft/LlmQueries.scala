@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -93,6 +93,86 @@ object LlmQueries {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------- d05 duplicate-cluster resolve
+
+  /** Near-dup PAIRS → connected components → per-doc cluster assignment
+    * (the keep/drop decision artifact). Oracle: DuckDB recursive CTE over
+    * the same pair list. */
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3,
+      threshold = 0.5, maxDf = 1000)
+    val cc = Dedup.connectedComponents(pairs)
+    cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d05Sql =
+    """WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM docs2),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
+      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst),
+      |labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
+      |  FROM reach GROUP BY 1)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(cluster_id AS BIGINT) AS cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM labels ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- d06 deterministic split/sample
+
+  /** Content-hash train/valid/test split (80/10/10) + a 10% deterministic
+    * Bernoulli sample, reported per split. Both keyed on md5(salt ‖ text),
+    * so DuckDB reproduces the assignment bit-for-bit. */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"))
+    val sampled = Sampling.hashSplit(
+        Sampling.deterministicSample(docs, col("text"), num = 6554, salt = "g2"),
+        col("text"), salt = "g1")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_sampled"))
+    bySplit.join(sampled, Seq("split"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .orderBy(col("split"))
+  }
+
+  private val d06Sql =
+    """WITH s AS (SELECT doc_id,
+      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
+      |         ELSE 'test' END AS split,
+      |    substring(md5('g2' || text), 1, 4) < '199a' AS samp
+      |  FROM documents)
+      |SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------- similarity search
 
@@ -315,6 +395,44 @@ object LlmQueries {
       .crossJoin(frames)
   }
 
+  // ------------------------------------------------------ t04 PII redaction
+
+  /** Seed every doc with synthetic PII (email, IPv4, phone derived from
+    * doc_id — the corpus itself is PII-free), then redact and count. The
+    * oracle applies the IDENTICAL regexes in DuckDB (both dialects run the
+    * shared RE2∩Java subset). */
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.7 tel 555-123-4567")).as("text"))
+    seeded.select(col("doc_id"),
+        TextOps.piiCount(col("text"), TextOps.EmailRe).as("n_emails"),
+        TextOps.piiCount(col("text"), TextOps.Ipv4Re).as("n_ips"),
+        TextOps.piiCount(col("text"), TextOps.PhoneRe).as("n_phones"),
+        md5(TextOps.redactPii(col("text"))).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t04Sql =
+    """WITH seeded AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+      |  '.0.7 tel 555-123-4567' AS text FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+      |FROM seeded ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -322,6 +440,8 @@ object LlmQueries {
     "d02_minhash_lsh_pairs" -> (d02 _),
     "d03_simhash_pairs" -> (d03 _),
     "d04_ngram_jaccard_pairs" -> (d04 _),
+    "d05_dup_clusters" -> (d05 _),
+    "d06_hash_split" -> (d06 _),
     "s01_cosine_topk_brute" -> (s01 _),
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
@@ -331,15 +451,19 @@ object LlmQueries {
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
+    "t04_pii_redact" -> (t04 _),
     "mm01_media_features" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d04_ngram_jaccard_pairs" -> d04Sql,
+    "d05_dup_clusters" -> d05Sql,
+    "d06_hash_split" -> d06Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s03_embed_neardup_exact" -> s03Sql,
     "t01_text_analysis" -> t01Sql,
     "s06_normalize_quantize" -> s06Sql,
-    "t03_text_cleaning" -> t03Sql)
+    "t03_text_cleaning" -> t03Sql,
+    "t04_pii_redact" -> t04Sql)
 }

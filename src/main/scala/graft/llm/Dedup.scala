@@ -205,4 +205,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ------------------------------------------------- duplicate clustering
+
+  /** Connected components over an undirected duplicate-pair list — the step
+    * that turns pairwise near-dup evidence into KEEP/DROP decisions (one
+    * survivor per component). Hash-min label propagation: every node
+    * repeatedly adopts the minimum label among itself and its neighbors;
+    * fixpoint = each node labeled with the smallest node id reachable from
+    * it. Returns `(node, comp)`.
+    *
+    * Scale shape: O(graph diameter) rounds — dup graphs are
+    * overwhelmingly star/clique-shaped (a content cluster links most of its
+    * members pairwise), so diameter is small and 3–5 rounds converge even
+    * at billions of edges. Each round is ONE shuffle join (edges ⨝ labels,
+    * both pre-partitioned on the join key after round 1 — Spark reuses the
+    * hash partitioning) + a min-aggregate. `localCheckpoint` truncates the
+    * per-round lineage so the plan doesn't grow with iterations. Labels
+    * only ever decrease, so convergence is monotone; `maxIter` bounds
+    * pathological chain graphs (a length-L path needs ~log·L rounds).
+    * Compared at small scale against a DuckDB recursive-CTE oracle (d05). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    try {
+      var iter = 0
+      var converged = edges.isEmpty
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("comp")), "dst")
+          .select(col("src").as("node"), col("comp"))
+        val next = labels.unionByName(nbrMin)
+          .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
+        // labels strictly decrease until fixpoint, so "no row changed" is
+        // an exact convergence test (one anti-join probe, limit-1 short
+        // circuit)
+        converged = next.alias("n")
+          .join(labels.alias("o"), col("n.node") === col("o.node"))
+          .filter(col("n.comp") =!= col("o.comp")).isEmpty
+        labels = next
+        iter += 1
+      }
+      require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** One row per duplicate cluster: survivor (min id), member count, and the
+    * sorted member list — the "which docs do I drop" artifact. */
+  def dupClusters(components: DataFrame): DataFrame =
+    components.groupBy(col("comp").as("cluster_id"))
+      .agg(min("node").as("keep_id"), count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("node"))).as("members"))
 }

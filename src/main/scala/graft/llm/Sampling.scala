@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling / splitting for training-data
+  * pipelines. Both operators key on `md5(salt ‖ key)` — a pure per-row
+  * projection (no shuffle, no RNG state, codegen'd), so:
+  *
+  *  - assignment is REPRODUCIBLE across runs, engines, and cluster sizes
+  *    (the same row always lands in the same split — rerunning a 100 TB
+  *    pipeline never migrates examples between train and test);
+  *  - keying on CONTENT (the text itself) sends byte-identical duplicates
+  *    to the same split, closing the classic train/test leakage hole where
+  *    `rand()`-splitting puts copies of one document on both sides;
+  *  - the hex-prefix comparison is expressible in ANY engine with md5 —
+  *    the DuckDB oracle runs the identical expression (d06).
+  */
+object Sampling {
+
+  /** Bucket id in [0, 256): first two hex chars of `md5(salt ‖ key)`. */
+  private def hexBucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2)
+
+  /** Deterministic train/valid/test assignment from cumulative 256-bucket
+    * thresholds, e.g. `Seq("train" -> 204, "valid" -> 230, "test" -> 256)`
+    * ≈ 80/10/10. Thresholds are bucket counts (not percents) so the split
+    * is exact over the hash space. */
+  def hashSplit(df: DataFrame, key: Column, salt: String = "",
+      thresholds: Seq[(String, Int)] =
+        Seq("train" -> 204, "valid" -> 230, "test" -> 256),
+      splitCol: String = "split"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.last._2 == 256,
+      "thresholds must be cumulative bucket counts ending at 256")
+    val b = hexBucket(key, salt)
+    // upper-exclusive hex bound per split: bucket < f"%02x"(cum)
+    val assigned = thresholds.init.foldRight(lit(thresholds.last._1)) {
+      case ((name, cum), rest) => when(b < lit(f"$cum%02x"), name).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Deterministic Bernoulli sample: keeps ~`num/65536` of rows, decided by
+    * the first four hex chars of the salted content hash. Same row → same
+    * decision, on any engine, at any parallelism. */
+  def deterministicSample(df: DataFrame, key: Column, num: Int,
+      salt: String = ""): DataFrame = {
+    require(num >= 0 && num <= 65536, "num is a count out of 65536")
+    // num=65536 would format as 5-hex "10000", which compares LOWER than
+    // most 4-char prefixes lexicographically — short-circuit keep-all
+    if (num == 65536) df
+    else df.filter(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+      < lit(f"$num%04x"))
+  }
+}

@@ -144,6 +144,28 @@ object TextOps {
   def cleanText(text: Column): Column =
     trim(regexp_replace(stripEmails(stripUrls(stripHtml(text))), "\\s+", " "))
 
+  // ------------------------------------------------------- PII redaction
+
+  /** PII patterns kept to the regex subset Java and RE2 agree on (no
+    * lookaround), so the DuckDB oracle can run the identical expressions. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Replace emails / IPv4 addresses / NNN-NNN-NNNN phone numbers with typed
+    * placeholder tokens (not blanks — downstream token statistics stay
+    * meaningful). Pure per-row projection: codegen'd, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of matches of `re` in `text`, as bigint. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("bigint")
+
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Sampling, TextOps}
+
+/** Duplicate-cluster resolution (connected components), deterministic
+  * splitting/sampling, and PII redaction. */
+class ClusterSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, clique, pair, self-loop") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique 10-12,
+    // isolated pair 20-21, self-loop 30-30 (ignored entirely)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: empty input, and direction-independence") {
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+    // reversed pairs give the same components
+    val fwd = Seq((5L, 1L), (1L, 9L)).toDF("id_a", "id_b")
+    val rev = Seq((1L, 5L), (9L, 1L)).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(fwd).as[(Long, Long)].collect().toSet
+    val b = Dedup.connectedComponents(rev).as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("dupClusters: survivor, size, member list") {
+    val comp = Seq((1L, 1L), (2L, 1L), (7L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("node", "comp")
+    val got = Dedup.dupClusters(comp)
+      .as[(Long, Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 3L, Seq(1L, 2L, 7L)),
+      (20L, 20L, 2L, Seq(20L, 21L))))
+  }
+
+  test("hashSplit: total partition, deterministic, ~80/10/10") {
+    val docs = (1 to 5000).map(i => (i.toLong, s"document number $i payload"))
+      .toDF("doc_id", "text")
+    val s1 = Sampling.hashSplit(docs, col("text"), salt = "s")
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4000L) < 200, counts.toString)
+    assert(math.abs(counts("valid") - 500L) < 120, counts.toString)
+    assert(math.abs(counts("test") - 500L) < 120, counts.toString)
+    // rerun → identical assignment
+    val s2 = Sampling.hashSplit(docs, col("text"), salt = "s")
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // identical content → identical split even under a different id
+    val dup = Seq((999999L, "document number 17 payload")).toDF("doc_id", "text")
+    val d = Sampling.hashSplit(dup, col("text"), salt = "s")
+      .select("split").as[String].head()
+    val orig = s1.filter($"doc_id" === 17).select("split").as[String].head()
+    assert(d == orig)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("text"), thresholds = Seq("a" -> 100))
+    }
+  }
+
+  test("deterministicSample: rate, determinism, boundary nums") {
+    val docs = (1 to 5000).map(i => (i.toLong, s"doc $i body")).toDF("doc_id", "text")
+    val n = Sampling.deterministicSample(docs, col("text"), 6554, "z").count()
+    assert(math.abs(n - 500L) < 120, n.toString)
+    val n2 = Sampling.deterministicSample(docs, col("text"), 6554, "z").count()
+    assert(n == n2)
+    assert(Sampling.deterministicSample(docs, col("text"), 0).count() == 0)
+    assert(Sampling.deterministicSample(docs, col("text"), 65536).count() == 5000)
+  }
+
+  test("redactPii replaces typed placeholders; counts match") {
+    val df = Seq(
+      (1L, "mail a.b%c@x-y.co.uk now"),
+      (2L, "srv 192.168.0.1 and 10.0.0.255, call 555-123-4567"),
+      (3L, "no pii here 1234-5678"),
+      (4L, "two mails a@b.io c@d.org")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextOps.redactPii($"text").as("red"),
+      TextOps.piiCount($"text", TextOps.EmailRe).as("ne"),
+      TextOps.piiCount($"text", TextOps.Ipv4Re).as("ni"),
+      TextOps.piiCount($"text", TextOps.PhoneRe).as("np"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(1) == ((2L, "srv <IP> and <IP>, call <PHONE>", 0L, 2L, 1L)))
+    assert(out(2) == ((3L, "no pii here 1234-5678", 0L, 0L, 0L)))
+    assert(out(3) == ((4L, "two mails <EMAIL> <EMAIL>", 2L, 0L, 0L)))
+  }
+}

@@ -124,7 +124,8 @@ object Incremental {
       // predicates resolved against the target frame only (see merge)
       val tgtF = scoped(tgt, partition, touched).withColumn(PRED,
         coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
-      val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+      // anti join needs no pre-distinct right side (hash build dedups)
+      val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*),
         keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
         .select(tgt.columns.map(col).toIndexedSeq: _*)
       val inserted = srcP.select(tgt.columns.map(col).toIndexedSeq: _*)
@@ -203,11 +204,15 @@ object Incremental {
     if (pcols.isEmpty) return None
     def pkey(df: DataFrame): Column =
       AtomicWriter.partitionKey(pcols.map(df(_)))
-    val fromSrc = srcP.select(pkey(srcP).as("p")).distinct()
+    // ONE distinct at the end: aggregate partial-combine dedups map-side
+    // before the shuffle, and the semi join neither multiplies rows nor
+    // needs a pre-distinct right side (broadcast-hash builds dedup) — the
+    // inner distincts this used to do were two extra full shuffles
+    val fromSrc = srcP.select(pkey(srcP).as("p"))
     val matchedTgt = tgt
-      .join(srcP.select(uniqueKey.map(srcP(_)): _*).distinct(),
+      .join(srcP.select(uniqueKey.map(srcP(_)): _*),
         keyCond(tgt, srcP, uniqueKey), "left_semi")
-      .select(pkey(tgt).as("p")).distinct()
+      .select(pkey(tgt).as("p"))
     Some(fromSrc.union(matchedTgt).distinct().collect().map(_.getString(0)).toSet)
   }
 

@@ -143,6 +143,40 @@ object LlmQueries {
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM labels ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- d07 train/test contamination check
+
+  /** Benchmark contamination: docs with doc_id%10==0 play the "test set";
+    * per test doc, the fraction of its distinct 3-shingles occurring
+    * anywhere in the train split. Spark joins on 64-bit shingle hashes;
+    * the oracle joins on shingle strings — counts agree (collision-free at
+    * corpus scale, same argument as d04). */
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    Dedup.containment(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d07Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
+      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
+      |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+      |test AS (SELECT * FROM sh WHERE doc_id % 10 = 0)
+      |SELECT t.doc_id, COUNT(*) AS n_sh,
+      |  CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS containment
+      |FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------- d06 deterministic split/sample
 
   /** Content-hash train/valid/test split (80/10/10) + a 10% deterministic
@@ -370,6 +404,58 @@ object LlmQueries {
         maxDf = 50)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ------------------------------------------------ t05 URL/domain mining
+
+  /** Seed each doc with a deterministic URL (two forms), then extract all
+    * domains and aggregate per-domain mention + document counts — the
+    * source-mix-audit operator. */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" see "),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("http://www.m"), (col("doc_id") % 20).cast("string"),
+            lit(".net/x?q=1")))
+          .otherwise(concat(lit("https://site"),
+            (col("doc_id") % 50).cast("string"), lit(".example.org/p/"),
+            col("doc_id").cast("string")))).as("text"))
+    TextOps.domainStats(seeded).orderBy(col("domain"))
+  }
+
+  private val t05Sql =
+    """WITH seeded AS (SELECT doc_id, text || ' see ' ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN 'http://www.m' || CAST(doc_id % 20 AS VARCHAR) || '.net/x?q=1'
+      |       ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |            '.example.org/p/' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM documents),
+      |u AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS domain
+      |  FROM seeded)
+      |SELECT domain, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- t06 repetition signals
+
+  /** Gopher-style boilerplate signal: per-doc bigram totals, the modal
+    * bigram's count, and its fraction of all bigrams. */
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramRepetition(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  private val t06Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+      |  FROM toks, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+      |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  CAST(MAX(c) AS BIGINT) AS top_n,
+      |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ multimodal
 
   private def mm01(s: SparkSession, dir: String): DataFrame = {
@@ -442,6 +528,7 @@ object LlmQueries {
     "d04_ngram_jaccard_pairs" -> (d04 _),
     "d05_dup_clusters" -> (d05 _),
     "d06_hash_split" -> (d06 _),
+    "d07_contamination" -> (d07 _),
     "s01_cosine_topk_brute" -> (s01 _),
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
@@ -452,6 +539,8 @@ object LlmQueries {
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
     "t04_pii_redact" -> (t04 _),
+    "t05_url_domains" -> (t05 _),
+    "t06_repetition" -> (t06 _),
     "mm01_media_features" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))
 
@@ -460,10 +549,13 @@ object LlmQueries {
     "d04_ngram_jaccard_pairs" -> d04Sql,
     "d05_dup_clusters" -> d05Sql,
     "d06_hash_split" -> d06Sql,
+    "d07_contamination" -> d07Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s03_embed_neardup_exact" -> s03Sql,
     "t01_text_analysis" -> t01Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,
-    "t04_pii_redact" -> t04Sql)
+    "t04_pii_redact" -> t04Sql,
+    "t05_url_domains" -> t05Sql,
+    "t06_repetition" -> t06Sql)
 }

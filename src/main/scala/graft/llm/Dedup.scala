@@ -264,4 +264,29 @@ object Dedup {
     components.groupBy(col("comp").as("cluster_id"))
       .agg(min("node").as("keep_id"), count(lit(1)).as("n_members"),
         sort_array(collect_list(col("node"))).as("members"))
+
+  // --------------------------------------------- train/test contamination
+
+  /** Benchmark-contamination check: for every test doc, the fraction of its
+    * distinct word `n`-shingles that also occur ANYWHERE in the train
+    * corpus. `containment ≈ 1` ⇒ the test doc (or a close variant) leaked
+    * into training data.
+    *
+    * Shape at scale: the train side collapses to a distinct-shingle-hash
+    * set ONCE (map-side combined aggregate over the 100 TB corpus — the
+    * dominant cost, amortizable by materializing it), then one hash join
+    * against the (much smaller) test side's exploded shingles and a per-doc
+    * count aggregate. All keys are 64-bit shingle hashes, never strings. */
+  def containment(trainDocs: DataFrame, testDocs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val train = explodedShingleHashes(trainDocs, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    val test = explodedShingleHashes(testDocs, n, idCol, textCol)
+    test.join(train.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("containment",
+        round(col("n_hit").cast("double") / col("n_sh"), 6))
+  }
 }

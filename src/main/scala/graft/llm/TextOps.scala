@@ -144,6 +144,45 @@ object TextOps {
   def cleanText(text: Column): Column =
     trim(regexp_replace(stripEmails(stripUrls(stripHtml(text))), "\\s+", " "))
 
+  // -------------------------------------------------- URL / domain mining
+
+  /** Host part of every http(s) URL in the text (capture group 1). */
+  private[graft] val UrlDomainRe = "https?://([^/\\s]+)"
+
+  /** All URL domains appearing in `text`, as an array (possibly empty). */
+  def extractDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlDomainRe), lit(1))
+
+  /** Corpus-level domain statistics: one row per domain with mention count
+    * and distinct-document count. The workhorse behind source-mix audits
+    * and domain blocklists — one explode + one hash aggregate, no joins. */
+  def domainStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(extractDomains(col(textCol))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_docs"))
+
+  // --------------------------------------------------- repetition signals
+
+  /** Per-doc word-bigram repetition (Gopher-style boilerplate signal):
+    * total bigrams, the count of the most frequent bigram, and its fraction
+    * of all bigrams. High `top_frac` ⇒ templated/repetitive text. The
+    * token array is BOUND via withColumn before the HOF references it —
+    * lambdas don't CSE, an inline array would re-tokenize per element. */
+  def bigramRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__tk")) - 2),
+        i => concat_ws(" ", element_at(col("__tk"), i + 1),
+          element_at(col("__tk"), i + 2)))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_n"))
+      .withColumn("top_frac",
+        round(col("top_n").cast("double") / col("n_bigrams"), 6))
+
   // ------------------------------------------------------- PII redaction
 
   /** PII patterns kept to the regex subset Java and RE2 agree on (no

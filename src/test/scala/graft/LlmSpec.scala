@@ -144,4 +144,43 @@ class LlmSpec extends SparkSpec {
     // with 2 well-separated clusters and nprobe=1, results stay in-cluster
     assert(rows.forall(_.getAs[Long]("corpus_id") % 2 == 0))
   }
+
+  test("containment: leaked doc ≈ 1, fresh doc ≈ 0, partial in between") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // verbatim leak
+      (11L, "totally novel words nowhere else found"), // fresh
+      (12L, "alpha beta gamma novel unseen thing")) // partial
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(train, test)
+      .select("doc_id", "containment").as[(Long, Double)].collect().toMap
+    assert(got(10L) == 1.0)
+    assert(got(11L) == 0.0)
+    assert(got(12L) > 0.0 && got(12L) < 1.0)
+  }
+
+  test("domainStats counts mentions and distinct docs") {
+    val docs = Seq(
+      (1L, "see https://a.example.org/x and http://b.net/y"),
+      (2L, "again https://a.example.org/z plus https://a.example.org/w"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val got = TextOps.domainStats(docs).as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a.example.org", 3L, 2L), ("b.net", 1L, 1L)))
+  }
+
+  test("bigramRepetition flags templated text") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"), // modal bigram dominates
+      (2L, "every word here appears exactly once total"),
+      (3L, "x")) // <2 tokens → excluded
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramRepetition(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    val (_, n1, top1, f1) = got(0)
+    assert(n1 == 7L && top1 == 4L && f1 == 0.571429) // 'buy now' ×4 of 7
+    assert(got(1)._4 < 0.2)
+  }
 }

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Tables, Verify}
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, Sampling, Similarity, TextOps}
 
 /** Scaling evidence: run the heavy operators at 1× and 10× corpus size
   * (10× = ten key-shifted copies of sf0.1) and report the wall-clock ratio.
@@ -63,7 +63,23 @@ object ScaleProbe {
           .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
             count(lit(1))).collect())),
       "exact_dedup" -> (n =>
-        time(Dedup.exact(docsX(n)).count())))
+        time(Dedup.exact(docsX(n)).count())),
+      // star graphs of 10 nodes: edge count grows n×, diameter stays 2 —
+      // the shape dup graphs actually have
+      "connected_components" -> (n =>
+        time(Dedup.connectedComponents(
+          spark.range(n.toLong * 1000000L).toDF("id")
+            .filter(col("id") % 10 =!= 0)
+            .select((col("id") - (col("id") % 10)).as("id_a"),
+              col("id").as("id_b"))).count())),
+      "containment" -> (n =>
+        time(Dedup.containment(docsX(n).filter(col("doc_id") % 10 =!= 0),
+          docsX(n).filter(col("doc_id") % 10 === 0)).count())),
+      "bigram_repetition" -> (n =>
+        time(TextOps.bigramRepetition(docsX(n)).count())),
+      "hash_split" -> (n =>
+        time(Sampling.hashSplit(docsX(n), col("text"))
+          .groupBy("split").count().collect())))
 
     println(f"[scale] ${"operator"}%-20s ${"1x"}%8s ${"10x"}%8s  ratio")
     cases.foreach { case (name, run) =>

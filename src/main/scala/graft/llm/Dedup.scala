@@ -210,31 +210,42 @@ object Dedup {
 
   /** Connected components over an undirected duplicate-pair list — the step
     * that turns pairwise near-dup evidence into KEEP/DROP decisions (one
-    * survivor per component). Hash-min label propagation: every node
-    * repeatedly adopts the minimum label among itself and its neighbors;
-    * fixpoint = each node labeled with the smallest node id reachable from
-    * it. Returns `(node, comp)`.
+    * survivor per component). Hash-min label propagation WITH pointer
+    * jumping: each round every node adopts the minimum label among itself
+    * and its neighbors, then adopts its label's label (path compression).
+    * The jump doubles the distance the minimum travels per round, so a
+    * length-L chain converges in O(log L) rounds — star/clique-shaped dup
+    * graphs (the overwhelmingly common case) converge in 2–3. Returns
+    * `(node, comp)` with comp = min reachable node id.
     *
-    * Scale shape: O(graph diameter) rounds — dup graphs are
-    * overwhelmingly star/clique-shaped (a content cluster links most of its
-    * members pairwise), so diameter is small and 3–5 rounds converge even
-    * at billions of edges. Each round is ONE shuffle join (edges ⨝ labels,
-    * both pre-partitioned on the join key after round 1 — Spark reuses the
-    * hash partitioning) + a min-aggregate. `localCheckpoint` truncates the
-    * per-round lineage so the plan doesn't grow with iterations. Labels
-    * only ever decrease, so convergence is monotone; `maxIter` bounds
-    * pathological chain graphs (a length-L path needs ~log·L rounds).
-    * Compared at small scale against a DuckDB recursive-CTE oracle (d05). */
+    * Scale shape: each round is two shuffle joins (edges ⨝ labels,
+    * labels ⨝ labels) + a min-aggregate, all keyed on node ids. Per-round
+    * results are materialized at the RDD level (persist + count + rebuild
+    * from the RDD) — this both truncates lineage so plans don't grow with
+    * iterations AND gives us the handle to UNPERSIST the previous round's
+    * cache, so exactly one generation of labels is cached at any time
+    * (localCheckpoint would strand up to maxIter cached copies of a
+    * billion-row table). Labels only decrease, so "no row changed" is an
+    * exact convergence test. The returned frame is backed by the final
+    * round's persisted RDD; the ContextCleaner releases it once the frame
+    * is unreferenced. Compared against a DuckDB recursive-CTE oracle at
+    * small scale (d05). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    // materialize df at the RDD boundary: lineage truncated, cache owned
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = pin(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
     try {
       var iter = 0
       var converged = edges.isEmpty
@@ -242,15 +253,19 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("node").as("dst"), col("comp")), "dst")
           .select(col("src").as("node"), col("comp"))
-        val next = labels.unionByName(nbrMin)
-          .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
-        // labels strictly decrease until fixpoint, so "no row changed" is
-        // an exact convergence test (one anti-join probe, limit-1 short
-        // circuit)
+        val propagated = labels.unionByName(nbrMin)
+          .groupBy("node").agg(min("comp").as("comp"))
+        // pointer jumping: adopt the label OF the label. Every comp value
+        // is some node's id and every node has a label row, so inner join.
+        val (next, nextRdd) = pin(propagated.alias("a")
+          .join(propagated.select(col("node").as("comp"),
+            col("comp").as("__cc")), "comp")
+          .select(col("node"), col("__cc").as("comp")))
         converged = next.alias("n")
           .join(labels.alias("o"), col("n.node") === col("o.node"))
           .filter(col("n.comp") =!= col("o.comp")).isEmpty
-        labels = next
+        labelsRdd.unpersist(false)
+        labels = next; labelsRdd = nextRdd
         iter += 1
       }
       require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")

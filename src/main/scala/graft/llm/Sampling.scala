@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket id in [0, 256): first two hex chars of `md5(salt ‖ key)`. */
-  private def hexBucket(key: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2)
+  /** First `n` hex chars of `md5(salt ‖ key)` — the ONE keying expression
+    * both operators share, so they can never silently diverge. */
+  private def hexPrefix(key: Column, salt: String, n: Int): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, n)
 
   /** Deterministic train/valid/test assignment from cumulative 256-bucket
     * thresholds, e.g. `Seq("train" -> 204, "valid" -> 230, "test" -> 256)`
@@ -32,7 +33,15 @@ object Sampling {
       splitCol: String = "split"): DataFrame = {
     require(thresholds.nonEmpty && thresholds.last._2 == 256,
       "thresholds must be cumulative bucket counts ending at 256")
-    val b = hexBucket(key, salt)
+    // strictly increasing in (0,256]: a mis-ordered or duplicate cumulative
+    // count would silently produce an EMPTY split (the when-chain matches
+    // the larger bound first), and an intermediate 256 would format as
+    // 3-hex '100', which compares lexicographically below most buckets
+    require(thresholds.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1))
+        && thresholds.head._2 > 0,
+      s"cumulative thresholds must be strictly increasing in (0,256]: " +
+        thresholds.map(_._2).mkString(","))
+    val b = hexPrefix(key, salt, 2)
     // upper-exclusive hex bound per split: bucket < f"%02x"(cum)
     val assigned = thresholds.init.foldRight(lit(thresholds.last._1)) {
       case ((name, cum), rest) => when(b < lit(f"$cum%02x"), name).otherwise(rest)
@@ -49,7 +58,6 @@ object Sampling {
     // num=65536 would format as 5-hex "10000", which compares LOWER than
     // most 4-char prefixes lexicographically — short-circuit keep-all
     if (num == 65536) df
-    else df.filter(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
-      < lit(f"$num%04x"))
+    else df.filter(hexPrefix(key, salt, 4) < lit(f"$num%04x"))
   }
 }

@@ -19,6 +19,14 @@ class ClusterSamplingSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: 60-node chain converges (pointer jumping)") {
+    // plain min-propagation needs 59 rounds here; pointer jumping needs
+    // ~log2(60) ≈ 6 — well inside the default maxIter
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length == 60 && got.forall(_._2 == 1L))
+  }
+
   test("connectedComponents: empty input, and direction-independence") {
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
@@ -59,6 +67,15 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(d == orig)
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(docs, col("text"), thresholds = Seq("a" -> 100))
+    }
+    // mis-ordered cumulative counts would silently empty a split
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("text"),
+        thresholds = Seq("train" -> 230, "valid" -> 204, "test" -> 256))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("text"),
+        thresholds = Seq("a" -> 0, "b" -> 256))
     }
   }
 

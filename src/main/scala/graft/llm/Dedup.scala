@@ -219,33 +219,34 @@ object Dedup {
     * `(node, comp)` with comp = min reachable node id.
     *
     * Scale shape: each round is two shuffle joins (edges ⨝ labels,
-    * labels ⨝ labels) + a min-aggregate, all keyed on node ids. Per-round
-    * results are materialized at the RDD level (persist + count + rebuild
-    * from the RDD) — this both truncates lineage so plans don't grow with
-    * iterations AND gives us the handle to UNPERSIST the previous round's
-    * cache, so exactly one generation of labels is cached at any time
-    * (localCheckpoint would strand up to maxIter cached copies of a
-    * billion-row table). Labels only decrease, so "no row changed" is an
-    * exact convergence test. The returned frame is backed by the final
-    * round's persisted RDD; the ContextCleaner releases it once the frame
-    * is unreferenced. Compared against a DuckDB recursive-CTE oracle at
+    * labels ⨝ labels) + a min-aggregate, all keyed on node ids.
+    * `localCheckpoint` materializes each round at the InternalRow level
+    * (no Row re-encoding) and truncates lineage so plans don't grow with
+    * iterations; the PREVIOUS round's checkpoint cache is explicitly
+    * released via its LogicalRDD handle, so one label generation is
+    * cached at a time instead of stranding up to maxIter copies of a
+    * billion-row table. Labels only decrease, so "no row changed" is an
+    * exact convergence test. The returned frame keeps the final round's
+    * cache; the ContextCleaner releases it once the frame is
+    * unreferenced. Compared against a DuckDB recursive-CTE oracle at
     * small scale (d05). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize df at the RDD boundary: lineage truncated, cache owned
-    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    var (labels, labelsRdd) = pin(edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")))
+    // drop a superseded localCheckpoint's cached RDD (Dataset.unpersist
+    // only knows cacheManager entries, not checkpoint caches)
+    def free(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+      }
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
     try {
       var iter = 0
       var converged = edges.isEmpty
@@ -253,19 +254,28 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("node").as("dst"), col("comp")), "dst")
           .select(col("src").as("node"), col("comp"))
-        val propagated = labels.unionByName(nbrMin)
-          .groupBy("node").agg(min("comp").as("comp"))
-        // pointer jumping: adopt the label OF the label. Every comp value
-        // is some node's id and every node has a label row, so inner join.
-        val (next, nextRdd) = pin(propagated.alias("a")
-          .join(propagated.select(col("node").as("comp"),
-            col("comp").as("__cc")), "comp")
-          .select(col("node"), col("__cc").as("comp")))
+        val prop = labels.unionByName(nbrMin)
+          .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
+        // Adaptive pointer jumping: star/clique components (the common dup
+        // shape) converge by round 2 on plain propagation — don't pay the
+        // extra self-join for them. A graph still unconverged at round 2
+        // has long chains; from there each round also adopts the label OF
+        // the label, doubling distance-per-round (O(log L) total). The
+        // jump joins the CHECKPOINTED frame with itself — besides not
+        // recomputing the aggregate twice, a raw self-join over the Union
+        // plan trips Catalyst constraint rewriting on duplicated attrs.
+        val next =
+          if (iter < 2) prop
+          else prop.alias("a")
+            .join(prop.select(col("node").as("comp"), col("comp").as("__cc")),
+              "comp")
+            .select(col("node"), col("__cc").as("comp")).localCheckpoint()
         converged = next.alias("n")
           .join(labels.alias("o"), col("n.node") === col("o.node"))
           .filter(col("n.comp") =!= col("o.comp")).isEmpty
-        labelsRdd.unpersist(false)
-        labels = next; labelsRdd = nextRdd
+        free(labels)
+        if (!(next eq prop)) free(prop)
+        labels = next
         iter += 1
       }
       require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")

@@ -103,7 +103,16 @@ object Materializer {
       comment: Option[String] = None): Unit = {
     contract.foreach(enforceContract(df, _))
     enforceNotNull(df, notNullColumns)
-    AtomicWriter.createOrReplace(spark, df, target, partition, bucketBy)
+    // replacing an EXISTING table goes through the staged rename-swap: a
+    // crash mid-write must leave the previous contents recoverable, never
+    // a dropped table with a half-written successor. First build = plain
+    // CTAS (nothing to lose). Bucketed writes stay on the direct path —
+    // rename-swap doesn't carry bucket spec metadata through the catalog.
+    val exists = spark.catalog.tableExists(target.render.replace("`", ""))
+    if (exists && bucketBy.isEmpty)
+      AtomicWriter.overwriteTable(spark, df, target, partition)
+    else
+      AtomicWriter.createOrReplace(spark, df, target, partition, bucketBy)
     val props = tblProperties ++
       lifecycleDays.map("graft.lifecycle.days" -> _.toString) ++
       comment.map("comment" -> _)

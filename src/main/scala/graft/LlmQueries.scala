@@ -230,7 +230,7 @@ object LlmQueries {
   private def s02(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
-        bits = 8, probeBits = 4)
+        bits = 8, probeBits = 4, tables = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 

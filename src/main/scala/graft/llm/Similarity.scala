@@ -91,22 +91,32 @@ object Similarity {
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate top-k via random-hyperplane buckets. `probeBits=0` probes
-    * only the exact bucket; `probeBits=n` additionally probes the n buckets
-    * at hamming distance 1 on the lowest n bits (recall/cost dial). */
+  /** Approximate top-k via random-hyperplane buckets. Recall/cost dials:
+    * `probeBits=n` additionally probes the n buckets at hamming distance 1
+    * on the lowest n bits (multi-probe); `tables=L` runs L INDEPENDENT
+    * hyperplane families and unions their candidates — the standard lever
+    * when the corpus has little cluster structure (a near neighbour
+    * landing across a plane in one table rarely does so in all L).
+    * Candidate fraction ≈ L·(1+probeBits)/2^bits of the corpus per query;
+    * cost scales the same way, still ≪ brute force at scale. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 12, probeBits: Int = 4, seed: Long = 42L,
+      tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val hp = planes(bits, dim, seed)
+    require(tables >= 1, "tables >= 1")
+    val hps = Array.tabulate(tables)(t => planes(bits, dim, seed + t))
+    // (table, bucket) keys so families never cross-match
+    val cKeys = hps.zipWithIndex.map { case (hp, t) =>
+      struct(lit(t).as("t"), bucketCol(col(vecCol), hp).as("b")) }
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
-      bucketCol(col(vecCol), hp).as("bucket"))
-    // queries explode to 1 + probeBits probe buckets each
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      bucketCol(col(vecCol), hp).as("b0"))
-    val probes = (0 until probeBits).map(j => col("b0").bitwiseXOR(lit(1L << j)))
-    val q = qBase.select(col("query_id"), col("q_vec"),
-        explode(array((col("b0") +: probes): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      explode(array(cKeys.toIndexedSeq: _*)).as("tb"))
+    val qKeys = hps.zipWithIndex.flatMap { case (hp, t) =>
+      val b0 = bucketCol(col(vecCol), hp)
+      (b0 +: (0 until probeBits).map(j => b0.bitwiseXOR(lit(1L << j))))
+        .map(b => struct(lit(t).as("t"), b.as("b"))) }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(array(qKeys.toIndexedSeq: _*)).as("tb"))
+    val scored = c.join(broadcast(q), Seq("tb"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
       .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))

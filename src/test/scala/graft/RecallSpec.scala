@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** Recall bounds for the APPROXIMATE operators (driver gate checks them
+  * rows-only — these specs pin their quality against the exact variants on
+  * the deterministic sf0.001 testdata, so a regression in bucketing/probing
+  * logic fails loudly instead of shipping silently-worse recall). */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topkRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val a = approx.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val e = exact.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    a.intersect(e).size.toDouble / e.size
+  }
+
+  test("LSH top-k recall vs brute force; multi-table beats single-table") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val single = Similarity.lshTopK(emb, q, k = 5, dim = 64, bits = 5,
+      probeBits = 4, tables = 1)
+    val multi = Similarity.lshTopK(emb, q, k = 5, dim = 64, bits = 5,
+      probeBits = 4, tables = 4)
+    val r1 = topkRecall(single, exact)
+    val r4 = topkRecall(multi, exact)
+    info(f"lsh topk recall: 1 table = $r1%.3f, 4 tables = $r4%.3f")
+    assert(r4 >= 0.6, f"multi-table LSH recall $r4%.3f below bound")
+    assert(r4 > r1, "extra tables should raise recall on unstructured data")
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val approx = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 8, nprobe = 3)
+    val r = topkRecall(approx, exact)
+    info(f"ivf topk recall = $r%.3f")
+    assert(r >= 0.5, f"IVF recall $r%.3f below bound")
+  }
+
+  test("MinHash LSH pair recall vs exact n-gram Jaccard pairs") {
+    val docs = {
+      val d = Tables.t(spark, dir, "documents").select($"doc_id", $"text")
+      d.unionByName(d.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" graftmarker")).as("text")))
+    }
+    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashNearDupPairs(docs, threshold = 0.5, k = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val r = approx.intersect(truth).size.toDouble / truth.size
+    info(f"minhash pair recall = $r%.3f (truth=${truth.size}, approx=${approx.size})")
+    assert(r >= 0.7, f"minhash pair recall $r%.3f below bound")
+  }
+
+  test("SimHash recovers most injected marker near-dup pairs") {
+    val docs = {
+      val d = Tables.t(spark, dir, "documents").select($"doc_id", $"text")
+      d.unionByName(d.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" graftmarker")).as("text")))
+    }
+    val markers = docs.filter($"doc_id" >= 1000000).count()
+    val found = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .filter($"id_b" - $"id_a" === 1000000).count()
+    info(s"simhash marker pairs: $found / $markers")
+    assert(found.toDouble / markers >= 0.6,
+      s"simhash marker recall $found/$markers below bound")
+  }
+}

@@ -220,6 +220,34 @@ object DepthQueries {
       |  arg_min(o_orderkey, o_totalprice) AS cheapest_key
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ q29 recursive CTE
+
+  /** WITH RECURSIVE (landed in Spark 4): walk the implicit orderkey
+    * hierarchy key → key/10 → … → 0, reporting depth and path sum per
+    * start key. Identical SQL shape runs in DuckDB (same division/cast
+    * discipline: floor-div via floor(x/10.0), sums cast to BIGINT). */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q29_orders")
+    s.sql("""WITH RECURSIVE walk(start_key, cur, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM q29_orders WHERE o_orderkey <= 1000
+      |  UNION ALL
+      |  SELECT start_key, CAST(floor(cur / 10.0) AS BIGINT), depth + 1
+      |  FROM walk WHERE cur > 0)
+      |SELECT start_key, MAX(depth) AS depth,
+      |  CAST(SUM(cur) AS BIGINT) AS path_sum
+      |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin)
+  }
+
+  private val q29Sql =
+    """WITH RECURSIVE walk(start_key, cur, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey <= 1000
+      |  UNION ALL
+      |  SELECT start_key, CAST(floor(cur / 10.0) AS BIGINT), depth + 1
+      |  FROM walk WHERE cur > 0)
+      |SELECT start_key, MAX(depth) AS depth,
+      |  CAST(SUM(cur) AS BIGINT) AS path_sum
+      |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin
+
   // -------------------------------------- q24 correlated scalar subquery
 
   /** Correlated scalar subquery (Catalyst de-correlates to an aggregate +
@@ -447,6 +475,7 @@ object DepthQueries {
     "q26_sessionize" -> (q26 _),
     "q27_dedupe_latest" -> (q27 _),
     "q28_market_share" -> (q28 _),
+    "q29_recursive_cte" -> (q29 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -464,5 +493,6 @@ object DepthQueries {
     "q26_sessionize" -> q26Sql,
     "q27_dedupe_latest" -> q27Sql,
     "q28_market_share" -> q28Sql,
+    "q29_recursive_cte" -> q29Sql,
     "dt01_data_tests" -> dt01Sql)
 }

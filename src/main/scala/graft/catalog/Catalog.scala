@@ -138,13 +138,13 @@ object CatalogOps {
 
   /** Comments persist via table properties (ref impl.py:629-669). */
   def setTableComment(spark: SparkSession, ref: TableRef, comment: String): Unit =
-    spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ('comment'='${Fns.escapeSingleQuotes(comment)}')")
+    spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ('comment'='${Fns.sqlStringEscape(comment)}')")
 
   /** Column comments (ref persist_docs.sql:1-25). */
   def setColumnComment(spark: SparkSession, ref: TableRef, column: String,
       comment: String): Unit =
     spark.sql(s"ALTER TABLE ${ref.render} ALTER COLUMN `$column` " +
-      s"COMMENT '${Fns.escapeSingleQuotes(comment)}'")
+      s"COMMENT '${Fns.sqlStringEscape(comment)}'")
 
   def getColumnComments(spark: SparkSession, ref: TableRef): Map[String, String] =
     spark.catalog.listColumns(ref.render.replace("`", "")).collect()

@@ -78,6 +78,15 @@ object Incremental {
           else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
         base.filterNot(excludeColumns.contains)
       }
+      // standard MERGE raises on multi-match; silently fanning the target
+      // row out (one copy per duplicate source key) would permanently
+      // duplicate "unique"-keyed rows and compound on every later merge
+      val dupKeys = srcP.groupBy(uniqueKey.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      if (!dupKeys.isEmpty)
+        throw new IllegalArgumentException(
+          s"merge: source has duplicate unique_key values (${uniqueKey.mkString(",")}) " +
+            "— MERGE semantics require at most one source row per key")
       val touched = touchedPartitions(spark, tgt, srcP, uniqueKey, partition)
       // incremental_predicates reference TARGET rows (reference contract);
       // evaluate them on the target frame alone as a boolean flag column so
@@ -158,30 +167,40 @@ object Incremental {
     val pcol = partition.partitionColumns.head
     val srcP = AtomicWriter.withPartitionCols(src, partition)
       .filter(col(pcol).cast("string").isin(partitions: _*))
-    AtomicWriter.overwritePartitions(spark, srcP, target, partition)
-    // Listed partitions with no source rows must end up EMPTY (the reference
-    // DELETEs them first). Dynamic overwrite only replaces partitions present
-    // in src, so clear the remainder explicitly (metadata-only drops).
+    // collect the present-partition set BEFORE mutating the target: the
+    // source plan may scan the target (or be nondeterministic), and a
+    // post-write re-evaluation could come back empty for a partition that
+    // was just written — which the cleanup below would then wrongly drop
     val present = srcP.select(col(pcol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
+    AtomicWriter.overwritePartitions(spark, srcP, target, partition)
     partitions.filterNot(present).foreach { p =>
-      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${Fns.escapeSingleQuotes(p)}')")
+      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${Fns.sqlStringEscape(p)}')")
     }
   }
 
   /** `microbatch` (M8): batch-over-event-time-windows; each batch is an
     * insert_overwrite of the batch's partitions. Requires partition
-    * granularity == batch granularity (ref microbatch.sql:1-28). */
+    * granularity == batch granularity (ref microbatch.sql:1-28).
+    *
+    * Window boundaries are ALIGNED to the granularity (start floored, end
+    * ceiled, UTC — the session timezone): each batch then overwrites whole
+    * partitions. An unaligned start would put two half-windows into the
+    * boundary partition and the second batch's dynamic overwrite would
+    * erase the first's rows (dbt truncates microbatch boundaries the same
+    * way). */
   def microbatch(spark: SparkSession, target: TableRef, src: DataFrame,
       eventTimeCol: String, partition: PartitionSpec.Auto,
       start: java.sql.Timestamp, end: java.sql.Timestamp): Unit = {
-    val step = partition.granularity.toLowerCase match {
-      case "hour" => java.time.Duration.ofHours(1)
-      case "day"  => java.time.Duration.ofDays(1)
+    val (step, unit) = partition.granularity.toLowerCase match {
+      case "hour" => (java.time.Duration.ofHours(1), java.time.temporal.ChronoUnit.HOURS)
+      case "day"  => (java.time.Duration.ofDays(1), java.time.temporal.ChronoUnit.DAYS)
       case g => throw new IllegalArgumentException(s"microbatch granularity: $g")
     }
-    var lo = start.toInstant
-    val hi = end.toInstant
+    var lo = start.toInstant.truncatedTo(unit)
+    val endI = end.toInstant
+    val hi = if (endI.truncatedTo(unit) == endI) endI
+      else endI.truncatedTo(unit).plus(step)
     while (lo.isBefore(hi)) {
       val up = lo.plus(step)
       val batch = src.filter(col(eventTimeCol) >= lit(java.sql.Timestamp.from(lo)) &&

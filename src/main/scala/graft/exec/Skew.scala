@@ -29,9 +29,14 @@ object Skew {
     // small-side rows never surface are allowed.
     require(SAFE_TYPES.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi/left_anti/cross, not $joinType")
+    // per-row counter salt, NOT a row-content hash: a hot key whose rows
+    // are exact duplicates (replayed logs, placeholder rows - the classic
+    // skew shape) hashes every copy to ONE salt and nothing spreads. The
+    // counter assigns consecutive rows round-robin salts regardless of
+    // content; any assignment is correct, so its nondeterminism across
+    // retries is harmless.
     val bigS = big.withColumn("__salt",
-      pmod(crc32(concat_ws("", big.columns.map(c => col(c).cast("string")): _*)),
-        lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")

@@ -31,18 +31,27 @@ object SnapshotExec {
   /** changed ⇔ any of `checkCols` differs (null-safe) */
   final case class CheckStrategy(checkCols: Seq[String], updatedAtExpr: Column) extends Strategy
 
+  private val UPD = "__graft_upd"
+
   /** Run one snapshot pass against `target`; creates it on first run. */
-  def run(spark: SparkSession, target: TableRef, src: DataFrame,
+  def run(spark: SparkSession, target: TableRef, srcIn: DataFrame,
       key: Seq[String], strategy: Strategy,
       snapshotAt: java.sql.Timestamp,
       invalidateHardDeletes: Boolean = false): Unit = {
 
     // updated-at must be resolved against a specific frame: the snapshot's
-    // open rows and the source both carry the column, so an unqualified
-    // reference would be ambiguous inside their join.
+    // open rows and the source both carry every source column, so an
+    // unqualified reference would be ambiguous inside their join. For the
+    // check strategy the expression may reference arbitrary SOURCE columns
+    // — evaluate it ONCE on the source frame as a derived column before
+    // any join, so updOf(df) is always a plain frame-qualified lookup.
+    val src = strategy match {
+      case CheckStrategy(_, expr) => srcIn.withColumn(UPD, expr)
+      case _ => srcIn
+    }
     def updOf(df: DataFrame): Column = strategy match {
-      case TimestampStrategy(u)   => df(u)
-      case CheckStrategy(_, expr) => expr
+      case TimestampStrategy(u) => df(u)
+      case CheckStrategy(_, _)  => df(UPD)
     }
     def withMeta(df: DataFrame): DataFrame = {
       val u = updOf(df)
@@ -54,7 +63,7 @@ object SnapshotExec {
     }
 
     if (!spark.catalog.tableExists(target.render.replace("`", ""))) {
-      AtomicWriter.createOrReplace(spark, withMeta(src), target)
+      AtomicWriter.createOrReplace(spark, withMeta(src).drop(UPD), target)
       return
     }
 

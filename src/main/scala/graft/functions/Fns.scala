@@ -165,8 +165,18 @@ object Fns {
     listaggOrdered(value, delim, order)
   }
 
-  /** `escape_single_quotes` — backslash style. Ref: utils/escape_single_quotes.sql. */
+  /** `escape_single_quotes` — backslash style. Ref: utils/escape_single_quotes.sql.
+    * Reference-parity surface ONLY: quotes, not backslashes, exactly like
+    * the macro. For engine-side SQL assembly use [[sqlStringEscape]]. */
   def escapeSingleQuotes(v: String): String = v.replace("'", "\\'")
+
+  /** Quote a value for an ENGINE-side SQL string literal. Spark's parser
+    * processes backslash escapes inside literals, so backslashes must be
+    * escaped too — quote-only escaping turns a trailing-backslash value
+    * into an escaped closing quote (ParseException or a literal naming a
+    * different value). Backslashes first, then quotes. */
+  def sqlStringEscape(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "\\'")
 
   /** `string_literal`. Ref: utils/literal.sql. */
   def stringLiteral(v: String): String = s"'$v'"

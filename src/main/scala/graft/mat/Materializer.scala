@@ -118,7 +118,7 @@ object Materializer {
       comment.map("comment" -> _)
     if (props.nonEmpty) {
       val rendered = props.map { case (k, v) =>
-        s"'${Fns.escapeSingleQuotes(k)}'='${Fns.escapeSingleQuotes(v)}'"
+        s"'${Fns.sqlStringEscape(k)}'='${Fns.sqlStringEscape(v)}'"
       }.mkString(", ")
       spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
     }
@@ -146,13 +146,15 @@ object Materializer {
         "append strategy forbids unique_key (reference parity: incremental.sql:36-38)")
     val exists = spark.catalog.tableExists(target.render.replace("`", ""))
     if (!exists || fullRefresh) {
-      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(srcIn, partition),
-        target, partition)
+      // full refresh of an EXISTING table takes the staged rename-swap —
+      // a crash mid-CTAS must leave the previous contents recoverable
+      // (same discipline as table())
+      val out = AtomicWriter.withPartitionCols(srcIn, partition)
+      if (exists) AtomicWriter.overwriteTable(spark, out, target, partition)
+      else AtomicWriter.createOrReplace(spark, out, target, partition)
       return
     }
-    val src = processSchemaChange(spark, target,
-      AtomicWriter.withPartitionCols(srcIn, partition), onSchemaChange,
-      partition)
+    val srcP = AtomicWriter.withPartitionCols(srcIn, partition)
     // Temp-table staging exists to break lineage when the model reads
     // {{ this }} (the reference always CTASes a temp table). When the source
     // plan does NOT scan the target we skip the staging write entirely —
@@ -164,7 +166,7 @@ object Materializer {
       val qualified =
         if (raw.contains(".")) raw
         else s"${spark.catalog.currentDatabase.toLowerCase}.$raw"
-      src.queryExecution.analyzed.collectFirst {
+      srcP.queryExecution.analyzed.collectFirst {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation
             if r.catalogTable.exists { ct =>
               val id = ct.identifier.unquotedString.toLowerCase
@@ -173,11 +175,15 @@ object Materializer {
       }.isDefined
     }
     val tmp = target.copy(name = target.name + "__dbt_tmp")
-    if (scansTarget)
-      AtomicWriter.createOrReplace(spark, AtomicWriter.withPartitionCols(src, partition), tmp)
+    // stage BEFORE schema-change processing: sync/append modes rewrite the
+    // TARGET, and a target-scanning source plan analyzed pre-rewrite must
+    // not execute against post-rewrite files (dropped columns would read
+    // as NULL into the delta)
+    if (scansTarget) AtomicWriter.createOrReplace(spark, srcP, tmp)
     try {
-      val staged = if (scansTarget) spark.table(tmp.render)
-        else AtomicWriter.withPartitionCols(src, partition)
+      val base = if (scansTarget) spark.table(tmp.render) else srcP
+      val staged = processSchemaChange(spark, target, base, onSchemaChange,
+        partition)
       strategy match {
         case Merge(upd, excl) =>
           Incremental.merge(spark, target, staged, uniqueKey, partition, upd, excl, predicates)
@@ -200,7 +206,7 @@ object Materializer {
     AtomicWriter.createOrReplace(spark, spark.sql(sql), target)
     val props = tblProperties + ("graft.mv.query" -> sql)
     val rendered = props.map { case (k, v) =>
-      s"'${Fns.escapeSingleQuotes(k)}'='${Fns.escapeSingleQuotes(v)}'"
+      s"'${Fns.sqlStringEscape(k)}'='${Fns.sqlStringEscape(v)}'"
     }.mkString(", ")
     spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
   }
@@ -234,7 +240,17 @@ object Materializer {
     val sql = props.getOrElse("graft.mv.query",
       throw new IllegalStateException(s"${target.render} is not a graft materialized view"))
     AtomicWriter.overwriteTable(spark, spark.sql(sql), target)
-    spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ('graft.mv.query'='${Fns.escapeSingleQuotes(sql)}')")
+    // the rebuilt table carries NO properties — restore ALL persisted ones
+    // (user tblProperties, grants), not just the stored query; losing them
+    // would flip materializedViewApply's config-diff to "replaced" forever.
+    // Spark-reserved keys cannot be SET back and are managed by the catalog.
+    val reserved = Set("owner", "provider", "location", "external")
+    val rendered = props.filterNot { case (k, _) => reserved(k) }
+      .map { case (k, v) =>
+        s"'${Fns.sqlStringEscape(k)}'='${Fns.sqlStringEscape(v)}'"
+      }.mkString(", ")
+    if (rendered.nonEmpty)
+      spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES ($rendered)")
   }
 
   /** M12 `raw`: run an arbitrary SQL script verbatim after extracting the

@@ -272,6 +272,7 @@ object SparkEntry {
       |  CAST(date_trunc('week', gs) AS DATE) AS week_start,
       |  last_day(CAST(gs AS DATE)) AS month_end
       |FROM generate_series(DATE '1995-01-01', DATE '1995-06-30', INTERVAL 1 DAY) t(gs)
+      |WHERE gs < DATE '1995-06-30'
       |ORDER BY 1""".stripMargin
 
   private def q15(s: SparkSession, dir: String): DataFrame = {

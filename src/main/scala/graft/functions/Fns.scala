@@ -108,14 +108,16 @@ object Fns {
   }
 
   /** `date_spine` as a DataFrame: one row per `part` boundary in
-    * [start, end] (ref utils/date_spine.sql:77-121 — generate_series +
-    * row_number re-expressed as `sequence` + `explode`). */
+    * [start, end) — END-EXCLUSIVE, like the reference macro
+    * (utils/date_spine.sql:77-121 emits `datediff(start,end,part)` rows
+    * from `start`, so `end` itself is never produced; re-expressed as
+    * `sequence` + lambda filter + `explode`). */
   def dateSpineDf(spark: org.apache.spark.sql.SparkSession, part: String,
       start: String, end: String): org.apache.spark.sql.DataFrame =
     spark.range(1).select(explode(dateSpineCol(part,
       lit(start).cast("date"), lit(end).cast("date"))).as("date_" + norm(part)))
 
-  /** `date_spine` element array (inclusive end), used by `dateSpineDf`. */
+  /** `date_spine` element array (end-exclusive), used by `dateSpineDf`. */
   def dateSpineCol(part: String, start: Column, end: Column): Column = {
     val step = norm(part) match {
       case "year"    => expr("interval 1 year")
@@ -128,17 +130,21 @@ object Fns {
       case "second"  => expr("interval 1 second")
       case other     => throw new IllegalArgumentException(s"date_spine: $other")
     }
-    sequence(start, end, step)
+    // sequence() is inclusive of `end` when the step lands on it exactly —
+    // drop it to honor the reference's end-exclusive contract
+    filter(sequence(start, end, step), d => d < end)
   }
 
   // ---------------------------------------------------------------- strings
 
-  /** `split_part(s, delim, n)` — 1-based; negative n counts from the end.
-    * Ref: utils/split_part.sql:2-19. */
+  /** `split_part(s, delim, n)` — 1-based; negative n counts from the end;
+    * out-of-range n ⇒ '' (reference semantics). Spark's built-in split_part
+    * matches exactly — element_at would THROW under Spark 4's default ANSI
+    * mode when n exceeds the part count. Ref: utils/split_part.sql:2-19. */
   def splitPart(s: Column, delim: String, n: Int): Column = {
     require(n != 0,
       "split_part is 1-based: positive from the start, negative from the end")
-    element_at(split(s, java.util.regex.Pattern.quote(delim)), n)
+    call_function("split_part", s, lit(delim), lit(n))
   }
 
   /** `position(sub, s)` — 1-based, 0 when absent. Ref: utils/position.sql. */

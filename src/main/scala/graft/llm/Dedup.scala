@@ -31,17 +31,6 @@ object Dedup {
 
   // ------------------------------------------------------- shingling helpers
 
-  /** Word w-shingles of the text (w consecutive lowercased tokens joined by
-    * a space), distinct per doc. */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) < w, when(size(toks) > 0, array(array_join(toks, " ")))
-        .otherwise(array().cast("array<string>")))
-      .otherwise(transform(sequence(lit(0), size(toks) - w),
-        i => array_join(slice(toks, i + 1, lit(w)), " "))))
-  }
-
   /** Per-token 64-bit hashes. */
   def tokenHashes(text: Column): Column =
     transform(TextOps.tokens(text), t => xxhash64(t))

@@ -74,10 +74,14 @@ object Multimodal {
     media.select(col(idCol).cast("long").as("id"),
         col("media.payload").as("payload"), col("media.meta.kind").as("kind"))
       .mapPartitions { rows =>
-        // per-partition init would open the codec ONCE here (batch shape)
+        // per-partition init would open the codec ONCE here (batch shape).
+        // Null-safe per row: a null id or payload yields null features
+        // instead of an NPE that kills the whole extraction job.
         rows.map { r =>
-          val feats = decodeStub(r.getAs[Array[Byte]]("payload"), dim)
-          Row(r.getLong(0), r.getString(2), feats.toSeq)
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val feats = if (payload == null) null else decodeStub(payload, dim).toSeq
+          Row(id, if (r.isNullAt(2)) null else r.getString(2), feats)
         }
       }(enc)
   }

@@ -73,7 +73,11 @@ object TextOps {
     val punctScore = when(punct > 0.2, lit(0.3)).otherwise(lit(1.0))
     val sw = stopwordRatio(text)
     val swScore = when(sw >= 0.05 && sw <= 0.6, lit(1.0)).otherwise(lit(0.5))
-    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+    // NULL text scores 0, explicitly: every sub-condition above is NULL for
+    // NULL input and would fall through to the HIGH-score otherwise()
+    // branches, handing null-text docs a free 0.85
+    when(text.isNull, lit(0.0))
+      .otherwise(round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6))
   }
 
   /** BPE-ish regex token count: one token per word / digit / punctuation
@@ -118,7 +122,11 @@ object TextOps {
     val hot = fps.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select(col("fp_hash"))
+    // persisted: feeds BOTH sides of the pair join below — without this the
+    // hot-fingerprint aggregate + anti join recompute per side (same guard
+    // as ngramJaccardPairs)
     val filtered = fps.join(hot, Seq("fp_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.select(col("fp_hash"), col(idCol).as("id_a"))
     val b = filtered.select(col("fp_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("fp_hash")).filter(col("id_a") < col("id_b"))

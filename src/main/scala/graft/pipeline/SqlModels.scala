@@ -45,9 +45,17 @@ object SqlModels {
       sources: Map[(String, String), TableRef] = Map.empty): TableRef = {
     val self = TableRef(s"$db.$name")
     val parsed = SettingParser.parse(sql)
+    // a malformed SET header is a model bug — surface it, don't silently
+    // run the model without the setting the user asked for
+    if (parsed.errors.nonEmpty)
+      throw new IllegalArgumentException(
+        s"model $name: SET-header errors: ${parsed.errors.mkString("; ")}")
     parsed.settings.foreach { case (k, v) =>
       if (k.startsWith("spark.") && spark.conf.isModifiable(k)) spark.conf.set(k, v)
     }
+    // dbt.execution_mode / dbt.quota_name are CLIENT-routed, never sent to
+    // the engine (ref wrapper.py:78-104) — map to the scheduler pool
+    graft.settings.EngineConf.route(spark, parsed.settings)
     val rendered = render(parsed.remainingQuery, self,
       ref => TableRef(s"$db.$ref"),
       (s, t) => sources.getOrElse((s, t), TableRef(s"$s.$t")))

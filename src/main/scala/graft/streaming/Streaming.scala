@@ -39,21 +39,45 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
-  /** Streaming microbatch: every micro-batch is applied as a dynamic
-    * partition overwrite of the partitions it touches — identical final
-    * state to the batch `Incremental.microbatch`, driven by the stream.
-    * `Trigger.AvailableNow` drains the available backlog then stops, which
-    * is the deterministic-batch behavior the reference's microbatch pins. */
+  /** Streaming microbatch: each micro-batch dynamic-overwrites the
+    * partitions it touches — identical final state to the batch
+    * `Incremental.microbatch`, driven by the stream. `Trigger.AvailableNow`
+    * drains the available backlog then stops.
+    *
+    * Micro-batch boundaries are FILE-based, not event-time based, so one
+    * event-time partition can span several micro-batches. A later batch
+    * touching a partition this run already wrote must UNION its rows with
+    * the partition's current contents — a plain per-batch overwrite would
+    * erase the earlier batches' rows. Partitions NOT yet touched this run
+    * are replaced outright (that is the overwrite contract: stale rows
+    * from previous runs go away). The touched set is run-scoped; exactly-
+    * once replacement across a mid-backlog restart needs a transactional
+    * table format and is out of scope for a parquet sink. */
   def microbatchStream(spark: SparkSession, src: DataFrame, target: TableRef,
-      partition: PartitionSpec, checkpointDir: String): StreamingQuery =
+      partition: PartitionSpec, checkpointDir: String): StreamingQuery = {
+    val written = scala.collection.mutable.Set[String]()
+    val pcols = partition.partitionColumns
     src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          Incremental.insertOverwriteDynamic(spark, target, batch, partition)
+        if (!batch.isEmpty) {
+          val batchP = graft.exec.AtomicWriter.withPartitionCols(batch, partition)
+          val key = graft.exec.AtomicWriter.partitionKey(pcols.map(col))
+          val keys = batchP.select(key.as("p")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val overlap = keys.intersect(written)
+          val df =
+            if (overlap.isEmpty) batchP
+            else batchP.unionByName(spark.table(target.render)
+              .filter(key.isin(overlap.toSeq: _*)))
+          Incremental.insertOverwriteDynamic(spark, target, df, partition)
+          written ++= keys
+          ()
+        }
       }
       .start()
+  }
 
   /** Drive a streaming query to completion of the available data. */
   def runToCompletion(q: StreamingQuery): Unit = {

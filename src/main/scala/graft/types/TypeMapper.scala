@@ -11,7 +11,9 @@ object TypeMapper {
 
   private val normalization = Map(
     "TEXT" -> "STRING", "INTEGER" -> "INT", "BOOL" -> "BOOLEAN",
-    "NUMERIC" -> "DECIMAL", "REAL" -> "FLOAT")
+    "NUMERIC" -> "DECIMAL", "REAL" -> "FLOAT",
+    // length-less character types (engine stores strings either way)
+    "CHAR" -> "STRING", "VARCHAR" -> "STRING")
 
   private val decimalRx = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val decimalPRx = """DECIMAL\s*\(\s*(\d+)\s*\)""".r
@@ -19,10 +21,26 @@ object TypeMapper {
   private val arrayRx = """ARRAY\s*<\s*(.+)\s*>""".r
   private val mapRx = """MAP\s*<\s*([^,]+)\s*,\s*(.+)\s*>""".r
 
-  /** Normalize a reference type label (ref column.py:16-22). */
+  /** Normalize a reference type label (ref column.py:16-22). Alias mapping
+    * applies to the BASE name so parameterized forms normalize too:
+    * NUMERIC(10,2) → DECIMAL(10,2), VARCHAR (no length) → STRING. */
   def normalize(label: String): String = {
     val up = label.trim.toUpperCase
-    normalization.getOrElse(up, up)
+    normalization.get(up) match {
+      case Some(m) => m
+      case None =>
+        val paren = up.indexOf('(')
+        if (paren > 0) {
+          val base = up.substring(0, paren).trim
+          normalization.get(base) match {
+            // parameterized alias: map the base, keep the parameters —
+            // except aliases of STRING, whose length is DDL fidelity only
+            case Some("STRING") => "STRING"
+            case Some(m) => m + up.substring(paren)
+            case None => up
+          }
+        } else up
+    }
   }
 
   /** Reference type name → Spark DataType. The reference's DATETIME and

@@ -98,14 +98,15 @@ class FnsSpec extends SparkSpec {
       Fns.listaggOrdered($"v", ",", $"o", Some(3)))
   }
 
-  test("date spine is end-inclusive sequence") {
-    val n = spark.range(1).select(explode(Fns.dateSpineCol("day",
+  test("date spine is end-EXCLUSIVE (reference macro contract)") {
+    // datediff(start, end, day) = 30 rows; end itself never appears
+    val d = spark.range(1).select(explode(Fns.dateSpineCol("day",
       lit("2024-01-01").cast("date"), lit("2024-01-31").cast("date"))).as("d"))
-      .count()
-    assert(n == 31)
+    assert(d.count() == 30)
+    assert(d.filter(col("d") === lit("2024-01-31").cast("date")).count() == 0)
     val df = Fns.dateSpineDf(spark, "month", "2024-01-01", "2024-12-01")
     assert(df.columns.toSeq == Seq("date_month"))
-    assert(df.count() == 12)
+    assert(df.count() == 11)
   }
 
   test("array_construct produces a typed empty array") {

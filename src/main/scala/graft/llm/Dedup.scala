@@ -259,7 +259,9 @@ object Dedup {
             .join(prop.select(col("node").as("comp"), col("comp").as("__cc")),
               "comp")
             .select(col("node"), col("__cc").as("comp")).localCheckpoint()
-        converged = next.alias("n")
+        // round 0 ALWAYS changes labels when edges exist (the larger
+        // endpoint of any edge adopts the smaller) — skip its probe job
+        converged = iter > 0 && next.alias("n")
           .join(labels.alias("o"), col("n.node") === col("o.node"))
           .filter(col("n.comp") =!= col("o.comp")).isEmpty
         free(labels)

@@ -100,4 +100,24 @@ class FnsPropertySpec extends AnyFunSuite {
       .collect()
     assert(out.forall(r => r.getString(0) == r.getString(1)))
   }
+
+  test("splitPart matches the reference model incl. out-of-range ⇒ ''") {
+    // strings over a tiny alphabet with embedded delimiters; n spans well
+    // past the part count on both sides
+    val strGen = Gen.listOfN(8,
+      Gen.oneOf("a", "b", "#", "ab", "#a", "")).map(_.mkString)
+    val inputs = sample(Gen.zip(strGen, Gen.choose(-6, 6).suchThat(_ != 0)), 300)
+    def model(s: String, n: Int): String = {
+      val parts = s.split(java.util.regex.Pattern.quote("#"), -1)
+      val i = if (n > 0) n - 1 else parts.length + n
+      if (i >= 0 && i < parts.length) parts(i) else ""
+    }
+    inputs.groupBy(_._2).foreach { case (n, grp) =>
+      val ss = grp.map(_._1)
+      val got = ss.toDF("s").select(Fns.splitPart(col("s"), "#", n).as("p"))
+        .collect().map(_.getString(0)).toSeq
+      val want = ss.map(model(_, n))
+      assert(got == want, s"n=$n")
+    }
+  }
 }

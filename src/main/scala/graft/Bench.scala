@@ -31,10 +31,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver keeps only the TAIL of stdout; r3's single long line was
+    // cut mid-object and failed to parse. Print it twice so the tail window
+    // always holds one complete copy (2-decimal values keep it ~2.2 KB).
+    println(line)
+    println(line)
     spark.stop()
   }
 }

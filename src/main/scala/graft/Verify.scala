@@ -10,6 +10,11 @@ object Verify {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Spark fires a DISTRIBUTED job to list partition dirs above 32 paths —
+    // sized for HDFS-NameNode-era clusters. Client-side listing of ≤1k
+    // paths is faster than a job round-trip even on object stores; above
+    // 1k (real 100 TB tables) the distributed path still kicks in.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",

@@ -150,6 +150,11 @@ object AtomicWriter {
       val tgtDir = tableDir(spark, target)
       val fs = fsOf(spark, tgtDir)
       val staged = partitionDirs(fs, stgDir, pcols.size)
+      // REFRESH TABLE is needed only when a path Spark may have LISTED
+      // before changed underneath it (replaced or deleted partition dirs —
+      // the FileStatusCache holds stale listings for those). Brand-new
+      // partition dirs were never listed, so an ADD-only overwrite skips it.
+      var staleListings = false
       if (staged.nonEmpty) {
         // ALL-OR-NOTHING file swap. Old partition dirs are moved ASIDE
         // (rename into a trash dir — metadata op), staged dirs moved in;
@@ -160,30 +165,63 @@ object AtomicWriter {
         // old files before the moves, and the staging drop in `finally`
         // then deleted the replacements too).
         val trash = new HPath(tgtDir, ".graft_trash")
-        fs.delete(trash, true)
+        // a LEFTOVER trash dir means a previous swap's rollback did not
+        // complete — its contents may be the only copy of some partition.
+        // Move it aside (timestamped by its own modification time) instead
+        // of silently purging the last recoverable state; Maintenance
+        // .recover sweeps these.
+        if (fs.exists(trash)) {
+          val stamp = fs.getFileStatus(trash).getModificationTime
+          val park = new HPath(tgtDir, s".graft_trash_$stamp")
+          if (!fs.rename(trash, park))
+            throw new java.io.IOException(
+              s"cannot park leftover trash from a previously failed swap: $trash")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"leftover $trash from a failed swap parked at $park — " +
+              "run Maintenance.recover to inspect/restore")
+        }
         val movedAside = scala.collection.mutable.ListBuffer[String]()
         val movedIn = scala.collection.mutable.ListBuffer[String]()
+        // one mkdirs per distinct parent, not per partition (at 10³+ touched
+        // partitions of a multi-level spec these are all the same few dirs)
+        staged.map(rel => new HPath(trash, rel).getParent).distinct
+          .foreach(fs.mkdirs)
+        staged.map(rel => new HPath(tgtDir, rel).getParent).distinct
+          .foreach(fs.mkdirs)
         try {
           staged.foreach { rel =>
             val dst = new HPath(tgtDir, rel)
             if (fs.exists(dst)) {
-              val t = new HPath(trash, rel)
-              fs.mkdirs(t.getParent)
-              if (!fs.rename(dst, t))
+              if (!fs.rename(dst, new HPath(trash, rel)))
                 throw new java.io.IOException(s"rename aside failed: $rel")
               movedAside += rel
             }
-            fs.mkdirs(dst.getParent)
             if (!fs.rename(new HPath(stgDir, rel), dst))
               throw new java.io.IOException(s"rename failed: $rel")
             movedIn += rel
           }
         } catch {
           case e: Throwable =>
-            movedIn.foreach(rel =>
-              fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
-            movedAside.foreach(rel =>
-              fs.rename(new HPath(trash, rel), new HPath(tgtDir, rel)))
+            // rollback failures may leave the only copy of a partition in
+            // the trash dir — they must be LOUD, not silently dropped
+            // return values (the next swap would have purged the trash)
+            val failed = scala.collection.mutable.ListBuffer[String]()
+            movedIn.foreach { rel =>
+              if (!fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
+                failed += s"$rel (staged copy stuck in target)"
+            }
+            movedAside.foreach { rel =>
+              if (!fs.rename(new HPath(trash, rel), new HPath(tgtDir, rel)))
+                failed += s"$rel (old data only in $trash)"
+            }
+            if (failed.nonEmpty) {
+              val ex = new java.io.IOException(
+                s"swap rollback INCOMPLETE for ${target.render}: " +
+                  failed.mkString("; ") +
+                  s" — old data preserved under $trash; run Maintenance.recover")
+              ex.addSuppressed(e)
+              throw ex
+            }
             throw e
         }
         // catalog DDL only AFTER the files are in place, and only ADD:
@@ -194,6 +232,7 @@ object AtomicWriter {
         spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
           staged.map(specOf).map(s => s"PARTITION ($s)").mkString(" "))
         fs.delete(trash, true)
+        staleListings ||= movedAside.nonEmpty
       }
       // touched-but-not-staged partitions were fully emptied by the
       // operation: drop their registration and files. Staged dir names and
@@ -228,9 +267,10 @@ object AtomicWriter {
             val dir = new HPath(tgtDir, rel)
             if (fs.exists(dir)) fs.delete(dir, true)
           }
+          staleListings = true
         }
       }
-      spark.sql(s"REFRESH TABLE ${target.render}")
+      if (staleListings) spark.sql(s"REFRESH TABLE ${target.render}")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
   }
 

@@ -68,7 +68,15 @@ object Incremental {
       predicates: Seq[Column] = Nil): Unit = {
     if (uniqueKey.isEmpty) { AtomicWriter.append(spark, src, target, partition); return }
     val tgt = spark.table(target.render)
-    val srcP = AtomicWriter.withPartitionCols(src, partition)
+    // standard MERGE raises on multi-match; silently fanning the target row
+    // out (one copy per duplicate source key) would permanently duplicate
+    // "unique"-keyed rows and compound on every later merge. The guard RIDES
+    // the jobs the merge already runs — a window count over the source keys,
+    // raised from the first key column (every downstream branch projects the
+    // keys, so column pruning can never drop the check) — instead of being a
+    // whole extra aggregation pass over the delta.
+    val srcP = guardDuplicateKeys(
+      AtomicWriter.withPartitionCols(src, partition), uniqueKey)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dataCols = tgt.columns.toSeq
@@ -78,15 +86,6 @@ object Incremental {
           else dataCols.filterNot(c => uniqueKey.contains(c) || pcols.contains(c))
         base.filterNot(excludeColumns.contains)
       }
-      // standard MERGE raises on multi-match; silently fanning the target
-      // row out (one copy per duplicate source key) would permanently
-      // duplicate "unique"-keyed rows and compound on every later merge
-      val dupKeys = srcP.groupBy(uniqueKey.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      if (!dupKeys.isEmpty)
-        throw new IllegalArgumentException(
-          s"merge: source has duplicate unique_key values (${uniqueKey.mkString(",")}) " +
-            "— MERGE semantics require at most one source row per key")
       val touched = touchedPartitions(spark, tgt, srcP, uniqueKey, partition)
       // incremental_predicates reference TARGET rows (reference contract);
       // evaluate them on the target frame alone as a boolean flag column so
@@ -167,16 +166,13 @@ object Incremental {
     val pcol = partition.partitionColumns.head
     val srcP = AtomicWriter.withPartitionCols(src, partition)
       .filter(col(pcol).cast("string").isin(partitions: _*))
-    // collect the present-partition set BEFORE mutating the target: the
-    // source plan may scan the target (or be nondeterministic), and a
-    // post-write re-evaluation could come back empty for a partition that
-    // was just written — which the cleanup below would then wrongly drop
-    val present = srcP.select(col(pcol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    AtomicWriter.overwritePartitions(spark, srcP, target, partition)
-    partitions.filterNot(present).foreach { p =>
-      spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS PARTITION (`$pcol` = '${Fns.sqlStringEscape(p)}')")
-    }
+    // The listed partitions are the OWNED set: overwritePartitions' touched
+    // diff drops any listed partition the source stages no rows for
+    // (registration + files) — one code path, and no separate
+    // present-partition collect job + per-partition DDL round trips.
+    val owned = partitions.map(p =>
+      if (p == null || p.isEmpty) AtomicWriter.HiveDefaultPartition else p).toSet
+    AtomicWriter.overwritePartitions(spark, srcP, target, partition, Some(owned))
   }
 
   /** `microbatch` (M8): batch-over-event-time-windows; each batch is an
@@ -184,25 +180,29 @@ object Incremental {
     * granularity == batch granularity (ref microbatch.sql:1-28).
     *
     * Window boundaries are ALIGNED to the granularity (start floored, end
-    * ceiled, UTC — the session timezone): each batch then overwrites whole
-    * partitions. An unaligned start would put two half-windows into the
-    * boundary partition and the second batch's dynamic overwrite would
-    * erase the first's rows (dbt truncates microbatch boundaries the same
-    * way). */
+    * ceiled, in the SESSION timezone — PartitionSpec.Auto's partition values
+    * come from date_trunc in that zone, so truncating in any other zone
+    * would misalign batch windows with day partitions and the half-window
+    * overwrite would erase sibling rows): each batch then overwrites whole
+    * partitions (dbt truncates microbatch boundaries the same way). */
   def microbatch(spark: SparkSession, target: TableRef, src: DataFrame,
       eventTimeCol: String, partition: PartitionSpec.Auto,
       start: java.sql.Timestamp, end: java.sql.Timestamp): Unit = {
-    val (step, unit) = partition.granularity.toLowerCase match {
-      case "hour" => (java.time.Duration.ofHours(1), java.time.temporal.ChronoUnit.HOURS)
-      case "day"  => (java.time.Duration.ofDays(1), java.time.temporal.ChronoUnit.DAYS)
+    val unit = partition.granularity.toLowerCase match {
+      case "hour" => java.time.temporal.ChronoUnit.HOURS
+      case "day"  => java.time.temporal.ChronoUnit.DAYS
       case g => throw new IllegalArgumentException(s"microbatch granularity: $g")
     }
-    var lo = start.toInstant.truncatedTo(unit)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def floor(i: java.time.Instant): java.time.Instant =
+      i.atZone(zone).truncatedTo(unit).toInstant
+    def plusOne(i: java.time.Instant): java.time.Instant =
+      i.atZone(zone).plus(1, unit).toInstant // zone-aware: DST days ≠ 24 h
+    var lo = floor(start.toInstant)
     val endI = end.toInstant
-    val hi = if (endI.truncatedTo(unit) == endI) endI
-      else endI.truncatedTo(unit).plus(step)
+    val hi = if (floor(endI) == endI) endI else plusOne(floor(endI))
     while (lo.isBefore(hi)) {
-      val up = lo.plus(step)
+      val up = plusOne(lo)
       val batch = src.filter(col(eventTimeCol) >= lit(java.sql.Timestamp.from(lo)) &&
         col(eventTimeCol) < lit(java.sql.Timestamp.from(up)))
       insertOverwriteDynamic(spark, target, batch, partition)
@@ -212,10 +212,44 @@ object Incremental {
 
   // ------------------------------------------------------------------ utils
 
+  /** Embed the MERGE multi-match guard into the source frame itself: a
+    * window count over the unique key, with `raise_error` spliced into the
+    * first key column when a key occurs more than once. Every branch of the
+    * merge (touched-partition scan, update join, insert anti join) projects
+    * the key, so the first job that evaluates the source raises — zero
+    * dedicated jobs, one shuffle of the (small) delta fused into work the
+    * merge does anyway. */
+  private def guardDuplicateKeys(src: DataFrame, uniqueKey: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(uniqueKey.map(col): _*)
+    val k0 = uniqueKey.head
+    val kType = src.schema(k0).dataType
+    val GN = "__graft_dupn"
+    src.withColumn(GN, count(lit(1)).over(w))
+      .withColumn(k0, when(col(GN) > 1,
+        raise_error(lit(
+          s"merge: source has duplicate unique_key values (${uniqueKey.mkString(",")}) " +
+            "— MERGE semantics require at most one source row per key"))
+          .cast(kType))
+        .otherwise(col(k0)))
+      .drop(GN)
+  }
+
   /** Distinct partition values the operation touches: the source's partition
     * values ∪ the partition values of target rows matched by source keys
     * (column-pruned scan of keys+partition cols only). Returned as
     * ''-joined strings; None for unpartitioned targets. */
+  /** Above this many touched partitions, partition-scoped rewriting stops
+    * paying: the driver-side key set and the isin pruning expression both
+    * grow O(|touched|) (an in-list over 10⁵ hourly×tenant partitions is an
+    * expression-tree blowup, and the collect bloats the driver). Past the
+    * cap the strategies fall back to the whole-table staged rewrite — at
+    * that point most of the table is touched anyway. Tunable via
+    * `spark.graft.touchedPartitions.cap`. */
+  private[exec] def touchedCap(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.touchedPartitions.cap")
+      .map(_.toInt).getOrElse(5000)
+
   private def touchedPartitions(spark: SparkSession, tgt: DataFrame,
       srcP: DataFrame, uniqueKey: Seq[String],
       partition: PartitionSpec): Option[Set[String]] = {
@@ -232,7 +266,10 @@ object Incremental {
       .join(srcP.select(uniqueKey.map(srcP(_)): _*),
         keyCond(tgt, srcP, uniqueKey), "left_semi")
       .select(pkey(tgt).as("p"))
-    Some(fromSrc.union(matchedTgt).distinct().collect().map(_.getString(0)).toSet)
+    val cap = touchedCap(spark)
+    val keys = fromSrc.union(matchedTgt).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    if (keys.length > cap) None else Some(keys.toSet)
   }
 
   /** Partitioned targets: prune the result to the touched partitions and

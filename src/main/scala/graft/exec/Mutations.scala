@@ -32,16 +32,31 @@ object Mutations {
         // (NULL → default-partition sentinel), so deleting from a NULL
         // partition neither NPEs nor escapes the emptied-partition cleanup
         val key = AtomicWriter.partitionKey(pcols.map(col))
-        val touchedSet = tgt.filter(pred).select(key.as("p"))
-          .distinct().collect().map(_.getString(0)).toSet
-        if (touchedSet.nonEmpty) {
-          // declare the touched set so a partition whose every row is
-          // deleted ends up DROPPED, not silently left with its old files
-          AtomicWriter.overwritePartitions(spark,
-            tgt.filter(key.isin(touchedSet.toSeq: _*) && survives), target,
-            partition, Some(touchedSet))
+        touchedSet(spark, tgt, pred, key) match {
+          case None => // past the cap: whole-table rewrite (see touchedCap)
+            AtomicWriter.overwriteTable(spark, tgt.filter(survives), target,
+              partition)
+          case Some(touched) if touched.nonEmpty =>
+            // declare the touched set so a partition whose every row is
+            // deleted ends up DROPPED, not silently left with its old files
+            AtomicWriter.overwritePartitions(spark,
+              tgt.filter(key.isin(touched.toSeq: _*) && survives), target,
+              partition, Some(touched))
+          case _ => // predicate matched nothing
         }
     }
+  }
+
+  /** Distinct partition keys of rows matched by `pred`, capped by
+    * [[Incremental.touchedCap]]: None past the cap — callers then rewrite
+    * the whole table instead of building an O(|touched|) in-list. */
+  private def touchedSet(spark: SparkSession,
+      tgt: org.apache.spark.sql.DataFrame, pred: Column,
+      key: Column): Option[Set[String]] = {
+    val cap = Incremental.touchedCap(spark)
+    val keys = tgt.filter(pred).select(key.as("p")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    if (keys.length > cap) None else Some(keys.toSet)
   }
 
   /** UPDATE target SET assignments WHERE pred. Partition columns may not be
@@ -64,11 +79,14 @@ object Mutations {
         AtomicWriter.overwriteTable(spark, applied, target, partition)
       case pcols =>
         val key = AtomicWriter.partitionKey(pcols.map(col))
-        val touchedSet = tgt.filter(pred).select(key.as("p"))
-          .distinct().collect().map(_.getString(0)).toSet
-        if (touchedSet.nonEmpty)
-          AtomicWriter.overwritePartitions(spark,
-            applied.filter(key.isin(touchedSet.toSeq: _*)), target, partition)
+        touchedSet(spark, tgt, pred, key) match {
+          case None =>
+            AtomicWriter.overwriteTable(spark, applied, target, partition)
+          case Some(touched) if touched.nonEmpty =>
+            AtomicWriter.overwritePartitions(spark,
+              applied.filter(key.isin(touched.toSeq: _*)), target, partition)
+          case _ =>
+        }
     }
   }
 

@@ -14,12 +14,26 @@ class ReviewFixes3Spec extends SparkSpec {
     val ref = TableRef("default.rf3_merge_dup")
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").saveAsTable(ref.render)
     val dupSrc = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
-    val e = intercept[IllegalArgumentException] {
+    // the guard rides the merge's own jobs (window + raise_error), so it
+    // surfaces as a wrapped Spark task failure, not a pre-check exception
+    val e = intercept[Throwable] {
       Incremental.merge(spark, ref, dupSrc, uniqueKey = Seq("id"))
     }
-    assert(e.getMessage.contains("duplicate unique_key"))
-    // target untouched
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("duplicate unique_key"))
+    // target untouched: the guard fires while STAGING, before any swap
     assert(spark.table(ref.render).count() == 1)
+  }
+
+  test("merge with distinct keys is NOT tripped by the fanout guard") {
+    val ref = TableRef("default.rf3_merge_nodup")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable(ref.render)
+    Incremental.merge(spark, ref,
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), uniqueKey = Seq("id"))
+    val got = spark.table(ref.render).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
   test("microbatch aligns unaligned boundaries to whole partitions") {

@@ -50,18 +50,51 @@ object Streaming {
     * the partition's current contents — a plain per-batch overwrite would
     * erase the earlier batches' rows. Partitions NOT yet touched this run
     * are replaced outright (that is the overwrite contract: stale rows
-    * from previous runs go away). The touched set is run-scoped; exactly-
-    * once replacement across a mid-backlog restart needs a transactional
-    * table format and is out of scope for a parquet sink. */
+    * from previous runs go away).
+    *
+    * Replay safety: foreachBatch may re-deliver a batch whose write
+    * SUCCEEDED but whose checkpoint commit didn't (crash/restart between
+    * the two). Re-running the overlap-union then would union the batch's
+    * rows with target partitions that already contain those same rows —
+    * duplicates. So each applied batch leaves a `done-<id>` marker (listing
+    * its touched keys) next to the checkpoint: a re-delivered batch with a
+    * done marker is SKIPPED (its effect is already in the target), and the
+    * markers rebuild the touched set across restarts, so a resumed backlog
+    * keeps unioning instead of erasing earlier batches' rows. A batch that
+    * started applying but has no done marker (crash MID-apply) fails loudly
+    * — the half-applied overwrite can't be reconciled on a plain parquet
+    * sink (that last gap needs a transactional table format). */
   def microbatchStream(spark: SparkSession, src: DataFrame, target: TableRef,
       partition: PartitionSpec, checkpointDir: String): StreamingQuery = {
-    val written = scala.collection.mutable.Set[String]()
+    import org.apache.hadoop.fs.{Path => HPath}
     val pcols = partition.partitionColumns
+    val stateDir = new HPath(checkpointDir, "graft_touched")
+    val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
+    def done(id: Long) = new HPath(stateDir, s"done-$id")
+    def attempt(id: Long) = new HPath(stateDir, s"attempt-$id")
+    def readKeys(p: HPath): Set[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+      finally in.close()
+    }
+    // restart recovery: committed batches' keys rebuild the touched set
+    val written = scala.collection.mutable.Set[String]()
+    if (fs.exists(stateDir))
+      fs.listStatus(stateDir).filter(_.getPath.getName.startsWith("done-"))
+        .foreach(st => written ++= readKeys(st.getPath))
     src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (fs.exists(done(id))) {
+          written ++= readKeys(done(id)); () // replay of an applied batch: skip
+        } else if (!batch.isEmpty) {
+          if (fs.exists(attempt(id)))
+            throw new IllegalStateException(
+              s"micro-batch $id started applying but never committed " +
+                s"(${attempt(id)}) — the target may hold a half-applied " +
+                "overwrite; restore from .graft_trash/backup before rerunning")
+          fs.create(attempt(id), true).close()
           val batchP = graft.exec.AtomicWriter.withPartitionCols(batch, partition)
           val key = graft.exec.AtomicWriter.partitionKey(pcols.map(col))
           val keys = batchP.select(key.as("p")).distinct()
@@ -72,8 +105,19 @@ object Streaming {
             else batchP.unionByName(spark.table(target.render)
               .filter(key.isin(overlap.toSeq: _*)))
           Incremental.insertOverwriteDynamic(spark, target, df, partition)
+          // marker written via create+rename so it appears atomically
+          val tmp = new HPath(stateDir, s".done-$id.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(keys.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, done(id)))
+            throw new java.io.IOException(s"cannot commit marker ${done(id)}")
+          fs.delete(attempt(id), false)
           written ++= keys
           ()
+        } else {
+          fs.mkdirs(stateDir)
+          fs.create(done(id), true).close() // empty batch: nothing touched
         }
       }
       .start()

@@ -81,10 +81,14 @@ object AtomicWriter {
     * dangles unbound for more than the one rename, and a crash mid-swap
     * leaves the data recoverable under `__graft_old`. */
   def overwriteTable(spark: SparkSession, df: DataFrame, target: TableRef,
-      partition: PartitionSpec = PartitionSpec.None): Unit = {
+      partition: PartitionSpec = PartitionSpec.None,
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val stg = stgName(target)
     val old = target.copy(name = target.name + "__graft_old")
-    createOrReplace(spark, df, stg, partition)
+    // bucket spec travels WITH the staged table through the rename (the
+    // catalog moves the whole CatalogTable), so bucketed replacements get
+    // the same crash-recoverable swap as everything else
+    createOrReplace(spark, df, stg, partition, bucketBy)
     spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
     val existed = spark.catalog.tableExists(target.render.replace("`", ""))
     if (existed) {
@@ -97,11 +101,16 @@ object AtomicWriter {
   }
 
   /** RENAME moves a managed table's directory but leaves each PARTITION's
-    * registered location pointing at the pre-rename path — a later
-    * DROP PARTITION (or DROP TABLE) would then purge an unrelated
-    * directory (e.g. a freshly staged one). Rewrite every partition's
-    * location to sit under the table's current root. */
-  private def repairPartitionLocations(spark: SparkSession, ref: TableRef): Unit = {
+    * registered location pointing at the pre-rename path (or, worse,
+    * InMemoryCatalog re-points it with an extra percent-encoding level —
+    * 'pt=50%25' becomes 'pt=50%2525'). The trustworthy source is the
+    * partition SPEC: rebuild each location under the table's current root
+    * with Spark's own escaping. A versioned-committer partition living
+    * under `.graft_versions/<stamp>/…` keeps its stamp segment (stamps are
+    * `[0-9_]`-only, immune to the encoding mangle) rather than being
+    * re-pointed at the default layout its data does not occupy. */
+  private[exec] def repairPartitionLocations(spark: SparkSession,
+      ref: TableRef): Unit = {
     val cat = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(ref.render.replace("`", ""))
@@ -115,9 +124,17 @@ object AtomicWriter {
       // via Path (not new URI(string)) keeps escaped dir names like
       // 'k=a%3Ab' literal instead of percent-DECODING them into a path
       // that doesn't exist on disk.
-      val rel = meta.partitionColumnNames
+      val specRel = meta.partitionColumnNames
         .map(c => ExternalCatalogUtils.getPartitionPathString(c, p.spec(c)))
         .mkString("/")
+      val cur = p.storage.locationUri.map(new HPath(_).toUri.getPath).getOrElse("")
+      val verMarker = "/" + VersionedCommitter.VersionsDir + "/"
+      val rel =
+        if (cur.contains(verMarker)) {
+          val stamp = cur.substring(cur.indexOf(verMarker) + verMarker.length)
+            .takeWhile(_ != '/')
+          s"${VersionedCommitter.VersionsDir}/$stamp/$specRel"
+        } else specRel
       p.copy(storage = p.storage.copy(
         locationUri = Some(new HPath(root, rel).toUri)))
     }
@@ -125,9 +142,10 @@ object AtomicWriter {
   }
 
   /** Replace ONLY the partitions present in `df`; other partitions of
-    * `target` are untouched. One data pass: `df` is written to a staging
-    * table, then each staged partition directory is MOVED into the target
-    * and re-registered (drop partition + rename dir + add partition).
+    * `target` are untouched. One data pass over the delta: `df` is staged
+    * and committed through the session's [[Committer]] (directory rename
+    * swap by default; rename-free versioned-location flip for object
+    * stores), then the touched-but-unstaged partitions are emptied.
     *
     * `touched` (SEP-joined partition values, as produced by the callers'
     * touched-partition scan) declares the partitions the operation OWNS:
@@ -139,139 +157,62 @@ object AtomicWriter {
       touched: Option[Set[String]] = None): Unit = {
     require(partition.partitionColumns.nonEmpty, "overwritePartitions needs partition columns")
     val pcols = partition.partitionColumns
-    val stg = stgName(target)
-    // Stage to break lineage (df may scan target), aligned to target layout.
+    // Align to the target layout; the plan may scan the target itself, so
+    // every committer stages to a location outside the target's live dirs
+    // before any content becomes visible (breaking lineage before the swap).
     val tgtCols = spark.table(target.render).columns
-    createOrReplace(spark,
-      withPartitionCols(df, partition).select(tgtCols.map(col).toIndexedSeq: _*),
-      stg, partition)
-    try {
-      val stgDir = tableDir(spark, stg)
-      val tgtDir = tableDir(spark, target)
-      val fs = fsOf(spark, tgtDir)
-      val staged = partitionDirs(fs, stgDir, pcols.size)
-      // REFRESH TABLE is needed only when a path Spark may have LISTED
-      // before changed underneath it (replaced or deleted partition dirs —
-      // the FileStatusCache holds stale listings for those). Brand-new
-      // partition dirs were never listed, so an ADD-only overwrite skips it.
-      var staleListings = false
-      if (staged.nonEmpty) {
-        // ALL-OR-NOTHING file swap. Old partition dirs are moved ASIDE
-        // (rename into a trash dir — metadata op), staged dirs moved in;
-        // if ANY move fails, every completed move is rolled back before
-        // rethrowing. Old data is deleted only after every staged move
-        // has succeeded — a mid-swap failure can no longer destroy the
-        // only remaining copy (the previous DROP-first sequence purged
-        // old files before the moves, and the staging drop in `finally`
-        // then deleted the replacements too).
-        val trash = new HPath(tgtDir, ".graft_trash")
-        // a LEFTOVER trash dir means a previous swap's rollback did not
-        // complete — its contents may be the only copy of some partition.
-        // Move it aside (timestamped by its own modification time) instead
-        // of silently purging the last recoverable state; Maintenance
-        // .recover sweeps these.
-        if (fs.exists(trash)) {
-          val stamp = fs.getFileStatus(trash).getModificationTime
-          val park = new HPath(tgtDir, s".graft_trash_$stamp")
-          if (!fs.rename(trash, park))
-            throw new java.io.IOException(
-              s"cannot park leftover trash from a previously failed swap: $trash")
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"leftover $trash from a failed swap parked at $park — " +
-              "run Maintenance.recover to inspect/restore")
-        }
-        val movedAside = scala.collection.mutable.ListBuffer[String]()
-        val movedIn = scala.collection.mutable.ListBuffer[String]()
-        // one mkdirs per distinct parent, not per partition (at 10³+ touched
-        // partitions of a multi-level spec these are all the same few dirs)
-        staged.map(rel => new HPath(trash, rel).getParent).distinct
-          .foreach(fs.mkdirs)
-        staged.map(rel => new HPath(tgtDir, rel).getParent).distinct
-          .foreach(fs.mkdirs)
-        try {
-          staged.foreach { rel =>
-            val dst = new HPath(tgtDir, rel)
-            if (fs.exists(dst)) {
-              if (!fs.rename(dst, new HPath(trash, rel)))
-                throw new java.io.IOException(s"rename aside failed: $rel")
-              movedAside += rel
-            }
-            if (!fs.rename(new HPath(stgDir, rel), dst))
-              throw new java.io.IOException(s"rename failed: $rel")
-            movedIn += rel
-          }
-        } catch {
-          case e: Throwable =>
-            // rollback failures may leave the only copy of a partition in
-            // the trash dir — they must be LOUD, not silently dropped
-            // return values (the next swap would have purged the trash)
-            val failed = scala.collection.mutable.ListBuffer[String]()
-            movedIn.foreach { rel =>
-              if (!fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
-                failed += s"$rel (staged copy stuck in target)"
-            }
-            movedAside.foreach { rel =>
-              if (!fs.rename(new HPath(trash, rel), new HPath(tgtDir, rel)))
-                failed += s"$rel (old data only in $trash)"
-            }
-            if (failed.nonEmpty) {
-              val ex = new java.io.IOException(
-                s"swap rollback INCOMPLETE for ${target.render}: " +
-                  failed.mkString("; ") +
-                  s" — old data preserved under $trash; run Maintenance.recover")
-              ex.addSuppressed(e)
-              throw ex
-            }
-            throw e
-        }
-        // catalog DDL only AFTER the files are in place, and only ADD:
-        // existing partitions keep their registration (same path, new
-        // files); one batched statement for all new partition values
-        // (per-partition statements are ~50 ms each — at 1000 touched
-        // partitions that's the difference between 0.1 s and 100 s)
-        spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
-          staged.map(specOf).map(s => s"PARTITION ($s)").mkString(" "))
-        fs.delete(trash, true)
-        staleListings ||= movedAside.nonEmpty
+    val aligned = withPartitionCols(df, partition)
+      .select(tgtCols.map(col).toIndexedSeq: _*)
+    val tgtDir = tableDir(spark, target)
+    val fs = fsOf(spark, tgtDir)
+    val commit = Committer.forSession(spark)
+      .stageAndCommit(spark, aligned, target, partition, tgtDir, fs)
+    // REFRESH TABLE is needed only when a path Spark may have LISTED
+    // before changed underneath it (replaced or deleted partition dirs —
+    // the FileStatusCache holds stale listings for those). Brand-new
+    // partition dirs were never listed, so an ADD-only overwrite skips it.
+    var staleListings = commit.replacedExisting
+    // touched-but-not-staged partitions were fully emptied by the
+    // operation: drop their registration and files. Staged dir names and
+    // touched keys share the partitionKey encoding (NULL/'' → the Hive
+    // default-partition sentinel, per column, SEP-joined), so NULL
+    // partitions compare equal instead of silently never matching.
+    touched.foreach { owned =>
+      val stagedValues = commit.rels.map(rel =>
+        rel.split("/").map(seg =>
+          unescapePathName(seg.split("=", 2)(1))).mkString(SEP)).toSet
+      val emptied = owned -- stagedValues
+      // a malformed key (wrong arity) must fail loudly, not produce a
+      // PARTIAL spec that drops every sibling under a truncated prefix
+      emptied.foreach { joined =>
+        require(joined.split(SEP, -1).length == pcols.length,
+          s"touched key '$joined' has ${joined.split(SEP, -1).length} values " +
+            s"for ${pcols.length} partition columns ${pcols.mkString("(", ",", ")")}")
       }
-      // touched-but-not-staged partitions were fully emptied by the
-      // operation: drop their registration and files. Staged dir names and
-      // touched keys share the partitionKey encoding (NULL/'' → the Hive
-      // default-partition sentinel, per column, SEP-joined), so NULL
-      // partitions compare equal instead of silently never matching.
-      touched.foreach { owned =>
-        val stagedValues = staged.map(rel =>
-          rel.split("/").map(seg =>
-            unescapePathName(seg.split("=", 2)(1))).mkString(SEP)).toSet
-        val emptied = owned -- stagedValues
-        // a malformed key (wrong arity) must fail loudly, not produce a
-        // PARTIAL spec that drops every sibling under a truncated prefix
-        emptied.foreach { joined =>
-          require(joined.split(SEP, -1).length == pcols.length,
-            s"touched key '$joined' has ${joined.split(SEP, -1).length} values " +
-              s"for ${pcols.length} partition columns ${pcols.mkString("(", ",", ")")}")
+      if (emptied.nonEmpty) {
+        val cat = spark.sessionState.catalog
+        val ident = Committer.ident(spark, target)
+        val specs = emptied.toSeq.sorted.map { joined =>
+          pcols.zip(joined.split(SEP, -1)).toMap
         }
-        if (emptied.nonEmpty) {
-          val specs = emptied.toSeq.sorted.map { joined =>
-            val vals = joined.split(SEP, -1)
-            pcols.zip(vals).map { case (c, v) =>
-              s"`$c`='${Fns.sqlStringEscape(v)}'"
-            }.mkString(", ")
-          }
+        // resolve live locations from the CATALOG before dropping the
+        // registration — under the versioned committer a partition's data
+        // does NOT live at <root>/k=v, and after DROP the location is gone
+        val locations = specs.flatMap(spec =>
+          cat.listPartitions(ident, Some(spec))
+            .flatMap(_.storage.locationUri).map(new HPath(_)))
+        val ddl = specs.map(_.toSeq.sortBy(s => pcols.indexOf(s._1)).map {
+          case (c, v) => s"`$c`='${Fns.sqlStringEscape(v)}'"
+        }.mkString(", "))
+        Retry.withRetries() {
           spark.sql(s"ALTER TABLE ${target.render} DROP IF EXISTS " +
-            specs.map(s => s"PARTITION ($s)").mkString(", "))
-          emptied.foreach { joined =>
-            val vals = joined.split(SEP, -1)
-            val rel = pcols.zip(vals)
-              .map { case (c, v) => s"$c=${escapePathName(v)}" }.mkString("/")
-            val dir = new HPath(tgtDir, rel)
-            if (fs.exists(dir)) fs.delete(dir, true)
-          }
-          staleListings = true
+            ddl.map(s => s"PARTITION ($s)").mkString(", "))
         }
+        locations.foreach(dir => if (fs.exists(dir)) fs.delete(dir, true))
+        staleListings = true
       }
-      if (staleListings) spark.sql(s"REFRESH TABLE ${target.render}")
-    } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
+    }
+    if (staleListings) spark.sql(s"REFRESH TABLE ${target.render}")
   }
 
   /** Plain append (`INSERT INTO`), position-based, partition cols last. */
@@ -297,11 +238,12 @@ object AtomicWriter {
   // ------------------------------------------------------------------ files
   // All file manipulation goes through the Hadoop FileSystem API, not
   // java.io.File: on HDFS-like stores a directory rename is a pure metadata
-  // operation, which is what makes the partition-swap O(partitions) instead
-  // of O(data) at 100 TB. (Object stores without atomic rename should front
-  // this with a committer; the interface stays the same.)
+  // operation, which is what makes the rename-committed partition swap
+  // O(partitions) instead of O(data) at 100 TB. Object stores without
+  // atomic rename use the VersionedCommitter (see Committer.scala), whose
+  // commit step is a catalog pointer flip instead of a rename.
 
-  private def tableDir(spark: SparkSession, ref: TableRef): HPath = {
+  private[exec] def tableDir(spark: SparkSession, ref: TableRef): HPath = {
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(ref.render.replace("`", ""))
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -312,7 +254,7 @@ object AtomicWriter {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Relative `k1=v1[/k2=v2…]` paths of all leaf partition dirs. */
-  private def partitionDirs(fs: HFileSystem, root: HPath,
+  private[exec] def partitionDirs(fs: HFileSystem, root: HPath,
       depth: Int): Seq[String] = {
     def walk(dir: HPath, d: Int): Seq[String] = {
       val subs =
@@ -328,7 +270,7 @@ object AtomicWriter {
   }
 
   /** `k1=v1/k2=v2` → ``k1`='v1', `k2`='v2'` (hive-unescaped). */
-  private def specOf(rel: String): String =
+  private[exec] def specOf(rel: String): String =
     rel.split("/").map { seg =>
       val Array(k, v) = seg.split("=", 2)
       val uv = Fns.sqlStringEscape(unescapePathName(v))

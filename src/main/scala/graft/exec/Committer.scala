@@ -1,0 +1,269 @@
+package graft.exec
+
+import org.apache.hadoop.fs.{FileSystem => HFileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.CatalogTablePartition
+import graft.catalog.{PartitionSpec, TableRef}
+
+/** The one storage-dependent step of the partition swap: how staged data
+  * becomes the LIVE content of the target's partitions. Everything around
+  * it (stage alignment, touched-partition diff, emptied-partition cleanup,
+  * cache refresh) is storage-agnostic and stays in [[AtomicWriter]].
+  *
+  * What differs between stores is whether a directory rename is an atomic
+  * metadata operation (HDFS-like stores) or a non-atomic copy+delete
+  * (S3/OSS-style object stores — the reference's native home gets
+  * atomicity from MaxCompute's managed storage, so parity at production
+  * scale needs this seam; it was previously only a comment at the bottom
+  * of AtomicWriter).
+  *
+  * Selected per session via `spark.graft.committer` = `rename` (default)
+  * | `versioned`. [[graft.exec.Maintenance.recover]] sweeps the crash
+  * leftovers of both.
+  */
+sealed trait Committer {
+
+  /** Write `aligned` (already projected to the target's column order) and
+    * make it the live content of the partitions it populates. Returns the
+    * staged relative partition paths (`k=v[/k=v…]`) and whether any
+    * EXISTING partition's content was replaced (⇒ cached file listings are
+    * stale). Must be all-or-nothing: on failure the target's previous
+    * content is still what readers see. */
+  def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result
+}
+
+object Committer {
+
+  final case class Result(rels: Seq[String], replacedExisting: Boolean)
+
+  def forSession(spark: SparkSession): Committer =
+    spark.conf.getOption("spark.graft.committer").getOrElse("rename") match {
+      case "rename"    => RenameCommitter
+      case "versioned" => VersionedCommitter
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.committer: '$other' (expected rename | versioned)")
+    }
+
+  private[exec] def ident(spark: SparkSession, ref: TableRef): TableIdentifier =
+    spark.sessionState.sqlParser.parseTableIdentifier(ref.render.replace("`", ""))
+
+  /** `k1=v1/k2=v2` → catalog partition spec (hive-unescaped values; NULL
+    * partitions carry the default-partition sentinel, as the catalog
+    * stores them). */
+  private[exec] def specFromRel(pcols: Seq[String], rel: String): Map[String, String] =
+    rel.split("/").map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> AtomicWriter.unescapePathName(v)
+    }.toMap
+}
+
+/** Trash-aside + directory rename, with rollback: O(1) metadata ops per
+  * partition wherever rename is atomic (HDFS, local fs, rename-capable
+  * HCFS). The staged data takes one extra hop (staging table → target
+  * dirs), but both hops are metadata-only. */
+object RenameCommitter extends Committer {
+
+  private def log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
+    val pcols = partition.partitionColumns
+    val stg = target.copy(name = target.name + "__graft_stg")
+    AtomicWriter.createOrReplace(spark, aligned, stg, partition)
+    try {
+      val stgDir = AtomicWriter.tableDir(spark, stg)
+      val staged = AtomicWriter.partitionDirs(fs, stgDir, pcols.size)
+      if (staged.isEmpty) return Committer.Result(Nil, replacedExisting = false)
+      // ALL-OR-NOTHING file swap. Old partition dirs are moved ASIDE
+      // (rename into a trash dir — metadata op), staged dirs moved in;
+      // if ANY move fails, every completed move is rolled back before
+      // rethrowing. Old data is deleted only after every staged move has
+      // succeeded — a mid-swap failure can never destroy the only copy.
+      val trash = new HPath(tgtDir, ".graft_trash")
+      // a LEFTOVER trash dir means a previous swap's rollback did not
+      // complete — its contents may be the only copy of some partition.
+      // Park it (stamped by its own mtime) instead of purging the last
+      // recoverable state; Maintenance.recover sweeps the parked copies.
+      if (fs.exists(trash)) {
+        val stamp = fs.getFileStatus(trash).getModificationTime
+        val park = new HPath(tgtDir, s".graft_trash_$stamp")
+        if (!fs.rename(trash, park))
+          throw new java.io.IOException(
+            s"cannot park leftover trash from a previously failed swap: $trash")
+        log.warn(s"leftover $trash from a failed swap parked at $park — " +
+          "run Maintenance.recover to inspect/restore")
+      }
+      val movedAside = scala.collection.mutable.ListBuffer[String]()
+      val movedIn = scala.collection.mutable.ListBuffer[String]()
+      // one mkdirs per distinct parent, not per partition (at 10³+ touched
+      // partitions of a multi-level spec these are all the same few dirs)
+      staged.map(rel => new HPath(trash, rel).getParent).distinct
+        .foreach(fs.mkdirs)
+      staged.map(rel => new HPath(tgtDir, rel).getParent).distinct
+        .foreach(fs.mkdirs)
+      try {
+        staged.foreach { rel =>
+          val dst = new HPath(tgtDir, rel)
+          if (fs.exists(dst)) {
+            if (!fs.rename(dst, new HPath(trash, rel)))
+              throw new java.io.IOException(s"rename aside failed: $rel")
+            movedAside += rel
+          }
+          if (!fs.rename(new HPath(stgDir, rel), dst))
+            throw new java.io.IOException(s"rename failed: $rel")
+          movedIn += rel
+        }
+      } catch {
+        case e: Throwable =>
+          // rollback failures may leave the only copy of a partition in
+          // the trash dir — they must be LOUD, not silently dropped
+          // return values (the next swap would have purged the trash)
+          val failed = scala.collection.mutable.ListBuffer[String]()
+          movedIn.foreach { rel =>
+            if (!fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
+              failed += s"$rel (staged copy stuck in target)"
+          }
+          movedAside.foreach { rel =>
+            if (!fs.rename(new HPath(trash, rel), new HPath(tgtDir, rel)))
+              failed += s"$rel (old data only in $trash)"
+          }
+          if (failed.nonEmpty) {
+            val ex = new java.io.IOException(
+              s"swap rollback INCOMPLETE for ${target.render}: " +
+                failed.mkString("; ") +
+                s" — old data preserved under $trash; run Maintenance.recover")
+            ex.addSuppressed(e)
+            throw ex
+          }
+          throw e
+      }
+      // catalog DDL only AFTER the files are in place, and only ADD:
+      // existing partitions keep their registration (same path, new
+      // files); one batched statement for all new partition values
+      // (per-partition statements are ~50 ms each — at 1000 touched
+      // partitions that's the difference between 0.1 s and 100 s)
+      Retry.withRetries() {
+        spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
+          staged.map(AtomicWriter.specOf).map(s => s"PARTITION ($s)").mkString(" "))
+      }
+      fs.delete(trash, true)
+      Committer.Result(staged, replacedExisting = movedAside.nonEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${stg.render}")
+  }
+}
+
+/** Rename-FREE commit for object stores: data files are written DIRECTLY
+  * to a fresh versioned directory under the table root
+  * (`.graft_versions/<stamp>/k=v/` — dot-prefixed, invisible to file
+  * listing), so they never move again. The COMMIT is the catalog
+  * partition-location flip (one batched createPartitions +
+  * alterPartitions), guarded by a pending-manifest file (a single PUT —
+  * atomic on object stores) for crash recovery; the replaced version
+  * directories are garbage after the flip and are deleted post-commit.
+  * A crash leaves either (a) an uncommitted version dir + manifest
+  * (abandoned — swept) or (b) a committed flip whose garbage wasn't
+  * collected (swept) — never a half-visible table. */
+object VersionedCommitter extends Committer {
+
+  private[exec] val VersionsDir = ".graft_versions"
+  private[exec] val PendingPrefix = ".graft_pending_"
+
+  def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
+    val pcols = partition.partitionColumns
+    val stamp = f"${System.currentTimeMillis()}%013d_${(scala.math.abs(
+      new java.security.SecureRandom().nextInt()) % 1000000)}%06d"
+    val vroot = new HPath(new HPath(tgtDir, VersionsDir), stamp)
+    var out = aligned
+    if (pcols.nonEmpty)
+      out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+    out.write.partitionBy(pcols: _*).parquet(vroot.toString)
+    val staged = AtomicWriter.partitionDirs(fs, vroot, pcols.size)
+    if (staged.isEmpty) { fs.delete(vroot, true); return Committer.Result(Nil, false) }
+    val pending = new HPath(tgtDir, PendingPrefix + stamp)
+    var committed = false
+    try {
+      writePending(fs, pending, staged)
+      val cat = spark.sessionState.catalog
+      val ident = Committer.ident(spark, target)
+      val table = cat.getTableMetadata(ident)
+      val specs = staged.map(rel => rel -> Committer.specFromRel(pcols, rel))
+      val existing = cat.listPartitions(ident)
+        .map(p => p.spec -> p).toMap
+      val (toAlter, toCreate) = specs.partition(s => existing.contains(s._2))
+      val oldLocations = toAlter.flatMap { case (_, spec) =>
+        existing(spec).storage.locationUri.map(new HPath(_))
+      }
+      // the flip: two batched catalog calls. On failure between them the
+      // created partitions are dropped again (retainData — their files are
+      // cleaned up with vroot below), so readers never see a half-flip.
+      var created = false
+      try {
+        if (toCreate.nonEmpty) {
+          cat.createPartitions(ident, toCreate.map { case (rel, spec) =>
+            CatalogTablePartition(spec, table.storage.copy(
+              locationUri = Some(new HPath(vroot, rel).toUri)))
+          }, ignoreIfExists = true)
+          created = true
+        }
+        if (toAlter.nonEmpty)
+          cat.alterPartitions(ident, toAlter.map { case (rel, spec) =>
+            existing(spec).copy(storage = existing(spec).storage.copy(
+              locationUri = Some(new HPath(vroot, rel).toUri)))
+          })
+      } catch {
+        case e: Throwable =>
+          if (created)
+            cat.dropPartitions(ident, toCreate.map(_._2),
+              ignoreIfNotExists = true, purge = false, retainData = true)
+          throw e
+      }
+      committed = true
+      // committed: the manifest is no longer pending, old dirs are garbage.
+      // GC failures must NOT fail the (already committed) operation —
+      // Maintenance.recover sweeps what's left.
+      try {
+        fs.delete(pending, false)
+        oldLocations.foreach(p => fs.delete(p, true))
+        // a replaced VERSION dir whose partitions are all gone is an empty
+        // shell (just _SUCCESS etc.) — remove it so .graft_versions holds
+        // only live versions
+        def stampRoot(p: HPath): Option[HPath] = {
+          var cur = p
+          while (cur.getParent != null && cur.getParent.getName != VersionsDir)
+            cur = cur.getParent
+          Option(cur.getParent).map(_ => cur)
+        }
+        oldLocations.flatMap(stampRoot).distinct
+          .foreach { stampDir =>
+            val hasData = fs.exists(stampDir) &&
+              fs.listStatus(stampDir).exists(s =>
+                s.isDirectory && s.getPath.getName.contains("="))
+            if (fs.exists(stampDir) && !hasData) fs.delete(stampDir, true)
+          }
+      } catch { case scala.util.control.NonFatal(_) => }
+      Committer.Result(staged, replacedExisting = toAlter.nonEmpty)
+    } catch {
+      case e: Throwable if !committed =>
+        // uncommitted version: readers never saw it; drop the evidence
+        fs.delete(vroot, true)
+        fs.delete(pending, false)
+        throw e
+    }
+  }
+
+  private[exec] def writePending(fs: HFileSystem, p: HPath,
+      rels: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(rels.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[exec] def readPending(fs: HFileSystem, p: HPath): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    finally in.close()
+  }
+}

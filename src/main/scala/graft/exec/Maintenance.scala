@@ -90,4 +90,113 @@ object Maintenance {
     if (withColumns)
       spark.sql(s"ANALYZE TABLE ${target.render} COMPUTE STATISTICS FOR ALL COLUMNS")
   }
+
+  /** Sweep the crash leftovers of the staged-swap machinery for one table
+    * and return the actions taken (for audit). Handles, in order:
+    *
+    *  1. `<t>__graft_old` with the target MISSING: the crash fell between
+    *     the two table renames of overwriteTable — the old table is the
+    *     only copy; rename it back.
+    *  2. Abandoned helper tables (`__graft_stg`, `__graft_old` with the
+    *     target present, `__dbt_tmp`): staged data that never swapped in —
+    *     drop.
+    *  3. `.graft_trash` / `.graft_trash_<stamp>` dirs (rename committer):
+    *     partitions whose live dir is MISSING are restored from the trash
+    *     copy (+ re-registered); copies whose live dir exists are deleted.
+    *  4. Pending version manifests (versioned committer): per staged
+    *     partition, keep the versioned files iff the catalog flip reached
+    *     them, else delete; then drop the manifest.
+    *  5. Orphan version dirs and orphan default-layout partition dirs —
+    *     directories no catalog partition references (post-commit GC that
+    *     never ran) — deleted.
+    */
+  def recover(spark: SparkSession, target: TableRef): Seq[String] = {
+    val actions = scala.collection.mutable.ListBuffer[String]()
+    val cat = spark.sessionState.catalog
+    def exists(r: TableRef) =
+      spark.catalog.tableExists(r.render.replace("`", ""))
+    val old = target.copy(name = target.name + "__graft_old")
+    val stg = target.copy(name = target.name + "__graft_stg")
+    val tmp = target.copy(name = target.name + "__dbt_tmp")
+
+    if (!exists(target) && exists(old)) {
+      spark.sql(s"ALTER TABLE ${old.render} RENAME TO ${target.render}")
+      AtomicWriter.repairPartitionLocations(spark, target)
+      actions += s"restored ${target.render} from ${old.render}"
+    }
+    Seq(old, stg, tmp).filter(exists).foreach { r =>
+      spark.sql(s"DROP TABLE IF EXISTS ${r.render}")
+      actions += s"dropped abandoned ${r.render}"
+    }
+    if (!exists(target)) return actions.toSeq
+
+    val ident = Committer.ident(spark, target)
+    val meta = cat.getTableMetadata(ident)
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val depth = meta.partitionColumnNames.size
+    if (depth == 0) return actions.toSeq
+    val livePaths = cat.listPartitions(ident)
+      .flatMap(_.storage.locationUri).map(u =>
+        new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+
+    // 3. trash dirs: restore what the live table lost, drop the rest
+    val entries = try fs.listStatus(root).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    entries.filter(e => e.isDirectory &&
+        e.getPath.getName.startsWith(".graft_trash")).foreach { t =>
+      AtomicWriter.partitionDirs(fs, t.getPath, depth).foreach { rel =>
+        val live = new org.apache.hadoop.fs.Path(root, rel)
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          if (fs.rename(new org.apache.hadoop.fs.Path(t.getPath, rel), live)) {
+            spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
+              s"PARTITION (${AtomicWriter.specOf(rel)})")
+            actions += s"restored partition $rel from ${t.getPath.getName}"
+          }
+        }
+      }
+      fs.delete(t.getPath, true)
+      actions += s"cleared ${t.getPath.getName}"
+    }
+
+    // 4. pending version manifests
+    entries.filter(e => !e.isDirectory &&
+        e.getPath.getName.startsWith(VersionedCommitter.PendingPrefix))
+      .foreach { m =>
+        val stamp = m.getPath.getName.stripPrefix(VersionedCommitter.PendingPrefix)
+        val vroot = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, VersionedCommitter.VersionsDir), stamp)
+        VersionedCommitter.readPending(fs, m.getPath).foreach { rel =>
+          val vdir = new org.apache.hadoop.fs.Path(vroot, rel)
+          if (!livePaths.contains(vdir.toUri.getPath) && fs.exists(vdir)) {
+            fs.delete(vdir, true)
+            actions += s"dropped uncommitted versioned partition $stamp/$rel"
+          }
+        }
+        fs.delete(m.getPath, false)
+        actions += s"cleared pending manifest $stamp"
+      }
+
+    // 5a. orphan version dirs (no catalog partition points inside them)
+    val vbase = new org.apache.hadoop.fs.Path(root, VersionedCommitter.VersionsDir)
+    if (fs.exists(vbase)) fs.listStatus(vbase).filter(_.isDirectory).foreach { v =>
+      val referenced = AtomicWriter.partitionDirs(fs, v.getPath, depth).exists(rel =>
+        livePaths.contains(new org.apache.hadoop.fs.Path(v.getPath, rel).toUri.getPath))
+      if (!referenced) {
+        fs.delete(v.getPath, true)
+        actions += s"dropped orphan version dir ${v.getPath.getName}"
+      }
+    }
+    // 5b. orphan default-layout partition dirs (replaced by a versioned
+    // flip whose GC never ran)
+    AtomicWriter.partitionDirs(fs, root, depth).foreach { rel =>
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      if (!livePaths.contains(p.toUri.getPath)) {
+        fs.delete(p, true)
+        actions += s"dropped orphan partition dir $rel"
+      }
+    }
+    actions.toSeq
+  }
 }

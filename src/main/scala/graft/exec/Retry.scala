@@ -1,0 +1,59 @@
+package graft.exec
+
+/** Bounded retry for transient races under concurrent runners — the engine
+  * equivalent of the reference's retry wrapper (wrapper.py:46-76: up to 10
+  * attempts with backoff capped at 15 s, retrying ONLY errors recognized as
+  * transient; everything else propagates immediately).
+  *
+  * In this engine the racy surface is the swap's catalog DDL and file
+  * listings: two concurrent materializations of the SAME table can race on
+  * ADD/DROP PARTITION, RENAME and directory listings. Data-destroying
+  * errors (rollback failures, arity violations) are deliberately NOT
+  * retryable — retrying those could re-run a swap against a half-rolled-
+  * back state.
+  */
+object Retry {
+
+  private def log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Transient-looking failures: concurrent catalog modification, races on
+    * list/rename (entity visible in listing but gone at access, or vice
+    * versa), and lease/timeout flavors of IOException. */
+  def transientRace(t: Throwable): Boolean = t match {
+    case _: java.util.ConcurrentModificationException => true
+    case e: org.apache.spark.sql.AnalysisException =>
+      // partition appeared/disappeared between our listing and the DDL
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("already exists") || m.contains("not found")
+    case e: java.io.IOException =>
+      val m = Option(e.getMessage).getOrElse("").toLowerCase
+      // our own swap-rollback failures carry recovery guidance and must
+      // surface immediately, never be re-run
+      !m.contains("rollback") &&
+        (m.contains("lease") || m.contains("timeout") || m.contains("timed out") ||
+          m.contains("connection") || m.contains("temporarily"))
+    case _ => false
+  }
+
+  /** Run `f`, retrying on `retryOn`-matching failures with exponential
+    * backoff (200 ms doubling, capped at `maxDelayMs`), up to `attempts`
+    * total tries. The last failure propagates unchanged. */
+  def withRetries[T](attempts: Int = 10, maxDelayMs: Long = 15000,
+      retryOn: Throwable => Boolean = transientRace,
+      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var delay = 200L
+    var tried = 0
+    while (true) {
+      tried += 1
+      try return f
+      catch {
+        case e: Throwable if tried < attempts && retryOn(e) =>
+          log.warn(s"transient failure (attempt $tried/$attempts), " +
+            s"retrying in $delay ms: ${e.getMessage}")
+          sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -106,11 +106,11 @@ object Materializer {
     // replacing an EXISTING table goes through the staged rename-swap: a
     // crash mid-write must leave the previous contents recoverable, never
     // a dropped table with a half-written successor. First build = plain
-    // CTAS (nothing to lose). Bucketed writes stay on the direct path —
-    // rename-swap doesn't carry bucket spec metadata through the catalog.
+    // CTAS (nothing to lose). The bucket spec rides the staged table
+    // through the rename, so bucketed tables get the same guarantee.
     val exists = spark.catalog.tableExists(target.render.replace("`", ""))
-    if (exists && bucketBy.isEmpty)
-      AtomicWriter.overwriteTable(spark, df, target, partition)
+    if (exists)
+      AtomicWriter.overwriteTable(spark, df, target, partition, bucketBy)
     else
       AtomicWriter.createOrReplace(spark, df, target, partition, bucketBy)
     val props = tblProperties ++

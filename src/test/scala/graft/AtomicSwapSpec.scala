@@ -63,4 +63,148 @@ class AtomicSwapSpec extends SparkSpec {
     // untouched partition p2 intact, no px contamination
     assert(spark.table(ref.render).filter($"pt" === "px").count() == 0)
   }
+
+  // ------------------------------------------------- committer seam (both)
+
+  private def withCommitter[T](name: String)(f: => T): T = {
+    spark.conf.set("spark.graft.committer", name)
+    try f finally spark.conf.unset("spark.graft.committer")
+  }
+
+  for (committer <- Seq("rename", "versioned")) {
+    test(s"[$committer] partition overwrite replaces only source partitions") {
+      withCommitter(committer) {
+        val part = PartitionSpec.Static(Seq("pt" -> "string"))
+        val ref = TableRef(s"default.swap_c_$committer")
+        Materializer.table(spark, ref,
+          Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("id", "pt"), part)
+        AtomicWriter.overwritePartitions(spark,
+          Seq((10L, "p1"), (30L, "p3")).toDF("id", "pt"), ref, part)
+        val got = spark.table(ref.render).select("id").as[Long].collect().sorted
+        assert(got.toSeq == Seq(2L, 10L, 30L))
+        // second overwrite of the same partition (exercises replace path)
+        AtomicWriter.overwritePartitions(spark,
+          Seq((11L, "p1")).toDF("id", "pt"), ref, part)
+        assert(spark.table(ref.render).select("id").as[Long].collect().sorted
+          .toSeq == Seq(2L, 11L, 30L))
+        assert(!tables().exists(_.contains("graft_stg")))
+      }
+    }
+
+    test(s"[$committer] touched-but-empty partitions are dropped") {
+      withCommitter(committer) {
+        val part = PartitionSpec.Static(Seq("pt" -> "string"))
+        val ref = TableRef(s"default.swap_e_$committer")
+        Materializer.table(spark, ref,
+          Seq((1L, "p1"), (2L, "p2")).toDF("id", "pt"), part)
+        graft.exec.Mutations.delete(spark, ref, $"pt" === "p1", part)
+        assert(spark.table(ref.render).select("id").as[Long].collect().toSeq
+          == Seq(2L))
+        val parts = spark.sql(s"SHOW PARTITIONS ${ref.render}")
+          .collect().map(_.getString(0))
+        assert(!parts.exists(_.contains("p1")), parts.mkString(","))
+      }
+    }
+  }
+
+  test("versioned commits leave no uncollected garbage after repeated overwrites") {
+    withCommitter("versioned") {
+      val part = PartitionSpec.Static(Seq("pt" -> "string"))
+      val ref = TableRef("default.swap_vgc")
+      Materializer.table(spark, ref, Seq((1L, "p1")).toDF("id", "pt"), part)
+      (2 to 4).foreach(i => AtomicWriter.overwritePartitions(spark,
+        Seq((i.toLong, "p1")).toDF("id", "pt"), ref, part))
+      assert(spark.table(ref.render).select("id").as[Long].collect().toSeq
+        == Seq(4L))
+      // only the LIVE version dir remains; replaced ones were GC'd
+      val root = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vgc")).location.toString))
+      val vdirs = new java.io.File(root, ".graft_versions").listFiles()
+      assert(vdirs != null && vdirs.length == 1, vdirs.mkString(","))
+      assert(new java.io.File(root, "pt=p1").exists() == false ||
+        new java.io.File(root, "pt=p1").listFiles().isEmpty,
+        "default-layout dir should have been replaced by versioned flips")
+    }
+  }
+
+  test("recover sweeps an uncommitted versioned write (crash before flip)") {
+    withCommitter("versioned") {
+      val part = PartitionSpec.Static(Seq("pt" -> "string"))
+      val ref = TableRef("default.swap_vcrash")
+      Materializer.table(spark, ref, Seq((1L, "p1")).toDF("id", "pt"), part)
+      val root = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vcrash")).location.toString))
+      // simulate: version dir + pending manifest written, crash before the
+      // catalog flip
+      val vdir = new java.io.File(root, ".graft_versions/999_crash/pt=p1")
+      assert(vdir.mkdirs())
+      java.nio.file.Files.writeString(vdir.toPath.resolve("part-0.parquet"), "x")
+      java.nio.file.Files.writeString(
+        root.toPath.resolve(".graft_pending_999_crash"), "pt=p1")
+      val actions = graft.exec.Maintenance.recover(spark, ref)
+      assert(actions.exists(_.contains("uncommitted versioned partition")), actions)
+      assert(!vdir.exists())
+      assert(!root.toPath.resolve(".graft_pending_999_crash").toFile.exists())
+      // live table untouched
+      assert(spark.table(ref.render).select("id").as[Long].collect().toSeq
+        == Seq(1L))
+    }
+  }
+
+  test("recover restores a partition stranded in .graft_trash") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = TableRef("default.swap_trash")
+    Materializer.table(spark, ref,
+      Seq((1L, "p1"), (2L, "p2")).toDF("id", "pt"), part)
+    val root = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          "default.swap_trash")).location.toString))
+    // simulate a crashed swap: p1's live dir moved to trash, replacement
+    // never arrived
+    val live = new java.io.File(root, "pt=p1")
+    val trash = new java.io.File(root, ".graft_trash/pt=p1")
+    assert(trash.getParentFile.mkdirs())
+    assert(live.renameTo(trash))
+    assert(spark.table(ref.render).filter($"pt" === "p1").count() == 0 ||
+      true) // listing may be cached; recover must fix it regardless
+    val actions = graft.exec.Maintenance.recover(spark, ref)
+    assert(actions.exists(_.contains("restored partition pt=p1")), actions)
+    spark.sql(s"REFRESH TABLE ${ref.render}")
+    assert(spark.table(ref.render).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
+  test("bucketed table replacement keeps the bucket spec through the staged swap") {
+    val ref = TableRef("default.swap_bucketed")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Materializer.table(spark, ref, df, bucketBy = Some((4, Seq("id"))))
+    // replacement takes the rename-swap path now, not DROP+CTAS
+    Materializer.table(spark, ref, df.withColumn("v", upper($"v")),
+      bucketBy = Some((4, Seq("id"))))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("default.swap_bucketed"))
+    assert(meta.bucketSpec.isDefined, "bucket spec lost in swap")
+    assert(meta.bucketSpec.get.numBuckets == 4)
+    assert(meta.bucketSpec.get.bucketColumnNames == Seq("id"))
+    val got = spark.table(ref.render).as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    // bucketed scan still works (exchange-free group-by on bucket col)
+    assert(spark.table(ref.render).groupBy("id").count().count() == 3)
+  }
+
+  test("recover restores the target table from __graft_old after a crashed rename") {
+    val ref = TableRef("default.swap_oldrestore")
+    Seq((7L, "keep")).toDF("id", "v").write.mode("overwrite")
+      .saveAsTable("default.swap_oldrestore__graft_old")
+    spark.sql("DROP TABLE IF EXISTS default.swap_oldrestore")
+    val actions = graft.exec.Maintenance.recover(spark, ref)
+    assert(actions.exists(_.startsWith("restored")), actions)
+    assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
+      == Seq((7L, "keep")))
+  }
 }

@@ -44,4 +44,46 @@ class MaintenanceSpec extends SparkSpec {
         .parseTableIdentifier(ref.render)).stats
     assert(stats.isDefined && stats.get.rowCount.contains(BigInt(3)))
   }
+
+  test("Retry retries transient races with backoff and returns the result") {
+    var calls = 0
+    val slept = scala.collection.mutable.ListBuffer[Long]()
+    val r = graft.exec.Retry.withRetries(attempts = 10, sleep = slept += _) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("connection reset")
+      42
+    }
+    assert(r == 42 && calls == 3)
+    assert(slept.toSeq == Seq(200L, 400L)) // exponential from 200 ms
+  }
+
+  test("Retry gives up after the attempt budget and propagates the failure") {
+    var calls = 0
+    val e = intercept[java.io.IOException] {
+      graft.exec.Retry.withRetries(attempts = 4, sleep = _ => ()) {
+        calls += 1
+        throw new java.io.IOException("lease expired")
+      }
+    }
+    assert(calls == 4 && e.getMessage.contains("lease"))
+  }
+
+  test("Retry does NOT retry data-destroying or unknown failures") {
+    var calls = 0
+    intercept[java.io.IOException] {
+      graft.exec.Retry.withRetries(attempts = 10, sleep = _ => ()) {
+        calls += 1
+        throw new java.io.IOException("swap rollback INCOMPLETE for x")
+      }
+    }
+    assert(calls == 1, "rollback failures must surface immediately")
+    calls = 0
+    intercept[IllegalArgumentException] {
+      graft.exec.Retry.withRetries(attempts = 10, sleep = _ => ()) {
+        calls += 1
+        throw new IllegalArgumentException("bad arity")
+      }
+    }
+    assert(calls == 1)
+  }
 }

@@ -50,16 +50,47 @@ object LlmQueries {
 
   // ----------------------------------------------------------- MinHash LSH
 
-  private def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDupPairs(docsWithNearDups(s, dir),
-        threshold = 0.5, k = 64, bands = 16)
-      .orderBy(col("id_a"), col("id_b"))
+  /** MinHash-LSH near-dup pairs, SELF-VERIFYING: the query also computes
+    * the exact n-gram-Jaccard twin and emits (exact pair count, recall ≥
+    * 0.7 as a boolean), both DuckDB-reproducible — so the driver's hash
+    * compare pins the approximate operator's recall instead of only its
+    * row count. The gate's cost includes the exact twin by design. */
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: exact and approx both derive from the same Union
+    // plan; joining them without breaking lineage can hit Catalyst's
+    // UnionBase.rewriteConstraints `key not found: attr`
+    val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      maxDf = 1000).select(col("id_a"), col("id_b"))
+    val approx = Dedup.minhashNearDupPairs(docs, threshold = 0.5, k = 64,
+      bands = 16).select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.7).as("recall_ok"))
+  }
 
   // --------------------------------------------------------------- SimHash
 
-  private def d03(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(docsWithNearDups(s, dir), maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+  /** SimHash near-dup pairs, SELF-VERIFYING against the injected marker
+    * duplicates (doc_id+1000000 with one appended token): emits the marker
+    * count and marker-recall ≥ 0.6. */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+    val markers = docs.filter(col("doc_id") >= 1000000)
+      .agg(count(lit(1)).as("n_markers"))
+    val found = pairs.filter(col("id_b") - col("id_a") === 1000000)
+      .agg(count(lit(1)).as("n_found"))
+    markers.crossJoin(found)
+      .select(col("n_markers"),
+        (col("n_found").cast("double") / col("n_markers") >= 0.6)
+          .as("recall_ok"))
+  }
+
+  private val d03Sql =
+    """SELECT COUNT(*) AS n_markers, TRUE AS recall_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
   // -------------------------------------------------------- n-gram Jaccard
 
@@ -68,7 +99,8 @@ object LlmQueries {
         maxDf = 1000)
       .orderBy(col("id_a"), col("id_b"))
 
-  private val d04Sql =
+  /** Exact-pair CTE shared by the d04 oracle and d02's recall gate. */
+  private val jaccardPairsCte =
     """WITH docs2 AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
       |  FROM documents WHERE doc_id % 7 = 0),
@@ -85,14 +117,21 @@ object LlmQueries {
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b,
       |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
       |FROM shared
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5)""".stripMargin
+
+  private val d04Sql =
+    s"""$jaccardPairsCte
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  private val d02Sql =
+    s"""$jaccardPairsCte
+       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs""".stripMargin
 
   // ----------------------------------------- d05 duplicate-cluster resolve
 
@@ -227,12 +266,31 @@ object LlmQueries {
       |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** LSH top-k, SELF-VERIFYING: recall@5 vs the brute-force twin, gated at
+    * the RecallSpec bound (0.6 with 4 tables). n_exact is k × |queries| —
+    * reproducible relationally. */
   private def s02(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
-        bits = 8, probeBits = 4, tables = 4)
-      .orderBy(col("query_id"), col("rank"))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    // uniform-random embeddings are the LSH worst case (no cluster
+    // structure); recall tracks the candidate fraction L(1+probes)/2^bits,
+    // so the dial is set to ~0.44 here to hold the 0.6 gate with margin
+    // (measured 0.78 at sf0.01). Real embedding corpora cluster, buying
+    // the same recall at a far smaller fraction.
+    val approx = Similarity.lshTopK(emb, q, k = 5, dim = 64,
+        bits = 7, probeBits = 6, tables = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
   }
+
+  private val s02Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** embeddings ∪ perturbed copies (every 4th vector reappears under
     * id+100000 with +0.05 added to every coordinate — cos ≈ 0.92-0.95 to its
@@ -267,19 +325,45 @@ object LlmQueries {
        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
-  private def s04(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(embWithNearDups(s, dir), threshold = 0.9, dim = 64,
-        bits = 6)
-      .orderBy(col("id_a"), col("id_b"))
+  /** LSH-bucketed embedding near-dup pairs, SELF-VERIFYING vs the exact
+    * quadratic twin (s03's logic), 4 hyperplane families, gated at 0.6. */
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNearDups(s, dir).localCheckpoint()
+    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val approx = Similarity.nearDupPairs(e, threshold = 0.9, dim = 64,
+        bits = 6, tables = 4)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
 
-  /** IVF top-k (approximate; centroid training makes it non-SQL-expressible
-    * → rows-only check). */
+  private val s04Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
+
+  /** IVF top-k, SELF-VERIFYING: recall@5 vs brute force, gated at the
+    * RecallSpec bound (0.5 at nprobe=3/nlist=8). */
   private def s05(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 10), k = 5,
-        nlist = 8, nprobe = 3)
-      .orderBy(col("query_id"), col("rank"))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopK(s, emb, q, k = 5, nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
   }
+
+  private val s05Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** L2 normalization + int8 quantization over embeddings (oracle-checked:
     * both are pure list arithmetic). */
@@ -546,12 +630,17 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
+    "d02_minhash_lsh_pairs" -> d02Sql,
+    "d03_simhash_pairs" -> d03Sql,
     "d04_ngram_jaccard_pairs" -> d04Sql,
     "d05_dup_clusters" -> d05Sql,
     "d06_hash_split" -> d06Sql,
     "d07_contamination" -> d07Sql,
     "s01_cosine_topk_brute" -> s01Sql,
+    "s02_cosine_topk_lsh" -> s02Sql,
     "s03_embed_neardup_exact" -> s03Sql,
+    "s04_embed_neardup_lsh" -> s04Sql,
+    "s05_cosine_topk_ivf" -> s05Sql,
     "t01_text_analysis" -> t01Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,

@@ -159,9 +159,22 @@ object Dedup {
 
   // --------------------------------------------------------- n-gram Jaccard
 
+  /** The shingles the `maxDf` skew guard of [[ngramJaccardPairs]] DROPS:
+    * (shingle hash, document frequency), df > maxDf. The guard is a silent
+    * cap from the pair list's point of view — a corpus audit should run
+    * this (e.g. `hotShingles(...).count()`) alongside the dedup so what
+    * was ignored is measured, not assumed. */
+  def hotShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    explodedShingleHashes(docs, n, idCol, textCol)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** Exact n-gram Jaccard near-dup pairs. Candidates = docs sharing ≥1
     * shingle (skew guard: shingles appearing in > `maxDf` docs are dropped —
-    * they create quadratic hot keys and carry no discriminative signal).
+    * they create quadratic hot keys and carry no discriminative signal;
+    * [[hotShingles]] reports exactly what the guard ignored, so the cap is
+    * auditable rather than silent).
     * Exact Jaccard = shared / (|A| + |B| − shared) ≥ threshold. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 1000, idCol: String = "doc_id",

@@ -135,11 +135,17 @@ object Similarity {
   def ivfTopK(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // centroids are trained on a BOUNDED sample: k-means over the full
+    // corpus would be a multi-pass O(corpus) job at 100 TB for centroids
+    // whose quality saturates at ~10³ points per list; the limit reads
+    // only as many partitions as needed. Assignment below still covers
+    // the full corpus.
     val train = corpus.select(col(idCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .limit(fitSampleLimit)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -172,16 +178,23 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):
-    * LSH-bucketed self-join, cosine ≥ threshold. */
+    * LSH-bucketed self-join, cosine ≥ threshold. `tables=L` unions the
+    * buckets of L independent hyperplane families — the same recall lever
+    * as in [[lshTopK]] (a true pair split across a plane in one family
+    * rarely splits in all L); the final groupBy dedups cross-family hits.
+    * Candidate pairs ≈ L × (corpus²/2^bits) — the cost dial at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
-      bits: Int = 8, seed: Long = 42L,
+      bits: Int = 8, seed: Long = 42L, tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val hp = planes(bits, dim, seed)
+    require(tables >= 1, "tables >= 1")
+    val hps = Array.tabulate(tables)(t => planes(bits, dim, seed + t))
+    val keys = hps.zipWithIndex.map { case (hp, t) =>
+      struct(lit(t).as("t"), bucketCol(col(vecCol), hp).as("b")) }
     val c = corpus.select(col(idCol), col(vecCol),
-      bucketCol(col(vecCol), hp).as("bucket"))
-    val a = c.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = c.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      explode(array(keys.toIndexedSeq: _*)).as("tb"))
+    val a = c.select(col("tb"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = c.select(col("tb"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("tb")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)

@@ -74,4 +74,49 @@ class RecallSpec extends SparkSpec {
     assert(found.toDouble / markers >= 0.6,
       s"simhash marker recall $found/$markers below bound")
   }
+
+  test("hotShingles reports exactly what the maxDf guard drops") {
+    val docs = Seq(
+      (1L, "the common prefix alpha"), (2L, "the common prefix beta"),
+      (3L, "the common prefix gamma"), (4L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    // 3-gram 'the common prefix' appears in 3 docs; with maxDf=2 it must
+    // be reported as dropped
+    val hot = Dedup.hotShingles(docs, n = 3, maxDf = 2).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 3L)
+    assert(Dedup.hotShingles(docs, n = 3, maxDf = 3).isEmpty)
+  }
+
+  test("ivfTopK trains on a bounded sample without changing result shape") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    // tiny fit budget: centroids train on 50 vectors, assignment still
+    // covers the whole corpus and every query gets k results
+    val r = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 4, nprobe = 2,
+      fitSampleLimit = 50)
+    val counts = r.groupBy("query_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.length == 10 && counts.forall(_ == 5L))
+  }
+
+  test("multi-table nearDupPairs raises recall over single-table") {
+    val e = {
+      val base = Tables.t(spark, dir, "embeddings").filter($"vec_id" < 300)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      base.unionByName(base.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"embedding", x => x + lit(0.05)).as("embedding")))
+    }.localCheckpoint()
+    val truth = Similarity.nearDupPairsExact(e, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def recallAt(tables: Int): Double = {
+      val a = Similarity.nearDupPairs(e, 0.9, dim = 64, bits = 6,
+        tables = tables).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      a.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    info(f"nearDupPairs recall: 1 table = $r1%.3f, 4 tables = $r4%.3f")
+    assert(r4 >= 0.6 && r4 > r1)
+  }
 }

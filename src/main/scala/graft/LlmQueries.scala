@@ -542,15 +542,24 @@ object LlmQueries {
 
   // ------------------------------------------------------------ multimodal
 
+  /** Real image-header decode, ORACLE-CHECKED: payloads are structurally
+    * valid PNG/JPEG/GIF/BMP bytes whose dimensions derive deterministically
+    * from the id; the query parses format/width/height back OUT of the
+    * byte stream (ImageHeaders), and DuckDB reproduces the expected values
+    * relationally — a parse bug or header corruption hash-mismatches. */
   private def mm01(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesize(
-      t(s, dir, "documents").limit(200), "doc_id", "text")
-    Multimodal.extractFeatures(s, media, "doc_id")
-      .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"),
-        sum(size(col("features"))).as("total_feats"))
-      .orderBy(col("kind"))
+    val imgs = Multimodal.synthesizeImages(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.imageDims(imgs).orderBy(col("id"))
   }
+
+  private val mm01Sql =
+    """SELECT doc_id AS id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CAST(1 + doc_id % 31 AS INT) AS width,
+      |  CAST(1 + doc_id % 17 AS INT) AS height
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
   private def mm02(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(
@@ -559,10 +568,15 @@ object LlmQueries {
     val frames = Multimodal.sampleFrames(media, "doc_id", fps = 1.0)
       .groupBy().agg(count(lit(1)).as("n_frames"),
         countDistinct(col("doc_id")).as("n_videos"))
+    // feature extraction (the labeled decode stub) stays driver-exercised
+    val feats = Multimodal.extractFeatures(s, media, "doc_id")
+      .agg(count(lit(1)).as("n_feat_rows"),
+        sum(size(col("features"))).as("total_feats"))
     resized.agg(max(col("resized_width")).as("max_w"),
         max(col("resized_height")).as("max_h"),
         count(lit(1)).as("n_media"))
       .crossJoin(frames)
+      .crossJoin(feats)
   }
 
   // ------------------------------------------------------ t04 PII redaction
@@ -625,7 +639,7 @@ object LlmQueries {
     "t04_pii_redact" -> (t04 _),
     "t05_url_domains" -> (t05 _),
     "t06_repetition" -> (t06 _),
-    "mm01_media_features" -> (mm01 _),
+    "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _))
 
   val oracleSql: Map[String, String] = Map(
@@ -642,6 +656,7 @@ object LlmQueries {
     "s04_embed_neardup_lsh" -> s04Sql,
     "s05_cosine_topk_ivf" -> s05Sql,
     "t01_text_analysis" -> t01Sql,
+    "mm01_image_header_dims" -> mm01Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,

@@ -466,6 +466,45 @@ object MatQueries {
       |FROM customer WHERE c_custkey % 13 <> 0
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------- streaming microbatch (driver-checked)
+
+  /** The STREAMING twin of m09, executed for real through Structured
+    * Streaming: the events table is laid out as multiple parquet files,
+    * streamed with `maxFilesPerTrigger=1` (so several AvailableNow
+    * micro-batches hit the same day partition — the overlap-union path),
+    * dynamic-overwritten per batch into a day-partitioned table. The
+    * oracle checks the FINAL table state relationally, so the whole
+    * streaming path (file source → foreachBatch → partition overwrite →
+    * done markers) sits behind the driver's hash gate. */
+  private def m17(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m17")
+    val part = PartitionSpec.Auto("ts_sec", "day", Some("pt"))
+    val tgt = TableRef("g_m17.events_stream")
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+    Materializer.table(s, tgt,
+      graft.exec.AtomicWriter.withPartitionCols(base.limit(0), part), part)
+    val srcDir = java.nio.file.Files.createTempDirectory("g_m17_src")
+    base.repartition(4).write.mode("overwrite").parquet(s"$srcDir/data")
+    val stream = s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/data")
+    val ckpt = java.nio.file.Files.createTempDirectory("g_m17_ckpt")
+    graft.streaming.Streaming.runToCompletion(
+      graft.streaming.Streaming.microbatchStream(s, stream, tgt, part,
+        ckpt.toString))
+    s.table(tgt.render)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts_sec").cast("timestamp_ntz").as("ts_sec"), col("pt"))
+      .orderBy(col("event_id"))
+  }
+
+  private val m17Sql =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS pt
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -484,7 +523,8 @@ object MatQueries {
     "m13_clone" -> (m13 _),
     "m14_mview_refresh" -> (m14 _),
     "m15_ephemeral" -> (m15 _),
-    "m16_delta_update_delete" -> (m16 _))
+    "m16_delta_update_delete" -> (m16 _),
+    "m17_streaming_microbatch" -> (m17 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -502,5 +542,6 @@ object MatQueries {
     "m13_clone" -> m13Sql,
     "m14_mview_refresh" -> m14Sql,
     "m15_ephemeral" -> m15Sql,
-    "m16_delta_update_delete" -> m16Sql)
+    "m16_delta_update_delete" -> m16Sql,
+    "m17_streaming_microbatch" -> m17Sql)
 }

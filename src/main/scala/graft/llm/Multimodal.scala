@@ -60,6 +60,60 @@ object Multimodal {
     out
   }
 
+  /** Synthetic images with REAL bytes: each payload is a structurally
+    * valid PNG/JPEG/GIF/BMP (format cycles with the id; dimensions derive
+    * deterministically from it), built by [[ImageHeaders]]. Unlike
+    * [[synthesize]]'s opaque text-byte payloads, these exercise an actual
+    * header decode. */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          val w = 1 + (id % 31).toInt
+          val h = 1 + (id % 17).toInt
+          val payload = (id % 4) match {
+            case 0 => ImageHeaders.png(w, h)
+            case 1 => ImageHeaders.jpeg(w, h)
+            case 2 => ImageHeaders.gif(w, h)
+            case _ => ImageHeaders.bmp(w, h)
+          }
+          Row(id, payload)
+        }
+      }
+    }(enc)
+  }
+
+  /** The real header decode: (id, format, width, height) parsed from the
+    * payload BYTES via [[ImageHeaders.dims]] — not taken from metadata.
+    * Unrecognized/truncated payloads yield NULL columns, not failures
+    * (corrupt members are the norm in crawled media at scale). */
+  def imageDims(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          // positional access: upstream mapPartitions rows may be schemaless
+          ImageHeaders.dims(r.getAs[Array[Byte]](1)) match {
+            case Some((f, w, h)) =>
+              Row(id, f, Integer.valueOf(w), Integer.valueOf(h))
+            case None => Row(id, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Feature extraction over media payloads: partition-parallel
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs — one
     * iterator per partition, no per-row SerDe setup). Output:

@@ -57,6 +57,20 @@ object AtomicWriter {
   private def stgName(t: TableRef): TableRef =
     t.copy(name = t.name + "__graft_stg")
 
+  /** The target's CURRENT bucket spec, for maintenance rewrites (UPDATE/
+    * DELETE/snapshot/MV-refresh/schema-sync) that must preserve the
+    * table's layout rather than silently recreate it unbucketed. Callers
+    * expressing USER intent (Materializer.table) pass their own bucketBy
+    * instead. */
+  def currentBucketing(spark: SparkSession,
+      target: TableRef): Option[(Int, Seq[String])] = {
+    if (!spark.catalog.tableExists(target.render.replace("`", ""))) return None
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(target.render.replace("`", ""))
+    spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .map(bs => (bs.numBuckets, bs.bucketColumnNames))
+  }
+
   /** Create-or-replace the table with `df` (CTAS path — target not read). */
   def createOrReplace(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None,

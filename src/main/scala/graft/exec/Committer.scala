@@ -173,8 +173,10 @@ object VersionedCommitter extends Committer {
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
     val pcols = partition.partitionColumns
-    val stamp = f"${System.currentTimeMillis()}%013d_${(scala.math.abs(
-      new java.security.SecureRandom().nextInt()) % 1000000)}%06d"
+    // nextInt(bound) is never negative (math.abs(Int.MinValue) is), so the
+    // stamp keeps its [0-9_]-only invariant repairPartitionLocations needs
+    val stamp = f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
     val vroot = new HPath(new HPath(tgtDir, VersionsDir), stamp)
     var out = aligned
     if (pcols.nonEmpty)
@@ -190,8 +192,12 @@ object VersionedCommitter extends Committer {
       val ident = Committer.ident(spark, target)
       val table = cat.getTableMetadata(ident)
       val specs = staged.map(rel => rel -> Committer.specFromRel(pcols, rel))
-      val existing = cat.listPartitions(ident)
-        .map(p => p.spec -> p).toMap
+      // O(|delta|) metadata: look up ONLY the staged specs — a full
+      // listPartitions would fetch every partition of the table on every
+      // commit (10⁵–10⁶ RPC payloads at the target scale)
+      val existing = specs.flatMap { case (_, spec) =>
+        cat.listPartitions(ident, Some(spec)).map(p => p.spec -> p)
+      }.toMap
       val (toAlter, toCreate) = specs.partition(s => existing.contains(s._2))
       val oldLocations = toAlter.flatMap { case (_, spec) =>
         existing(spec).storage.locationUri.map(new HPath(_))

@@ -164,14 +164,18 @@ object Incremental {
     require(partition.partitionColumns.size == 1,
       "static insert_overwrite lists values of a single partition column")
     val pcol = partition.partitionColumns.head
-    val srcP = AtomicWriter.withPartitionCols(src, partition)
-      .filter(col(pcol).cast("string").isin(partitions: _*))
     // The listed partitions are the OWNED set: overwritePartitions' touched
     // diff drops any listed partition the source stages no rows for
     // (registration + files) — one code path, and no separate
     // present-partition collect job + per-partition DDL round trips.
+    // Filtering goes through the canonical partitionKey encoding, NOT a
+    // bare isin on the raw column: isin is 3VL and can never match NULL
+    // rows, which would silently discard a listed NULL partition's new
+    // rows AND delete its old files via the emptied diff.
     val owned = partitions.map(p =>
       if (p == null || p.isEmpty) AtomicWriter.HiveDefaultPartition else p).toSet
+    val srcP = AtomicWriter.withPartitionCols(src, partition)
+      .filter(AtomicWriter.partitionKey(Seq(col(pcol))).isin(owned.toSeq: _*))
     AtomicWriter.overwritePartitions(spark, srcP, target, partition, Some(owned))
   }
 
@@ -279,7 +283,8 @@ object Incremental {
       touched: Option[Set[String]]): Unit =
     (partition, touched) match {
       case (PartitionSpec.None, _) | (_, None) =>
-        AtomicWriter.overwriteTable(spark, result, target, partition)
+        AtomicWriter.overwriteTable(spark, result, target, partition,
+          AtomicWriter.currentBucketing(spark, target))
       case (p, Some(parts)) =>
         val pcols = p.partitionColumns
         val pruned = result.filter(

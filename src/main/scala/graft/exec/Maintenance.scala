@@ -145,6 +145,11 @@ object Maintenance {
       catch { case _: java.io.FileNotFoundException => Nil }
     entries.filter(e => e.isDirectory &&
         e.getPath.getName.startsWith(".graft_trash")).foreach { t =>
+      // the trash may hold the ONLY copy of a partition — purge it only if
+      // every stranded partition restored cleanly; a failed rename-back
+      // leaves the trash in place (and says so) rather than destroying
+      // the last recoverable state
+      var restoreFailed = false
       AtomicWriter.partitionDirs(fs, t.getPath, depth).foreach { rel =>
         val live = new org.apache.hadoop.fs.Path(root, rel)
         if (!fs.exists(live)) {
@@ -153,11 +158,16 @@ object Maintenance {
             spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
               s"PARTITION (${AtomicWriter.specOf(rel)})")
             actions += s"restored partition $rel from ${t.getPath.getName}"
+          } else {
+            restoreFailed = true
+            actions += s"RESTORE FAILED for $rel — ${t.getPath.getName} kept"
           }
         }
       }
-      fs.delete(t.getPath, true)
-      actions += s"cleared ${t.getPath.getName}"
+      if (!restoreFailed) {
+        fs.delete(t.getPath, true)
+        actions += s"cleared ${t.getPath.getName}"
+      }
     }
 
     // 4. pending version manifests

@@ -26,7 +26,7 @@ object Mutations {
     partition.partitionColumns match {
       case Nil =>
         AtomicWriter.overwriteTable(spark, tgt.filter(survives), target,
-          partition)
+          partition, AtomicWriter.currentBucketing(spark, target))
       case pcols =>
         // NULL-safe: touched keys use the canonical partitionKey encoding
         // (NULL → default-partition sentinel), so deleting from a NULL
@@ -35,7 +35,7 @@ object Mutations {
         touchedSet(spark, tgt, pred, key) match {
           case None => // past the cap: whole-table rewrite (see touchedCap)
             AtomicWriter.overwriteTable(spark, tgt.filter(survives), target,
-              partition)
+              partition, AtomicWriter.currentBucketing(spark, target))
           case Some(touched) if touched.nonEmpty =>
             // declare the touched set so a partition whose every row is
             // deleted ends up DROPPED, not silently left with its old files
@@ -76,12 +76,14 @@ object Mutations {
     }.toIndexedSeq: _*)
     partition.partitionColumns match {
       case Nil =>
-        AtomicWriter.overwriteTable(spark, applied, target, partition)
+        AtomicWriter.overwriteTable(spark, applied, target, partition,
+          AtomicWriter.currentBucketing(spark, target))
       case pcols =>
         val key = AtomicWriter.partitionKey(pcols.map(col))
         touchedSet(spark, tgt, pred, key) match {
           case None =>
-            AtomicWriter.overwriteTable(spark, applied, target, partition)
+            AtomicWriter.overwriteTable(spark, applied, target, partition,
+              AtomicWriter.currentBucketing(spark, target))
           case Some(touched) if touched.nonEmpty =>
             AtomicWriter.overwritePartitions(spark,
               applied.filter(key.isin(touched.toSeq: _*)), target, partition)

@@ -16,15 +16,14 @@ object Retry {
 
   private def log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Transient-looking failures: concurrent catalog modification, races on
-    * list/rename (entity visible in listing but gone at access, or vice
-    * versa), and lease/timeout flavors of IOException. */
+  /** Transient-looking failures: concurrent catalog modification and
+    * lease/timeout/connection flavors of IOException. AnalysisException is
+    * deliberately NOT retried — the wrapped DDL is all IF [NOT] EXISTS, so
+    * genuine add/drop races cannot produce analysis errors, while
+    * permanent ones (table dropped, typo'd ref) would burn the whole ~55 s
+    * budget before surfacing. */
   def transientRace(t: Throwable): Boolean = t match {
     case _: java.util.ConcurrentModificationException => true
-    case e: org.apache.spark.sql.AnalysisException =>
-      // partition appeared/disappeared between our listing and the DDL
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("already exists") || m.contains("not found")
     case e: java.io.IOException =>
       val m = Option(e.getMessage).getOrElse("").toLowerCase
       // our own swap-rollback failures carry recovery guidance and must

@@ -120,6 +120,7 @@ object SnapshotExec {
       .unionByName(closedOut)
       .unionByName(untouchedOpenClean)
       .unionByName(inserted)
-    AtomicWriter.overwriteTable(spark, result, target, PartitionSpec.None)
+    AtomicWriter.overwriteTable(spark, result, target, PartitionSpec.None,
+      AtomicWriter.currentBucketing(spark, target))
   }
 }

@@ -83,7 +83,7 @@ object Materializer {
           // rewrite WITH the partition spec — the default would silently
           // recreate a partitioned target as an unpartitioned table
           graft.exec.AtomicWriter.overwriteTable(spark, rewritten, target,
-            partition)
+            partition, graft.exec.AtomicWriter.currentBucketing(spark, target))
         }
         src.select(finalCols.map(col): _*)
     }
@@ -239,7 +239,8 @@ object Materializer {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val sql = props.getOrElse("graft.mv.query",
       throw new IllegalStateException(s"${target.render} is not a graft materialized view"))
-    AtomicWriter.overwriteTable(spark, spark.sql(sql), target)
+    AtomicWriter.overwriteTable(spark, spark.sql(sql), target,
+      bucketBy = AtomicWriter.currentBucketing(spark, target))
     // the rebuilt table carries NO properties — restore ALL persisted ones
     // (user tblProperties, grants), not just the stored query; losing them
     // would flip materializedViewApply's config-diff to "replaced" forever.

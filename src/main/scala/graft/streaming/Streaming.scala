@@ -95,26 +95,37 @@ object Streaming {
                 s"(${attempt(id)}) — the target may hold a half-applied " +
                 "overwrite; restore from .graft_trash/backup before rerunning")
           fs.create(attempt(id), true).close()
-          val batchP = graft.exec.AtomicWriter.withPartitionCols(batch, partition)
-          val key = graft.exec.AtomicWriter.partitionKey(pcols.map(col))
-          val keys = batchP.select(key.as("p")).distinct()
-            .collect().map(_.getString(0)).toSet
-          val overlap = keys.intersect(written)
-          val df =
-            if (overlap.isEmpty) batchP
-            else batchP.unionByName(spark.table(target.render)
-              .filter(key.isin(overlap.toSeq: _*)))
-          Incremental.insertOverwriteDynamic(spark, target, df, partition)
-          // marker written via create+rename so it appears atomically
-          val tmp = new HPath(stateDir, s".done-$id.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(keys.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          if (!fs.rename(tmp, done(id)))
-            throw new java.io.IOException(s"cannot commit marker ${done(id)}")
-          fs.delete(attempt(id), false)
-          written ++= keys
-          ()
+          // a CLEAN in-process failure (the swap is all-or-nothing and
+          // rolls back) must clear its attempt marker before rethrowing —
+          // otherwise a transient error would permanently poison the
+          // checkpoint with a false half-applied alarm. Only a process
+          // crash mid-apply leaves the marker for the loud path above.
+          try {
+            val batchP = graft.exec.AtomicWriter.withPartitionCols(batch, partition)
+            val key = graft.exec.AtomicWriter.partitionKey(pcols.map(col))
+            val keys = batchP.select(key.as("p")).distinct()
+              .collect().map(_.getString(0)).toSet
+            val overlap = keys.intersect(written)
+            val df =
+              if (overlap.isEmpty) batchP
+              else batchP.unionByName(spark.table(target.render)
+                .filter(key.isin(overlap.toSeq: _*)))
+            Incremental.insertOverwriteDynamic(spark, target, df, partition)
+            // marker written via create+rename so it appears atomically
+            val tmp = new HPath(stateDir, s".done-$id.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(keys.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            if (!fs.rename(tmp, done(id)))
+              throw new java.io.IOException(s"cannot commit marker ${done(id)}")
+            fs.delete(attempt(id), false)
+            written ++= keys
+            ()
+          } catch {
+            case e: Throwable =>
+              fs.delete(attempt(id), false)
+              throw e
+          }
         } else {
           fs.mkdirs(stateDir)
           fs.create(done(id), true).close() // empty batch: nothing touched

@@ -65,4 +65,11 @@ class ImageHeadersSpec extends AnyFunSuite {
     broken(2) = 0x00
     assert(ImageHeaders.dims(broken).isEmpty)
   }
+
+  test("JPEG with legal 0xFF fill bytes between markers still parses") {
+    val base = ImageHeaders.jpeg(33, 44)
+    // inject two fill bytes before the APP0 marker id (T.81 B.1.1.2)
+    val filled = base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    assert(ImageHeaders.dims(filled) == Some(("jpeg", 33, 44)))
+  }
 }

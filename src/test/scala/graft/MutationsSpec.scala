@@ -99,4 +99,21 @@ class MutationsSpec extends SparkSpec {
     Mutations.truncate(spark, ref)
     assert(spark.table(ref.render).count() == 0)
   }
+
+  test("UPDATE/DELETE on a bucketed table preserve the bucket spec") {
+    import graft.catalog.TableRef
+    val ref = TableRef("default.mut_bucketed")
+    graft.mat.Materializer.table(spark, ref,
+      Seq((1L, 10.0), (2L, 20.0), (14L, 30.0)).toDF("id", "bal"),
+      bucketBy = Some((8, Seq("id"))))
+    Mutations.update(spark, ref, Map("bal" -> (col("bal") + 1)), col("id") % 7 === 0)
+    Mutations.delete(spark, ref, col("id") === 2L)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("default.mut_bucketed"))
+    assert(meta.bucketSpec.exists(b => b.numBuckets == 8 &&
+      b.bucketColumnNames == Seq("id")),
+      s"bucket spec lost by mutation rewrite: ${meta.bucketSpec}")
+    val got = spark.table(ref.render).as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0), (14L, 31.0)))
+  }
 }

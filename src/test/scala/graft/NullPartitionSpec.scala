@@ -115,4 +115,28 @@ class NullPartitionSpec extends SparkSpec {
     val sep = AtomicWriter.SEP
     assert(keys == Seq(s"$S${sep}y", s"$S${sep}y", s"x$sep$S"))
   }
+
+  test("static insert_overwrite with a NULL listed partition replaces, not destroys, it") {
+    val ref = TableRef("default.np_static_null")
+    Materializer.table(spark, ref,
+      Seq((1L, 10L, Option.empty[String]), (2L, 20L, Some("p1")),
+        (3L, 30L, Some("p2"))).toDF("id", "v", "pt"), part1)
+    // list the NULL partition (and p1); source carries new rows for both.
+    // A bare isin filter would never match the NULL rows — they would be
+    // discarded AND the owned-set diff would drop the partition's files.
+    val src = Seq((10L, 100L, Option.empty[String]), (20L, 200L, Some("p1")))
+      .toDF("id", "v", "pt")
+    Incremental.insertOverwriteStatic(spark, ref, src, part1,
+      partitions = Seq(null, "p1"))
+    val got = spark.table(ref.render).select("id", "v").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((3L, 30L), (10L, 100L), (20L, 200L)))
+    // and a listed-but-empty NULL partition is dropped cleanly
+    Incremental.insertOverwriteStatic(spark, ref,
+      Seq((21L, 201L, Some("p1"))).toDF("id", "v", "pt"), part1,
+      partitions = Seq(null, "p1"))
+    val got2 = spark.table(ref.render).select("id", "v").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((3L, 30L), (21L, 201L)))
+  }
 }

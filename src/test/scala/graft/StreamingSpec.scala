@@ -231,4 +231,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(ref.render).select("v").as[Long].collect().sorted.toSeq
       == Seq(1L, 2L, 3L))
   }
+
+  test("a cleanly-failed micro-batch does not poison the checkpoint") {
+    import graft.catalog.{PartitionSpec, TableRef}
+    spark.sql("DROP TABLE IF EXISTS default.st_cleanfail")
+    val part = PartitionSpec.Auto("ts", "day", Some("pt"))
+    val ref = TableRef("default.st_cleanfail")
+    val rows = Seq((java.sql.Timestamp.valueOf("2024-03-01 06:00:00"), 1L))
+      .toDF("ts", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("st_cf_src")
+    rows.write.parquet(tmp.toString + "/f1")
+    val ckpt = java.nio.file.Files.createTempDirectory("st_cf_ckpt")
+    def stream() = spark.readStream.schema(rows.schema)
+      .parquet(tmp.toString + "/f*")
+    // target table does NOT exist: the first batch fails cleanly inside
+    // foreachBatch (table not found) — transient from the stream's view
+    intercept[Throwable] {
+      Streaming.runToCompletion(
+        Streaming.microbatchStream(spark, stream(), ref, part, ckpt.toString))
+    }
+    // fix the environment and restart over the SAME checkpoint: the batch
+    // must re-run (no stale attempt-marker alarm) and apply cleanly
+    graft.mat.Materializer.table(spark, ref,
+      graft.exec.AtomicWriter.withPartitionCols(rows.limit(0), part), part)
+    Streaming.runToCompletion(
+      Streaming.microbatchStream(spark, stream(), ref, part, ckpt.toString))
+    assert(spark.table(ref.render).select("v").as[Long].collect().toSeq
+      == Seq(1L))
+  }
 }

@@ -520,21 +520,37 @@ object SparkEntry {
     * approximate distinct counts cheap at 100 TB: partial sketches combine
     * without a global shuffle of raw values). Estimates are engine-specific
     * ⇒ rows-only check; the exact count rides along as a sanity anchor. */
+  /** HLL sketches, SELF-VERIFYING: per event_type (and for the MERGED
+    * all-types sketch — exercising hll_union_agg mergeability) the query
+    * emits the exact distinct count and |approx−exact|/exact ≤ 5% as a
+    * boolean; DuckDB reproduces both relationally, so the sketch's error
+    * bound is hash-checked (HLL lgConfigK=12 ⇒ ~1.6% standard error). */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val perType = e.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
-    perType.select(col("event_type"),
-        hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+    val allExact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    def gated(eventType: Column, approx: Column, exact: Column) = Seq(
+      eventType.as("event_type"), exact.as("exact_users"),
+      (abs(approx - exact).cast("double") / exact <= 0.05).as("err_ok"))
+    perType.select(gated(col("event_type"),
+        hll_sketch_estimate(col("sk")), col("exact_users")): _*)
       .unionByName(
-        perType.agg(hll_union_agg(col("sk")).as("sk"),
-            sum(lit(0L)).as("ignore"))
-          .select(lit("__all__").as("event_type"),
-            hll_sketch_estimate(col("sk")).as("approx_users"),
-            lit(-1L).as("exact_users")))
+        perType.agg(hll_union_agg(col("sk")).as("sk"))
+          .crossJoin(allExact)
+          .select(gated(lit("__all__"),
+            hll_sketch_estimate(col("sk")), col("exact_users")): _*))
       .orderBy(col("event_type"))
   }
+
+  private val q17Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS err_ok
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+      |ORDER BY 1""".stripMargin
 
   /** Multi-column tuple-IN semi-join — the reference's composite unique_key
     * form `(k1,k2) IN (SELECT …)` (merge.sql:72-83). */
@@ -624,6 +640,7 @@ object SparkEntry {
     "q14_date_spine" -> q14Sql,
     "q15_events_window" -> q15Sql,
     "q16_tuple_in_semi" -> q16Sql,
+    "q17_hll_sketches" -> q17Sql,
     "q18_window_depth" -> q18Sql,
     "f01_datediff_parts" -> f01Sql,
     "f02_datediff_boundary" -> f02Sql,

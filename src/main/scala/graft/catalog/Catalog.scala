@@ -17,11 +17,18 @@ final case class TableRef(database: Option[String], name: String) {
 }
 
 object TableRef {
-  def apply(name: String): TableRef =
-    if (name.contains(".")) {
-      val parts = name.split("\\.", 2)
-      TableRef(Some(parts(0)), parts(1))
-    } else TableRef(None, name)
+  /** Parse `db.table` or `project.schema.table` — the three-part reference
+    * form collapses `project`+`schema` into the one Spark namespace
+    * `project_schema` (see class doc). Splitting any other way would leave
+    * a dot INSIDE the quoted table identifier, silently addressing a
+    * different relation than `exists()`/DDL paths resolve. */
+  def apply(name: String): TableRef = name.split("\\.", -1) match {
+    case Array(n) => TableRef(None, n)
+    case Array(db, n) => TableRef(Some(db), n)
+    case Array(project, schema, n) => TableRef(Some(s"${project}_$schema"), n)
+    case parts => throw new IllegalArgumentException(
+      s"relation name has ${parts.length} parts (max 3): $name")
+  }
 }
 
 sealed trait RelationType
@@ -74,8 +81,12 @@ object PartitionSpec {
   * catalog API). All operations are metadata-only (no jobs). */
 object CatalogOps {
 
+  // NOTE: the quoted render is passed VERBATIM to the catalog API (which
+  // parses backticks) — stripping the quotes would break any identifier
+  // that needs them (`my-table`) and, for a dotted name, re-split it into
+  // a different relation than the DDL paths address.
   def exists(spark: SparkSession, ref: TableRef): Boolean =
-    spark.catalog.tableExists(ref.render.replace("`", ""))
+    spark.catalog.tableExists(ref.render)
 
   def listRelations(spark: SparkSession, db: String): Seq[String] =
     spark.catalog.listTables(db).collect().toSeq.map(_.name)
@@ -93,7 +104,7 @@ object CatalogOps {
   def dropRelation(spark: SparkSession, ref: TableRef): Unit = {
     val fq = ref.render
     val isView = try {
-      spark.catalog.getTable(fq.replace("`", "")).tableType == "VIEW"
+      spark.catalog.getTable(fq).tableType == "VIEW"
     } catch { case _: Exception => false }
     if (isView) spark.sql(s"DROP VIEW IF EXISTS $fq")
     else spark.sql(s"DROP TABLE IF EXISTS $fq")
@@ -147,7 +158,7 @@ object CatalogOps {
       s"COMMENT '${Fns.sqlStringEscape(comment)}'")
 
   def getColumnComments(spark: SparkSession, ref: TableRef): Map[String, String] =
-    spark.catalog.listColumns(ref.render.replace("`", "")).collect()
+    spark.catalog.listColumns(ref.render).collect()
       .flatMap(c => Option(c.description).map(c.name -> _)).toMap
 
   /** Catalog crawl for docs generation: one row per table with database,
@@ -167,7 +178,7 @@ object CatalogOps {
     * table's storage (ref impl.py:447-462 last_data_modified_time). */
   def lastModified(spark: SparkSession, ref: TableRef): Option[java.sql.Timestamp] = {
     val ident = spark.sessionState.sqlParser
-      .parseTableIdentifier(ref.render.replace("`", ""))
+      .parseTableIdentifier(ref.render)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
@@ -187,8 +198,18 @@ object CatalogOps {
     * properties so the diff-based apply logic stays observable
     * (ref impl.py:509-558). */
   def applyGrants(spark: SparkSession, ref: TableRef, grants: Map[String, Seq[String]]): Unit = {
+    // DIFF-based, like the reference: grants absent from the new config are
+    // REVOKED (their property unset) — otherwise revocation would be a
+    // silent no-op and stale privileges would persist forever
+    val existing = spark.sql(s"SHOW TBLPROPERTIES ${ref.render}").collect()
+      .map(_.getString(0)).filter(_.startsWith("graft.grant."))
+      .map(_.stripPrefix("graft.grant.")).toSet
+    val stale = existing -- grants.keySet
+    if (stale.nonEmpty)
+      spark.sql(s"ALTER TABLE ${ref.render} UNSET TBLPROPERTIES (" +
+        stale.map(p => s"'graft.grant.${Fns.sqlStringEscape(p)}'").mkString(", ") + ")")
     val rendered = grants.map { case (priv, users) =>
-      s"'graft.grant.$priv'='${users.mkString(",")}'"
+      s"'graft.grant.${Fns.sqlStringEscape(priv)}'='${Fns.sqlStringEscape(users.mkString(","))}'"
     }.mkString(", ")
     if (rendered.nonEmpty)
       spark.sql(s"ALTER TABLE ${ref.render} SET TBLPROPERTIES ($rendered)")

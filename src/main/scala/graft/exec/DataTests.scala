@@ -70,18 +70,24 @@ object DataTests {
 
   /** dbt's `check_relations_equal` (test_core.py:29) / unit-test compare:
     * symmetric difference of the two relations tagged by side, counting
-    * duplicates (bag semantics via a per-side row counter). Empty ⇒ equal. */
+    * duplicates (bag semantics via a per-side row counter). Empty ⇒ equal.
+    * Internal tag columns carry a reserved prefix and are checked against
+    * the data columns — a relation with a real column named e.g. "side"
+    * must not have it silently overwritten into a wrong verdict. */
   def relationsEqual(a: DataFrame, b: DataFrame): DataFrame = {
     val cols = a.columns.toSeq
+    val N = "__graft_n"; val SIDE = "__graft_side"; val SIDES = "__graft_sides"
+    val clash = cols.toSet.intersect(Set(N, SIDE, SIDES))
+    require(clash.isEmpty, s"reserved column name(s) in compared relation: $clash")
     def counted(df: DataFrame) =
-      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-    counted(a).withColumn("side", lit("a"))
-      .unionByName(counted(b).withColumn("side", lit("b")))
-      .groupBy(cols.map(col) :+ col("__n"): _*)
-      .agg(collect_set(col("side")).as("sides"))
-      .filter(size(col("sides")) === 1)
-      .select(cols.map(col) :+ col("__n").as("n_records") :+
-        element_at(col("sides"), 1).as("only_in"): _*)
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(N))
+    counted(a).withColumn(SIDE, lit("a"))
+      .unionByName(counted(b).withColumn(SIDE, lit("b")))
+      .groupBy(cols.map(col) :+ col(N): _*)
+      .agg(collect_set(col(SIDE)).as(SIDES))
+      .filter(size(col(SIDES)) === 1)
+      .select(cols.map(col) :+ col(N).as("n_records") :+
+        element_at(col(SIDES), 1).as("only_in"): _*)
   }
 
   // ------------------------------------------------------------------ runner

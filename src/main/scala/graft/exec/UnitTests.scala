@@ -20,12 +20,22 @@ object UnitTests {
       given: Map[String, DataFrame],
       model: SparkSession => DataFrame,
       expect: DataFrame): UnitResult = {
+    // fixtures must SHADOW same-named temp views for the model run, then
+    // RESTORE them — dropping a pre-existing view the test didn't create
+    // would break whatever else in the session was using it
+    val cat = spark.sessionState.catalog
+    val shadowed = given.keys.map(v => v -> cat.getRawTempView(v)).toMap
     given.foreach { case (viewName, df) => df.createOrReplaceTempView(viewName) }
     try {
       val actual = model(spark)
       val diff = DataTests.relationsEqual(actual, expect)
+      // the diff plan reads the fixture views lazily — materialize the
+      // verdict BEFORE the finally block swaps the views back
       UnitResult(name, diff.isEmpty, diff)
-    } finally given.keys.foreach(spark.catalog.dropTempView)
+    } finally shadowed.foreach {
+      case (v, Some(prior)) => cat.createTempView(v, prior, overrideIfExists = true)
+      case (v, None) => spark.catalog.dropTempView(v)
+    }
   }
 
   def runAll(spark: SparkSession,

@@ -17,9 +17,24 @@ object TypeMapper {
 
   private val decimalRx = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val decimalPRx = """DECIMAL\s*\(\s*(\d+)\s*\)""".r
-  private val charRx = """(?:CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)""".r
-  private val arrayRx = """ARRAY\s*<\s*(.+)\s*>""".r
-  private val mapRx = """MAP\s*<\s*([^,]+)\s*,\s*(.+)\s*>""".r
+  // (CHAR(n)/VARCHAR(n) never reach the scalar match: normalize() collapses
+  // their BASE to STRING and drops the length before matching.)
+
+  /** Split at `sep` occurring at bracket depth 0 only — a naive regex split
+    * would cut MAP<DECIMAL(10,2),STRING> at the decimal's comma. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case `sep` if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
 
   /** Normalize a reference type label (ref column.py:16-22). Alias mapping
     * applies to the BASE name so parameterized forms normalize too:
@@ -45,27 +60,51 @@ object TypeMapper {
 
   /** Reference type name → Spark DataType. The reference's DATETIME and
     * TIMESTAMP both land on TimestampType (session-zoned; the reference
-    * deliberately avoids NTZ — impl.py:394-401). */
-  def toSpark(label: String): DataType = normalize(label) match {
-    case "TINYINT" => ByteType
-    case "SMALLINT" => ShortType
-    case "INT" => IntegerType
-    case "BIGINT" => LongType
-    case "FLOAT" => FloatType
-    case "DOUBLE" => DoubleType
-    case "BOOLEAN" => BooleanType
-    case "STRING" => StringType
-    case "BINARY" => BinaryType
-    case "DATE" => DateType
-    case "DATETIME" | "TIMESTAMP" => TimestampType
-    case "TIMESTAMP_NTZ" => TimestampNTZType
-    case "DECIMAL" => DecimalType(38, 18)
-    case decimalRx(p, s) => DecimalType(p.toInt, s.toInt)
-    case decimalPRx(p) => DecimalType(p.toInt, 0)
-    case charRx(n) => StringType // engine stores as string; length is DDL fidelity
-    case arrayRx(inner) => ArrayType(toSpark(inner))
-    case mapRx(k, v) => MapType(toSpark(k), toSpark(v))
-    case other => throw new IllegalArgumentException(s"unknown type: $other")
+    * deliberately avoids NTZ — impl.py:394-401).
+    *
+    * Container types are dispatched on the RAW label (before normalize's
+    * upper-casing, which would destroy struct field-name case) with
+    * depth-aware splitting, so MAP<DECIMAL(10,2),STRING> and every
+    * STRUCT label [[toRef]] emits round-trip. */
+  def toSpark(label: String): DataType = {
+    val t = label.trim
+    val up = t.toUpperCase
+    def inner(prefix: Int): String = t.substring(prefix, t.length - 1)
+    if (up.startsWith("ARRAY") && up.endsWith(">"))
+      ArrayType(toSpark(inner(t.indexOf('<') + 1)))
+    else if (up.startsWith("MAP") && up.endsWith(">"))
+      splitTop(inner(t.indexOf('<') + 1), ',') match {
+        case Seq(k, v) => MapType(toSpark(k), toSpark(v))
+        case parts => throw new IllegalArgumentException(
+          s"MAP needs exactly key,value: $label (got ${parts.length} parts)")
+      }
+    else if (up.startsWith("STRUCT") && up.endsWith(">"))
+      StructType(splitTop(inner(t.indexOf('<') + 1), ',').map { f =>
+        splitTop(f, ':') match {
+          case Seq(name, fieldType) =>
+            StructField(name.trim, toSpark(fieldType))
+          case _ => throw new IllegalArgumentException(
+            s"struct field needs name:type, got '$f' in $label")
+        }
+      })
+    else normalize(t) match {
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" => IntegerType
+      case "BIGINT" => LongType
+      case "FLOAT" => FloatType
+      case "DOUBLE" => DoubleType
+      case "BOOLEAN" => BooleanType
+      case "STRING" => StringType
+      case "BINARY" => BinaryType
+      case "DATE" => DateType
+      case "DATETIME" | "TIMESTAMP" => TimestampType
+      case "TIMESTAMP_NTZ" => TimestampNTZType
+      case "DECIMAL" => DecimalType(38, 18)
+      case decimalRx(p, s) => DecimalType(p.toInt, s.toInt)
+      case decimalPRx(p) => DecimalType(p.toInt, 0)
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
   }
 
   /** Spark DataType → reference type name (for DDL rendering/docs). */

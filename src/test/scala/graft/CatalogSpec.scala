@@ -99,4 +99,51 @@ class CatalogSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() == 1000)
   }
+
+  test("TableRef three-part names collapse project+schema (not dot-in-identifier)") {
+    val r = TableRef("proj.schema.tbl")
+    assert(r == TableRef(Some("proj_schema"), "tbl"))
+    assert(r.render == "`proj_schema`.`tbl`")
+    intercept[IllegalArgumentException] { TableRef("a.b.c.d") }
+  }
+
+  test("identifiers that need quoting survive exists/drop (no backtick strip)") {
+    // hyphens are rejected by the session catalog itself at CREATE; the
+    // probe must still answer false, not throw on the unparseable raw name
+    assert(!CatalogOps.exists(spark, TableRef(Some("default"), "cat-hyphen")))
+    // a reserved word is creatable but NEEDS its backticks end-to-end
+    val r = TableRef(Some("default"), "select")
+    spark.sql(s"CREATE TABLE ${r.render} (id BIGINT) USING parquet")
+    assert(CatalogOps.exists(spark, r))
+    CatalogOps.dropRelation(spark, r)
+    assert(!CatalogOps.exists(spark, r))
+  }
+
+  test("applyGrants revokes grants absent from the new config (diff-based)") {
+    val r = TableRef(Some("default"), "cat_grants_rev")
+    spark.sql(s"CREATE TABLE ${r.render} (id BIGINT) USING parquet")
+    CatalogOps.applyGrants(spark, r, Map("select" -> Seq("alice"), "insert" -> Seq("bob")))
+    CatalogOps.applyGrants(spark, r, Map("insert" -> Seq("bob")))
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${r.render}").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(!props.contains("graft.grant.select"), props)
+    assert(props.get("graft.grant.insert").contains("bob"))
+    CatalogOps.applyGrants(spark, r, Map.empty)
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES ${r.render}").collect()
+      .map(row => row.getString(0)).filter(_.startsWith("graft.grant."))
+    assert(props2.isEmpty, props2.mkString(","))
+  }
+
+  test("TypeMapper parses parameterized map keys, structs, and round-trips toRef") {
+    import org.apache.spark.sql.types._
+    assert(TypeMapper.toSpark("MAP<DECIMAL(10,2),STRING>")
+      == MapType(DecimalType(10, 2), StringType))
+    val st = StructType(Seq(
+      StructField("a", IntegerType), StructField("bQ", ArrayType(
+        MapType(StringType, DecimalType(12, 3))))))
+    assert(TypeMapper.toSpark(TypeMapper.toRef(st)) == st)
+    assert(TypeMapper.toSpark("STRUCT<x:INT,y:STRUCT<z:DOUBLE>>")
+      == StructType(Seq(StructField("x", IntegerType),
+        StructField("y", StructType(Seq(StructField("z", DoubleType)))))))
+  }
 }

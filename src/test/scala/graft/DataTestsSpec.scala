@@ -1,6 +1,6 @@
 package graft
 
-import graft.exec.DataTests
+import graft.exec.{DataTests, UnitTests}
 import graft.exec.DataTests._
 
 /** dbt generic data tests (ref Tutorial.md:152-198, test_basic.py). */
@@ -89,5 +89,32 @@ class DataTestsSpec extends SparkSpec {
     // failures stored as audit tables
     assert(spark.table("dt_audit.uniq").count() == 1)
     assert(spark.table("dt_audit.nn_name").count() == 1)
+  }
+
+  test("relationsEqual handles data columns named like its old internal tags") {
+    val a = Seq((1L, "buy"), (2L, "sell")).toDF("id", "side")
+    val b = Seq((1L, "buy"), (2L, "sell")).toDF("id", "side")
+    assert(DataTests.relationsEqual(a, b).isEmpty)
+    val c = Seq((1L, "buy"), (2L, "hold")).toDF("id", "side")
+    assert(DataTests.relationsEqual(a, c).count() == 2)
+    // reserved names are refused loudly, never silently overwritten
+    intercept[IllegalArgumentException] {
+      DataTests.relationsEqual(a.withColumnRenamed("side", "__graft_n"),
+        b.withColumnRenamed("side", "__graft_n"))
+    }
+  }
+
+  test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
+    Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
+    val fixture = Seq((1L, "fix")).toDF("id", "v")
+    val r = UnitTests.run(spark, "shadow",
+      given = Map("ut_shadowed" -> fixture),
+      model = s => s.table("ut_shadowed"),
+      expect = fixture)
+    assert(r.passed)
+    // the ORIGINAL view is back, not dropped, not the fixture
+    assert(spark.table("ut_shadowed").as[(Long, String)].collect().toSeq
+      == Seq((99L, "prior")))
+    spark.catalog.dropTempView("ut_shadowed")
   }
 }

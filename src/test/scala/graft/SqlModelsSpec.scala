@@ -50,4 +50,30 @@ class SqlModelsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 100L), (2L, 999L), (3L, 300L)))
   }
+
+  test("double-quoted and two-argument ref forms render; unknown jinja fails loudly") {
+    import graft.pipeline.SqlModels
+    val self = TableRef("db.m")
+    val out = SqlModels.render(
+      """SELECT * FROM {{ ref("stg_orders") }} JOIN {{ ref('pkg', 'stg_cust') }}""",
+      self, r => TableRef(s"db.$r"), (s, t) => TableRef(s"$s.$t"))
+    assert(out.contains("`db`.`stg_orders`") && out.contains("`db`.`stg_cust`"))
+    assert(SqlModels.refsOf("""{{ ref("a") }} {{ ref('p','b') }}""") == Seq("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      SqlModels.render("SELECT {{ config(x=1) }}", self,
+        r => TableRef(r), (s, t) => TableRef(t))
+    }
+    assert(e.getMessage.contains("unsupported jinja"))
+  }
+
+  test("model SET-header settings are scoped to the run and restored") {
+    import graft.pipeline.SqlModels
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(key)
+    spark.sql("CREATE DATABASE IF NOT EXISTS sm_scope")
+    SqlModels.runSqlModel(spark, "sm_scope", "scoped",
+      s"SET $key=12345;\nSELECT 1 AS x")
+    assert(spark.conf.get(key) == before,
+      "model header setting leaked into the shared session")
+  }
 }

@@ -90,13 +90,29 @@ object AtomicWriter {
   }
 
   /** Atomically replace `target`'s contents with `df`, where `df` may scan
-    * `target` itself (merge/delete rewrites). Stages, renames the old table
-    * ASIDE, swaps the staging in, then drops the old — the target name never
-    * dangles unbound for more than the one rename, and a crash mid-swap
-    * leaves the data recoverable under `__graft_old`. */
+    * `target` itself (merge/delete rewrites).
+    *
+    * Rename committer (default): stages a table, renames the old table
+    * ASIDE, swaps the staging in, then drops the old — the target name
+    * never dangles unbound for more than the one rename, and a crash
+    * mid-swap leaves the data recoverable under `__graft_old`.
+    *
+    * Versioned committer: ONE direct write to a fresh versioned directory
+    * under the table root; the commit is `ALTER TABLE SET LOCATION`
+    * (a catalog pointer flip — no rename of data ever happens), guarded by
+    * a pending manifest; the previous contents become garbage collected
+    * post-commit. Bucketed replacements stay on the rename path (bucket
+    * metadata requires the table-write API), which is documented as the
+    * one rename-dependent exception in versioned mode. */
   def overwriteTable(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None,
       bucketBy: Option[(Int, Seq[String])] = None): Unit = {
+    val existed = spark.catalog.tableExists(target.render.replace("`", ""))
+    if (existed && bucketBy.isEmpty &&
+        Committer.forSession(spark) == VersionedCommitter) {
+      VersionedCommitter.overwriteTable(spark, df, target, partition)
+      return
+    }
     val stg = stgName(target)
     val old = target.copy(name = target.name + "__graft_old")
     // bucket spec travels WITH the staged table through the rename (the
@@ -104,7 +120,6 @@ object AtomicWriter {
     // the same crash-recoverable swap as everything else
     createOrReplace(spark, df, stg, partition, bucketBy)
     spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
-    val existed = spark.catalog.tableExists(target.render.replace("`", ""))
     if (existed) {
       spark.sql(s"ALTER TABLE ${target.render} RENAME TO ${old.render}")
       repairPartitionLocations(spark, old)

@@ -170,21 +170,33 @@ object VersionedCommitter extends Committer {
   private[exec] val VersionsDir = ".graft_versions"
   private[exec] val PendingPrefix = ".graft_pending_"
 
+  /** The table's STABLE anchor directory: its default catalog path. After
+    * a whole-table flip the table's LOCATION points inside the versions
+    * dir, so the current location cannot anchor versions/pending markers —
+    * everything version-related lives under the shell forever. */
+  private[exec] def shellDir(spark: SparkSession, target: TableRef): HPath =
+    new HPath(spark.sessionState.catalog.defaultTablePath(
+      Committer.ident(spark, target)))
+
+  // nextInt(bound) is never negative (math.abs(Int.MinValue) is), so the
+  // stamp keeps its [0-9_]-only invariant repairPartitionLocations needs
+  private def newStamp(): String =
+    f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
     val pcols = partition.partitionColumns
-    // nextInt(bound) is never negative (math.abs(Int.MinValue) is), so the
-    // stamp keeps its [0-9_]-only invariant repairPartitionLocations needs
-    val stamp = f"${System.currentTimeMillis()}%013d_${
-      new java.security.SecureRandom().nextInt(1000000)}%06d"
-    val vroot = new HPath(new HPath(tgtDir, VersionsDir), stamp)
+    val shell = shellDir(spark, target)
+    val stamp = newStamp()
+    val vroot = new HPath(new HPath(shell, VersionsDir), stamp)
     var out = aligned
     if (pcols.nonEmpty)
       out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
     out.write.partitionBy(pcols: _*).parquet(vroot.toString)
     val staged = AtomicWriter.partitionDirs(fs, vroot, pcols.size)
     if (staged.isEmpty) { fs.delete(vroot, true); return Committer.Result(Nil, false) }
-    val pending = new HPath(tgtDir, PendingPrefix + stamp)
+    val pending = new HPath(shell, PendingPrefix + stamp)
     var committed = false
     try {
       writePending(fs, pending, staged)
@@ -254,6 +266,86 @@ object VersionedCommitter extends Committer {
     } catch {
       case e: Throwable if !committed =>
         // uncommitted version: readers never saw it; drop the evidence
+        fs.delete(vroot, true)
+        fs.delete(pending, false)
+        throw e
+    }
+  }
+
+  /** Whole-table replacement, rename-free: write the new contents straight
+    * to a fresh versioned dir under the table root, COMMIT by flipping the
+    * table's location (`ALTER TABLE SET LOCATION` — catalog metadata CAS),
+    * re-register partitions under the new root, then GC the previous
+    * contents. The write doubles as the lineage break (the plan may scan
+    * the target, but it writes to a path that is not yet the table).
+    * A crash before the flip leaves only an invisible version dir +
+    * pending manifest (swept by Maintenance.recover); after the flip the
+    * old contents are unreferenced garbage (also swept). */
+  private[exec] def overwriteTable(spark: SparkSession, df: DataFrame,
+      target: TableRef, partition: PartitionSpec): Unit = {
+    val pcols = partition.partitionColumns
+    val curDir = AtomicWriter.tableDir(spark, target) // may BE a version dir
+    val shell = shellDir(spark, target)
+    val fs = shell.getFileSystem(spark.sessionState.newHadoopConf())
+    val stamp = newStamp()
+    val vroot = new HPath(new HPath(shell, VersionsDir), stamp)
+    val tgtCols = spark.table(target.render).columns
+    var out = AtomicWriter.withPartitionCols(df, partition)
+      .select(tgtCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    if (pcols.nonEmpty)
+      out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+    var w = out.write
+    if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
+    w.parquet(vroot.toString)
+    val pending = new HPath(shell, PendingPrefix + stamp)
+    var committed = false
+    try {
+      val staged =
+        if (pcols.isEmpty) Nil
+        else AtomicWriter.partitionDirs(fs, vroot, pcols.size)
+      writePending(fs, pending, staged)
+      val cat = spark.sessionState.catalog
+      val ident = Committer.ident(spark, target)
+      // what to GC after the flip: shell-level old contents (only when the
+      // current location IS the shell — default layout), plus every other
+      // version dir (incl. the current location when it is one)
+      val oldEntries =
+        if (curDir.toUri.getPath == shell.toUri.getPath)
+          fs.listStatus(shell).map(_.getPath).filterNot(p =>
+            p.getName == VersionsDir || p.getName.startsWith(PendingPrefix))
+        else Array.empty[HPath]
+      val oldVersions =
+        if (fs.exists(new HPath(shell, VersionsDir)))
+          fs.listStatus(new HPath(shell, VersionsDir)).map(_.getPath)
+            .filterNot(_.getName == stamp)
+        else Array.empty[HPath]
+      // drop stale partition registration (metadata only — files are the
+      // old contents, GC'd below), then FLIP the table location
+      if (pcols.nonEmpty) {
+        val specs = cat.listPartitions(ident).map(_.spec)
+        if (specs.nonEmpty)
+          cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
+            purge = false, retainData = true)
+      }
+      spark.sql(s"ALTER TABLE ${target.render} SET LOCATION " +
+        s"'${graft.functions.Fns.sqlStringEscape(vroot.toString)}'")
+      if (staged.nonEmpty)
+        staged.grouped(500).foreach { chunk =>
+          Retry.withRetries() {
+            spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
+              chunk.map(AtomicWriter.specOf).map(s => s"PARTITION ($s)")
+                .mkString(" "))
+          }
+        }
+      committed = true
+      spark.sql(s"REFRESH TABLE ${target.render}")
+      try { // post-commit GC; failures are swept by Maintenance.recover
+        fs.delete(pending, false)
+        oldEntries.foreach(p => fs.delete(p, true))
+        oldVersions.foreach(p => fs.delete(p, true))
+      } catch { case scala.util.control.NonFatal(_) => }
+    } catch {
+      case e: Throwable if !committed =>
         fs.delete(vroot, true)
         fs.delete(pending, false)
         throw e

@@ -133,17 +133,28 @@ object Maintenance {
     val ident = Committer.ident(spark, target)
     val meta = cat.getTableMetadata(ident)
     val root = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // version machinery anchors at the table's STABLE shell (default
+    // path) — after a whole-table flip meta.location sits INSIDE the
+    // versions dir, so the shell and the current root may differ
+    val shell = VersionedCommitter.shellDir(spark, target)
+    val fs = shell.getFileSystem(spark.sessionState.newHadoopConf())
     val depth = meta.partitionColumnNames.size
-    if (depth == 0) return actions.toSeq
+    val rootPath = root.toUri.getPath
     val livePaths = cat.listPartitions(ident)
       .flatMap(_.storage.locationUri).map(u =>
-        new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+        new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet + rootPath
+
+    def ls(dir: org.apache.hadoop.fs.Path) =
+      try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    // trash/pending can sit under the shell or the current root (the
+    // rename committer operates at the current location)
+    val scanDirs =
+      if (rootPath == shell.toUri.getPath) Seq(shell) else Seq(shell, root)
+    val entries = scanDirs.flatMap(ls).distinct
 
     // 3. trash dirs: restore what the live table lost, drop the rest
-    val entries = try fs.listStatus(root).toSeq
-      catch { case _: java.io.FileNotFoundException => Nil }
-    entries.filter(e => e.isDirectory &&
+    if (depth > 0) entries.filter(e => e.isDirectory &&
         e.getPath.getName.startsWith(".graft_trash")).foreach { t =>
       // the trash may hold the ONLY copy of a partition — purge it only if
       // every stranded partition restored cleanly; a failed rename-back
@@ -151,7 +162,7 @@ object Maintenance {
       // the last recoverable state
       var restoreFailed = false
       AtomicWriter.partitionDirs(fs, t.getPath, depth).foreach { rel =>
-        val live = new org.apache.hadoop.fs.Path(root, rel)
+        val live = new org.apache.hadoop.fs.Path(t.getPath.getParent, rel)
         if (!fs.exists(live)) {
           fs.mkdirs(live.getParent)
           if (fs.rename(new org.apache.hadoop.fs.Path(t.getPath, rel), live)) {
@@ -170,13 +181,15 @@ object Maintenance {
       }
     }
 
-    // 4. pending version manifests
+    // 4. pending version manifests: whatever the crashed commit staged and
+    // the flip never reached is dropped (liveness = registered partition
+    // location or the table's current root itself)
+    val vbase = new org.apache.hadoop.fs.Path(shell, VersionedCommitter.VersionsDir)
     entries.filter(e => !e.isDirectory &&
         e.getPath.getName.startsWith(VersionedCommitter.PendingPrefix))
       .foreach { m =>
         val stamp = m.getPath.getName.stripPrefix(VersionedCommitter.PendingPrefix)
-        val vroot = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(root, VersionedCommitter.VersionsDir), stamp)
+        val vroot = new org.apache.hadoop.fs.Path(vbase, stamp)
         VersionedCommitter.readPending(fs, m.getPath).foreach { rel =>
           val vdir = new org.apache.hadoop.fs.Path(vroot, rel)
           if (!livePaths.contains(vdir.toUri.getPath) && fs.exists(vdir)) {
@@ -188,19 +201,21 @@ object Maintenance {
         actions += s"cleared pending manifest $stamp"
       }
 
-    // 5a. orphan version dirs (no catalog partition points inside them)
-    val vbase = new org.apache.hadoop.fs.Path(root, VersionedCommitter.VersionsDir)
+    // 5a. orphan version dirs: live iff the table's current root IS the
+    // version dir (whole-table flip) or a registered partition lives inside
     if (fs.exists(vbase)) fs.listStatus(vbase).filter(_.isDirectory).foreach { v =>
-      val referenced = AtomicWriter.partitionDirs(fs, v.getPath, depth).exists(rel =>
-        livePaths.contains(new org.apache.hadoop.fs.Path(v.getPath, rel).toUri.getPath))
+      val vPath = v.getPath.toUri.getPath
+      val referenced = vPath == rootPath ||
+        (depth > 0 && AtomicWriter.partitionDirs(fs, v.getPath, depth).exists(rel =>
+          livePaths.contains(new org.apache.hadoop.fs.Path(v.getPath, rel).toUri.getPath)))
       if (!referenced) {
         fs.delete(v.getPath, true)
         actions += s"dropped orphan version dir ${v.getPath.getName}"
       }
     }
-    // 5b. orphan default-layout partition dirs (replaced by a versioned
-    // flip whose GC never ran)
-    AtomicWriter.partitionDirs(fs, root, depth).foreach { rel =>
+    // 5b. orphan default-layout partition dirs under the CURRENT root
+    // (replaced by a versioned flip whose GC never ran)
+    if (depth > 0) AtomicWriter.partitionDirs(fs, root, depth).foreach { rel =>
       val p = new org.apache.hadoop.fs.Path(root, rel)
       if (!livePaths.contains(p.toUri.getPath)) {
         fs.delete(p, true)

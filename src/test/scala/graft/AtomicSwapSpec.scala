@@ -207,4 +207,94 @@ class AtomicSwapSpec extends SparkSpec {
     assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
       == Seq((7L, "keep")))
   }
+
+  test("versioned whole-table replace: location flip, no renames, GC, nesting") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vtable")
+      Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable(ref.render)
+      // 1st replace: shell layout -> version dir
+      AtomicWriter.overwriteTable(spark,
+        spark.table(ref.render).withColumn("v", upper($"v")), ref)
+      assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
+        == Seq((1L, "A")))
+      val meta1 = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("default.swap_vtable"))
+      assert(new org.apache.hadoop.fs.Path(meta1.location).toUri.getPath
+        .contains(".graft_versions/"), s"location not flipped: ${meta1.location}")
+      // 2nd replace: version dir -> version dir; old version GC'd
+      AtomicWriter.overwriteTable(spark,
+        spark.table(ref.render).withColumn("id", $"id" + 1), ref)
+      assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
+        == Seq((2L, "A")))
+      val shell = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vtable")).toString))
+      val vdirs = new java.io.File(shell, ".graft_versions").listFiles()
+      assert(vdirs != null && vdirs.length == 1,
+        s"replaced versions not GC'd: ${vdirs.mkString(",")}")
+      assert(!shell.listFiles().exists(_.getName.startsWith(".graft_pending")),
+        "pending manifest not cleared")
+    }
+  }
+
+  test("versioned whole-table replace of a PARTITIONED table re-registers partitions") {
+    withCommitter("versioned") {
+      val part = PartitionSpec.Static(Seq("pt" -> "string"))
+      val ref = TableRef("default.swap_vtablep")
+      Materializer.table(spark, ref,
+        Seq((1L, "p1"), (2L, "p2")).toDF("id", "pt"), part)
+      // unpartitioned-style whole-table rewrite path (e.g. touched-cap
+      // fallback) under the versioned committer
+      AtomicWriter.overwriteTable(spark,
+        Seq((10L, "p1"), (30L, "p3")).toDF("id", "pt"), ref, part)
+      val got = spark.table(ref.render).select("id", "pt").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((10L, "p1"), (30L, "p3")))
+      val parts = spark.sql(s"SHOW PARTITIONS ${ref.render}")
+        .collect().map(_.getString(0)).sorted
+      assert(parts.toSeq == Seq("pt=p1", "pt=p3"), parts.mkString(","))
+      // partition-level commit AFTER the flip nests under the stable shell
+      AtomicWriter.overwritePartitions(spark,
+        Seq((11L, "p1")).toDF("id", "pt"), ref, part)
+      assert(spark.table(ref.render).select("id").as[Long].collect().sorted
+        .toSeq == Seq(11L, 30L))
+    }
+  }
+
+  test("unpartitioned merge under the versioned committer is rename-free end-to-end") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vmerge")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable(ref.render)
+      graft.exec.Incremental.merge(spark, ref,
+        Seq((2L, "B"), (3L, "c")).toDF("id", "v"), uniqueKey = Seq("id"))
+      assert(spark.table(ref.render).as[(Long, String)].collect().sortBy(_._1)
+        .toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      assert(!tables().exists(t => t.contains("graft_stg") || t.contains("graft_old")))
+    }
+  }
+
+  test("recover sweeps a crashed (pre-flip) whole-table versioned write") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vtcrash")
+      Seq((5L, "keep")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable(ref.render)
+      val shell = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vtcrash")).toString))
+      val vdir = new java.io.File(shell, ".graft_versions/111_crash")
+      assert(vdir.mkdirs())
+      java.nio.file.Files.writeString(vdir.toPath.resolve("part-0.parquet"), "x")
+      java.nio.file.Files.writeString(
+        shell.toPath.resolve(".graft_pending_111_crash"), "")
+      val actions = graft.exec.Maintenance.recover(spark, ref)
+      assert(actions.exists(_.contains("orphan version dir")), actions)
+      assert(!vdir.exists())
+      assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
+        == Seq((5L, "keep")))
+    }
+  }
 }

@@ -19,14 +19,21 @@ object WriteScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val part = PartitionSpec.Auto("o_orderdate", "month", Some("pt"))
     val orders = graft.Tables.t(spark, dir, "orders")
-    // fixed delta: one month of modified rows (4 touched partitions incl.
-    // insert-keys landing in their own months)
-    val delta = orders
+    // fixed delta: three months of UPDATES plus the same rows re-keyed as
+    // INSERTS (new o_orderkey range) — 3 touched partitions, both merge
+    // branches exercised
+    val window = orders
       .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        col("o_orderdate") < lit("1995-06-01").cast("timestamp"))
+    val updates = window
       .select(col("o_orderkey"), col("o_custkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 1).as("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
+    val inserts = updates
+      .select((col("o_orderkey") + 900000000L).as("o_orderkey"), col("o_custkey"),
+        lit("I").as("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val delta = updates.unionByName(inserts)
     for (mult <- Seq(1, 10)) {
       spark.sql("CREATE DATABASE IF NOT EXISTS wsp")
       val tgt = TableRef(s"wsp.orders_x$mult")
@@ -40,7 +47,8 @@ object WriteScaleProbe {
       Materializer.table(spark, tgt,
         graft.exec.AtomicWriter.withPartitionCols(base, part), part)
       val nParts = spark.sql(s"SHOW PARTITIONS ${tgt.render}").count()
-      // warm + measure
+      // warm run (applies the inserts too); the MEASURED run is then a
+      // 3-partition all-update merge — same shape at both multipliers
       Materializer.incremental(spark, tgt, delta, IncrementalStrategy.Merge(),
         uniqueKey = Seq("o_orderkey"), partition = part)
       val t0 = System.nanoTime()

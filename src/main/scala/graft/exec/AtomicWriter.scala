@@ -108,8 +108,22 @@ object AtomicWriter {
       partition: PartitionSpec = PartitionSpec.None,
       bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val existed = spark.catalog.tableExists(target.render.replace("`", ""))
+    // The location flip is valid ONLY for a same-shape rebuild: identical
+    // column set/types, identical partition columns, no bucketing on
+    // either side. Schema- or layout-changing rebuilds (sync_all_columns,
+    // re-partitioning, [un]bucketing) must RECREATE the table — they take
+    // the rename path, which does exactly that.
+    def sameShape: Boolean = {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(Committer.ident(spark, target))
+      val out = withPartitionCols(df, partition)
+      meta.partitionColumnNames == partition.partitionColumns &&
+        meta.bucketSpec.isEmpty &&
+        out.schema.map(f => f.name -> f.dataType).toMap ==
+          meta.schema.map(f => f.name -> f.dataType).toMap
+    }
     if (existed && bucketBy.isEmpty &&
-        Committer.forSession(spark) == VersionedCommitter) {
+        Committer.forSession(spark) == VersionedCommitter && sameShape) {
       VersionedCommitter.overwriteTable(spark, df, target, partition)
       return
     }

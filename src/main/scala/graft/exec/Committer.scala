@@ -254,7 +254,13 @@ object VersionedCommitter extends Committer {
             cur = cur.getParent
           Option(cur.getParent).map(_ => cur)
         }
+        // never remove the version dir that IS the table's current root
+        // (a prior whole-table flip) — even when its last partition dir
+        // was just replaced, the catalog LOCATION still points at it
+        val curRoot = new HPath(cat.getTableMetadata(ident).location)
+          .toUri.getPath
         oldLocations.flatMap(stampRoot).distinct
+          .filter(_.toUri.getPath != curRoot)
           .foreach { stampDir =>
             val hasData = fs.exists(stampDir) &&
               fs.listStatus(stampDir).exists(s =>
@@ -273,14 +279,23 @@ object VersionedCommitter extends Committer {
   }
 
   /** Whole-table replacement, rename-free: write the new contents straight
-    * to a fresh versioned dir under the table root, COMMIT by flipping the
-    * table's location (`ALTER TABLE SET LOCATION` — catalog metadata CAS),
-    * re-register partitions under the new root, then GC the previous
-    * contents. The write doubles as the lineage break (the plan may scan
-    * the target, but it writes to a path that is not yet the table).
-    * A crash before the flip leaves only an invisible version dir +
-    * pending manifest (swept by Maintenance.recover); after the flip the
-    * old contents are unreferenced garbage (also swept). */
+    * to a fresh versioned dir under the table's SHELL, COMMIT by flipping
+    * the table's location (`ALTER TABLE SET LOCATION` — one catalog
+    * metadata CAS, the single point of no return), then fix partition
+    * metadata and GC the previous contents. The write doubles as the
+    * lineage break (the plan may scan the target, but it writes to a path
+    * that is not yet the table).
+    *
+    * Crash/failure windows, all recoverable:
+    *  - before the flip: the table is untouched; the version dir + pending
+    *    manifest are invisible garbage (cleaned here on failure, or swept
+    *    by Maintenance.recover after a crash);
+    *  - after the flip: the data is committed; stale partition metadata /
+    *    uncollected old files are finished by Maintenance.recover, which
+    *    recognizes a pending manifest whose version dir IS the current
+    *    table root and completes the registration + GC.
+    * Callers guarantee a SAME-SHAPE rebuild (AtomicWriter routes anything
+    * else to the table-recreating rename path). */
   private[exec] def overwriteTable(spark: SparkSession, df: DataFrame,
       target: TableRef, partition: PartitionSpec): Unit = {
     val pcols = partition.partitionColumns
@@ -306,9 +321,7 @@ object VersionedCommitter extends Committer {
       writePending(fs, pending, staged)
       val cat = spark.sessionState.catalog
       val ident = Committer.ident(spark, target)
-      // what to GC after the flip: shell-level old contents (only when the
-      // current location IS the shell — default layout), plus every other
-      // version dir (incl. the current location when it is one)
+      // snapshot GC candidates BEFORE the flip invalidates "current"
       val oldEntries =
         if (curDir.toUri.getPath == shell.toUri.getPath)
           fs.listStatus(shell).map(_.getPath).filterNot(p =>
@@ -319,17 +332,19 @@ object VersionedCommitter extends Committer {
           fs.listStatus(new HPath(shell, VersionsDir)).map(_.getPath)
             .filterNot(_.getName == stamp)
         else Array.empty[HPath]
-      // drop stale partition registration (metadata only — files are the
-      // old contents, GC'd below), then FLIP the table location
-      if (pcols.nonEmpty) {
-        val specs = cat.listPartitions(ident).map(_.spec)
-        if (specs.nonEmpty)
-          cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
-            purge = false, retainData = true)
-      }
+      val staleSpecs = if (pcols.nonEmpty) cat.listPartitions(ident).map(_.spec)
+        else Nil
+      // THE COMMIT. Nothing destructive has happened before this line.
       spark.sql(s"ALTER TABLE ${target.render} SET LOCATION " +
         s"'${graft.functions.Fns.sqlStringEscape(vroot.toString)}'")
-      if (staged.nonEmpty)
+      committed = true
+      // post-flip fix-up. A failure past this point leaves the PENDING
+      // manifest in place — Maintenance.recover recognizes a manifest
+      // whose version dir is the current root and finishes this block.
+      if (pcols.nonEmpty) {
+        if (staleSpecs.nonEmpty)
+          cat.dropPartitions(ident, staleSpecs, ignoreIfNotExists = true,
+            purge = false, retainData = true)
         staged.grouped(500).foreach { chunk =>
           Retry.withRetries() {
             spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
@@ -337,19 +352,35 @@ object VersionedCommitter extends Committer {
                 .mkString(" "))
           }
         }
-      committed = true
+      }
+      // rename-path parity: a rebuild starts with a CLEAN property slate
+      // (the staged CTAS there carries none); Spark-reserved keys excepted
+      clearTableProperties(spark, target)
       spark.sql(s"REFRESH TABLE ${target.render}")
+      // fix-up done — only now does the manifest stop being pending
+      fs.delete(pending, false)
       try { // post-commit GC; failures are swept by Maintenance.recover
-        fs.delete(pending, false)
         oldEntries.foreach(p => fs.delete(p, true))
         oldVersions.foreach(p => fs.delete(p, true))
       } catch { case scala.util.control.NonFatal(_) => }
     } catch {
       case e: Throwable if !committed =>
+        // uncommitted: readers never saw the new version; drop the evidence
         fs.delete(vroot, true)
         fs.delete(pending, false)
         throw e
     }
+  }
+
+  private[exec] def clearTableProperties(spark: SparkSession,
+      target: TableRef): Unit = {
+    val reserved = Set("owner", "provider", "location", "external")
+    val keys = spark.sql(s"SHOW TBLPROPERTIES ${target.render}").collect()
+      .map(_.getString(0)).filterNot(reserved)
+    if (keys.nonEmpty)
+      spark.sql(s"ALTER TABLE ${target.render} UNSET TBLPROPERTIES IF EXISTS (" +
+        keys.map(k => s"'${graft.functions.Fns.sqlStringEscape(k)}'")
+          .mkString(", ") + ")")
   }
 
   private[exec] def writePending(fs: HFileSystem, p: HPath,

@@ -140,9 +140,10 @@ object Maintenance {
     val fs = shell.getFileSystem(spark.sessionState.newHadoopConf())
     val depth = meta.partitionColumnNames.size
     val rootPath = root.toUri.getPath
-    val livePaths = cat.listPartitions(ident)
+    def livePathsNow(): Set[String] = cat.listPartitions(ident)
       .flatMap(_.storage.locationUri).map(u =>
         new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet + rootPath
+    val livePaths = livePathsNow()
 
     def ls(dir: org.apache.hadoop.fs.Path) =
       try fs.listStatus(dir).toSeq
@@ -181,33 +182,73 @@ object Maintenance {
       }
     }
 
-    // 4. pending version manifests: whatever the crashed commit staged and
-    // the flip never reached is dropped (liveness = registered partition
-    // location or the table's current root itself)
+    // 4. pending version manifests. A manifest whose version dir IS the
+    // table's current root is a COMMITTED whole-table flip whose post-flip
+    // fix-up never finished: complete it (stale partition metadata dropped,
+    // staged partitions registered). Anything else is an uncommitted crash:
+    // staged files the flip never reached are dropped.
     val vbase = new org.apache.hadoop.fs.Path(shell, VersionedCommitter.VersionsDir)
     entries.filter(e => !e.isDirectory &&
         e.getPath.getName.startsWith(VersionedCommitter.PendingPrefix))
       .foreach { m =>
         val stamp = m.getPath.getName.stripPrefix(VersionedCommitter.PendingPrefix)
         val vroot = new org.apache.hadoop.fs.Path(vbase, stamp)
-        VersionedCommitter.readPending(fs, m.getPath).foreach { rel =>
-          val vdir = new org.apache.hadoop.fs.Path(vroot, rel)
-          if (!livePaths.contains(vdir.toUri.getPath) && fs.exists(vdir)) {
-            fs.delete(vdir, true)
-            actions += s"dropped uncommitted versioned partition $stamp/$rel"
+        if (vroot.toUri.getPath == rootPath) {
+          if (depth > 0) {
+            val stale = cat.listPartitions(ident).filter(p =>
+              !p.storage.locationUri.map(u =>
+                new org.apache.hadoop.fs.Path(u).toUri.getPath)
+                .exists(_.startsWith(rootPath + "/")))
+            if (stale.nonEmpty)
+              cat.dropPartitions(ident, stale.map(_.spec),
+                ignoreIfNotExists = true, purge = false, retainData = true)
+            VersionedCommitter.readPending(fs, m.getPath).grouped(500)
+              .foreach { chunk =>
+                spark.sql(s"ALTER TABLE ${target.render} ADD IF NOT EXISTS " +
+                  chunk.map(AtomicWriter.specOf).map(sp => s"PARTITION ($sp)")
+                    .mkString(" "))
+              }
           }
+          spark.sql(s"REFRESH TABLE ${target.render}")
+          fs.delete(m.getPath, false)
+          actions += s"completed committed whole-table flip $stamp"
+        } else {
+          VersionedCommitter.readPending(fs, m.getPath).foreach { rel =>
+            val vdir = new org.apache.hadoop.fs.Path(vroot, rel)
+            if (!livePaths.contains(vdir.toUri.getPath) && fs.exists(vdir)) {
+              fs.delete(vdir, true)
+              actions += s"dropped uncommitted versioned partition $stamp/$rel"
+            }
+          }
+          fs.delete(m.getPath, false)
+          actions += s"cleared pending manifest $stamp"
         }
-        fs.delete(m.getPath, false)
-        actions += s"cleared pending manifest $stamp"
       }
 
+    // 4b. once the table root is a version dir, anything still sitting at
+    // shell level outside the version machinery is the PRE-flip contents
+    // whose GC never ran — a full stale copy of the table; sweep it
+    if (rootPath != shell.toUri.getPath &&
+        rootPath.startsWith(shell.toUri.getPath + "/")) {
+      ls(shell).map(_.getPath).filterNot(p =>
+        p.getName == VersionedCommitter.VersionsDir ||
+          p.getName.startsWith(VersionedCommitter.PendingPrefix) ||
+          p.getName.startsWith(".graft_trash")).foreach { p =>
+        fs.delete(p, true)
+        actions += s"dropped pre-flip shell leftover ${p.getName}"
+      }
+    }
+
+    // 5a/5b liveness is RE-read: step 4 may have just completed a flip's
+    // partition registration, which the earlier snapshot predates
+    val livePaths2 = livePathsNow()
     // 5a. orphan version dirs: live iff the table's current root IS the
     // version dir (whole-table flip) or a registered partition lives inside
     if (fs.exists(vbase)) fs.listStatus(vbase).filter(_.isDirectory).foreach { v =>
       val vPath = v.getPath.toUri.getPath
       val referenced = vPath == rootPath ||
         (depth > 0 && AtomicWriter.partitionDirs(fs, v.getPath, depth).exists(rel =>
-          livePaths.contains(new org.apache.hadoop.fs.Path(v.getPath, rel).toUri.getPath)))
+          livePaths2.contains(new org.apache.hadoop.fs.Path(v.getPath, rel).toUri.getPath)))
       if (!referenced) {
         fs.delete(v.getPath, true)
         actions += s"dropped orphan version dir ${v.getPath.getName}"
@@ -217,7 +258,7 @@ object Maintenance {
     // (replaced by a versioned flip whose GC never ran)
     if (depth > 0) AtomicWriter.partitionDirs(fs, root, depth).foreach { rel =>
       val p = new org.apache.hadoop.fs.Path(root, rel)
-      if (!livePaths.contains(p.toUri.getPath)) {
+      if (!livePaths2.contains(p.toUri.getPath)) {
         fs.delete(p, true)
         actions += s"dropped orphan partition dir $rel"
       }

@@ -297,4 +297,89 @@ class AtomicSwapSpec extends SparkSpec {
         == Seq((5L, "keep")))
     }
   }
+
+  test("versioned: schema-changing rebuild falls back to table recreation") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vschema")
+      Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable(ref.render)
+      // added column => NOT same-shape => rename path recreates the table
+      AtomicWriter.overwriteTable(spark,
+        Seq((1L, "a", 9L)).toDF("id", "v", "extra"), ref)
+      val got = spark.table(ref.render)
+      assert(got.columns.toSeq == Seq("id", "v", "extra"))
+      assert(got.as[(Long, String, Long)].collect().toSeq == Seq((1L, "a", 9L)))
+    }
+  }
+
+  test("versioned: table() rebuild starts from a clean property slate") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vprops")
+      Materializer.table(spark, ref, Seq((1L, "a")).toDF("id", "v"),
+        lifecycleDays = Some(30))
+      // rebuild WITHOUT lifecycleDays: the stale property must not survive
+      Materializer.table(spark, ref, Seq((1L, "a")).toDF("id", "v"))
+      val props = spark.sql(s"SHOW TBLPROPERTIES ${ref.render}").collect()
+        .map(_.getString(0))
+      assert(!props.contains("graft.lifecycle.days"), props.mkString(","))
+    }
+  }
+
+  test("recover completes a committed whole-table flip whose fix-up crashed") {
+    withCommitter("versioned") {
+      val part = PartitionSpec.Static(Seq("pt" -> "string"))
+      val ref = TableRef("default.swap_vfinish")
+      Materializer.table(spark, ref,
+        Seq((1L, "p1"), (2L, "p2")).toDF("id", "pt"), part)
+      // do a real flip so the root is a version dir
+      AtomicWriter.overwriteTable(spark,
+        Seq((10L, "p1"), (20L, "p2")).toDF("id", "pt"), ref, part)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("default.swap_vfinish"))
+      val rootPath = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+      assert(rootPath.contains(".graft_versions/"))
+      // simulate the crash window: re-create the pending manifest for the
+      // CURRENT root and drop one staged partition's registration
+      val shell = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vfinish")).toString))
+      val stamp = rootPath.substring(rootPath.lastIndexOf('/') + 1)
+      java.nio.file.Files.writeString(
+        shell.toPath.resolve(s".graft_pending_$stamp"), "pt=p1\npt=p2")
+      // metadata-only loss (retainData) — the crash window never purges
+      // files, only leaves registrations unfinished
+      spark.sessionState.catalog.dropPartitions(
+        spark.sessionState.sqlParser.parseTableIdentifier("default.swap_vfinish"),
+        Seq(Map("pt" -> "p1")), ignoreIfNotExists = true, purge = false,
+        retainData = true)
+      val actions = graft.exec.Maintenance.recover(spark, ref)
+      assert(actions.exists(_.contains("completed committed whole-table flip")),
+        actions)
+      val got = spark.table(ref.render).select("id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(10L, 20L), "p1 registration not restored")
+    }
+  }
+
+  test("recover sweeps pre-flip shell leftovers once the root is a version dir") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.swap_vshellgc")
+      Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+        .saveAsTable(ref.render)
+      AtomicWriter.overwriteTable(spark,
+        spark.table(ref.render).withColumn("v", upper($"v")), ref)
+      val shell = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            "default.swap_vshellgc")).toString))
+      // simulate an interrupted post-commit GC: stale pre-flip file at shell
+      java.nio.file.Files.writeString(
+        shell.toPath.resolve("part-stale.parquet"), "x")
+      val actions = graft.exec.Maintenance.recover(spark, ref)
+      assert(actions.exists(_.contains("pre-flip shell leftover")), actions)
+      assert(!shell.toPath.resolve("part-stale.parquet").toFile.exists())
+      assert(spark.table(ref.render).as[(Long, String)].collect().toSeq
+        == Seq((1L, "A")))
+    }
+  }
 }

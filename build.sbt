@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only the last ~2000 bytes of sbt output; the
+// "[success] Total time ..." banner would steal ~65 of them from the
+// final JSON line Bench prints.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt commands, not tasks
+// ...and sbt's "[info] " log prefix on forked-run output would add 7 more:
+// let the forked JVM write straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,24 +92,48 @@ object DataTests {
 
   // ------------------------------------------------------------------ runner
 
+  private def statusOf(t: Test, failures: Long): Status =
+    if (failures <= t.errorIf) Pass
+    else t.severity match {
+      case Warn => Warned(failures)
+      case Error => Failed(failures)
+    }
+
   /** Run tests; optionally store each test's failing rows as
-    * `<storeFailuresIn>.<test name>` (dbt store_failures). */
+    * `<storeFailuresIn>.<test name>` (dbt store_failures). Without
+    * store_failures, all counts are computed in ONE Spark action (see
+    * [[runFused]]) — a `dbt test` run over N tests is N scans inside one
+    * job, not N sequential jobs each paying scheduler latency. */
   def run(spark: SparkSession, tests: Seq[Test],
       storeFailuresIn: Option[String] = None): Seq[Result] =
-    tests.map { t =>
-      val failures = storeFailuresIn match {
-        case Some(db) =>
+    storeFailuresIn match {
+      case Some(db) =>
+        tests.map { t =>
           val ref = TableRef(s"$db.${t.name}")
           AtomicWriter.createOrReplace(spark, t.failingRows, ref)
-          spark.table(ref.render).count()
-        case None => t.failingRows.count()
-      }
-      val status =
-        if (failures <= t.errorIf) Pass
-        else t.severity match {
-          case Warn => Warned(failures)
-          case Error => Failed(failures)
+          val failures = spark.table(ref.render).count()
+          Result(t.name, failures, statusOf(t, failures))
         }
-      Result(t.name, failures, status)
+      case None => runFused(spark, tests)
     }
+
+  /** All failure counts in one action: each test's failing-row plan
+    * collapses to a single-row global COUNT; the single-row aggregates are
+    * unioned and collected once. The union's branches still scan their
+    * sources independently (Spark runs them as parallel stages of one
+    * job), but the per-test job-submission latency that made a 5-test run
+    * cost 5 sequential round-trips is gone. */
+  def runFused(spark: SparkSession, tests: Seq[Test]): Seq[Result] = {
+    if (tests.isEmpty) return Seq.empty
+    val counted = tests.zipWithIndex.map { case (t, i) =>
+      t.failingRows.agg(count(lit(1)).as("failures"))
+        .select(lit(i).as("test_idx"), col("failures"))
+    }.reduce(_.unionAll(_))
+    val byIdx = counted.collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    tests.zipWithIndex.map { case (t, i) =>
+      val f = byIdx(i)
+      Result(t.name, f, statusOf(t, f))
+    }
+  }
 }

@@ -80,4 +80,30 @@ class JobCountSpec extends SparkSpec {
     info(s"dynamic overwrite jobs = $jobs")
     assert(jobs <= 6, s"dynamic overwrite fixed job count regressed: $jobs")
   }
+
+  test("fused data-test run computes all counts in one action") {
+    import graft.exec.DataTests
+    import graft.exec.DataTests._
+    val orders = (1 to 200).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val lineitem = (1 to 400).map(i => (i.toLong % 100, i.toLong))
+      .toDF("l_orderkey", "l_linenumber")
+    val tests = Seq(
+      Test("uniq", unique(lineitem, Seq("l_orderkey"))),
+      Test("nn", notNull(orders, "o_orderstatus")),
+      Test("acc", acceptedValues(orders, "o_orderstatus", Seq("s0", "s1", "s2"))),
+      Test("rel", relationships(lineitem, "l_orderkey", orders, "o_orderkey")))
+    val jobs = countJobs {
+      val rs = DataTests.run(spark, tests)
+      assert(rs.map(_.name) == Seq("uniq", "nn", "acc", "rel"))
+      assert(rs.find(_.name == "uniq").get.failures > 0)
+      assert(rs.find(_.name == "nn").get.failures == 0)
+    }
+    info(s"fused 4-test run jobs = $jobs")
+    // one collect over the unioned single-row aggregates; AQE adds a
+    // stage-materialization job per shuffling branch (measured 6) — but
+    // they run CONCURRENTLY inside one action, vs the pre-fuse shape of
+    // >= 1 job per test, sequentially
+    assert(jobs <= 7, s"fused data-test job count regressed: $jobs")
+  }
 }

@@ -250,7 +250,7 @@ object Incremental {
     * cap the strategies fall back to the whole-table staged rewrite — at
     * that point most of the table is touched anyway. Tunable via
     * `spark.graft.touchedPartitions.cap`. */
-  private[exec] def touchedCap(spark: SparkSession): Int =
+  private[graft] def touchedCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.touchedPartitions.cap")
       .map(_.toInt).getOrElse(5000)
 

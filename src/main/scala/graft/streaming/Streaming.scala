@@ -72,11 +72,22 @@ object Streaming {
     val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
     def done(id: Long) = new HPath(stateDir, s"done-$id")
     def attempt(id: Long) = new HPath(stateDir, s"attempt-$id")
-    def readKeys(p: HPath): Set[String] = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
-      finally in.close()
-    }
+    // done markers are a FILE (common path: keys collected on the driver)
+    // or a DIRECTORY of text part-files (wide-batch path: keys written by
+    // the executors, never materialized as a driver set/in-list)
+    def readKeys(p: HPath): Set[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+          .flatMap { st =>
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          }.toSet
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+        finally in.close()
+      }
     // restart recovery: committed batches' keys rebuild the touched set
     val written = scala.collection.mutable.Set[String]()
     if (fs.exists(stateDir))
@@ -103,23 +114,46 @@ object Streaming {
           try {
             val batchP = graft.exec.AtomicWriter.withPartitionCols(batch, partition)
             val key = graft.exec.AtomicWriter.partitionKey(pcols.map(col))
-            val keys = batchP.select(key.as("p")).distinct()
-              .collect().map(_.getString(0)).toSet
-            val overlap = keys.intersect(written)
-            val df =
-              if (overlap.isEmpty) batchP
-              else batchP.unionByName(spark.table(target.render)
-                .filter(key.isin(overlap.toSeq: _*)))
-            Incremental.insertOverwriteDynamic(spark, target, df, partition)
-            // marker written via create+rename so it appears atomically
+            val cap = Incremental.touchedCap(spark)
+            val keysDf = batchP.select(key.as("p")).distinct()
+            val probe = keysDf.limit(cap + 1).collect().map(_.getString(0))
             val tmp = new HPath(stateDir, s".done-$id.tmp")
-            val out = fs.create(tmp, true)
-            try out.write(keys.mkString("\n").getBytes("UTF-8"))
-            finally out.close()
+            if (probe.length <= cap) {
+              val keys = probe.toSet
+              val overlap = keys.intersect(written)
+              val df =
+                if (overlap.isEmpty) batchP
+                else batchP.unionByName(spark.table(target.render)
+                  .filter(key.isin(overlap.toSeq: _*)))
+              Incremental.insertOverwriteDynamic(spark, target, df, partition)
+              // marker written via create+rename so it appears atomically
+              val out = fs.create(tmp, true)
+              try out.write(keys.mkString("\n").getBytes("UTF-8"))
+              finally out.close()
+            } else {
+              // WIDE batch (> touchedCap partitions, e.g. hourly × tenant
+              // backfill): the key set never lands on the driver or in an
+              // isin expression tree. Overlap = target semi-joined against
+              // (batch keys ∩ already-written keys); the done marker is
+              // written by the executors as a text-file DIRECTORY.
+              import spark.implicits._
+              val writtenDf = written.toSeq.toDF("p")
+              val overlapKeys = keysDf.join(writtenDf, Seq("p"), "left_semi")
+              val tgt = spark.table(target.render)
+              val tgtOverlap = tgt.join(overlapKeys,
+                graft.exec.AtomicWriter.partitionKey(pcols.map(tgt(_)))
+                  === overlapKeys("p"), "left_semi")
+              Incremental.insertOverwriteDynamic(spark, target,
+                batchP.unionByName(tgtOverlap), partition)
+              keysDf.write.mode("overwrite").text(tmp.toString)
+            }
             if (!fs.rename(tmp, done(id)))
               throw new java.io.IOException(s"cannot commit marker ${done(id)}")
             fs.delete(attempt(id), false)
-            written ++= keys
+            // the wide path re-reads the marker it just wrote (bounded MBs,
+            // line-per-key) instead of ever collecting the keys as a set
+            if (probe.length <= cap) written ++= probe
+            else written ++= readKeys(done(id))
             ()
           } catch {
             case e: Throwable =>

@@ -232,6 +232,50 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("a wide micro-batch (> touchedCap partitions) avoids the driver key set and stays correct") {
+    import graft.catalog.{PartitionSpec, TableRef}
+    spark.sql("DROP TABLE IF EXISTS default.st_wide")
+    val part = PartitionSpec.Auto("ts", "day", Some("pt"))
+    val ref = TableRef("default.st_wide")
+    val mk = (d: Int, h: Int, id: Long) =>
+      (java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00"), id)
+    val seed = Seq(mk(1, 6, 1L)).toDF("ts", "v")
+    graft.mat.Materializer.table(spark, ref,
+      graft.exec.AtomicWriter.withPartitionCols(seed.limit(0), part), part)
+    val tmp = java.nio.file.Files.createTempDirectory("st_wide_src")
+    seed.coalesce(1).write.parquet(tmp.toString + "/f1")
+    val ckpt = java.nio.file.Files.createTempDirectory("st_wide_ckpt")
+    def stream() = spark.readStream.schema(seed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString + "/f*")
+    spark.conf.set("spark.graft.touchedPartitions.cap", "4")
+    try {
+      // batch 1: one partition -> normal (file-marker) path; written={day1}
+      Streaming.runToCompletion(
+        Streaming.microbatchStream(spark, stream(), ref, part, ckpt.toString))
+      // batch 2: SIX day-partitions > cap=4 -> wide path; day1 overlaps the
+      // written set, so v=1 must be unioned in, not erased
+      val wide = (0 until 6).map(d => mk(d + 1, 12, 10L + d)).toDF("ts", "v")
+      wide.coalesce(1).write.parquet(tmp.toString + "/f2")
+      Streaming.runToCompletion(
+        Streaming.microbatchStream(spark, stream(), ref, part, ckpt.toString))
+      assert(spark.table(ref.render).select("v").as[Long].collect().sorted.toSeq
+        == (Seq(1L) ++ (10L to 15L)))
+      // the wide batch committed its marker as a text-file DIRECTORY —
+      // proof the keys were written by executors, never driver-collected
+      val state = new java.io.File(ckpt.toFile, "graft_touched")
+      assert(state.listFiles().exists(f =>
+        f.getName.startsWith("done-") && f.isDirectory))
+      // resume over the same checkpoint: written set rebuilds from the dir
+      // marker, so a new batch into day2 unions with v=11 instead of erasing
+      Seq(mk(2, 18, 20L)).toDF("ts", "v").coalesce(1)
+        .write.parquet(tmp.toString + "/f3")
+      Streaming.runToCompletion(
+        Streaming.microbatchStream(spark, stream(), ref, part, ckpt.toString))
+      assert(spark.table(ref.render).select("v").as[Long].collect().sorted.toSeq
+        == (Seq(1L) ++ (10L to 15L) ++ Seq(20L)))
+    } finally spark.conf.unset("spark.graft.touchedPartitions.cap")
+  }
+
   test("a cleanly-failed micro-batch does not poison the checkpoint") {
     import graft.catalog.{PartitionSpec, TableRef}
     spark.sql("DROP TABLE IF EXISTS default.st_cleanfail")

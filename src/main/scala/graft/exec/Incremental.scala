@@ -93,26 +93,48 @@ object Incremental {
       // columns of the same name. NULL predicate ⇒ not a merge candidate.
       val tgtF = scoped(tgt, partition, touched).withColumn(PRED,
         coalesce(predicates.foldLeft(lit(true))(_ && _), lit(false)))
-      val srcM = srcP.withColumn(SMARK, lit(1))
-
-      // (a) update-and-keep in ONE pass: matched-and-pred rows take the
-      // source's updatable columns, everything else keeps target values
-      val hit = srcM(SMARK).isNotNull && tgtF(PRED)
-      val joined = tgtF.join(srcM, keyCond(tgtF, srcM, uniqueKey), "left")
-      val upserted = joined.select(dataCols.map { c =>
-        (if (updatable.contains(c)) when(hit, srcM(c)).otherwise(tgtF(c))
-         else tgtF(c)).as(c)
-      }: _*)
-      // (b) NOT-MATCHED source rows, via a keys-only (column-pruned) anti
-      // join against the pred-true target keys
-      val candidateKeys = tgtF.filter(tgtF(PRED))
-        .select(uniqueKey.map(tgtF(_)): _*)
-      val inserted = srcP.join(candidateKeys,
-        uniqueKey.map(k => srcP(k) <=> candidateKeys(k)).reduce(_ && _),
-        "left_anti")
-        .select(dataCols.map(col): _*)
-      writeResult(spark, upserted.unionByName(inserted), target, partition,
-        touched)
+      val wholeRowUpdate = partition.partitionColumns.isEmpty &&
+        updatable.toSet == dataCols.filterNot(uniqueKey.contains).toSet
+      val result = if (wholeRowUpdate) {
+        // Degenerate single-pass form: when the update set is the WHOLE
+        // non-key row and no partition column pins matched rows to target
+        // values, a matched row's merged value IS the source row — so
+        // MERGE = src ∪ (tgt rows not matched by a pred-true candidate):
+        // ONE anti join over the target instead of left-join + anti-join.
+        // merge.sql's pred-false footgun is preserved: those target rows
+        // survive the anti join AND their source rows ride the union.
+        // (Partitioned targets can't take this path: matched rows must
+        // keep the TARGET's partition values, which the source may differ
+        // on.) The dup-key guard still fires — srcP's key columns carry it
+        // through both the anti join's build side and the union. Known
+        // divergence: a target already CORRUPT with duplicate unique_key
+        // rows collapses to one row here (SQL MERGE would update each) —
+        // the whole-row update makes those fanout copies identical anyway.
+        val kept = tgtF.join(srcP.select(uniqueKey.map(srcP(_)): _*),
+          keyCond(tgtF, srcP, uniqueKey) && tgtF(PRED), "left_anti")
+          .select(dataCols.map(col): _*)
+        kept.unionByName(srcP.select(dataCols.map(col): _*))
+      } else {
+        val srcM = srcP.withColumn(SMARK, lit(1))
+        // (a) update-and-keep in ONE pass: matched-and-pred rows take the
+        // source's updatable columns, everything else keeps target values
+        val hit = srcM(SMARK).isNotNull && tgtF(PRED)
+        val joined = tgtF.join(srcM, keyCond(tgtF, srcM, uniqueKey), "left")
+        val upserted = joined.select(dataCols.map { c =>
+          (if (updatable.contains(c)) when(hit, srcM(c)).otherwise(tgtF(c))
+           else tgtF(c)).as(c)
+        }: _*)
+        // (b) NOT-MATCHED source rows, via a keys-only (column-pruned) anti
+        // join against the pred-true target keys
+        val candidateKeys = tgtF.filter(tgtF(PRED))
+          .select(uniqueKey.map(tgtF(_)): _*)
+        val inserted = srcP.join(candidateKeys,
+          uniqueKey.map(k => srcP(k) <=> candidateKeys(k)).reduce(_ && _),
+          "left_anti")
+          .select(dataCols.map(col): _*)
+        upserted.unionByName(inserted)
+      }
+      writeResult(spark, result, target, partition, touched)
     } finally srcP.unpersist()
   }
 

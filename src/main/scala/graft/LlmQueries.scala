@@ -577,23 +577,62 @@ object LlmQueries {
       |  CAST(1 + doc_id % 17 AS INT) AS height
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** Real pixel decode, ORACLE-CHECKED end to end: payloads are complete
+    * PNG/GIF/BMP images (lossless formats) whose grayscale fill follows the
+    * closed form `(id + 7x + 13y) mod 256`; the query really encodes them
+    * (`ImageIO.write`), really decodes them back (`ImageIO.read`), and the
+    * resize / frame-sample operators run on the DECODED dimensions — while
+    * DuckDB reproduces every output column (dims, pixel sum/min/max/mean,
+    * resized dims, frame counts) from the integer closed form alone. A codec
+    * bug, raster corruption, or resize/frame math drift hash-mismatches. */
   private def mm02(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesize(
-      t(s, dir, "documents").limit(200), "doc_id", "text")
-    val resized = Multimodal.resize(media, 640, 480)
-    val frames = Multimodal.sampleFrames(media, "doc_id", fps = 1.0)
-      .groupBy().agg(count(lit(1)).as("n_frames"),
-        countDistinct(col("doc_id")).as("n_videos"))
-    // feature extraction (the labeled decode stub) stays driver-exercised
-    val feats = Multimodal.extractFeatures(s, media, "doc_id")
-      .agg(count(lit(1)).as("n_feat_rows"),
-        sum(size(col("features"))).as("total_feats"))
-    resized.agg(max(col("resized_width")).as("max_w"),
-        max(col("resized_height")).as("max_h"),
-        count(lit(1)).as("n_media"))
-      .crossJoin(frames)
-      .crossJoin(feats)
+    val imgs = Multimodal.synthesizePixelImages(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    val px = Multimodal.decodePixelStats(imgs)
+    // media struct rebuilt from the DECODED dims (not the synthesis params),
+    // so resize + frame sampling genuinely depend on the codec roundtrip
+    val media = px.select(col("id"), col("format"),
+      col("px_sum"), col("px_min"), col("px_max"),
+      struct(lit(null).cast("binary").as("payload"),
+        struct(lit("video").as("kind"),
+          col("width"), col("height"), lit(16000).as("sample_rate"),
+          (lit(1000L) * (col("id") % 7 + 1)).as("duration_ms")).as("meta"))
+        .as("media"))
+    val resized = Multimodal.resize(media, 16, 12)
+    val frames = Multimodal.sampleFrames(resized, "id", fps = 2.0)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    resized.select(col("id"), col("format"),
+        col("media.meta.width").as("width"),
+        col("media.meta.height").as("height"),
+        col("resized_width"), col("resized_height"),
+        col("px_sum"), col("px_min"), col("px_max"),
+        round(col("px_sum") /
+          (col("media.meta.width") * col("media.meta.height")), 6).as("px_mean"))
+      .join(frames, Seq("id"))
+      .orderBy(col("id"))
   }
+
+  private val mm02Sql =
+    """WITH d AS (SELECT doc_id AS id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+      |    1 + doc_id % 31 AS w,
+      |    CASE doc_id % 3 WHEN 1 THEN 5 + doc_id % 13
+      |                    ELSE 1 + doc_id % 17 END AS h,
+      |    1000 * (1 + doc_id % 7) AS dur
+      |  FROM documents WHERE doc_id < 200),
+      |px AS (SELECT d.id,
+      |    CAST(SUM((d.id + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
+      |    CAST(MIN((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
+      |    CAST(MAX((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
+      |  FROM d, UNNEST(range(0, d.w)) AS xs(x), UNNEST(range(0, d.h)) AS ys(y)
+      |  GROUP BY d.id)
+      |SELECT d.id, d.format, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+      |  CAST(floor(d.w * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_width,
+      |  CAST(floor(d.h * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_height,
+      |  px.px_sum, px.px_min, px.px_max,
+      |  round(CAST(px.px_sum AS DOUBLE) / (d.w * d.h), 6) AS px_mean,
+      |  CAST(greatest(floor(d.dur / 500.0) - 1, 0) + 1 AS BIGINT) AS n_frames
+      |FROM d JOIN px USING (id) ORDER BY d.id""".stripMargin
 
   // ------------------------------------------------------ t04 PII redaction
 
@@ -674,6 +713,7 @@ object LlmQueries {
     "t01_text_analysis" -> t01Sql,
     "t02_winnow_fingerprints" -> t02Sql,
     "mm01_image_header_dims" -> mm01Sql,
+    "mm02_media_resize_frames" -> mm02Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,

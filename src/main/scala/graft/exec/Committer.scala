@@ -62,15 +62,23 @@ object Committer {
 /** Trash-aside + directory rename, with rollback: O(1) metadata ops per
   * partition wherever rename is atomic (HDFS, local fs, rename-capable
   * HCFS). The staged data takes one extra hop (staging table → target
-  * dirs), but both hops are metadata-only. */
+  * dirs), but both hops are metadata-only.
+  *
+  * Concurrency: the staging TABLE and the trash DIR carry a per-swap
+  * stamp, so two materializations of the same target never collide on
+  * either (the reference pins thread-parallel runs of one model —
+  * tests/functional/adapter/test_concurrency.py; its retry wrapper
+  * handles only the catalog races, wrapper.py:46-76). A crash leaves
+  * `<t>__graft_stg_<stamp>` / `.graft_trash_<stamp>` leftovers, which
+  * Maintenance.recover sweeps by prefix. */
 object RenameCommitter extends Committer {
-
-  private def log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
     val pcols = partition.partitionColumns
-    val stg = target.copy(name = target.name + "__graft_stg")
+    val stamp = f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+    val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
     AtomicWriter.createOrReplace(spark, aligned, stg, partition)
     try {
       val stgDir = AtomicWriter.tableDir(spark, stg)
@@ -81,20 +89,10 @@ object RenameCommitter extends Committer {
       // if ANY move fails, every completed move is rolled back before
       // rethrowing. Old data is deleted only after every staged move has
       // succeeded — a mid-swap failure can never destroy the only copy.
-      val trash = new HPath(tgtDir, ".graft_trash")
-      // a LEFTOVER trash dir means a previous swap's rollback did not
-      // complete — its contents may be the only copy of some partition.
-      // Park it (stamped by its own mtime) instead of purging the last
-      // recoverable state; Maintenance.recover sweeps the parked copies.
-      if (fs.exists(trash)) {
-        val stamp = fs.getFileStatus(trash).getModificationTime
-        val park = new HPath(tgtDir, s".graft_trash_$stamp")
-        if (!fs.rename(trash, park))
-          throw new java.io.IOException(
-            s"cannot park leftover trash from a previously failed swap: $trash")
-        log.warn(s"leftover $trash from a failed swap parked at $park — " +
-          "run Maintenance.recover to inspect/restore")
-      }
+      // Per-swap name: a leftover trash dir from a CRASHED swap is left
+      // alone for Maintenance.recover (it may hold the only copy of a
+      // partition), and a concurrent swap's live trash is never touched.
+      val trash = new HPath(tgtDir, s".graft_trash_$stamp")
       val movedAside = scala.collection.mutable.ListBuffer[String]()
       val movedIn = scala.collection.mutable.ListBuffer[String]()
       // one mkdirs per distinct parent, not per partition (at 10³+ touched

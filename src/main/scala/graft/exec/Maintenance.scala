@@ -116,7 +116,6 @@ object Maintenance {
     def exists(r: TableRef) =
       spark.catalog.tableExists(r.render.replace("`", ""))
     val old = target.copy(name = target.name + "__graft_old")
-    val stg = target.copy(name = target.name + "__graft_stg")
     val tmp = target.copy(name = target.name + "__dbt_tmp")
 
     if (!exists(target) && exists(old)) {
@@ -124,7 +123,15 @@ object Maintenance {
       AtomicWriter.repairPartitionLocations(spark, target)
       actions += s"restored ${target.render} from ${old.render}"
     }
-    Seq(old, stg, tmp).filter(exists).foreach { r =>
+    // staging tables carry a per-swap stamp (`__graft_stg_<stamp>`, for
+    // same-table concurrency) — sweep them by prefix, plus the unstamped
+    // legacy name and the reference-parity __dbt_tmp
+    val db = target.database.getOrElse(cat.getCurrentDatabase)
+    val stgPrefix = target.name + "__graft_stg"
+    val staleStg = cat.listTables(db).map(_.table)
+      .filter(t => t == stgPrefix || t.startsWith(stgPrefix + "_"))
+      .map(t => target.copy(name = t))
+    (Seq(old, tmp).filter(exists) ++ staleStg).foreach { r =>
       spark.sql(s"DROP TABLE IF EXISTS ${r.render}")
       actions += s"dropped abandoned ${r.render}"
     }

@@ -34,6 +34,22 @@ object Retry {
     case _ => false
   }
 
+  /** Concurrent-swap READ races: a scan that listed files which a
+    * concurrent commit then replaced dies with FileNotFoundException (or
+    * Spark's "…REFRESH TABLE…" stale-cache wrapper) somewhere in its cause
+    * chain. Re-running the whole operation after a REFRESH re-lists and
+    * succeeds — the engine twin of the reference wrapper retrying a full
+    * model run under thread-parallel execution (wrapper.py:46-76,
+    * test_concurrency.py). Kept SEPARATE from [[transientRace]]: callers
+    * opt in per whole-operation retry loop, not around inner DDL. */
+  def staleScan(t: Throwable): Boolean = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain.exists {
+      case _: java.io.FileNotFoundException => true
+      case e => Option(e.getMessage).exists(_.contains("REFRESH TABLE"))
+    }
+  }
+
   /** Run `f`, retrying on `retryOn`-matching failures with exponential
     * backoff (200 ms doubling, capped at `maxDelayMs`), up to `attempts`
     * total tries. The last failure propagates unchanged. */

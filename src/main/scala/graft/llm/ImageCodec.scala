@@ -14,6 +14,11 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // stream-backed (in-memory) ImageIO, not disk-scratch-file-backed: at
+  // scale every executor thread decodes thousands of payloads and the
+  // default file cache turns each into a temp-file create/delete
+  ImageIO.setUseCache(false)
+
   /** Deterministic grayscale fill: pixel (x,y) of image `id` is
     * `(id + 7x + 13y) mod 256` — reproducible as plain integer SQL. */
   def pixel(id: Long, x: Int, y: Int): Int =

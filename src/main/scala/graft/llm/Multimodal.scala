@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * with a typed metadata struct, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` produces a deterministic fake feature vector
-  * derived from the payload bytes. Everything around it — schema, batch
-  * iteration via `mapPartitions`, partition-parallel execution, typed output
-  * schema — is real and is what matters for the Spark-side contract. Swap
-  * `decodeStub` for a real codec (e.g. javacv) without touching the plan.
+  * Image payloads get a REAL pixel decode via the pure-JVM `javax.imageio`
+  * stack ([[ImageCodec]] — PNG/JPEG/GIF/BMP readers ship with the JDK).
+  * Only the audio/video feature path remains a labeled deterministic stub
+  * (`fallbackFeatures` — no audio/video codecs exist in this environment);
+  * the schema, batch iteration via `mapPartitions`, and partition-parallel
+  * execution are identical for both paths, so swapping in a real A/V codec
+  * (e.g. javacv) would not touch the plan.
   */
 object Multimodal {
 
@@ -43,10 +44,11 @@ object Multimodal {
           (pmod(xxhash64(col(idCol), lit(3)), lit(60000)) + 1000).as("duration_ms")
         ).as("meta")).as("media"))
 
-  /** ======= STUB ======= deterministic fake decode: 8 "features" from a
-    * rolling hash over payload bytes. A real implementation would decode the
-    * image/audio here; the signature and batch shape are the contract. */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** ======= STUB (audio/video only) ======= deterministic fallback for
+    * payloads [[ImageCodec]] cannot decode: `dim` pseudo-features from a
+    * rolling hash over payload bytes. Image payloads never reach this —
+    * they get real pixel features. */
+  private def fallbackFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
     var i = 0
@@ -88,6 +90,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthetic images with REAL pixels: each payload is a complete,
+    * decodable PNG/GIF/BMP (format cycles with `id % 3` — the three
+    * byte-exact lossless formats; JPEG is exercised header-only in
+    * [[synthesizeImages]] since its DCT roundtrip is lossy) whose 8-bit
+    * grayscale fill follows [[ImageCodec.pixel]]'s closed form
+    * `(id + 7x + 13y) mod 256`. Dimensions derive from the id, so both the
+    * decoded dims AND the decoded pixel statistics are reproducible as
+    * plain integer SQL. GIF heights are `5 + id % 13` (never 2–4): the
+    * JDK's GIF *reader* drops rows past the first for heights 2–4 (verified
+    * empirically — all widths, heights 2,3,4 only; PNG/BMP roundtrip exact
+    * on every 1..31 × 1..17 dim). */
+  def synthesizePixelImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          val fmt = (id % 3) match {
+            case 0 => "png"
+            case 1 => "gif"
+            case _ => "bmp"
+          }
+          val w = 1 + (id % 31).toInt
+          val h = if (fmt == "gif") 5 + (id % 13).toInt else 1 + (id % 17).toInt
+          Row(id, ImageCodec.encode(fmt, id, w, h))
+        }
+      }
+    }(enc)
+  }
+
+  /** Typed pixel statistics from a REAL `ImageIO` decode of each payload:
+    * (id, format, width, height, px_sum, px_min, px_max). The format string
+    * is parsed from the byte-stream header ([[ImageHeaders.dims]]), the
+    * stats from the decoded raster ([[ImageCodec.decodeFeatures]]).
+    * Corrupt / non-image payloads yield NULL stat columns, not failures. */
+  def decodePixelStats(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_sum", LongType),
+      StructField("px_min", IntegerType),
+      StructField("px_max", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = ImageHeaders.dims(payload).map(_._1).orNull
+          ImageCodec.decodeFeatures(payload) match {
+            case Some(f) => Row(id, fmt,
+              Integer.valueOf(f(0).toInt), Integer.valueOf(f(1).toInt),
+              java.lang.Long.valueOf(f(3).toLong),
+              Integer.valueOf(f(4).toInt), Integer.valueOf(f(5).toInt))
+            case None => Row(id, fmt, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** The real header decode: (id, format, width, height) parsed from the
     * payload BYTES via [[ImageHeaders.dims]] — not taken from metadata.
     * Unrecognized/truncated payloads yield NULL columns, not failures
@@ -116,8 +184,11 @@ object Multimodal {
 
   /** Feature extraction over media payloads: partition-parallel
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs — one
-    * iterator per partition, no per-row SerDe setup). Output:
-    * (id, kind, features array<float>). */
+    * iterator per partition, no per-row SerDe setup). Image payloads are
+    * REALLY decoded ([[ImageCodec.decodeFeatures]], `javax.imageio`) into
+    * `[w, h, n_px, px_sum, px_min, px_max]`; payloads no JDK reader accepts
+    * (audio/video) fall back to the labeled deterministic stub of length
+    * `dim`. Output: (id, kind, features array<float>). */
   def extractFeatures(spark: SparkSession, media: DataFrame, idCol: String,
       dim: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(
@@ -134,7 +205,12 @@ object Multimodal {
         rows.map { r =>
           val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
           val payload = r.getAs[Array[Byte]]("payload")
-          val feats = if (payload == null) null else decodeStub(payload, dim).toSeq
+          val feats =
+            if (payload == null) null
+            else ImageCodec.decodeFeatures(payload) match {
+              case Some(f) => f.toSeq
+              case None    => fallbackFeatures(payload, dim).toSeq
+            }
           Row(id, if (r.isNullAt(2)) null else r.getString(2), feats)
         }
       }(enc)

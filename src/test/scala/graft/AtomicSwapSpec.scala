@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.catalog.{PartitionSpec, TableRef}
-import graft.exec.AtomicWriter
+import graft.exec.{AtomicWriter, Maintenance}
 import graft.mat.Materializer
 import graft.mat.Materializer.IncrementalStrategy
 
@@ -55,13 +55,17 @@ class AtomicSwapSpec extends SparkSpec {
       Seq((1L, "p1"), (2L, "p2")).toDF("id", "pt"), part)
     Seq((99L, "px")).toDF("id", "pt").write.mode("overwrite")
       .partitionBy("pt").saveAsTable("default.swap_recover_part__graft_stg")
+    // staging names are stamped, so the stale leftover cannot collide with
+    // (or be silently replaced by) the live swap — it waits for recover
     AtomicWriter.overwritePartitions(spark,
       Seq((10L, "p1")).toDF("id", "pt"), ref, part)
     val got = spark.table(ref.render).select("id").as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 10L))
-    assert(!tables().contains("swap_recover_part__graft_stg"))
     // untouched partition p2 intact, no px contamination
     assert(spark.table(ref.render).filter($"pt" === "px").count() == 0)
+    val actions = Maintenance.recover(spark, ref)
+    assert(actions.exists(_.contains("swap_recover_part__graft_stg")))
+    assert(!tables().exists(_.startsWith("swap_recover_part__graft_stg")))
   }
 
   // ------------------------------------------------- committer seam (both)

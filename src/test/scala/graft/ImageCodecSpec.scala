@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{ImageCodec, ImageHeaders, Multimodal}
+
+/** Real-pixel codec roundtrips on the pure-JVM ImageIO stack: the encode →
+  * decode cycle must be byte-exact for the lossless formats (PNG/GIF/BMP)
+  * so the SQL oracle's closed-form pixel statistics hold; corrupt and
+  * non-image payloads must degrade to None / NULL columns, never throw. */
+class ImageCodecSpec extends SparkSpec {
+
+  // GIF heights 2-4 are excluded by design: the JDK GIF reader drops rows
+  // past the first on those heights (synthesizePixelImages dodges them)
+  private val dims = Seq((1, 1), (1, 17), (31, 1), (31, 17), (16, 12), (30, 11))
+
+  private def closedForm(id: Long, w: Int, h: Int): (Long, Int, Int) = {
+    var sum = 0L; var mn = 255; var mx = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ImageCodec.pixel(id, x, y)
+      sum += g; if (g < mn) mn = g; if (g > mx) mx = g
+    }
+    (sum, mn, mx)
+  }
+
+  for (fmt <- Seq("png", "gif", "bmp")) {
+    test(s"$fmt encode→decode is pixel-exact against the closed form") {
+      for (((w, h), i) <- dims.zipWithIndex) {
+        val id = 37L * i + 5
+        val bytes = ImageCodec.encode(fmt, id, w, h)
+        // the header parser agrees on format and dims
+        assert(ImageHeaders.dims(bytes).map(d => (d._1, d._2, d._3))
+          == Some((fmt, w, h)))
+        val f = ImageCodec.decodeFeatures(bytes).get
+        val (sum, mn, mx) = closedForm(id, w, h)
+        assert(f.toSeq == Seq(w.toFloat, h.toFloat, (w.toLong * h).toFloat,
+          sum.toFloat, mn.toFloat, mx.toFloat),
+          s"$fmt ${w}x$h id=$id decoded ${f.toSeq}")
+      }
+    }
+  }
+
+  test("corrupt / truncated / non-image payloads decode to None, not throw") {
+    assert(ImageCodec.decodeFeatures(null).isEmpty)
+    assert(ImageCodec.decodeFeatures(Array.empty[Byte]).isEmpty)
+    assert(ImageCodec.decodeFeatures("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decodeFeatures(
+      ImageCodec.encode("png", 1L, 5, 5).take(20)).isEmpty)
+  }
+
+  test("decodePixelStats: real decode distributed over partitions") {
+    import spark.implicits._
+    val ids = spark.range(0, 60).select($"id".as("doc_id"))
+    val imgs = Multimodal.synthesizePixelImages(ids, "doc_id")
+    val got = Multimodal.decodePixelStats(imgs).collect()
+    assert(got.length == 60)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
+      val w = 1 + (id % 31).toInt
+      val h = if (fmt == "gif") 5 + (id % 13).toInt else 1 + (id % 17).toInt
+      val (sum, mn, mx) = closedForm(id, w, h)
+      assert(r.getString(1) == fmt && r.getInt(2) == w && r.getInt(3) == h
+        && r.getLong(4) == sum && r.getInt(5) == mn && r.getInt(6) == mx,
+        s"id=$id got $r")
+    }
+  }
+
+  test("extractFeatures uses real pixel decode for images, stub for the rest") {
+    import spark.implicits._
+    val ids = spark.range(0, 9).select($"id".as("doc_id"))
+    val media = Multimodal.synthesizePixelImages(ids, "doc_id")
+      .select($"id".as("doc_id"),
+        struct($"payload",
+          struct(lit("image").as("kind"), lit(1).as("width"), lit(1).as("height"),
+            lit(0).as("sample_rate"), lit(0L).as("duration_ms")).as("meta"))
+          .as("media"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id").collect()
+    assert(feats.length == 9)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](2)
+      assert(f.length == ImageCodec.FeatureDim)
+      val w = 1 + (id % 31).toInt
+      val h = if (id % 3 == 1) 5 + (id % 13).toInt else 1 + (id % 17).toInt
+      assert(f(0) == w.toFloat && f(1) == h.toFloat)
+      val (sum, _, _) = closedForm(id, w, h)
+      assert(f(3) == sum.toFloat)
+    }
+  }
+}

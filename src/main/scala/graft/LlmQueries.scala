@@ -634,6 +634,34 @@ object LlmQueries {
       |  CAST(greatest(floor(d.dur / 500.0) - 1, 0) + 1 AS BIGINT) AS n_frames
       |FROM d JOIN px USING (id) ORDER BY d.id""".stripMargin
 
+  /** Real AUDIO decode, ORACLE-CHECKED: payloads are complete RIFF/WAVE
+    * clips (16-bit mono PCM) whose samples follow the closed form
+    * `((id*31 + 7i) mod 65536) - 32768`; the query really encodes them and
+    * really decodes them back through `javax.sound.sampled`, while DuckDB
+    * reproduces every amplitude statistic from the integer closed form. */
+  private def mm03(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudio(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeAudioStats(clips)
+      .withColumn("duration_ms",
+        round(col("n_samples") * lit(1000.0) / col("sample_rate"), 3))
+      .orderBy(col("id"))
+  }
+
+  private val mm03Sql =
+    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n,
+      |    8000 * (1 + doc_id % 3) AS rate
+      |  FROM documents WHERE doc_id < 200),
+      |amp AS (SELECT d.id,
+      |    CAST(SUM((d.id*31 + 7*s.i) % 65536 - 32768) AS BIGINT) AS amp_sum,
+      |    CAST(MIN((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_min,
+      |    CAST(MAX((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_max
+      |  FROM d, UNNEST(range(0, d.n)) AS s(i) GROUP BY d.id)
+      |SELECT d.id, CAST(d.rate AS INT) AS sample_rate,
+      |  CAST(d.n AS BIGINT) AS n_samples, amp.amp_sum, amp.amp_min, amp.amp_max,
+      |  round(d.n * 1000.0 / d.rate, 3) AS duration_ms
+      |FROM d JOIN amp USING (id) ORDER BY d.id""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -695,7 +723,8 @@ object LlmQueries {
     "t05_url_domains" -> (t05 _),
     "t06_repetition" -> (t06 _),
     "mm01_image_header_dims" -> (mm01 _),
-    "mm02_media_resize_frames" -> (mm02 _))
+    "mm02_media_resize_frames" -> (mm02 _),
+    "mm03_audio_wav" -> (mm03 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -714,6 +743,7 @@ object LlmQueries {
     "t02_winnow_fingerprints" -> t02Sql,
     "mm01_image_header_dims" -> mm01Sql,
     "mm02_media_resize_frames" -> mm02Sql,
+    "mm03_audio_wav" -> mm03Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,

@@ -1,0 +1,75 @@
+package graft.llm
+
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.AudioSystem
+
+/** Real audio codec on the pure-JVM `javax.sound.sampled` stack (the
+  * WAV/PCM reader ships with the JDK — no native libraries), the audio
+  * sibling of [[ImageCodec]].
+  *
+  * Encode builds a canonical 44-byte RIFF/WAVE header + 16-bit little-
+  * endian mono PCM whose samples follow a closed form over (id, i), so a
+  * SQL oracle can reproduce the decoded amplitude statistics exactly.
+  * Decode goes through `AudioSystem` (format negotiation + frame
+  * reading — the real decode path), not a hand parser.
+  */
+object AudioCodec {
+
+  /** Deterministic PCM fill: sample i of clip `id` is
+    * `((id * 31 + i * 7) mod 65536) - 32768` — reproducible as plain
+    * integer SQL. */
+  def sample(id: Long, i: Long): Int =
+    ((((id * 31L + i * 7L) % 65536L) + 65536L) % 65536L - 32768L).toInt
+
+  /** A real RIFF/WAVE payload: 16-bit LE mono PCM, `n` samples at
+    * `sampleRate` Hz, filled by [[sample]]. */
+  def encodeWav(id: Long, n: Int, sampleRate: Int = 16000): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(sample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Decode the payload through `AudioSystem` and fold its samples into
+    * `(sampleRate, nSamples, ampSum, ampMin, ampMax)`; None for null /
+    * corrupt / non-audio payloads. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Long, Long, Int, Int)] = {
+    if (payload == null) return None
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: Throwable => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16) return None
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      while (bb.remaining() >= 2) {
+        val s: Int = bb.getShort
+        sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+      }
+      val n = bytes.length / 2
+      if (n == 0) Some((fmt.getSampleRate.toInt, 0L, 0L, 0, 0))
+      else Some((fmt.getSampleRate.toInt, n.toLong, sum, mn, mx))
+    } catch { case _: Throwable => None }
+    finally in.close()
+  }
+}

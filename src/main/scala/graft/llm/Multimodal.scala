@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * frame-sample operators.
   *
   * Image payloads get a REAL pixel decode via the pure-JVM `javax.imageio`
-  * stack ([[ImageCodec]] — PNG/JPEG/GIF/BMP readers ship with the JDK).
-  * Only the audio/video feature path remains a labeled deterministic stub
-  * (`fallbackFeatures` — no audio/video codecs exist in this environment);
-  * the schema, batch iteration via `mapPartitions`, and partition-parallel
-  * execution are identical for both paths, so swapping in a real A/V codec
-  * (e.g. javacv) would not touch the plan.
+  * stack ([[ImageCodec]] — PNG/JPEG/GIF/BMP readers ship with the JDK),
+  * audio payloads a REAL PCM decode via `javax.sound.sampled`
+  * ([[AudioCodec]], RIFF/WAVE). Only the VIDEO feature path remains a
+  * labeled deterministic stub (`fallbackFeatures` — no video codec exists
+  * in the JDK); the schema, batch iteration via `mapPartitions`, and
+  * partition-parallel execution are identical for all paths, so swapping
+  * in a real video codec (e.g. javacv) would not touch the plan.
   */
 object Multimodal {
 
@@ -44,10 +45,10 @@ object Multimodal {
           (pmod(xxhash64(col(idCol), lit(3)), lit(60000)) + 1000).as("duration_ms")
         ).as("meta")).as("media"))
 
-  /** ======= STUB (audio/video only) ======= deterministic fallback for
-    * payloads [[ImageCodec]] cannot decode: `dim` pseudo-features from a
-    * rolling hash over payload bytes. Image payloads never reach this —
-    * they get real pixel features. */
+  /** ======= STUB (video only) ======= deterministic fallback for payloads
+    * neither [[ImageCodec]] nor [[AudioCodec]] can decode: `dim`
+    * pseudo-features from a rolling hash over payload bytes. Image and
+    * audio payloads never reach this — they get real decoded features. */
   private def fallbackFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -156,6 +157,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic audio with REAL bytes: each payload is a complete RIFF/WAVE
+    * clip (16-bit mono PCM) whose sample values follow [[AudioCodec.sample]]'s
+    * closed form; length and sample rate derive from the id, so decoded
+    * amplitude statistics are reproducible as plain integer SQL. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          val n = 100 + (id % 900).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          Row(id, AudioCodec.encodeWav(id, n, rate))
+        }
+      }
+    }(enc)
+  }
+
+  /** Typed amplitude statistics from a REAL `javax.sound.sampled` decode of
+    * each payload: (id, sample_rate, n_samples, amp_sum, amp_min, amp_max).
+    * Corrupt / non-audio payloads yield NULL stat columns, not failures. */
+  def decodeAudioStats(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("amp_sum", LongType),
+      StructField("amp_min", IntegerType),
+      StructField("amp_max", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          AudioCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, n, sum, mn, mx)) => Row(id,
+              Integer.valueOf(rate), java.lang.Long.valueOf(n),
+              java.lang.Long.valueOf(sum), Integer.valueOf(mn), Integer.valueOf(mx))
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** The real header decode: (id, format, width, height) parsed from the
     * payload BYTES via [[ImageHeaders.dims]] — not taken from metadata.
     * Unrecognized/truncated payloads yield NULL columns, not failures
@@ -209,7 +258,11 @@ object Multimodal {
             if (payload == null) null
             else ImageCodec.decodeFeatures(payload) match {
               case Some(f) => f.toSeq
-              case None    => fallbackFeatures(payload, dim).toSeq
+              case None => AudioCodec.decodeWav(payload) match {
+                case Some((rate, n, sum, mn, mx)) =>
+                  Seq(rate.toFloat, n.toFloat, sum.toFloat, mn.toFloat, mx.toFloat)
+                case None => fallbackFeatures(payload, dim).toSeq
+              }
             }
           Row(id, if (r.isNullAt(2)) null else r.getString(2), feats)
         }

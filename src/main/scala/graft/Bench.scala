@@ -41,12 +41,20 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line =
+    def mkLine(f: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    }
+    // the query count grows round over round — if 1-decimal no longer fits
+    // the 2000-byte window with margin, degrade per-query values to whole
+    // seconds (the full-precision line above and BENCH_FULL_latest.json
+    // keep the real numbers; the compact line's job is to PARSE)
+    val line1 = mkLine(fmt)
+    val line = if (line1.length <= 1950) line1
+      else mkLine(v => math.round(v).toString)
     // Full-precision copy for the judge (repo file survives the tail window).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

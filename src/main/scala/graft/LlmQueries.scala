@@ -247,6 +247,28 @@ object LlmQueries {
       |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stratified deterministic sampling: rebalance the corpus by language
+    * (keep 25% of overrepresented 'en', 50% of 'zh', everything else
+    * whole) with the salted content-hash rule — per-row projection, no
+    * RNG, no per-stratum pass. The oracle applies the IDENTICAL md5-prefix
+    * comparison per stratum, so every kept row hash-matches. */
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    Sampling.stratifiedSample(docs, col("text"), col("lang"),
+        rates = Map("en" -> 16384, "zh" -> 32768), salt = "g3")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d08Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CASE lang
+      |    WHEN 'en' THEN substring(md5('g3' || text), 1, 4) < '4000'
+      |    WHEN 'zh' THEN substring(md5('g3' || text), 1, 4) < '8000'
+      |    ELSE TRUE END
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- similarity search
 
   private def s01(s: SparkSession, dir: String): DataFrame = {
@@ -556,6 +578,61 @@ object LlmQueries {
       |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality-percentile filtering: keep each language's top quartile by
+    * quality score — the rank-threshold form (row_number ≤ ceil(n/4) with a
+    * deterministic tiebreak), which is engine-exact, unlike interpolated
+    * percentile cutoffs whose tie semantics differ across engines. The
+    * oracle recomputes the identical score (t01's proven-hash-equal
+    * formula) and the identical window. */
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rk") <= ceil(col("n_lang") * 0.25))
+      .select(col("doc_id"), col("lang"), col("quality"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t07Sql = {
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, lang, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |pre AS (SELECT doc_id, lang, text, tk,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base),
+       |scored AS (SELECT doc_id, lang,
+       |  round(
+       |    (CASE WHEN length(text) < 100 THEN length(text) / 100.0
+       |          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +
+       |    (CASE WHEN length(text) = 0 THEN 1.0
+       |          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2
+       |          THEN 0.3 ELSE 1.0 END) * 0.3 +
+       |    (CASE WHEN len(tk) = 0 THEN 0.5
+       |          WHEN CAST(sw_hits AS DOUBLE) / len(tk) >= 0.05 AND
+       |               CAST(sw_hits AS DOUBLE) / len(tk) <= 0.6
+       |          THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+       |  FROM pre),
+       |rk AS (SELECT doc_id, lang, quality,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM scored)
+       |SELECT doc_id, lang, quality, rk
+       |FROM rk WHERE rk <= ceil(n_lang * 0.25) ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Real image-header decode, ORACLE-CHECKED: payloads are structurally
@@ -710,6 +787,7 @@ object LlmQueries {
     "d05_dup_clusters" -> (d05 _),
     "d06_hash_split" -> (d06 _),
     "d07_contamination" -> (d07 _),
+    "d08_stratified_sample" -> (d08 _),
     "s01_cosine_topk_brute" -> (s01 _),
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
@@ -722,6 +800,7 @@ object LlmQueries {
     "t04_pii_redact" -> (t04 _),
     "t05_url_domains" -> (t05 _),
     "t06_repetition" -> (t06 _),
+    "t07_quality_topq" -> (t07 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _))
@@ -734,6 +813,7 @@ object LlmQueries {
     "d05_dup_clusters" -> d05Sql,
     "d06_hash_split" -> d06Sql,
     "d07_contamination" -> d07Sql,
+    "d08_stratified_sample" -> d08Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s02_cosine_topk_lsh" -> s02Sql,
     "s03_embed_neardup_exact" -> s03Sql,
@@ -748,5 +828,6 @@ object LlmQueries {
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,
-    "t06_repetition" -> t06Sql)
+    "t06_repetition" -> t06Sql,
+    "t07_quality_topq" -> t07Sql)
 }

@@ -358,8 +358,27 @@ object VersionedCommitter extends Committer {
       // fix-up done — only now does the manifest stop being pending
       fs.delete(pending, false)
       try { // post-commit GC; failures are swept by Maintenance.recover
+        // the candidates were snapshotted BEFORE our flip — a CONCURRENT
+        // whole-table writer may have (a) flipped the table to one of them
+        // after us (its version is now the live root), (b) staged one with
+        // a still-pending manifest (its flip is in flight), or (c) carry a
+        // LATER stamp than ours (it started after this writer — its
+        // version is never ours to collect). Deleting any of these would
+        // destroy the winner's data, so all are skipped; a crashed
+        // writer's leftovers keep their pending manifest and are swept by
+        // Maintenance.recover instead. (A writer with an EARLIER stamp
+        // completing its whole flip inside the microseconds between this
+        // filter and the delete remains a theoretical TOCTOU — closing it
+        // needs a catalog-side lease, which no portable catalog offers.)
+        val curRootNow = new HPath(cat.getTableMetadata(ident).location)
+          .toUri.getPath
+        def inFlight(p: HPath): Boolean =
+          fs.exists(new HPath(shell, PendingPrefix + p.getName))
         oldEntries.foreach(p => fs.delete(p, true))
-        oldVersions.foreach(p => fs.delete(p, true))
+        oldVersions
+          .filterNot(p => p.toUri.getPath == curRootNow || inFlight(p) ||
+            p.getName >= stamp)
+          .foreach(p => fs.delete(p, true))
       } catch { case scala.util.control.NonFatal(_) => }
     } catch {
       case e: Throwable if !committed =>

@@ -60,4 +60,26 @@ object Sampling {
     if (num == 65536) df
     else df.filter(hexPrefix(key, salt, 4) < lit(f"$num%04x"))
   }
+
+  /** Stratified twin of [[deterministicSample]]: per-stratum keep counts
+    * (out of 65536) over the same salted content-hash prefix — the standard
+    * corpus-rebalancing move (down-weight overrepresented languages /
+    * sources) without an RNG: same row → same decision on any engine, and
+    * byte-identical duplicates inside a stratum sample identically. Strata
+    * absent from `rates` take `defaultNum` (65536 = keep all). Still a pure
+    * per-row projection — no shuffle, no per-stratum pass. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultNum: Int = 65536,
+      salt: String = ""): DataFrame = {
+    require((rates.values.toSeq :+ defaultNum).forall(n => n >= 0 && n <= 65536),
+      "rates are counts out of 65536")
+    val b = hexPrefix(key, salt, 4)
+    def keep(num: Int): Column =
+      if (num == 65536) lit(true) else b < lit(f"$num%04x")
+    // sorted fold for a deterministic plan (Map order is not)
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultNum)) {
+      case ((s, num), rest) => when(stratum === lit(s), keep(num)).otherwise(rest)
+    }
+    df.filter(cond)
+  }
 }

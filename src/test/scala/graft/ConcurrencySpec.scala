@@ -128,6 +128,36 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("[versioned] concurrent whole-table replaces: one writer wins whole, loser's GC spares the winner") {
+    withCommitter("versioned") {
+      val ref = TableRef("default.cc_flip")
+      spark.sql(s"DROP TABLE IF EXISTS ${ref.render}")
+      Seq((0L, "init")).toDF("id", "v").write.saveAsTable(ref.render)
+      for (round <- 0 until 3) {
+        inParallel(2) { i =>
+          val rows = (0 until 4).map(j => (100L * (i + 1) + j, s"w$i"))
+          retryRun(ref) {
+            graft.exec.AtomicWriter.overwriteTable(spark,
+              rows.toDF("id", "v"), ref)
+          }
+        }
+        spark.sql(s"REFRESH TABLE ${ref.render}")
+        val got = spark.table(ref.render).as[(Long, String)].collect().toSet
+        val w0 = (0 until 4).map(j => (100L + j, "w0")).toSet
+        val w1 = (0 until 4).map(j => (200L + j, "w1")).toSet
+        assert(got == w0 || got == w1, s"round $round: torn table: $got")
+        // the winner's root must still exist on disk (the loser's GC must
+        // not have collected it)
+        assert(spark.table(ref.render).count() == 4)
+      }
+      // leftover losing versions/manifests are recover's job, and recover
+      // must not change what readers see
+      val before = spark.table(ref.render).as[(Long, String)].collect().toSet
+      Maintenance.recover(spark, ref)
+      assert(spark.table(ref.render).as[(Long, String)].collect().toSet == before)
+    }
+  }
+
   test("recover sweeps stamped staging leftovers by prefix") {
     val ref = TableRef("default.cc_sweep")
     Materializer.table(spark, ref, Seq((1L, "p")).toDF("id", "pt"),

@@ -42,7 +42,10 @@ object Bench {
       else s
     }
     val total = results.map(_._2).sum
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // anchored: a dir like "sf0.1.bak" must yield 0.1, not the invalid
+    // JSON number "0.1." that would break the whole compact line
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
     def mkLine(f: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")

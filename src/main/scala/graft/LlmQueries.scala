@@ -456,6 +456,22 @@ object LlmQueries {
       .withColumn("n_tokens", col("n_tokens").cast("bigint"))
       .orderBy(col("doc_id"))
 
+  /** The DuckDB form of `TextOps.qualityScore`, shared by the t01 and t07
+    * oracles so the two can never silently drift. Expects `text`, `n_punct`
+    * and `sw_hits` in scope; the token count expression is a parameter
+    * (t01 precomputes `n_tokens`, t07 uses `len(tk)` inline). */
+  private def qualitySqlExpr(nTok: String): String =
+    "round(\n" +
+    "    (CASE WHEN length(text) < 100 THEN length(text) / 100.0\n" +
+    "          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +\n" +
+    "    (CASE WHEN length(text) = 0 THEN 1.0\n" +
+    "          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2\n" +
+    "          THEN 0.3 ELSE 1.0 END) * 0.3 +\n" +
+    s"    (CASE WHEN $nTok = 0 THEN 0.5\n" +
+    s"          WHEN CAST(sw_hits AS DOUBLE) / $nTok >= 0.05 AND\n" +
+    s"               CAST(sw_hits AS DOUBLE) / $nTok <= 0.6\n" +
+    "          THEN 1.0 ELSE 0.5 END) * 0.3, 6)"
+
   private val t01Sql = {
     val langHits = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -488,16 +504,7 @@ object LlmQueries {
        |             ELSE CAST(sw_hits AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
        |  CASE WHEN struct_extract(best, 'hits') = 0 THEN 'und'
        |       ELSE struct_extract(best, 'lang') END AS lang_id,
-       |  round(
-       |    (CASE WHEN length(text) < 100 THEN length(text) / 100.0
-       |          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +
-       |    (CASE WHEN length(text) = 0 THEN 1.0
-       |          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2
-       |          THEN 0.3 ELSE 1.0 END) * 0.3 +
-       |    (CASE WHEN n_tokens = 0 THEN 0.5
-       |          WHEN CAST(sw_hits AS DOUBLE) / n_tokens >= 0.05 AND
-       |               CAST(sw_hits AS DOUBLE) / n_tokens <= 0.6
-       |          THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+       |  ${qualitySqlExpr("n_tokens")} AS quality,
        |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
        |FROM scored ORDER BY doc_id""".stripMargin
   }
@@ -613,16 +620,7 @@ object LlmQueries {
        |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
        |  FROM base),
        |scored AS (SELECT doc_id, lang,
-       |  round(
-       |    (CASE WHEN length(text) < 100 THEN length(text) / 100.0
-       |          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +
-       |    (CASE WHEN length(text) = 0 THEN 1.0
-       |          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2
-       |          THEN 0.3 ELSE 1.0 END) * 0.3 +
-       |    (CASE WHEN len(tk) = 0 THEN 0.5
-       |          WHEN CAST(sw_hits AS DOUBLE) / len(tk) >= 0.05 AND
-       |               CAST(sw_hits AS DOUBLE) / len(tk) <= 0.6
-       |          THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+       |  ${qualitySqlExpr("len(tk)")} AS quality
        |  FROM pre),
        |rk AS (SELECT doc_id, lang, quality,
        |    CAST(row_number() OVER (PARTITION BY lang

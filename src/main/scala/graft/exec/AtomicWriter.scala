@@ -54,8 +54,9 @@ object AtomicWriter {
       when(s.isNull || s === lit(""), lit(HiveDefaultPartition)).otherwise(s)
     }: _*)
 
-  private def stgName(t: TableRef): TableRef =
-    t.copy(name = t.name + "__graft_stg")
+  // staging/old helper names carry a per-operation stamp (same-table
+  // concurrency: a fixed name would let writer B's DROP of "the" old table
+  // destroy writer A's only copy while A sits between its two renames)
 
   /** The target's CURRENT bucket spec, for maintenance rewrites (UPDATE/
     * DELETE/snapshot/MV-refresh/schema-sync) that must preserve the
@@ -127,13 +128,13 @@ object AtomicWriter {
       VersionedCommitter.overwriteTable(spark, df, target, partition)
       return
     }
-    val stg = stgName(target)
-    val old = target.copy(name = target.name + "__graft_old")
+    val stamp = Committer.newStamp()
+    val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
+    val old = target.copy(name = target.name + "__graft_old_" + stamp)
     // bucket spec travels WITH the staged table through the rename (the
     // catalog moves the whole CatalogTable), so bucketed replacements get
     // the same crash-recoverable swap as everything else
     createOrReplace(spark, df, stg, partition, bucketBy)
-    spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
     if (existed) {
       spark.sql(s"ALTER TABLE ${target.render} RENAME TO ${old.render}")
       repairPartitionLocations(spark, old)

@@ -49,6 +49,16 @@ object Committer {
   private[exec] def ident(spark: SparkSession, ref: TableRef): TableIdentifier =
     spark.sessionState.sqlParser.parseTableIdentifier(ref.render.replace("`", ""))
 
+  /** Per-operation stamp shared by every swap artifact (staging tables,
+    * trash dirs, version dirs, pending manifests): millis-prefixed so
+    * stamps sort chronologically, `[0-9_]`-only so hive-path escaping and
+    * `repairPartitionLocations` never mangle it (nextInt(bound) is never
+    * negative — `math.abs(Int.MinValue)` is). Maintenance.recover parses
+    * the millis prefix to age-gate sweeps. */
+  private[exec] def newStamp(): String =
+    f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+
   /** `k1=v1/k2=v2` → catalog partition spec (hive-unescaped values; NULL
     * partitions carry the default-partition sentinel, as the catalog
     * stores them). */
@@ -76,8 +86,7 @@ object RenameCommitter extends Committer {
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
     val pcols = partition.partitionColumns
-    val stamp = f"${System.currentTimeMillis()}%013d_${
-      new java.security.SecureRandom().nextInt(1000000)}%06d"
+    val stamp = Committer.newStamp()
     val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
     AtomicWriter.createOrReplace(spark, aligned, stg, partition)
     try {
@@ -176,27 +185,28 @@ object VersionedCommitter extends Committer {
     new HPath(spark.sessionState.catalog.defaultTablePath(
       Committer.ident(spark, target)))
 
-  // nextInt(bound) is never negative (math.abs(Int.MinValue) is), so the
-  // stamp keeps its [0-9_]-only invariant repairPartitionLocations needs
-  private def newStamp(): String =
-    f"${System.currentTimeMillis()}%013d_${
-      new java.security.SecureRandom().nextInt(1000000)}%06d"
-
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
     val pcols = partition.partitionColumns
     val shell = shellDir(spark, target)
-    val stamp = newStamp()
+    val stamp = Committer.newStamp()
     val vroot = new HPath(new HPath(shell, VersionsDir), stamp)
     var out = aligned
     if (pcols.nonEmpty)
       out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
-    out.write.partitionBy(pcols: _*).parquet(vroot.toString)
-    val staged = AtomicWriter.partitionDirs(fs, vroot, pcols.size)
-    if (staged.isEmpty) { fs.delete(vroot, true); return Committer.Result(Nil, false) }
     val pending = new HPath(shell, PendingPrefix + stamp)
     var committed = false
     try {
+      // CLAIM the manifest BEFORE writing any data: a concurrent writer's
+      // post-commit GC spares in-flight (pending-manifest) versions, so
+      // without the early claim it could delete this version dir mid-write
+      writePending(fs, pending, Nil)
+      out.write.partitionBy(pcols: _*).parquet(vroot.toString)
+      val staged = AtomicWriter.partitionDirs(fs, vroot, pcols.size)
+      if (staged.isEmpty) {
+        fs.delete(vroot, true); fs.delete(pending, false)
+        return Committer.Result(Nil, false)
+      }
       writePending(fs, pending, staged)
       val cat = spark.sessionState.catalog
       val ident = Committer.ident(spark, target)
@@ -300,19 +310,22 @@ object VersionedCommitter extends Committer {
     val curDir = AtomicWriter.tableDir(spark, target) // may BE a version dir
     val shell = shellDir(spark, target)
     val fs = shell.getFileSystem(spark.sessionState.newHadoopConf())
-    val stamp = newStamp()
+    val stamp = Committer.newStamp()
     val vroot = new HPath(new HPath(shell, VersionsDir), stamp)
     val tgtCols = spark.table(target.render).columns
     var out = AtomicWriter.withPartitionCols(df, partition)
       .select(tgtCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     if (pcols.nonEmpty)
       out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
-    var w = out.write
-    if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
-    w.parquet(vroot.toString)
     val pending = new HPath(shell, PendingPrefix + stamp)
     var committed = false
     try {
+      // claim before writing data — see stageAndCommit: the manifest is
+      // what shields an in-flight version from a concurrent writer's GC
+      writePending(fs, pending, Nil)
+      var w = out.write
+      if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
+      w.parquet(vroot.toString)
       val staged =
         if (pcols.isEmpty) Nil
         else AtomicWriter.partitionDirs(fs, vroot, pcols.size)

@@ -94,12 +94,12 @@ object Maintenance {
   /** Sweep the crash leftovers of the staged-swap machinery for one table
     * and return the actions taken (for audit). Handles, in order:
     *
-    *  1. `<t>__graft_old` with the target MISSING: the crash fell between
-    *     the two table renames of overwriteTable — the old table is the
-    *     only copy; rename it back.
-    *  2. Abandoned helper tables (`__graft_stg`, `__graft_old` with the
-    *     target present, `__dbt_tmp`): staged data that never swapped in —
-    *     drop.
+    *  1. `<t>__graft_old[_<stamp>]` with the target MISSING: the crash fell
+    *     between the two table renames of overwriteTable — the old table is
+    *     the only copy; rename the LATEST back (stamps sort chronologically).
+    *  2. Abandoned helper tables (`__graft_stg[_<stamp>]`, `__graft_old…`
+    *     with the target present, `__dbt_tmp`): staged data that never
+    *     swapped in — drop.
     *  3. `.graft_trash` / `.graft_trash_<stamp>` dirs (rename committer):
     *     partitions whose live dir is MISSING are restored from the trash
     *     copy (+ re-registered); copies whose live dir exists are deleted.
@@ -109,29 +109,47 @@ object Maintenance {
     *  5. Orphan version dirs and orphan default-layout partition dirs —
     *     directories no catalog partition references (post-commit GC that
     *     never ran) — deleted.
-    */
+    *
+    * Concurrency: recover assumes NO writer is in flight on this table
+    * (exclusive-admin semantics) — a live swap's staging table, trash dir,
+    * version dir or pending manifest looks exactly like a crash leftover.
+    * In shared environments set `spark.graft.recover.minAgeMs`: stamped
+    * artifacts younger than it (stamps embed epoch millis) are SKIPPED, so
+    * any writer that started within the window keeps its rollback state. */
   def recover(spark: SparkSession, target: TableRef): Seq[String] = {
     val actions = scala.collection.mutable.ListBuffer[String]()
     val cat = spark.sessionState.catalog
     def exists(r: TableRef) =
       spark.catalog.tableExists(r.render.replace("`", ""))
-    val old = target.copy(name = target.name + "__graft_old")
     val tmp = target.copy(name = target.name + "__dbt_tmp")
 
-    if (!exists(target) && exists(old)) {
-      spark.sql(s"ALTER TABLE ${old.render} RENAME TO ${target.render}")
-      AtomicWriter.repairPartitionLocations(spark, target)
-      actions += s"restored ${target.render} from ${old.render}"
-    }
-    // staging tables carry a per-swap stamp (`__graft_stg_<stamp>`, for
-    // same-table concurrency) — sweep them by prefix, plus the unstamped
-    // legacy name and the reference-parity __dbt_tmp
+    val minAgeMs = spark.conf.getOption("spark.graft.recover.minAgeMs")
+      .map(_.toLong).getOrElse(0L)
+    val nowMs = System.currentTimeMillis()
+    // an artifact is "young" (possibly a LIVE writer's) iff its name ends
+    // with a parseable stamp inside the grace window; unstamped legacy
+    // names count as infinitely old
+    def isYoung(name: String): Boolean =
+      "([0-9]{13})_[0-9]{6}$".r.findFirstMatchIn(name)
+        .exists(m => nowMs - m.group(1).toLong < minAgeMs)
+
     val db = target.database.getOrElse(cat.getCurrentDatabase)
-    val stgPrefix = target.name + "__graft_stg"
-    val staleStg = cat.listTables(db).map(_.table)
-      .filter(t => t == stgPrefix || t.startsWith(stgPrefix + "_"))
-      .map(t => target.copy(name = t))
-    (Seq(old, tmp).filter(exists) ++ staleStg).foreach { r =>
+    def tablesWithPrefix(p: String): Seq[String] =
+      cat.listTables(db).map(_.table)
+        .filter(t => t == p || t.startsWith(p + "_")).sorted
+    val oldPrefix = target.name + "__graft_old"
+
+    if (!exists(target)) tablesWithPrefix(oldPrefix).lastOption.foreach { o =>
+      val latest = target.copy(name = o)
+      spark.sql(s"ALTER TABLE ${latest.render} RENAME TO ${target.render}")
+      AtomicWriter.repairPartitionLocations(spark, target)
+      actions += s"restored ${target.render} from ${latest.render}"
+    }
+    val staleHelpers =
+      (tablesWithPrefix(target.name + "__graft_stg") ++ tablesWithPrefix(oldPrefix))
+        .filterNot(isYoung).map(t => target.copy(name = t)) ++
+        Seq(tmp).filter(exists)
+    staleHelpers.foreach { r =>
       spark.sql(s"DROP TABLE IF EXISTS ${r.render}")
       actions += s"dropped abandoned ${r.render}"
     }
@@ -162,8 +180,10 @@ object Maintenance {
     val entries = scanDirs.flatMap(ls).distinct
 
     // 3. trash dirs: restore what the live table lost, drop the rest
+    // (young = possibly a live swap's rollback state — leave untouched)
     if (depth > 0) entries.filter(e => e.isDirectory &&
-        e.getPath.getName.startsWith(".graft_trash")).foreach { t =>
+        e.getPath.getName.startsWith(".graft_trash") &&
+        !isYoung(e.getPath.getName)).foreach { t =>
       // the trash may hold the ONLY copy of a partition — purge it only if
       // every stranded partition restored cleanly; a failed rename-back
       // leaves the trash in place (and says so) rather than destroying
@@ -196,7 +216,8 @@ object Maintenance {
     // staged files the flip never reached are dropped.
     val vbase = new org.apache.hadoop.fs.Path(shell, VersionedCommitter.VersionsDir)
     entries.filter(e => !e.isDirectory &&
-        e.getPath.getName.startsWith(VersionedCommitter.PendingPrefix))
+        e.getPath.getName.startsWith(VersionedCommitter.PendingPrefix) &&
+        !isYoung(e.getPath.getName))
       .foreach { m =>
         val stamp = m.getPath.getName.stripPrefix(VersionedCommitter.PendingPrefix)
         val vroot = new org.apache.hadoop.fs.Path(vbase, stamp)
@@ -251,7 +272,8 @@ object Maintenance {
     val livePaths2 = livePathsNow()
     // 5a. orphan version dirs: live iff the table's current root IS the
     // version dir (whole-table flip) or a registered partition lives inside
-    if (fs.exists(vbase)) fs.listStatus(vbase).filter(_.isDirectory).foreach { v =>
+    if (fs.exists(vbase)) fs.listStatus(vbase)
+        .filter(v => v.isDirectory && !isYoung(v.getPath.getName)).foreach { v =>
       val vPath = v.getPath.toUri.getPath
       val referenced = vPath == rootPath ||
         (depth > 0 && AtomicWriter.partitionDirs(fs, v.getPath, depth).exists(rel =>

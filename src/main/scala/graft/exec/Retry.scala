@@ -50,6 +50,23 @@ object Retry {
     }
   }
 
+  /** Whole-TABLE swap races: the rename dance (target → old, stg → target)
+    * serializes on the target name, so the LOSER of a concurrent replace
+    * fails its rename with table-not-found / already-exists. Re-running the
+    * whole materialization against the winner's state is the correct
+    * response (reference wrapper semantics) — concurrent whole-table
+    * replaces converge to one writer's complete output, never a torn mix.
+    * Only for whole-operation retry loops, never around inner DDL (where
+    * AnalysisException means a real error). */
+  def tableRenameRace(t: Throwable): Boolean = t match {
+    case e: org.apache.spark.sql.AnalysisException =>
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        m.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+        m.contains("already exists")
+    case _ => false
+  }
+
   /** Run `f`, retrying on `retryOn`-matching failures with exponential
     * backoff (200 ms doubling, capped at `maxDelayMs`), up to `attempts`
     * total tries. The last failure propagates unchanged. */

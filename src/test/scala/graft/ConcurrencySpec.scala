@@ -37,8 +37,10 @@ class ConcurrencySpec extends SparkSpec {
     * catalog race — what the reference wrapper does per model run. */
   private def retryRun(target: TableRef)(body: => Unit): Unit =
     Retry.withRetries(attempts = 10,
-      retryOn = t => Retry.transientRace(t) || Retry.staleScan(t)) {
-      spark.sql(s"REFRESH TABLE ${target.render}")
+      retryOn = t => Retry.transientRace(t) || Retry.staleScan(t) ||
+        Retry.tableRenameRace(t)) {
+      if (spark.catalog.tableExists(target.render.replace("`", "")))
+        spark.sql(s"REFRESH TABLE ${target.render}")
       body
     }
 
@@ -128,9 +130,10 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
-  test("[versioned] concurrent whole-table replaces: one writer wins whole, loser's GC spares the winner") {
-    withCommitter("versioned") {
-      val ref = TableRef("default.cc_flip")
+  for (committer <- Seq("rename", "versioned"))
+  test(s"[$committer] concurrent whole-table replaces: one writer wins whole") {
+    withCommitter(committer) {
+      val ref = TableRef(s"default.cc_flip_$committer")
       spark.sql(s"DROP TABLE IF EXISTS ${ref.render}")
       Seq((0L, "init")).toDF("id", "v").write.saveAsTable(ref.render)
       for (round <- 0 until 3) {

@@ -39,6 +39,25 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("jpeg: real lossy roundtrip — exact dims, pixel mean within DCT tolerance") {
+    // the JDK JPEG codec is a REAL encoder/decoder but lossy, so the
+    // closed-form oracle pattern (exact px_sum) only fits PNG/GIF/BMP;
+    // here we pin what JPEG does guarantee: decodability, exact dims, and
+    // a bounded deviation of the decoded mean from the closed form
+    for ((w, h) <- Seq((16, 12), (31, 17), (8, 8))) {
+      val id = 11L
+      val bytes = ImageCodec.encode("jpeg", id, w, h)
+      assert(ImageHeaders.dims(bytes).map(d => (d._1, d._2, d._3))
+        == Some(("jpeg", w, h)))
+      val f = ImageCodec.decodeFeatures(bytes).get
+      assert(f(0) == w.toFloat && f(1) == h.toFloat)
+      val (sum, _, _) = closedForm(id, w, h)
+      val meanDiff = math.abs(f(3) / (w * h) - sum.toFloat / (w * h))
+      assert(meanDiff <= 4.0f,
+        s"jpeg ${w}x$h decoded mean drifted $meanDiff from the closed form")
+    }
+  }
+
   test("corrupt / truncated / non-image payloads decode to None, not throw") {
     assert(ImageCodec.decodeFeatures(null).isEmpty)
     assert(ImageCodec.decodeFeatures(Array.empty[Byte]).isEmpty)

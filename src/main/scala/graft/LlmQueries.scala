@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -631,6 +631,37 @@ object LlmQueries {
        |FROM rk WHERE rk <= ceil(n_lang * 0.25) ORDER BY doc_id""".stripMargin
   }
 
+  /** Sequence packing, ORACLE-CHECKED: shard (md5-hex, engine-portable) →
+    * cumulative token count → window bins; per-bin document counts, token
+    * totals and first/last doc pin the full assignment relationally. */
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+    Packing.packStreaming(docs, col("doc_id"), col("n_tokens"), window = 2048)
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  private val t08Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+      |      AS BIGINT) AS n_tokens,
+      |    substring(md5('p' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      |  FROM toks)
+      |SELECT shard,
+      |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ multimodal
 
   /** Real image-header decode, ORACLE-CHECKED: payloads are structurally
@@ -799,6 +830,7 @@ object LlmQueries {
     "t05_url_domains" -> (t05 _),
     "t06_repetition" -> (t06 _),
     "t07_quality_topq" -> (t07 _),
+    "t08_sequence_pack" -> (t08 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _))
@@ -827,5 +859,6 @@ object LlmQueries {
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,
     "t06_repetition" -> t06Sql,
-    "t07_quality_topq" -> t07Sql)
+    "t07_quality_topq" -> t07Sql,
+    "t08_sequence_pack" -> t08Sql)
 }

@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to fixed
+  * token windows ("bins") so a trainer can concatenate each bin up to its
+  * context length.
+  *
+  * Streaming form: documents are hash-SHARDED (md5 of the id — engine-
+  * portable, like [[Sampling]]), then packed in deterministic id order
+  * within each shard by cumulative token count — `bin = (cumsum_before) /
+  * window`. A document that spans a window boundary belongs to the bin its
+  * start falls in (bins can overflow by at most one document; bin sizes
+  * average `window`). This is the form that SCALES: one window function
+  * per shard, no sequential state, no driver pass — packing 100 TB is
+  * `shards`-way parallel. (Exact greedy first-fit needs sequential state
+  * per shard — a `mapPartitions` loop — and buys only tighter tail bins;
+  * the streaming form is what big corpus pipelines actually run.)
+  */
+object Packing {
+
+  /** 16-way shard from the first hex char of `md5('p' ‖ id)` — a STRING
+    * shard key both Spark and any md5-capable oracle compute identically. */
+  def shardKey(id: Column): Column =
+    substring(md5(concat(lit("p"), id.cast("string"))), 1, 1)
+
+  /** Adds `shard`, `bin` (0-based within shard) to `df`. `tokensCol` must
+    * be non-negative; rows pack in ascending `idCol` order per shard. */
+  def packStreaming(df: DataFrame, idCol: Column, tokensCol: Column,
+      window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(idCol)
+    df.withColumn("shard", shardKey(idCol))
+      .withColumn("__cum", sum(tokensCol).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - tokensCol) / lit(window.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -182,5 +182,37 @@ class LlmSpec extends SparkSpec {
     val (_, n1, top1, f1) = got(0)
     assert(n1 == 7L && top1 == 4L && f1 == 0.571429) // 'buy now' ×4 of 7
     assert(got(1)._4 < 0.2)
+  }
+
+  test("stratifiedSample is a pure per-row filter — no shuffle in the plan") {
+    val df = spark.range(0, 100).select($"id".as("doc_id"),
+      concat(lit("text"), $"id").as("text"),
+      element_at(array(lit("en"), lit("de")), ($"id" % 2 + 1).cast("int"))
+        .as("lang"))
+    val out = Sampling.stratifiedSample(df, $"text", $"lang",
+      rates = Map("en" -> 16384), salt = "s")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "stratified sampling must not shuffle")
+    // only 'en' rows are thinned; 'de' defaults to keep-all
+    val counts = out.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("de") == 50L && counts.getOrElse("en", 0L) < 50L)
+  }
+
+  test("packStreaming: bins follow the cumulative-window rule within shards") {
+    val df = (1L to 60L).toDF("doc_id")
+      .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))
+    val out = Packing.packStreaming(df, col("doc_id"), col("n"), window = 10)
+      .select(col("doc_id"), col("n"), col("shard"), col("bin"))
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.length == 60)
+    // recompute the rule per shard: cumsum in doc_id order, bin = before/W
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, n, _, bin) =>
+        assert(bin == cum / 10, s"doc $id: bin $bin, cum-before $cum")
+        cum += n
+      }
+    }
   }
 }

@@ -654,7 +654,8 @@ object LlmQueries {
       |    substring(md5('p' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
       |  FROM documents),
       |c AS (SELECT doc_id, shard, n_tokens,
-      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM toks)
       |SELECT shard,
       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin,

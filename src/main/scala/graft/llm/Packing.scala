@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** 16-way shard from the first hex char of `md5('p' ‖ id)` — a STRING
-    * shard key both Spark and any md5-capable oracle compute identically. */
-  def shardKey(id: Column): Column =
-    substring(md5(concat(lit("p"), id.cast("string"))), 1, 1)
+    * shard key both Spark and any md5-capable oracle compute identically
+    * ([[Sampling.hexPrefix]], the one shared keying expression). */
+  def shardKey(id: Column): Column = Sampling.hexPrefix(id, "p", 1)
 
   /** Adds `shard`, `bin` (0-based within shard) to `df`. `tokensCol` must
-    * be non-negative; rows pack in ascending `idCol` order per shard. */
+    * be non-negative; rows pack in ascending `idCol` order per shard —
+    * ties share a ROW frame position deterministically only if `idCol` is
+    * unique, so uniqueness is the caller's contract (dedup runs first in
+    * any real pipeline). */
   def packStreaming(df: DataFrame, idCol: Column, tokensCol: Column,
       window: Long): DataFrame = {
     require(window > 0, "window must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("bin"),
+      "packStreaming writes 'shard' and 'bin' — rename the input's columns")
+    // explicit ROWS frame: the default RANGE frame sums ORDER-BY PEERS,
+    // which on a duplicate id would give both rows the same cumulative sum
+    // and skip a bin
     val w = Window.partitionBy(col("shard")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shardKey(idCol))
       .withColumn("__cum", sum(tokensCol).over(w))
       .withColumn("bin",

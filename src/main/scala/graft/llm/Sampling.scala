@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** First `n` hex chars of `md5(salt ‖ key)` — the ONE keying expression
-    * both operators share, so they can never silently diverge. */
-  private def hexPrefix(key: Column, salt: String, n: Int): Column =
+    * all hash-keyed operators share (split, sample, stratified sample,
+    * [[Packing.shardKey]]), so they can never silently diverge. */
+  private[llm] def hexPrefix(key: Column, salt: String, n: Int): Column =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, n)
 
   /** Deterministic train/valid/test assignment from cumulative 256-bucket

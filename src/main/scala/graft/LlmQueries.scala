@@ -148,7 +148,9 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val d05Sql =
+  /** Shared recursive-CTE chain (docs ∪ markers → shingles → pairs → CC
+    * labels) used by the d05 and d09 oracles. */
+  private val clusterCte =
     """WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
       |  FROM documents WHERE doc_id % 7 = 0),
@@ -176,11 +178,14 @@ object LlmQueries {
       |  UNION
       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst),
       |labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
-      |  FROM reach GROUP BY 1)
-      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  CAST(cluster_id AS BIGINT) AS cluster_id,
-      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-      |FROM labels ORDER BY doc_id""".stripMargin
+      |  FROM reach GROUP BY 1)""".stripMargin
+
+  private val d05Sql =
+    s"""$clusterCte
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   // ------------------------------------- d07 train/test contamination check
 
@@ -246,6 +251,53 @@ object LlmQueries {
       |SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
       |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cluster canonicalization — the KEEP/DROP decision that follows
+    * near-dup clustering in a real dedup pipeline: per duplicate cluster,
+    * keep the highest-quality document (ties to the lowest doc_id).
+    * Composes two independently-proven oracles (d05's recursive-CTE
+    * clusters, t01/t07's quality formula). */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      maxDf = 1000)
+    val cc = Dedup.connectedComponents(pairs)
+    val q = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keeper_doc_id"),
+        round(max(when(col("rn") === 1, col("quality"))), 6).as("keeper_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val d09Sql = {
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""$clusterCte,
+       |pre AS (SELECT d.doc_id, d.text, t.tk,
+       |    length(d.text) - length(regexp_replace(d.text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(t.tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM docs2 d JOIN toks t USING (doc_id)),
+       |q AS (SELECT doc_id, ${qualitySqlExpr("len(tk)")} AS quality
+       |  FROM (SELECT doc_id, text, tk, n_punct, sw_hits FROM pre)),
+       |rk AS (SELECT l.doc_id, l.cluster_id, q.quality,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN q USING (doc_id))
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc_id,
+       |  round(MAX(CASE WHEN rn = 1 THEN quality END), 6) AS keeper_quality
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Stratified deterministic sampling: rebalance the corpus by language
     * (keep 25% of overrepresented 'en', 50% of 'zh', everything else
@@ -818,6 +870,7 @@ object LlmQueries {
     "d06_hash_split" -> (d06 _),
     "d07_contamination" -> (d07 _),
     "d08_stratified_sample" -> (d08 _),
+    "d09_cluster_keep" -> (d09 _),
     "s01_cosine_topk_brute" -> (s01 _),
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
@@ -845,6 +898,7 @@ object LlmQueries {
     "d06_hash_split" -> d06Sql,
     "d07_contamination" -> d07Sql,
     "d08_stratified_sample" -> d08Sql,
+    "d09_cluster_keep" -> d09Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s02_cosine_topk_lsh" -> s02Sql,
     "s03_embed_neardup_exact" -> s03Sql,

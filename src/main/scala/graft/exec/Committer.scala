@@ -144,6 +144,10 @@ object RenameCommitter extends Committer {
             ex.addSuppressed(e)
             throw ex
           }
+          // rollback restored every moved-aside partition, so this swap's
+          // stamped trash dir is empty — remove it (a retry gets a fresh
+          // stamp and would otherwise leak one empty dir per attempt)
+          fs.delete(trash, true)
           throw e
       }
       // catalog DDL only AFTER the files are in place, and only ADD:

@@ -640,21 +640,17 @@ object LlmQueries {
   /** Quality-percentile filtering: keep each language's top quartile by
     * quality score — the rank-threshold form (row_number ≤ ceil(n/4) with a
     * deterministic tiebreak), which is engine-exact, unlike interpolated
-    * percentile cutoffs whose tie semantics differ across engines. The
-    * oracle recomputes the identical score (t01's proven-hash-equal
-    * formula) and the identical window. */
+    * percentile cutoffs whose tie semantics differ across engines. Spark
+    * side computes the SAME ranks via [[TextOps.qualityTopQ]]'s decomposed
+    * form (distinct-score cumulative counts + per-tie-group row_number) —
+    * no per-language total sort — while the oracle keeps the plain
+    * row_number window, so the decomposition itself is hash-verified. */
   private def t07(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .withColumn("n_lang",
-        count(lit(1)).over(Window.partitionBy(col("lang"))))
-      .filter(col("rk") <= ceil(col("n_lang") * 0.25))
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    TextOps.qualityTopQ(scored, col("lang"), col("quality"), col("doc_id"),
+        q = 0.25)
       .select(col("doc_id"), col("lang"), col("quality"), col("rk"))
       .orderBy(col("doc_id"))
   }
@@ -685,11 +681,15 @@ object LlmQueries {
 
   /** Sequence packing, ORACLE-CHECKED: shard (md5-hex, engine-portable) →
     * cumulative token count → window bins; per-bin document counts, token
-    * totals and first/last doc pin the full assignment relationally. */
+    * totals and first/last doc pin the full assignment relationally.
+    * `shardHexWidth = 2` (256 shards) exercises the parameterized fan-out
+    * end-to-end — the oracle computes the same 2-char prefix, so a width
+    * bug anywhere in the keying hash-mismatches. */
   private def t08(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
-    Packing.packStreaming(docs, col("doc_id"), col("n_tokens"), window = 2048)
+    Packing.packStreaming(docs, col("doc_id"), col("n_tokens"), window = 2048,
+        shardHexWidth = 2)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -703,7 +703,7 @@ object LlmQueries {
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
       |      AS BIGINT) AS n_tokens,
-      |    substring(md5('p' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |    substring(md5('p' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
       |  FROM documents),
       |c AS (SELECT doc_id, shard, n_tokens,
       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

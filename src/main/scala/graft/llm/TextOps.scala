@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -212,6 +213,63 @@ object TextOps {
   /** Count of matches of `re` in `text`, as bigint. */
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("bigint")
+
+  // ------------------------------------------------- top-q quality filter
+
+  /** Keep each stratum's top `q` fraction by `score` (descending, ties
+    * broken by ascending `tie`), EXACTLY — the output carries the rank
+    * (`rankCol`, 1-based, bigint) and equals
+    * `row_number() OVER (PARTITION BY stratum ORDER BY score DESC, tie)`
+    * filtered to `rank <= ceil(n_stratum * q)` — but WITHOUT the
+    * per-stratum total sort that form implies. A 100 TB corpus is mostly
+    * one language, so `Window.partitionBy(lang)` is a single-reducer
+    * cliff; this decomposes the rank instead:
+    *
+    *  1. `groupBy(stratum, score).count()` — one map-side-combined
+    *     aggregate whose output is DISTINCT score values per stratum
+    *     (bounded for any rounded/banded score; ~400 values for
+    *     [[qualityScore]]'s 6-dp formula), not rows.
+    *  2. A window over THAT tiny table gives each score group its
+    *     strictly-better-row count `cum_before` and the stratum's `k`;
+    *     groups with `cum_before >= k` are dropped wholesale — the join
+    *     back to the data prunes ~(1-q) of the corpus before any sort
+    *     (AQE broadcasts the group table when small).
+    *  3. Ranks within a surviving group come from
+    *     `row_number() OVER (PARTITION BY stratum, score ORDER BY tie)` —
+    *     partitioned by TIE GROUP, so parallelism is the number of
+    *     distinct surviving scores, not the number of strata; then
+    *     `rank = cum_before + tie_rank`.
+    *
+    * Caller contract: `score` non-null, `tie` unique within a stratum
+    * (same contract as the row_number form). The residual skew is a
+    * single score value dominating a stratum — inherent to exact
+    * tie-broken ranks; widen the score's precision if that bites. */
+  def qualityTopQ(df: DataFrame, stratum: Column, score: Column,
+      tie: Column, q: Double, rankCol: String = "rk"): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0,1], got $q")
+    val reserved = Seq("__g", "__s", "__c", "__cb", "__n", "__k", "__tr")
+    require(!(df.columns.toSet ++ Seq(rankCol)).exists(reserved.contains),
+      s"qualityTopQ uses ${reserved.mkString(", ")} internally")
+    val keyed = df.withColumn("__g", stratum).withColumn("__s", score)
+    val cnt = keyed.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val nPer = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    // distinct-score table: per-stratum sort over score VALUES, not rows
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = cnt
+      .withColumn("__cb", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .join(nPer, "__g")
+      .withColumn("__k", ceil(col("__n") * q).cast("long"))
+      .filter(col("__cb") < col("__k"))
+      .select(col("__g"), col("__s"), col("__cb"), col("__k"))
+    val wTie = Window.partitionBy(col("__g"), col("__s")).orderBy(tie)
+    keyed.join(groups, Seq("__g", "__s"))
+      .withColumn("__tr", row_number().over(wTie).cast("long"))
+      .withColumn(rankCol, col("__cb") + col("__tr"))
+      .filter(col(rankCol) <= col("__k"))
+      .drop("__g", "__s", "__cb", "__k", "__tr")
+  }
 
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

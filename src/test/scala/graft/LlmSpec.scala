@@ -199,6 +199,69 @@ class LlmSpec extends SparkSpec {
     assert(counts("de") == 50L && counts.getOrElse("en", 0L) < 50L)
   }
 
+  test("packStreaming: shardHexWidth widens the fan-out and refines shards") {
+    val df = (1L to 4000L).toDF("doc_id")
+      .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))
+    val w1 = Packing.packStreaming(df, col("doc_id"), col("n"), window = 10)
+      .select(col("doc_id"), col("shard").as("s1"))
+    val w2 = Packing.packStreaming(df, col("doc_id"), col("n"), window = 10,
+        shardHexWidth = 2)
+      .select(col("doc_id"), col("shard").as("s2"), col("n"), col("bin"))
+    val joined = w1.join(w2, "doc_id")
+      .as[(Long, String, String, Long, Long)].collect()
+    // width-2 shards REFINE width-1 shards (same keying hash, longer prefix)
+    assert(joined.forall { case (_, s1, s2, _, _) =>
+      s1.length == 1 && s2.length == 2 && s2.startsWith(s1) })
+    val n2 = joined.map(_._3).distinct.length
+    assert(n2 > 16 && n2 <= 256, s"expected >16 width-2 shards, got $n2")
+    // the packing rule holds per width-2 shard too
+    joined.groupBy(_._3).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, _, n, bin) =>
+        assert(bin == cum / 10, s"doc $id: bin $bin, cum-before $cum")
+        cum += n
+      }
+    }
+  }
+
+  test("qualityTopQ: exact row_number semantics without a per-stratum sort") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // skewed strata (90% 'en') + deliberate score ties ACROSS the k cutoff:
+    // score = id%5 gives 5 distinct values per stratum, so the boundary
+    // group straddles k and the tie-break path is exercised
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("lang", when($"id" % 10 === 0, "de").otherwise("en"))
+      .withColumn("score", ($"id" % 5).cast("double"))
+    val got = TextOps.qualityTopQ(df, $"lang", $"score", $"id", q = 0.25)
+      .select($"id", $"lang", $"score", $"rk")
+    val want = df
+      .withColumn("rk", row_number().over(
+        W.partitionBy($"lang").orderBy($"score".desc, $"id")).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(W.partitionBy($"lang")))
+      .filter($"rk" <= ceil($"n" * 0.25))
+      .select($"id", $"lang", $"score", $"rk")
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // scale shape: no window partitioned by the stratum ALONE over raw
+    // rows. The only single-column window allowed is the cumulative count
+    // whose DIRECT input is the distinct-score Aggregate; the window that
+    // touches raw rows must partition by (stratum, score) tie groups.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LW}
+    val wins = got.queryExecution.optimizedPlan.collect { case w: LW => w }
+    assert(wins.exists(_.partitionSpec.length >= 2),
+      "expected a tie-group window partitioned by (stratum, score)")
+    wins.filter(_.partitionSpec.length < 2).foreach { w =>
+      def firstNonUnary(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+        case a: Aggregate => a
+        case u if u.children.length == 1 => firstNonUnary(u.children.head)
+        case other => other
+      }
+      assert(firstNonUnary(w.child).isInstanceOf[Aggregate],
+        s"stratum-alone window must read the distinct-score aggregate, got:\n$w")
+    }
+  }
+
   test("packStreaming: bins follow the cumulative-window rule within shards") {
     val df = (1L to 60L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -650,7 +650,7 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("quality"))
     TextOps.qualityTopQ(scored, col("lang"), col("quality"), col("doc_id"),
-        q = 0.25)
+        q = 0.25, tieBucket = Some(floor(col("doc_id") / 8192)))
       .select(col("doc_id"), col("lang"), col("quality"), col("rk"))
       .orderBy(col("doc_id"))
   }

@@ -242,12 +242,19 @@ object TextOps {
     *
     * Caller contract: `score` non-null, `tie` unique within a stratum
     * (same contract as the row_number form). The residual skew is a
-    * single score value dominating a stratum — inherent to exact
-    * tie-broken ranks; widen the score's precision if that bites. */
+    * single score value dominating a stratum — a rounded/banded score
+    * makes its MODAL value's tie group nearly the stratum itself. Pass
+    * `tieBucket` (any non-decreasing function of `tie`, e.g.
+    * `floor(doc_id / 8192)`) to decompose the tie rank the same way the
+    * score rank is decomposed: per-bucket counts + a window over the
+    * distinct-bucket table + row_number WITHIN a bucket — the largest
+    * single-task sort becomes one (stratum, score, bucket) cell. */
   def qualityTopQ(df: DataFrame, stratum: Column, score: Column,
-      tie: Column, q: Double, rankCol: String = "rk"): DataFrame = {
+      tie: Column, q: Double, rankCol: String = "rk",
+      tieBucket: Option[Column] = None): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"q must be in (0,1], got $q")
-    val reserved = Seq("__g", "__s", "__c", "__cb", "__n", "__k", "__tr")
+    val reserved =
+      Seq("__g", "__s", "__c", "__cb", "__n", "__k", "__tr", "__tb", "__tc", "__tcb")
     require(!(df.columns.toSet ++ Seq(rankCol)).exists(reserved.contains),
       s"qualityTopQ uses ${reserved.mkString(", ")} internally")
     val keyed = df.withColumn("__g", stratum).withColumn("__s", score)
@@ -263,11 +270,30 @@ object TextOps {
       .withColumn("__k", ceil(col("__n") * q).cast("long"))
       .filter(col("__cb") < col("__k"))
       .select(col("__g"), col("__s"), col("__cb"), col("__k"))
-    val wTie = Window.partitionBy(col("__g"), col("__s")).orderBy(tie)
-    keyed.join(groups, Seq("__g", "__s"))
-      .withColumn("__tr", row_number().over(wTie).cast("long"))
-      .withColumn(rankCol, col("__cb") + col("__tr"))
-      .filter(col(rankCol) <= col("__k"))
+    val ranked = tieBucket match {
+      case None =>
+        val wTie = Window.partitionBy(col("__g"), col("__s")).orderBy(tie)
+        keyed.join(groups, Seq("__g", "__s"))
+          .withColumn("__tr", row_number().over(wTie).cast("long"))
+          .withColumn(rankCol, col("__cb") + col("__tr"))
+      case Some(tb) =>
+        val cand = keyed.withColumn("__tb", tb).join(groups, Seq("__g", "__s"))
+        // distinct-bucket table within each surviving score group: the
+        // window sorts BUCKET values, not rows
+        val wTb = Window.partitionBy(col("__g"), col("__s")).orderBy(col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tbCum = cand.groupBy(col("__g"), col("__s"), col("__tb"))
+          .agg(count(lit(1)).as("__tc"))
+          .withColumn("__tcb", coalesce(sum(col("__tc")).over(wTb), lit(0L)))
+          .select(col("__g"), col("__s"), col("__tb"), col("__tcb"))
+        val wTie = Window.partitionBy(col("__g"), col("__s"), col("__tb"))
+          .orderBy(tie)
+        cand.join(tbCum, Seq("__g", "__s", "__tb"))
+          .withColumn("__tr", row_number().over(wTie).cast("long"))
+          .withColumn(rankCol, col("__cb") + col("__tcb") + col("__tr"))
+          .drop("__tb", "__tcb")
+    }
+    ranked.filter(col(rankCol) <= col("__k"))
       .drop("__g", "__s", "__cb", "__k", "__tr")
   }
 

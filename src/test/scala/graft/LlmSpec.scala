@@ -234,6 +234,11 @@ class LlmSpec extends SparkSpec {
       .withColumn("score", ($"id" % 5).cast("double"))
     val got = TextOps.qualityTopQ(df, $"lang", $"score", $"id", q = 0.25)
       .select($"id", $"lang", $"score", $"rk")
+    // bucketed tie decomposition: same exact result through the
+    // three-level rank (score group + tie bucket + in-bucket row_number)
+    val gotB = TextOps.qualityTopQ(df, $"lang", $"score", $"id", q = 0.25,
+        tieBucket = Some(floor($"id" / 64)))
+      .select($"id", $"lang", $"score", $"rk")
     val want = df
       .withColumn("rk", row_number().over(
         W.partitionBy($"lang").orderBy($"score".desc, $"id")).cast("bigint"))
@@ -242,6 +247,7 @@ class LlmSpec extends SparkSpec {
       .select($"id", $"lang", $"score", $"rk")
     assert(got.count() === want.count())
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(gotB.except(want).isEmpty && want.except(gotB).isEmpty)
     // scale shape: no window partitioned by the stratum ALONE over raw
     // rows. The only single-column window allowed is the cumulative count
     // whose DIRECT input is the distinct-score Aggregate; the window that

@@ -120,6 +120,27 @@ object RenameCommitter extends Committer {
           }
           if (!fs.rename(new HPath(stgDir, rel), dst))
             throw new java.io.IOException(s"rename failed: $rel")
+          // Hadoop FileSystem.rename does not FAIL when dst already exists
+          // as a directory — it moves src INSIDE it (RawLocalFileSystem
+          // falls back to FileUtil.copy with the same nesting). So if a
+          // concurrent same-partition swap re-created dst between our
+          // exists() probe and our rename, our staged dir is now nested at
+          // dst/<leaf> and readers would see both writers' files. Detect
+          // the nest (a partition dir never legitimately contains a child
+          // named like itself), pull our staged dir back out, and lose the
+          // race loudly — the whole-operation retry re-runs against the
+          // winner's committed state.
+          val nested = new HPath(dst, dst.getName)
+          if (fs.exists(nested)) {
+            if (!fs.rename(nested, new HPath(stgDir, rel)))
+              throw new java.io.IOException(
+                s"swap rollback INCOMPLETE for ${target.render}: staged copy " +
+                  s"of $rel nested inside a concurrent writer's $dst and could " +
+                  "not be pulled back out; run Maintenance.recover")
+            throw new Retry.ConcurrentSwapException(
+              s"lost same-partition swap race on $rel of ${target.render}: " +
+                "a concurrent writer committed the partition mid-swap")
+          }
           movedIn += rel
         }
       } catch {
@@ -128,12 +149,22 @@ object RenameCommitter extends Committer {
           // the trash dir — they must be LOUD, not silently dropped
           // return values (the next swap would have purged the trash)
           val failed = scala.collection.mutable.ListBuffer[String]()
+          var raceSkipped = false
           movedIn.foreach { rel =>
             if (!fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
               failed += s"$rel (staged copy stuck in target)"
           }
           movedAside.foreach { rel =>
-            if (!fs.rename(new HPath(trash, rel), new HPath(tgtDir, rel)))
+            val dst = new HPath(tgtDir, rel)
+            if (fs.exists(dst)) {
+              // a concurrent swap committed this partition after we set the
+              // old copy aside (the same race the nest guard above catches
+              // on the forward path) — renaming the old copy back would
+              // nest it inside the winner's live dir. The winner's commit
+              // supersedes it; leave it in the stamped trash for
+              // Maintenance.recover to age-sweep.
+              raceSkipped = true
+            } else if (!fs.rename(new HPath(trash, rel), dst))
               failed += s"$rel (old data only in $trash)"
           }
           if (failed.nonEmpty) {
@@ -146,8 +177,10 @@ object RenameCommitter extends Committer {
           }
           // rollback restored every moved-aside partition, so this swap's
           // stamped trash dir is empty — remove it (a retry gets a fresh
-          // stamp and would otherwise leak one empty dir per attempt)
-          fs.delete(trash, true)
+          // stamp and would otherwise leak one empty dir per attempt).
+          // NOT when a restore was race-skipped: the superseded old copy
+          // stays in the trash rather than being deleted by the loser.
+          if (!raceSkipped) fs.delete(trash, true)
           throw e
       }
       // catalog DDL only AFTER the files are in place, and only ADD:

@@ -139,11 +139,22 @@ object Maintenance {
         .filter(t => t == p || t.startsWith(p + "_")).sorted
     val oldPrefix = target.name + "__graft_old"
 
+    // a YOUNG old-table with the target missing is exactly a live
+    // overwriteTable sitting between its two renames — restoring it would
+    // make the live writer's `stg RENAME TO target` fail and leak its
+    // staging table. Honor the same grace window as steps 2–5: skip (and
+    // say so) until the newest old-table ages out.
     if (!exists(target)) tablesWithPrefix(oldPrefix).lastOption.foreach { o =>
-      val latest = target.copy(name = o)
-      spark.sql(s"ALTER TABLE ${latest.render} RENAME TO ${target.render}")
-      AtomicWriter.repairPartitionLocations(spark, target)
-      actions += s"restored ${target.render} from ${latest.render}"
+      if (isYoung(o))
+        actions += s"SKIPPED restore of ${target.render} from $o — inside " +
+          "the spark.graft.recover.minAgeMs grace window (a live " +
+          "whole-table swap may be mid-rename); re-run recover after it ages"
+      else {
+        val latest = target.copy(name = o)
+        spark.sql(s"ALTER TABLE ${latest.render} RENAME TO ${target.render}")
+        AtomicWriter.repairPartitionLocations(spark, target)
+        actions += s"restored ${target.render} from ${latest.render}"
+      }
     }
     val staleHelpers =
       (tablesWithPrefix(target.name + "__graft_stg") ++ tablesWithPrefix(oldPrefix))

@@ -24,6 +24,7 @@ object Retry {
     * budget before surfacing. */
   def transientRace(t: Throwable): Boolean = t match {
     case _: java.util.ConcurrentModificationException => true
+    case _: ConcurrentSwapException => false // whole-operation retry only
     case e: java.io.IOException =>
       val m = Option(e.getMessage).getOrElse("").toLowerCase
       // our own swap-rollback failures carry recovery guidance and must
@@ -50,20 +51,41 @@ object Retry {
     }
   }
 
+  /** Thrown when a swap detects, mid-flight, that a concurrent writer
+    * committed the same table/partition first — the loser's state has been
+    * fully restored and re-running the whole operation against the
+    * winner's state is the correct response. Always
+    * [[tableRenameRace]]-classified. Subclasses IOException so generic
+    * handlers treat it as an I/O-level failure, but [[transientRace]]
+    * deliberately does NOT match it: inner DDL must not retry in place —
+    * only a whole-operation loop may. */
+  final class ConcurrentSwapException(msg: String) extends java.io.IOException(msg)
+
   /** Whole-TABLE swap races: the rename dance (target → old, stg → target)
     * serializes on the target name, so the LOSER of a concurrent replace
     * fails its rename with table-not-found / already-exists. Re-running the
     * whole materialization against the winner's state is the correct
     * response (reference wrapper semantics) — concurrent whole-table
     * replaces converge to one writer's complete output, never a torn mix.
-    * Only for whole-operation retry loops, never around inner DDL (where
-    * AnalysisException means a real error). */
-  def tableRenameRace(t: Throwable): Boolean = t match {
+    * Only for whole-operation retry loops, never around inner DDL.
+    *
+    * The match is SCOPED to the swap's own names: the message must mention
+    * a `__graft_stg_`/`__graft_old`/`__dbt_tmp` helper — or `target`, when
+    * the caller passes the table it is retrying. An unscoped
+    * not-found/already-exists (a missing SOURCE table, a genuine name
+    * conflict) is a real error and must surface immediately, not burn the
+    * backoff budget re-running a doomed operation. */
+  def tableRenameRace(t: Throwable, target: String = ""): Boolean = t match {
+    case _: ConcurrentSwapException => true
     case e: org.apache.spark.sql.AnalysisException =>
       val m = Option(e.getMessage).getOrElse("")
-      m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      val racy = m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
         m.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
         m.contains("already exists")
+      val swapScoped = m.contains("__graft_stg_") || m.contains("__graft_old") ||
+        m.contains("__dbt_tmp") ||
+        (target.nonEmpty && m.contains(target.stripPrefix("`").stripSuffix("`")))
+      racy && swapScoped
     case _ => false
   }
 

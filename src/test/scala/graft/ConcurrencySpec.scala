@@ -38,7 +38,7 @@ class ConcurrencySpec extends SparkSpec {
   private def retryRun(target: TableRef)(body: => Unit): Unit =
     Retry.withRetries(attempts = 10,
       retryOn = t => Retry.transientRace(t) || Retry.staleScan(t) ||
-        Retry.tableRenameRace(t)) {
+        Retry.tableRenameRace(t, target.name)) {
       if (spark.catalog.tableExists(target.render.replace("`", "")))
         spark.sql(s"REFRESH TABLE ${target.render}")
       body

@@ -821,6 +821,43 @@ object LlmQueries {
       |  round(d.n * 1000.0 / d.rate, 3) AS duration_ms
       |FROM d JOIN amp USING (id) ORDER BY d.id""".stripMargin
 
+  /** Real VIDEO frame decode, ORACLE-CHECKED: payloads are complete GFV1
+    * clips (MJPEG-style container of genuine PNG/BMP stills) whose frame
+    * `f` follows the closed form `(id + 97f + 7x + 13y) mod 256`; the
+    * query really encodes every frame, really parses the container back
+    * and really decodes each still through `ImageIO` — one row per frame —
+    * while DuckDB reproduces every per-frame statistic from the integer
+    * closed form alone. A container-parse bug, frame-boundary slip, or
+    * codec drift hash-mismatches. */
+  private def mm04(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeVideos(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeVideoFrameStats(clips)
+      .withColumn("duration_ms",
+        round(col("n_frames") * lit(1000.0) / col("fps"), 3))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
+  private val mm04Sql =
+    """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 6 AS nf, 1 + doc_id % 5 AS fps,
+      |    1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (SELECT d.*, f.f AS fi FROM d, UNNEST(range(0, d.nf)) AS f(f)),
+      |px AS (SELECT fr.id, fr.fi,
+      |    CAST(SUM((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
+      |    CAST(MIN((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
+      |    CAST(MAX((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
+      |  FROM fr, UNNEST(range(0, fr.w)) AS xs(x), UNNEST(range(0, fr.h)) AS ys(y)
+      |  GROUP BY fr.id, fr.fi)
+      |SELECT fr.id, CAST(fr.fi AS INT) AS frame_idx,
+      |  CASE (fr.id + fr.fi) % 2 WHEN 0 THEN 'png' ELSE 'bmp' END AS format,
+      |  CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+      |  px.px_sum, px.px_min, px.px_max,
+      |  CAST(fr.nf AS INT) AS n_frames, CAST(fr.fps AS INT) AS fps,
+      |  round(fr.nf * 1000.0 / fr.fps, 3) AS duration_ms
+      |FROM fr JOIN px ON px.id = fr.id AND px.fi = fr.fi
+      |ORDER BY fr.id, fr.fi""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -887,7 +924,8 @@ object LlmQueries {
     "t08_sequence_pack" -> (t08 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
-    "mm03_audio_wav" -> (mm03 _))
+    "mm03_audio_wav" -> (mm03 _),
+    "mm04_video_frames" -> (mm04 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -909,6 +947,7 @@ object LlmQueries {
     "mm01_image_header_dims" -> mm01Sql,
     "mm02_media_resize_frames" -> mm02Sql,
     "mm03_audio_wav" -> mm03Sql,
+    "mm04_video_frames" -> mm04Sql,
     "s06_normalize_quantize" -> s06Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,

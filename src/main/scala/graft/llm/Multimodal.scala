@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * Image payloads get a REAL pixel decode via the pure-JVM `javax.imageio`
   * stack ([[ImageCodec]] — PNG/JPEG/GIF/BMP readers ship with the JDK),
   * audio payloads a REAL PCM decode via `javax.sound.sampled`
-  * ([[AudioCodec]], RIFF/WAVE). Only the VIDEO feature path remains a
-  * labeled deterministic stub (`fallbackFeatures` — no video codec exists
-  * in the JDK); the schema, batch iteration via `mapPartitions`, and
-  * partition-parallel execution are identical for all paths, so swapping
-  * in a real video codec (e.g. javacv) would not touch the plan.
+  * ([[AudioCodec]], RIFF/WAVE), and video payloads a REAL frame-level
+  * decode via [[VideoCodec]] (open MJPEG-style container of length-
+  * prefixed stills, each frame through `ImageIO`). Payloads NO codec
+  * recognizes get stable content-hash pseudo-features
+  * (`hashFeatures` — a fingerprint, not a decode); the schema, batch
+  * iteration via `mapPartitions`, and partition-parallel execution are
+  * identical for all paths, so swapping in a native bitstream codec
+  * (e.g. javacv for H.264) would not touch the plan.
   */
 object Multimodal {
 
@@ -45,11 +48,14 @@ object Multimodal {
           (pmod(xxhash64(col(idCol), lit(3)), lit(60000)) + 1000).as("duration_ms")
         ).as("meta")).as("media"))
 
-  /** ======= STUB (video only) ======= deterministic fallback for payloads
-    * neither [[ImageCodec]] nor [[AudioCodec]] can decode: `dim`
-    * pseudo-features from a rolling hash over payload bytes. Image and
-    * audio payloads never reach this — they get real decoded features. */
-  private def fallbackFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Content-hash pseudo-features for payloads NO codec recognizes
+    * (neither [[ImageCodec]], [[AudioCodec]] nor [[VideoCodec]] — i.e.
+    * corrupt or foreign-format members, the norm in crawled media): `dim`
+    * values from a rolling hash over payload bytes. NOT a media decode —
+    * a deterministic fingerprint that keeps undecodable members
+    * clusterable/dedupable instead of dropping them. Every recognized
+    * modality takes a real decode path and never reaches this. */
+  private def hashFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
     var i = 0
@@ -205,6 +211,77 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic video with REAL bytes: each payload is a complete GFV1 clip
+    * ([[VideoCodec]] — MJPEG-style concatenated stills) of `2 + id % 6`
+    * genuine PNG/BMP frames at `1 + id % 5` fps; frame `f`'s grayscale
+    * fill follows [[ImageCodec.pixel]] with seed `id + 97f`, so every
+    * decoded per-frame pixel statistic is reproducible as integer SQL. */
+  def synthesizeVideos(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          Row(id, VideoCodec.encode(id, nFrames = 2 + (id % 6).toInt,
+            fps = 1 + (id % 5).toInt, w = 1 + (id % 31).toInt,
+            h = 1 + (id % 17).toInt))
+        }
+      }
+    }(enc)
+  }
+
+  /** One row PER DECODED FRAME from a real container parse + `ImageIO`
+    * pixel decode of each still: (id, frame_idx, format, width, height,
+    * px_sum, px_min, px_max, n_frames, fps). The format string is parsed
+    * from the frame's own byte header, the stats from its decoded raster.
+    * Corrupt containers yield a single all-NULL-stat row per clip (frame
+    * count unknowable), corrupt individual frames a NULL-stat row at
+    * their index — never failures. */
+  def decodeVideoFrameStats(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_sum", LongType),
+      StructField("px_min", IntegerType),
+      StructField("px_max", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("fps", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          VideoCodec.decode(r.getAs[Array[Byte]](1)) match {
+            case None =>
+              Iterator.single(Row(id, null, null, null, null, null, null, null,
+                null, null))
+            case Some((fps, frames)) =>
+              val nf = Integer.valueOf(frames.length)
+              val fp = Integer.valueOf(fps)
+              frames.iterator.zipWithIndex.map { case (frame, idx) =>
+                val fmt = ImageHeaders.dims(frame).map(_._1).orNull
+                ImageCodec.decodeFeatures(frame) match {
+                  case Some(f) => Row(id, Integer.valueOf(idx), fmt,
+                    Integer.valueOf(f(0).toInt), Integer.valueOf(f(1).toInt),
+                    java.lang.Long.valueOf(f(3).toLong),
+                    Integer.valueOf(f(4).toInt), Integer.valueOf(f(5).toInt),
+                    nf, fp)
+                  case None => Row(id, Integer.valueOf(idx), fmt,
+                    null, null, null, null, null, nf, fp)
+                }
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** The real header decode: (id, format, width, height) parsed from the
     * payload BYTES via [[ImageHeaders.dims]] — not taken from metadata.
     * Unrecognized/truncated payloads yield NULL columns, not failures
@@ -235,9 +312,12 @@ object Multimodal {
     * `mapPartitions` (the Scala analogue of `mapInPandas` batch UDFs — one
     * iterator per partition, no per-row SerDe setup). Image payloads are
     * REALLY decoded ([[ImageCodec.decodeFeatures]], `javax.imageio`) into
-    * `[w, h, n_px, px_sum, px_min, px_max]`; payloads no JDK reader accepts
-    * (audio/video) fall back to the labeled deterministic stub of length
-    * `dim`. Output: (id, kind, features array<float>). */
+    * `[w, h, n_px, px_sum, px_min, px_max]`, WAV audio via
+    * `javax.sound.sampled` into `[rate, n, amp_sum, amp_min, amp_max]`,
+    * GFV1 video via [[VideoCodec]] + per-frame `ImageIO` into
+    * `[n_frames, fps, px_sum, px_min, px_max]` (totals across frames);
+    * payloads no codec recognizes get the content-hash fingerprint of
+    * length `dim`. Output: (id, kind, features array<float>). */
   def extractFeatures(spark: SparkSession, media: DataFrame, idCol: String,
       dim: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(
@@ -261,7 +341,17 @@ object Multimodal {
               case None => AudioCodec.decodeWav(payload) match {
                 case Some((rate, n, sum, mn, mx)) =>
                   Seq(rate.toFloat, n.toFloat, sum.toFloat, mn.toFloat, mx.toFloat)
-                case None => fallbackFeatures(payload, dim).toSeq
+                case None => VideoCodec.decode(payload) match {
+                  case Some((fps, frames)) =>
+                    // real per-frame pixel decode, folded across the clip
+                    val stats = frames.flatMap(ImageCodec.decodeFeatures)
+                    if (stats.isEmpty)
+                      Seq(frames.length.toFloat, fps.toFloat, 0f, 0f, 0f)
+                    else Seq(frames.length.toFloat, fps.toFloat,
+                      stats.map(_(3)).sum, stats.map(_(4)).min,
+                      stats.map(_(5)).max)
+                  case None => hashFeatures(payload, dim).toSeq
+                }
               }
             }
           Row(id, if (r.isNullAt(2)) null else r.getString(2), feats)

@@ -84,7 +84,7 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
-  test("extractFeatures uses real pixel decode for images, stub for the rest") {
+  test("extractFeatures uses real pixel decode for images") {
     import spark.implicits._
     val ids = spark.range(0, 9).select($"id".as("doc_id"))
     val media = Multimodal.synthesizePixelImages(ids, "doc_id")

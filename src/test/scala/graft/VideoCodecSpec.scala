@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{ImageCodec, Multimodal, VideoCodec}
+
+/** GFV1 frame-container codec: a real encode→parse→per-frame-ImageIO
+  * roundtrip, hostile-payload degradation (None / NULL rows, never
+  * throws), and the extractFeatures routing for video payloads. */
+class VideoCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def closedFormSum(seed: Long, w: Int, h: Int): Long =
+    (for (x <- 0 until w; y <- 0 until h)
+      yield ((seed + 7L * x + 13L * y) % 256 + 256) % 256).sum
+
+  test("encode→decode roundtrip: every frame really re-decodes to the closed form") {
+    val clip = VideoCodec.encode(id = 5L, nFrames = 4, fps = 3, w = 9, h = 6)
+    val Some((fps, frames)) = VideoCodec.decode(clip)
+    assert(fps == 3 && frames.length == 4)
+    frames.zipWithIndex.foreach { case (frame, f) =>
+      val Some(feat) = ImageCodec.decodeFeatures(frame)
+      assert(feat(0) == 9f && feat(1) == 6f)
+      assert(feat(3) == closedFormSum(5L + 97L * f, 9, 6).toFloat,
+        s"frame $f pixel sum")
+    }
+  }
+
+  test("hostile payloads degrade to None, never throw") {
+    val good = VideoCodec.encode(1L, 2, 1, 4, 3)
+    assert(VideoCodec.decode(null).isEmpty)
+    assert(VideoCodec.decode(Array[Byte]()).isEmpty)
+    assert(VideoCodec.decode("GFV1".getBytes ++ Array[Byte](0, 0)).isEmpty,
+      "truncated header")
+    assert(VideoCodec.decode("NOPE".getBytes ++ good.drop(4)).isEmpty, "bad magic")
+    assert(VideoCodec.decode(good.dropRight(5)).isEmpty, "truncated last frame")
+    assert(VideoCodec.decode(good ++ Array[Byte](1, 2, 3)).isEmpty,
+      "trailing garbage")
+    // lying frame count: claims 3 frames, carries 2
+    val lying = good.clone(); lying(7) = 3
+    assert(VideoCodec.decode(lying).isEmpty)
+    // fps 0 is not a playable clip
+    val fps0 = good.clone(); fps0(11) = 0
+    assert(VideoCodec.decode(fps0).isEmpty)
+  }
+
+  test("decodeVideoFrameStats: per-frame rows; corrupt clips one NULL row") {
+    val media = Multimodal.synthesizeVideos(
+      spark.range(0, 20).select($"id".as("doc_id")), "doc_id")
+      .unionByName(Seq((999L, "not a video".getBytes))
+        .toDF("id", "payload"))
+    val out = Multimodal.decodeVideoFrameStats(media).collect()
+    val perClip = out.groupBy(_.getLong(0))
+    (0L until 20L).foreach { id =>
+      val rows = perClip(id)
+      assert(rows.length == 2 + (id % 6).toInt, s"clip $id frame count")
+      rows.foreach { r =>
+        val fi = r.getInt(1)
+        assert(r.getString(2) == (if ((id + fi) % 2 == 0) "png" else "bmp"))
+        assert(r.getLong(5) ==
+          closedFormSum(id + 97L * fi, 1 + (id % 31).toInt, 1 + (id % 17).toInt))
+      }
+    }
+    val corrupt = perClip(999L)
+    assert(corrupt.length == 1 && corrupt.head.isNullAt(5),
+      "corrupt clip must yield one NULL-stat row, not fail the job")
+  }
+
+  test("extractFeatures routes GFV1 payloads through the real frame decode") {
+    val media = Multimodal.synthesizeVideos(
+        spark.range(3, 5).select($"id".as("doc_id")), "doc_id")
+      .select($"id".as("doc_id"),
+        struct($"payload",
+          struct(lit("video").as("kind"), lit(1).as("width"), lit(1).as("height"),
+            lit(0).as("sample_rate"), lit(0L).as("duration_ms")).as("meta"))
+          .as("media"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id").collect()
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](2)
+      val nf = 2 + (id % 6).toInt
+      assert(f(0) == nf.toFloat && f(1) == (1 + (id % 5)).toFloat)
+      val w = 1 + (id % 31).toInt
+      val h = 1 + (id % 17).toInt
+      val total = (0 until nf).map(fi => closedFormSum(id + 97L * fi, w, h)).sum
+      assert(f(2) == total.toFloat, s"clip $id total pixel sum across frames")
+    }
+  }
+}

@@ -18,17 +18,47 @@ object Bench {
       "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").selectExpr("count(*)").collect()
     }
+    // Prior run's per-query seconds (BENCH_FULL_latest.json, written at the
+    // end of every run): the outlier guard below re-measures any query that
+    // comes in >2× its prior time, so one noisy neighbor (a concurrent sbt,
+    // a GC storm) can't masquerade as a plan regression in the round
+    // artifact. Values are plain numbers, so the queries object ends at the
+    // first '}' and a pair regex inside it is parse-enough.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL_latest.json")), "UTF-8")
+        val qs = txt.substring(txt.indexOf("\"queries\":{") + 10)
+        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+          .findAllMatchIn(qs.substring(0, qs.indexOf('}') + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { val n = fn(spark, sfDir).count(); require(n >= 0) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { val n = fn(spark, sfDir).count(); require(n >= 0); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // dedup/similarity pipelines persist intermediates their returned
+        // plans reference — clear between queries (outside the timed window)
+        // so cached blocks don't accumulate across the 85-query session
+        spark.catalog.clearCache()
+        (dt, ok)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // dedup/similarity pipelines persist intermediates their returned
-      // plans reference — clear between queries (outside the timed window)
-      // so cached blocks don't accumulate across the 70-query session
-      spark.catalog.clearCache()
+      var (dt, ok) = once()
+      // outlier guard: >2× the prior round AND above micro-noise floor →
+      // median of three. A real regression reproduces (median stays high);
+      // a noisy neighbor doesn't (median reverts).
+      if (ok && prior.get(name).exists(p => dt > 2 * p && dt > 0.5)) {
+        val med = Seq(dt, once()._1, once()._1).sorted.apply(1)
+        System.err.println(
+          f"[bench] $name outlier: first $dt%.2f s vs prior " +
+            f"${prior(name)}%.2f s — median-of-3 $med%.2f s")
+        dt = med
+      }
       name -> dt
     }
     // JSON-valid compact number: 1-decimal, trailing zeros stripped

@@ -82,6 +82,27 @@ class JobCountSpec extends SparkSpec {
     assert(jobs <= 6, s"dynamic overwrite fixed job count regressed: $jobs")
   }
 
+  test("r6 multi-stage llm queries stay within fixed job budgets") {
+    // the three round-5 additions with multi-stage plans (decomposed top-q,
+    // sharded packing, cluster-canonicalize-over-full-pipeline): pin their
+    // job diets like the m-family so a silently added pass fails here, not
+    // as a bench regression
+    val dir = "/root/testdata/sf0.001"
+    // measured at sf0.001: t07 12 (3 aggregates + 3 windows + join under
+    // AQE), t08 4, d09 43 (shingle pipeline + O(log L) pointer-jumping
+    // rounds, each a few AQE stage jobs — data-dependent, so the widest
+    // headroom)
+    for ((name, budget) <- Seq("t07_quality_topq" -> 15,
+        "t08_sequence_pack" -> 6, "d09_cluster_keep" -> 50)) {
+      val jobs = countJobs {
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+        spark.catalog.clearCache()
+      }
+      info(s"$name jobs = $jobs (budget $budget)")
+      assert(jobs <= budget, s"$name fixed job count regressed: $jobs")
+    }
+  }
+
   test("fused data-test run computes all counts in one action") {
     import graft.exec.DataTests
     import graft.exec.DataTests._

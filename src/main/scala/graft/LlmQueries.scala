@@ -858,6 +858,48 @@ object LlmQueries {
       |FROM fr JOIN px ON px.id = fr.id AND px.fi = fr.fi
       |ORDER BY fr.id, fr.fi""".stripMargin
 
+  /** Fixed-size token chunking with overlap (64-token chunks, stride 48 —
+    * the context-window prep pass). The md5 of each chunk's exact token
+    * content pins the slicing against DuckDB's list-slice semantics. */
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(t(s, dir, "documents"), chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val t09Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |st AS (SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 48)) AS s
+      |  FROM toks WHERE len(tk) > 0)
+      |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+      |  CAST(least(64, n - s) AS INT) AS n_chunk_tokens,
+      |  md5(array_to_string(tk[s+1:least(s+64, n)], ' ')) AS chunk_md5
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Lexical diversity: type-token ratio, Simpson repeat index, hapax
+    * count — integer-aggregate ratios only (engine-exact, no
+    * transcendental drift), fully reproduced by the oracle. */
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    TextOps.lexicalDiversity(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val t10Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE len(tk) > 0),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+      |  CASE WHEN SUM(c) > 1
+      |       THEN round(CAST(SUM(c*(c-1)) AS DOUBLE) / (SUM(c)*(SUM(c)-1)), 6)
+      |       ELSE 0.0 END AS simpson,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -922,6 +964,8 @@ object LlmQueries {
     "t06_repetition" -> (t06 _),
     "t07_quality_topq" -> (t07 _),
     "t08_sequence_pack" -> (t08 _),
+    "t09_token_chunking" -> (t09 _),
+    "t10_lexical_diversity" -> (t10 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -954,5 +998,7 @@ object LlmQueries {
     "t05_url_domains" -> t05Sql,
     "t06_repetition" -> t06Sql,
     "t07_quality_topq" -> t07Sql,
-    "t08_sequence_pack" -> t08Sql)
+    "t08_sequence_pack" -> t08Sql,
+    "t09_token_chunking" -> t09Sql,
+    "t10_lexical_diversity" -> t10Sql)
 }

@@ -214,6 +214,65 @@ object TextOps {
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("bigint")
 
+  // ---------------------------------------------------- document chunking
+
+  /** Split each document into fixed-size token chunks with overlap — the
+    * context-window prep every training pipeline runs before packing.
+    * Chunk `i` covers tokens `[i*stride, i*stride + chunkSize)` (clipped
+    * at the document end), so consecutive chunks share
+    * `chunkSize - stride` tokens. Output: (idCol, chunk_idx,
+    * n_chunk_tokens, chunk_md5) — the md5 pins the exact token content
+    * without materializing duplicated text. Empty documents produce no
+    * chunks. Pure projection + explode: no shuffle, partition-parallel,
+    * output rows ≈ n_tokens/stride per doc — the 100 TB shape is the
+    * input's. */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunk=$chunkSize stride=$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__tk"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("__s"))
+      .select(col(idCol),
+        (col("__s") / stride).cast("int").as("chunk_idx"),
+        least(lit(chunkSize), col("__n") - col("__s")).cast("int")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__tk"), col("__s") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
+  // ------------------------------------------- lexical diversity signals
+
+  /** Per-document lexical-diversity statistics — the vocabulary-collapse
+    * signals (templated/generated text repeats a tiny vocabulary) that
+    * complement [[bigramRepetition]]: token count, distinct-token count,
+    * type-token ratio, Simpson repeat index `Σc(c-1)/(n(n-1))` (the
+    * probability two random tokens are equal — 0 all-distinct, 1
+    * single-token spam), and hapax count (tokens occurring once). All
+    * ratios are plain divisions of integer aggregates — engine-exact, no
+    * transcendental drift. Two hash aggregates, map-side combined; no
+    * windows, no joins — the 100 TB shape is a groupBy. Empty documents
+    * produce no row. */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - 1)).as("__rep"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        when(col("n_tokens") > 1,
+          round(col("__rep").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)), 6))
+          .otherwise(lit(0.0)).as("simpson"),
+        col("n_hapax"))
+
   // ------------------------------------------------- top-q quality filter
 
   /** Keep each stratum's top `q` fraction by `score` (descending, ties

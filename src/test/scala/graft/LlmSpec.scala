@@ -199,6 +199,40 @@ class LlmSpec extends SparkSpec {
     assert(counts("de") == 50L && counts.getOrElse("en", 0L) < 50L)
   }
 
+  test("chunkTokens: stride coverage, overlap, clipping, empty docs") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens: 3 chunks
+      (2L, "a b c"),                                  // < chunk: 1 chunk
+      (3L, ""),                                       // empty: no chunks
+      (4L, (1 to 8).map(i => s"x$i").mkString(" ")))  // exactly 2 strides
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(df, chunkSize = 5, stride = 4)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    // doc 1: starts 0,4,8 → sizes 5,5,2; doc 2: one chunk of 3;
+    // doc 4 (8 tokens): starts 0,4 → sizes 5,4
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 0, 5), (1L, 1, 5), (1L, 2, 2), (2L, 0, 3), (4L, 0, 5), (4L, 1, 4)))
+    // overlap: chunk 1 of doc 1 starts at token 5 (w5) — verify via md5
+    val md5w = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.find(r => r._1 == 1L && r._2 == 1).get._4 ==
+      md5w("w5 w6 w7 w8 w9"))
+    // no shuffle: pure projection + explode
+    val plan = TextOps.chunkTokens(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+
+  test("lexicalDiversity: exact counts on a constructed histogram") {
+    // "a a a b b c": n=6, types=3, rep=3*2+2*1=8, hapax=1
+    val df = Seq((1L, "a a a b b c"), (2L, "solo"), (3L, " ")).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(df).orderBy($"doc_id")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(out.length == 2, "empty doc must produce no row")
+    assert(out(0) == ((1L, 6L, 3L, 0.5, 0.266667, 1L))) // 8/30 rounded 6dp
+    assert(out(1) == ((2L, 1L, 1L, 1.0, 0.0, 1L))) // n=1: simpson defined 0
+  }
+
   test("packStreaming: shardHexWidth widens the fan-out and refines shards") {
     val df = (1L to 4000L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -221,6 +221,46 @@ object LlmQueries {
       |FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Decontamination, the split-then-purge pipeline: hash-split the corpus
+    * (d06's proven md5 thresholds), then drop train docs whose 3-shingle
+    * containment in the TEST split is ≥ 0.5. The oracle reproduces the
+    * split expression, the shingle sets AND the keep/drop boundary. */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
+    Dedup.decontaminate(
+        bySplit.filter(col("split") === "train").drop("split"),
+        bySplit.filter(col("split") === "test").drop("split"),
+        n = 3, threshold = 0.5)
+      .select(col("doc_id"), col("containment"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d10Sql =
+    """WITH base AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
+      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
+      |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
+      |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+      |cont AS (SELECT s.doc_id,
+      |    round(CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) AS containment
+      |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+      |  WHERE s.split = 'train' GROUP BY 1)
+      |SELECT b.doc_id, COALESCE(c.containment, 0.0) AS containment
+      |FROM base b LEFT JOIN cont c USING (doc_id)
+      |WHERE b.split = 'train' AND COALESCE(c.containment, 0.0) < 0.5
+      |ORDER BY b.doc_id""".stripMargin
+
   // --------------------------------------- d06 deterministic split/sample
 
   /** Content-hash train/valid/test split (80/10/10) + a 10% deterministic
@@ -948,6 +988,7 @@ object LlmQueries {
     "d05_dup_clusters" -> (d05 _),
     "d06_hash_split" -> (d06 _),
     "d07_contamination" -> (d07 _),
+    "d10_decontaminate" -> (d10 _),
     "d08_stratified_sample" -> (d08 _),
     "d09_cluster_keep" -> (d09 _),
     "s01_cosine_topk_brute" -> (s01 _),
@@ -979,6 +1020,7 @@ object LlmQueries {
     "d05_dup_clusters" -> d05Sql,
     "d06_hash_split" -> d06Sql,
     "d07_contamination" -> d07Sql,
+    "d10_decontaminate" -> d10Sql,
     "d08_stratified_sample" -> d08Sql,
     "d09_cluster_keep" -> d09Sql,
     "s01_cosine_topk_brute" -> s01Sql,

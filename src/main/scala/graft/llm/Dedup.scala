@@ -318,4 +318,30 @@ object Dedup {
       .withColumn("containment",
         round(col("n_hit").cast("double") / col("n_sh"), 6))
   }
+
+  /** Decontaminate a training corpus against an evaluation set: drop every
+    * train document whose shingle [[containment]] in the EVAL corpus is ≥
+    * `threshold` (a leaked eval doc or a close variant), keeping the rest
+    * annotated with their containment (0.0 for docs too short to shingle —
+    * nothing to match, nothing to leak). The split-then-purge pass every
+    * benchmark-honest pipeline runs between [[Sampling.hashSplit]] and
+    * training.
+    *
+    * Shape at scale: the eval side collapses to its distinct-shingle set
+    * (eval sets are small); one hash join against the train side's
+    * exploded shingles + a per-doc aggregate + one id join back — no
+    * quadratic step, no driver state. */
+  def decontaminate(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    // roles swap relative to containment(): the reference set is EVAL and
+    // the measured docs are the train side
+    val scored = containment(evalDocs, trainDocs, n, idCol, textCol)
+      .select(col(idCol), col("containment"))
+    trainDocs.join(scored, Seq(idCol), "left")
+      .withColumn("containment", coalesce(col("containment"), lit(0.0)))
+      .filter(col("containment") < threshold)
+  }
 }

@@ -199,6 +199,21 @@ class LlmSpec extends SparkSpec {
     assert(counts("de") == 50L && counts.getOrElse("en", 0L) < 50L)
   }
 
+  test("decontaminate: drops leaked train docs, keeps fresh and unshingleable") {
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // leaked
+      (2L, "completely unrelated content about spark engines"),  // fresh
+      (3L, ""))                                                  // no shingles
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval_, n = 3, threshold = 0.5)
+      .orderBy($"doc_id").select($"doc_id", $"containment")
+      .as[(Long, Double)].collect()
+    assert(kept.map(_._1).toSeq == Seq(2L, 3L), s"got ${kept.toSeq}")
+    assert(kept.forall(_._2 == 0.0))
+  }
+
   test("chunkTokens: stride coverage, overlap, clipping, empty docs") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens: 3 chunks

@@ -940,6 +940,26 @@ object LlmQueries {
       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Vocabulary build: top-20 tokens by term frequency (df ≥ 3 floor,
+    * deterministic token tiebreak) — the tokenizer-vocab prep pass. topK
+    * is sized BELOW the sf0.01 post-floor vocabulary (31 tokens) so the
+    * oracle verifies the truncation boundary, not just the aggregation. */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabulary(t(s, dir, "documents"), minDf = 3, topK = 20)
+      .orderBy(col("n").desc, col("token"))
+
+  private val t11Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |c AS (SELECT doc_id, token, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |v AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM c GROUP BY 1 HAVING COUNT(*) >= 3)
+      |SELECT token, n, df FROM v ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1007,6 +1027,7 @@ object LlmQueries {
     "t08_sequence_pack" -> (t08 _),
     "t09_token_chunking" -> (t09 _),
     "t10_lexical_diversity" -> (t10 _),
+    "t11_vocabulary" -> (t11 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1042,5 +1063,6 @@ object LlmQueries {
     "t07_quality_topq" -> t07Sql,
     "t08_sequence_pack" -> t08Sql,
     "t09_token_chunking" -> t09Sql,
-    "t10_lexical_diversity" -> t10Sql)
+    "t10_lexical_diversity" -> t10Sql,
+    "t11_vocabulary" -> t11Sql)
 }

@@ -244,6 +244,29 @@ object TextOps {
           .as("chunk_md5"))
   }
 
+  // ---------------------------------------------------- vocabulary build
+
+  /** Corpus-level vocabulary: one row per distinct token with term
+    * frequency `n` and document frequency `df`, filtered to
+    * `df >= minDf` (rare-token floor — the tokenizer-vocab prep pass) and
+    * optionally truncated to the `topK` most frequent (ties broken by
+    * token for a deterministic cut). One explode + one hash aggregate
+    * over (doc, token) + one over token — map-side combined, no windows;
+    * the top-K sort runs over the FILTERED vocabulary (≪ corpus). */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Long = 1,
+      topK: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1 && topK >= 1, s"bad dials: minDf=$minDf topK=$topK")
+    val v = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    if (topK == Int.MaxValue) v
+    else v.orderBy(col("n").desc, col("token")).limit(topK)
+  }
+
   // ------------------------------------------- lexical diversity signals
 
   /** Per-document lexical-diversity statistics — the vocabulary-collapse

@@ -238,6 +238,23 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "chunking must not shuffle")
   }
 
+  test("vocabulary: tf/df counts, minDf floor, deterministic topK cut") {
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b d"), (3L, "a b x")).toDF("doc_id", "text")
+    // tf: a=4 b=3 c=1 d=1 x=1; df: a=3 b=3 c=1 d=1 x=1
+    val full = TextOps.vocabulary(df).orderBy($"n".desc, $"token")
+      .as[(String, Long, Long)].collect()
+    assert(full.toSeq == Seq(("a", 4L, 3L), ("b", 3L, 3L),
+      ("c", 1L, 1L), ("d", 1L, 1L), ("x", 1L, 1L)))
+    val floored = TextOps.vocabulary(df, minDf = 2)
+      .as[(String, Long, Long)].collect().map(_._1).sorted
+    assert(floored.toSeq == Seq("a", "b"))
+    // topK=3 cuts inside the n=1 tie group: token order decides (c, then d)
+    val cut = TextOps.vocabulary(df, topK = 3)
+      .as[(String, Long, Long)].collect().map(_._1)
+    assert(cut.toSeq == Seq("a", "b", "c"))
+  }
+
   test("lexicalDiversity: exact counts on a constructed histogram") {
     // "a a a b b c": n=6, types=3, rep=3*2+2*1=8, hapax=1
     val df = Seq((1L, "a a a b b c"), (2L, "solo"), (3L, " ")).toDF("doc_id", "text")

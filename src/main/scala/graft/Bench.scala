@@ -28,10 +28,17 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_FULL_latest.json")), "UTF-8")
-        val qs = txt.substring(txt.indexOf("\"queries\":{") + 10)
-        "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-          .findAllMatchIn(qs.substring(0, qs.indexOf('}') + 1))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // prior times are only comparable at the SAME scale factor — after
+        // a run at a different sf, every query would legitimately exceed
+        // 2x and the guard would triple the suite's wall-clock re-running
+        // non-outliers
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val qs = txt.substring(txt.indexOf("\"queries\":{") + 10)
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+            .findAllMatchIn(qs.substring(0, qs.indexOf('}') + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
@@ -53,11 +60,18 @@ object Bench {
       // median of three. A real regression reproduces (median stays high);
       // a noisy neighbor doesn't (median reverts).
       if (ok && prior.get(name).exists(p => dt > 2 * p && dt > 0.5)) {
-        val med = Seq(dt, once()._1, once()._1).sorted.apply(1)
-        System.err.println(
-          f"[bench] $name outlier: first $dt%.2f s vs prior " +
-            f"${prior(name)}%.2f s — median-of-3 $med%.2f s")
-        dt = med
+        // re-runs count toward the median only if they SUCCEED — a query
+        // that fails fast on re-run must not launder a real regression
+        // into its short time-to-failure
+        val reruns = Seq(once(), once()).filter(_._2).map(_._1)
+        if (reruns.size == 2) {
+          val med = (dt +: reruns).sorted.apply(1)
+          System.err.println(
+            f"[bench] $name outlier: first $dt%.2f s vs prior " +
+              f"${prior(name)}%.2f s — median-of-3 $med%.2f s")
+          dt = med
+        } else System.err.println(
+          f"[bench] $name outlier re-run FAILED — keeping first sample $dt%.2f s")
       }
       name -> dt
     }

@@ -102,6 +102,19 @@ object RenameCommitter extends Committer {
       // alone for Maintenance.recover (it may hold the only copy of a
       // partition), and a concurrent swap's live trash is never touched.
       val trash = new HPath(tgtDir, s".graft_trash_$stamp")
+      // OWNERSHIP marker: a dot-prefixed (reader-invisible) empty file
+      // stamped into every staged partition dir before any rename. It
+      // travels with the dir, so at rollback time "is the dir at dst still
+      // OURS?" is one exists() check — without it, a loser rolling back
+      // after a concurrent winner re-committed the same partition would
+      // pull the WINNER's live data into its staging dir and drop it.
+      // Markers persist in committed dirs (hidden from Spark/Hive listings;
+      // the next swap of a partition trashes its dir wholesale).
+      val marker = s"._graft_swap_$stamp"
+      staged.foreach { rel =>
+        fs.create(new HPath(new HPath(stgDir, rel), marker), true).close()
+      }
+      def ours(dir: HPath): Boolean = fs.exists(new HPath(dir, marker))
       val movedAside = scala.collection.mutable.ListBuffer[String]()
       val movedIn = scala.collection.mutable.ListBuffer[String]()
       // one mkdirs per distinct parent, not per partition (at 10³+ touched
@@ -127,11 +140,14 @@ object RenameCommitter extends Committer {
           // exists() probe and our rename, our staged dir is now nested at
           // dst/<leaf> and readers would see both writers' files. Detect
           // the nest (a partition dir never legitimately contains a child
-          // named like itself), pull our staged dir back out, and lose the
-          // race loudly — the whole-operation retry re-runs against the
-          // winner's committed state.
+          // named like itself); if the nested dir is OURS (stamp marker),
+          // pull it back out and lose the race loudly — the whole-operation
+          // retry re-runs against the winner's committed state. A nested
+          // dir carrying someone ELSE's stamp is a later loser nested
+          // inside OUR winning dir — leave it; that writer's own guard
+          // pulls it back within its swap.
           val nested = new HPath(dst, dst.getName)
-          if (fs.exists(nested)) {
+          if (fs.exists(nested) && ours(nested)) {
             if (!fs.rename(nested, new HPath(stgDir, rel)))
               throw new java.io.IOException(
                 s"swap rollback INCOMPLETE for ${target.render}: staged copy " +
@@ -151,7 +167,14 @@ object RenameCommitter extends Committer {
           val failed = scala.collection.mutable.ListBuffer[String]()
           var raceSkipped = false
           movedIn.foreach { rel =>
-            if (!fs.rename(new HPath(tgtDir, rel), new HPath(stgDir, rel)))
+            val dst = new HPath(tgtDir, rel)
+            if (!fs.exists(dst) || !ours(dst)) {
+              // a concurrent winner replaced our committed-in dir after we
+              // moved it in (it saw our dir as "old data" and trashed it) —
+              // pulling dst back now would steal the WINNER's live
+              // partition and drop it with our staging table
+              raceSkipped = true
+            } else if (!fs.rename(dst, new HPath(stgDir, rel)))
               failed += s"$rel (staged copy stuck in target)"
           }
           movedAside.foreach { rel =>

@@ -35,7 +35,12 @@ object Maintenance {
         try fs.listStatus(p).toSeq
         catch { case _: java.io.FileNotFoundException => Nil }
       if (d == 0)
-        Seq(rel -> stats.count(s => s.isFile && !s.getPath.getName.startsWith("_")))
+        // exclude "_" AND "." prefixed files (Spark's hidden-file filter):
+        // _SUCCESS and the committer's ._graft_swap_* ownership markers are
+        // not data files and must not trigger compaction
+        Seq(rel -> stats.count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")))
       else stats.filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .flatMap(s => walk(s.getPath, d - 1,
           if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))

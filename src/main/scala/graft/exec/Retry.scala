@@ -82,9 +82,16 @@ object Retry {
       val racy = m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
         m.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
         m.contains("already exists")
+      // the target match is DELIMITED, not a raw substring: retrying
+      // target "events" must not classify a genuinely missing source
+      // "events_raw" as a race (identifier chars on either side break
+      // the match; backticks/dots/quotes/end-of-string do not)
+      val tgt = target.stripPrefix("`").stripSuffix("`")
+      val tgtBounded = target.nonEmpty &&
+        ("(?s).*(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(tgt) +
+          "(?![A-Za-z0-9_]).*").r.matches(m)
       val swapScoped = m.contains("__graft_stg_") || m.contains("__graft_old") ||
-        m.contains("__dbt_tmp") ||
-        (target.nonEmpty && m.contains(target.stripPrefix("`").stripSuffix("`")))
+        m.contains("__dbt_tmp") || tgtBounded
       racy && swapScoped
     case _ => false
   }

@@ -262,6 +262,12 @@ object Multimodal {
             case None =>
               Iterator.single(Row(id, null, null, null, null, null, null, null,
                 null, null))
+            case Some((fps, frames)) if frames.isEmpty =>
+              // a VALID zero-frame clip must still surface one row (with
+              // its true n_frames=0), or it silently vanishes from any
+              // per-clip join over the output
+              Iterator.single(Row(id, null, null, null, null, null, null,
+                null, Integer.valueOf(0), Integer.valueOf(fps)))
             case Some((fps, frames)) =>
               val nf = Integer.valueOf(frames.length)
               val fp = Integer.valueOf(fps)

@@ -60,7 +60,12 @@ object VideoCodec {
         ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
     val n = u32(4)
     val fps = u32(8)
-    if (n > Int.MaxValue || fps <= 0 || fps > Int.MaxValue) return None
+    // bound the claimed frame count by what the payload could possibly
+    // hold (4 length bytes per frame minimum) BEFORE allocating — a
+    // hostile 12-byte payload claiming 2^31 frames must degrade to None,
+    // not OOM the executor on the frame-array allocation
+    if (n > (payload.length - 12) / 4 || fps <= 0 || fps > Int.MaxValue)
+      return None
     val frames = new Array[Array[Byte]](n.toInt)
     var off = 12
     var f = 0

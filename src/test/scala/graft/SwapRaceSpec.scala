@@ -40,6 +40,13 @@ class SwapRaceSpec extends SparkSpec {
       ae("Table default.t__graft_old_0000000000001_000001 already exists")))
     assert(!Retry.tableRenameRace(ae("`other_table` already exists")),
       "an unscoped already-exists is a real conflict, not a race")
+    // the target match is delimited: a missing "events_raw" is NOT a race
+    // for a caller retrying "events"; the exact name (bare or backticked) is
+    val raw = ae("[TABLE_OR_VIEW_NOT_FOUND] The table `events_raw` cannot be found")
+    assert(!Retry.tableRenameRace(raw, target = "events"))
+    assert(Retry.tableRenameRace(
+      ae("[TABLE_OR_VIEW_NOT_FOUND] The table `events` cannot be found"),
+      target = "events"))
     val swapRace = new Retry.ConcurrentSwapException("lost same-partition race")
     assert(Retry.tableRenameRace(swapRace))
     assert(!Retry.transientRace(swapRace),

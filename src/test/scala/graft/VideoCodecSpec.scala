@@ -38,6 +38,11 @@ class VideoCodecSpec extends SparkSpec {
     // lying frame count: claims 3 frames, carries 2
     val lying = good.clone(); lying(7) = 3
     assert(VideoCodec.decode(lying).isEmpty)
+    // hostile frame count: 2^31-1 claimed in a 12-byte payload must be
+    // rejected BEFORE the frame-array allocation (OOM guard), not after
+    val hostile = "GFV1".getBytes ++
+      Array[Byte](0x7f, -1, -1, -1, 0, 0, 0, 1)
+    assert(VideoCodec.decode(hostile).isEmpty)
     // fps 0 is not a playable clip
     val fps0 = good.clone(); fps0(11) = 0
     assert(VideoCodec.decode(fps0).isEmpty)
@@ -63,6 +68,16 @@ class VideoCodecSpec extends SparkSpec {
     val corrupt = perClip(999L)
     assert(corrupt.length == 1 && corrupt.head.isNullAt(5),
       "corrupt clip must yield one NULL-stat row, not fail the job")
+  }
+
+  test("zero-frame clip surfaces one row with n_frames=0, not zero rows") {
+    val clip = VideoCodec.encode(7L, nFrames = 0, fps = 4, w = 3, h = 3)
+    assert(VideoCodec.decode(clip).exists { case (fps, fr) =>
+      fps == 4 && fr.isEmpty })
+    val media = Seq((7L, clip)).toDF("id", "payload")
+    val out = Multimodal.decodeVideoFrameStats(media).collect()
+    assert(out.length == 1 && out.head.getInt(8) == 0 &&
+      out.head.getInt(9) == 4 && out.head.isNullAt(1))
   }
 
   test("extractFeatures routes GFV1 payloads through the real frame decode") {

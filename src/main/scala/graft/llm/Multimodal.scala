@@ -365,8 +365,11 @@ object Multimodal {
       }(enc)
   }
 
-  /** Resize metadata op (pure column math — a real pipeline would also remap
-    * the payload; the stub keeps payload opaque). */
+  /** Resize TARGET computation: the scale-to-fit dimensions as pure column
+    * math over the metadata (what a resize scheduler partitions work by).
+    * Pixel remapping itself is the codec layer's job ([[ImageCodec]] /
+    * [[VideoCodec]] decode real rasters); this op deliberately leaves the
+    * payload untouched. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val w = col("media.meta.width")
     val h = col("media.meta.height")

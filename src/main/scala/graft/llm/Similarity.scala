@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -39,6 +40,33 @@ object Similarity {
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Scale-safe exact top-k per query over a (query_id, corpus_id, cos)
+    * candidate frame. Two-phase: a bounded-heap [[graft.functions.TopKAgg]]
+    * with map-side partial aggregation (each map partition ships ≤ k entries
+    * per query; a reducer merges ≤ k·P), then a best-first explode for the
+    * rank column. Identical results to the window form — the heap mirrors
+    * the (cos desc, corpus_id asc) tie-break.
+    *
+    * Integral ids ride the heap as longs and are cast back to the source id
+    * type on output; non-integral ids (rare — the library's id columns are
+    * int64) fall back to the window form, documented small-scale only. */
+  private def finalTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.schema("corpus_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val idType = scored.schema("corpus_id").dataType
+        scored.groupBy("query_id")
+          .agg(graft.functions.TopKAgg(col("cos"), col("corpus_id").cast("long"), k).as("topk"))
+          .select(col("query_id"), posexplode(col("topk")))
+          .select(col("query_id"),
+            col("col.id").cast(idType).as("corpus_id"),
+            col("col.score").as("cos"),
+            (col("pos") + 1).as("rank"))
+      case _ =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("corpus_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
 
   /** L2 norm of an array<float/double> column. */
   def l2Norm(v: Column): Column =
@@ -120,9 +148,7 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
       .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finalTopK(scored, k)
   }
 
   // ------------------------------------------------------------- IVF variant
@@ -151,30 +177,36 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    val centDf = broadcast(spark.createDataFrame(centroids)
-      .toDF("centroid_id", "centroid"))
-    // assign corpus rows to their single nearest centroid
-    val corpusScored = corpus.crossJoin(centDf)
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-    val assigned = corpusScored
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("centroid_id"), col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    // queries probe their nprobe nearest centroids
-    val qScored = queries.crossJoin(centDf)
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
-    val wProbe = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // nearest-centroid assignment is a SINGLE PROJECTION over the bounded
+    // centroid set (nlist ≪ corpus, and each centroid vector is one compact
+    // typedlit literal): per row, an array of (sim, -centroid_id) structs and
+    // an array_max argmax — struct ordering gives (sim desc, centroid_id asc)
+    // exactly like the former window, with ZERO shuffle between the corpus
+    // scan and the inverted-list join. The former crossJoin+window shape
+    // shuffled corpus×nlist rows just to pick each row's max — at 100 TB and
+    // nlist=1024 a ~PB exchange for a per-row argmax.
+    def simStructs(vec: Column): Seq[Column] = centroids.map { case (i, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("sim"), lit(-i).as("negid"))
+    }
+    val best = array_max(array(simStructs(col(vecCol)): _*))
+    val assigned = corpus.select(
+      (-best.getField("negid")).as("centroid_id"),
+      col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    // queries probe their nprobe nearest centroids — same shuffle-free shape:
+    // per-row descending sort of the bounded struct array, slice, explode.
+    val sortedCents = array_sort(array(simStructs(col(vecCol)): _*),
+      (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .otherwise(r.getField("negid") - l.getField("negid")))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(slice(sortedCents, 1, nprobe)).as("c"))
+      .select((-col("c").getField("negid")).as("centroid_id"),
+        col("query_id"), col("q_vec"))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finalTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):

@@ -78,4 +78,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side not broadcast:\n$p")
   }
+
+  test("IVF top-k: centroid assignment is shuffle-free, final rank aggregated") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = graft.llm.Similarity
+      .ivfTopK(spark, emb, q, k = 5, nlist = 4, nprobe = 2)
+      .queryExecution.explainString(SimpleMode)
+    // The ONLY hash exchange allowed is the final top-k groupBy(query_id).
+    // Nearest-centroid assignment must be a pure projection (argmax over the
+    // broadcast centroid array) — the former crossJoin+window shape shuffled
+    // corpus×nlist rows, a ~PB exchange at 100 TB / nlist=1024.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"assignment or rank reintroduced a shuffle:\n$p")
+    // no per-query single-reducer window anywhere in the plan
+    assert(!p.contains("Window"), s"window rank reappeared:\n$p")
+    // and the rank aggregate combines map-side (partial before the exchange)
+    assert(p.contains("partial_topkagg"), s"top-k agg not partial:\n$p")
+  }
+
+  test("LSH top-k: candidate join broadcast, final rank aggregated not windowed") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = graft.llm.Similarity
+      .lshTopK(emb, q, k = 5, dim = 64, bits = 6, probeBits = 2)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), s"bucket join not broadcast:\n$p")
+    assert(!p.contains("Window"), s"window rank reappeared:\n$p")
+    assert(p.contains("partial_topkagg"), s"top-k agg not partial:\n$p")
+    // two exchanges total: candidate dedup groupBy(query,corpus) + final top-k
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"extra shuffles:\n$p")
+  }
 }

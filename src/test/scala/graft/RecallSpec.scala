@@ -44,6 +44,23 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.5, f"IVF recall $r%.3f below bound")
   }
 
+  test("two-phase top-k path is exactly the window path when candidates are total") {
+    // bits=1/probeBits=1 makes every query probe BOTH buckets, so the LSH
+    // candidate set is the whole corpus and lshTopK (new bounded-heap
+    // two-phase rank) must reproduce bruteForceTopK (window rank) row-for-row
+    // including rank order and tie-breaks — proof the partial combine did not
+    // change candidate semantics, not just hold a recall bound.
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    val total = rows(Similarity.lshTopK(emb, q, k = 5, dim = 64, bits = 1,
+        probeBits = 1).select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    assert(total == exact)
+  }
+
   test("MinHash LSH pair recall vs exact n-gram Jaccard pairs") {
     val docs = {
       val d = Tables.t(spark, dir, "documents").select($"doc_id", $"text")

@@ -34,12 +34,27 @@ object Bench {
         // non-outliers
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
         else {
-          val qs = txt.substring(txt.indexOf("\"queries\":{") + 10)
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+          // offset derived from the matched literal (not a hard-coded +10)
+          // so the substring starts exactly at the '{' even if the literal
+          // ever changes length
+          val key = "\"queries\":{"
+          val qs = txt.substring(txt.indexOf(key) + key.length - 1)
+          val parsed = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
             .findAllMatchIn(qs.substring(0, qs.indexOf('}') + 1))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // a present-but-unparseable prior silently disables the outlier
+          // guard — make that state visible instead of indistinguishable
+          // from a missing file
+          if (parsed.isEmpty) System.err.println(
+            "[bench] BENCH_FULL_latest.json exists but parsed to an empty " +
+              "prior map — outlier guard disabled this run")
+          parsed
         }
       } catch { case _: Throwable => Map.empty }
+    // query → raw first sample for queries the outlier guard medianized,
+    // recorded in the full-precision artifact so a substitution is auditable
+    // rather than indistinguishable from a raw measurement
+    val rawOutliers = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -69,6 +84,7 @@ object Bench {
           System.err.println(
             f"[bench] $name outlier: first $dt%.2f s vs prior " +
               f"${prior(name)}%.2f s — median-of-3 $med%.2f s")
+          rawOutliers(name) = dt
           dt = med
         } else System.err.println(
           f"[bench] $name outlier re-run FAILED — keeping first sample $dt%.2f s")
@@ -105,8 +121,14 @@ object Bench {
     // Full-precision copy for the judge (repo file survives the tail window).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    // raw first samples for medianized queries — a separate flat object so
+    // "queries" stays plain numbers (the prior parser above depends on that)
+    val outlierQs =
+      if (rawOutliers.isEmpty) ""
+      else rawOutliers.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString(""","outliers_raw_first_sample":{""", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_latest.json"),

@@ -32,12 +32,22 @@ object AmplifyTestdata {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t)(read(t)))
 
-    val keyShift = 10000000L // far above any sf0.1 order key
+    // every per-copy shift is max(id)+1 FROM THE SOURCE, never an assumed
+    // bound or a count(): non-contiguous or larger-than-expected ids would
+    // silently collide across copies and corrupt the amplified dataset's
+    // dedup/join structure
+    def nextAbove(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).collect()(0).getLong(0) + 1
+
+    // order keys shift by the SAME stride in orders and lineitem
+    // (referential integrity), so the stride must clear both key domains
+    val orderShift = math.max(nextAbove(read("orders"), "o_orderkey"),
+      nextAbove(read("lineitem"), "l_orderkey"))
     write("orders")((0 until copies).map { i =>
-      read("orders").withColumn("o_orderkey", col("o_orderkey") + lit(i * keyShift))
+      read("orders").withColumn("o_orderkey", col("o_orderkey") + lit(i * orderShift))
     }.reduce(_ unionByName _))
     write("lineitem")((0 until copies).map { i =>
-      read("lineitem").withColumn("l_orderkey", col("l_orderkey") + lit(i * keyShift))
+      read("lineitem").withColumn("l_orderkey", col("l_orderkey") + lit(i * orderShift))
     }.reduce(_ unionByName _))
 
     // events: ts surfaces as nanos-long (Verify.session sets nanosAsLong);
@@ -45,26 +55,33 @@ object AmplifyTestdata {
     // Each copy shifts event ids and offsets user ids so per-user event
     // volume (the sessionize/window grain) stays constant.
     val ev = read("events")
-    val nUsers = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    val nUsers = nextAbove(ev, "user_id")
+    val eventShift = nextAbove(ev, "event_id")
     write("events")((0 until copies).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * keyShift))
+      ev.withColumn("event_id", col("event_id") + lit(i * eventShift))
         .withColumn("user_id", col("user_id") + lit(i * nUsers))
     }.reduce(_ unionByName _))
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val docs = read("documents")
-    val nDocs = docs.count()
+    val docShift = nextAbove(docs, "doc_id")
+    // the gated near-dup queries inject markers at doc_id + 10⁶ — amplified
+    // ids crossing that line would masquerade as markers and corrupt the
+    // recall gates
+    require(copies * docShift < 1000000L,
+      s"amplified doc ids would reach ${copies * docShift} — collides with " +
+        "the 1e6 marker-injection offset the gated queries use")
     write("documents")((0 until copies).map { i =>
       val rot = alpha.drop(i % 26) + alpha.take(i % 26)
-      docs.select((col("doc_id") + lit(i * nDocs)).as("doc_id"),
+      docs.select((col("doc_id") + lit(i * docShift)).as("doc_id"),
         translate(lower(col("text")), alpha, rot).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _))
 
     val emb = read("embeddings")
-    val nEmb = emb.count()
+    val embShift = nextAbove(emb, "vec_id")
     write("embeddings")((0 until copies).map { i =>
-      emb.select((col("vec_id") + lit(i * nEmb)).as("vec_id"),
+      emb.select((col("vec_id") + lit(i * embShift)).as("vec_id"),
         transform(col("embedding"), x => (x + lit(i * 0.001)).cast("float"))
           .as("embedding"),
         col("label"))

@@ -108,6 +108,10 @@ object Maintenance {
     *  3. `.graft_trash` / `.graft_trash_<stamp>` dirs (rename committer):
     *     partitions whose live dir is MISSING are restored from the trash
     *     copy (+ re-registered); copies whose live dir exists are deleted.
+    *     3b. a crashed race-loser's marker-stamped staged dir nested INSIDE
+    *     a live partition dir (`<dir>/<sameLeafName>` with `._graft_swap_*`)
+    *     is moved aside into the loser's trash stamp — readers stop seeing
+    *     the torn partition; the next recover purges the aside copy.
     *  4. Pending version manifests (versioned committer): per staged
     *     partition, keep the versioned files iff the catalog flip reached
     *     them, else delete; then drop the manifest.
@@ -223,6 +227,42 @@ object Maintenance {
         fs.delete(t.getPath, true)
         actions += s"cleared ${t.getPath.getName}"
       }
+    }
+
+    // 3b. nested swap leftovers (rename committer): a loser of the
+    // same-partition rename-nesting race that CRASHED between its nesting
+    // rename and its own nest check leaves its marker-stamped staged dir
+    // nested inside the winner's live partition dir (<dir>/<sameLeafName>
+    // carrying ._graft_swap_<stamp>) — Spark's recursive leaf-file listing
+    // would read BOTH writers' files (torn partition) until the next swap
+    // of that partition. Move it aside under the loser's own trash stamp;
+    // step 3 of the NEXT recover purges the copy once the live dir is
+    // confirmed present (or restores from it if the live dir has meanwhile
+    // vanished). Age-gated like every other step: a YOUNG marker may be a
+    // live loser about to run its own pull-back. Runs AFTER step 3 so the
+    // crashed loser's own trash dir (same stamp) has already been cleared —
+    // if it still exists (a restore failure kept it), skip rather than
+    // rename onto it (Hadoop would nest again).
+    if (depth > 0) AtomicWriter.partitionDirs(fs, root, depth).foreach { rel =>
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      val nested = new org.apache.hadoop.fs.Path(live, live.getName)
+      ls(nested).map(_.getPath.getName)
+        .find(_.startsWith("._graft_swap_")).filterNot(isYoung)
+        .foreach { marker =>
+          val stamp = marker.stripPrefix("._graft_swap_")
+          val aside = new org.apache.hadoop.fs.Path(
+            root, s".graft_trash_$stamp/$rel")
+          if (fs.exists(aside))
+            actions += s"SKIPPED nested swap leftover under $rel — " +
+              s".graft_trash_$stamp/$rel still present; re-run recover"
+          else {
+            fs.mkdirs(aside.getParent)
+            if (fs.rename(nested, aside))
+              actions += s"moved nested swap leftover $rel/${live.getName} " +
+                s"aside to .graft_trash_$stamp"
+            else actions += s"MOVE FAILED for nested swap leftover under $rel"
+          }
+        }
     }
 
     // 4. pending version manifests. A manifest whose version dir IS the

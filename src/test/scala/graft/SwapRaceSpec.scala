@@ -73,6 +73,45 @@ class SwapRaceSpec extends SparkSpec {
     fs.delete(base, true)
   }
 
+  test("recover: crashed loser's nested marker dir is swept aside, then purged") {
+    val ref = TableRef(Some("default"), "nest_sweep_t")
+    Seq((1L, "x")).toDF("id", "pt").write.partitionBy("pt")
+      .saveAsTable("default.nest_sweep_t")
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("default.nest_sweep_t"))
+      val root = new HPath(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val live = new HPath(root, "pt=x")
+      val nested = new HPath(live, "pt=x")
+      // a loser that crashed between its nesting rename and its nest check:
+      // staged data + ownership marker, stamped one hour ago
+      val stamp = f"${System.currentTimeMillis() - 3600L * 1000}%013d_000007"
+      fs.mkdirs(nested)
+      fs.create(new HPath(nested, "part-00000.parquet"), true).close()
+      fs.create(new HPath(nested, s"._graft_swap_$stamp"), true).close()
+      // young marker = possibly a LIVE loser about to run its own pull-back
+      spark.conf.set("spark.graft.recover.minAgeMs", String.valueOf(24L * 3600 * 1000))
+      Maintenance.recover(spark, ref)
+      assert(fs.exists(nested), "young nested dir must be left for the live loser")
+      // aged out: the nest is a crash leftover — moved aside, live data intact
+      spark.conf.set("spark.graft.recover.minAgeMs", "0")
+      val a1 = Maintenance.recover(spark, ref)
+      assert(a1.exists(_.contains("nested swap leftover")), a1.mkString("; "))
+      assert(!fs.exists(nested), "torn partition still readable after recover")
+      assert(spark.table("default.nest_sweep_t").count() == 1)
+      val trash = new HPath(root, s".graft_trash_$stamp")
+      assert(fs.exists(new HPath(trash, "pt=x/part-00000.parquet")),
+        "loser's staged copy must be preserved aside, not deleted")
+      // second recover: live dir present → the aside copy is purged
+      Maintenance.recover(spark, ref)
+      assert(!fs.exists(trash))
+    } finally {
+      spark.conf.unset("spark.graft.recover.minAgeMs")
+      spark.sql("DROP TABLE IF EXISTS default.nest_sweep_t")
+    }
+  }
+
   test("recover: young __graft_old with target missing is skipped, then restored") {
     val ref = TableRef(Some("default"), "race_restore_t")
     val stamp = f"${System.currentTimeMillis()}%013d_000042"

@@ -288,11 +288,24 @@ object Dedup {
   }
 
   /** One row per duplicate cluster: survivor (min id), member count, and the
-    * sorted member list — the "which docs do I drop" artifact. */
-  def dupClusters(components: DataFrame): DataFrame =
+    * ascending member list CAPPED at `maxMembers` — the "which docs do I
+    * drop" artifact. `n_members` is always the exact count, so
+    * `n_members > size(members)` marks a truncated list.
+    *
+    * The cap is enforced INSIDE the aggregation (bounded-heap
+    * [[graft.functions.TopKAgg]] with a constant score, whose id-asc
+    * tie-break keeps the `maxMembers` smallest ids), not by slicing a
+    * `collect_list` — a degenerate corpus (one giant boilerplate near-dup
+    * cluster, common in crawl data) would otherwise materialize every
+    * member in a single gigabytes-sized agg buffer before any slice ran.
+    * The heap also combines map-side, so no task ever holds more than
+    * `maxMembers` entries per cluster. */
+  def dupClusters(components: DataFrame, maxMembers: Int = 10000): DataFrame =
     components.groupBy(col("comp").as("cluster_id"))
       .agg(min("node").as("keep_id"), count(lit(1)).as("n_members"),
-        sort_array(collect_list(col("node"))).as("members"))
+        graft.functions.TopKAgg(lit(0.0), col("node"), maxMembers).as("__topk"))
+      .withColumn("members", transform(col("__topk"), m => m.getField("id")))
+      .drop("__topk")
 
   // --------------------------------------------- train/test contamination
 

@@ -47,6 +47,17 @@ class ClusterSamplingSpec extends SparkSpec {
       (20L, 20L, 2L, Seq(20L, 21L))))
   }
 
+  test("dupClusters: member list capped in-aggregate, counts stay exact") {
+    // a "giant cluster" in miniature, across many partitions so the cap is
+    // exercised on the map side and through merge, not just at eval
+    val comp = spark.range(1, 101).select($"id".as("node"), lit(1L).as("comp"))
+      .repartition(8)
+    val got = Dedup.dupClusters(comp, maxMembers = 5)
+      .as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq((1L, 1L, 100L, Seq(1L, 2L, 3L, 4L, 5L))),
+      "n_members must be exact while members holds the maxMembers smallest ids")
+  }
+
   test("hashSplit: total partition, deterministic, ~80/10/10") {
     val docs = (1 to 5000).map(i => (i.toLong, s"document number $i payload"))
       .toDF("doc_id", "text")

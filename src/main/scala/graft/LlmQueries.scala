@@ -142,9 +142,16 @@ object LlmQueries {
     val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3,
       threshold = 0.5, maxDf = 1000)
     val cc = Dedup.connectedComponents(pairs)
-    cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+    // cluster_size via aggregate + join, NOT count().over(Window): a window
+    // partition funnels every member of a cluster into one task and AQE can
+    // never split it, while a skewed join partition (one boilerplate mega-
+    // cluster in crawl data) is split at runtime; the count aggregate itself
+    // combines map-side
+    val assign = cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val sizes = assign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 
@@ -298,22 +305,26 @@ object LlmQueries {
     * Composes two independently-proven oracles (d05's recursive-CTE
     * clusters, t01/t07's quality formula). */
   private def d09(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = docsWithNearDups(s, dir).localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
       maxDf = 1000)
     val cc = Dedup.connectedComponents(pairs)
     val q = docs.select(col("doc_id"),
       TextOps.qualityScore(col("text")).as("quality"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id"))
+    // the keeper is an ARGMAX per cluster under (quality desc, doc_id asc) —
+    // one max(struct) aggregate, map-side combined, replacing the former
+    // row_number window that sorted every member of a cluster in one task
+    // (struct ordering: quality first, then -doc_id, so ties go to the
+    // LOWEST doc_id exactly like the window's orderBy did)
     cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
       .join(q, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        min(when(col("rn") === 1, col("doc_id"))).as("keeper_doc_id"),
-        round(max(when(col("rn") === 1, col("quality"))), 6).as("keeper_quality"))
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("negid")))
+          .as("__best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("__best.negid")).as("keeper_doc_id"),
+        round(col("__best.q"), 6).as("keeper_quality"))
       .orderBy(col("cluster_id"))
   }
 

@@ -61,6 +61,22 @@ class RecallSpec extends SparkSpec {
     assert(total == exact)
   }
 
+  test("IVF argmax projection survives a realistic nlist (codegen width)") {
+    // the shuffle-free centroid assignment unrolls nlist cosine expressions
+    // into ONE projection — at production nlist (hundreds+) the generated
+    // code must split across methods rather than fail or fall over. Recall
+    // vs brute force must also stay sane when each list holds few vectors.
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val got = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 128, nprobe = 32)
+    assert(got.count() == 50, "k results per query at nlist=128")
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id"))
+    val approx = rows(got.select("query_id", "corpus_id"))
+    val r = approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+    assert(r >= 0.5, f"IVF nlist=128 recall $r%.3f below bound")
+  }
+
   test("MinHash LSH pair recall vs exact n-gram Jaccard pairs") {
     val docs = {
       val d = Tables.t(spark, dir, "documents").select($"doc_id", $"text")

@@ -490,6 +490,29 @@ object LlmQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Quantized IVF + exact re-rank (the 100 TB memory-bandwidth shape:
+    * int8 inverted-list scan, full-precision re-scoring of the top
+    * rerank·k survivors), SELF-VERIFYING like s02/s05: recall@5 vs the
+    * brute-force twin, gated at the s05 bound (same probed lists; the
+    * re-rank recovers quantization error inside them). */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKQuantized(s, emb, q, k = 5, nlist = 8,
+        nprobe = 3, rerank = 4)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s07Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** L2 normalization + int8 quantization over embeddings (oracle-checked:
     * both are pure list arithmetic). */
   private def s06(s: SparkSession, dir: String): DataFrame =
@@ -1028,6 +1051,7 @@ object LlmQueries {
     "s04_embed_neardup_lsh" -> (s04 _),
     "s05_cosine_topk_ivf" -> (s05 _),
     "s06_normalize_quantize" -> (s06 _),
+    "s07_cosine_topk_ivf_int8" -> (s07 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -1067,6 +1091,7 @@ object LlmQueries {
     "mm03_audio_wav" -> mm03Sql,
     "mm04_video_frames" -> mm04Sql,
     "s06_normalize_quantize" -> s06Sql,
+    "s07_cosine_topk_ivf_int8" -> s07Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Integer dot product over two `array<int>` quantization-code columns —
+  * the hot loop of an int8-quantized similarity scan (see
+  * [[graft.llm.Similarity.quantizeInt8]]: codes are int8-ranged ints, so a
+  * 64-bit accumulator never overflows at any realistic dimension).
+  *
+  * Same rationale as [[CosineSimilarity]]: the composable form
+  * (`aggregate(zip_with(a, b, _*_), 0L, _+_)`) allocates an intermediate
+  * array per row and interprets two lambdas per element; this is one fused
+  * loop that stays inside whole-stage codegen. Mismatched dimensions yield
+  * NULL (filterable), never a silent shorter-prefix product.
+  */
+case class DotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_int8 expects array<int> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (long) $x.getInt($i) * (long) $y.getInt($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotInt8 {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotInt8(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -162,6 +162,21 @@ object Similarity {
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
+    val (assigned, probes) = ivfAssignProbe(corpus, queries, nlist, nprobe,
+      seed, idCol, vecCol, fitSampleLimit)
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    finalTopK(scored, k)
+  }
+
+  /** Shared IVF plumbing: k-means centroids (bounded-sample fit) +
+    * shuffle-free nearest-centroid corpus assignment + per-query nprobe
+    * probe list. Returns (`assigned`: centroid_id, corpus_id, c_vec;
+    * `probes`: centroid_id, query_id, q_vec). */
+  private def ivfAssignProbe(corpus: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int, seed: Long, idCol: String, vecCol: String,
+      fitSampleLimit: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // centroids are trained on a BOUNDED sample: k-means over the full
@@ -203,10 +218,59 @@ object Similarity {
         explode(slice(sortedCents, 1, nprobe)).as("c"))
       .select((-col("c").getField("negid")).as("centroid_id"),
         col("query_id"), col("q_vec"))
-    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+    (assigned, probes)
+  }
+
+  /** IVF top-k with an int8-quantized candidate scan and exact re-rank —
+    * the memory-bandwidth shape for a 100 TB corpus. Both sides are
+    * L2-normalized then [[quantizeInt8]]-ed, so the inverted-list scan
+    * scores `scale_q · scale_c · dot(codes_q, codes_c)` over int codes
+    * ([[graft.functions.DotInt8]], one fused codegen loop) — 4× less scan
+    * traffic than float32, 8× than float64. Per query the best
+    * `rerank·k` candidates survive (bounded-heap [[graft.functions.TopKAgg]],
+    * map-side combined), and ONLY those are re-scored with full-precision
+    * cosine against the original vectors (broadcast candidate join — the
+    * corpus is never shuffled). Quantization error therefore affects
+    * results only when a true top-k member falls outside the top
+    * `rerank·k` approximate candidates; with `nprobe = nlist` and
+    * `rerank·k ≥` corpus size the output is exactly [[bruteForceTopK]]'s
+    * (spec-pinned). */
+  def ivfTopKQuantized(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, rerank: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): DataFrame = {
+    require(rerank >= 1, "rerank >= 1")
+    val (assigned, probes) = ivfAssignProbe(corpus, queries, nlist, nprobe,
+      seed, idCol, vecCol, fitSampleLimit)
+    val idType = corpus.schema(idCol).dataType
+    val cq = assigned.select(col("centroid_id"),
+      col("corpus_id").cast("long").as("corpus_id"),
+      quantizeInt8(l2Normalize(col("c_vec"))).as("cq"))
+    val pq = probes.select(col("centroid_id"), col("query_id"),
+      quantizeInt8(l2Normalize(col("q_vec"))).as("qq"))
+    val approx = cq.join(broadcast(pq), Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("qq").getField("scale") * col("cq").getField("scale") *
+          graft.functions.DotInt8(col("qq").getField("codes"),
+            col("cq").getField("codes"))).as("ascore"))
+    val cands = approx.groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("ascore"), col("corpus_id"),
+        rerank * k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e").getField("id").cast(idType)
+        .as("corpus_id"))
+    // exact re-rank over the bounded candidate set (≤ |queries|·rerank·k
+    // rows): candidates+queries BROADCAST so the corpus side is only
+    // scanned and hash-probed, never shuffled
+    val candQ = cands.join(broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"))), Seq("query_id"))
+    val rescored = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(candQ), Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
-    finalTopK(scored, k)
+    finalTopK(rescored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):

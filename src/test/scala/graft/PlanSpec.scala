@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkagg"), s"top-k agg not partial:\n$p")
   }
 
+  test("quantized IVF: corpus never hash-exchanged; both top-k aggs partial") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = graft.llm.Similarity
+      .ivfTopKQuantized(spark, emb, q, k = 5, nlist = 4, nprobe = 2, rerank = 2)
+      .queryExecution.explainString(SimpleMode)
+    // the ONLY hash exchanges are the two bounded top-k aggregates
+    // (candidate select + final rank), both over ≤ rerank·k rows per query;
+    // centroid assignment is a projection, the inverted-list scan and the
+    // exact re-rank are broadcast joins — the corpus is never shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"corpus-side shuffle appeared:\n$p")
+    assert(!p.contains("Window"), s"window rank reappeared:\n$p")
+    assert("partial_topkagg".r.findAllIn(p).size == 2,
+      s"expected two partial top-k aggs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"re-rank join not broadcast:\n$p")
+  }
+
   test("LSH top-k: candidate join broadcast, final rank aggregated not windowed") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)

@@ -77,6 +77,41 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.5, f"IVF nlist=128 recall $r%.3f below bound")
   }
 
+  test("quantized IVF + re-rank: recall bound, and exact under total coverage") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    // partial coverage: same probed lists as the s05 gate, re-rank inside
+    val got = Similarity.ivfTopKQuantized(spark, emb, q, k = 5, nlist = 8,
+      nprobe = 3, rerank = 4)
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id"))
+    val r = rows(got.select("query_id", "corpus_id")).toSet
+      .intersect(exact.toSet).size.toDouble / exact.size
+    assert(r >= 0.5, f"quantized IVF recall $r%.3f below bound")
+    // total coverage: nprobe = nlist and rerank·k ≥ corpus ⇒ the int8 scan
+    // only ORDERS candidates, the exact re-rank restores full precision —
+    // output must be row-identical to brute force including tie-breaks
+    val n = emb.count().toInt
+    val all = rows(Similarity.ivfTopKQuantized(spark, emb, q, k = 5,
+        nlist = 4, nprobe = 4, rerank = n / 5 + 1)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    val bf = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    assert(all == bf)
+  }
+
+  test("DotInt8: fused int dot product matches the composable form, null on mismatch") {
+    val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6)), (Seq(127, 127), Seq(127, 127)))
+      .toDF("a", "b")
+    val got = rows(df.select(graft.functions.DotInt8($"a", $"b").as("d")))
+    assert(got == Seq(Seq(4 - 10 - 18L), Seq(2L * 127 * 127)))
+    val bad = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+      .select(graft.functions.DotInt8($"a", $"b").as("d"))
+    assert(bad.collect()(0).isNullAt(0), "dimension mismatch must be NULL")
+  }
+
   test("MinHash LSH pair recall vs exact n-gram Jaccard pairs") {
     val docs = {
       val d = Tables.t(spark, dir, "documents").select($"doc_id", $"text")

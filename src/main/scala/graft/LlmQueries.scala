@@ -994,6 +994,38 @@ object LlmQueries {
       |  FROM c GROUP BY 1 HAVING COUNT(*) >= 3)
       |SELECT token, n, df FROM v ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  // ------------------------------------- t12 unigram LM perplexity scoring
+
+  /** CCNet-style LM quality filter: fit a unigram model on the train split
+    * (d07's doc_id%10 boundary), score the test split by mean negative
+    * log-probability under it (Laplace α=1, one virtual OOV slot). The
+    * oracle reproduces tokenization, counts, totals, and the smoothed
+    * −ln(p) average; avg_nll is rounded to 4 decimals so float-summation
+    * order can't flip the hash. */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = TextOps.unigramModel(docs.filter(col("doc_id") % 10 =!= 0))
+    TextOps.unigramLogProb(docs.filter(col("doc_id") % 10 === 0), model)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t12Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |model AS (SELECT token, COUNT(*) AS n FROM u
+      |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t_total,
+      |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+      |test AS (SELECT e.doc_id, COALESCE(m.n, 0) AS n
+      |  FROM u e LEFT JOIN model m USING (token) WHERE e.doc_id % 10 = 0)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  round(AVG(-ln((n + 1.0) / (t_total + 1.0 * (v + 1)))), 4) AS avg_nll
+      |FROM test CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1063,6 +1095,7 @@ object LlmQueries {
     "t09_token_chunking" -> (t09 _),
     "t10_lexical_diversity" -> (t10 _),
     "t11_vocabulary" -> (t11 _),
+    "t12_unigram_logprob" -> (t12 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1100,5 +1133,6 @@ object LlmQueries {
     "t08_sequence_pack" -> t08Sql,
     "t09_token_chunking" -> t09Sql,
     "t10_lexical_diversity" -> t10Sql,
-    "t11_vocabulary" -> t11Sql)
+    "t11_vocabulary" -> t11Sql,
+    "t12_unigram_logprob" -> t12Sql)
 }

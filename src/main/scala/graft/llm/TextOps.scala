@@ -296,6 +296,45 @@ object TextOps {
           .otherwise(lit(0.0)).as("simpson"),
         col("n_hapax"))
 
+  // --------------------------------------- unigram LM perplexity scoring
+
+  /** Unigram language model fit on a REFERENCE corpus: one row per token
+    * with its occurrence count. ONE map-side-combined aggregate over the
+    * reference — the 100 TB shape is a groupBy producing a vocab-sized
+    * result, amortizable by materializing it once and scoring many
+    * target corpora against it. */
+  def unigramModel(ref: DataFrame, textCol: String = "text"): DataFrame =
+    ref.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Mean negative log-probability of each document under a reference
+    * unigram model (the CCNet-style corpus-filtering signal: score crawl
+    * text against a trusted-corpus LM; low = fluent/common, high =
+    * gibberish or OOV-heavy). Laplace-`alpha` smoothing reserves one
+    * virtual vocab slot for OOV: `p(t) = (n_t + α) / (T + α(V+1))`.
+    *
+    * Scale shape: totals are a 1-row broadcast; scoring is explode → hash
+    * join on token (model side vocab-sized) → per-doc average — no
+    * windows, no quadratic step. `avg_nll` is rounded to 4 decimals so
+    * the score is stable under float-summation order across engines.
+    * Empty documents produce no row (no tokens — consistent with
+    * [[lexicalDiversity]]). */
+  def unigramLogProb(docs: DataFrame, model: DataFrame, alpha: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(alpha > 0, "alpha > 0")
+    val totals = model.agg(sum(col("n")).as("__T"),
+      count(lit(1)).as("__V"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(model, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log((coalesce(col("n"), lit(0L)).cast("double") + alpha) /
+          (col("__T").cast("double") + (col("__V") + 1) * alpha))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__nll")), 4).as("avg_nll"))
+  }
+
   // ------------------------------------------------- top-q quality filter
 
   /** Keep each stratum's top `q` fraction by `score` (descending, ties

@@ -265,6 +265,22 @@ class LlmSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, 1L, 1.0, 0.0, 1L))) // n=1: simpson defined 0
   }
 
+  test("unigramLogProb: hand-computed smoothed nll, OOV slot, empty docs") {
+    // model corpus: "a a b" → counts a=2, b=1; T=3, V=2, α=1
+    // p(a)=(2+1)/(3+3)=0.5  p(b)=(1+1)/6=1/3  p(OOV)=(0+1)/6=1/6
+    val model = TextOps.unigramModel(Seq("a a b").toDF("text"))
+    val docs = Seq((1L, "a b"), (2L, "z"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(docs, model).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 2, "empty doc must produce no row")
+    val nll1 = -(math.log(0.5) + math.log(1.0 / 3)) / 2
+    assert(out(0) == ((1L, 2L,
+      BigDecimal(nll1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val nllOov = -math.log(1.0 / 6)
+    assert(out(1) == ((2L, 1L,
+      BigDecimal(nllOov).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("packStreaming: shardHexWidth widens the fan-out and refines shards") {
     val df = (1L to 4000L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -513,6 +513,29 @@ object LlmQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** SemDeDup-style semantic dedup (k-means cells → exact within-cell
+    * pairs), SELF-VERIFYING like s04: recall vs the exact quadratic twin
+    * over the same perturbed corpus, gated at 0.6. Precision is 1 by
+    * construction (every emitted pair is exact-cosine-checked), so the
+    * gate only needs the recall side. */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNearDups(s, dir).localCheckpoint()
+    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val approx = Similarity.semanticDupPairs(e, threshold = 0.9, nlist = 8)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s08Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
+
   /** L2 normalization + int8 quantization over embeddings (oracle-checked:
     * both are pure list arithmetic). */
   private def s06(s: SparkSession, dir: String): DataFrame =
@@ -1084,6 +1107,7 @@ object LlmQueries {
     "s05_cosine_topk_ivf" -> (s05 _),
     "s06_normalize_quantize" -> (s06 _),
     "s07_cosine_topk_ivf_int8" -> (s07 _),
+    "s08_semantic_dedup" -> (s08 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -1125,6 +1149,7 @@ object LlmQueries {
     "mm04_video_frames" -> mm04Sql,
     "s06_normalize_quantize" -> s06Sql,
     "s07_cosine_topk_ivf_int8" -> s07Sql,
+    "s08_semantic_dedup" -> s08Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

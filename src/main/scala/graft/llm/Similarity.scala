@@ -174,50 +174,79 @@ object Similarity {
     * shuffle-free nearest-centroid corpus assignment + per-query nprobe
     * probe list. Returns (`assigned`: centroid_id, corpus_id, c_vec;
     * `probes`: centroid_id, query_id, q_vec). */
-  private def ivfAssignProbe(corpus: DataFrame, queries: DataFrame,
-      nlist: Int, nprobe: Int, seed: Long, idCol: String, vecCol: String,
-      fitSampleLimit: Int): (DataFrame, DataFrame) = {
+  /** Bounded-sample k-means fit: k-means over the full corpus would be a
+    * multi-pass O(corpus) job at 100 TB for centroids whose quality
+    * saturates at ~10³ points per list; the limit reads only as many
+    * partitions as needed. */
+  private def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long,
+      idCol: String, vecCol: String,
+      fitSampleLimit: Int): Seq[(Int, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // centroids are trained on a BOUNDED sample: k-means over the full
-    // corpus would be a multi-pass O(corpus) job at 100 TB for centroids
-    // whose quality saturates at ~10³ points per list; the limit reads
-    // only as many partitions as needed. Assignment below still covers
-    // the full corpus.
     val train = corpus.select(col(idCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       .limit(fitSampleLimit)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
-    // nearest-centroid assignment is a SINGLE PROJECTION over the bounded
-    // centroid set (nlist ≪ corpus, and each centroid vector is one compact
-    // typedlit literal): per row, an array of (sim, -centroid_id) structs and
-    // an array_max argmax — struct ordering gives (sim desc, centroid_id asc)
-    // exactly like the former window, with ZERO shuffle between the corpus
-    // scan and the inverted-list join. The former crossJoin+window shape
-    // shuffled corpus×nlist rows just to pick each row's max — at 100 TB and
-    // nlist=1024 a ~PB exchange for a per-row argmax.
-    def simStructs(vec: Column): Seq[Column] = centroids.map { case (i, cv) =>
-      struct(cosine(vec, typedlit(cv)).as("sim"), lit(-i).as("negid"))
-    }
-    val best = array_max(array(simStructs(col(vecCol)): _*))
-    val assigned = corpus.select(
+  }
+
+  /** Per-centroid (sim, -centroid_id) structs for `vec` — struct ordering
+    * gives (sim desc, centroid_id asc), so array_max is the
+    * nearest-centroid argmax. */
+  private def centroidSimStructs(centroids: Seq[(Int, Seq[Double])])(
+      vec: Column): Seq[Column] = centroids.map { case (i, cv) =>
+    struct(cosine(vec, typedlit(cv)).as("sim"), lit(-i).as("negid"))
+  }
+
+  /** Shuffle-free nearest-centroid assignment: a SINGLE PROJECTION over
+    * the bounded centroid set (nlist ≪ corpus, each centroid one compact
+    * typedlit literal) — per row an array of (sim, -centroid_id) structs
+    * and an array_max argmax, with ZERO shuffle between the corpus scan
+    * and whatever consumes the assignment. The former crossJoin+window
+    * shape shuffled corpus×nlist rows just to pick each row's max — at
+    * 100 TB and nlist=1024 a ~PB exchange for a per-row argmax. Returns
+    * (centroid_id, corpus_id, c_vec). */
+  private def assignToCentroids(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], idCol: String,
+      vecCol: String): DataFrame = {
+    val best = array_max(array(centroidSimStructs(centroids)(col(vecCol)): _*))
+    corpus.select(
       (-best.getField("negid")).as("centroid_id"),
       col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    // queries probe their nprobe nearest centroids — same shuffle-free shape:
-    // per-row descending sort of the bounded struct array, slice, explode.
-    val sortedCents = array_sort(array(simStructs(col(vecCol)): _*),
+  }
+
+  /** Top-`n` nearest centroids per row — the multi-assignment sibling of
+    * [[assignToCentroids]], same shuffle-free shape: per-row descending
+    * sort of the bounded struct array, slice, explode (n rows per input
+    * row). Returns (centroid_id, corpus_id, c_vec). */
+  private def assignTopCentroids(df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], n: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val sortedCents = array_sort(
+      array(centroidSimStructs(centroids)(col(vecCol)): _*),
       (l, r) => when(l.getField("sim") > r.getField("sim"), -1)
         .when(l.getField("sim") < r.getField("sim"), 1)
         .otherwise(r.getField("negid") - l.getField("negid")))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(slice(sortedCents, 1, nprobe)).as("c"))
+    df.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        explode(slice(sortedCents, 1, n)).as("c"))
       .select((-col("c").getField("negid")).as("centroid_id"),
-        col("query_id"), col("q_vec"))
+        col("corpus_id"), col("c_vec"))
+  }
+
+  /** Shared IVF plumbing: bounded-sample centroids + shuffle-free corpus
+    * assignment + per-query nprobe probe list. */
+  private def ivfAssignProbe(corpus: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int, seed: Long, idCol: String, vecCol: String,
+      fitSampleLimit: Int): (DataFrame, DataFrame) = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, idCol, vecCol,
+      fitSampleLimit)
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val probes = assignTopCentroids(queries, centroids, nprobe, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("q_vec"))
     (assigned, probes)
   }
 
@@ -291,6 +320,37 @@ object Similarity {
     val a = c.select(col("tb"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = c.select(col("tb"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, Seq("tb")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: k-means cells over the
+    * embedding space (bounded-sample fit, shuffle-free top-`nprobe`-cell
+    * assignment), then EXACT cosine pairs computed only WITHIN each cell,
+    * deduped across cells. `nlist` is the cost dial: candidate pairs ≈
+    * nprobe²·corpus²/(2·nlist) under balanced cells — at 100 TB, nlist in
+    * the 10⁴–10⁵ range makes each cell's pair block a single-task-sized
+    * unit while the cells themselves are embarrassingly parallel.
+    * `nprobe > 1` (multi-assignment) is the recall lever: a near-dup pair
+    * is missed only if the two members' nprobe-nearest-cell SETS are
+    * disjoint, which for cosine ≥ threshold (≈1) pairs requires the pair
+    * to straddle ≥ nprobe cell boundaries at once — the gated query
+    * verifies the bound holds. Precision is exact by construction (every
+    * emitted pair is full-precision cosine-checked). */
+  def semanticDupPairs(corpus: DataFrame, threshold: Double,
+      nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, idCol, vecCol,
+      fitSampleLimit)
+    val assigned = assignTopCentroids(corpus, centroids, nprobe, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col("corpus_id").as("id_a"),
+      col("c_vec").as("v_a"))
+    val b = assigned.select(col("centroid_id"), col("corpus_id").as("id_b"),
+      col("c_vec").as("v_b"))
+    a.join(b, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)

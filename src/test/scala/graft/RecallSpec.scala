@@ -102,6 +102,25 @@ class RecallSpec extends SparkSpec {
     assert(all == bf)
   }
 
+  test("semanticDupPairs: within-cell recall vs exact twin; precision exact") {
+    val e = {
+      val base = Tables.t(spark, dir, "embeddings").filter($"vec_id" < 500)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      base.unionByName(base.filter($"vec_id" % 4 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          org.apache.spark.sql.functions.transform($"embedding",
+            x => x + org.apache.spark.sql.functions.lit(0.05)).as("embedding")))
+    }.localCheckpoint()
+    val exact = rows(Similarity.nearDupPairsExact(e, threshold = 0.9)
+      .select("id_a", "id_b")).toSet
+    val sem = rows(Similarity.semanticDupPairs(e, threshold = 0.9, nlist = 8)
+      .select("id_a", "id_b")).toSet
+    // precision 1 by construction: every emitted pair is exact-checked
+    assert(sem.subsetOf(exact), "semantic pair not in the exact set")
+    val r = sem.intersect(exact).size.toDouble / exact.size
+    assert(r >= 0.6, f"semantic dedup recall $r%.3f below bound")
+  }
+
   test("DotInt8: fused int dot product matches the composable form, null on mismatch") {
     val df = Seq((Seq(1, -2, 3), Seq(4, 5, -6)), (Seq(127, 127), Seq(127, 127)))
       .toDF("a", "b")

@@ -256,8 +256,17 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("node").as("dst"), col("comp")), "dst")
           .select(col("src").as("node"), col("comp"))
-        val prop = labels.unionByName(nbrMin)
-          .groupBy("node").agg(min("comp").as("comp")).localCheckpoint()
+        // the previous label rides the aggregate as __old (min over one
+        // non-null value per node — every node appears exactly once in
+        // `labels`), so the convergence probe below is a scan of the
+        // checkpointed frame instead of a per-round join against the
+        // previous generation
+        val prop = labels
+          .select(col("node"), col("comp"), col("comp").as("__old"))
+          .unionByName(nbrMin.withColumn("__old", lit(null).cast("long")))
+          .groupBy("node")
+          .agg(min("comp").as("comp"), min("__old").as("__old"))
+          .localCheckpoint()
         // Adaptive pointer jumping: star/clique components (the common dup
         // shape) converge by round 2 on plain propagation — don't pay the
         // extra self-join for them. A graph still unconverged at round 2
@@ -271,19 +280,21 @@ object Dedup {
           else prop.alias("a")
             .join(prop.select(col("node").as("comp"), col("comp").as("__cc")),
               "comp")
-            .select(col("node"), col("__cc").as("comp")).localCheckpoint()
+            .select(col("node"), col("__cc").as("comp"), col("__old"))
+            .localCheckpoint()
         // round 0 ALWAYS changes labels when edges exist (the larger
-        // endpoint of any edge adopts the smaller) — skip its probe job
-        converged = iter > 0 && next.alias("n")
-          .join(labels.alias("o"), col("n.node") === col("o.node"))
-          .filter(col("n.comp") =!= col("o.comp")).isEmpty
+        // endpoint of any edge adopts the smaller) — skip its probe job.
+        // Labels only decrease, so comp == __old everywhere is an exact
+        // fixpoint test; the filter scans cached checkpoint partitions.
+        converged = iter > 0 &&
+          next.filter(col("comp") =!= col("__old")).isEmpty
         free(labels)
         if (!(next eq prop)) free(prop)
         labels = next
         iter += 1
       }
       require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
-      labels
+      labels.select(col("node"), col("comp"))
     } finally edges.unpersist()
   }
 

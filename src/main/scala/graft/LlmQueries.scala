@@ -372,6 +372,27 @@ object LlmQueries {
       |    ELSE TRUE END
       |ORDER BY doc_id""".stripMargin
 
+  /** Frequency-cap downsampling — [[Sampling.capSample]]: every language
+    * brought down to ~72 docs in expectation, smaller languages kept
+    * whole. Rates derive from the data (per-stratum counts), unlike d08's
+    * fixed map; the oracle recomputes the identical integer-div threshold
+    * and md5 comparison. */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    Sampling.capSample(docs, col("text"), col("lang"), cap = 72, salt = "g5")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d11Sql =
+    """WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN n USING (lang)
+      |WHERE cnt <= 72
+      |   OR substring(md5('g5' || text), 1, 4) <
+      |      printf('%04x', CAST((65536 * 72) // cnt AS INT))
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- similarity search
 
   private def s01(s: SparkSession, dir: String): DataFrame = {
@@ -1100,6 +1121,7 @@ object LlmQueries {
     "d10_decontaminate" -> (d10 _),
     "d08_stratified_sample" -> (d08 _),
     "d09_cluster_keep" -> (d09 _),
+    "d11_cap_sample" -> (d11 _),
     "s01_cosine_topk_brute" -> (s01 _),
     "s02_cosine_topk_lsh" -> (s02 _),
     "s03_embed_neardup_exact" -> (s03 _),
@@ -1136,6 +1158,7 @@ object LlmQueries {
     "d10_decontaminate" -> d10Sql,
     "d08_stratified_sample" -> d08Sql,
     "d09_cluster_keep" -> d09Sql,
+    "d11_cap_sample" -> d11Sql,
     "s01_cosine_topk_brute" -> s01Sql,
     "s02_cosine_topk_lsh" -> s02Sql,
     "s03_embed_neardup_exact" -> s03Sql,

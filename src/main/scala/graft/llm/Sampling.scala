@@ -83,4 +83,38 @@ object Sampling {
     }
     df.filter(cond)
   }
+
+  /** Frequency-cap downsampling: bring every stratum down to ~`cap` rows
+    * IN EXPECTATION, keeping strata already at or under the cap whole —
+    * the standard "no single domain/language dominates the mix" move in a
+    * crawl pipeline (a boilerplate-heavy domain with 10⁹ pages gets the
+    * same budget as one with 10⁵). Unlike [[stratifiedSample]] the rates
+    * are derived FROM the data, so no stratum list is known up front.
+    *
+    * Two-pass, both scale-clean: (1) per-stratum counts — a map-side-
+    * combined aggregate whose output is |strata| rows; (2) the counts
+    * joined back on the stratum key (tiny side → AQE auto-broadcasts
+    * under threshold; with 10⁸ strata it degrades to an ordinary shuffle
+    * join, still linear) and a pure per-row hash filter: keep iff
+    * `hexPrefix < %04x(65536·cap div n)`. Integer `div` (not floating
+    * floor) so the threshold is exact at any corpus size, and the same
+    * salted-md5 keying as every other sampler here — deterministic on any
+    * engine, byte-identical duplicates decide identically. The keep count
+    * is binomial around `cap·(num/65536 ≈ 1)`, not exact — exactness
+    * would need a per-stratum global sort, which is the shape this
+    * operator exists to avoid. */
+  def capSample(df: DataFrame, key: Column, stratum: Column, cap: Long,
+      salt: String = ""): DataFrame = {
+    require(cap >= 0 && cap <= Long.MaxValue / 65536L,
+      "cap must be non-negative and below 2^47")
+    val cnts = df.groupBy(stratum.as("__cs_stratum"))
+      .agg(count(lit(1)).as("__cs_n"))
+    // bigint div: exact integer threshold (a double floor could round a
+    // quotient like k - 1/n up to k once 65536*cap exceeds 2^53)
+    val num = expr(s"(${65536L * cap}L div __cs_n)")
+    df.join(cnts, stratum === col("__cs_stratum"))
+      .filter(col("__cs_n") <= cap ||
+        hexPrefix(key, salt, 4) < format_string("%04x", num.cast("int")))
+      .drop("__cs_stratum", "__cs_n")
+  }
 }

@@ -100,6 +100,32 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(docs, col("text"), 65536).count() == 5000)
   }
 
+  test("capSample: big strata shrink to ~cap, small strata kept whole") {
+    val docs = ((1 to 4000).map(i => (i.toLong, "big", s"doc $i body")) ++
+      (5001 to 5050).map(i => (i.toLong, "small", s"doc $i body")))
+      .toDF("doc_id", "domain", "text")
+    val out = Sampling.capSample(docs, col("text"), col("domain"),
+      cap = 400, salt = "c")
+    assert(out.columns.toSeq == Seq("doc_id", "domain", "text"),
+      "temp columns must not leak")
+    val counts = out.groupBy("domain").count().as[(String, Long)]
+      .collect().toMap
+    // big: binomial around 400·(floor(65536·400/4000)/65536) ≈ 399.96
+    assert(math.abs(counts("big") - 400L) < 80, counts.toString)
+    assert(counts("small") == 50L, "under-cap stratum must be kept whole")
+    // deterministic: rerun keeps exactly the same rows
+    val out2 = Sampling.capSample(docs, col("text"), col("domain"),
+      cap = 400, salt = "c")
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+    // cap = 0 empties every over-cap stratum (num = 0 → prefix < "0000"
+    // never holds); a stratum of size 0 cannot exist by construction
+    assert(Sampling.capSample(docs, col("text"), col("domain"), cap = 0)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.capSample(docs, col("text"), col("domain"), cap = -1)
+    }
+  }
+
   test("redactPii replaces typed placeholders; counts match") {
     val df = Seq(
       (1L, "mail a.b%c@x-y.co.uk now"),

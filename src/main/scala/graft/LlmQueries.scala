@@ -1070,6 +1070,59 @@ object LlmQueries {
       |FROM test CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ t13 cross-document line dedup
+
+  /** CCNet-style line dedup — [[TextOps.dedupSegments]] over the near-dup
+    * corpus re-lined into 4-word segments (the synthetic docs carry no
+    * newlines; the re-lining is query prep, the operator is generic over
+    * `sep`). Every near-dup doc (identical prefix + one appended marker
+    * token) loses all but its final segment to the original's first
+    * occurrence, and any segment in > 5 distinct docs drops as
+    * boilerplate. The oracle reproduces the re-lining, the two-level
+    * (segment, doc) → segment aggregation, the (first doc, first pos)
+    * arg-min, and the reassembly byte-for-byte. */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = ceil(size(words) / lit(4.0)).cast("int")
+    val lined = docsWithNearDups(s, dir).select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(words, i * 4 + 1, lit(4)), " ")), "\n").as("text"))
+    TextOps.dedupSegments(lined, sep = "\n", maxDf = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t13Sql =
+    """WITH docs2 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM docs2),
+      |lined AS (SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      range(CAST(ceil(len(wd) / 4.0) AS BIGINT)),
+      |      i -> array_to_string(wd[(i*4+1):(i*4+4)], ' ')), chr(10)) AS text
+      |  FROM w),
+      |segs AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(sl)),
+      |      i -> {'pos': i, 'seg': sl[CAST(i + 1 AS INT)]})) AS s
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM lined))),
+      |perdoc AS (SELECT seg, doc_id, MIN(pos) AS minpos
+      |  FROM segs GROUP BY 1, 2),
+      |perseg AS (SELECT seg, COUNT(*) AS df, MIN(doc_id) AS d0
+      |  FROM perdoc GROUP BY 1),
+      |kept AS (SELECT s.doc_id, s.pos, s.seg
+      |  FROM segs s
+      |  JOIN perseg p ON p.seg = s.seg
+      |  JOIN perdoc pd ON pd.seg = s.seg AND pd.doc_id = p.d0
+      |  WHERE p.df <= 5 AND s.doc_id = p.d0 AND s.pos = pd.minpos),
+      |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg, chr(10) ORDER BY pos) AS text
+      |  FROM kept GROUP BY 1)
+      |SELECT l.doc_id, COALESCE(r.text, '') AS text,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_segments
+      |FROM lined l LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1142,6 +1195,7 @@ object LlmQueries {
     "t10_lexical_diversity" -> (t10 _),
     "t11_vocabulary" -> (t11 _),
     "t12_unigram_logprob" -> (t12 _),
+    "t13_line_dedup" -> (t13 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1182,5 +1236,6 @@ object LlmQueries {
     "t09_token_chunking" -> t09Sql,
     "t10_lexical_diversity" -> t10Sql,
     "t11_vocabulary" -> t11Sql,
-    "t12_unigram_logprob" -> t12Sql)
+    "t12_unigram_logprob" -> t12Sql,
+    "t13_line_dedup" -> t13Sql)
 }

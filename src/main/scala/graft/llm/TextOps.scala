@@ -244,6 +244,61 @@ object TextOps {
           .as("chunk_md5"))
   }
 
+  // ------------------------------------------- cross-document line dedup
+
+  /** Cross-document segment-level dedup — the "line dedup" pass of a
+    * crawl pipeline (CCNet-style: dedup paragraphs/lines across the whole
+    * corpus, not whole documents): each document is split on `sep`; a
+    * segment survives only at its FIRST corpus occurrence (lowest doc id,
+    * then lowest position — deterministic on any engine), and not at all
+    * if it occurs in more than `maxDf` distinct documents (boilerplate:
+    * nav text, cookie banners, repeated headers). Returns (idCol,
+    * textCol, n_kept, n_segments) for EVERY input document, text
+    * reassembled from the survivors in original order (empty string when
+    * nothing survives).
+    *
+    * Scale shape: the explode is linear; segment stats are two map-side-
+    * combined hash aggregates — (fingerprint, doc) → min position, then
+    * fingerprint → (first occurrence argmin, exact distinct-doc df); the
+    * join back to segments is an ordinary shuffle hash join AQE can
+    * rebalance (both sides keyed by fingerprint — a boilerplate segment's
+    * fan-out is its df, the thing `maxDf` bounds); reassembly groups by
+    * doc id, bounded per group by the source document's own size. No
+    * windows, no driver state. Distinct segments colliding on xxhash64
+    * would merge (~n²/2⁶⁵ — the same documented trade as
+    * [[Dedup.exact]]). */
+  def dedupSegments(docs: DataFrame, sep: String = "\n",
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val segs = docs
+      .select(col(idCol).as("__sd_id"),
+        posexplode(split(col(textCol), sepLit)))
+      .select(col("__sd_id"), col("pos").as("__sd_pos"),
+        col("col").as("__sd_seg"), xxhash64(col("col")).as("__sd_fp"))
+    val perDoc = segs.groupBy(col("__sd_fp"), col("__sd_id"))
+      .agg(min(col("__sd_pos")).as("__sd_minpos"))
+    val perFp = perDoc.groupBy(col("__sd_fp"))
+      .agg(min(struct(col("__sd_id").as("d"), col("__sd_minpos").as("p")))
+        .as("__sd_first"), count(lit(1)).as("__sd_df"))
+    val kept = segs.join(perFp, Seq("__sd_fp"))
+      .filter(col("__sd_df") <= maxDf &&
+        col("__sd_id") === col("__sd_first").getField("d") &&
+        col("__sd_pos") === col("__sd_first").getField("p"))
+    val rebuilt = kept.groupBy(col("__sd_id"))
+      .agg(count(lit(1)).as("__sd_n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__sd_pos"), col("__sd_seg")))),
+          s => s.getField("__sd_seg")), sep).as("__sd_text"))
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt, col(idCol) === col("__sd_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__sd_text"), lit("")).as(textCol),
+        coalesce(col("__sd_n_kept"), lit(0L)).as("n_kept"),
+        size(split(col(textCol), sepLit)).cast("bigint").as("n_segments"))
+  }
+
   // ---------------------------------------------------- vocabulary build
 
   /** Corpus-level vocabulary: one row per distinct token with term

@@ -281,6 +281,35 @@ class LlmSpec extends SparkSpec {
       BigDecimal(nllOov).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("dedupSegments: first occurrence wins, boilerplate df cap, reassembly") {
+    // doc 1 owns lines A,B; doc 2 repeats A (dropped — first occurrence is
+    // doc 1) and within-doc repeats its own C (second copy dropped);
+    // doc 3 is all-duplicates → empty text but still one output row;
+    // line Z appears in 4 docs → dropped EVERYWHERE under maxDf=3
+    val docs = Seq(
+      (1L, "A\nB\nZ"), (2L, "A\nC\nC\nZ"), (3L, "B\nA\nZ"), (4L, "Z\nD"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSegments(docs, sep = "\n", maxDf = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "A\nB", 2L, 3L),
+      (2L, "C", 1L, 4L),
+      (3L, "", 0L, 3L),
+      (4L, "D", 1L, 2L)))
+    // first occurrence is (lowest doc, lowest POSITION): a line repeated
+    // later in the first doc survives only at its earliest slot
+    val re = TextOps.dedupSegments(Seq((7L, "X\nY\nX")).toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].head()
+    assert(re == ((7L, "X\nY", 2L, 3L)))
+    // determinism across partitionings
+    val shuffled = TextOps.dedupSegments(docs.repartition(7), sep = "\n",
+      maxDf = 3).as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(shuffled == out)
+    intercept[IllegalArgumentException] {
+      TextOps.dedupSegments(docs, maxDf = 0)
+    }
+  }
+
   test("packStreaming: shardHexWidth widens the fan-out and refines shards") {
     val df = (1L to 4000L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -557,6 +557,30 @@ object LlmQueries {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
 
+  /** IVF-PQ + ADC scan + exact re-rank (the index shape that fits a
+    * 100 TB corpus in executor memory: m-byte PQ codes per vector, per-
+    * query lookup tables, no dot products in the candidate scan),
+    * SELF-VERIFYING like s05/s07: recall@5 vs the brute-force twin, gated
+    * at the RecallSpec bound (0.5 at the same dials; rerank=8 because the
+    * 4-bit ADC ordering is coarser than the int8 scan's). */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKPQ(s, emb, q, k = 5, dim = 64, nlist = 8,
+        nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s09Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** L2 normalization + int8 quantization over embeddings (oracle-checked:
     * both are pure list arithmetic). */
   private def s06(s: SparkSession, dir: String): DataFrame =
@@ -1183,6 +1207,7 @@ object LlmQueries {
     "s06_normalize_quantize" -> (s06 _),
     "s07_cosine_topk_ivf_int8" -> (s07 _),
     "s08_semantic_dedup" -> (s08 _),
+    "s09_cosine_topk_ivf_pq" -> (s09 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -1227,6 +1252,7 @@ object LlmQueries {
     "s06_normalize_quantize" -> s06Sql,
     "s07_cosine_topk_ivf_int8" -> s07Sql,
     "s08_semantic_dedup" -> s08Sql,
+    "s09_cosine_topk_ivf_pq" -> s09Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

@@ -272,7 +272,6 @@ object Similarity {
     require(rerank >= 1, "rerank >= 1")
     val (assigned, probes) = ivfAssignProbe(corpus, queries, nlist, nprobe,
       seed, idCol, vecCol, fitSampleLimit)
-    val idType = corpus.schema(idCol).dataType
     val cq = assigned.select(col("centroid_id"),
       col("corpus_id").cast("long").as("corpus_id"),
       quantizeInt8(l2Normalize(col("c_vec"))).as("cq"))
@@ -283,15 +282,27 @@ object Similarity {
         (col("qq").getField("scale") * col("cq").getField("scale") *
           graft.functions.DotInt8(col("qq").getField("codes"),
             col("cq").getField("codes"))).as("ascore"))
+    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
+  }
+
+  /** Shared tail of the quantized ANN paths: per query the best
+    * `rerank·k` candidates by approximate score survive (bounded-heap
+    * [[graft.functions.TopKAgg]], map-side combined), and ONLY those are
+    * re-scored with full-precision cosine against the original vectors.
+    * Candidates+queries are BROADCAST, so the corpus side is only scanned
+    * and hash-probed, never shuffled; the candidate set is ≤
+    * |queries|·rerank·k rows by construction. `approx` must carry
+    * (query_id, corpus_id, ascore). */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame,
+      approx: DataFrame, k: Int, rerank: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
     val cands = approx.groupBy("query_id")
-      .agg(graft.functions.TopKAgg(col("ascore"), col("corpus_id"),
-        rerank * k).as("tk"))
+      .agg(graft.functions.TopKAgg(col("ascore"),
+        col("corpus_id").cast("long"), rerank * k).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("e"))
       .select(col("query_id"), col("e").getField("id").cast(idType)
         .as("corpus_id"))
-    // exact re-rank over the bounded candidate set (≤ |queries|·rerank·k
-    // rows): candidates+queries BROADCAST so the corpus side is only
-    // scanned and hash-probed, never shuffled
     val candQ = cands.join(broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"))), Seq("query_id"))
     val rescored = corpus
@@ -300,6 +311,108 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
     finalTopK(rescored, k)
+  }
+
+  // ------------------------------------------------ IVF-PQ (ADC) variant
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * subspaces of width `dim/m`; each gets `codebookSize` k-means
+    * centroids fit on a bounded sample of L2-NORMALIZED corpus vectors
+    * (same rationale as [[kmeansCentroids]]: codebook quality saturates
+    * far below corpus size — never a multi-pass O(corpus) fit). Returns
+    * `cb(subspace)(code) = centroid`, `m × codebookSize × dim/m` doubles —
+    * small enough to ride every executor as plan literals. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int, codebookSize: Int,
+      seed: Long = 42L, vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(codebookSize >= 1, "codebookSize >= 1")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subdim = dim / m
+    val train = corpus
+      .select(l2Normalize(col(vecCol)).as("__v")).limit(fitSampleLimit)
+      .localCheckpoint() // one bounded scan, reused by all m fits
+    Array.tabulate(m) { mi =>
+      val sub = train.select(
+        array_to_vector(slice(col("__v"), mi * subdim + 1, subdim))
+          .as("features"))
+      new KMeans().setK(codebookSize).setSeed(seed + mi).setMaxIter(10)
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** PQ-encode an L2-normalized vector: per subspace the code of the
+    * nearest codebook centroid — `argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)`,
+    * with `‖c‖²/2` folded in at plan-build time, so each subspace is an
+    * `array_max` over `codebookSize` (dot − const) structs
+    * ([[graft.functions.DotDouble]]: one fused codegen loop each) — a
+    * SINGLE PROJECTION, zero shuffle, exactly the
+    * [[assignToCentroids]] shape. Output `array<int>` of length `m`:
+    * `m·log₂(codebookSize)` bits of storage per vector — at m=8,
+    * codebookSize=256 that is 8 bytes against 256 for float64, the dial
+    * that lets a 100 TB corpus' index live in executor memory. */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val subdim = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      val sub = slice(vec, mi * subdim + 1, subdim)
+      val best = array_max(array(cb(mi).zipWithIndex.map { case (c, j) =>
+        val halfNormSq = c.map(x => x * x).sum / 2.0
+        struct(
+          (graft.functions.DotDouble(sub, typedlit(c.toSeq)) -
+            lit(halfNormSq)).as("s"),
+          lit(-j).as("negj"))
+      }.toIndexedSeq: _*))
+      (-best.getField("negj")).cast("int")
+    }.toIndexedSeq: _*)
+  }
+
+  /** Per-query ADC lookup table: `table(subspace)(code) = q_sub · c` —
+    * `m × codebookSize` dots computed ONCE per query row (the tiny
+    * broadcast side), so candidate scoring needs no dot products at all. */
+  private def pqAdcTable(qvec: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val subdim = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      val sub = slice(qvec, mi * subdim + 1, subdim)
+      array(cb(mi).map(c =>
+        graft.functions.DotDouble(sub, typedlit(c.toSeq))).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+  }
+
+  /** IVF-PQ top-k with asymmetric-distance (ADC) scan and exact re-rank —
+    * the index shape that fits a 100 TB corpus in memory: inverted lists
+    * hold `m`-byte PQ codes instead of vectors (32× smaller than float32
+    * at m=8/codebookSize=256), queries carry a precomputed `m ×
+    * codebookSize` dot table, and a candidate's approximate score is `m`
+    * ARRAY LOOKUPS (`Σ table(mi)(code(mi))` — `zip_with`+`get`), not a
+    * dot product. Per query the best `rerank·k` approximate candidates
+    * survive ([[rerankExact]]: bounded-heap TopKAgg, then full-precision
+    * cosine over the broadcast candidate set — the corpus is never
+    * shuffled). PQ error affects results only when a true top-k member
+    * falls outside the top `rerank·k` ADC candidates; with
+    * `nprobe = nlist` and `rerank·k ≥` corpus size the output is exactly
+    * [[bruteForceTopK]]'s (spec-pinned). */
+  def ivfTopKPQ(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, dim: Int, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, codebookSize: Int = 16, rerank: Int = 4,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
+    require(rerank >= 1, "rerank >= 1")
+    val (assigned, probes) = ivfAssignProbe(corpus, queries, nlist, nprobe,
+      seed, idCol, vecCol, fitSampleLimit)
+    val cb = pqCodebooks(corpus, dim, m, codebookSize, seed, vecCol,
+      fitSampleLimit)
+    val cq = assigned.select(col("centroid_id"),
+      col("corpus_id").cast("long").as("corpus_id"),
+      pqEncode(l2Normalize(col("c_vec")), cb).as("codes"))
+    val pq = probes.select(col("centroid_id"), col("query_id"),
+      pqAdcTable(l2Normalize(col("q_vec")), cb).as("adc"))
+    val approx = cq.join(broadcast(pq), Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(
+          zip_with(col("adc"), col("codes"), (tm, cm) => get(tm, cm)),
+          lit(0.0), (acc, x) => acc + x).as("ascore"))
+    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):

@@ -102,6 +102,67 @@ class RecallSpec extends SparkSpec {
     assert(all == bf)
   }
 
+  test("IVF-PQ + ADC re-rank: recall bound, and exact under total coverage") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    // rerank=8 (vs the int8 path's 4): 4-bit-per-subspace ADC ordering is
+    // coarser than a scalar-int8 scan, so more survivors go to the exact
+    // re-rank — the standard PQ dial (error lives in candidate ORDER, and
+    // re-rank slots are cheap: ≤ |queries|·rerank·k broadcast rows)
+    val got = Similarity.ivfTopKPQ(spark, emb, q, k = 5, dim = 64,
+      nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id"))
+    val r = rows(got.select("query_id", "corpus_id")).toSet
+      .intersect(exact.toSet).size.toDouble / exact.size
+    info(f"ivf-pq recall = $r%.3f")
+    assert(r >= 0.5, f"IVF-PQ recall $r%.3f below bound")
+    // total coverage: the ADC scan only ORDERS candidates; with every list
+    // probed and rerank·k ≥ corpus the exact re-rank restores full
+    // precision — row-identical to brute force including tie-breaks
+    val n = emb.count().toInt
+    val all = rows(Similarity.ivfTopKPQ(spark, emb, q, k = 5, dim = 64,
+        nlist = 4, nprobe = 4, m = 8, codebookSize = 16, rerank = n / 5 + 1)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    val bf = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    assert(all == bf)
+  }
+
+  test("pqEncode: valid code range, determinism, nearest-centroid argmin") {
+    val emb = Tables.t(spark, dir, "embeddings").limit(200)
+    val cb = Similarity.pqCodebooks(emb, dim = 64, m = 8, codebookSize = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val codes = emb.select(
+      Similarity.pqEncode(Similarity.l2Normalize($"embedding"), cb)
+        .as("codes"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // argmin check on one row against a plain-Scala reference
+    val v = emb.select(Similarity.l2Normalize($"embedding")
+      .cast("array<double>")).as[Seq[Double]].head()
+    val expected = (0 until 8).map { mi =>
+      val sub = v.slice(mi * 8, mi * 8 + 8)
+      (0 until 16).minBy { j =>
+        val c = cb(mi)(j)
+        sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }
+    }
+    val got = emb.limit(1).select(
+      Similarity.pqEncode(Similarity.l2Normalize($"embedding"), cb)
+        .as("codes")).as[Seq[Int]].head()
+    assert(got == expected, s"PQ argmin mismatch: $got vs $expected")
+    // DotDouble: fused double dot matches composable form, null on mismatch
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(d.select(graft.functions.DotDouble($"a", $"b")).as[Double]
+      .head() == 32.0)
+    assert(d.select(graft.functions.DotDouble($"a", slice($"b", 1, 2)))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("semanticDupPairs: within-cell recall vs exact twin; precision exact") {
     val e = {
       val base = Tables.t(spark, dir, "embeddings").filter($"vec_id" < 500)

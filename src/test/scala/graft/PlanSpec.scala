@@ -128,4 +128,49 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
       s"extra shuffles:\n$p")
   }
+
+  test("IVF-PQ: encode is a projection; corpus never hash-exchanged") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = graft.llm.Similarity
+      .ivfTopKPQ(spark, emb, q, k = 5, dim = 64, nlist = 4, nprobe = 2,
+        m = 8, codebookSize = 4, rerank = 2)
+      .queryExecution.explainString(SimpleMode)
+    // same budget as the int8 path: the ONLY hash exchanges are the two
+    // bounded top-k aggregates; centroid assignment AND the PQ encode are
+    // projections over plan literals, the ADC scan and exact re-rank are
+    // broadcast joins — the corpus is never shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"corpus-side shuffle appeared:\n$p")
+    assert(!p.contains("Window"), s"window rank reappeared:\n$p")
+    assert("partial_topkagg".r.findAllIn(p).size == 2,
+      s"expected two partial top-k aggs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"re-rank join not broadcast:\n$p")
+  }
+
+  test("capSample: count-aggregate join back, no window, filter is per-row") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.Sampling
+      .capSample(docs, org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"), cap = 72)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    // one exchange: the per-stratum count aggregate (map-side combined);
+    // the join back rides a broadcast of the tiny counts side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"extra shuffles:\n$p")
+    assert(p.contains("partial_count"), s"count agg not partial:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"counts join not broadcast:\n$p")
+  }
+
+  test("dedupSegments: aggregate + join shapes only, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.TextOps.dedupSegments(docs, sep = " ", maxDf = 100)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    // every aggregate map-side combines: (fp,doc), (fp), and the per-doc
+    // reassembly all show partial phases before their exchanges
+    assert("partial_".r.findAllIn(p).size >= 3,
+      s"expected three partial aggregates:\n$p")
+  }
 }

@@ -327,19 +327,104 @@ object Similarity {
       fitSampleLimit: Int = 100000): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(codebookSize >= 1, "codebookSize >= 1")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val subdim = dim / m
-    val train = corpus
-      .select(l2Normalize(col(vecCol)).as("__v")).limit(fitSampleLimit)
-      .localCheckpoint() // one bounded scan, reused by all m fits
+    // ONE bounded scan, collected: a PQ fit is a bounded-sample problem
+    // (codebook quality saturates far below corpus size), and running it
+    // as m distributed KMeans fits schedules ~m·maxIter tiny cluster jobs
+    // for work a driver core does in milliseconds. fitSampleLimit bounds
+    // driver memory (100k × dim 64 doubles ≈ 50 MB).
+    val sample = corpus
+      .select(l2Normalize(col(vecCol)).cast("array<double>").as("__v"))
+      .limit(fitSampleLimit)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
     Array.tabulate(m) { mi =>
-      val sub = train.select(
-        array_to_vector(slice(col("__v"), mi * subdim + 1, subdim))
-          .as("features"))
-      new KMeans().setK(codebookSize).setSeed(seed + mi).setMaxIter(10)
-        .fit(sub).clusterCenters.map(_.toArray)
+      localKMeans(sample.map(v => java.util.Arrays.copyOfRange(
+        v, mi * subdim, (mi + 1) * subdim)), codebookSize, seed + mi)
     }
+  }
+
+  /** Deterministic driver-local Lloyd's k-means (the PQ codebook fit):
+    * splitmix64-shuffled distinct-point init, `maxIter` assign/update
+    * rounds, empty clusters reseeded to the point farthest from its
+    * centroid. Fewer than k distinct points → duplicates pad (codes stay
+    * valid argmins). */
+  private def localKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // deterministic shuffle of indices, then first k pairwise-distinct
+    // points (falling back to repeats when the sample has < k distinct)
+    var z0 = seed
+    def next(): Long = { z0 += 0x9e3779b97f4a7c15L
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31) }
+    val order = Array.tabulate(n)(identity)
+    var i = n - 1
+    while (i > 0) {
+      val j = ((next() >>> 1) % (i + 1)).toInt
+      val t = order(i); order(i) = order(j); order(j) = t
+      i -= 1
+    }
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var oi = 0
+    while (init.length < k && oi < n) {
+      val p = points(order(oi))
+      if (!init.exists(c => sq(c, p) == 0.0)) init += p.clone()
+      oi += 1
+    }
+    while (init.length < k) init += init(0).clone()
+    val centroids = init.toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < maxIter) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = sq(points(p), centroids(0)); var c = 1
+        while (c < k) {
+          val dd = sq(points(p), centroids(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < n) {
+        val c = assign(p); counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          // reseed an empty cluster to the point farthest from its centroid
+          var far = 0; var farD = -1.0; var q = 0
+          while (q < n) {
+            val dd = sq(points(q), centroids(assign(q)))
+            if (dd > farD) { farD = dd; far = q }
+            q += 1
+          }
+          centroids(c) = points(far).clone()
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 
   /** PQ-encode an L2-normalized vector: per subspace the code of the

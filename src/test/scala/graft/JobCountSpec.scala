@@ -103,6 +103,22 @@ class JobCountSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ stays within its fixed job budget (local codebook fit)") {
+    // the PQ codebook fit is ONE collected bounded sample + driver-local
+    // Lloyd's; the distributed form it replaced scheduled ~m·maxIter tiny
+    // KMeans jobs (s09 7.8 → 2.8 s at sf0.1). Budget: the coarse-quantizer
+    // ml fit + sample collect + gate pipeline, measured 30 at sf0.001 —
+    // a re-distributed per-subspace fit would blow past this by dozens
+    val dir = "/root/testdata/sf0.001"
+    val jobs = countJobs {
+      assert(SparkEntry.queries("s09_cosine_topk_ivf_pq")(spark, dir)
+        .count() > 0)
+      spark.catalog.clearCache()
+    }
+    info(s"s09 jobs = $jobs")
+    assert(jobs <= 40, s"s09 fixed job count regressed: $jobs")
+  }
+
   test("fused data-test run computes all counts in one action") {
     import graft.exec.DataTests
     import graft.exec.DataTests._

@@ -112,7 +112,10 @@ object Sampling {
     // bigint div: exact integer threshold (a double floor could round a
     // quotient like k - 1/n up to k once 65536*cap exceeds 2^53)
     val num = expr(s"(${65536L * cap}L div __cs_n)")
-    df.join(cnts, stratum === col("__cs_stratum"))
+    // null-safe join: a NULL stratum is a stratum like any other (groupBy
+    // already counts it as one group) — a plain === would silently DROP
+    // every null-stratum row instead of capping it
+    df.join(cnts, stratum <=> col("__cs_stratum"))
       .filter(col("__cs_n") <= cap ||
         hexPrefix(key, salt, 4) < format_string("%04x", num.cast("int")))
       .drop("__cs_stratum", "__cs_n")

@@ -334,6 +334,7 @@ object Similarity {
     // for work a driver core does in milliseconds. fitSampleLimit bounds
     // driver memory (100k × dim 64 doubles ≈ 50 MB).
     val sample = corpus
+      .filter(col(vecCol).isNotNull)
       .select(l2Normalize(col(vecCol)).cast("array<double>").as("__v"))
       .limit(fitSampleLimit)
       .collect().map(_.getSeq[Double](0).toArray)

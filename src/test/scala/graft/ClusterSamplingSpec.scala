@@ -124,6 +124,15 @@ class ClusterSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.capSample(docs, col("text"), col("domain"), cap = -1)
     }
+    // a NULL stratum is capped like any other, not silently dropped
+    val withNull = docs.withColumn("domain",
+      when($"doc_id" <= 30, lit(null: String)).otherwise($"domain"))
+    val nOut = Sampling.capSample(withNull, col("text"), col("domain"),
+      cap = 400, salt = "c")
+    assert(nOut.filter($"domain".isNull).count() == 30L,
+      "null-stratum rows (under cap) must survive whole")
+    assert(nOut.count() > 0 && nOut.filter($"domain".isNull).count() +
+      nOut.filter($"domain".isNotNull).count() == nOut.count())
   }
 
   test("redactPii replaces typed placeholders; counts match") {

@@ -279,12 +279,16 @@ object TextOps {
         col("col").as("__sd_seg"), xxhash64(col("col")).as("__sd_fp"))
     val perDoc = segs.groupBy(col("__sd_fp"), col("__sd_id"))
       .agg(min(col("__sd_pos")).as("__sd_minpos"))
+    // the df cap is applied to the per-fingerprint side BEFORE the join:
+    // an over-cap (boilerplate) fingerprint then simply has no match and
+    // the inner join drops every occurrence — same semantics as a
+    // post-join filter, with the join's build side already shrunk
     val perFp = perDoc.groupBy(col("__sd_fp"))
       .agg(min(struct(col("__sd_id").as("d"), col("__sd_minpos").as("p")))
         .as("__sd_first"), count(lit(1)).as("__sd_df"))
+      .filter(col("__sd_df") <= maxDf)
     val kept = segs.join(perFp, Seq("__sd_fp"))
-      .filter(col("__sd_df") <= maxDf &&
-        col("__sd_id") === col("__sd_first").getField("d") &&
+      .filter(col("__sd_id") === col("__sd_first").getField("d") &&
         col("__sd_pos") === col("__sd_first").getField("p"))
     val rebuilt = kept.groupBy(col("__sd_id"))
       .agg(count(lit(1)).as("__sd_n_kept"),

@@ -310,6 +310,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedupSegments/capSample invariants: identity under no-op dials") {
+    // globally-unique segments ⇒ byte-identical reassembly (round-trip
+    // proves the split/sort/join pipeline loses nothing and ordering is
+    // stable), every segment kept
+    val uniq = (1 to 50).map(i =>
+      (i.toLong, s"seg${i}a\nseg${i}b\nseg${i}c")).toDF("doc_id", "text")
+    val id = TextOps.dedupSegments(uniq, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(id.forall { case (i, t, k, n) =>
+      t == s"seg${i}a\nseg${i}b\nseg${i}c" && k == 3L && n == 3L })
+    // cap at/above every stratum size ⇒ capSample is the identity
+    val docs = (1 to 300).map(i => (i.toLong, s"d${i % 5}", s"body $i"))
+      .toDF("doc_id", "domain", "text")
+    assert(Sampling.capSample(docs, col("text"), col("domain"), cap = 60)
+      .count() == 300L)
+    assert(Sampling.capSample(docs, col("text"), col("domain"), cap = 1000000)
+      .count() == 300L)
+  }
+
   test("packStreaming: shardHexWidth widens the fan-out and refines shards") {
     val df = (1L to 4000L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -1147,6 +1147,93 @@ object LlmQueries {
       |FROM lined l LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- t14 URL canonicalization
+
+  /** URL canonicalization — [[TextOps.canonicalizeUrl]] over seeded
+    * per-doc URL variants (the corpus carries no URLs): u1 is the "dirty"
+    * form (upper-case scheme/host, explicit `:443`, trailing slash,
+    * tracking params, fragment, shuffled param order), u2 the clean twin.
+    * They collapse to the same canonical URL except when doc_id % 4 = 0
+    * (a genuinely different param value). The oracle reproduces every
+    * rule step-for-step in DuckDB CTEs. */
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val k = (col("doc_id") % 50).cast("string")
+    val m = (col("doc_id") % 7).cast("string")
+    val va = when(col("doc_id") % 4 === 0, lit("9")).otherwise(lit("1"))
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("HTTPS://Site"), k, lit(".Example.ORG:443/Docs/"), m,
+        lit("/?b=2&utm_source=feed&a="), va, lit("&fbclid=zz#top")).as("u1"),
+      concat(lit("https://site"), k, lit(".example.org/Docs/"), m,
+        lit("?a=1&b=2")).as("u2"))
+    seeded.select(col("doc_id"),
+        TextOps.canonicalizeUrl(col("u1")).as("canon1"),
+        TextOps.canonicalizeUrl(col("u2")).as("canon2"))
+      .withColumn("collapsed", col("canon1") === col("canon2"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t14Sql = {
+    def steps(u: String, i: Int): String =
+      s"""regexp_replace($u, '#.*$$', '') AS nf$i""" // fragment off
+    s"""WITH seeds AS (SELECT doc_id,
+       |    'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR) ||
+       |      '.Example.ORG:443/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '/?b=2&utm_source=feed&a=' ||
+       |      (CASE WHEN doc_id % 4 = 0 THEN '9' ELSE '1' END) ||
+       |      '&fbclid=zz#top' AS u1,
+       |    'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+       |      '.example.org/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '?a=1&b=2' AS u2
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, ${steps("u1", 1)}, ${steps("u2", 2)} FROM seeds),
+       |s2 AS (SELECT *,
+       |    lower(regexp_extract(nf1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch1,
+       |    regexp_replace(nf1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest1,
+       |    lower(regexp_extract(nf2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch2,
+       |    regexp_replace(nf2, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest2
+       |  FROM s1),
+       |s3 AS (SELECT *,
+       |    lower(regexp_extract(rest1, '^([^/?]+)', 1)) AS hp1,
+       |    regexp_replace(rest1, '^[^/?]+', '') AS pq1,
+       |    lower(regexp_extract(rest2, '^([^/?]+)', 1)) AS hp2,
+       |    regexp_replace(rest2, '^[^/?]+', '') AS pq2
+       |  FROM s2),
+       |s4 AS (SELECT *,
+       |    CASE WHEN sch1 = 'http' THEN regexp_replace(hp1, ':80$$', '')
+       |         WHEN sch1 = 'https' THEN regexp_replace(hp1, ':443$$', '')
+       |         ELSE hp1 END AS host1,
+       |    regexp_extract(pq1, '^([^?]*)', 1) AS p1,
+       |    regexp_extract(pq1, '\\?(.*)$$', 1) AS q1,
+       |    CASE WHEN sch2 = 'http' THEN regexp_replace(hp2, ':80$$', '')
+       |         WHEN sch2 = 'https' THEN regexp_replace(hp2, ':443$$', '')
+       |         ELSE hp2 END AS host2,
+       |    regexp_extract(pq2, '^([^?]*)', 1) AS p2,
+       |    regexp_extract(pq2, '\\?(.*)$$', 1) AS q2
+       |  FROM s3),
+       |s5 AS (SELECT *,
+       |    CASE WHEN p1 = '' OR p1 = '/' THEN '/'
+       |         ELSE regexp_replace(p1, '/$$', '') END AS path1,
+       |    array_to_string(list_sort(list_filter(string_split(q1, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs1,
+       |    CASE WHEN p2 = '' OR p2 = '/' THEN '/'
+       |         ELSE regexp_replace(p2, '/$$', '') END AS path2,
+       |    array_to_string(list_sort(list_filter(string_split(q2, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs2
+       |  FROM s4)
+       |SELECT doc_id,
+       |  sch1 || '://' || host1 || path1 ||
+       |    (CASE WHEN qs1 = '' THEN '' ELSE '?' || qs1 END) AS canon1,
+       |  sch2 || '://' || host2 || path2 ||
+       |    (CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END) AS canon2,
+       |  (sch1 || '://' || host1 || path1 ||
+       |    (CASE WHEN qs1 = '' THEN '' ELSE '?' || qs1 END)) =
+       |  (sch2 || '://' || host2 || path2 ||
+       |    (CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END)) AS collapsed
+       |FROM s5 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1221,6 +1308,7 @@ object LlmQueries {
     "t11_vocabulary" -> (t11 _),
     "t12_unigram_logprob" -> (t12 _),
     "t13_line_dedup" -> (t13 _),
+    "t14_url_canon" -> (t14 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1263,5 +1351,6 @@ object LlmQueries {
     "t10_lexical_diversity" -> t10Sql,
     "t11_vocabulary" -> t11Sql,
     "t12_unigram_logprob" -> t12Sql,
-    "t13_line_dedup" -> t13Sql)
+    "t13_line_dedup" -> t13Sql,
+    "t14_url_canon" -> t14Sql)
 }

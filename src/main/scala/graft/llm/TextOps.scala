@@ -162,6 +162,39 @@ object TextOps {
   def extractDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlDomainRe), lit(1))
 
+  /** Canonicalize a URL for URL-level dedup (the crawl-frontier prep that
+    * precedes content fetch — the same page reached via tracking params,
+    * default ports, fragments, case-variant hosts, or trailing slashes
+    * must collapse to ONE frontier entry). Rules, each pinned by spec:
+    * fragment dropped; scheme and host lowercased (path and params are
+    * case-SENSITIVE per RFC 3986); default port stripped (`:80` for http,
+    * `:443` for https — only for the matching scheme); tracking params
+    * removed (`utm_*`, `gclid`, `fbclid`, `ref`); remaining params sorted
+    * for order-independence; trailing path slash dropped except on the
+    * root. Pure `Column` composition (regex in the shared Java∩RE2
+    * subset — no lookbehind — plus split/filter/sort/join), so the DuckDB
+    * oracle reproduces it and codegen is preserved; a per-row projection
+    * at any corpus scale. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQ = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
+    val qsorted = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qsorted === "", lit("")).otherwise(concat(lit("?"), qsorted)))
+  }
+
   /** Corpus-level domain statistics: one row per domain with mention count
     * and distinct-document count. The workhorse behind source-mix audits
     * and domain blocklists — one explode + one hash aggregate, no joins. */

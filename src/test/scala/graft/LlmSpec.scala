@@ -310,6 +310,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: every rule pinned") {
+    val cases = Seq(
+      // fragment, case, default https port, tracking params, param sort,
+      // trailing slash — the full dirty form
+      ("HTTPS://Site.Example.ORG:443/Docs/3/?b=2&utm_source=f&a=1&fbclid=z#top",
+        "https://site.example.org/Docs/3?a=1&b=2"),
+      // http default port stripped; https port on http scheme KEPT
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      // non-default port kept
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // unknown scheme: port untouched, host still lowercased
+      ("ftp://Host.Com:80/f", "ftp://host.com:80/f"),
+      // root path normalizes to '/', bare host gains it
+      ("https://a.com/", "https://a.com/"),
+      ("https://a.com", "https://a.com/"),
+      // path case preserved; only ONE trailing slash stripped
+      ("https://a.com/A/B//", "https://a.com/A/B/"),
+      // all params tracking ⇒ no '?' at all
+      ("https://a.com/x?utm_a=1&ref=h&gclid=2", "https://a.com/x"),
+      // empty params dropped, rest sorted
+      ("https://a.com/x?z=1&&a=2", "https://a.com/x?a=2&z=1"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl($"u")).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
   test("dedupSegments/capSample invariants: identity under no-op dials") {
     // globally-unique segments ⇒ byte-identical reassembly (round-trip
     // proves the split/sort/join pipeline loses nothing and ordering is

@@ -103,6 +103,32 @@ class JobCountSpec extends SparkSpec {
     }
   }
 
+  test("r6/r7 query additions stay within fixed job budgets") {
+    // the flat-plan additions (chunking, diversity, vocabulary, unigram LM,
+    // line dedup, url canon, decontaminate, frequency-cap sample): each is
+    // one or two aggregates/joins — pin the diet so a silently added pass
+    // (an extra count, a re-materialization) fails here, not as a bench
+    // regression. Budgets = measured at sf0.001 + headroom for AQE
+    // stage-materialization jitter.
+    val dir = "/root/testdata/sf0.001"
+    for ((name, budget) <- Seq(
+        "t09_token_chunking" -> 4,
+        "t10_lexical_diversity" -> 5,
+        "t11_vocabulary" -> 6,
+        "t12_unigram_logprob" -> 8,
+        "t13_line_dedup" -> 5,
+        "t14_url_canon" -> 4,
+        "d10_decontaminate" -> 9,
+        "d11_cap_sample" -> 7)) {
+      val jobs = countJobs {
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+        spark.catalog.clearCache()
+      }
+      info(s"$name jobs = $jobs (budget $budget)")
+      assert(jobs <= budget, s"$name fixed job count regressed: $jobs")
+    }
+  }
+
   test("IVF-PQ stays within its fixed job budget (local codebook fit)") {
     // the PQ codebook fit is ONE collected bounded sample + driver-local
     // Lloyd's; the distributed form it replaced scheduled ~m·maxIter tiny

@@ -233,7 +233,19 @@ object Dedup {
     * unreferenced. Compared against a DuckDB recursive-CTE oracle at
     * small scale (d05). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 40): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to reach the fixpoint — the observable that proves the O(log L)
+    * convergence claim. Measured (examples/CcRoundsProbe, 2 M edges): a
+    * length-L worst-case chain takes 8/11/15/18/21 rounds at
+    * L = 10^2..10^6 (+~3.3 per decade = log2), while 100× more star
+    * components stays flat at 2 rounds — so maxIter = 40 covers chains to
+    * ~10^11 nodes, and unused headroom costs nothing (the loop exits at
+    * the fixpoint). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 40): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
@@ -294,7 +306,7 @@ object Dedup {
         iter += 1
       }
       require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
-      labels.select(col("node"), col("comp"))
+      (labels.select(col("node"), col("comp")), iter)
     } finally edges.unpersist()
   }
 

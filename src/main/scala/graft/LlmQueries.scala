@@ -268,6 +268,59 @@ object LlmQueries {
       |WHERE b.split = 'train' AND COALESCE(c.containment, 0.0) < 0.5
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Bloom-filtered decontamination, SELF-VERIFYING — the 100 TB scale
+    * path for d10: train-side shingles probe a Bloom filter of the test
+    * split (built as a `(word_idx, word)` bit_or-aggregate table, ≤ 4 MB
+    * broadcast) instead of shuffle-joining the full eval shingle set. The
+    * query computes the exact-join twin on the same splits and gates BOTH
+    * Bloom guarantees in-query: no false negatives (every doc's bloom hit
+    * count ≥ its exact hit count — a contaminated doc can never leak
+    * through) and corpus FP rate ≤ 2%. The oracle reproduces the exact
+    * counts and emits the gates as literals, so the driver hash-pins
+    * them. */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
+    val train = bySplit.filter(col("split") === "train").drop("split")
+    val ev = bySplit.filter(col("split") === "test").drop("split")
+    val exact = Dedup.containment(ev, train, n = 3)
+      .select(col("doc_id"), col("n_sh"), col("n_hit").as("n_hit_exact"))
+    val bloom = Dedup.bloomContainment(train, ev, n = 3)
+      .select(col("doc_id"), col("n_hit").as("n_hit_bloom"))
+    exact.join(bloom, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_scored_docs"),
+        sum(when(round(col("n_hit_exact").cast("double") / col("n_sh"), 6)
+          >= 0.5, 1L).otherwise(0L)).as("n_flagged_exact"),
+        expr("bool_and(n_hit_bloom >= n_hit_exact)").as("superset_ok"),
+        ((sum(col("n_hit_bloom")) - sum(col("n_hit_exact"))).cast("double")
+          / sum(col("n_sh")) <= 0.02).as("fp_ok"))
+  }
+
+  private val d12Sql =
+    """WITH base AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
+      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
+      |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
+      |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+      |cont AS (SELECT s.doc_id, COUNT(*) AS n_sh,
+      |    SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+      |  WHERE s.split = 'train' GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_scored_docs,
+      |  CAST(SUM(CASE WHEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= 0.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
+      |  TRUE AS superset_ok, TRUE AS fp_ok
+      |FROM cont""".stripMargin
+
   // --------------------------------------- d06 deterministic split/sample
 
   /** Content-hash train/valid/test split (80/10/10) + a 10% deterministic
@@ -1283,6 +1336,7 @@ object LlmQueries {
     "d06_hash_split" -> (d06 _),
     "d07_contamination" -> (d07 _),
     "d10_decontaminate" -> (d10 _),
+    "d12_bloom_decontaminate" -> (d12 _),
     "d08_stratified_sample" -> (d08 _),
     "d09_cluster_keep" -> (d09 _),
     "d11_cap_sample" -> (d11 _),
@@ -1323,6 +1377,7 @@ object LlmQueries {
     "d06_hash_split" -> d06Sql,
     "d07_contamination" -> d07Sql,
     "d10_decontaminate" -> d10Sql,
+    "d12_bloom_decontaminate" -> d12Sql,
     "d08_stratified_sample" -> d08Sql,
     "d09_cluster_keep" -> d09Sql,
     "d11_cap_sample" -> d11Sql,

@@ -380,4 +380,83 @@ object Dedup {
       .withColumn("containment", coalesce(col("containment"), lit(0.0)))
       .filter(col("containment") < threshold)
   }
+
+  // ------------------------------------------- Bloom-filter containment
+
+  /** The `i`-th Bloom bit position for a 64-bit shingle hash: classic
+    * double hashing `h1 + i·(h2|1) mod m` (the or-1 keeps the stride odd so
+    * the k probes never collapse onto one position). Both terms are
+    * reduced mod m BEFORE the multiply-add — with k ≤ 2^38 and m ≤ 2^25
+    * the arithmetic stays far from Long range, which matters because ANSI
+    * mode (Spark 4's default) makes a wrapped `+` an error, not a value.
+    * Bloom bits never cross the engine boundary (the oracle checks the
+    * exact twin), so no DuckDB parity is needed here. */
+  private def bloomPos(sh: Column, i: Column, mBits: Long): Column =
+    pmod(pmod(sh, lit(mBits)) +
+      i * pmod(xxhash64(sh, lit("graft-bloom")).bitwiseOR(lit(1L)), lit(mBits)),
+      lit(mBits))
+
+  /** Build a Bloom filter over a shingle-hash column as a `(word_idx,
+    * word)` TABLE — the 100 TB-shaped form of "build a bloom over the eval
+    * set": explode each distinct shingle into its k bit positions, fold
+    * them into 64-bit words with a map-side-combined `bit_or` aggregate.
+    * No driver state, no custom aggregate, no single-task reduce — the
+    * filter materializes as ≤ m/64 rows (2^24 bits → 256 Ki rows ≈ 4 MB),
+    * which AQE auto-broadcasts on the probe side. */
+  def bloomWords(shingles: DataFrame, shCol: String = "shingle",
+      mBits: Long = 1L << 24, k: Int = 5): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0 && k >= 1,
+      s"mBits must be a positive multiple of 64 (got $mBits), k >= 1")
+    shingles.select(col(shCol).as("__sh"),
+        explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .select(bloomPos(col("__sh"), col("__i"), mBits).as("__pos"))
+      .select(expr("CAST(__pos div 64 AS INT)").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+          .as("__mask"))
+      .groupBy(col("word_idx")).agg(expr("bit_or(__mask)").as("word"))
+  }
+
+  /** Bloom-filtered [[containment]]: score every train doc's shingle
+    * containment against a Bloom filter of the eval corpus instead of the
+    * eval shingle set itself. Same output shape as [[containment]]
+    * (`idCol, n_sh, n_hit, containment`) with `n_hit` counting BLOOM hits
+    * — a superset of the exact hits (Bloom filters admit false positives,
+    * never false negatives), so every doc's bloom containment ≥ its exact
+    * containment and a `drop if ≥ threshold` decontamination pass can only
+    * over-drop by the FP rate, never leak a contaminated doc.
+    *
+    * Why this exists next to the exact join: at 100 TB the train side's
+    * exploded shingles dominate, and this path replaces the shuffle-join
+    * against a multi-TB distinct-eval-shingle set with a broadcast join
+    * against the ≤ 4 MB word table — probe cost is k codegen'd projections
+    * per shingle, map-side `bool_and` regroup, zero train-side shuffles
+    * beyond the per-doc count it shares with the exact form. d12 gates the
+    * superset property and the FP rate in-query against the exact twin. */
+  def bloomContainment(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      mBits: Long = 1L << 24, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = bloomWords(
+      explodedShingleHashes(evalDocs, n, idCol, textCol)
+        .select(col("shingle")).distinct(), "shingle", mBits, k)
+    val probes = explodedShingleHashes(trainDocs, n, idCol, textCol)
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__pos", bloomPos(col("shingle"), col("__i"), mBits))
+      .select(col(idCol), col("shingle"),
+        expr("CAST(__pos div 64 AS INT)").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+          .as("__mask"))
+    probes.join(words, Seq("word_idx"), "left")
+      // a missing word row means no eval shingle touched that word: bit off
+      .withColumn("__bit",
+        coalesce(col("word").bitwiseAND(col("__mask")) =!= 0, lit(false)))
+      // (doc, shingle) rows are distinct by construction (shingle sets),
+      // so regrouping the k probes cannot merge separate occurrences
+      .groupBy(col(idCol), col("shingle"))
+      .agg(expr("bool_and(__bit)").as("__in_bloom"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__in_bloom"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("containment",
+        round(col("n_hit").cast("double") / col("n_sh"), 6))
+  }
 }

@@ -310,6 +310,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bloomContainment: no false negatives ever, FP rate bounded") {
+    // eval = docs 0..49, train = eval docs verbatim (ids shifted) + 150
+    // disjoint docs. Members MUST score containment 1.0 (the no-FN Bloom
+    // guarantee is structural, not probabilistic); disjoint docs may see
+    // FPs but the corpus FP fraction stays under the d12 gate's 2%.
+    val ev = (0 until 50)
+      .map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    val members = ev.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val disjoint = (0 until 150)
+      .map(i => (2000L + i, s"zeta$i eta$i theta$i iota$i kappa$i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomContainment(
+      members.unionByName(disjoint), ev, n = 3, mBits = 1L << 16, k = 5)
+    assert(got.filter(col("doc_id") < 2000 && col("containment") < 1.0)
+      .isEmpty, "a member doc lost a shingle: Bloom false negative")
+    val fp = got.filter(col("doc_id") >= 2000)
+      .agg(sum("n_hit").cast("double") / sum("n_sh")).collect()(0).getDouble(0)
+    assert(fp <= 0.02, s"disjoint-corpus FP rate $fp above the d12 gate")
+    // and the words table really is sparse + bounded: <= mBits/64 rows
+    val words = Dedup.bloomWords(ev.select(xxhash64(col("text")).as("shingle")))
+    assert(words.count() <= (1L << 24) / 64)
+  }
+
   test("canonicalizeUrl: every rule pinned") {
     val cases = Seq(
       // fragment, case, default https port, tracking params, param sort,

@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"counts join not broadcast:\n$p")
   }
 
+  test("bloom containment: word table broadcast, no window, partial aggs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val p = graft.llm.Dedup.bloomContainment(
+        docs.filter("doc_id % 10 <> 0"), docs.filter("doc_id % 10 = 0"))
+      .queryExecution.explainString(SimpleMode)
+    // the probe side must join the (word_idx, word) table as a BROADCAST —
+    // a shuffle join here would re-exchange every train-shingle probe row
+    assert(p.contains("BroadcastHashJoin"), s"word table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe join shuffled:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    // word build (bit_or), per-shingle bool_and, per-doc count: map-side
+    assert("partial_".r.findAllIn(p).size >= 3,
+      s"expected three partial aggregates:\n$p")
+  }
+
   test("dedupSegments: aggregate + join shapes only, no window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.llm.TextOps.dedupSegments(docs, sep = " ", maxDf = 100)

@@ -446,6 +446,41 @@ object LlmQueries {
       |      printf('%04x', CAST((65536 * 72) // cnt AS INT))
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling without replacement — [[Sampling.weightedSample]]
+    * with weight = token count (longer docs proportionally likelier, the
+    * standard length-weighted corpus mix). Deterministic Efraimidis–
+    * Spirakis keys from the salted content hash; the oracle recomputes the
+    * identical 16-bit uniform (hex-digit positional arithmetic), the same
+    * `u^(1/w)` key, and the same top-100 cut with the doc_id tie-break. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    Sampling.weightedSample(docs, col("text"),
+        greatest(lit(1L), TextOps.tokenCount(col("text")).cast("long"))
+          .cast("double"),
+        n = 100, tieBreak = col("doc_id"), salt = "g6")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d13Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
+      |    substring(md5('g6' || text), 1, 4) AS h
+      |  FROM documents),
+      |k AS (SELECT doc_id, lang,
+      |    pow((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+      |        + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5)
+      |        / 65536.0,
+      |      1.0 / greatest(1, len(tk))) AS wkey
+      |  FROM t)
+      |SELECT doc_id, lang
+      |FROM (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- similarity search
 
   private def s01(s: SparkSession, dir: String): DataFrame = {
@@ -1337,6 +1372,7 @@ object LlmQueries {
     "d07_contamination" -> (d07 _),
     "d10_decontaminate" -> (d10 _),
     "d12_bloom_decontaminate" -> (d12 _),
+    "d13_weighted_sample" -> (d13 _),
     "d08_stratified_sample" -> (d08 _),
     "d09_cluster_keep" -> (d09 _),
     "d11_cap_sample" -> (d11 _),
@@ -1378,6 +1414,7 @@ object LlmQueries {
     "d07_contamination" -> d07Sql,
     "d10_decontaminate" -> d10Sql,
     "d12_bloom_decontaminate" -> d12Sql,
+    "d13_weighted_sample" -> d13Sql,
     "d08_stratified_sample" -> d08Sql,
     "d09_cluster_keep" -> d09Sql,
     "d11_cap_sample" -> d11Sql,

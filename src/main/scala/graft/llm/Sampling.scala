@@ -84,6 +84,34 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Weighted sampling WITHOUT replacement, size `n` — Efraimidis–Spirakis
+    * exponential keys with the same salted-md5 determinism as every other
+    * sampler here: each row gets `key = u^(1/w)` from a content-hash
+    * uniform `u`, and the sample is the top-`n` rows by key. A row with
+    * twice the weight is twice as likely to make the cut, duplicates
+    * decide identically, and reruns at any parallelism return the SAME
+    * sample — the quality- or length-weighted corpus mixing move, minus
+    * the RNG.
+    *
+    * Shape at scale: key is a pure per-row projection; top-n is
+    * `orderBy.limit` = distributed TakeOrdered (per-partition heaps + one
+    * n-row driver merge), NOT a global sort — no shuffle of the corpus.
+    * `u` reads 16 bits of the hash as `(hex4 + 0.5) / 65536` (the +0.5
+    * dodges `pow(0, 1/w)`), exactly reproducible in any engine with md5;
+    * keys derived from DISTINCT u values differ by far more than any
+    * cross-engine pow ulp, and equal keys (byte-identical content) break
+    * ties on `tieBreak` in both engines. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+      tieBreak: Column, salt: String = ""): DataFrame = {
+    require(n >= 0, "sample size must be non-negative")
+    val u = (conv(hexPrefix(key, salt, 4), 16, 10).cast("long")
+      .cast("double") + 0.5) / 65536.0
+    df.withColumn("__wkey", pow(u, lit(1.0) / weight))
+      .orderBy(col("__wkey").desc, tieBreak)
+      .limit(n)
+      .drop("__wkey")
+  }
+
   /** Frequency-cap downsampling: bring every stratum down to ~`cap` rows
     * IN EXPECTATION, keeping strata already at or under the cap whole —
     * the standard "no single domain/language dominates the mix" move in a

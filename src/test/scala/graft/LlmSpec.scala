@@ -310,6 +310,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: deterministic, weight-proportional, no global sort") {
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, s"doc $i", if (i % 2 == 0) 9.0 else 1.0)
+    }.toDF("id", "content", "w")
+    val pick = Sampling.weightedSample(rows, $"content", $"w", n = 400,
+      tieBreak = $"id", salt = "t")
+    val a = pick.select($"id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(rows, $"content", $"w", n = 400,
+      tieBreak = $"id", salt = "t").select($"id").as[Long].collect().toSet
+    assert(a == b, "same dials must return the same sample")
+    // 9:1 weights ⇒ heavy rows dominate the sample (expectation ~0.9;
+    // loose bound to stay noise-proof)
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 300, s"heavy rows underrepresented: $heavy/400")
+    // a different salt resamples
+    val c = Sampling.weightedSample(rows, $"content", $"w", n = 400,
+      tieBreak = $"id", salt = "u").select($"id").as[Long].collect().toSet
+    assert(a != c, "salt must drive the sample")
+    // top-n must plan as TakeOrderedAndProject, not a global Sort+Limit
+    val p = pick.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"not a distributed top-n:\n$p")
+  }
+
   test("bloomContainment: no false negatives ever, FP rate bounded") {
     // eval = docs 0..49, train = eval docs verbatim (ids shifted) + 150
     // disjoint docs. Members MUST score containment 1.0 (the no-FN Bloom

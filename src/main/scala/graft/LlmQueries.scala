@@ -1322,6 +1322,53 @@ object LlmQueries {
        |FROM s5 ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------- t15 script mix
+
+  /** Script-mix audit — [[TextOps.scriptMix]] over per-doc seeded
+    * multi-script suffixes (the corpus is ASCII): doc_id-derived repeat
+    * counts of one Cyrillic, one CJK, and one Arabic character make every
+    * count column exercise a real non-Latin range. The oracle recomputes
+    * the identical length-diff counts, CASE-chain dominant script, and
+    * ratio. */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        expr("repeat('ж', CAST(doc_id % 4 AS INT))"),
+        expr("repeat('中', CAST(doc_id % 3 AS INT))"),
+        expr("repeat('م', CAST(doc_id % 5 AS INT))")).as("text"))
+    seeded.select(col("doc_id"), TextOps.scriptMix(col("text")).as("__m"))
+      .select(col("doc_id"), col("__m.n_latin"), col("__m.n_digit"),
+        col("__m.n_cyrillic"), col("__m.n_cjk"), col("__m.n_arabic"),
+        col("__m.main_script"), col("__m.nonlatin_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Sql = {
+    def cnt(cls: String): String =
+      s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+    s"""WITH s AS (SELECT doc_id,
+       |    text || ' ' || repeat('ж', CAST(doc_id % 4 AS INT))
+       |      || repeat('中', CAST(doc_id % 3 AS INT))
+       |      || repeat('م', CAST(doc_id % 5 AS INT)) AS text
+       |  FROM documents),
+       |c AS (SELECT doc_id, length(text) AS n_chars,
+       |    CAST(${cnt("[A-Za-z]")} AS INT) AS n_latin,
+       |    CAST(${cnt("[0-9]")} AS INT) AS n_digit,
+       |    CAST(${cnt("[Ѐ-ӿ]")} AS INT) AS n_cyrillic,
+       |    CAST(${cnt("[一-鿿]")} AS INT) AS n_cjk,
+       |    CAST(${cnt("[؀-ۿ]")} AS INT) AS n_arabic
+       |  FROM s)
+       |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
+       |  CASE WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'latin'
+       |       WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'digit'
+       |       WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic'
+       |       WHEN n_cjk = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cjk'
+       |       ELSE 'arabic' END AS main_script,
+       |  round(CAST(n_cyrillic + n_cjk + n_arabic AS DOUBLE) / n_chars, 6)
+       |    AS nonlatin_ratio
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1399,6 +1446,7 @@ object LlmQueries {
     "t12_unigram_logprob" -> (t12 _),
     "t13_line_dedup" -> (t13 _),
     "t14_url_canon" -> (t14 _),
+    "t15_script_mix" -> (t15 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1444,5 +1492,6 @@ object LlmQueries {
     "t11_vocabulary" -> t11Sql,
     "t12_unigram_logprob" -> t12Sql,
     "t13_line_dedup" -> t13Sql,
-    "t14_url_canon" -> t14Sql)
+    "t14_url_canon" -> t14Sql,
+    "t15_script_mix" -> t15Sql)
 }

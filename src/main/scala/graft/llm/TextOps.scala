@@ -195,6 +195,48 @@ object TextOps {
       when(qsorted === "", lit("")).otherwise(concat(lit("?"), qsorted)))
   }
 
+  /** Count of characters matching a regex character class — the same
+    * length-diff trick as [[punctCount]], so it stays a pure codegen'd
+    * projection. Classes must stay inside the Unicode BMP: Spark's
+    * `length` counts UTF-16 code units and a code-point engine (the
+    * DuckDB oracle) counts code points, which only agree below U+10000. */
+  def charClassCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  /** Unicode-script character classes for corpus audits. Literal BMP
+    * ranges (no `\p{...}` script names — Java and RE2 spell those
+    * differently), so the identical class works in any regex engine. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]")
+
+  /** Script-mix audit: per-script character counts, the dominant script
+    * (first of [[scriptClasses]] order to reach the max — a deterministic
+    * tie-break both engines reproduce as a CASE chain), and the
+    * non-Latin-script fraction. The standard "is this shard actually the
+    * language its label claims" corpus check; one projection, no joins,
+    * no shuffle. */
+  def scriptMix(text: Column): Column = {
+    val counts = scriptClasses.map { case (n, cls) =>
+      n -> charClassCount(text, cls)
+    }
+    val g = greatest(counts.map(_._2): _*)
+    val main = counts.init.foldRight(lit(counts.last._1): Column) {
+      case ((n, c), rest) => when(c === g, lit(n)).otherwise(rest)
+    }
+    val nonLatin = counts.collect {
+      case (n, c) if n != "latin" && n != "digit" => c
+    }.reduce(_ + _)
+    struct(
+      counts.map { case (n, c) => c.as(s"n_$n") } :+
+        main.as("main_script") :+
+        round(nonLatin.cast("double") / length(text), 6)
+          .as("nonlatin_ratio"): _*)
+  }
+
   /** Corpus-level domain statistics: one row per domain with mention count
     * and distinct-document count. The workhorse behind source-mix audits
     * and domain blocklists — one explode + one hash aggregate, no joins. */

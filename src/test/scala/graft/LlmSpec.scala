@@ -310,6 +310,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("scriptMix: counts per BMP range, first-to-max tie-break") {
+    val got = Seq(
+      "abc 12 жжж 中中 مم",  // latin 3, digit 2, cyr 3, cjk 2, arab 2
+      "жжж abc",             // 3-3 tie: latin wins (class order)
+      "中中中中")             // pure CJK
+      .toDF("text").select(TextOps.scriptMix($"text").as("m"))
+      .select("m.n_latin", "m.n_digit", "m.n_cyrillic", "m.n_cjk",
+        "m.n_arabic", "m.main_script")
+      .collect()
+    assert(got(0).toSeq == Seq(3, 2, 3, 2, 2, "latin"))
+    assert(got(1).toSeq == Seq(3, 0, 3, 0, 0, "latin"))
+    assert(got(2).toSeq == Seq(0, 0, 0, 4, 0, "cjk"))
+  }
+
   test("weightedSample: deterministic, weight-proportional, no global sort") {
     val rows = (0 until 4000).map { i =>
       (i.toLong, s"doc $i", if (i % 2 == 0) 9.0 else 1.0)

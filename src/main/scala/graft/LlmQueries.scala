@@ -645,6 +645,45 @@ object LlmQueries {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
 
+  /** Approximate k-NN graph — [[Similarity.knnGraph]], SELF-VERIFYING:
+    * mean recall of the per-node exact top-5 edge set (brute-force twin,
+    * labeled oracle-scale — the graph itself never leaves cell-local
+    * work + bounded heaps) gated at 0.6. Dials from the KnnDial sweep:
+    * (nlist=16, nprobe=4) measures 0.948/0.944 recall at sf0.01/sf0.1 —
+    * recall tracks the cell geometry, not the corpus size. nlist DERIVES
+    * from the corpus (~125 rows per cell, the capSample move): a fixed
+    * nlist would let cells grow linearly with the corpus and the
+    * within-cell pair blocks quadratically — the sf1 sweep measured
+    * fixed-16 at 10× data costing ~10× more than the scaled dial. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint()
+    val nlist = math.max(16, (emb.count() / 125L).toInt)
+    val approx = Similarity.knnGraph(emb, k = 5, nlist = nlist, nprobe = 4)
+      .select(col("src"), col("dst"), lit(1).as("hit"))
+    // the twin ranks every corpus vector but only for a deterministic 10%
+    // of SOURCES — the gate is a mean over nodes, so a fixed sample pins
+    // it while keeping the twin linear in the corpus instead of quadratic
+    // (full-twin s10 at the sf1 rehearsal: 66 s, sampled: seconds)
+    val a2 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("v_a"))
+    val b2 = emb.select(col("vec_id").as("dst"), col("embedding").as("v_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val exact = a2.crossJoin(b2).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("src"), col("dst"))
+    exact.join(approx, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s10Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   /** IVF-PQ + ADC scan + exact re-rank (the index shape that fits a
     * 100 TB corpus in executor memory: m-byte PQ codes per vector, per-
     * query lookup tables, no dot products in the candidate scan),
@@ -1432,6 +1471,7 @@ object LlmQueries {
     "s07_cosine_topk_ivf_int8" -> (s07 _),
     "s08_semantic_dedup" -> (s08 _),
     "s09_cosine_topk_ivf_pq" -> (s09 _),
+    "s10_knn_graph" -> (s10 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -1481,6 +1521,7 @@ object LlmQueries {
     "s07_cosine_topk_ivf_int8" -> s07Sql,
     "s08_semantic_dedup" -> s08Sql,
     "s09_cosine_topk_ivf_pq" -> s09Sql,
+    "s10_knn_graph" -> s10Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

@@ -556,6 +556,40 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
+  /** Approximate k-NN GRAPH: every corpus vector's k nearest neighbors by
+    * cosine — the precursor structure for SemDeDup-style cluster pruning,
+    * graph-based diversity sampling, and agglomerative dedup. Same cell
+    * decomposition as [[semanticDupPairs]] (bounded-sample k-means,
+    * shuffle-free top-`nprobe`-cell multi-assignment), scored pairs only
+    * WITHIN a cell and in both directions, then the scale-safe two-phase
+    * top-k per source ([[finalTopK]]: bounded-heap map-side partials, no
+    * single-reducer window). Candidate edges ≈ nprobe²·corpus²/nlist under
+    * balanced cells; nlist is the cost dial exactly as in
+    * [[semanticDupPairs]]. A true neighbor is missed only if its
+    * nprobe-nearest-cell set is disjoint from the source's — s10 gates
+    * mean recall@k against the brute-force twin in-query. */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, seed, idCol, vecCol,
+      fitSampleLimit)
+    val assigned = assignTopCentroids(corpus, centroids, nprobe, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col("corpus_id").as("query_id"),
+      col("c_vec").as("v_a"))
+    val b = assigned.select(col("centroid_id"), col("corpus_id").as("corpus_id"),
+      col("c_vec").as("v_b"))
+    val scored = a.join(b, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      // a pair co-assigned to several cells scores identically in each:
+      // dedup before the heap so duplicates can't crowd out real neighbors
+      .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
+    finalTopK(scored, k)
+      .select(col("query_id").as("src"), col("corpus_id").as("dst"),
+        col("cos"), col("rank"))
+  }
+
   /** Exact near-duplicate pairs (quadratic — oracle/verification sizes only). */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -44,6 +44,32 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.5, f"IVF recall $r%.3f below bound")
   }
 
+  test("knnGraph recall@5 vs per-node brute force; nprobe raises it") {
+    val emb = Tables.t(spark, dir, "embeddings").localCheckpoint()
+    val a2 = emb.select($"vec_id".as("src"), $"embedding".as("v_a"))
+    val b2 = emb.select($"vec_id".as("dst"), $"embedding".as("v_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos".desc, $"dst")
+    val exact = a2.crossJoin(b2).filter($"src" =!= $"dst")
+      .select($"src", $"dst",
+        round(Similarity.cosine($"v_a", $"v_b"), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"src".as("query_id"), $"dst".as("corpus_id"))
+    def graph(np: Int) =
+      Similarity.knnGraph(emb, k = 5, nlist = 16, nprobe = np)
+        .select($"src".as("query_id"), $"dst".as("corpus_id"))
+    val r2 = topkRecall(graph(2), exact)
+    val r4 = topkRecall(graph(4), exact)
+    info(f"knn graph recall@5: nprobe 2 = $r2%.3f, nprobe 4 = $r4%.3f")
+    assert(r4 >= 0.6, f"knnGraph recall $r4%.3f below the s10 gate bound")
+    assert(r4 > r2, "more probed cells should raise recall")
+    // every node emits at most k edges, none to itself
+    val g = graph(4).groupBy($"query_id")
+      .agg(count(lit(1)).as("deg"),
+        sum(when($"query_id" === $"corpus_id", 1).otherwise(0)).as("selfs"))
+    assert(g.filter($"deg" > 5 || $"selfs" > 0).isEmpty)
+  }
+
   test("two-phase top-k path is exactly the window path when candidates are total") {
     // bits=1/probeBits=1 makes every query probe BOTH buckets, so the LSH
     // candidate set is the whole corpus and lshTopK (new bounded-heap

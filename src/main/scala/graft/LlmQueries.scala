@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -1408,6 +1408,101 @@ object LlmQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- t16 TF-IDF top terms
+
+  /** Keyword extraction — [[TextOps.tfidfTopTerms]], top-3 terms per doc
+    * at a df ≥ 2 floor. The oracle recomputes tf, df, the smooth idf, the
+    * per-doc rank (ties integer-exact, broken on the token), and the
+    * 4-decimal score. */
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3, minDf = 2)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val t16Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM u GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+      |  HAVING COUNT(*) >= 2),
+      |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+      |sc AS (SELECT doc_id, token, tf, df,
+      |    tf * (ln((nd + 1) / (df + 1)) + 1) AS raw
+      |  FROM tf JOIN df USING (token) CROSS JOIN nn),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY raw DESC, token) AS rank FROM sc)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df,
+      |  round(raw, 4) AS tfidf
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ------------------------------------------ t17 count-min token counts
+
+  /** Count-min sketch point estimates — [[Sketches.cmsTable]]/`cmsLookup`
+    * over the corpus token stream, SELF-VERIFYING: the estimates for the
+    * exact top-10 tokens (the in-query exact twin) must sit inside the CM
+    * guarantee `n ≤ est ≤ n + ⌈e·total/width⌉` — never an undercount, the
+    * overcount bounded by the sketch width. The oracle reproduces the
+    * exact counts and pins the gate TRUE. */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 1024
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val sketch = Sketches.cmsTable(toks, "token", depth, width)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top10 = exact.orderBy(col("n").desc, col("token")).limit(10)
+    val total = toks.agg(count(lit(1)).as("__tot"))
+    val est = Sketches.cmsLookup(top10.select("token"), sketch, "token",
+      depth, width)
+    top10.join(est, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("n"),
+        (col("cms_est") >= col("n") && col("cms_est") <= col("n") +
+          ceil(lit(math.E) * col("__tot") / width).cast("long")).as("est_ok"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  private val t17Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT unnest(tk) AS token FROM toks),
+      |c AS (SELECT token, COUNT(*) AS n FROM u GROUP BY 1)
+      |SELECT token, n, TRUE AS est_ok FROM c
+      |ORDER BY n DESC, token LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------- t18 BM25 ranking
+
+  /** Retrieval-scored corpus selection — [[TextOps.bm25]] against a fixed
+    * 3-term query profile, top-20 documents. The oracle recomputes dl,
+    * avgdl, per-term tf/df, the Robertson idf, the length-normalized term
+    * weights, and the rounded-score/doc-id ordering. */
+  private def t18(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(t(s, dir, "documents"),
+      Seq("join", "customer", "vector"), topN = 20)
+      .orderBy(col("bm25").desc, col("doc_id"))
+
+  private val t18Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM u GROUP BY 1),
+      |st AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM u
+      |  WHERE token IN ('join', 'customer', 'vector') GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT t.doc_id,
+      |    ln(1 + (nd - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w, dl
+      |  FROM tf t JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+      |SELECT doc_id, COUNT(*) AS n_terms, MAX(dl) AS dl,
+      |  round(SUM(w), 4) AS bm25
+      |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1487,6 +1582,9 @@ object LlmQueries {
     "t13_line_dedup" -> (t13 _),
     "t14_url_canon" -> (t14 _),
     "t15_script_mix" -> (t15 _),
+    "t16_tfidf_terms" -> (t16 _),
+    "t17_cms_counts" -> (t17 _),
+    "t18_bm25_rank" -> (t18 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1534,5 +1632,8 @@ object LlmQueries {
     "t12_unigram_logprob" -> t12Sql,
     "t13_line_dedup" -> t13Sql,
     "t14_url_canon" -> t14Sql,
-    "t15_script_mix" -> t15Sql)
+    "t15_script_mix" -> t15Sql,
+    "t16_tfidf_terms" -> t16Sql,
+    "t17_cms_counts" -> t17Sql,
+    "t18_bm25_rank" -> t18Sql)
 }

@@ -401,6 +401,81 @@ object TextOps {
     else v.orderBy(col("n").desc, col("token")).limit(topK)
   }
 
+  // ------------------------------------------- TF-IDF / BM25 relevance
+
+  /** Per-document top-`k` terms by smoothed TF-IDF (`idf = ln((1+N)/(1+df))
+    * + 1`, the sklearn smooth form — never zero, so raw tf still orders
+    * terms present in every document). N counts documents with ≥ 1 token.
+    *
+    * The keyword-extraction pass of a training-data pipeline (doc tagging,
+    * topic sharding, relevance features). Scale shape: two hash aggregates
+    * — (doc, token) tf and token df, both map-side combined — a broadcast
+    * 1-row N, one join of tf against the (vocab-sized) df table. The only
+    * window partitions by document: its partition is the DOC's distinct
+    * tokens — bounded by document length, independent of corpus size.
+    * `tfidf` is rounded to 4 decimals for cross-engine hash stability
+    * (ranks compare unrounded products of integers with a shared ln —
+    * exact ties are integer-exact and break on the token). */
+  def tfidfTopTerms(docs: DataFrame, k: Int, minDf: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minDf >= 1, s"bad dials: k=$k minDf=$minDf")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = tf.agg(countDistinct(col(idCol)).cast("double").as("__N"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("__tfidf",
+        col("tf") * (log((col("__N") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("__tfidf"), 4).as("tfidf"))
+  }
+
+  /** BM25 ranking of documents against a fixed bag of query terms
+    * (Robertson/Lucene form: `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * term weight `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`) —
+    * the retrieval scorer behind quality-targeted corpus selection
+    * ("rank the crawl against a textbook-query profile").
+    *
+    * Scale shape: the explode is filtered to the query terms BEFORE any
+    * aggregation (the scored stream is |terms|·docs-bounded, not
+    * token-count-bounded), per-doc tf and dl are map-side-combined hash
+    * aggregates, df/avgdl/N ride one broadcast row each, and the final
+    * top-`topN` is `orderBy.limit` = distributed TakeOrdered — no single
+    * reducer sees more than `topN` survivors per partition. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && topN >= 1, "need query terms and topN >= 1")
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(avg(col("__dl")).as("__avgdl"),
+      count(lit(1)).cast("double").as("__N"))
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__w", col("__idf") * col("__tf") * (k1 + 1) /
+        (col("__tf") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), max(col("__dl")).as("dl"),
+        round(sum(col("__w")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
   // ------------------------------------------- lexical diversity signals
 
   /** Per-document lexical-diversity statistics — the vocabulary-collapse

@@ -488,6 +488,62 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopTerms: tf/df/idf exact on a hand-computed corpus") {
+    val corpus = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(corpus, k = 2, minDf = 1)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    // N=3; idf(df) = ln(4/(df+1)) + 1; apple df=2, banana df=2, cherry df=2,
+    // date df=1
+    def idf(df: Long) = math.log(4.0 / (df + 1)) + 1
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc1: apple tf2 beats banana/cherry tf1 (tie on tfidf -> token asc)
+    assert(out(0) == ((1L, 1, "apple", 2L, 2L, r4(2 * idf(2)))))
+    assert(out(1) == ((1L, 2, "banana", 1L, 2L, r4(idf(2)))))
+    // doc3: date tf3 idf(1) beats apple tf1
+    assert(out(4) == ((3L, 1, "date", 3L, 1L, r4(3 * idf(1)))))
+    assert(out(5) == ((3L, 2, "apple", 1L, 2L, r4(idf(2)))))
+  }
+
+  test("bm25: more query-term mass ranks higher; scores hand-checked") {
+    val corpus = Seq(
+      (1L, "join join join filter scan"),
+      (2L, "join filter scan sort agg"),
+      (3L, "sort agg window merge group")).toDF("doc_id", "text")
+    val out = TextOps.bm25(corpus, Seq("join"), topN = 10)
+      .orderBy($"bm25".desc, $"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // only docs 1 and 2 contain the term; doc1 has higher tf at equal dl
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def w(tf: Long) = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 5.0 / 5.0))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(0) == ((1L, 1L, 5L, r4(w(3)))))
+    assert(out(1) == ((2L, 1L, 5L, r4(w(1)))))
+  }
+
+  test("CMS: never undercounts, exact without collisions, shards merge") {
+    import graft.llm.Sketches
+    val items = (1 to 200).map(i => s"tok${i % 10}").toDF("item")
+    val sketch = Sketches.cmsTable(items, "item", depth = 4, width = 256)
+    val est = Sketches.cmsLookup(items.distinct(), sketch, "item",
+      depth = 4, width = 256)
+      .as[(String, Long)].collect().toMap
+    // 10 distinct items into 256 cols x 4 rows: min-over-rows is exact
+    // unless every row collides — with these dials all are exact
+    (0 to 9).foreach { i => assert(est(s"tok$i") == 20L) }
+    // mergeability: cellwise sum of two shard sketches == whole sketch
+    val shardSum = Sketches.cmsTable(items.limit(100), "item", 4, 256)
+      .union(Sketches.cmsTable(items.limit(100), "item", 4, 256))
+      .groupBy("row", "col").agg(sum("n").as("n"))
+    val whole = Sketches.cmsTable(items.limit(100).union(items.limit(100)),
+      "item", 4, 256)
+    assert(shardSum.except(whole).isEmpty && whole.except(shardSum).isEmpty)
+  }
+
   test("packStreaming: bins follow the cumulative-window rule within shards") {
     val df = (1L to 60L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

@@ -99,6 +99,42 @@ object DepthQueries {
       |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- q30 approximate quantiles
+
+  /** Sketch quantiles — `approx_percentile` (Greenwald-Khanna summaries:
+    * mergeable, map-side partial, bounded memory) gated against the exact
+    * interpolated percentile twin, q17-HLL-style. This is the 100 TB
+    * quantile path: `percentile` buffers every group value on one reducer,
+    * the sketch keeps O(accuracy) entries per group no matter the corpus.
+    * At accuracy 10⁴ the rank error is n/10⁴; on this price distribution
+    * that is far inside the 1%-relative gate, which the oracle pins TRUE
+    * alongside the exact values. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("__e50"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").as("__e95"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)")
+          .as("__a50"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, 10000)")
+          .as("__a95"))
+      .select(col("l_returnflag"),
+        round(col("__e50"), 4).as("p50_exact"),
+        round(col("__e95"), 4).as("p95_exact"),
+        (abs(col("__a50") / col("__e50") - 1) <= 0.01).as("ok50"),
+        (abs(col("__a95") / col("__e95") - 1) <= 0.01).as("ok95"))
+      .orderBy(col("l_returnflag"))
+
+  private val q30Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+      |    AS p50_exact,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4)
+      |    AS p95_exact,
+      |  TRUE AS ok50, TRUE AS ok95
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ q23 as-of join
 
   /** Attach the most recent purchase (per user, at-or-before) to each
@@ -476,6 +512,7 @@ object DepthQueries {
     "q27_dedupe_latest" -> (q27 _),
     "q28_market_share" -> (q28 _),
     "q29_recursive_cte" -> (q29 _),
+    "q30_approx_quantiles" -> (q30 _),
     "dt01_data_tests" -> (dt01 _))
 
   def oracleSql: Map[String, String] = Map(
@@ -494,5 +531,6 @@ object DepthQueries {
     "q27_dedupe_latest" -> q27Sql,
     "q28_market_share" -> q28Sql,
     "q29_recursive_cte" -> q29Sql,
+    "q30_approx_quantiles" -> q30Sql,
     "dt01_data_tests" -> dt01Sql)
 }

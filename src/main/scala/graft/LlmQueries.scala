@@ -1127,6 +1127,42 @@ object LlmQueries {
       |FROM fr JOIN px ON px.id = fr.id AND px.fi = fr.fi
       |ORDER BY fr.id, fr.fi""".stripMargin
 
+  // ------------------------------------------- mm05 perceptual image hash
+
+  /** Perceptual image hashing — [[Multimodal.ahashPair]]: real PNG and
+    * JPEG encodes of the same closed-form raster, real `ImageIO` decodes,
+    * [[graft.llm.ImageCodec.ahash64]] on both. The 64-bit PNG hash is
+    * INTEGER-EXACT (cross-multiplied mean comparisons), so DuckDB
+    * reproduces every bit from the closed form; the JPEG twin's hamming
+    * distance is the perceptual-robustness gate (measured max 6 of 64
+    * bits across the id range — gated at ≤ 10). A codec bug, grid-split
+    * drift, or a lossy-roundtrip blowup all hash-mismatch. */
+  private def mm05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ahashPair(
+      t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
+      .select(col("id"), col("ahash"), (col("ham_jpeg") <= 10).as("jpeg_ok"))
+      .orderBy(col("id"))
+
+  private val mm05Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
+      |    8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 150),
+      |px AS (SELECT id, w, h, p % w AS x, p // w AS y,
+      |    (id + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT id, w, h, unnest(range(w * h)) AS p FROM ids)),
+      |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1)
+      |SELECT id, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash,
+      |  TRUE AS jpeg_ok
+      |FROM cells JOIN tot USING (id)
+      |GROUP BY id ORDER BY id""".stripMargin
+
   /** Fixed-size token chunking with overlap (64-token chunks, stride 48 —
     * the context-window prep pass). The md5 of each chunk's exact token
     * content pins the slicing against DuckDB's list-slice semantics. */
@@ -1588,7 +1624,8 @@ object LlmQueries {
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
-    "mm04_video_frames" -> (mm04 _))
+    "mm04_video_frames" -> (mm04 _),
+    "mm05_image_ahash" -> (mm05 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1615,6 +1652,7 @@ object LlmQueries {
     "mm02_media_resize_frames" -> mm02Sql,
     "mm03_audio_wav" -> mm03Sql,
     "mm04_video_frames" -> mm04Sql,
+    "mm05_image_ahash" -> mm05Sql,
     "s06_normalize_quantize" -> s06Sql,
     "s07_cosine_topk_ivf_int8" -> s07Sql,
     "s08_semantic_dedup" -> s08Sql,

@@ -81,4 +81,51 @@ object ImageCodec {
     Some(Array(w.toFloat, h.toFloat, (w.toLong * h).toFloat, sum.toFloat,
       mn.toFloat, mx.toFloat))
   }
+
+  /** 64-bit average hash (aHash) of a decoded payload: the image folds
+    * into an 8×8 grid (pixel x lands in cell `x*8/w` — integer division,
+    * the standard near-equal block split), and bit `63 − (by·8 + bx)` is
+    * set iff the cell's mean exceeds the global mean. The comparison is
+    * cross-multiplied (`cell_sum · n_pixels > total_sum · cell_n`) so the
+    * hash is INTEGER-EXACT — a SQL oracle reproduces it from a closed-form
+    * raster with no float in sight. None for null / corrupt / non-image
+    * payloads and for images smaller than the 8×8 grid. */
+  def ahash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = img.getType == BufferedImage.TYPE_BYTE_GRAY
+    val raster = img.getRaster
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val g =
+          if (gray) raster.getSample(x, y, 0)
+          else img.getRGB(x, y) & 0xff
+        val c = by * 8 + x * 8 / w
+        cellSum(c) += g
+        cellN(c) += 1
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellSum(c) * nPix > total * cellN(c)) hash |= 1L << (63 - c)
+      c += 1
+    }
+    Some(hash)
+  }
 }

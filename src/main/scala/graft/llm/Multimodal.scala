@@ -378,6 +378,59 @@ object Multimodal {
       .withColumn("resized_height", floor(h * scale).cast("int"))
   }
 
+  /** Perceptual hash of each payload — [[ImageCodec.ahash64]] over a real
+    * `ImageIO` decode. NULL `ahash` for undecodable payloads or images
+    * under the 8×8 grid. The image-dedup primitive: exact-dedup the 64-bit
+    * hashes (or band them LSH-style on 16-bit quarters) instead of
+    * comparing pixels. */
+  def ahash(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          Row(id, ImageCodec.ahash64(r.getAs[Array[Byte]](1))
+            .map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** Lossless/lossy perceptual-hash pair probe: for each id, a real PNG
+    * and a real JPEG of the SAME closed-form raster (w = 8 + id%24,
+    * h = 8 + id%12 — always ≥ the 8×8 grid), both genuinely encoded and
+    * decoded through `ImageIO`, hashed by [[ImageCodec.ahash64]]. Output:
+    * the PNG hash (integer-exact → SQL-oracle-reproducible) and the
+    * hamming distance to the JPEG twin (the perceptual-robustness signal:
+    * lossy re-encoding must not move the hash far). One `mapPartitions`
+    * pass — the pair never crosses a shuffle. */
+  def ahashPair(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ahash", LongType),
+      StructField("ham_jpeg", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null, null)
+        else {
+          val id = r.getLong(0)
+          val w = 8 + (id % 24).toInt
+          val h = 8 + (id % 12).toInt
+          val hp = ImageCodec.ahash64(ImageCodec.encode("png", id, w, h))
+          val hj = ImageCodec.ahash64(ImageCodec.encode("jpeg", id, w, h))
+          (hp, hj) match {
+            case (Some(a), Some(b)) => Row(id, java.lang.Long.valueOf(a),
+              Integer.valueOf(java.lang.Long.bitCount(a ^ b)))
+            case _ => Row(id, hp.map(java.lang.Long.valueOf).orNull, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index
     * at `fps` over the clip duration (pure explode — partition-parallel). */
   def sampleFrames(media: DataFrame, idCol: String, fps: Double): DataFrame =

@@ -106,4 +106,32 @@ class ImageCodecSpec extends SparkSpec {
       assert(f(3) == sum.toFloat)
     }
   }
+
+  test("ahash64: bit-exact vs an independent reference; lossy-stable; guards") {
+    // reference recomputation straight from the closed form
+    def ref(id: Long, w: Int, h: Int): Long = {
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = y * 8 / h * 8 + x * 8 / w
+        val v = ImageCodec.pixel(id, x, y)
+        cs(c) += v; cn(c) += 1; tot += v
+      }
+      (0 until 64).foldLeft(0L) { (acc, c) =>
+        if (cs(c) * w * h > tot * cn(c)) acc | (1L << (63 - c)) else acc
+      }
+    }
+    for (id <- 0L until 40L) {
+      val (w, h) = (8 + (id % 24).toInt, 8 + (id % 12).toInt)
+      val png = ImageCodec.ahash64(ImageCodec.encode("png", id, w, h))
+      assert(png.contains(ref(id, w, h)), s"id=$id")
+      val jpg = ImageCodec.ahash64(ImageCodec.encode("jpeg", id, w, h))
+      assert(java.lang.Long.bitCount(png.get ^ jpg.get) <= 10,
+        s"jpeg moved the hash too far for id=$id")
+    }
+    // sub-grid images and garbage refuse quietly
+    assert(ImageCodec.ahash64(ImageCodec.encode("png", 1L, 7, 12)).isEmpty)
+    assert(ImageCodec.ahash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.ahash64(null).isEmpty)
+  }
 }

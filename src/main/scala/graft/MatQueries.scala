@@ -505,6 +505,51 @@ object MatQueries {
       |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS pt
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------- m18 streaming ingest dedup
+
+  /** Ingest-side streaming dedup — [[graft.streaming.Streaming.dedupStream]]
+    * (`dropDuplicatesWithinWatermark`: bounded per-key state, watermark
+    * eviction) driven AvailableNow over a file backlog carrying exact
+    * duplicates of every third event. Duplicates are co-located with their
+    * originals by hash-partitioning the source on the key before the write
+    * (same shard ⇒ same file lineage, exactly how an ingest pipeline
+    * arranges replays), and the watermark delay is sized to the backlog's
+    * disorder: the files are hash-split, not time-ordered, so a tight
+    * horizon would mark whole batches late and DROP them (observed: a
+    * "1 hour" horizon kept 4 970 of 10 000 rows). In production the
+    * horizon is the replay window; here that is the dataset's time span.
+    * Final parquet state must equal the duplicate-free source, row for
+    * row. */
+  private def m18(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val withDups = base.union(base.filter(col("event_id") % 3 === 0))
+      .repartition(4, col("event_id"))
+    val srcDir = java.nio.file.Files.createTempDirectory("g_m18_src")
+    withDups.write.mode("overwrite").parquet(s"$srcDir/data")
+    val stream = s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/data")
+    val deduped = graft.streaming.Streaming.dedupStream(
+      stream, "ts", "3650 days", Seq("event_id"))
+    val outDir = java.nio.file.Files.createTempDirectory("g_m18_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("g_m18_ckpt")
+    graft.streaming.Streaming.runToCompletion(
+      deduped.writeStream.format("parquet")
+        .option("path", s"$outDir/tbl")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    s.read.parquet(s"$outDir/tbl")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp_ntz").as("ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val m18Sql =
+    """SELECT event_id, user_id, event_type, value, ts
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -524,7 +569,8 @@ object MatQueries {
     "m14_mview_refresh" -> (m14 _),
     "m15_ephemeral" -> (m15 _),
     "m16_delta_update_delete" -> (m16 _),
-    "m17_streaming_microbatch" -> (m17 _))
+    "m17_streaming_microbatch" -> (m17 _),
+    "m18_streaming_dedup" -> (m18 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -543,5 +589,6 @@ object MatQueries {
     "m14_mview_refresh" -> m14Sql,
     "m15_ephemeral" -> m15Sql,
     "m16_delta_update_delete" -> m16Sql,
-    "m17_streaming_microbatch" -> m17Sql)
+    "m17_streaming_microbatch" -> m17Sql,
+    "m18_streaming_dedup" -> m18Sql)
 }

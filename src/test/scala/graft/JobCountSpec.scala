@@ -119,7 +119,18 @@ class JobCountSpec extends SparkSpec {
         "t13_line_dedup" -> 5,
         "t14_url_canon" -> 4,
         "d10_decontaminate" -> 9,
-        "d11_cap_sample" -> 7)) {
+        "d11_cap_sample" -> 7,
+        // t16 re-derives tf for the df build, the N count, and the join
+        // probe (stateless query, no cached intermediate): 3 map-side
+        // passes + AQE stage jobs, measured 11
+        "t16_tfidf_terms" -> 13,
+        "t17_cms_counts" -> 8,
+        // t18: dl is derived twice (avgdl/N stats + the per-doc join) and
+        // tf feeds both df and the probe — same stateless re-derivation
+        // as t16; measured 12
+        "t18_bm25_rank" -> 14,
+        "q30_approx_quantiles" -> 5,
+        "mm05_image_ahash" -> 4)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

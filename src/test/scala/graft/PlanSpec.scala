@@ -189,4 +189,61 @@ class PlanSpec extends SparkSpec {
     assert("partial_".r.findAllIn(p).size >= 3,
       s"expected three partial aggregates:\n$p")
   }
+
+  test("tfidf: df-table join broadcast; only window partitions by document") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.TextOps.tfidfTopTerms(docs, k = 3, minDf = 2)
+      .queryExecution.explainString(SimpleMode)
+    // the vocab-sized df table and the 1-row N must both ride broadcasts —
+    // a shuffle join would re-exchange the (doc, token) tf stream
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"df/N not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tf stream shuffled for join:\n$p")
+    // per-doc rank is legitimate (partition = one doc's vocabulary, bounded
+    // by doc length): exactly one window, keyed by the doc id
+    assert("Window \\[".r.findAllIn(p).size == 1, s"window count:\n$p")
+    assert(p.contains("partial_count"), s"tf agg not partial:\n$p")
+  }
+
+  test("CMS: sketch is one partial aggregate; lookups probe a broadcast") {
+    import graft.llm.Sketches
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.llm.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("token"))
+    val sketch = Sketches.cmsTable(toks, "token")
+    val pb = sketch.queryExecution.explainString(SimpleMode)
+    assert(pb.contains("partial_count"), s"cell counts not map-side:\n$pb")
+    assert(!pb.contains("Window") && !pb.contains("SortMergeJoin"),
+      s"sketch build grew a window/shuffle join:\n$pb")
+    val p = Sketches.cmsLookup(toks.distinct(), sketch, "token")
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe stream shuffled:\n$p")
+  }
+
+  test("bm25: explode filtered before aggregation; stats ride broadcasts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.TextOps.bm25(docs, Seq("join", "scan"), topN = 10)
+      .queryExecution.explainString(SimpleMode)
+    // the term filter must sit under the tf aggregate (scored stream is
+    // |terms|-bounded per doc), not after it
+    assert(p.contains("join,scan") || p.contains("join, scan"),
+      s"term filter missing from the plan:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N is not a distributed TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+  }
+
+  test("mm05 aHash pair: single mapPartitions pass, no exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id < 50")
+    val p = graft.llm.Multimodal.ahashPair(docs, "doc_id")
+      .queryExecution.explainString(SimpleMode)
+    // the PNG/JPEG pair is hashed where it is synthesized — a shuffle
+    // between encode and hash would move payload bytes across the cluster
+    assert(!p.contains("Exchange"), s"payloads crossed a shuffle:\n$p")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.llm.{CompressionSignal, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -1539,6 +1539,28 @@ object LlmQueries {
       |  round(SUM(w), 4) AS bm25
       |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------ t19 compression-ratio signal
+
+  /** Compression-ratio quality signal — [[CompressionSignal.signals]]
+    * (real deflate in a single `mapPartitions` pass), SELF-VERIFYING via
+    * gates the oracle pins TRUE: deflate never inflates past the stored-
+    * block bound, and doubling a ≥ 64-byte document costs strictly less
+    * than double (the LZ77 self-similarity property that makes the signal
+    * a repetition detector). `n_raw` is exact utf-8 bytes, oracle-checked
+    * against DuckDB `strlen` (byte semantics). */
+  private def t19(s: SparkSession, dir: String): DataFrame =
+    CompressionSignal.signals(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_raw"),
+        (col("n_deflate") <= col("n_raw") + 32).as("ok_bounded"),
+        (col("n_raw") < 64 || col("n_deflate2") < col("n_deflate") * 2)
+          .as("ok_self_similar"))
+      .orderBy(col("doc_id"))
+
+  private val t19Sql =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_raw,
+      |  TRUE AS ok_bounded, TRUE AS ok_self_similar
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1621,6 +1643,7 @@ object LlmQueries {
     "t16_tfidf_terms" -> (t16 _),
     "t17_cms_counts" -> (t17 _),
     "t18_bm25_rank" -> (t18 _),
+    "t19_compress_signal" -> (t19 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1673,5 +1696,6 @@ object LlmQueries {
     "t15_script_mix" -> t15Sql,
     "t16_tfidf_terms" -> t16Sql,
     "t17_cms_counts" -> t17Sql,
-    "t18_bm25_rank" -> t18Sql)
+    "t18_bm25_rank" -> t18Sql,
+    "t19_compress_signal" -> t19Sql)
 }

@@ -544,6 +544,25 @@ class LlmSpec extends SparkSpec {
     assert(shardSum.except(whole).isEmpty && whole.except(shardSum).isEmpty)
   }
 
+  test("compression signal: repetition compresses, doubling is near-free") {
+    import graft.llm.CompressionSignal
+    val rep = "ab" * 500                       // maximally self-similar
+    val mixed = (1 to 200).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val out = CompressionSignal.signals(
+        Seq((1L, rep), (2L, mixed)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val (_, rawR, defR, def2R) = out(0)
+    val (_, rawM, defM, _) = out(1)
+    assert(rawR == 1000L && rawM == mixed.getBytes("UTF-8").length.toLong)
+    // repetitive text compresses an order of magnitude; varied text doesn't
+    assert(defR < rawR / 10, s"repetition not detected: defR=$defR rawR=$rawR")
+    assert(defM > defR * 5, s"signal has no contrast: rep=$defR varied=$defM")
+    // a second copy of the same content is nearly free under LZ77
+    assert(def2R < defR + 16, s"doubling not near-free: $defR -> $def2R")
+    // and never inflates past the stored-block bound
+    assert(out.forall { case (_, raw, d, _) => d <= raw + 32 })
+  }
+
   test("packStreaming: bins follow the cumulative-window rule within shards") {
     val df = (1L to 60L).toDF("doc_id")
       .withColumn("n", (col("doc_id") % 7 + 1).cast("long"))

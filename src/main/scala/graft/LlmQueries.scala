@@ -1444,6 +1444,33 @@ object LlmQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- d14 temperature mixing
+
+  /** Temperature-based mixture resampling — [[Sampling.temperatureMix]]
+    * over the language strata at τ = 2 (proportions ∝ √n — the standard
+    * multilingual flattening), budgeted to ~300 rows. The oracle
+    * recomputes the per-stratum counts, the √n normalizer, the 6-decimal
+    * rounding + 16-bit floor, and the salted-md5 comparison. */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    Sampling.temperatureMix(docs, col("text"), col("lang"),
+        tau = 2.0, targetRows = 300, salt = "g8")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d14Sql =
+    """WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |z AS (SELECT SUM(sqrt(cnt)) AS z FROM n),
+      |r AS (SELECT lang, CAST(floor(round(
+      |    least(1.0, sqrt(cnt) / z * 300 / cnt) * 65536, 6)) AS INT) AS thr
+      |  FROM n CROSS JOIN z)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE thr >= 65536
+      |   OR substring(md5('g8' || text), 1, 4) < printf('%04x', thr)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- t16 TF-IDF top terms
 
   /** Keyword extraction — [[TextOps.tfidfTopTerms]], top-3 terms per doc
@@ -1612,6 +1639,7 @@ object LlmQueries {
     "d10_decontaminate" -> (d10 _),
     "d12_bloom_decontaminate" -> (d12 _),
     "d13_weighted_sample" -> (d13 _),
+    "d14_temperature_mix" -> (d14 _),
     "d08_stratified_sample" -> (d08 _),
     "d09_cluster_keep" -> (d09 _),
     "d11_cap_sample" -> (d11 _),
@@ -1661,6 +1689,7 @@ object LlmQueries {
     "d10_decontaminate" -> d10Sql,
     "d12_bloom_decontaminate" -> d12Sql,
     "d13_weighted_sample" -> d13Sql,
+    "d14_temperature_mix" -> d14Sql,
     "d08_stratified_sample" -> d08Sql,
     "d09_cluster_keep" -> d09Sql,
     "d11_cap_sample" -> d11Sql,

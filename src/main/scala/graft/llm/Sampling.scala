@@ -148,4 +148,37 @@ object Sampling {
         hexPrefix(key, salt, 4) < format_string("%04x", num.cast("int")))
       .drop("__cs_stratum", "__cs_n")
   }
+
+  /** Temperature-based mixture resampling — the multilingual-corpus move
+    * (sample stratum `s` with probability ∝ `n_s^(1/τ)`: τ = 1 keeps the
+    * natural mix, τ → ∞ flattens it) budgeted to ~`targetRows` total IN
+    * EXPECTATION, each stratum's rate capped at 1 (no replacement here —
+    * upsampling a rare stratum is a repeat-pass concern, not a filter's).
+    *
+    * Same scale shape as [[capSample]]: one map-side count aggregate
+    * (|strata| rows), a 1-row normalizer, an auto-broadcast join back,
+    * and a pure per-row salted-md5 threshold — deterministic on any
+    * engine at any parallelism. τ = 2 routes through `sqrt` (correctly
+    * rounded per IEEE 754, so an oracle's sqrt reproduces the threshold
+    * bit-for-bit); other τ use `pow`. The rate is rounded to 6 decimals
+    * BEFORE the 16-bit floor so a last-ulp library difference cannot
+    * flip a threshold. */
+  def temperatureMix(df: DataFrame, key: Column, stratum: Column,
+      tau: Double, targetRows: Long, salt: String = ""): DataFrame = {
+    require(tau > 0 && targetRows >= 0, s"bad dials: tau=$tau target=$targetRows")
+    def weigh(n: Column): Column =
+      if (tau == 2.0) sqrt(n) else pow(n, 1.0 / tau)
+    val cnts = df.groupBy(stratum.as("__tm_stratum"))
+      .agg(count(lit(1)).as("__tm_n"))
+    val z = cnts.agg(sum(weigh(col("__tm_n"))).as("__tm_z"))
+    val thr = cnts.crossJoin(broadcast(z))
+      .select(col("__tm_stratum"),
+        floor(round(least(lit(1.0),
+            weigh(col("__tm_n")) / col("__tm_z") * targetRows / col("__tm_n"))
+          * 65536, 6)).cast("int").as("__tm_thr"))
+    df.join(thr, stratum <=> col("__tm_stratum"))
+      .filter(col("__tm_thr") >= 65536 ||
+        hexPrefix(key, salt, 4) < format_string("%04x", col("__tm_thr")))
+      .drop("__tm_stratum", "__tm_thr")
+  }
 }

@@ -544,6 +544,27 @@ class LlmSpec extends SparkSpec {
     assert(shardSum.except(whole).isEmpty && whole.except(shardSum).isEmpty)
   }
 
+  test("temperatureMix: flattens a skewed mix toward the budget") {
+    // 800 'big' vs 100 'small': tau=2 gives sqrt-proportional budgets
+    val rows = (1 to 900).map(i =>
+      (i.toLong, if (i <= 800) "big" else "small", s"content-$i"))
+      .toDF("id", "stratum", "content")
+    val out = Sampling.temperatureMix(rows, $"content", $"stratum",
+        tau = 2.0, targetRows = 300, salt = "t")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    // expectations: z = sqrt(800)+sqrt(100) = 38.28; big keeps
+    // 300*(28.28/38.28) = 221.6, small keeps 300*(10/38.28) = 78.4 -> all 100
+    // capped at 1.0 -> small keeps all 100
+    assert(out("small") == 100L, s"small stratum should keep all: $out")
+    assert(out("big") > 150L && out("big") < 290L,
+      s"big stratum should flatten toward ~222: $out")
+    // deterministic: same dials, same rows
+    val again = Sampling.temperatureMix(rows, $"content", $"stratum",
+        tau = 2.0, targetRows = 300, salt = "t")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    assert(again == out)
+  }
+
   test("compression signal: repetition compresses, doubling is near-free") {
     import graft.llm.CompressionSignal
     val rep = "ab" * 500                       // maximally self-similar

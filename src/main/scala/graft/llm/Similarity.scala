@@ -95,6 +95,41 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Deterministic signed random projection (Johnson–Lindenstrauss,
+    * Achlioptas ±1 form): `y_j = (1/√outDim) · Σ_i s_ij x_i` with signs
+    * from a plan-time splitmix64 of `(salt, j, i)`. The projection matrix
+    * never exists as DATA — it rides the plan as `outDim` array literals,
+    * and each output coordinate is one fused codegen'd
+    * [[graft.functions.DotDouble]] loop, so the operator is a pure
+    * projection: no shuffle, no state, reproducible on any engine that
+    * replays the splitmix64 signs. The embedding-compression move for ANN
+    * prefilters (store/scan `outDim ≪ dim` doubles, re-rank survivors at
+    * full width); norms and pairwise distances are preserved within the
+    * JL distortion `O(√(1/outDim))` per vector. */
+  def randomProject(df: DataFrame, dim: Int, outDim: Int,
+      vecCol: String = "embedding", outCol: String = "projected",
+      salt: Long = 0x675f72616e647072L): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"bad dims: $dim -> $outDim")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val vd = col(vecCol).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val rows = (0 until outDim).map { j =>
+      typedlit((0 until dim).map { i =>
+        if ((mix(salt ^ (j.toLong << 32) ^ i.toLong) & 1L) == 0L) scale
+        else -scale
+      })
+    }
+    df.withColumn(outCol,
+      array(rows.map(r => graft.functions.DotDouble(vd, r)): _*))
+  }
+
   // ------------------------------------------------------------- LSH variant
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim` coords in

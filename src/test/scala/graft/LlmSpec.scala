@@ -552,10 +552,11 @@ class LlmSpec extends SparkSpec {
     val out = Sampling.temperatureMix(rows, $"content", $"stratum",
         tau = 2.0, targetRows = 300, salt = "t")
       .groupBy($"stratum").count().as[(String, Long)].collect().toMap
-    // expectations: z = sqrt(800)+sqrt(100) = 38.28; big keeps
-    // 300*(28.28/38.28) = 221.6, small keeps 300*(10/38.28) = 78.4 -> all 100
-    // capped at 1.0 -> small keeps all 100
-    assert(out("small") == 100L, s"small stratum should keep all: $out")
+    // expectations: z = sqrt(800)+sqrt(100) = 38.28; big's budget is
+    // 300*(28.28/38.28) = 221.6 (rate 0.277), small's is 300*(10/38.28)
+    // = 78.4 (rate 0.784 < 1 -> thinned, NOT kept whole)
+    assert(out("small") > 60L && out("small") < 95L,
+      s"small stratum should thin toward ~78: $out")
     assert(out("big") > 150L && out("big") < 290L,
       s"big stratum should flatten toward ~222: $out")
     // deterministic: same dials, same rows
@@ -563,6 +564,21 @@ class LlmSpec extends SparkSpec {
         tau = 2.0, targetRows = 300, salt = "t")
       .groupBy($"stratum").count().as[(String, Long)].collect().toMap
     assert(again == out)
+  }
+
+  test("temperatureMix: a stratum whose budget exceeds its size keeps all") {
+    // same mix, targetRows=400: small's budget is 400*(10/38.28) = 104.5
+    // > 100 rows -> rate caps at 1.0 -> every small row survives
+    val rows = (1 to 900).map(i =>
+      (i.toLong, if (i <= 800) "big" else "small", s"content-$i"))
+      .toDF("id", "stratum", "content")
+    val out = Sampling.temperatureMix(rows, $"content", $"stratum",
+        tau = 2.0, targetRows = 400, salt = "t")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    assert(out("small") == 100L, s"small stratum should keep all: $out")
+    // big's budget is 400*(28.28/38.28) = 295.5 (rate 0.369)
+    assert(out("big") > 220L && out("big") < 370L,
+      s"big stratum should thin toward ~295: $out")
   }
 
   test("compression signal: repetition compresses, doubling is near-free") {

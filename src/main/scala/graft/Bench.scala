@@ -55,6 +55,32 @@ object Bench {
     // recorded in the full-precision artifact so a substitution is auditable
     // rather than indistinguishable from a raw measurement
     val rawOutliers = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Host-drift canary: a fixed cheap query re-measured every ~10 queries.
+    // The r7 artifact showed the failure mode the outlier guard can't see:
+    // host load RISING during the run makes the median-of-3 land HIGHER
+    // than the raw first sample (q28 3.68 s raw → 9.78 s median). The
+    // canary series makes environment drift legible in the artifact itself:
+    // its plan never changes, so a >2× swing across the series is the host,
+    // not the engine — the full-precision JSON then carries
+    // "host_drift": true so a reader can separate noise from regression
+    // without re-measuring.
+    val canaryName = "f01_datediff_parts"
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runCanary(): Unit = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      canarySeries += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+    }
+    // one untimed warm-up so the baseline sample isn't codegen-inflated
+    // (first f01 measured 0.65 s vs 0.12 s steady — that 5× would trip the
+    // drift test on every single run)
+    try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache()
+    runCanary() // baseline sample before the measured suite
+    var sinceCanary = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -89,8 +115,21 @@ object Bench {
         } else System.err.println(
           f"[bench] $name outlier re-run FAILED — keeping first sample $dt%.2f s")
       }
+      sinceCanary += 1
+      if (sinceCanary >= 10) { sinceCanary = 0; runCanary() }
       name -> dt
     }
+    runCanary() // closing sample after the measured suite
+    // >2× swing vs the series MEDIAN (above an absolute floor) = the
+    // environment moved under the run; the canary's plan is constant by
+    // construction, so only the host can move it
+    val hostDrift = canarySeries.size >= 3 && {
+      val med = canarySeries.sorted.apply(canarySeries.size / 2)
+      canarySeries.max > 2 * med && canarySeries.max - med > 0.3
+    }
+    if (hostDrift) System.err.println(
+      f"[bench] HOST DRIFT: canary ${canarySeries.min}%.2f-" +
+        f"${canarySeries.max}%.2f s across the run")
     // JSON-valid compact number: 1-decimal, trailing zeros stripped
     // ("0.20"->"0.2", "3.00"->"3") — the driver's tail capture is 2000
     // bytes and the full 80-query line must fit inside it WHOLE (the
@@ -106,18 +145,33 @@ object Bench {
     // JSON number "0.1." that would break the whole compact line
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    def mkLine(f: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def mkLine(key: String => String, f: Double => String,
+        extra: String = ""): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,"sf":$sfNum}"""
     }
-    // the query count grows round over round — if 1-decimal no longer fits
-    // the 2000-byte window with margin, degrade per-query values to whole
-    // seconds (the full-precision line above and BENCH_FULL_latest.json
-    // keep the real numbers; the compact line's job is to PARSE)
-    val line1 = mkLine(fmt)
-    val line = if (line1.length <= 1950) line1
-      else mkLine(v => math.round(v).toString)
+    // The query count grows round over round, and at 109 queries even the
+    // whole-second full-name form is ~2400 bytes — OVER the 2000-byte tail
+    // window, which is exactly how the r7 round artifact ended up
+    // `parsed: null`. Degrade in steps, the compact line's job is to PARSE:
+    // (1) full names, 1-decimal; (2) family-prefix keys ("d02", "q28" —
+    // unique by construction, flagged via "qkeys" so a reader knows the
+    // abbreviation; full names live in BENCH_FULL_latest.json); (3) prefix
+    // keys + whole seconds.
+    val prefix: String => String = { k =>
+      val short = k.takeWhile(_ != '_')
+      // collision (two queries sharing a prefix) falls back to full names
+      if (results.map(r => r._1.takeWhile(_ != '_')).distinct.size
+        == results.size) short else k
+    }
+    val line1 = mkLine(identity, fmt)
+    val line2 = mkLine(prefix, fmt, ""","qkeys":"family-prefix"""")
+    val line =
+      if (line1.length <= 1950) line1
+      else if (line2.length <= 1950) line2
+      else mkLine(prefix, v => math.round(v).toString,
+        ""","qkeys":"family-prefix"""")
     // Full-precision copy for the judge (repo file survives the tail window).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -127,8 +181,11 @@ object Bench {
       if (rawOutliers.isEmpty) ""
       else rawOutliers.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString(""","outliers_raw_first_sample":{""", ",", "}")
+    val canaryJson = canarySeries.map(v => f"$v%.4f").mkString(
+      s""","canary":{"query":"$canaryName","series":[""", ",",
+      s"""],"host_drift":$hostDrift}""")
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$canaryJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_latest.json"),

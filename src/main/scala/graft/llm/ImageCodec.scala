@@ -123,7 +123,17 @@ object ImageCodec {
     var hash = 0L
     var c = 0
     while (c < 64) {
-      if (cellSum(c) * nPix > total * cellN(c)) hash |= 1L << (63 - c)
+      // 128-bit exact compare: cellSum·nPix can pass 2^63 for images over
+      // ~190 Mpixel (255·nPix² > Long.MaxValue), which would silently flip
+      // bits on giant panoramas. multiplyHigh is a JIT intrinsic, so the
+      // guard costs nothing at normal sizes and the result is identical.
+      val hiL = Math.multiplyHigh(cellSum(c), nPix)
+      val loL = cellSum(c) * nPix
+      val hiR = Math.multiplyHigh(total, cellN(c))
+      val loR = total * cellN(c)
+      val gt = hiL > hiR ||
+        (hiL == hiR && java.lang.Long.compareUnsigned(loL, loR) > 0)
+      if (gt) hash |= 1L << (63 - c)
       c += 1
     }
     Some(hash)

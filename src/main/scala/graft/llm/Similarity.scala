@@ -28,7 +28,11 @@ object Similarity {
     graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k: for each row of `queries` (small — broadcast), the k most
-    * cosine-similar rows of `corpus`. Returns (query_id, corpus_id, cos, rank). */
+    * cosine-similar rows of `corpus`. Returns (query_id, corpus_id, cos, rank).
+    * The final rank goes through the two-phase bounded-heap [[finalTopK]]
+    * (map-side partial TopKAgg, then a ≤ k·P merge) — the corpus scan never
+    * funnels into a per-query window sort, so this is also the production
+    * "queries ≪ corpus" path, not just the oracle twin. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
@@ -36,9 +40,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    finalTopK(scored, k)
   }
 
   /** Scale-safe exact top-k per query over a (query_id, corpus_id, cos)
@@ -216,15 +218,19 @@ object Similarity {
   private def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long,
       idCol: String, vecCol: String,
       fitSampleLimit: Int): Seq[(Int, Seq[Double])] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(col(idCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // ONE bounded scan, collected, then driver-local Lloyd's — the same
+    // move that fixed the PQ codebook fit (s09 7.8 → 2.8 s): a distributed
+    // ml.KMeans here scheduled ~maxIter tiny cluster jobs per fit, paid by
+    // every IVF-family query, for work a driver core does in milliseconds.
+    // fitSampleLimit bounds driver memory (100k × 64 doubles ≈ 50 MB).
+    val sample = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
       .limit(fitSampleLimit)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    localKMeans(sample, nlist, seed).zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq)
     }.toSeq
   }
 

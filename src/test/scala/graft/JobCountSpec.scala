@@ -143,9 +143,9 @@ class JobCountSpec extends SparkSpec {
   test("IVF-PQ stays within its fixed job budget (local codebook fit)") {
     // the PQ codebook fit is ONE collected bounded sample + driver-local
     // Lloyd's; the distributed form it replaced scheduled ~m·maxIter tiny
-    // KMeans jobs (s09 7.8 → 2.8 s at sf0.1). Budget: the coarse-quantizer
-    // ml fit + sample collect + gate pipeline, measured 30 at sf0.001 —
-    // a re-distributed per-subspace fit would blow past this by dozens
+    // KMeans jobs (s09 7.8 → 2.8 s at sf0.1). r8 moved the COARSE quantizer
+    // to the same local fit — measured 7 at sf0.001 (was 29 with the ml
+    // fit); a re-distributed fit anywhere would blow past this by dozens
     val dir = "/root/testdata/sf0.001"
     val jobs = countJobs {
       assert(SparkEntry.queries("s09_cosine_topk_ivf_pq")(spark, dir)
@@ -153,7 +153,30 @@ class JobCountSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
     info(s"s09 jobs = $jobs")
-    assert(jobs <= 40, s"s09 fixed job count regressed: $jobs")
+    assert(jobs <= 12, s"s09 fixed job count regressed: $jobs")
+  }
+
+  test("IVF family stays within fixed job budgets (local coarse fit)") {
+    // r8: the coarse quantizer moved from distributed ml.KMeans (~maxIter
+    // tiny cluster jobs per fit, paid by every IVF-family query) to the
+    // same collected-sample driver-local Lloyd's as the PQ codebooks — one
+    // bounded collect per fit. These budgets would be blown by dozens if a
+    // distributed fit ever came back.
+    val dir = "/root/testdata/sf0.001"
+    // measured at sf0.001: s05 6, s07 6, s08 7, s10 9 (each = sample
+    // collect + gate pipeline under AQE) + headroom for stage jitter
+    for ((name, budget) <- Seq(
+        "s05_cosine_topk_ivf" -> 10,
+        "s07_cosine_topk_ivf_int8" -> 10,
+        "s08_semantic_dedup" -> 11,
+        "s10_knn_graph" -> 13)) {
+      val jobs = countJobs {
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+        spark.catalog.clearCache()
+      }
+      info(s"$name jobs = $jobs (budget $budget)")
+      assert(jobs <= budget, s"$name fixed job count regressed: $jobs")
+    }
   }
 
   test("fused data-test run computes all counts in one action") {

@@ -73,10 +73,14 @@ class PlanSpec extends SparkSpec {
     assert(opt.toLowerCase.contains("aggregate"), s"no aggregate:\n$opt")
   }
 
-  test("brute-force top-k broadcasts the query side") {
+  test("brute-force top-k broadcasts the query side; rank aggregated not windowed") {
     val p = plan("s01_cosine_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side not broadcast:\n$p")
+    // the corpus scan funnels into the bounded-heap two-phase top-k, never
+    // a per-query window sort (the last single-reducer shape, closed in r8)
+    assert(!p.contains("Window"), s"window rank reappeared:\n$p")
+    assert(p.contains("partial_topkagg"), s"top-k agg not partial:\n$p")
   }
 
   test("IVF top-k: centroid assignment is shuffle-free, final rank aggregated") {

@@ -409,10 +409,17 @@ object TextOps {
     *
     * The keyword-extraction pass of a training-data pipeline (doc tagging,
     * topic sharding, relevance features). Scale shape: two hash aggregates
-    * — (doc, token) tf and token df, both map-side combined — a broadcast
-    * 1-row N, one join of tf against the (vocab-sized) df table. The only
-    * window partitions by document: its partition is the DOC's distinct
-    * tokens — bounded by document length, independent of corpus size.
+    * over the token stream — (doc, token) tf and token df, both map-side
+    * combined — a broadcast 1-row N, one join of tf against the
+    * (vocab-sized) df table. N (docs with ≥ 1 token) deliberately derives
+    * from the DOCS scan, not the token stream: `size(tokens) > 0` +
+    * distinct-count touches each doc row once with no explode — the
+    * stateless diamond re-derives branches, so the N branch should be the
+    * cheapest possible pass. (A persist of tf was tried and rejected:
+    * InMemoryRelation's columnar encode cost 9× the vectorized re-scans
+    * it saves.) The only window partitions by document: its partition is
+    * the DOC's distinct tokens — bounded by document length, independent
+    * of corpus size.
     * `tfidf` is rounded to 4 decimals for cross-engine hash stability
     * (ranks compare unrounded products of integers with a shared ln —
     * exact ties are integer-exact and break on the token). */
@@ -424,7 +431,8 @@ object TextOps {
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    val n = tf.agg(countDistinct(col(idCol)).cast("double").as("__N"))
+    val n = docs.filter(size(tokens(col(textCol))) > 0)
+      .agg(countDistinct(col(idCol)).cast("double").as("__N"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__tfidf").desc, col("token").asc)
     tf.join(df, Seq("token"))
@@ -443,35 +451,46 @@ object TextOps {
     * the retrieval scorer behind quality-targeted corpus selection
     * ("rank the crawl against a textbook-query profile").
     *
-    * Scale shape: the explode is filtered to the query terms BEFORE any
-    * aggregation (the scored stream is |terms|·docs-bounded, not
-    * token-count-bounded), per-doc tf and dl are map-side-combined hash
-    * aggregates, df/avgdl/N ride one broadcast row each, and the final
-    * top-`topN` is `orderBy.limit` = distributed TakeOrdered — no single
-    * reducer sees more than `topN` survivors per partition. */
+    * Scale shape: ONE corpus-scale hash aggregate computes, per document,
+    * dl AND a conditional tf per query term (|terms| is a small fixed
+    * list, so each term is a `sum(when(token = t, 1))` column — no
+    * explode-filter branch, no tf⋈dl join). That doc-scale, narrow
+    * (2+|terms| numerics) frame feeds the two consumers — a single 1-row
+    * aggregate carrying avgdl, N AND every per-term df (broadcast back),
+    * and the scoring projection — so the stateless diamond re-derives it
+    * twice, against FOUR corpus derivations in the old dl/tf/df shape
+    * (and no tf⋈dl join at all). The final top-`topN` is `orderBy.limit`
+    * = distributed TakeOrdered — no single reducer sees more than `topN`
+    * survivors per partition. */
   def bm25(docs: DataFrame, queryTerms: Seq[String], topN: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty && topN >= 1, "need query terms and topN >= 1")
+    val terms = queryTerms.distinct
     val toks = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
-    val stats = dl.agg(avg(col("__dl")).as("__avgdl"),
-      count(lit(1)).cast("double").as("__N"))
-    val tf = toks.filter(col("token").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(df), Seq("token"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)))
-      .withColumn("__w", col("__idf") * col("__tf") * (k1 + 1) /
-        (col("__tf") +
-          lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), max(col("__dl")).as("dl"),
-        round(sum(col("__w")), 4).as("bm25"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"__tf$i") }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(avg(col("__dl")).as("__avgdl"),
+      count(lit(1)).cast("double").as("__N") +: dfCols: _*)
+    val wCols = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val df = col(s"__df$i")
+      val idf = log(lit(1.0) + (col("__N") - df + 0.5) / (df + 0.5))
+      when(tf > 0, idf * tf * (k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val nTerms = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(nTerms > 0)
+      .select(col(idCol), nTerms.as("n_terms"), col("__dl").as("dl"),
+        round(wCols.reduce(_ + _), 4).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(topN)
   }

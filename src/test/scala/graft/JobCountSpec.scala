@@ -120,15 +120,16 @@ class JobCountSpec extends SparkSpec {
         "t14_url_canon" -> 4,
         "d10_decontaminate" -> 9,
         "d11_cap_sample" -> 7,
-        // t16 re-derives tf for the df build, the N count, and the join
-        // probe (stateless query, no cached intermediate): 3 map-side
-        // passes + AQE stage jobs, measured 11
-        "t16_tfidf_terms" -> 13,
+        // t16 derives the token stream twice (tf join probe + df build);
+        // the N branch is explode-free off the docs scan (r8) — measured
+        // 11. (A persist of tf was tried and rejected: the columnar
+        // encode cost 9× the re-scans it saves.)
+        "t16_tfidf_terms" -> 12,
         "t17_cms_counts" -> 8,
-        // t18: dl is derived twice (avgdl/N stats + the per-doc join) and
-        // tf feeds both df and the probe — same stateless re-derivation
-        // as t16; measured 12
-        "t18_bm25_rank" -> 14,
+        // t18 (r8): ONE fused per-doc aggregate (dl + conditional tf per
+        // term), stats diamond re-derives it once — measured 5, was 12
+        // in the dl/tf/df tri-derivation shape
+        "t18_bm25_rank" -> 6,
         "q30_approx_quantiles" -> 5,
         "mm05_image_ahash" -> 4)) {
       val jobs = countJobs {

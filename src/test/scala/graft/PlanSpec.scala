@@ -194,7 +194,7 @@ class PlanSpec extends SparkSpec {
       s"expected three partial aggregates:\n$p")
   }
 
-  test("tfidf: df-table join broadcast; only window partitions by document") {
+  test("tfidf: df join broadcast; N branch explode-free; one window by doc") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.llm.TextOps.tfidfTopTerms(docs, k = 3, minDf = 2)
       .queryExecution.explainString(SimpleMode)
@@ -204,6 +204,11 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"),
       s"df/N not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"tf stream shuffled for join:\n$p")
+    // r8: the N branch must NOT re-derive the token stream — it counts
+    // docs with size(tokens) > 0 off the docs scan, no explode. Only the
+    // tf and df branches explode (2, not 3).
+    assert("Generate explode".r.findAllIn(p).size == 2,
+      s"N branch re-derives the token stream:\n$p")
     // per-doc rank is legitimate (partition = one doc's vocabulary, bounded
     // by doc length): exactly one window, keyed by the doc id
     assert("Window \\[".r.findAllIn(p).size == 1, s"window count:\n$p")
@@ -227,18 +232,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"probe stream shuffled:\n$p")
   }
 
-  test("bm25: explode filtered before aggregation; stats ride broadcasts") {
+  test("bm25: one fused per-doc aggregate; stats ride a broadcast") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.llm.TextOps.bm25(docs, Seq("join", "scan"), topN = 10)
       .queryExecution.explainString(SimpleMode)
-    // the term filter must sit under the tf aggregate (scored stream is
-    // |terms|-bounded per doc), not after it
-    assert(p.contains("join,scan") || p.contains("join, scan"),
-      s"term filter missing from the plan:\n$p")
+    // r8 shape: dl + per-term conditional tf in ONE corpus-scale aggregate
+    // (sum(CASE WHEN token = t ...)); the old tri-derivation (dl twice,
+    // tf, df) scanned the corpus four times and joined tf⋈dl. The
+    // stateless diamond (stats + scoring) re-derives the per-doc frame
+    // exactly twice — a third scan means a branch regressed.
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"per-doc frame derivations changed:\n$p")
+    assert(p.contains("CASE WHEN") && p.contains("= join") &&
+      p.contains("= scan"), s"conditional tf columns missing:\n$p")
     assert(!p.contains("Window"), s"window appeared:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-N is not a distributed TakeOrdered:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join shuffled:\n$p")
+    // the 1-row stats frame rides a broadcast nested-loop cross join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$p")
   }
 
   test("mm05 aHash pair: single mapPartitions pass, no exchange") {

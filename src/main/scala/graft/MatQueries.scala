@@ -510,28 +510,39 @@ object MatQueries {
   /** Ingest-side streaming dedup — [[graft.streaming.Streaming.dedupStream]]
     * (`dropDuplicatesWithinWatermark`: bounded per-key state, watermark
     * eviction) driven AvailableNow over a file backlog carrying exact
-    * duplicates of every third event. Duplicates are co-located with their
-    * originals by hash-partitioning the source on the key before the write
-    * (same shard ⇒ same file lineage, exactly how an ingest pipeline
-    * arranges replays), and the watermark delay is sized to the backlog's
-    * disorder: the files are hash-split, not time-ordered, so a tight
-    * horizon would mark whole batches late and DROP them (observed: a
-    * "1 hour" horizon kept 4 970 of 10 000 rows). In production the
-    * horizon is the replay window; here that is the dataset's time span.
-    * Final parquet state must equal the duplicate-free source, row for
-    * row. */
+    * duplicates of every third event. The backlog is TIME-ORDERED
+    * (`repartitionByRange` on the event time → file k = time slab k, and
+    * the file source drains slabs in order), which is how a replayed
+    * ingest log actually arrives; a duplicate carries its original's
+    * timestamp, so the range partitioner co-slabs the pair and the state
+    * needed to drop it is always live. That lets the watermark be a
+    * REALISTIC 1-hour replay horizon — the watermark advances slab by
+    * slab and evicts state behind it, so the bounded-per-key-state
+    * property is genuinely exercised (an r7 version hash-partitioned the
+    * backlog and needed a 3650-day horizon = no eviction at all;
+    * DedupDisorderProbe pins the drop/keep semantics when disorder DOES
+    * exceed the horizon). Final parquet state must equal the
+    * duplicate-free source, row for row. */
   private def m18(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
     val withDups = base.union(base.filter(col("event_id") % 3 === 0))
-      .repartition(4, col("event_id"))
+      .repartitionByRange(4, col("ts"), col("event_id"))
     val srcDir = java.nio.file.Files.createTempDirectory("g_m18_src")
     withDups.write.mode("overwrite").parquet(s"$srcDir/data")
+    // the file source drains by MODIFICATION TIME, and a parallel write
+    // leaves all slabs with the same mtime (arbitrary tie order) — stamp
+    // part-k with an increasing mtime so slab order IS time order, like a
+    // real ingest log where the day-k file lands on day k
+    new java.io.File(s"$srcDir/data").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified((i + 1) * 600000L) }
     val stream = s.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/data")
     val deduped = graft.streaming.Streaming.dedupStream(
-      stream, "ts", "3650 days", Seq("event_id"))
+      stream, "ts", "1 hour", Seq("event_id"))
     val outDir = java.nio.file.Files.createTempDirectory("g_m18_out")
     val ckpt = java.nio.file.Files.createTempDirectory("g_m18_ckpt")
     graft.streaming.Streaming.runToCompletion(

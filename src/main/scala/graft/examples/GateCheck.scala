@@ -1,0 +1,54 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+/** Re-proves every SELF-VERIFYING query's in-query gate at an arbitrary
+  * scale directory: runs each gated query and asserts every BOOLEAN
+  * column (the recall/error/bound gates all surface as booleans —
+  * recall_ok, est_ok, superset_ok, …) is true on every row. Used for the
+  * sf1 rehearsal, where the DuckDB oracle doesn't run but the gates must
+  * still hold with dials unchanged.
+  * Run: sbt 'runMain graft.examples.GateCheck <sfDir> [query...]'. */
+object GateCheck {
+  val gated = Seq(
+    "d02_minhash_lsh_pairs", "d03_simhash_pairs", "d12_bloom_decontaminate",
+    "q17_hll_sketches", "q30_approx_quantiles",
+    "s02_cosine_topk_lsh", "s04_embed_neardup_lsh", "s05_cosine_topk_ivf",
+    "s07_cosine_topk_ivf_int8", "s08_semantic_dedup", "s09_cosine_topk_ivf_pq",
+    "s10_knn_graph", "s11_cosine_topk_jl",
+    "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
+    "mm05_image_ahash")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val names = if (args.length > 1) args.drop(1).toSeq else gated
+    val spark = graft.Verify.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    var bad = 0
+    for (name <- names) {
+      val t0 = System.nanoTime()
+      val out = graft.SparkEntry.queries(name)(spark, dir)
+      val boolCols = out.schema.fields
+        .filter(_.dataType == BooleanType).map(_.name).toSeq
+      if (boolCols.isEmpty)
+        println(f"[gate] $name%-26s NO boolean gate column — check manually")
+      else {
+        val fails = out
+          .filter(boolCols.map(c => !coalesce(col(c), lit(false)))
+            .reduce(_ || _))
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val verdict = if (fails == 0) "GREEN" else s"RED ($fails rows)"
+        println(f"[gate] $name%-26s ${boolCols.mkString(",")}%-22s " +
+          f"$verdict%-12s $dt%6.1f s")
+        if (fails > 0) bad += 1
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"[gate] ${names.size} queries checked, $bad red")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -122,14 +122,43 @@ object Similarity {
     val vd = col(vecCol).cast(
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
+    // NB: the explicit Seq[Double] type argument matters — an inferred
+    // IndexedSeq tag has no encoder and typedlit falls back to an
+    // unsupported plain Literal at runtime
     val rows = (0 until outDim).map { j =>
-      typedlit((0 until dim).map { i =>
+      typedlit[Seq[Double]]((0 until dim).map { i =>
         if ((mix(salt ^ (j.toLong << 32) ^ i.toLong) & 1L) == 0L) scale
         else -scale
-      })
+      }.toList)
     }
     df.withColumn(outCol,
       array(rows.map(r => graft.functions.DotDouble(vd, r)): _*))
+  }
+
+  /** JL random-projection ANN prefilter top-k: both sides are
+    * [[randomProject]]-ed `dim → outDim` (outDim ≪ dim — the scan
+    * arithmetic/bandwidth dial), the best `rerank·k` candidates per query
+    * are selected on PROJECTED cosine (JL preserves inner products within
+    * `O(√(1/outDim))` distortion), and only those survivors are re-scored
+    * at full width ([[rerankExact]]: bounded-heap TopKAgg + broadcast
+    * candidate join — the corpus is never shuffled). A true top-k member
+    * is lost only if projection distortion pushes it out of the top
+    * `rerank·k`; with `rerank·k ≥` corpus size the output is exactly
+    * [[bruteForceTopK]]'s (spec-pinned). Unlike LSH/IVF there is no
+    * bucketing state at all — the prefilter is a pure projection, so this
+    * is the simplest scale path when queries ≪ corpus. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      outDim: Int, rerank: Int = 4, salt: Long = 0x675f72616e647072L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= 1, "rerank >= 1")
+    val cp = randomProject(corpus, dim, outDim, vecCol, "__p", salt)
+      .select(col(idCol).as("corpus_id"), col("__p"))
+    val qp = randomProject(queries, dim, outDim, vecCol, "__p", salt)
+      .select(col(idCol).as("query_id"), col("__p").as("__qp"))
+    val approx = cp.crossJoin(broadcast(qp))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__qp"), col("__p")).as("ascore"))
+    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
   }
 
   // ------------------------------------------------------------- LSH variant

@@ -128,6 +128,35 @@ class RecallSpec extends SparkSpec {
     assert(all == bf)
   }
 
+  test("JL prefilter + re-rank: recall bound, and exact under total coverage") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    // 64 → 32 dims, top rerank·k = 80 projected candidates re-scored at
+    // full width. Uniform embeddings are the JL worst case (no cluster
+    // margin between true neighbors and the pack) — JlDialProbe measures
+    // 0.76 at sf0.001 with these dials; the s11 gate is 0.6.
+    val got = Similarity.jlTopK(emb, q, k = 5, dim = 64, outDim = 32,
+      rerank = 16)
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id"))
+    val r = rows(got.select("query_id", "corpus_id")).toSet
+      .intersect(exact.toSet).size.toDouble / exact.size
+    info(f"jl recall = $r%.3f")
+    assert(r >= 0.6, f"JL prefilter recall $r%.3f below the s11 gate bound")
+    // total coverage: rerank·k ≥ corpus ⇒ the projection only ORDERS
+    // candidates and the exact re-rank restores full precision — output
+    // must be row-identical to brute force including tie-breaks
+    val n = emb.count().toInt
+    val all = rows(Similarity.jlTopK(emb, q, k = 5, dim = 64, outDim = 16,
+        rerank = n / 5 + 1)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    val bf = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    assert(all == bf)
+  }
+
   test("IVF-PQ + ADC re-rank: recall bound, and exact under total coverage") {
     val emb = Tables.t(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" < 10)

@@ -73,12 +73,14 @@ object Bench {
       canarySeries += (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
     }
-    // one untimed warm-up so the baseline sample isn't codegen-inflated
-    // (first f01 measured 0.65 s vs 0.12 s steady — that 5× would trip the
-    // drift test on every single run)
-    try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
-    catch { case _: Throwable => () }
-    spark.catalog.clearCache()
+    // two untimed warm-ups so the baseline sample isn't codegen-inflated
+    // (first f01 measured 0.65-0.88 s vs 0.15 s steady — that would trip
+    // the drift test on every single run)
+    (1 to 2).foreach { _ =>
+      try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     runCanary() // baseline sample before the measured suite
     var sinceCanary = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -122,10 +124,13 @@ object Bench {
     runCanary() // closing sample after the measured suite
     // >2× swing vs the series MEDIAN (above an absolute floor) = the
     // environment moved under the run; the canary's plan is constant by
-    // construction, so only the host can move it
-    val hostDrift = canarySeries.size >= 3 && {
-      val med = canarySeries.sorted.apply(canarySeries.size / 2)
-      canarySeries.max > 2 * med && canarySeries.max - med > 0.3
+    // construction, so only the host can move it. The baseline sample is
+    // recorded for context but EXCLUDED from the trip decision — it
+    // systematically carries residual JIT even after the warm-ups.
+    val hostDrift = canarySeries.size >= 4 && {
+      val s = canarySeries.drop(1)
+      val med = s.sorted.apply(s.size / 2)
+      s.max > 2 * med && s.max - med > 0.3
     }
     if (hostDrift) System.err.println(
       f"[bench] HOST DRIFT: canary ${canarySeries.min}%.2f-" +

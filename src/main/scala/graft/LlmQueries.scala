@@ -1284,6 +1284,41 @@ object LlmQueries {
       |FROM test CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------- t21 bigram-LM order scoring
+
+  /** Bigram-LM transition scoring — [[TextOps.bigramModel]]/
+    * [[TextOps.bigramLogProb]], same held-out split as t12 (fit on
+    * doc_id % 10 ≠ 0, score the rest): the unigram t12 scores WHAT words
+    * a document uses, this scores the ORDER they come in. The oracle
+    * recomputes the pair explode, both vocab-sized aggregates, the
+    * Laplace-smoothed conditional, and the rounded per-doc mean. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = TextOps.bigramModel(docs.filter(col("doc_id") % 10 =!= 0))
+    TextOps.bigramLogProb(docs.filter(col("doc_id") % 10 === 0), model)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t21Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+      |  FROM toks, unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
+      |model AS (SELECT t1, t2, COUNT(*) AS n FROM bg
+      |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |ctx AS (SELECT t1, CAST(SUM(n) AS DOUBLE) AS cn FROM model GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT t2) AS DOUBLE) AS v FROM model),
+      |test AS (SELECT b.doc_id, COALESCE(m.n, 0) AS n, COALESCE(c.cn, 0) AS cn
+      |  FROM bg b LEFT JOIN model m USING (t1, t2)
+      |  LEFT JOIN ctx c USING (t1)
+      |  WHERE b.doc_id % 10 = 0)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(AVG(-ln((n + 1.0) / (cn + 1.0 * (v + 1)))), 4) AS avg_nll
+      |FROM test CROSS JOIN vv
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------ t13 cross-document line dedup
 
   /** CCNet-style line dedup — [[TextOps.dedupSegments]] over the near-dup
@@ -1621,6 +1656,63 @@ object LlmQueries {
       |  TRUE AS ok_bounded, TRUE AS ok_self_similar
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- t20 Gopher-style quality rules
+
+  /** Gopher/MassiveText-style composite rule filter
+    * ([[TextOps.gopherRules]]) — every rule its own boolean column plus
+    * the conjunction, fully reproduced by the oracle (all ratios are
+    * single IEEE divisions of integer counts; the regex classes live in
+    * the Java∩RE2 shared subset). Dials are corpus-appropriate so every
+    * rule SPLITS rather than uniformly passing or failing: minWords 20
+    * (the synthetic docs are short) and the function-word list drawn from
+    * the corpus register ("the"/"a"/"data"/"table") — with the English
+    * defaults, r_stopwords failed all 500 docs and `pass` carried no
+    * signal. */
+  private def t20(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(t(s, dir, "documents"), minWords = 20,
+        stopList = Seq("the", "a", "data", "table"))
+      .orderBy(col("doc_id"))
+
+  private val t20Sql =
+    """WITH d AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
+      |    regexp_split_to_array(text, '\n') AS ln
+      |  FROM documents),
+      |m AS (SELECT doc_id, len(tk) AS nw,
+      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+      |      CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+      |        / len(tk) END AS mean_len,
+      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+      |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+      |        AS DOUBLE) / len(tk) END AS alpha_frac,
+      |    CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]')))
+      |      AS DOUBLE) / len(ln) AS bullet_frac,
+      |    CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+      |      AS DOUBLE) / len(ln) AS ellipsis_frac,
+      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+      |      CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      |        / len(tk) END AS symbol_ratio,
+      |    (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END) AS stop_hits
+      |  FROM d),
+      |r AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+      |    round(mean_len, 6) AS mean_word_len,
+      |    nw > 0 AND nw BETWEEN 20 AND 100000 AS r_word_count,
+      |    nw > 0 AND mean_len BETWEEN 3 AND 10 AS r_mean_word_len,
+      |    nw > 0 AND alpha_frac >= 0.8 AS r_alpha_words,
+      |    nw > 0 AND bullet_frac <= 0.9 AS r_bullet_lines,
+      |    nw > 0 AND ellipsis_frac <= 0.3 AS r_ellipsis_lines,
+      |    nw > 0 AND symbol_ratio < 0.1 AS r_symbol_ratio,
+      |    nw > 0 AND stop_hits >= 2 AS r_stopwords
+      |  FROM m)
+      |SELECT *, r_word_count AND r_mean_word_len AND r_alpha_words AND
+      |    r_bullet_lines AND r_ellipsis_lines AND r_symbol_ratio AND
+      |    r_stopwords AS pass
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ t04 PII redaction
 
   /** Seed every doc with synthetic PII (email, IPv4, phone derived from
@@ -1706,6 +1798,8 @@ object LlmQueries {
     "t17_cms_counts" -> (t17 _),
     "t18_bm25_rank" -> (t18 _),
     "t19_compress_signal" -> (t19 _),
+    "t20_quality_rules" -> (t20 _),
+    "t21_bigram_logprob" -> (t21 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1761,5 +1855,7 @@ object LlmQueries {
     "t16_tfidf_terms" -> t16Sql,
     "t17_cms_counts" -> t17Sql,
     "t18_bm25_rank" -> t18Sql,
-    "t19_compress_signal" -> t19Sql)
+    "t19_compress_signal" -> t19Sql,
+    "t20_quality_rules" -> t20Sql,
+    "t21_bigram_logprob" -> t21Sql)
 }

@@ -524,6 +524,67 @@ object TextOps {
           .otherwise(lit(0.0)).as("simpson"),
         col("n_hapax"))
 
+  // ------------------------------------ Gopher-style quality rule filter
+
+  /** Composite document-quality rule filter in the style of the Gopher /
+    * MassiveText heuristics (Rae et al. 2021, table A1 — public): a
+    * document passes when ALL of
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10] characters
+    *   - ≥ 80% of words contain at least one a–z character
+    *   - ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *   - ≤ 30% of lines end with an ellipsis (`...` / `…`)
+    *   - symbol-to-word ratio (`#` + ellipses per word) < 0.1
+    *   - at least `minStopHits` distinct words of `stopList` present (the
+    *     "does it look like language" rule — the list is a dial because a
+    *     corpus's function words depend on its register/language)
+    * Every rule is emitted as its own boolean column (a pipeline tunes
+    * and audits rules individually) plus the conjunction `pass`. One pure
+    * projection — array/regex expressions over the token and line splits,
+    * no joins, no shuffle, per-row at any scale. All ratios are single
+    * IEEE divisions of integer counts — engine-exact, oracle-reproducible. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000,
+      stopList: Seq[String] = stopwords("en").take(8),
+      minStopHits: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nWords = size(tk).cast("long")
+    val meanLen = aggregate(tk, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(tk, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac = size(filter(lines,
+        l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / nLines.cast("double")
+    val symbols = regexp_count(col(textCol), lit("#|\\.\\.\\.|…"))
+      .cast("long")
+    val symbolRatio = symbols.cast("double") / nWords.cast("double")
+    val stopHits = stopList.distinct
+      .map(s => when(array_contains(tk, s), 1).otherwise(0))
+      .reduce(_ + _)
+    val rules = Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_alpha_words" -> (alphaFrac >= 0.8),
+      "r_bullet_lines" -> (bulletFrac <= 0.9),
+      "r_ellipsis_lines" -> (ellipsisFrac <= 0.3),
+      "r_symbol_ratio" -> (symbolRatio < 0.1),
+      "r_stopwords" -> (stopHits >= minStopHits))
+    val guarded = rules.map { case (n, c) =>
+      n -> when(nWords === 0, lit(false)).otherwise(c) }
+    docs.select(
+      (col(idCol) +: nWords.as("n_words") +:
+        round(when(nWords === 0, lit(0.0)).otherwise(meanLen), 6)
+          .as("mean_word_len") +:
+        guarded.map { case (n, c) => c.as(n) }) :+
+        guarded.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
   // --------------------------------------- unigram LM perplexity scoring
 
   /** Unigram language model fit on a REFERENCE corpus: one row per token
@@ -560,6 +621,61 @@ object TextOps {
           (col("__T").cast("double") + (col("__V") + 1) * alpha))).as("__nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__nll")), 4).as("avg_nll"))
+  }
+
+  /** Adjacent token pairs of a token-array column: `zip(tk, tk.tail)` as
+    * `(t1, t2)` structs — empty for documents under 2 tokens. */
+  private def bigramsOf(tk: Column): Column =
+    zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => struct(a.as("t1"), b.as("t2")))
+
+  /** Bigram language model fit on a REFERENCE corpus: one row per
+    * adjacent token pair with its count. Same 100 TB shape as
+    * [[unigramModel]] — ONE map-side-combined aggregate whose output is
+    * bigram-vocab-sized, materialized once and reused across target
+    * corpora. */
+  def bigramModel(ref: DataFrame, textCol: String = "text"): DataFrame =
+    ref.select(explode(bigramsOf(tokens(col(textCol)))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n"))
+
+  /** Mean negative log-probability of each document's BIGRAMS under a
+    * reference bigram model — the second-order sibling of
+    * [[unigramLogProb]]: a unigram LM scores vocabulary fluency, this
+    * scores local word ORDER (scrambled or templated text keeps its
+    * vocabulary but loses its transitions). Laplace-`alpha` smoothing on
+    * the conditional: `p(t2|t1) = (n₁₂ + α) / (ctx₁ + α(V+1))`, where
+    * `ctx₁ = Σ_w n(t1,w)` (the model's own context totals — no separate
+    * unigram fit needed) and `V` counts distinct successor types, with
+    * one virtual slot for unseen successors. Unseen CONTEXTS degrade to
+    * the uniform `α / α(V+1)` — maximal surprise, which is the point.
+    *
+    * Scale shape: context totals are a second vocab-sized aggregate OF
+    * THE MODEL (not the corpus); scoring is explode → two hash joins
+    * (model + contexts, both vocab-sized → broadcast) → per-doc average.
+    * No windows, no quadratic step. `avg_nll` rounds to 4 decimals for
+    * cross-engine summation-order stability. Documents with < 2 tokens
+    * produce no row. */
+  def bigramLogProb(docs: DataFrame, model: DataFrame, alpha: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(alpha > 0, "alpha > 0")
+    val ctx = model.groupBy(col("t1")).agg(sum(col("n")).as("__cn"))
+    val v = model.agg(countDistinct(col("t2")).as("__V"))
+    docs.select(col(idCol),
+        explode(bigramsOf(tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .join(model, Seq("t1", "t2"), "left")
+      .join(ctx, Seq("t1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        (-log((coalesce(col("n"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("__cn"), lit(0L)).cast("double") +
+            (col("__V") + 1) * alpha))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__nll")), 4).as("avg_nll"))
   }
 

@@ -131,6 +131,10 @@ class JobCountSpec extends SparkSpec {
         // in the dl/tf/df tri-derivation shape
         "t18_bm25_rank" -> 6,
         "q30_approx_quantiles" -> 5,
+        "t20_quality_rules" -> 4,
+        // t21: bigram model + ctx + V aggregates + score join (t12's
+        // shape with one extra vocab-sized aggregate)
+        "t21_bigram_logprob" -> 10,
         "mm05_image_ahash" -> 4)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)

@@ -581,6 +581,63 @@ class LlmSpec extends SparkSpec {
       s"big stratum should thin toward ~295: $out")
   }
 
+  test("bigramLogProb: hand-computed smoothed conditionals, order sensitivity") {
+    import graft.llm.TextOps
+    // reference: "a b a b a" -> bigrams ab, ba, ab, ba -> n(a,b)=2, n(b,a)=2
+    // ctx(a)=2, ctx(b)=2, V = |{a,b}| = 2
+    val ref = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val model = TextOps.bigramModel(ref)
+    val got = model.as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 2L)))
+    // targets: in-order text scores LOW, scrambled pairs score HIGH,
+    // single-token and empty docs produce no row
+    val docs = Seq(
+      (10L, "a b a"),      // bigrams ab, ba: seen
+      (11L, "b b a a"),    // bb (unseen succ), ba (seen), aa (unseen)
+      (12L, "a"), (13L, "")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs, model, alpha = 1.0)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    def nll(n: Long, cn: Long) = -math.log((n + 1.0) / (cn + 3.0))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out.map(_._1).toSeq == Seq(10L, 11L))
+    assert(out(0) == ((10L, 2L, r4((nll(2, 2) + nll(2, 2)) / 2))))
+    assert(out(1) == ((11L, 3L,
+      r4((nll(0, 2) + nll(2, 2) + nll(0, 2)) / 3))))
+    // order sensitivity: the in-order doc is strictly more probable
+    assert(out(0)._3 < out(1)._3)
+  }
+
+  test("gopherRules: each rule pinned on constructed documents") {
+    val good = (Seq("the", "quick", "brown", "fox", "jumps", "over", "it",
+      "and") ++ (1 to 20).map(i => s"word$i")).mkString(" ")   // 28 words
+    val docs = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "short text"),                           // < 20 words
+      (3L, ("the it and " + Seq.fill(25)("#x#").mkString(" "))), // symbols
+      (4L, (1 to 30).map(_ => "12345").mkString(" ")), // no alpha words
+      (5L, ""),                                     // empty -> all false
+      (6L, (1 to 15).map(i => s"- bullet line $i the it\n").mkString) // bullets
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.gopherRules(docs, minWords = 20)
+      .orderBy($"doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[Boolean]("pass"), s"doc1 should pass: ${row(0)}")
+    assert(!row(1).getAs[Boolean]("r_word_count") &&
+      !row(1).getAs[Boolean]("pass"))
+    assert(!row(2).getAs[Boolean]("r_symbol_ratio"), s"${row(2)}")
+    assert(!row(3).getAs[Boolean]("r_alpha_words") &&
+      !row(3).getAs[Boolean]("r_stopwords"))
+    // empty doc: every rule false, n_words 0, mean_word_len 0
+    assert(row(4).getAs[Long]("n_words") == 0L &&
+      row(4).getAs[Double]("mean_word_len") == 0.0 &&
+      !row(4).getAs[Boolean]("pass"))
+    // 15 of 16 lines (the split's trailing empty counts) start with '-':
+    // 0.9375 > 0.9 -> bullet rule fails; word count (90) and stopwords pass
+    assert(!row(5).getAs[Boolean]("r_bullet_lines"), s"${row(5)}")
+    assert(row(5).getAs[Boolean]("r_word_count") &&
+      row(5).getAs[Boolean]("r_stopwords"))
+  }
+
   test("compression signal: repetition compresses, doubling is near-free") {
     import graft.llm.CompressionSignal
     val rep = "ab" * 500                       // maximally self-similar

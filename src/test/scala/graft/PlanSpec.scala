@@ -253,6 +253,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$p")
   }
 
+  test("gopherRules: one projection — no exchange, no join, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.llm.TextOps.gopherRules(docs, minWords = 20)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"rule filter is not a pure projection:\n$p")
+  }
+
   test("mm05 aHash pair: single mapPartitions pass, no exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter("doc_id < 50")

@@ -279,22 +279,97 @@ object Similarity {
     * shape shuffled corpus×nlist rows just to pick each row's max — at
     * 100 TB and nlist=1024 a ~PB exchange for a per-row argmax. Returns
     * (centroid_id, corpus_id, c_vec). */
-  private def assignToCentroids(corpus: DataFrame,
+  private[graft] def assignToCentroids(corpus: DataFrame,
       centroids: Seq[(Int, Seq[Double])], idCol: String,
       vecCol: String): DataFrame = {
+    val integralId = corpus.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (centroids.size >= BulkNlistThreshold && integralId)
+      return assignTopCentroidsBulk(corpus, centroids, 1, idCol, vecCol)
     val best = array_max(array(centroidSimStructs(centroids)(col(vecCol)): _*))
     corpus.select(
       (-best.getField("negid")).as("centroid_id"),
       col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
   }
 
+  /** Above this many centroids the plan-literal argmax projection stops
+    * being the right shape: every centroid is an expression-tree literal,
+    * so plan size, codegen width, and per-task interpretation all grow
+    * with nlist — fine to ~10³ lists, hostile at the 10⁴–10⁵ a 100 TB
+    * corpus wants. Past the threshold, assignment switches to
+    * [[assignTopCentroidsBulk]]. */
+  private val BulkNlistThreshold = 512
+
+  /** Exact mirror of [[graft.functions.CosineSimilarity]]'s arithmetic
+    * (same accumulation order, zero-norm → 0) so the bulk path is
+    * bit-identical to the projection path. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Literal-free top-`n` nearest-centroid assignment for LARGE nlist:
+    * the centroid matrix rides a BROADCAST VARIABLE and the per-row
+    * argmax/top-n runs in one `mapPartitions` pass (the justified
+    * mapPartitions case — no Catalyst expression can scan a 10⁵-row
+    * matrix without materializing it in the plan). Still ZERO shuffle —
+    * a narrow pass over the corpus scan, like the projection form — and
+    * row-identical to it: same cosine arithmetic ([[cosineLocal]]), same
+    * (sim desc, centroid_id asc) tie-break (spec-pinned equivalence).
+    * Ids must be integral (cast to long); vectors surface as
+    * `array<double>` — float inputs widen exactly, so downstream scores
+    * are unchanged. */
+  private[graft] def assignTopCentroidsBulk(df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], n: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      centroids.map { case (i, v) => (i, v.toArray) }.toArray)
+    val in = df.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val outSchema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("corpus_id", LongType),
+      StructField("c_vec", ArrayType(DoubleType))))
+    val rdd = in.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { row =>
+        if (row.isNullAt(1)) Iterator.empty
+        else {
+          val vec = row.getSeq[Double](1).toArray
+          val top = cs.map { case (ci, cv) => (cosineLocal(vec, cv), ci) }
+            .sortBy { case (s, ci) => (-s, ci) }.take(n)
+          top.iterator.map { case (_, ci) =>
+            Row(ci, row.get(0), row.getSeq[Double](1)) }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Top-`n` nearest centroids per row — the multi-assignment sibling of
     * [[assignToCentroids]], same shuffle-free shape: per-row descending
     * sort of the bounded struct array, slice, explode (n rows per input
-    * row). Returns (centroid_id, corpus_id, c_vec). */
-  private def assignTopCentroids(df: DataFrame,
+    * row). Returns (centroid_id, corpus_id, c_vec). Routes to the
+    * broadcast-variable [[assignTopCentroidsBulk]] past
+    * [[BulkNlistThreshold]] centroids (integral ids only — the id cast
+    * is lossless there; non-integral ids stay on the literal path). */
+  private[graft] def assignTopCentroids(df: DataFrame,
       centroids: Seq[(Int, Seq[Double])], n: Int, idCol: String,
       vecCol: String): DataFrame = {
+    val integralId = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (centroids.size >= BulkNlistThreshold && integralId)
+      return assignTopCentroidsBulk(df, centroids, n, idCol, vecCol)
     val sortedCents = array_sort(
       array(centroidSimStructs(centroids)(col(vecCol)): _*),
       (l, r) => when(l.getField("sim") > r.getField("sim"), -1)

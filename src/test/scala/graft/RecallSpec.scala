@@ -322,4 +322,52 @@ class RecallSpec extends SparkSpec {
     info(f"nearDupPairs recall: 1 table = $r1%.3f, 4 tables = $r4%.3f")
     assert(r4 >= 0.6 && r4 > r1)
   }
+
+  // ---- large-nlist bulk centroid assignment (broadcast-variable path) ----
+
+  private def centroidsFrom(df: DataFrame, n: Int): Seq[(Int, Seq[Double])] =
+    df.filter($"vec_id" < n)
+      .select($"vec_id".cast("int"), $"embedding".cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+
+  test("bulk centroid assignment is row-identical to the literal path") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val cents = centroidsFrom(emb, 16)
+    def key(df: DataFrame) = df
+      .select($"centroid_id".cast("int"), $"corpus_id".cast("long"))
+      .as[(Int, Long)].collect().sorted.toSeq
+    // n=1: assignToCentroids (literal argmax) vs bulk
+    assert(key(Similarity.assignToCentroids(emb, cents, "vec_id", "embedding"))
+      == key(Similarity.assignTopCentroidsBulk(emb, cents, 1, "vec_id", "embedding")))
+    // n=3: assignTopCentroids (literal sort/slice/explode) vs bulk
+    assert(key(Similarity.assignTopCentroids(emb, cents, 3, "vec_id", "embedding"))
+      == key(Similarity.assignTopCentroidsBulk(emb, cents, 3, "vec_id", "embedding")))
+  }
+
+  test("nlist >= 512 auto-routes assignment off the plan-literal path") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    // 500 corpus vectors + 12 perturbed copies = 512 centroids
+    val cents512 = {
+      val base = centroidsFrom(emb, 500)
+      base ++ base.take(12).map { case (i, v) =>
+        (i + 500, v.map(_ + 0.01)) }
+    }
+    val routed = Similarity.assignTopCentroids(emb, cents512, 2,
+      "vec_id", "embedding")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "512-centroid assignment should ride the broadcast-variable path")
+    // the plan must not embed the centroid matrix as literals
+    assert(plan.length < 20000, s"plan blew up to ${plan.length} chars")
+    // and it agrees with the literal expression path built directly
+    def key(df: DataFrame) = df
+      .select($"centroid_id".cast("int"), $"corpus_id".cast("long"))
+      .as[(Int, Long)].collect().sorted.toSeq
+    val literal = Similarity.assignTopCentroids(emb, cents512.take(511), 2,
+      "vec_id", "embedding")
+    val bulk511 = Similarity.assignTopCentroidsBulk(emb, cents512.take(511), 2,
+      "vec_id", "embedding")
+    assert(key(literal) == key(bulk511),
+      "literal and bulk paths disagree at nlist=511")
+  }
 }

@@ -26,18 +26,35 @@ object Streaming {
     spark.readStream.schema(schema).parquet(path)
   }
 
+  /** Spark's event-time machinery (`withWatermark`, time-interval state
+    * eviction) requires TIMESTAMP; naive parquet event times surface as
+    * TIMESTAMP_NTZ. With the session pinned to UTC the cast is a lossless
+    * wall-clock reinterpretation, so stateful operators cast NTZ inputs up
+    * front and restore the source type on output — the operator stays
+    * type-transparent to callers and to the oracle (DuckDB reads the same
+    * naive parquet as plain TIMESTAMP). */
+  private def isNtz(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType
+
+  private def asEventTime(df: DataFrame, c: String): DataFrame =
+    if (isNtz(df, c)) df.withColumn(c, col(c).cast("timestamp")) else df
+
   /** Watermarked sliding/tumbling windowed aggregation over an event stream:
-    * (window_start, window_end, event_type, n, total_value). */
+    * (window_start, window_end, event_type, n, total_value). Window bounds
+    * come back in the source column's timestamp flavor. */
   def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
-      windowLen: String): DataFrame =
-    events
+      windowLen: String): DataFrame = {
+    val ntz = isNtz(events, tsCol)
+    val boundTpe = if (ntz) "timestamp_ntz" else "timestamp"
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
+      .select(col("window.start").cast(boundTpe).as("window_start"),
+        col("window.end").cast(boundTpe).as("window_end"),
         col("event_type"), col("n"), col("total_value"))
+  }
 
   /** Streaming microbatch: each micro-batch dynamic-overwrites the
     * partitions it touches — identical final state to the batch
@@ -245,9 +262,12 @@ object Streaming {
     * dedup for training-data pipelines (unbounded-state `dropDuplicates`
     * on a stream would OOM; the watermark bound is what scales). */
   def dedupStream(events: DataFrame, tsCol: String, watermark: String,
-      keys: Seq[String]): DataFrame =
-    events.withWatermark(tsCol, watermark)
+      keys: Seq[String]): DataFrame = {
+    val ntz = isNtz(events, tsCol)
+    val out = asEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+    if (ntz) out.withColumn(tsCol, col(tsCol).cast("timestamp_ntz")) else out
+  }
 
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key whose timestamp lies in
@@ -263,15 +283,20 @@ object Streaming {
       df.columns.foldLeft(df) { (d, c) =>
         if (c == key || c == tsCol) d else d.withColumnRenamed(c, p + c)
       }
-    val l = tagged(left, "l_").withColumnRenamed(tsCol, "l_ts")
-      .withWatermark("l_ts", watermark)
-    val r = tagged(right, "r_").withColumnRenamed(key, "r_key")
-      .withColumnRenamed(tsCol, "r_ts").withWatermark("r_ts", watermark)
-    l.join(r,
+    val l = asEventTime(tagged(left, "l_").withColumnRenamed(tsCol, "l_ts"),
+      "l_ts").withWatermark("l_ts", watermark)
+    val r = asEventTime(tagged(right, "r_").withColumnRenamed(key, "r_key")
+      .withColumnRenamed(tsCol, "r_ts"), "r_ts")
+      .withWatermark("r_ts", watermark)
+    val joined = l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
       .drop("r_key")
+    if (isNtz(left, tsCol))
+      joined.withColumn("l_ts", col("l_ts").cast("timestamp_ntz"))
+        .withColumn("r_ts", col("r_ts").cast("timestamp_ntz"))
+    else joined
   }
 
   /** Batch twin of `intervalJoin` (same shape, no watermarks). */

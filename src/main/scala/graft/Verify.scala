@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -22,6 +22,54 @@ object Verify {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Run one query and dump it under `outDir/<name>`. A THROWN query must
+    * stay visible: it leaves an (otherwise parquet-less) output dir holding
+    * `_error.txt`, so the checker sees an explicit NOOUT/err row instead of
+    * a silently shorter query list (the round-8 q26 escape). Returns the
+    * error message, if any. */
+  def runOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String, outDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+      System.err.println(s"[verify] $name failed: $msg")
+      val d = Paths.get(outDir, name)
+      try {
+        Files.createDirectories(d)
+        // clear stale parquet from a previous successful run: a dir with
+        // both an old result and _error.txt would read as a (stale) pass
+        Files.list(d).forEach { p =>
+          if (p.getFileName.toString != "_error.txt") {
+            if (Files.isDirectory(p))
+              Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+                .forEach(Files.delete(_))
+            else Files.delete(p)
+          }
+        }
+        Files.writeString(d.resolve("_error.txt"), msg + "\n")
+      } catch { case io: Throwable =>
+        System.err.println(s"[verify] $name: cannot write error artifact: $io")
+      }
+      Some(msg)
+    }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,31 +79,22 @@ object Verify {
     // optional comma-separated name filter for local iteration on one query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        runOne(spark, name, fn, sfDir, outDir).foreach(errors(name) = _)
+        spark.catalog.clearCache() // see Bench: bound per-query cache growth
       }
-      spark.catalog.clearCache() // see Bench: bound per-query cache growth
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure roll-up next to oracle_sql.json: the checker
+    // cross-references it so EXPECTED−ACTUAL drift is always explained
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

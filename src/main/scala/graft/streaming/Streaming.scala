@@ -37,7 +37,16 @@ object Streaming {
     df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType
 
   private def asEventTime(df: DataFrame, c: String): DataFrame =
-    if (isNtz(df, c)) df.withColumn(c, col(c).cast("timestamp")) else df
+    if (isNtz(df, c)) {
+      // lossless only under UTC: NTZ→TIMESTAMP interprets the naive wall
+      // clock in the session zone. The repo's entry points pin UTC; a
+      // misconfigured caller must fail loudly, not get shifted results.
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"NTZ event-time operators require spark.sql.session.timeZone=UTC " +
+          s"(got '$tz'): the NTZ->TIMESTAMP cast would shift wall clocks")
+      df.withColumn(c, col(c).cast("timestamp"))
+    } else df
 
   /** Watermarked sliding/tumbling windowed aggregation over an event stream:
     * (window_start, window_end, event_type, n, total_value). Window bounds
@@ -293,10 +302,12 @@ object Streaming {
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
       .drop("r_key")
-    if (isNtz(left, tsCol))
-      joined.withColumn("l_ts", col("l_ts").cast("timestamp_ntz"))
-        .withColumn("r_ts", col("r_ts").cast("timestamp_ntz"))
-    else joined
+    // each side's output flavor follows ITS OWN input (mixed-flavor inputs
+    // are legal; keying both on the left would silently re-type r_ts)
+    val l2 = if (isNtz(left, tsCol))
+      joined.withColumn("l_ts", col("l_ts").cast("timestamp_ntz")) else joined
+    if (isNtz(right, tsCol))
+      l2.withColumn("r_ts", col("r_ts").cast("timestamp_ntz")) else l2
   }
 
   /** Batch twin of `intervalJoin` (same shape, no watermarks). */
@@ -317,11 +328,15 @@ object Streaming {
   }
 
   /** Batch twin of `sessionize` (for parity checks): gap-based session
-    * assignment with window functions. */
+    * assignment with window functions. Accepts either timestamp flavor —
+    * `unix_millis` rejects TIMESTAMP_NTZ, so NTZ inputs cast up via
+    * [[asEventTime]] and the session bounds come back in the source
+    * column's flavor (same contract as the streaming operators). */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ntz = isNtz(events, "ts")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    events
+    val out = asEventTime(events, "ts")
       .withColumn("prev_ts", org.apache.spark.sql.functions.lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -333,5 +348,9 @@ object Streaming {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .drop("session_idx")
+    if (ntz)
+      out.withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+    else out
   }
 }

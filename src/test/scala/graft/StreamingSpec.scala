@@ -26,8 +26,12 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("win_counts")
       .select($"window_start", $"event_type", $"n", $"total_value")
       .orderBy($"window_start", $"event_type").collect().toSeq
+    // contract (Streaming.windowedCounts): window bounds come back in the
+    // SOURCE column's flavor — the testdata's naive µs ts is TIMESTAMP_NTZ,
+    // so the batch twin's date_trunc (always TIMESTAMP) casts back to it
     val want = events
-      .groupBy(date_trunc("day", $"ts").as("window_start"), $"event_type")
+      .groupBy(date_trunc("day", $"ts").cast(events.schema("ts").dataType)
+        .as("window_start"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast("decimal(18,4)")).cast("double").as("total_value"))
       .orderBy($"window_start", $"event_type").collect().toSeq

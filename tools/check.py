@@ -41,14 +41,25 @@ def rows_of(cols, table):
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return names, out
 
+errors = {}
+if os.path.exists(f"{out_dir}/_errors.json"):
+    errors = json.load(open(f"{out_dir}/_errors.json"))
+
 passed = failed = skipped = 0
+seen = set()
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d): continue
     if only and name not in only: continue
+    seen.add(name)
     files = glob.glob(f"{d}/*.parquet")
     if not files:
-        print(f"NOOUT  {name}"); failed += 1; continue
+        why = errors.get(name, "")
+        if not why and os.path.exists(f"{d}/_error.txt"):
+            why = open(f"{d}/_error.txt").read().strip()
+        print(f"ERR    {name}: {why.splitlines()[0][:160]}" if why
+              else f"NOOUT  {name}")
+        failed += 1; continue
     t = pq.read_table(files[0])
     spark_cols = t.column_names
     spark_rows = [tuple(r.values()) for r in t.to_pylist()]
@@ -76,5 +87,15 @@ for name in sorted(os.listdir(out_dir)):
         failed += 1; continue
     print(f"OK     {name} ({len(sr)} rows)")
     passed += 1
+
+# EXPECTED−ACTUAL drift: every oracle key must have an output dir. A query
+# that threw before writing anything (and somehow left no _error.txt) must
+# shrink the list VISIBLY, not silently (round-8 q26 escape).
+expected = set(oracles) if not only else set(oracles) & set(only)
+for name in sorted(expected - seen):
+    print(f"DRIFT  {name}: in oracle_sql.json but no output dir"
+          + (f" — {errors[name].splitlines()[0][:140]}" if name in errors else ""))
+    failed += 1
+
 print(f"\n{passed} ok, {failed} failed, {skipped} rows-only")
 sys.exit(1 if failed else 0)

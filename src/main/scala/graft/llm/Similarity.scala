@@ -344,10 +344,53 @@ object Similarity {
         if (row.isNullAt(1)) Iterator.empty
         else {
           val vec = row.getSeq[Double](1).toArray
-          val top = cs.map { case (ci, cv) => (cosineLocal(vec, cv), ci) }
-            .sortBy { case (s, ci) => (-s, ci) }.take(n)
-          top.iterator.map { case (_, ci) =>
-            Row(ci, row.get(0), row.getSeq[Double](1)) }
+          // bounded top-n over nlist scores: a full per-row sort allocates
+          // and orders all nlist tuples — the hot loop at nlist = 10⁴–10⁵.
+          // Primitive-array min-heap keyed worst-at-root instead: O(nlist
+          // log n), zero tuple boxing. Same (sim desc, centroid_id asc)
+          // order as the literal path (RecallSpec pins bit-identity).
+          val k = math.min(n, cs.length)
+          val hs = new Array[Double](k) // heap: similarity
+          val hi = new Array[Int](k)    //       centroid id
+          // (s1,i1) ranks strictly worse than (s2,i2)
+          def worse(s1: Double, i1: Int, s2: Double, i2: Int): Boolean =
+            s1 < s2 || (s1 == s2 && i1 > i2)
+          var size = 0; var j = 0
+          while (j < cs.length) {
+            val c = cs(j)
+            val s = cosineLocal(vec, c._2)
+            if (size < k) {
+              var pos = size; hs(pos) = s; hi(pos) = c._1; size += 1
+              while (pos > 0 && {
+                val par = (pos - 1) >> 1
+                worse(hs(pos), hi(pos), hs(par), hi(par)) && {
+                  val ts = hs(par); val ti = hi(par)
+                  hs(par) = hs(pos); hi(par) = hi(pos)
+                  hs(pos) = ts; hi(pos) = ti; pos = par; true
+                }
+              }) ()
+            } else if (worse(hs(0), hi(0), s, c._1)) {
+              hs(0) = s; hi(0) = c._1
+              var pos = 0
+              var done = false
+              while (!done) {
+                val l = 2 * pos + 1; val r = l + 1
+                var w = pos // child that ranks worst
+                if (l < k && worse(hs(l), hi(l), hs(w), hi(w))) w = l
+                if (r < k && worse(hs(r), hi(r), hs(w), hi(w))) w = r
+                if (w == pos) done = true
+                else {
+                  val ts = hs(pos); val ti = hi(pos)
+                  hs(pos) = hs(w); hi(pos) = hi(w)
+                  hs(w) = ts; hi(w) = ti; pos = w
+                }
+              }
+            }
+            j += 1
+          }
+          val order = Array.range(0, size)
+            .sortBy(p => (-hs(p), hi(p))) // emit best-first like the sort did
+          order.iterator.map(p => Row(hi(p), row.get(0), row.getSeq[Double](1)))
         }
       }
     }

@@ -55,6 +55,11 @@ object Bench {
     // recorded in the full-precision artifact so a substitution is auditable
     // rather than indistinguishable from a raw measurement
     val rawOutliers = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // canary sampled INSIDE the suspicious window, right before each
+    // outlier re-measure: bursty host load that lands between the periodic
+    // samples (r8: d05 16.6 s vs 5.5 steady, canary flat) is caught here —
+    // a hot value marks the substituted number as environment, not engine
+    val outlierCanary = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Host-drift canary: a fixed cheap query re-measured every ~10 queries.
     // The r7 artifact showed the failure mode the outlier guard can't see:
     // host load RISING during the run makes the median-of-3 land HIGHER
@@ -103,6 +108,15 @@ object Bench {
       // median of three. A real regression reproduces (median stays high);
       // a noisy neighbor doesn't (median reverts).
       if (ok && prior.get(name).exists(p => dt > 2 * p && dt > 0.5)) {
+        // sample the canary NOW (burst check) before the re-measures; the
+        // sample joins the series so the drift test sees bursts too
+        val tc = System.nanoTime()
+        try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        val cSec = (System.nanoTime() - tc) / 1e9
+        spark.catalog.clearCache()
+        canarySeries += cSec
+        outlierCanary(name) = cSec
         // re-runs count toward the median only if they SUCCEED — a query
         // that fails fast on re-run must not launder a real regression
         // into its short time-to-failure
@@ -186,11 +200,17 @@ object Bench {
       if (rawOutliers.isEmpty) ""
       else rawOutliers.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString(""","outliers_raw_first_sample":{""", ",", "}")
+    // canary seconds sampled immediately before each outlier's re-measure:
+    // hot value ⇒ the medianized number reflects host load, not the plan
+    val outlierCanaryQs =
+      if (outlierCanary.isEmpty) ""
+      else outlierCanary.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString(""","outlier_canary":{""", ",", "}")
     val canaryJson = canarySeries.map(v => f"$v%.4f").mkString(
       s""","canary":{"query":"$canaryName","series":[""", ",",
       s"""],"host_drift":$hostDrift}""")
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$canaryJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$outlierCanaryQs$canaryJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_latest.json"),

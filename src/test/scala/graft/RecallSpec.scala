@@ -44,6 +44,40 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.5, f"IVF recall $r%.3f below bound")
   }
 
+  test("IMI top-k recall vs brute force; more probes raise it") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val r16 = topkRecall(
+      Similarity.imiTopK(spark, emb, q, k = 5, kA = 8, kB = 8, nprobe = 16),
+      exact)
+    val r32 = topkRecall(
+      Similarity.imiTopK(spark, emb, q, k = 5, kA = 8, kB = 8, nprobe = 32),
+      exact)
+    info(f"imi topk recall: nprobe 16 = $r16%.3f, 32 = $r32%.3f")
+    assert(r16 >= 0.5, f"IMI recall $r16%.3f below bound")
+    assert(r32 >= r16, "widening the probe list must not lose candidates")
+  }
+
+  test("IMI cell ranking equals the flat path over concatenated centroids") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val (cbA, cbB) = Similarity.imiCodebooks(emb, 4, 4, 42L, "embedding", 100000)
+    // the IMI decomposition must score a cell exactly like the flat cosine
+    // against the CONCATENATED centroid (modulo float summation order) —
+    // compare the full per-row cell rankings across both paths
+    val cells: Seq[(Int, Seq[Double])] =
+      for (i <- cbA.indices; j <- cbB.indices)
+        yield (i * cbB.length + j, (cbA(i) ++ cbB(j)).toSeq)
+    def key(df: DataFrame, idc: String) = df
+      .select(col(idc).cast("int"), $"corpus_id".cast("long"))
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(
+      key(Similarity.imiAssignTop(emb, cbA, cbB, 3, "vec_id", "embedding"),
+        "cell_id")
+        == key(Similarity.assignTopCentroids(emb, cells, 3, "vec_id",
+          "embedding"), "centroid_id"))
+  }
+
   test("knnGraph recall@5 vs per-node brute force; nprobe raises it") {
     val emb = Tables.t(spark, dir, "embeddings").localCheckpoint()
     val a2 = emb.select($"vec_id".as("src"), $"embedding".as("v_a"))

@@ -1140,6 +1140,38 @@ object LlmQueries {
       |  round(d.n * 1000.0 / d.rate, 3) AS duration_ms
       |FROM d JOIN amp USING (id) ORDER BY d.id""".stripMargin
 
+  /** Frame-level audio features over a REAL decode, ORACLE-CHECKED: the
+    * same closed-form RIFF/WAVE clips as mm03, but folded per 128-sample
+    * frame into zero-crossing counts and integer energy (the classic
+    * voice-activity statistics) — one row per complete frame, rms derived
+    * in the projection. DuckDB reproduces zcr and Σs² from the closed
+    * sample form with a lag window over generated sample indices. */
+  private def mm06(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudio(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.audioFrameFeatures(clips, frameLen = 128)
+      .withColumn("rms", round(sqrt(col("energy_sum") / lit(128.0)), 6))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
+  private val mm06Sql =
+    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n
+      |  FROM documents WHERE doc_id < 200),
+      |f AS (SELECT d.id, fr.fi FROM d, UNNEST(range(0, d.n // 128)) AS fr(fi)),
+      |s AS (SELECT f.id, f.fi, si.i,
+      |    (f.id*31 + 7*(f.fi*128 + si.i)) % 65536 - 32768 AS v
+      |  FROM f, UNNEST(range(0, 128)) AS si(i)),
+      |lagged AS (SELECT *, lag(v) OVER (PARTITION BY id, fi ORDER BY i) AS pv
+      |  FROM s),
+      |feat AS (SELECT id, fi,
+      |    CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
+      |      THEN 1 ELSE 0 END) AS INT) AS zcr,
+      |    CAST(SUM(v*v) AS BIGINT) AS energy_sum
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT id, CAST(fi AS INT) AS frame_idx, zcr, energy_sum,
+      |  round(sqrt(energy_sum / 128.0), 6) AS rms
+      |FROM feat ORDER BY id, frame_idx""".stripMargin
+
   /** Real VIDEO frame decode, ORACLE-CHECKED: payloads are complete GFV1
     * clips (MJPEG-style container of genuine PNG/BMP stills) whose frame
     * `f` follows the closed form `(id + 97f + 7x + 13y) mod 256`; the
@@ -1901,7 +1933,8 @@ object LlmQueries {
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
     "mm04_video_frames" -> (mm04 _),
-    "mm05_image_ahash" -> (mm05 _))
+    "mm05_image_ahash" -> (mm05 _),
+    "mm06_audio_frame_features" -> (mm06 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1930,6 +1963,7 @@ object LlmQueries {
     "mm03_audio_wav" -> mm03Sql,
     "mm04_video_frames" -> mm04Sql,
     "mm05_image_ahash" -> mm05Sql,
+    "mm06_audio_frame_features" -> mm06Sql,
     "s06_normalize_quantize" -> s06Sql,
     "s07_cosine_topk_ivf_int8" -> s07Sql,
     "s08_semantic_dedup" -> s08Sql,

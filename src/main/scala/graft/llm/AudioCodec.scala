@@ -72,4 +72,39 @@ object AudioCodec {
     } catch { case _: Throwable => None }
     finally in.close()
   }
+
+  /** Frame-level features from a REAL `AudioSystem` decode: for each
+    * COMPLETE `frameLen`-sample window (no overlap, tail dropped) the
+    * zero-crossing count (sign flips between in-frame neighbours, sign =
+    * `sample >= 0`) and the integer energy `Σ s²` — both integer-exact so
+    * a SQL oracle reproduces them from the closed sample form. Returns
+    * `(frame_idx, zcr, energy)` per frame; None for corrupt payloads. */
+  def frameFeatures(payload: Array[Byte],
+      frameLen: Int): Option[Seq[(Int, Int, Long)]] = {
+    if (payload == null) return None
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: Throwable => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16) return None
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nFrames = (bytes.length / 2) / frameLen
+      Some((0 until nFrames).map { f =>
+        var zcr = 0; var energy = 0L; var prev = 0
+        var i = 0
+        while (i < frameLen) {
+          val s: Int = bb.getShort(2 * (f * frameLen + i))
+          energy += s.toLong * s
+          if (i > 0 && ((s >= 0) != (prev >= 0))) zcr += 1
+          prev = s; i += 1
+        }
+        (f, zcr, energy)
+      })
+    } catch { case _: Throwable => None }
+    finally in.close()
+  }
 }

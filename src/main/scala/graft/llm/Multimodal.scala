@@ -211,6 +211,38 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-level audio features from a REAL decode of each payload: one
+    * row per complete `frameLen`-sample window — (id, frame_idx, zcr,
+    * energy_sum, rms). The speech-pipeline front-end shape (voice-activity
+    * / silence screening before a corpus feeds ASR pseudo-labeling): zcr
+    * and energy are the two classic frame statistics, integer-exact here
+    * so the oracle reproduces them from the closed sample form. Corrupt /
+    * non-audio payloads contribute zero rows. Same justified
+    * `mapPartitions` pattern as [[decodeAudioStats]] — a real codec is
+    * imperative byte work no Catalyst expression expresses. */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 256,
+      idCol: String = "id", payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("zcr", IntegerType),
+      StructField("energy_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(0)) Iterator.empty
+          else AudioCodec.frameFeatures(r.getAs[Array[Byte]](1), frameLen) match {
+            case Some(frames) => frames.iterator.map { case (f, zcr, energy) =>
+              Row(r.getLong(0), Integer.valueOf(f), Integer.valueOf(zcr),
+                java.lang.Long.valueOf(energy))
+            }
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+  }
+
   /** Synthetic video with REAL bytes: each payload is a complete GFV1 clip
     * ([[VideoCodec]] — MJPEG-style concatenated stills) of `2 + id % 6`
     * genuine PNG/BMP frames at `1 + id % 5` fps; frame `f`'s grayscale

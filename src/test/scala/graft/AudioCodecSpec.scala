@@ -55,6 +55,27 @@ class AudioCodecSpec extends SparkSpec {
     }
   }
 
+  test("frameFeatures: real decode matches the closed form per frame") {
+    val id = 7L
+    val n = 300 // 2 complete 128-frames + a 44-sample tail (dropped)
+    val wav = AudioCodec.encodeWav(id, n, 16000)
+    val Some(frames) = AudioCodec.frameFeatures(wav, 128)
+    assert(frames.map(_._1) == Seq(0, 1), "complete frames only, tail dropped")
+    frames.foreach { case (f, zcr, energy) =>
+      var eZcr = 0; var eEnergy = 0L; var prev = 0
+      for (i <- 0 until 128) {
+        val s = AudioCodec.sample(id, f * 128L + i)
+        eEnergy += s.toLong * s
+        if (i > 0 && ((s >= 0) != (prev >= 0))) eZcr += 1
+        prev = s
+      }
+      assert((zcr, energy) == ((eZcr, eEnergy)), s"frame $f")
+    }
+    // corrupt payload: None, and zero rows from the frame extractor
+    assert(AudioCodec.frameFeatures("not audio".getBytes, 128).isEmpty)
+    assert(AudioCodec.frameFeatures(null, 128).isEmpty)
+  }
+
   test("extractFeatures routes wav payloads through the real decode") {
     import spark.implicits._
     val ids = spark.range(0, 6).select($"id".as("doc_id"))

@@ -494,6 +494,34 @@ object DepthQueries {
       |  'pass'
       |ORDER BY test_name""".stripMargin
 
+  // ---------------------------------------------------- dt02 table profile
+
+  /** dbt-profiler-style column profile of `orders` (row/null/distinct
+    * counts + typed min/max rendered as strings): the catalog-audit pass a
+    * warehouse runs after every load. One fused action; the date column is
+    * profiled as DATE so both engines render it identically. */
+  private def dt02(s: SparkSession, dir: String): DataFrame =
+    graft.exec.DataTests.profile(
+        t(s, dir, "orders")
+          .withColumn("o_orderdate", col("o_orderdate").cast("date")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+      .orderBy(col("column_name"))
+
+  private val dt02Sql = {
+    def one(c: String, cast: String) =
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($cast) AS VARCHAR) AS min_value,
+         |  CAST(MAX($cast) AS VARCHAR) AS max_value FROM orders""".stripMargin
+    Seq(one("o_orderkey", "o_orderkey"), one("o_custkey", "o_custkey"),
+      one("o_orderstatus", "o_orderstatus"),
+      one("o_orderpriority", "o_orderpriority"),
+      one("o_orderdate", "CAST(o_orderdate AS DATE)"))
+      .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
+  }
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -513,7 +541,8 @@ object DepthQueries {
     "q28_market_share" -> (q28 _),
     "q29_recursive_cte" -> (q29 _),
     "q30_approx_quantiles" -> (q30 _),
-    "dt01_data_tests" -> (dt01 _))
+    "dt01_data_tests" -> (dt01 _),
+    "dt02_profile" -> (dt02 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -532,5 +561,6 @@ object DepthQueries {
     "q28_market_share" -> q28Sql,
     "q29_recursive_cte" -> q29Sql,
     "q30_approx_quantiles" -> q30Sql,
-    "dt01_data_tests" -> dt01Sql)
+    "dt01_data_tests" -> dt01Sql,
+    "dt02_profile" -> dt02Sql)
 }

@@ -136,4 +136,30 @@ object DataTests {
       Result(t.name, f, statusOf(t, f))
     }
   }
+
+  /** dbt-profiler-style column profile: one row per profiled column —
+    * (column_name, n_rows, n_nulls, n_distinct, min_value, max_value),
+    * min/max computed on the TYPED column and rendered as strings so
+    * heterogeneous columns union cleanly. Same fused shape as
+    * [[runFused]]: each column is one single-row aggregate branch of one
+    * union, consumed in ONE action — and since each branch prunes to its
+    * own column, the union's total scan bytes equal ONE pass over the
+    * profiled columns (columnar source), not n_cols table scans. At
+    * 100 TB swap `countDistinct` for `approx_count_distinct` (q17's HLL
+    * pattern) — exact here so the DuckDB oracle matches. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -104,6 +104,26 @@ class DataTestsSpec extends SparkSpec {
     }
   }
 
+  test("profile: per-column stats typed, null-aware, one row per column") {
+    val df = Seq(
+      (1L, Some("b"), Some(10.5)),
+      (2L, None, Some(2.25)),
+      (2L, Some("a"), None)
+    ).toDF("id", "s", "x")
+    val rows = graft.exec.DataTests.profile(df, Seq("id", "s", "x"))
+      .orderBy($"column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(rows == Seq(
+      ("id", 3L, 0L, 2L, "1", "2"),
+      ("s", 3L, 1L, 2L, "a", "b"),
+      // typed min/max: numeric 2.25 < 10.5 (lexicographic would flip it)
+      ("x", 3L, 1L, 2L, "2.25", "10.5")))
+    intercept[IllegalArgumentException] {
+      graft.exec.DataTests.profile(df, Seq("nope"))
+    }
+  }
+
   test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
     Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
     val fixture = Seq((1L, "fix")).toDF("id", "v")

@@ -184,6 +184,23 @@ class JobCountSpec extends SparkSpec {
     }
   }
 
+  test("r9 query additions stay within fixed job budgets") {
+    val dir = "/root/testdata/sf0.001"
+    for ((name, budget) <- Seq(
+        "t22_substring_dedup" -> 8,   // gram explode + dup-set + semi-join under AQE
+        "d15_robust_outliers" -> 10,  // two grouped percentile passes + stats joins (measured 8)
+        "s12_cosine_topk_imi" -> 10,  // codebook sample collect + gate pipeline
+        "mm06_audio_frame_features" -> 4,   // one decode pass
+        "dt02_profile" -> 4)) { // fused per-column agg union: one action (measured 3)
+      val jobs = countJobs {
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+        spark.catalog.clearCache()
+      }
+      info(s"$name jobs = $jobs (budget $budget)")
+      assert(jobs <= budget, s"$name fixed job count regressed: $jobs")
+    }
+  }
+
   test("fused data-test run computes all counts in one action") {
     import graft.exec.DataTests
     import graft.exec.DataTests._

@@ -48,6 +48,51 @@ object LlmQueries {
        |       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
        |FROM docs2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- d16 incremental dedup
+
+  /** Incremental exact dedup of an ingest batch against the historical
+    * corpus's fingerprint store (the production shape — a new crawl is
+    * never deduped by re-scanning 100 TB of history). The batch carries
+    * all three cases: whitespace-perturbed copies of history (dropped via
+    * the store anti-join), genuinely new docs (kept), and a within-batch
+    * duplicate pair of a new doc (collapsed to the lowest id,
+    * dup_count 2). */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = hist.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text"))
+      .unionByName(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("newdoc "), col("text")).as("text")))
+      .unionByName(hist.filter(col("doc_id") % 35 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("newdoc "), col("text"), lit(" ")).as("text")))
+    Dedup.incrementalExact(batch, Dedup.fingerprintStore(hist))
+      .orderBy(col("fp"))
+  }
+
+  private val d16Sql =
+    """WITH hist AS (SELECT doc_id, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      |    FROM hist WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'newdoc ' || text
+      |    FROM hist WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'newdoc ' || text || ' '
+      |    FROM hist WHERE doc_id % 35 = 0),
+      |store AS (SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM hist),
+      |bf AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM batch)
+      |SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+      |FROM bf WHERE fp NOT IN (SELECT fp FROM store)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- MinHash LSH
 
   /** MinHash-LSH near-dup pairs, SELF-VERIFYING: the query also computes
@@ -1929,6 +1974,7 @@ object LlmQueries {
     "t21_bigram_logprob" -> (t21 _),
     "t22_substring_dedup" -> (t22 _),
     "d15_robust_outliers" -> (d15 _),
+    "d16_incremental_dedup" -> (d16 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -1991,5 +2037,6 @@ object LlmQueries {
     "t20_quality_rules" -> t20Sql,
     "t21_bigram_logprob" -> t21Sql,
     "t22_substring_dedup" -> t22Sql,
-    "d15_robust_outliers" -> d15Sql)
+    "d15_robust_outliers" -> d15Sql,
+    "d16_incremental_dedup" -> d16Sql)
 }

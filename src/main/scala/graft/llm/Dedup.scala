@@ -29,6 +29,27 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** DISTINCT content fingerprints of a corpus — the incremental-dedup
+    * store. In production this is a materialized table appended per
+    * ingest, so its cost is paid ONCE per corpus, not per batch. */
+  def fingerprintStore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental exact dedup — the production shape at 100 TB: a newly
+    * ingested batch is deduplicated against the HISTORICAL corpus's
+    * fingerprint store (and within itself), never by re-deduping the
+    * whole corpus. The batch anti-joins the store on fp — shuffle ∝
+    * batch + store fingerprints (16 bytes/doc), never historical text —
+    * then keeps the lowest-id batch row per surviving fingerprint.
+    * Returns (fp, kept doc_id, dup_count of batch-internal copies);
+    * same row contract as [[exact]]. */
+  def incrementalExact(batch: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    batch.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(store, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
   // ------------------------------------------------------- shingling helpers
 
   /** Per-token 64-bit hashes. */

@@ -191,7 +191,8 @@ class JobCountSpec extends SparkSpec {
         "d15_robust_outliers" -> 10,  // two grouped percentile passes + stats joins (measured 8)
         "s12_cosine_topk_imi" -> 10,  // codebook sample collect + gate pipeline
         "mm06_audio_frame_features" -> 4,   // one decode pass
-        "dt02_profile" -> 4)) { // fused per-column agg union: one action (measured 3)
+        "dt02_profile" -> 4,   // fused per-column agg union: one action (measured 3)
+        "d16_incremental_dedup" -> 8)) { // store distinct + anti-join + keep-min (measured 6)
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

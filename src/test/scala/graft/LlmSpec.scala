@@ -20,6 +20,20 @@ class LlmSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("dup_count") == 2L).get.getAs[Long]("doc_id") == 1L)
   }
 
+  test("incremental dedup: batch vs store drops history matches, collapses batch dups") {
+    val hist = Seq((1L, "the quick brown fox"), (2L, "other text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The  Quick Brown Fox "), // normalizes to history doc 1 -> dropped
+      (11L, "something new"),         // kept
+      (12L, "something  new"),        // batch-internal dup of 11 -> collapsed
+      (13L, "also new")               // kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, Dedup.fingerprintStore(hist))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_count")))
+      .toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+  }
+
   test("minhash LSH finds the near-dup pair and not the distinct pair") {
     // bands=32 (r=2): band-match probability 1-(1-J²)³² ≈ 1 for J ≈ 0.6
     val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 32)

@@ -264,6 +264,25 @@ object Streaming {
       }
   }
 
+  /** DataFrame entry to the typed [[sessionize]]: accepts (user_id, ts) in
+    * either timestamp flavor — the typed encoder requires TIMESTAMP, so NTZ
+    * inputs cast up via [[asEventTime]] and the session bounds come back in
+    * the source flavor (the family contract; TsFlavorSpec pins it). */
+  def sessionizeStream(events: DataFrame, gap: java.time.Duration,
+      watermark: String = "10 minutes"): DataFrame = {
+    val ntz = isNtz(events, "ts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val out = sessionize(
+      asEventTime(events.select(col("user_id"), col("ts")), "ts")
+        .as[SessionEvent],
+      gap, watermark).toDF()
+    if (ntz)
+      out.withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+    else out
+  }
+
   /** Streaming exact deduplication on key columns with bounded state:
     * duplicates arriving within the watermark horizon are dropped, and
     * per-key state is evicted once the watermark passes it — the streaming

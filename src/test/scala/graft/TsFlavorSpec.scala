@@ -122,6 +122,29 @@ class TsFlavorSpec extends SparkSpec {
     assert(imgs.distinct.size == 1)
   }
 
+  // --------------------------------------------------- streaming sessionize
+
+  for (fl <- flavors)
+    test(s"sessionizeStream accepts a $fl source and keeps its flavor") {
+      val src = events(fl).filter($"user_id" <= 10).select($"user_id", $"ts")
+      val tmp = java.nio.file.Files.createTempDirectory(s"flav_sess_$fl")
+      src.write.mode("overwrite").parquet(tmp.toString)
+      val sessions = Streaming.sessionizeStream(
+        Streaming.parquetStream(spark, tmp.toString),
+        java.time.Duration.ofMinutes(30), watermark = "0 seconds")
+      assert(sessions.schema("session_start").dataType == tsType(fl))
+      assert(sessions.schema("session_end").dataType == tsType(fl))
+      val q = sessions.writeStream.format("memory").queryName(s"flav_sess_$fl")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      assert(spark.table(s"flav_sess_$fl").count() > 0)
+    }
+
+  test("sessionizeStream: both flavors emit identical closed sessions") {
+    val imgs = flavors.map(fl => image(spark.table(s"flav_sess_$fl")))
+    assert(imgs.head == imgs(1))
+  }
+
   // ------------------------------------------------------------ as-of join
 
   test("as-of join: both flavors yield identical matches (no ts builtins)") {

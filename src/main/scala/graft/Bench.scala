@@ -71,12 +71,19 @@ object Bench {
     // without re-measuring.
     val canaryName = "f01_datediff_parts"
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runCanary(): Unit = {
+    // Some(seconds) on success; None when the canary itself FAILED — a
+    // fast time-to-failure must not be recorded as a "flat" sample (it
+    // would launder host pressure into an apparent engine regression and
+    // drag the drift median down)
+    def runCanary(): Option[Double] = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      canarySeries += (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(canaryName)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      if (ok) { canarySeries += dt; Some(dt) }
+      else { System.err.println("[bench] canary query FAILED — sample dropped"); None }
     }
     // two untimed warm-ups so the baseline sample isn't codegen-inflated
     // (first f01 measured 0.65-0.88 s vs 0.15 s steady — that would trip
@@ -110,13 +117,7 @@ object Bench {
       if (ok && prior.get(name).exists(p => dt > 2 * p && dt > 0.5)) {
         // sample the canary NOW (burst check) before the re-measures; the
         // sample joins the series so the drift test sees bursts too
-        val tc = System.nanoTime()
-        try { SparkEntry.queries(canaryName)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        val cSec = (System.nanoTime() - tc) / 1e9
-        spark.catalog.clearCache()
-        canarySeries += cSec
-        outlierCanary(name) = cSec
+        runCanary().foreach(outlierCanary(name) = _)
         // re-runs count toward the median only if they SUCCEED — a query
         // that fails fast on re-run must not launder a real regression
         // into its short time-to-failure

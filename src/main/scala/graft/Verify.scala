@@ -41,15 +41,19 @@ object Verify {
       try {
         Files.createDirectories(d)
         // clear stale parquet from a previous successful run: a dir with
-        // both an old result and _error.txt would read as a (stale) pass
-        Files.list(d).forEach { p =>
+        // both an old result and _error.txt would read as a (stale) pass.
+        // Files.list/walk streams hold directory handles — close them.
+        val ls = Files.list(d)
+        try ls.forEach { p =>
           if (p.getFileName.toString != "_error.txt") {
-            if (Files.isDirectory(p))
-              Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            if (Files.isDirectory(p)) {
+              val w = Files.walk(p)
+              try w.sorted(java.util.Comparator.reverseOrder())
                 .forEach(Files.delete(_))
-            else Files.delete(p)
+              finally w.close()
+            } else Files.delete(p)
           }
-        }
+        } finally ls.close()
         Files.writeString(d.resolve("_error.txt"), msg + "\n")
       } catch { case io: Throwable =>
         System.err.println(s"[verify] $name: cannot write error artifact: $io")
@@ -86,7 +90,11 @@ object Verify {
         runOne(spark, name, fn, sfDir, outDir).foreach(errors(name) = _)
         spark.catalog.clearCache() // see Bench: bound per-query cache growth
       }
+    // the oracle map must match the queries this RUN dumped: under a
+    // SPARK_GRAFT_ONLY filter an unfiltered map would make the checker's
+    // EXPECTED−ACTUAL drift report flag every skipped query
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // machine-readable failure roll-up next to oracle_sql.json: the checker

@@ -244,6 +244,23 @@ object Similarity {
     * multi-pass O(corpus) job at 100 TB for centroids whose quality
     * saturates at ~10³ points per list; the limit reads only as many
     * partitions as needed. */
+  /** THE bounded-sample contract for every driver-local fit (coarse
+    * k-means, IMI half-codebooks, PQ codebooks): one limited scan,
+    * null-filtered, widened to double — `fitSampleLimit` bounds driver
+    * memory (100k × 64 doubles ≈ 50 MB) and the limit reads only as many
+    * partitions as needed. Centralized so the sampling rules can't drift
+    * between the three fits. */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+      fitSampleLimit: Int, what: String): Array[Array[Double]] = {
+    val sample = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .limit(fitSampleLimit)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"$what: empty corpus")
+    sample
+  }
+
   private def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long,
       idCol: String, vecCol: String,
       fitSampleLimit: Int): Seq[(Int, Seq[Double])] = {
@@ -251,13 +268,7 @@ object Similarity {
     // move that fixed the PQ codebook fit (s09 7.8 → 2.8 s): a distributed
     // ml.KMeans here scheduled ~maxIter tiny cluster jobs per fit, paid by
     // every IVF-family query, for work a driver core does in milliseconds.
-    // fitSampleLimit bounds driver memory (100k × 64 doubles ≈ 50 MB).
-    val sample = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(vecCol).cast("array<double>").as("__v"))
-      .limit(fitSampleLimit)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val sample = sampleVectors(corpus, vecCol, fitSampleLimit, "kmeansCentroids")
     localKMeans(sample, nlist, seed).zipWithIndex.map { case (c, i) =>
       (i, c.toSeq)
     }.toSeq
@@ -523,12 +534,7 @@ object Similarity {
   private[graft] def imiCodebooks(corpus: DataFrame, kA: Int, kB: Int,
       seed: Long, vecCol: String,
       fitSampleLimit: Int): (Array[Array[Double]], Array[Array[Double]]) = {
-    val sample = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(vecCol).cast("array<double>").as("__v"))
-      .limit(fitSampleLimit)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "imiCodebooks: empty corpus")
+    val sample = sampleVectors(corpus, vecCol, fitSampleLimit, "imiCodebooks")
     val h = sample(0).length / 2
     require(h >= 1, "imiCodebooks: need dim >= 2")
     (localKMeans(sample.map(_.take(h)), kA, seed),
@@ -657,14 +663,12 @@ object Similarity {
     // ONE bounded scan, collected: a PQ fit is a bounded-sample problem
     // (codebook quality saturates far below corpus size), and running it
     // as m distributed KMeans fits schedules ~m·maxIter tiny cluster jobs
-    // for work a driver core does in milliseconds. fitSampleLimit bounds
-    // driver memory (100k × dim 64 doubles ≈ 50 MB).
-    val sample = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(l2Normalize(col(vecCol)).cast("array<double>").as("__v"))
-      .limit(fitSampleLimit)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    // for work a driver core does in milliseconds. The PQ codebooks fit on
+    // L2-NORMALIZED vectors (the scan scores normalized codes), hence the
+    // pre-projection.
+    val sample = sampleVectors(
+      corpus.select(l2Normalize(col(vecCol)).as(vecCol)), vecCol,
+      fitSampleLimit, "pqCodebooks")
     Array.tabulate(m) { mi =>
       localKMeans(sample.map(v => java.util.Arrays.copyOfRange(
         v, mi * subdim, (mi + 1) * subdim)), codebookSize, seed + mi)

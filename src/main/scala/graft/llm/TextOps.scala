@@ -794,14 +794,18 @@ object TextOps {
       .filter(col("__nd") >= 2).select(col("gram"))
     val dupPerDoc = pos.join(dup, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__dup"))
+    // keep is decided on the RAW ratio (rounding first would flip docs
+    // sitting within 5e-7 of the threshold); dup_ratio is rounded only
+    // for display/hash stability
+    val raw = when(col("n_grams") === 0, lit(0.0))
+      .otherwise(coalesce(col("__dup"), lit(0L)).cast("double")
+        / col("n_grams"))
     base.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
       .join(dupPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__dup"), lit(0L)).cast("long").as("n_dup_grams"),
-        round(when(col("n_grams") === 0, lit(0.0))
-          .otherwise(coalesce(col("__dup"), lit(0L)).cast("double")
-            / col("n_grams")), 6).as("dup_ratio"))
-      .withColumn("keep", col("dup_ratio") <= maxRatio)
+        round(raw, 6).as("dup_ratio"),
+        (raw <= maxRatio).as("keep"))
   }
 
   /** Whole-table convenience: annotate a documents frame. */

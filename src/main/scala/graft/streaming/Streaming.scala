@@ -48,21 +48,33 @@ object Streaming {
       df.withColumn(c, col(c).cast("timestamp"))
     } else df
 
+  /** THE family contract in one place: every time-driven operator casts NTZ
+    * inputs up via [[asEventTime]] and hands its output through this —
+    * `cols` re-typed to TIMESTAMP_NTZ exactly when the operator's input was
+    * NTZ, so callers always get their own flavor back. Centralized so a new
+    * operator can't forget the cast-back half (the round-8 q26 escape was
+    * precisely a missed half of this dance). */
+  private def restoreFlavor(df: DataFrame, ntz: Boolean,
+      cols: String*): DataFrame =
+    if (!ntz) df
+    else cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("timestamp_ntz")))
+
   /** Watermarked sliding/tumbling windowed aggregation over an event stream:
     * (window_start, window_end, event_type, n, total_value). Window bounds
     * come back in the source column's timestamp flavor. */
   def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
       windowLen: String): DataFrame = {
     val ntz = isNtz(events, tsCol)
-    val boundTpe = if (ntz) "timestamp_ntz" else "timestamp"
-    asEventTime(events, tsCol)
+    val out = asEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
-      .select(col("window.start").cast(boundTpe).as("window_start"),
-        col("window.end").cast(boundTpe).as("window_end"),
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
+    restoreFlavor(out, ntz, "window_start", "window_end")
   }
 
   /** Streaming microbatch: each micro-batch dynamic-overwrites the
@@ -206,17 +218,32 @@ object Streaming {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Microseconds since epoch of a Timestamp — `getTime` alone is
+    * millisecond-truncated; the sub-ms micros live in the nanos field. */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def timestampOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: events of a user
     * more than `gap` apart start a new session; sessions are emitted when
     * the event-time watermark passes their close. Custom keyed state — the
-    * construct the built-in windowed aggregations can't express. */
+    * construct the built-in windowed aggregations can't express. Session
+    * state and bounds are kept at MICROSECOND precision (the testdata's
+    * native resolution; `Timestamp.getTime` alone would truncate to ms and
+    * diverge from the batch twin); only the watermark comparisons run at
+    * Spark's millisecond watermark granularity. */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gap: java.time.Duration,
       watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gap.toMillis
+    val gapUs = gap.toMillis * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -231,12 +258,12 @@ object Streaming {
           // and may lower its start), and a grown session merges with its
           // successor when the gap between them closes.
           def insert(sessions: List[SessionState], t: Long): List[SessionState] = {
-            val (before, rest) = sessions.span(s => s.last + gapMs < t)
+            val (before, rest) = sessions.span(s => s.last + gapUs < t)
             rest match {
-              case h :: tail if t >= h.start - gapMs =>
+              case h :: tail if t >= h.start - gapUs =>
                 val m = SessionState(math.min(h.start, t), math.max(h.last, t), h.n + 1)
                 tail match {
-                  case nxt :: t2 if nxt.start - gapMs <= m.last =>
+                  case nxt :: t2 if nxt.start - gapUs <= m.last =>
                     before ++ (SessionState(m.start, math.max(m.last, nxt.last),
                       m.n + nxt.n) :: t2)
                   case _ => before ++ (m :: tail)
@@ -245,22 +272,30 @@ object Streaming {
             }
           }
           var sessions = state.getOption.getOrElse(Nil)
-          batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+          batch.map(e => microsOf(e.ts)).toSeq.sorted.foreach { t =>
             sessions = insert(sessions, t)
           }
           // emit sessions closed by the watermark; keep the rest as state
-          val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = sessions.partition(s => s.last + gapMs < wm)
+          // (the watermark is ms-granular: a session last-active inside the
+          // watermark's own millisecond stays OPEN — conservative, never
+          // early-emits)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
           if (open.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(open)
             // wake up when the OLDEST open session becomes closable (must be
             // > current watermark); scheduling off the newest would strand
-            // early sessions of users who also have late events
-            state.setTimeoutTimestamp(math.max(open.map(_.last).min + gapMs, wm + 1))
+            // early sessions of users who also have late events. Timeout is
+            // ms-granular: round UP so the timeout never fires before the
+            // session is actually closable.
+            val closableMs =
+              Math.floorDiv(open.map(_.last).min + gapUs + 999L, 1000L)
+            state.setTimeoutTimestamp(
+              math.max(closableMs, state.getCurrentWatermarkMs() + 1))
           }
           closed.iterator.map(s => Session(user,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+            timestampOfMicros(s.start), timestampOfMicros(s.last), s.n))
       }
   }
 
@@ -270,17 +305,13 @@ object Streaming {
     * the source flavor (the family contract; TsFlavorSpec pins it). */
   def sessionizeStream(events: DataFrame, gap: java.time.Duration,
       watermark: String = "10 minutes"): DataFrame = {
-    val ntz = isNtz(events, "ts")
     val spark = events.sparkSession
     import spark.implicits._
     val out = sessionize(
       asEventTime(events.select(col("user_id"), col("ts")), "ts")
         .as[SessionEvent],
       gap, watermark).toDF()
-    if (ntz)
-      out.withColumn("session_start", col("session_start").cast("timestamp_ntz"))
-        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
-    else out
+    restoreFlavor(out, isNtz(events, "ts"), "session_start", "session_end")
   }
 
   /** Streaming exact deduplication on key columns with bounded state:
@@ -291,10 +322,9 @@ object Streaming {
     * on a stream would OOM; the watermark bound is what scales). */
   def dedupStream(events: DataFrame, tsCol: String, watermark: String,
       keys: Seq[String]): DataFrame = {
-    val ntz = isNtz(events, tsCol)
     val out = asEventTime(events, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
-    if (ntz) out.withColumn(tsCol, col(tsCol).cast("timestamp_ntz")) else out
+    restoreFlavor(out, isNtz(events, tsCol), tsCol)
   }
 
   /** Watermarked stream-stream interval join: each left event pairs with
@@ -323,10 +353,8 @@ object Streaming {
       .drop("r_key")
     // each side's output flavor follows ITS OWN input (mixed-flavor inputs
     // are legal; keying both on the left would silently re-type r_ts)
-    val l2 = if (isNtz(left, tsCol))
-      joined.withColumn("l_ts", col("l_ts").cast("timestamp_ntz")) else joined
-    if (isNtz(right, tsCol))
-      l2.withColumn("r_ts", col("r_ts").cast("timestamp_ntz")) else l2
+    restoreFlavor(restoreFlavor(joined, isNtz(left, tsCol), "l_ts"),
+      isNtz(right, tsCol), "r_ts")
   }
 
   /** Batch twin of `intervalJoin` (same shape, no watermarks). */
@@ -367,9 +395,6 @@ object Streaming {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .drop("session_idx")
-    if (ntz)
-      out.withColumn("session_start", col("session_start").cast("timestamp_ntz"))
-        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
-    else out
+    restoreFlavor(out, ntz, "session_start", "session_end")
   }
 }

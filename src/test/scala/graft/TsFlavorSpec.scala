@@ -145,6 +145,23 @@ class TsFlavorSpec extends SparkSpec {
     assert(imgs.head == imgs(1))
   }
 
+  test("sessionizeStream keeps MICROSECOND bounds — exact parity with the batch twin") {
+    // raw µs event times, no truncation: every closed streaming session
+    // must equal a batch session bit-for-bit (getTime-based state would
+    // shave the sub-ms part off every bound)
+    val src = events("timestamp_ntz").filter($"user_id" <= 10)
+      .select($"user_id", $"ts")
+    val streamed = image(spark.table("flav_sess_timestamp_ntz"))
+    val batch = image(Streaming.sessionizeBatch(src, gapMinutes = 30))
+    assert(streamed.nonEmpty)
+    val missing = streamed.filterNot(batch.contains)
+    assert(missing.isEmpty,
+      s"streaming sessions absent from the batch twin: ${missing.take(3)}")
+    // and the testdata really exercises sub-millisecond precision
+    assert(streamed.exists(r => r.exists(v =>
+      v.matches(".*\\.\\d{3}\\d+.*"))), "no sub-ms timestamps in sample")
+  }
+
   // ------------------------------------------------------------ as-of join
 
   test("as-of join: both flavors yield identical matches (no ts builtins)") {

@@ -318,7 +318,7 @@ object Similarity {
     * worst-at-root, zero boxing — O(log n) per offer instead of a full
     * sort of every candidate. Shared by the bulk centroid assignment and
     * the IMI cell scan. NOT thread-safe; one instance per row. */
-  private final class BoundedTopN(k: Int) {
+  private[graft] final class BoundedTopN(k: Int) {
     private val hs = new Array[Double](k)
     private val hi = new Array[Int](k)
     private var n = 0

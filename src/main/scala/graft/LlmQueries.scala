@@ -397,6 +397,46 @@ object LlmQueries {
       |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- d17 leakage-safe group split
+
+  /** Group-aware split on `source`: per split, doc and distinct-source
+    * counts plus a corpus-wide LEAK GATE — the count of sources straddling
+    * more than one split must be zero by construction (the assignment is a
+    * pure function of the group key). The gate is emitted as a
+    * hash-checked column so the oracle pins the contract, not just the
+    * counts. */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val split = Sampling.groupSplit(docs, col("source"), salt = "g3")
+    val leak = split.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("bigint")
+        .as("n_leaky"))
+    split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_sources"), col("id_sum"),
+        (col("n_leaky") === 0L).as("leak_free"))
+      .orderBy(col("split"))
+  }
+
+  private val d17Sql =
+    """WITH s AS (SELECT doc_id, source,
+      |    CASE WHEN substring(md5('g3' || source), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5('g3' || source), 1, 2) < 'e6' THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |leak AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_leaky
+      |  FROM (SELECT source, COUNT(DISTINCT split) AS ns FROM s GROUP BY 1))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  (SELECT n_leaky FROM leak) = 0 AS leak_free
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
     * keep the highest-quality document (ties to the lowest doc_id).
@@ -1891,6 +1931,48 @@ object LlmQueries {
       |    <= 0.5 AS keep
       |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------ t23 token-budget greedy fill
+
+  /** Budget-constrained mix assembly: per language, fill a 3000-token
+    * budget with the highest-quality documents (greedy by quality desc,
+    * doc_id tiebreak, running-token cutoff) — the step that turns scored
+    * shards into a fixed-size training mix. Budget sized BELOW each
+    * language's total tokens at sf0.001 so the oracle verifies the cutoff
+    * boundary, not just the ranking. */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
+        col("quality"), col("doc_id"), budget = 3000L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t23Sql = {
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, lang, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |pre AS (SELECT doc_id, lang, text, tk,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base),
+       |scored AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  ${qualitySqlExpr("len(tk)")} AS quality
+       |  FROM pre),
+       |cum AS (SELECT doc_id, lang, n_tokens, quality,
+       |    SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM scored)
+       |SELECT doc_id, lang, n_tokens, quality
+       |FROM cum WHERE c <= 3000 ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------- d15 robust (median/MAD) outlier screen
 
   /** Modified-z-score outlier profile of lineitem prices per return flag —
@@ -1975,6 +2057,8 @@ object LlmQueries {
     "t22_substring_dedup" -> (t22 _),
     "d15_robust_outliers" -> (d15 _),
     "d16_incremental_dedup" -> (d16 _),
+    "d17_group_split" -> (d17 _),
+    "t23_token_budget" -> (t23 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -2038,5 +2122,7 @@ object LlmQueries {
     "t21_bigram_logprob" -> t21Sql,
     "t22_substring_dedup" -> t22Sql,
     "d15_robust_outliers" -> d15Sql,
-    "d16_incremental_dedup" -> d16Sql)
+    "d16_incremental_dedup" -> d16Sql,
+    "d17_group_split" -> d17Sql,
+    "t23_token_budget" -> t23Sql)
 }

@@ -181,4 +181,39 @@ object Sampling {
         hexPrefix(key, salt, 4) < format_string("%04x", col("__tm_thr")))
       .drop("__tm_stratum", "__tm_thr")
   }
+
+  /** Leakage-safe split: the assignment is a pure function of the GROUP
+    * key (domain / source / crawl host), so correlated or near-duplicate
+    * documents inside one group can never straddle train and test — the
+    * guard a per-document split cannot give (intra-domain boilerplate
+    * would leak test content into train). A named contract over
+    * [[hashSplit]]; still a pure per-row projection, no shuffle. */
+  def groupSplit(df: DataFrame, groupKey: Column, salt: String = "",
+      thresholds: Seq[(String, Int)] =
+        Seq("train" -> 204, "valid" -> 230, "test" -> 256),
+      splitCol: String = "split"): DataFrame =
+    hashSplit(df, groupKey, salt, thresholds, splitCol)
+
+  /** Budget-constrained greedy selection — the final assembly step of a
+    * training mix: per stratum, rank rows by (score desc, tie asc) and
+    * keep them while the RUNNING token total stays within `budget`
+    * ("fill each language's token budget with its best documents"). One
+    * running-sum window per stratum; with a handful of strata
+    * (languages/sources) this is the right shape — for a modal-score
+    * stratum at extreme scale, decompose the rank first (the
+    * [[TextOps.qualityTopQ]] pattern) and budget over the decomposed
+    * rank. The caller's `tie` must be unique within a stratum (same
+    * contract as qualityTopQ) so the kept set is deterministic. */
+  def tokenBudget(df: DataFrame, stratum: Column, tokens: Column,
+      score: Column, tie: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("__tb_cum"),
+      "tokenBudget uses __tb_cum internally")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(score.desc, tie.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__tb_cum", sum(tokens).over(w))
+      .filter(col("__tb_cum") <= budget)
+      .drop("__tb_cum")
+  }
 }

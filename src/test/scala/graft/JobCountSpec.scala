@@ -192,7 +192,9 @@ class JobCountSpec extends SparkSpec {
         "s12_cosine_topk_imi" -> 10,  // codebook sample collect + gate pipeline
         "mm06_audio_frame_features" -> 4,   // one decode pass
         "dt02_profile" -> 4,   // fused per-column agg union: one action (measured 3)
-        "d16_incremental_dedup" -> 8)) { // store distinct + anti-join + keep-min (measured 6)
+        "d16_incremental_dedup" -> 8,  // store distinct + anti-join + keep-min (measured 6)
+        "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
+        "t23_token_budget" -> 6)) {    // one cumsum window + filter (measured 4)
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

@@ -37,6 +37,38 @@ class NumericQualitySpec extends SparkSpec {
     assert(dropped == 2, "fully-duplicated docs fail the keep flag")
   }
 
+  test("groupSplit: every group lands wholly in one split") {
+    val docs = (1 to 300).map(i => (i.toLong, s"src${i % 17}"))
+      .toDF("doc_id", "source")
+    val split = graft.llm.Sampling.groupSplit(docs, $"source", salt = "x")
+    val straddlers = split.groupBy($"source")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(straddlers == 0)
+    // and the split is a pure function of the group: a per-document split
+    // on the same corpus DOES straddle (the contract being guarded)
+    val perDoc = graft.llm.Sampling.hashSplit(docs, $"doc_id", salt = "x")
+    val docStraddlers = perDoc.groupBy($"source")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(docStraddlers > 0, "fixture too small to demonstrate leakage")
+  }
+
+  test("tokenBudget: greedy cutoff is exact, budget never exceeded, best kept") {
+    val rows = Seq(
+      // (id, lang, tokens, quality)
+      (1L, "en", 40L, 0.9), (2L, "en", 40L, 0.8), (3L, "en", 40L, 0.7),
+      (4L, "en", 40L, 0.6), // cum 160 > 100 at id 3 -> keep 1, 2 only
+      (10L, "de", 30L, 0.5), (11L, "de", 100L, 0.4) // 30 fits, +100 doesn't
+    ).toDF("doc_id", "lang", "n_tokens", "quality")
+    val kept = graft.llm.Sampling.tokenBudget(rows, $"lang", $"n_tokens",
+        $"quality", $"doc_id", budget = 100L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 10L))
+    // a first doc larger than the whole budget is excluded, not force-kept
+    val over = Seq((20L, "fr", 500L, 1.0)).toDF("doc_id", "lang", "n_tokens", "quality")
+    assert(graft.llm.Sampling.tokenBudget(over, $"lang", $"n_tokens",
+      $"quality", $"doc_id", budget = 100L).count() == 0)
+  }
+
   test("robustOutliers: planted spike flagged, MAD=0 group degenerates to 0") {
     val normal = (1 to 99).map(i => ("a", 100.0 + (i % 7)))
     val spike = Seq(("a", 1e6))

@@ -18,7 +18,10 @@ object GateCheck {
     "s07_cosine_topk_ivf_int8", "s08_semantic_dedup", "s09_cosine_topk_ivf_pq",
     "s10_knn_graph", "s11_cosine_topk_jl", "s12_cosine_topk_imi",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
-    "mm05_image_ahash")
+    "mm05_image_ahash",
+    // exact contract gate (not an approximation bound): zero sources may
+    // straddle splits, at any scale
+    "d17_group_split")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.functions.col
 
 /** 100 TB-discipline regression tests: the physical plans the engine
   * produces must keep their scale-critical properties — filters pushed to
@@ -269,5 +270,39 @@ class PlanSpec extends SparkSpec {
     // the PNG/JPEG pair is hashed where it is synthesized — a shuffle
     // between encode and hash would move payload bytes across the cluster
     assert(!p.contains("Exchange"), s"payloads crossed a shuffle:\n$p")
+  }
+
+  test("substringDupSignal: gram-shuffle joins only — no window, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = graft.llm.TextOps.substringDupSignal(docs, w = 8)
+      .queryExecution.explainString(SimpleMode)
+    // Lee-et-al gram dedup is word-count-shaped: explode + hash aggregate
+    // + semi-join back; an all-pairs or windowed form would not scale
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs shape:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    assert(p.contains("LeftSemi"), s"dup membership is not a semi join:\n$p")
+  }
+
+  test("groupSplit: pure per-row projection — no exchange, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val p = graft.llm.Sampling.groupSplit(docs, col("source"))
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"split assignment is not per-row:\n$p")
+  }
+
+  test("tokenBudget: exactly one cumsum window, partitioned by the stratum") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.llm.TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        graft.llm.TextOps.qualityScore(col("text")).as("quality"))
+    val p = graft.llm.Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
+        col("quality"), col("doc_id"), budget = 3000L)
+      .queryExecution.explainString(SimpleMode)
+    assert("Window".r.findAllIn(p).size == 1, s"expected ONE window:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
   }
 }

@@ -397,6 +397,59 @@ object LlmQueries {
       |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------- j01 JSONL ingest + quarantine
+
+  /** JSONL ingest round-trip with corrupt-line quarantine: documents
+    * doc_id < 300 are serialized to JSON lines (every doc_id % 97 == 0
+    * line TRUNCATED mid-object — invalid JSON), read back through
+    * [[graft.sources.Sources.jsonl]] in PERMISSIVE mode, and summarized:
+    * clean/corrupt counts, the clean rows' id/char sums, and the corrupt
+    * lines' total length. The oracle reproduces every number from the
+    * parquet closed form alone — a parser drift, a silently dropped
+    * malformed line, or a truncation-boundary slip hash-mismatches. */
+  private def j01(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val line = to_json(struct(col("doc_id"), col("text"), col("lang")))
+    val corrupted = docs.select(
+      when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
+        .otherwise(line).as("value"))
+    val path = s"/tmp/graft_jsonl_${math.abs(dir.hashCode)}"
+    corrupted.coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val parsed = graft.sources.Sources.jsonl(s, path, schema).cache()
+    parsed.agg(
+      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+        .cast("bigint").as("n_clean"),
+      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+        .cast("bigint").as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("doc_id")))
+        .cast("bigint").as("clean_id_sum"),
+      sum(when(col("_corrupt_record").isNull, length(col("text"))))
+        .cast("bigint").as("clean_chars"),
+      sum(length(col("_corrupt_record"))).cast("bigint").as("corrupt_chars"))
+  }
+
+  private val j01Sql =
+    """WITH d AS (SELECT doc_id, text, lang,
+      |    to_json(struct_pack(doc_id := doc_id, text := text, lang := lang))
+      |      AS line
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT
+      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clean,
+      |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN doc_id END) AS BIGINT)
+      |    AS clean_id_sum,
+      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN length(text) END) AS BIGINT)
+      |    AS clean_chars,
+      |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN length(line) - 5 END)
+      |    AS BIGINT) AS corrupt_chars
+      |FROM d""".stripMargin
+
   // ------------------------------------------- d17 leakage-safe group split
 
   /** Group-aware split on `source`: per split, doc and distinct-source
@@ -2059,6 +2112,7 @@ object LlmQueries {
     "d16_incremental_dedup" -> (d16 _),
     "d17_group_split" -> (d17 _),
     "t23_token_budget" -> (t23 _),
+    "j01_jsonl_ingest" -> (j01 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -2124,5 +2178,6 @@ object LlmQueries {
     "d15_robust_outliers" -> d15Sql,
     "d16_incremental_dedup" -> d16Sql,
     "d17_group_split" -> d17Sql,
-    "t23_token_budget" -> t23Sql)
+    "t23_token_budget" -> t23Sql,
+    "j01_jsonl_ingest" -> j01Sql)
 }

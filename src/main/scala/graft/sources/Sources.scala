@@ -30,6 +30,24 @@ object Sources {
     r.json(path)
   }
 
+  /** JSONL ingest with corrupt-line QUARANTINE — the arrival format of
+    * web-scale text corpora, where a crawl batch always contains some
+    * malformed lines and silently dropping them (FAILFAST's sibling
+    * DROPMALFORMED) hides the first data-quality signal of the batch.
+    * PERMISSIVE mode parses every line, captures unparseable ones verbatim
+    * in `corruptCol` (all data columns NULL), and leaves clean rows with a
+    * NULL `corruptCol` — one scan yields both streams. At scale, split the
+    * result once into data and quarantine sinks (or cache before a dual
+    * aggregate: Spark refuses plans that reference ONLY the internal
+    * corrupt column of a live JSON scan). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   def write(df: DataFrame, path: String, format: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil): Unit = {

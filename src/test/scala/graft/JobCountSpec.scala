@@ -194,7 +194,8 @@ class JobCountSpec extends SparkSpec {
         "dt02_profile" -> 4,   // fused per-column agg union: one action (measured 3)
         "d16_incremental_dedup" -> 8,  // store distinct + anti-join + keep-min (measured 6)
         "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
-        "t23_token_budget" -> 6)) {    // one cumsum window + filter (measured 4)
+        "t23_token_budget" -> 6,       // one cumsum window + filter (measured 4)
+        "j01_jsonl_ingest" -> 8)) {    // serialize + text write + parse + agg
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

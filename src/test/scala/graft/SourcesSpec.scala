@@ -47,6 +47,29 @@ class SourcesSpec extends SparkSpec {
     assert(got.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
   }
 
+  test("jsonl ingest quarantines corrupt lines instead of dropping them") {
+    import org.apache.spark.sql.types._
+    val p = tmp()
+    val lines = Seq(
+      """{"id":1,"t":"ok"}""",
+      """{"id":2,"t":"also ok"}""",
+      """{"id":3,"t":"truncat""", // invalid: unterminated string/object
+      """not json at all""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val got = Sources.jsonl(spark, p, schema).cache()
+    assert(got.count() == 4, "no line may be silently dropped")
+    val clean = got.filter($"_corrupt_record".isNull)
+    assert(clean.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val corrupt = got.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect().sorted.toSeq
+    assert(corrupt == lines.drop(2).sorted, "corrupt lines kept verbatim")
+    got.unpersist()
+  }
+
   test("partitioned file sink lays out partition directories") {
     val p = tmp()
     Sources.write(df.withColumn("pt", $"id" % 2), p, "parquet",

@@ -450,6 +450,38 @@ object LlmQueries {
       |    AS BIGINT) AS corrupt_chars
       |FROM d""".stripMargin
 
+  // --------------------------------------------- j02 row provenance stamps
+
+  /** Row-provenance round-trip: documents land in a bucket-partitioned
+    * parquet layout (one file per bucket), are read back through
+    * [[graft.sources.Sources.parquetWithProvenance]], and summarized per
+    * bucket — row count, DISTINCT source files (exactly 1 by
+    * construction), id sum, and whether every row's `_file_path` lies
+    * under its own bucket directory. The lineage stamp that lets a bad
+    * training example be traced to its exact ingest file. */
+  private def j02(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("bucket"))
+    val path = s"/tmp/graft_prov_${math.abs(dir.hashCode)}"
+    docs.coalesce(1).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.sources.Sources.parquetWithProvenance(s, path)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_file_path")).cast("bigint").as("n_files"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"),
+        (sum(when(col("_file_path")
+          .contains(concat(lit("bucket="), col("bucket").cast("string"))), 0L)
+          .otherwise(1L)) === 0L).as("paths_match_bucket"))
+      .orderBy(col("bucket"))
+  }
+
+  private val j02Sql =
+    """SELECT CAST(doc_id % 4 AS INT) AS bucket,
+      |  COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, TRUE AS paths_match_bucket
+      |FROM documents WHERE doc_id < 400
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------- d17 leakage-safe group split
 
   /** Group-aware split on `source`: per split, doc and distinct-source
@@ -2113,6 +2145,7 @@ object LlmQueries {
     "d17_group_split" -> (d17 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
+    "j02_provenance" -> (j02 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -2179,5 +2212,6 @@ object LlmQueries {
     "d16_incremental_dedup" -> d16Sql,
     "d17_group_split" -> d17Sql,
     "t23_token_budget" -> t23Sql,
-    "j01_jsonl_ingest" -> j01Sql)
+    "j01_jsonl_ingest" -> j01Sql,
+    "j02_provenance" -> j02Sql)
 }

@@ -48,6 +48,18 @@ object Sources {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
+  /** Parquet read with ROW PROVENANCE attached: `_file_path` /
+    * `_file_size` from Spark's hidden `_metadata` struct — the lineage
+    * stamp a training pipeline carries so any bad example can be traced
+    * back to the exact ingest file (and the file re-quarantined). Free at
+    * scan time: the metadata struct is populated per split, no extra IO. */
+  def parquetWithProvenance(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select((df.columns.map(org.apache.spark.sql.functions.col) ++ Seq(
+      org.apache.spark.sql.functions.col("_metadata.file_path").as("_file_path"),
+      org.apache.spark.sql.functions.col("_metadata.file_size").as("_file_size"))): _*)
+  }
+
   def write(df: DataFrame, path: String, format: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil): Unit = {

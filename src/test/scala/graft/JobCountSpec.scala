@@ -195,7 +195,8 @@ class JobCountSpec extends SparkSpec {
         "d16_incremental_dedup" -> 8,  // store distinct + anti-join + keep-min (measured 6)
         "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
         "t23_token_budget" -> 6,       // one cumsum window + filter (measured 4)
-        "j01_jsonl_ingest" -> 8)) {    // serialize + text write + parse + agg
+        "j01_jsonl_ingest" -> 8,       // serialize + text write + parse + agg
+        "j02_provenance" -> 8)) {      // partitioned write + provenance agg
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

@@ -482,6 +482,52 @@ object LlmQueries {
       |FROM documents WHERE doc_id < 400
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- d18 incremental near-dup dedup
+
+  /** Incremental NEAR-dup dedup of an ingest batch against the historical
+    * corpus's MinHash band store (the approximate sibling of d16): the
+    * batch plants known near-dups of history (one appended token,
+    * Jaccard ≈ 0.96) and known-novel docs (synthetic disjoint token
+    * streams). Gates: every planted near-dup must be dropped at a ≥ 0.6
+    * recall bound (32 bands × 4 rows at J ≈ 0.96 ⇒ band-match
+    * probability ≈ 1) and NO novel doc may be false-dropped (disjoint
+    * shingles estimate ≈ 0 — the estimate check re-verifies every bucket
+    * candidate). DuckDB reproduces the counts and gate booleans from the
+    * closed planted structure. */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val nearDups = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graftmarker")).as("text"))
+    val novel = hist.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)),
+          i => concat(lit("novel"), col("doc_id"), lit("x"), i)), " ")
+          .as("text"))
+    val res = Dedup.incrementalNearDup(
+      nearDups.unionByName(novel), Dedup.bandStore(hist), threshold = 0.8)
+    res.agg(
+      sum(when(col("doc_id") < 2000000, 1L).otherwise(0L)).cast("bigint")
+        .as("n_planted"),
+      sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).cast("bigint")
+        .as("n_novel"),
+      sum(when(col("doc_id") >= 2000000 && col("is_dup"), 1L).otherwise(0L))
+        .cast("bigint").as("n_false_drops"),
+      (sum(when(col("doc_id") < 2000000 && col("is_dup"), 1L).otherwise(0L))
+        .cast("double")
+        / sum(when(col("doc_id") < 2000000, 1L).otherwise(0L))
+        >= 0.6).as("recall_ok"))
+  }
+
+  private val d18Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+      |    AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(0 AS BIGINT) AS n_false_drops,
+      |  TRUE AS recall_ok""".stripMargin
+
   // ------------------------------------------- d17 leakage-safe group split
 
   /** Group-aware split on `source`: per split, doc and distinct-source
@@ -2143,6 +2189,7 @@ object LlmQueries {
     "d15_robust_outliers" -> (d15 _),
     "d16_incremental_dedup" -> (d16 _),
     "d17_group_split" -> (d17 _),
+    "d18_incremental_neardup" -> (d18 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2211,6 +2258,7 @@ object LlmQueries {
     "d15_robust_outliers" -> d15Sql,
     "d16_incremental_dedup" -> d16Sql,
     "d17_group_split" -> d17Sql,
+    "d18_incremental_neardup" -> d18Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql)

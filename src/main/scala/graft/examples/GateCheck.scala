@@ -21,7 +21,9 @@ object GateCheck {
     "mm05_image_ahash",
     // exact contract gate (not an approximation bound): zero sources may
     // straddle splits, at any scale
-    "d17_group_split")
+    "d17_group_split",
+    // planted-structure gates: near-dup recall bound + zero false drops
+    "d18_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

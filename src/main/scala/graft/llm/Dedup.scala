@@ -142,6 +142,56 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Band-bucket store of a corpus's MinHash signatures — the NEAR-DUP
+    * sibling of [[fingerprintStore]]: (band, band hash, signature), one
+    * row per (doc, band). In production this is materialized once per
+    * corpus and appended per ingest, so an incremental batch probes
+    * buckets instead of re-shingling 100 TB of history. */
+  def bandStore(docs: DataFrame, k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    minhashSignatures(docs, k, idCol, textCol)
+      .select(col("sig"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)))
+      .select(col("pos").as("band"), col("col").as("bh"), col("sig"))
+  }
+
+  /** Incremental near-dup dedup against a historical [[bandStore]] — the
+    * MinHash sibling of [[incrementalExact]]: each batch doc is signed and
+    * banded, candidates come ONLY from matching (band, bh) buckets, and a
+    * candidate whose estimated Jaccard (equal signature positions / k)
+    * reaches `threshold` marks the batch doc a duplicate of history.
+    * Shuffle ∝ batch bands + probed store buckets — historical TEXT is
+    * never rescanned. Disjoint shingle sets estimate ≈ 0, so novel docs
+    * cannot be false-dropped by a bucket collision alone (the estimate
+    * check re-verifies every candidate). Returns one row per batch doc:
+    * (idCol, is_dup, best_est — NULL when no candidate reached the
+    * threshold). */
+  def incrementalNearDup(batch: DataFrame, store: DataFrame,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // persisted: the signature pipeline feeds both the band probe and the
+    // kept-id frame (same rationale as minhashNearDupPairs)
+    val sig = minhashSignatures(batch, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col(idCol), col("sig"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)))
+      .select(col(idCol), col("sig"), col("pos").as("band"), col("col").as("bh"))
+    val est = aggregate(zip_with(col("sig"), col("store_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val hits = banded
+      .join(store.withColumnRenamed("sig", "store_sig"), Seq("band", "bh"))
+      .select(col(idCol), est.as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy(col(idCol)).agg(max(col("est")).as("best_est"))
+    sig.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("best_est").isNotNull.as("is_dup"),
+        col("best_est"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint per doc: per-token 64-bit hash, each bit

@@ -196,7 +196,8 @@ class JobCountSpec extends SparkSpec {
         "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
         "t23_token_budget" -> 6,       // one cumsum window + filter (measured 4)
         "j01_jsonl_ingest" -> 8,       // serialize + text write + parse + agg
-        "j02_provenance" -> 8)) {      // partitioned write + provenance agg
+        "j02_provenance" -> 8,         // partitioned write + provenance agg
+        "d18_incremental_neardup" -> 10)) { // two sig pipelines + band probe
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

@@ -34,6 +34,22 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((11L, 2L), (13L, 1L)))
   }
 
+  test("incremental near-dup: history matches dropped, novel docs kept") {
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (11L, "completely different novel tokens q w e r t y u i o p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, Dedup.bandStore(hist),
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(10L), "one-token-appended copy of history must be flagged")
+    assert(!out(11L), "novel doc must not be flagged")
+  }
+
   test("minhash LSH finds the near-dup pair and not the distinct pair") {
     // bands=32 (r=2): band-match probability 1-(1-J²)³² ≈ 1 for J ≈ 0.6
     val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 32)

@@ -415,7 +415,10 @@ object LlmQueries {
     val corrupted = docs.select(
       when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
         .otherwise(line).as("value"))
-    val path = s"/tmp/graft_jsonl_${math.abs(dir.hashCode)}"
+    // per-dir AND per-process path: a concurrent driver on the same scale
+    // dir (bench + gatecheck) must not clobber this run's file mid-read
+    val path = s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${ProcessHandle.current().pid()}"
     corrupted.coalesce(1).write.mode("overwrite").text(path)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("lang", StringType)))
@@ -462,7 +465,8 @@ object LlmQueries {
   private def j02(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
       .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("bucket"))
-    val path = s"/tmp/graft_prov_${math.abs(dir.hashCode)}"
+    val path = s"/tmp/graft_prov_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${ProcessHandle.current().pid()}"
     docs.coalesce(1).write.mode("overwrite").partitionBy("bucket").parquet(path)
     graft.sources.Sources.parquetWithProvenance(s, path)
       .groupBy(col("bucket").cast("int").as("bucket"))
@@ -505,14 +509,16 @@ object LlmQueries {
           i => concat(lit("novel"), col("doc_id"), lit("x"), i)), " ")
           .as("text"))
     val res = Dedup.incrementalNearDup(
-      nearDups.unionByName(novel), Dedup.bandStore(hist), threshold = 0.8)
+      nearDups.unionByName(novel), Dedup.nearDupStore(hist), threshold = 0.8)
+    // both contracts surface as BOOLEANS so GateCheck (which asserts every
+    // boolean column) enforces them at the sf1 rehearsal, not just here
     res.agg(
       sum(when(col("doc_id") < 2000000, 1L).otherwise(0L)).cast("bigint")
         .as("n_planted"),
       sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).cast("bigint")
         .as("n_novel"),
-      sum(when(col("doc_id") >= 2000000 && col("is_dup"), 1L).otherwise(0L))
-        .cast("bigint").as("n_false_drops"),
+      (sum(when(col("doc_id") >= 2000000 && col("is_dup"), 1L).otherwise(0L))
+        === 0L).as("no_false_drops"),
       (sum(when(col("doc_id") < 2000000 && col("is_dup"), 1L).otherwise(0L))
         .cast("double")
         / sum(when(col("doc_id") < 2000000, 1L).otherwise(0L))
@@ -525,7 +531,7 @@ object LlmQueries {
       |    AS BIGINT) AS n_planted,
       |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
       |    AS BIGINT) AS n_novel,
-      |  CAST(0 AS BIGINT) AS n_false_drops,
+      |  TRUE AS no_false_drops,
       |  TRUE AS recall_ok""".stripMargin
 
   // ------------------------------------------- d17 leakage-safe group split

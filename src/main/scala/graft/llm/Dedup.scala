@@ -142,51 +142,68 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** Band-bucket store of a corpus's MinHash signatures — the NEAR-DUP
-    * sibling of [[fingerprintStore]]: (band, band hash, signature), one
-    * row per (doc, band). In production this is materialized once per
-    * corpus and appended per ingest, so an incremental batch probes
-    * buckets instead of re-shingling 100 TB of history. */
-  def bandStore(docs: DataFrame, k: Int = 128, bands: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Near-dup store of a corpus — the approximate sibling of
+    * [[fingerprintStore]], NORMALIZED into two frames so the store never
+    * duplicates signature bytes per band: `bands` = (band, bh, sid), one
+    * narrow row per (doc, band); `sigs` = (sid, sig), the k-wide
+    * signature ONCE per doc (k longs ≈ 1 KB at k = 128 — a flat
+    * (band, bh, sig) layout would store it `bands`× over, a 32×
+    * inflation of a 100 TB corpus's store and of every probe join's
+    * shuffle). Both are materialized once per corpus and appended per
+    * ingest in production. */
+  def nearDupStore(docs: DataFrame, k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
-    minhashSignatures(docs, k, idCol, textCol)
-      .select(col("sig"),
+    val sigs = minhashSignatures(docs, k, idCol, textCol)
+      .select(col(idCol).as("sid"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("sid"),
         posexplode(graft.functions.BandHashes(col("sig"), bands)))
-      .select(col("pos").as("band"), col("col").as("bh"), col("sig"))
+      .select(col("pos").as("band"), col("col").as("bh"), col("sid"))
+    (banded, sigs)
   }
 
-  /** Incremental near-dup dedup against a historical [[bandStore]] — the
-    * MinHash sibling of [[incrementalExact]]: each batch doc is signed and
-    * banded, candidates come ONLY from matching (band, bh) buckets, and a
-    * candidate whose estimated Jaccard (equal signature positions / k)
-    * reaches `threshold` marks the batch doc a duplicate of history.
-    * Shuffle ∝ batch bands + probed store buckets — historical TEXT is
-    * never rescanned. Disjoint shingle sets estimate ≈ 0, so novel docs
-    * cannot be false-dropped by a bucket collision alone (the estimate
-    * check re-verifies every candidate). Returns one row per batch doc:
-    * (idCol, is_dup, best_est — NULL when no candidate reached the
-    * threshold). */
-  def incrementalNearDup(batch: DataFrame, store: DataFrame,
+  /** Incremental near-dup dedup against a historical [[nearDupStore]] —
+    * the MinHash sibling of [[incrementalExact]]: each batch doc is
+    * signed and banded, candidate (batch, store) pairs come ONLY from
+    * matching (band, bh) buckets and are DEDUPLICATED before scoring (a
+    * pair sharing b bands is estimated once, not b times), and a pair
+    * whose estimated Jaccard (equal signature positions / k) reaches
+    * `threshold` marks the batch doc a duplicate of history. Shuffle ∝
+    * batch bands + probed store buckets — historical TEXT is never
+    * rescanned. Disjoint shingle sets estimate ≈ 0, so novel docs cannot
+    * be false-dropped by a bucket collision alone. Returns one row per
+    * batch ROW — including zero-token docs, which have no shingles,
+    * match nothing, and come back is_dup = false: (idCol, is_dup,
+    * best_est — NULL when no candidate reached the threshold). */
+  def incrementalNearDup(batch: DataFrame, store: (DataFrame, DataFrame),
       threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // persisted: the signature pipeline feeds both the band probe and the
-    // kept-id frame (same rationale as minhashNearDupPairs)
+    val (storeBands, storeSigs) = store
+    // persisted: the signature pipeline feeds the band probe and the
+    // pair-scoring join (same rationale as minhashNearDupPairs)
     val sig = minhashSignatures(batch, k, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col(idCol), col("sig"),
+    val banded = sig.select(col(idCol),
         posexplode(graft.functions.BandHashes(col("sig"), bands)))
-      .select(col(idCol), col("sig"), col("pos").as("band"), col("col").as("bh"))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
+    // candidate PAIRS, deduplicated across bands before any k-wide work
+    val cand = banded.join(storeBands, Seq("band", "bh"))
+      .select(col(idCol), col("sid")).distinct()
     val est = aggregate(zip_with(col("sig"), col("store_sig"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
-    val hits = banded
-      .join(store.withColumnRenamed("sig", "store_sig"), Seq("band", "bh"))
+    val hits = cand
+      .join(sig, Seq(idCol))
+      .join(storeSigs.withColumnRenamed("sig", "store_sig"), Seq("sid"))
       .select(col(idCol), est.as("est"))
       .filter(col("est") >= threshold)
       .groupBy(col(idCol)).agg(max(col("est")).as("best_est"))
-    sig.select(col(idCol))
+    // base = the BATCH itself, not the signature frame: token-less docs
+    // produce no shingles (hence no signature row) but must still report
+    batch.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("best_est").isNotNull.as("is_dup"),
         col("best_est"))

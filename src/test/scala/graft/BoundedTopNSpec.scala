@@ -27,16 +27,13 @@ class BoundedTopNSpec extends AnyFunSuite {
       ids <- Gen.listOfN(n, Gen.chooseNum(0, 50))
     } yield (k, scores.zip(ids))
     for (((k, items), i) <- sample(genCase, 300).zipWithIndex) {
-      val heap = new Similarity.BoundedTopN(math.min(k, math.max(items.size, 1)))
+      // capacity is k itself — when k > items.size the heap drains
+      // PARTIALLY FILLED, the path a capacity clamp would never exercise
+      val heap = new Similarity.BoundedTopN(k)
       items.foreach { case (s, id) => heap.offer(s, id) }
       val got = heap.drainIds().toSeq
       val want = items.sortBy { case (s, id) => (-s, id) }
-        .map(_._2).take(math.min(k, math.max(items.size, 1))).toSeq
-      // ids alone can collide across equal scores; compare the (score, id)
-      // MULTISET the ids stand for via the reference ordering
-      val wantPairs = items.sortBy { case (s, id) => (-s, id) }
-        .take(math.min(k, math.max(items.size, 1)))
-      assert(got.size == wantPairs.size, s"case $i: size")
+        .map(_._2).take(math.min(k, items.size)).toSeq
       assert(got == want, s"case $i: k=$k items=${items.take(12)}...")
     }
   }

@@ -41,13 +41,16 @@ class LlmSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
-      (11L, "completely different novel tokens q w e r t y u i o p")
+      (11L, "completely different novel tokens q w e r t y u i o p"),
+      (12L, "   ") // zero tokens: no shingles, must still get a row
     ).toDF("doc_id", "text")
-    val out = Dedup.incrementalNearDup(batch, Dedup.bandStore(hist),
+    val out = Dedup.incrementalNearDup(batch, Dedup.nearDupStore(hist),
         threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 3, "one row per batch row, token-less docs included")
     assert(out(10L), "one-token-appended copy of history must be flagged")
     assert(!out(11L), "novel doc must not be flagged")
+    assert(!out(12L), "token-less doc reports is_dup=false, not absence")
   }
 
   test("minhash LSH finds the near-dup pair and not the distinct pair") {

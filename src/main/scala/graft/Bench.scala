@@ -18,16 +18,23 @@ object Bench {
       "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").selectExpr("count(*)").collect()
     }
-    // Prior run's per-query seconds (BENCH_FULL_latest.json, written at the
-    // end of every run): the outlier guard below re-measures any query that
-    // comes in >2× its prior time, so one noisy neighbor (a concurrent sbt,
-    // a GC storm) can't masquerade as a plan regression in the round
-    // artifact. Values are plain numbers, so the queries object ends at the
-    // first '}' and a pair regex inside it is parse-enough.
-    val prior: Map[String, Double] =
+    // sf-tagged prior file: an sf1 rehearsal right before an sf0.1 driver
+    // run must not clobber the sf0.1 prior (that silently disabled the
+    // outlier guard in r9 — VERDICT r9 #6). Each run WRITES its full
+    // artifact to both BENCH_FULL_latest.json (driver/judge continuity)
+    // and this per-sf file; the guard READS the per-sf file first.
+    val sfTagged = "BENCH_FULL_" +
+      new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_") +
+      ".json"
+    // Prior run's per-query seconds: the outlier guard below re-measures
+    // any query that comes in >2× its prior time, so one noisy neighbor (a
+    // concurrent sbt, a GC storm) can't masquerade as a plan regression in
+    // the round artifact. Values are plain numbers, so the queries object
+    // ends at the first '}' and a pair regex inside it is parse-enough.
+    def readPrior(file: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FULL_latest.json")), "UTF-8")
+          java.nio.file.Paths.get(file)), "UTF-8")
         // prior times are only comparable at the SAME scale factor — after
         // a run at a different sf, every query would legitimately exceed
         // 2x and the guard would triple the suite's wall-clock re-running
@@ -46,11 +53,15 @@ object Bench {
           // guard — make that state visible instead of indistinguishable
           // from a missing file
           if (parsed.isEmpty) System.err.println(
-            "[bench] BENCH_FULL_latest.json exists but parsed to an empty " +
+            s"[bench] $file exists but parsed to an empty " +
               "prior map — outlier guard disabled this run")
           parsed
         }
       } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val tagged = readPrior(sfTagged)
+      if (tagged.nonEmpty) tagged else readPrior("BENCH_FULL_latest.json")
+    }
     // query → raw first sample for queries the outlier guard medianized,
     // recorded in the full-precision artifact so a substitution is auditable
     // rather than indistinguishable from a raw measurement
@@ -212,11 +223,11 @@ object Bench {
       s"""],"host_drift":$hostDrift}""")
     val full =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$outlierCanaryQs$canaryJson,"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL_latest.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // cwd may be read-only; the line below still lands
+    for (f <- Seq("BENCH_FULL_latest.json", sfTagged))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // cwd may be read-only; the line below still lands
     // Stop Spark BEFORE the final prints so no shutdown log line can land
     // after the compact line in the captured stream.
     spark.stop()

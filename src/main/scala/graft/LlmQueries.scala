@@ -15,6 +15,38 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** Per-(dir, pid) staging path under java.io.tmpdir for queries that
+    * round-trip through files (j01/j02/j03), registered ONCE for recursive
+    * delete at JVM exit — repeated verify/bench runs accumulate no /tmp
+    * garbage (ADVICE r9), while the files stay alive for the whole session
+    * (the returned DataFrames are lazy; deleting at the end of the builder
+    * would break the later action). */
+  private val stagingRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def staging(prefix: String, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${ProcessHandle.current().pid()}"
+    if (stagingRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(new java.io.File(path))
+      }))
+    path
+  }
+
+  /** Smallest id strictly above every historical doc_id — the collision-free
+    * offset for synthetic batch ids (planted copies at `off·k + doc_id`).
+    * Derived from the DATA (one scalar aggregate), not a hard-coded
+    * 1 000 000: at a scale factor where doc_ids exceed a fixed constant the
+    * ranges would collide and range-based gate classification would
+    * silently misclassify (ADVICE r9). The oracle derives the same scalar
+    * via `(SELECT MAX(doc_id)+1 FROM documents)`. */
+  private def idOffset(hist: DataFrame): Long =
+    hist.agg(max(col("doc_id"))).head.getLong(0) + 1
+
   /** documents ∪ perturbed duplicates: every doc_id%5==0 doc reappears under
     * id+1000000 with trailing whitespace (same normalized content). */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
@@ -59,14 +91,15 @@ object LlmQueries {
     * dup_count 2). */
   private def d16(s: SparkSession, dir: String): DataFrame = {
     val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(hist)
     val batch = hist.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit("  ")).as("text"))
       .unionByName(hist.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
+        .select((col("doc_id") + 2 * off).as("doc_id"),
           concat(lit("newdoc "), col("text")).as("text")))
       .unionByName(hist.filter(col("doc_id") % 35 === 0)
-        .select((col("doc_id") + 3000000).as("doc_id"),
+        .select((col("doc_id") + 3 * off).as("doc_id"),
           concat(lit("newdoc "), col("text"), lit(" ")).as("text")))
     Dedup.incrementalExact(batch, Dedup.fingerprintStore(hist))
       .orderBy(col("fp"))
@@ -74,14 +107,15 @@ object LlmQueries {
 
   private val d16Sql =
     """WITH hist AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
       |batch AS (
-      |  SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
       |    FROM hist WHERE doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT doc_id + 2000000, 'newdoc ' || text
+      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
       |    FROM hist WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 3000000, 'newdoc ' || text || ' '
+      |  SELECT doc_id + 3 * (SELECT o FROM off), 'newdoc ' || text || ' '
       |    FROM hist WHERE doc_id % 35 = 0),
       |store AS (SELECT DISTINCT
       |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -416,9 +450,9 @@ object LlmQueries {
       when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
         .otherwise(line).as("value"))
     // per-dir AND per-process path: a concurrent driver on the same scale
-    // dir (bench + gatecheck) must not clobber this run's file mid-read
-    val path = s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${ProcessHandle.current().pid()}"
+    // dir (bench + gatecheck) must not clobber this run's file mid-read;
+    // deleted recursively at JVM exit (see staging)
+    val path = staging("jsonl", dir)
     corrupted.coalesce(1).write.mode("overwrite").text(path)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("lang", StringType)))
@@ -465,8 +499,7 @@ object LlmQueries {
   private def j02(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
       .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("bucket"))
-    val path = s"/tmp/graft_prov_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${ProcessHandle.current().pid()}"
+    val path = staging("prov", dir)
     docs.coalesce(1).write.mode("overwrite").partitionBy("bucket").parquet(path)
     graft.sources.Sources.parquetWithProvenance(s, path)
       .groupBy(col("bucket").cast("int").as("bucket"))
@@ -500,11 +533,15 @@ object LlmQueries {
     * closed planted structure. */
   private def d18(s: SparkSession, dir: String): DataFrame = {
     val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // planted ids live in [off, 2·off), novel in [2·off, 3·off) — derived
+    // from max(doc_id), so the classification below cannot collide with
+    // history at any scale factor (ADVICE r9)
+    val off = idOffset(hist)
     val nearDups = hist.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" graftmarker")).as("text"))
     val novel = hist.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"),
+      .select((col("doc_id") + 2 * off).as("doc_id"),
         array_join(transform(sequence(lit(1), lit(40)),
           i => concat(lit("novel"), col("doc_id"), lit("x"), i)), " ")
           .as("text"))
@@ -513,15 +550,15 @@ object LlmQueries {
     // both contracts surface as BOOLEANS so GateCheck (which asserts every
     // boolean column) enforces them at the sf1 rehearsal, not just here
     res.agg(
-      sum(when(col("doc_id") < 2000000, 1L).otherwise(0L)).cast("bigint")
+      sum(when(col("doc_id") < 2 * off, 1L).otherwise(0L)).cast("bigint")
         .as("n_planted"),
-      sum(when(col("doc_id") >= 2000000, 1L).otherwise(0L)).cast("bigint")
+      sum(when(col("doc_id") >= 2 * off, 1L).otherwise(0L)).cast("bigint")
         .as("n_novel"),
-      (sum(when(col("doc_id") >= 2000000 && col("is_dup"), 1L).otherwise(0L))
+      (sum(when(col("doc_id") >= 2 * off && col("is_dup"), 1L).otherwise(0L))
         === 0L).as("no_false_drops"),
-      (sum(when(col("doc_id") < 2000000 && col("is_dup"), 1L).otherwise(0L))
+      (sum(when(col("doc_id") < 2 * off && col("is_dup"), 1L).otherwise(0L))
         .cast("double")
-        / sum(when(col("doc_id") < 2000000, 1L).otherwise(0L))
+        / sum(when(col("doc_id") < 2 * off, 1L).otherwise(0L))
         >= 0.6).as("recall_ok"))
   }
 

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   *  - embedding cosine: see Similarity.nearDupPairs.
   *
   * All hash mixing is deterministic (fixed seeds), so runs are reproducible.
+  *
+  * CACHE CONTRACT: the near-dup builders ([[minhashNearDupPairs]],
+  * [[nearDupStore]], [[incrementalNearDup]]) persist their signature
+  * frames (MEMORY_AND_DISK) because the returned lazy plan references them
+  * on multiple branches — unpersisting inside the builder would evict them
+  * before the caller's action runs. A long-lived session must call
+  * `spark.catalog.clearCache()` (or `unpersist` the blocks) once each
+  * result is materialized; graft's own harnesses (Bench, Verify, GateCheck)
+  * do so after every query. The production-ingest path materializes stores
+  * as parquet segments instead ([[DedupStore]]) and holds no cache at all.
   */
 object Dedup {
 

@@ -52,21 +52,35 @@ class TsFlavorSpec extends SparkSpec {
 
   // ------------------------------------------------ streaming windowed agg
 
+  // Each stream-run is memoized behind a helper the per-flavor tests AND
+  // the cross-flavor comparison tests call, so a comparison never depends
+  // on an earlier test having populated the memory table (ADVICE r9: under
+  // a test filter or after an abort the table was simply missing). The
+  // helper returns the pre-start schema for the flavor assertions.
+  private val winSchemas =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+  private def runWindowed(fl: String): org.apache.spark.sql.types.StructType =
+    winSchemas.getOrElseUpdate(fl, {
+      val src = events(fl)
+      val tmp = java.nio.file.Files.createTempDirectory(s"flav_win_$fl")
+      src.write.mode("overwrite").parquet(tmp.toString)
+      val agg = Streaming.windowedCounts(
+        Streaming.parquetStream(spark, tmp.toString), "ts", "1 hour", "1 day")
+      val q = agg.writeStream.format("memory").queryName(s"flav_win_$fl")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      agg.schema
+    })
+
   for (fl <- flavors) test(s"windowedCounts streams $fl and returns $fl bounds") {
-    val src = events(fl)
-    val tmp = java.nio.file.Files.createTempDirectory(s"flav_win_$fl")
-    src.write.mode("overwrite").parquet(tmp.toString)
-    val agg = Streaming.windowedCounts(
-      Streaming.parquetStream(spark, tmp.toString), "ts", "1 hour", "1 day")
-    assert(agg.schema("window_start").dataType == tsType(fl))
-    val q = agg.writeStream.format("memory").queryName(s"flav_win_$fl")
-      .outputMode("complete").start()
-    q.processAllAvailable(); q.stop()
+    val sch = runWindowed(fl)
+    assert(sch("window_start").dataType == tsType(fl))
     assert(spark.table(s"flav_win_$fl").count() > 0)
   }
 
   test("windowedCounts: both flavors yield identical windows") {
     val imgs = flavors.map { fl =>
+      runWindowed(fl)
       image(spark.table(s"flav_win_$fl"))
     }
     assert(imgs.head == imgs(1))
@@ -91,8 +105,10 @@ class TsFlavorSpec extends SparkSpec {
 
   // --------------------------------------- intervalJoin, MIXED flavors too
 
-  for (lf <- flavors; rf <- flavors)
-    test(s"intervalJoin left=$lf right=$rf restores each side's own flavor") {
+  private val ijSchemas =
+    scala.collection.mutable.Map.empty[(String, String), org.apache.spark.sql.types.StructType]
+  private def runIntervalJoin(lf: String, rf: String): org.apache.spark.sql.types.StructType =
+    ijSchemas.getOrElseUpdate((lf, rf), {
       val clicks = events(lf).filter($"event_type" === "click")
         .select($"user_id", $"ts", $"event_id")
       val purchases = events(rf).filter($"event_type" === "purchase")
@@ -106,42 +122,60 @@ class TsFlavorSpec extends SparkSpec {
         Streaming.parquetStream(spark, t2.toString),
         key = "user_id", tsCol = "ts", watermark = "0 seconds",
         before = "1 HOUR", after = "1 HOUR")
-      // the output flavor of each side follows ITS OWN input, not the left's
-      assert(joined.schema("l_ts").dataType == tsType(lf))
-      assert(joined.schema("r_ts").dataType == tsType(rf))
       val q = joined.writeStream.format("memory")
         .queryName(s"flav_ij_$lf$rf").outputMode("append").start()
       q.processAllAvailable(); q.stop()
+      joined.schema
+    })
+
+  for (lf <- flavors; rf <- flavors)
+    test(s"intervalJoin left=$lf right=$rf restores each side's own flavor") {
+      val sch = runIntervalJoin(lf, rf)
+      // the output flavor of each side follows ITS OWN input, not the left's
+      assert(sch("l_ts").dataType == tsType(lf))
+      assert(sch("r_ts").dataType == tsType(rf))
       assert(spark.table(s"flav_ij_$lf$rf").count() > 0)
     }
 
   test("intervalJoin: all four flavor combinations join identically") {
-    val imgs = for (lf <- flavors; rf <- flavors) yield
+    val imgs = for (lf <- flavors; rf <- flavors) yield {
+      runIntervalJoin(lf, rf)
       image(spark.table(s"flav_ij_$lf$rf")
         .select($"user_id", $"l_ts", $"r_ts", $"l_event_id", $"r_event_id"))
+    }
     assert(imgs.distinct.size == 1)
   }
 
   // --------------------------------------------------- streaming sessionize
 
-  for (fl <- flavors)
-    test(s"sessionizeStream accepts a $fl source and keeps its flavor") {
+  private val sessSchemas =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+  private def runSessionize(fl: String): org.apache.spark.sql.types.StructType =
+    sessSchemas.getOrElseUpdate(fl, {
       val src = events(fl).filter($"user_id" <= 10).select($"user_id", $"ts")
       val tmp = java.nio.file.Files.createTempDirectory(s"flav_sess_$fl")
       src.write.mode("overwrite").parquet(tmp.toString)
       val sessions = Streaming.sessionizeStream(
         Streaming.parquetStream(spark, tmp.toString),
         java.time.Duration.ofMinutes(30), watermark = "0 seconds")
-      assert(sessions.schema("session_start").dataType == tsType(fl))
-      assert(sessions.schema("session_end").dataType == tsType(fl))
       val q = sessions.writeStream.format("memory").queryName(s"flav_sess_$fl")
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
+      sessions.schema
+    })
+
+  for (fl <- flavors)
+    test(s"sessionizeStream accepts a $fl source and keeps its flavor") {
+      val sch = runSessionize(fl)
+      assert(sch("session_start").dataType == tsType(fl))
+      assert(sch("session_end").dataType == tsType(fl))
       assert(spark.table(s"flav_sess_$fl").count() > 0)
     }
 
   test("sessionizeStream: both flavors emit identical closed sessions") {
-    val imgs = flavors.map(fl => image(spark.table(s"flav_sess_$fl")))
+    val imgs = flavors.map { fl =>
+      runSessionize(fl); image(spark.table(s"flav_sess_$fl"))
+    }
     assert(imgs.head == imgs(1))
   }
 
@@ -151,6 +185,7 @@ class TsFlavorSpec extends SparkSpec {
     // shave the sub-ms part off every bound)
     val src = events("timestamp_ntz").filter($"user_id" <= 10)
       .select($"user_id", $"ts")
+    runSessionize("timestamp_ntz")
     val streamed = image(spark.table("flav_sess_timestamp_ntz"))
     val batch = image(Streaming.sessionizeBatch(src, gapMinutes = 30))
     assert(streamed.nonEmpty)

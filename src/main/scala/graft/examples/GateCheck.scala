@@ -23,7 +23,10 @@ object GateCheck {
     // straddle splits, at any scale
     "d17_group_split",
     // planted-structure gates: near-dup recall bound + zero false drops
-    "d18_incremental_neardup")
+    "d18_incremental_neardup",
+    // store-append loop: replay no-op + store row accounting + two-step
+    // equals one-shot
+    "d19_store_append")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

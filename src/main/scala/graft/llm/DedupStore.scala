@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Durable, append-only stores for INCREMENTAL dedup — the production
+  * ingest loop that [[Dedup.incrementalExact]] / [[Dedup.incrementalNearDup]]
+  * probe against. Round 9 proved the probe shape (shuffle ∝ batch, history
+  * never rescanned); this closes the loop: each ingested batch's SURVIVOR
+  * fingerprints / signatures are appended as an immutable parquet segment,
+  * so the next batch dedups against history + all prior batches without
+  * any store rewrite.
+  *
+  * Layout (one directory per store):
+  * {{{
+  *   <root>/segments/<batchId>/   parquet rows of that batch
+  *   <root>/done-<batchId>        commit marker (created via temp+rename)
+  * }}}
+  *
+  * Replay idempotency — the contract a replayed ingest (Spark task retry,
+  * orchestrator re-run, at-least-once upstream) needs: `append` with an
+  * already-committed batchId is a NO-OP (returns false), so appending the
+  * same batch twice leaves the store byte-identical. The same done-marker
+  * idiom as [[graft.streaming.Streaming.microbatchStream]]
+  * (Streaming.scala:105): data first, marker last via atomic rename, reads
+  * see only marked segments. A crash mid-append leaves an unmarked segment
+  * that reads ignore and a retry overwrites.
+  *
+  * Scale shape: append cost ∝ batch (one parquet write, no read-modify-write
+  * of history); read is a multi-path parquet scan whose per-segment
+  * footers prune columns like any other scan. Segment count grows one per
+  * ingest — compact by rewriting `segments/` offline if it ever matters
+  * (markers make the rewrite safely distinguishable from half-appends).
+  * Nothing here is cached: the store lives on disk, not in the session
+  * (see the cache contract note on [[Dedup]]).
+  */
+object DedupStore {
+
+  private def fs(spark: SparkSession, root: String) =
+    new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def segDir(root: String, batchId: Long) =
+    new HPath(root, s"segments/$batchId")
+  private def doneMarker(root: String, batchId: Long) =
+    new HPath(root, s"done-$batchId")
+
+  /** Append one batch's rows as segment `batchId`. Returns true if the
+    * segment was committed by THIS call, false when the batchId was already
+    * committed (replay — store unchanged). Not safe for two concurrent
+    * appends of the SAME batchId (last marker rename wins — fine, both
+    * wrote identical data by contract); distinct batchIds never contend. */
+  def append(spark: SparkSession, root: String, batchId: Long,
+      rows: DataFrame): Boolean = {
+    val f = fs(spark, root)
+    if (f.exists(doneMarker(root, batchId))) return false
+    // data first (overwrite clears any half-written retry debris) …
+    rows.write.mode("overwrite").parquet(segDir(root, batchId).toString)
+    // … marker last, appearing atomically via temp-create + rename
+    val tmp = new HPath(root, s".done-$batchId.tmp")
+    f.create(tmp, true).close()
+    if (!f.rename(tmp, doneMarker(root, batchId)))
+      throw new java.io.IOException(
+        s"DedupStore: cannot commit marker for batch $batchId under $root")
+    true
+  }
+
+  /** All committed segments as one DataFrame (empty schema-less reads are
+    * the caller's concern: a store must have ≥ 1 committed segment).
+    * Unmarked / half-written segments are invisible. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val committed = f.listStatus(new HPath(root))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("done-"))
+      .map(_.stripPrefix("done-").toLong)
+      .sorted
+    require(committed.nonEmpty, s"DedupStore at $root has no committed segments")
+    spark.read.parquet(
+      committed.map(id => segDir(root, id).toString): _*)
+  }
+
+  /** Committed batch ids, ascending — the audit view ("which ingests are
+    * in this store?") and the input to an offline compaction. */
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val p = new HPath(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).filter(_.startsWith("done-"))
+      .map(_.stripPrefix("done-").toLong).sorted.toSeq
+  }
+
+  // ------------------------------------------------- fingerprint store
+
+  /** Seed/append the exact-dedup fingerprint store: `fps` must be the
+    * batch's surviving fingerprints (the `fp` column of
+    * [[Dedup.incrementalExact]]'s output — already distinct within the
+    * batch and disjoint from the store by construction), or a corpus's
+    * [[Dedup.fingerprintStore]] for batch 0. */
+  def appendFingerprints(spark: SparkSession, root: String, batchId: Long,
+      fps: DataFrame): Boolean =
+    append(spark, root, batchId, fps.select(col("fp")))
+
+  /** The store as [[Dedup.incrementalExact]]'s `store` argument. No
+    * distinct(): segments are pairwise disjoint by the append contract,
+    * and the anti-join probe is duplicate-tolerant anyway. */
+  def readFingerprints(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
+
+  // ---------------------------------------------------- near-dup store
+
+  /** Seed/append the MinHash near-dup store with one batch's signatures:
+    * `sigs` = (sid, sig) — [[Dedup.minhashSignatures]] output renamed, or
+    * the `sigs` half of [[Dedup.nearDupStore]] for batch 0. Only the
+    * k-wide signature is persisted (1× per doc); the 32×-narrower band
+    * table is re-derived on read — a pure projection, so the stored bytes
+    * stay minimal (the r9 normalization argument, now on disk). */
+  def appendNearDupSigs(spark: SparkSession, root: String, batchId: Long,
+      sigs: DataFrame): Boolean =
+    append(spark, root, batchId, sigs.select(col("sid"), col("sig")))
+
+  /** The store as [[Dedup.incrementalNearDup]]'s `store` argument:
+    * (bands, sigs), bands derived from the persisted signatures by the
+    * same kernel that built them. */
+  def readNearDup(spark: SparkSession, root: String,
+      bands: Int = 32): (DataFrame, DataFrame) = {
+    val sigs = read(spark, root)
+    val banded = sigs.select(col("sid"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)))
+      .select(col("pos").as("band"), col("col").as("bh"), col("sid"))
+    (banded, sigs)
+  }
+}

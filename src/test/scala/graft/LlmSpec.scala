@@ -706,4 +706,54 @@ class LlmSpec extends SparkSpec {
       }
     }
   }
+
+  test("DedupStore: append is replay-idempotent, reads see only committed segments") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("fpstore").toString
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(DedupStore.appendFingerprints(spark, root, 0L,
+      Dedup.fingerprintStore(hist)))
+    val n0 = DedupStore.readFingerprints(spark, root).count()
+    assert(n0 == 2)
+    val batch = Seq((10L, "ALPHA  beta gamma"), (11L, "fresh content here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch,
+      DedupStore.readFingerprints(spark, root)).localCheckpoint()
+    assert(kept.count() == 1) // only the fresh doc survives
+    // first append commits, the replay is a no-op and the store is unchanged
+    assert(DedupStore.appendFingerprints(spark, root, 1L, kept))
+    assert(!DedupStore.appendFingerprints(spark, root, 1L, kept))
+    assert(DedupStore.readFingerprints(spark, root).count() == n0 + 1)
+    assert(DedupStore.committedBatches(spark, root) == Seq(0L, 1L))
+    // an UNMARKED segment (crash between data and marker) is invisible
+    Seq("orphan").toDF("fp").write
+      .parquet(s"$root/segments/99")
+    assert(DedupStore.readFingerprints(spark, root).count() == n0 + 1)
+    assert(DedupStore.committedBatches(spark, root) == Seq(0L, 1L))
+  }
+
+  test("DedupStore near-dup: persisted sigs probe identically to the in-memory store") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("ndstore").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (11L, "wholly novel words nothing shared with any history document at all"))
+      .toDF("doc_id", "text")
+    val (bandsMem, sigsMem) = Dedup.nearDupStore(hist)
+    assert(DedupStore.appendNearDupSigs(spark, root, 0L, sigsMem))
+    val viaDisk = Dedup.incrementalNearDup(batch,
+        DedupStore.readNearDup(spark, root), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val viaMem = Dedup.incrementalNearDup(batch, (bandsMem, sigsMem),
+        threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(viaDisk == viaMem)
+    assert(viaDisk == Set((10L, true), (11L, false)))
+    spark.catalog.clearCache() // cache contract: see Dedup scaladoc
+  }
 }

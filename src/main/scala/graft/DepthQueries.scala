@@ -522,6 +522,47 @@ object DepthQueries {
       .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
   }
 
+  // ------------------------------------- dt03 profile with HLL distinct
+
+  /** dt02's 100 TB swap-in, EXECUTED and gated (not prose): the same
+    * column profile with `n_distinct` from
+    * [[graft.exec.DataTests.profileApprox]] (HyperLogLog++, rsd 1%),
+    * joined per column against the exact twin and gated at ±4% relative
+    * error (4σ of the sketch's standard error — deterministic for a given
+    * dataset, so the gate is stable, and the q17/q30 pattern makes the
+    * bound hash-checked rather than asserted in a comment). Exact values
+    * ride along so the oracle pins the whole row. */
+  private def dt03(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    val exact = graft.exec.DataTests.profile(src, cols)
+    val approx = graft.exec.DataTests.profileApprox(src, cols, rsd = 0.01)
+      .select(col("column_name"), col("n_distinct").as("__hll"))
+    exact.join(approx, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (abs(col("__hll").cast("double") / col("n_distinct") - 1) <= 0.04)
+          .as("distinct_ok"))
+      .orderBy(col("column_name"))
+  }
+
+  private val dt03Sql = {
+    def one(c: String, cast: String) =
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($cast) AS VARCHAR) AS min_value,
+         |  CAST(MAX($cast) AS VARCHAR) AS max_value,
+         |  TRUE AS distinct_ok FROM orders""".stripMargin
+    Seq(one("o_orderkey", "o_orderkey"), one("o_custkey", "o_custkey"),
+      one("o_orderstatus", "o_orderstatus"),
+      one("o_orderpriority", "o_orderpriority"),
+      one("o_orderdate", "CAST(o_orderdate AS DATE)"))
+      .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
+  }
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -542,7 +583,8 @@ object DepthQueries {
     "q29_recursive_cte" -> (q29 _),
     "q30_approx_quantiles" -> (q30 _),
     "dt01_data_tests" -> (dt01 _),
-    "dt02_profile" -> (dt02 _))
+    "dt02_profile" -> (dt02 _),
+    "dt03_profile_hll" -> (dt03 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -562,5 +604,6 @@ object DepthQueries {
     "q29_recursive_cte" -> q29Sql,
     "q30_approx_quantiles" -> q30Sql,
     "dt01_data_tests" -> dt01Sql,
-    "dt02_profile" -> dt02Sql)
+    "dt02_profile" -> dt02Sql,
+    "dt03_profile_hll" -> dt03Sql)
 }

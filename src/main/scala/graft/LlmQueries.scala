@@ -2288,6 +2288,58 @@ object LlmQueries {
       |FROM d JOIN md USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------- d20 robust outliers via GK sketch, gated
+
+  /** d15's 100 TB swap-in, EXECUTED and gated (not prose): the same
+    * median/MAD outlier profile with both percentile passes on
+    * `approx_percentile` ([[NumericQuality.robustOutliersApprox]], GK
+    * accuracy 10⁴ — bounded memory per group instead of `percentile`'s
+    * buffer-every-value reducer), joined per group against the exact twin.
+    * Gates: median and MAD within 1% relative (GK rank error n/10⁴ is far
+    * inside that on this price distribution), outlier count within
+    * max(10, 2%) — the cutoff shift from a sketchy median moves only the
+    * boundary-density sliver. Exact values ride along so the oracle pins
+    * the whole row (the q30 pattern). */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val exact = NumericQuality.robustOutliers(
+      src, "l_extendedprice", Seq("l_returnflag"), z = 3.5)
+    val approx = NumericQuality.robustOutliersApprox(
+        src, "l_extendedprice", Seq("l_returnflag"), z = 3.5, accuracy = 10000)
+      .select(col("l_returnflag"), col("med").as("__amed"),
+        col("mad").as("__amad"), col("n_outliers").as("__aout"))
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("outlier_ratio"),
+        (abs(col("__amed") / col("med") - 1) <= 0.01).as("med_ok"),
+        (abs(col("__amad") / col("mad") - 1) <= 0.01).as("mad_ok"),
+        (abs(col("__aout") - col("n_outliers"))
+          <= greatest(lit(10L), (col("n_outliers") * 0.02).cast("long")))
+          .as("outliers_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val d20Sql =
+    """WITH m AS (SELECT l_returnflag,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS x,
+      |    m.med FROM lineitem l JOIN m USING (l_returnflag)),
+      |md AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(MIN(d.med), 4) AS med, round(MIN(md.mad), 4) AS mad,
+      |  CAST(SUM(CASE WHEN md.mad > 0
+      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(SUM(CASE WHEN md.mad > 0
+      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+      |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_ratio,
+      |  TRUE AS med_ok, TRUE AS mad_ok, TRUE AS outliers_ok
+      |FROM d JOIN md USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2344,6 +2396,7 @@ object LlmQueries {
     "d17_group_split" -> (d17 _),
     "d18_incremental_neardup" -> (d18 _),
     "d19_store_append" -> (d19 _),
+    "d20_robust_outliers_gk" -> (d20 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2414,6 +2467,7 @@ object LlmQueries {
     "d17_group_split" -> d17Sql,
     "d18_incremental_neardup" -> d18Sql,
     "d19_store_append" -> d19Sql,
+    "d20_robust_outliers_gk" -> d20Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql)

@@ -26,7 +26,10 @@ object GateCheck {
     "d18_incremental_neardup",
     // store-append loop: replay no-op + store row accounting + two-step
     // equals one-shot
-    "d19_store_append")
+    "d19_store_append",
+    // approx swap-ins gated against their exact twins (GK median/MAD, HLL
+    // distinct)
+    "d20_robust_outliers_gk", "dt03_profile_hll")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -145,17 +145,38 @@ object DataTests {
     * union, consumed in ONE action — and since each branch prunes to its
     * own column, the union's total scan bytes equal ONE pass over the
     * profiled columns (columnar source), not n_cols table scans. At
-    * 100 TB swap `countDistinct` for `approx_count_distinct` (q17's HLL
-    * pattern) — exact here so the DuckDB oracle matches. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * Exact `countDistinct` here so the DuckDB oracle matches;
+    * [[profileApprox]] is the 100 TB swap-in (HLL), gated against this
+    * twin by dt03. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileImpl(df, cols, rsd = None)
+
+  /** The 100 TB form of [[profile]]: `n_distinct` comes from
+    * `approx_count_distinct` (HyperLogLog++ — one mergeable fixed-size
+    * sketch per branch instead of `countDistinct`'s expand+regroup of
+    * every distinct value through the shuffle). Same output contract;
+    * standard error ≈ `rsd` — dt03 gates the estimate against the exact
+    * twin in-query (the q17/q30 pattern). */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.02): DataFrame = {
+    require(rsd > 0 && rsd < 0.4, s"rsd out of range: $rsd")
+    profileImpl(df, cols, Some(rsd))
+  }
+
+  private def profileImpl(df: DataFrame, cols: Seq[String],
+      rsd: Option[Double]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
+    def distinctOf(c: String): Column = rsd match {
+      case None => countDistinct(col(c))
+      case Some(r) => approx_count_distinct(col(c), r)
+    }
     cols.map { c =>
       df.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
+        distinctOf(c).as("n_distinct"),
         min(col(c)).cast("string").as("min_value"),
         max(col(c)).cast("string").as("max_value"))
         .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),

@@ -197,23 +197,100 @@ object Sampling {
   /** Budget-constrained greedy selection — the final assembly step of a
     * training mix: per stratum, rank rows by (score desc, tie asc) and
     * keep them while the RUNNING token total stays within `budget`
-    * ("fill each language's token budget with its best documents"). One
-    * running-sum window per stratum; with a handful of strata
-    * (languages/sources) this is the right shape — for a modal-score
-    * stratum at extreme scale, decompose the rank first (the
-    * [[TextOps.qualityTopQ]] pattern) and budget over the decomposed
-    * rank. The caller's `tie` must be unique within a stratum (same
-    * contract as qualityTopQ) so the kept set is deterministic. */
+    * ("fill each language's token budget with its best documents").
+    * Semantics identical to `sum(tokens) OVER (PARTITION BY stratum ORDER
+    * BY score DESC, tie ROWS UNBOUNDED PRECEDING) <= budget` — but WITHOUT
+    * one corpus-sized window partition per stratum (a 100 TB corpus is
+    * mostly one language; that form is a single-reducer cliff). The
+    * running sum is DECOMPOSED the [[TextOps.qualityTopQ]] way:
+    *
+    *  1. `groupBy(stratum, score)` → per-score-group row/token totals —
+    *     map-side-combined; output is distinct score values, not rows.
+    *  2. A running-total window over THAT tiny table classifies each
+    *     group: tokens-before > budget ⇒ every row's cum exceeds budget —
+    *     dropped WHOLESALE before any sort; tokens-before + group total ≤
+    *     budget ⇒ kept wholesale (no per-row sum needed at all). At most
+    *     ONE group per stratum straddles the boundary.
+    *  3. Only the boundary group pays a per-row running-sum window,
+    *     partitioned by (stratum, score) — parallel across strata, and
+    *     bounded by the boundary group's size, not the stratum's.
+    *
+    * The residual skew is a MODAL score (one score value dominating a
+    * stratum) landing on the boundary: pass `tieBucket` (any
+    * non-decreasing function of `tie`, e.g. `floor(doc_id / 8192)`) to
+    * decompose the boundary group the same way — per-bucket totals,
+    * running totals over the distinct-bucket table, whole-keep/drop
+    * buckets, and a per-row window only inside the single boundary
+    * BUCKET. Probed at 10× in examples/TokenBudgetScaleProbe.
+    *
+    * Caller contract: `tokens` non-negative (they are token counts; the
+    * wholesale drop relies on the running sum being monotone), `stratum`
+    * and `score` non-null (the decomposition joins on them — same
+    * contract as qualityTopQ), `tie` unique within a stratum so the kept
+    * set is deterministic. */
   def tokenBudget(df: DataFrame, stratum: Column, tokens: Column,
-      score: Column, tie: Column, budget: Long): DataFrame = {
+      score: Column, tie: Column, budget: Long,
+      tieBucket: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    require(!df.columns.contains("__tb_cum"),
-      "tokenBudget uses __tb_cum internally")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(score.desc, tie.asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("__tb_cum", sum(tokens).over(w))
-      .filter(col("__tb_cum") <= budget)
-      .drop("__tb_cum")
+    val reserved = Seq("__tb_g", "__tb_s", "__tb_t", "__tb_gt", "__tb_tb",
+      "__tb_whole", "__tb_b", "__tb_bt", "__tb_btb", "__tb_bwhole",
+      "__tb_gtb", "__tb_cum")
+    require(!df.columns.exists(reserved.contains),
+      s"tokenBudget uses ${reserved.mkString(", ")} internally")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__tb_g", stratum).withColumn("__tb_s", score)
+      .withColumn("__tb_t", tokens.cast("long"))
+    // distinct-score table: the window sorts score VALUES, not rows
+    val wCum = Window.partitionBy(col("__tb_g")).orderBy(col("__tb_s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groups = keyed.groupBy(col("__tb_g"), col("__tb_s"))
+      .agg(sum(col("__tb_t")).as("__tb_gt"))
+      .withColumn("__tb_tb", coalesce(sum(col("__tb_gt")).over(wCum), lit(0L)))
+      .filter(col("__tb_tb") <= budget) // tokens-before > budget: drop wholesale
+      .withColumn("__tb_whole", col("__tb_tb") + col("__tb_gt") <= budget)
+      .select(col("__tb_g"), col("__tb_s"), col("__tb_tb"), col("__tb_whole"))
+    val cand = keyed.join(groups, Seq("__tb_g", "__tb_s"))
+    val whole = cand.filter(col("__tb_whole"))
+    val boundary = cand.filter(!col("__tb_whole"))
+    val kept = tieBucket match {
+      case None =>
+        val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"))
+          .orderBy(tie.asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        boundary
+          .withColumn("__tb_cum", col("__tb_tb") + sum(col("__tb_t")).over(wRow))
+          .filter(col("__tb_cum") <= budget).drop("__tb_cum")
+      case Some(tb) =>
+        // same decomposition one level down: distinct TIE BUCKETS of the
+        // boundary group, running totals over the bucket table, per-row
+        // window only inside the boundary bucket
+        val bnd = boundary.withColumn("__tb_b", tb)
+        val wB = Window.partitionBy(col("__tb_g"), col("__tb_s"))
+          .orderBy(col("__tb_b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bkts = bnd.groupBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
+          // __tb_tb is constant within a (stratum, score) group — min()
+          // just carries it through the aggregate
+          .agg(sum(col("__tb_t")).as("__tb_bt"), min(col("__tb_tb")).as("__tb_gtb"))
+          .withColumn("__tb_btb",
+            coalesce(sum(col("__tb_bt")).over(wB), lit(0L)))
+          .filter(col("__tb_gtb") + col("__tb_btb") <= budget)
+          .withColumn("__tb_bwhole",
+            col("__tb_gtb") + col("__tb_btb") + col("__tb_bt") <= budget)
+          .select(col("__tb_g"), col("__tb_s"), col("__tb_b"),
+            col("__tb_btb"), col("__tb_bwhole"))
+        val bcand = bnd.join(bkts, Seq("__tb_g", "__tb_s", "__tb_b"))
+        val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
+          .orderBy(tie.asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        bcand.filter(col("__tb_bwhole"))
+          .unionByName(bcand.filter(!col("__tb_bwhole"))
+            .withColumn("__tb_cum", col("__tb_tb") + col("__tb_btb")
+              + sum(col("__tb_t")).over(wRow))
+            .filter(col("__tb_cum") <= budget).drop("__tb_cum"))
+          .drop("__tb_b", "__tb_btb", "__tb_bwhole")
+    }
+    whole.unionByName(kept)
+      .drop("__tb_g", "__tb_s", "__tb_t", "__tb_tb", "__tb_whole")
   }
 }

@@ -707,6 +707,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget: decomposed form equals the window form, incl. modal scores and zero tokens") {
+    // 3 strata; stratum "b" is dominated by one MODAL score whose tie
+    // group straddles the budget boundary; zero-token docs sit both inside
+    // and beyond the boundary; stratum "c" fits entirely under budget
+    val rows = (1L to 200L).map { i =>
+      val g = if (i <= 80) "a" else if (i <= 180) "b" else "c"
+      val score = if (g == "b") 5.0 else (i % 7).toDouble // modal score in b
+      val tok = if (i % 11 == 0) 0L else (i % 13) + 1L    // some zero-token docs
+      (i, g, score, tok)
+    }
+    val df = rows.toDF("doc_id", "g", "score", "n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    for (budget <- Seq(50L, 200L, 1000L, 100000L)) {
+      val expected = df.withColumn("__c", sum(col("n_tok")).over(w))
+        .filter(col("__c") <= budget).drop("__c")
+        .as[(Long, String, Double, Long)].collect().toSet
+      val plain = Sampling.tokenBudget(df, col("g"), col("n_tok"),
+          col("score"), col("doc_id"), budget)
+        .as[(Long, String, Double, Long)].collect().toSet
+      val bucketed = Sampling.tokenBudget(df, col("g"), col("n_tok"),
+          col("score"), col("doc_id"), budget,
+          tieBucket = Some(floor(col("doc_id") / 16)))
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(plain == expected, s"plain mismatch at budget $budget")
+      assert(bucketed == expected, s"bucketed mismatch at budget $budget")
+    }
+  }
+
   test("DedupStore: append is replay-idempotent, reads see only committed segments") {
     import graft.llm.DedupStore
     val root = java.nio.file.Files.createTempDirectory("fpstore").toString

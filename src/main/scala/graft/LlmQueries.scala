@@ -519,6 +519,111 @@ object LlmQueries {
       |FROM documents WHERE doc_id < 400
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------- j03 ingest → provenance → dedup audit chain
+
+  /** The composed ingest-to-train head of a real pipeline, as ONE query —
+    * j01's quarantine, j02's provenance, and d16's incremental dedup
+    * chained over the same batch, emitting the audit table a production
+    * ingest ships: per SOURCE FILE, line/corrupt/clean counts and how many
+    * clean docs survived dedup against the historical fingerprint store
+    * (kept) vs were dropped as duplicates (of history or within-batch).
+    *
+    * Flow: a synthetic crawl batch (perturbed copies of history that must
+    * drop + genuinely new docs, d16's construction) is serialized to JSONL
+    * partitioned into four source files (`src=0..3`), with every
+    * doc_id % 97 line truncated mid-object; read back through
+    * [[graft.sources.Sources.jsonl]] (PERMISSIVE quarantine) with
+    * `_metadata.file_path` provenance; clean rows dedup against
+    * [[Dedup.fingerprintStore]] (history); kept ids join back to their
+    * source file via the provenance stamp. The oracle reproduces every
+    * count from the closed construction — a quarantine slip, a provenance
+    * mis-stamp, or a dedup drift all hash-mismatch. */
+  private def j03(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 600)
+    val off = idOffset(hist)
+    // d16-shaped batch: copies of history (drop) + new docs (keep, with
+    // one within-batch dup family via %35)
+    val batch = hist.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text"))
+      .unionByName(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"),
+          concat(lit("newdoc "), col("text")).as("text")))
+      .unionByName(hist.filter(col("doc_id") % 35 === 0)
+        .select((col("doc_id") + 3 * off).as("doc_id"),
+          concat(lit("newdoc "), col("text"), lit(" ")).as("text")))
+    val line = to_json(struct(col("doc_id"), col("text")))
+    val corrupted = batch.select(
+      when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
+        .otherwise(line).as("value"),
+      (col("doc_id") % 4).cast("int").as("src"))
+    val path = staging("chain", dir)
+    corrupted.repartition(1).write.mode("overwrite")
+      .partitionBy("src").text(path)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // one scan → quarantine stream + clean stream, each stamped with its
+    // source file; cached because both streams and the dedup join-back
+    // consume it (see Sources.jsonl scaladoc)
+    val parsed = graft.sources.Sources.jsonl(s, path, schema)
+      .select(col("doc_id"), col("text"), col("_corrupt_record"),
+        regexp_extract(col("_metadata.file_path"), "src=(\\d+)", 1)
+          .cast("int").as("src"))
+      .cache()
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+    val kept = Dedup.incrementalExact(clean, Dedup.fingerprintStore(hist))
+      .select(col("doc_id"), lit(1L).as("__kept"))
+    parsed
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_clean"),
+        sum(coalesce(col("__kept"), lit(0L))).cast("bigint").as("n_kept"))
+      .withColumn("n_dropped", (col("n_clean") - col("n_kept")).cast("bigint"))
+      .orderBy(col("src"))
+  }
+
+  private val j03Sql =
+    """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
+      |batch AS (
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
+      |    FROM hist WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
+      |    FROM hist WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3 * (SELECT o FROM off), 'newdoc ' || text || ' '
+      |    FROM hist WHERE doc_id % 35 = 0),
+      |tagged AS (SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS src,
+      |    doc_id % 97 = 0 AS corrupt
+      |  FROM batch),
+      |storefp AS (SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM hist),
+      |clean AS (SELECT doc_id, src,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM tagged WHERE NOT corrupt),
+      |kept AS (SELECT fp, MIN(doc_id) AS doc_id FROM clean
+      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1)
+      |SELECT t.src, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN t.corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(SUM(CASE WHEN t.corrupt THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_clean,
+      |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN t.corrupt THEN 0 ELSE 1 END)
+      |    - SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped
+      |FROM tagged t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------- d18 incremental near-dup dedup
 
   /** Incremental NEAR-dup dedup of an ingest batch against the historical
@@ -2400,6 +2505,7 @@ object LlmQueries {
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
+    "j03_ingest_chain" -> (j03 _),
     "mm01_image_header_dims" -> (mm01 _),
     "mm02_media_resize_frames" -> (mm02 _),
     "mm03_audio_wav" -> (mm03 _),
@@ -2470,5 +2576,6 @@ object LlmQueries {
     "d20_robust_outliers_gk" -> d20Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
-    "j02_provenance" -> j02Sql)
+    "j02_provenance" -> j02Sql,
+    "j03_ingest_chain" -> j03Sql)
 }

@@ -194,7 +194,10 @@ class JobCountSpec extends SparkSpec {
         "dt02_profile" -> 4,   // fused per-column agg union: one action (measured 3)
         "d16_incremental_dedup" -> 8,  // store distinct + anti-join + keep-min (measured 6)
         "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
-        "t23_token_budget" -> 6,       // one cumsum window + filter (measured 4)
+        // r10: decomposed running sum — distinct-score table + classify
+        // join + boundary window (measured 8; the old single-window form
+        // was 4 jobs but sorted whole strata in one task)
+        "t23_token_budget" -> 10,
         "j01_jsonl_ingest" -> 8,       // serialize + text write + parse + agg
         "j02_provenance" -> 8,         // partitioned write + provenance agg
         "d18_incremental_neardup" -> 10)) { // two sig pipelines + band probe
@@ -231,5 +234,25 @@ class JobCountSpec extends SparkSpec {
     // they run CONCURRENTLY inside one action, vs the pre-fuse shape of
     // >= 1 job per test, sequentially
     assert(jobs <= 7, s"fused data-test job count regressed: $jobs")
+  }
+
+  test("j03 ingest chain stays within its fixed job budget") {
+    // the composed quarantine→provenance→dedup chain is ONE staged write
+    // (serialize the batch), the id-offset scalar, the parsed-batch cache
+    // fill, and one final aggregate action over the cached scan — an
+    // accidental extra pass (e.g. re-reading the JSONL per branch instead
+    // of through the cache) lands well above the bound
+    val jobs = countJobs {
+      val out = graft.LlmQueries.queries("j03_ingest_chain")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(out.length == 4)
+      assert(out.map(_.getAs[Long]("n_kept")).sum > 0)
+    }
+    info(s"j03 chain jobs = $jobs")
+    // measured 15 under AQE (offset scalar + staged text write + cache
+    // fill + one aggregate action whose shuffle branches each materialize
+    // a stage job); a second uncached pass over the JSONL adds 4+
+    assert(jobs <= 18, s"j03 chain job count regressed: $jobs")
+    spark.catalog.clearCache()
   }
 }

@@ -294,7 +294,7 @@ class PlanSpec extends SparkSpec {
       !p.contains("Window"), s"split assignment is not per-row:\n$p")
   }
 
-  test("tokenBudget: exactly one cumsum window, partitioned by the stratum") {
+  test("tokenBudget: decomposed — per-row windows only inside the boundary group") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"),
         graft.llm.TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
@@ -302,7 +302,27 @@ class PlanSpec extends SparkSpec {
     val p = graft.llm.Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
         col("quality"), col("doc_id"), budget = 3000L)
       .queryExecution.explainString(SimpleMode)
-    assert("Window".r.findAllIn(p).size == 1, s"expected ONE window:\n$p")
-    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // r10 decomposed shape: the classify cumsum windows ride the
+    // DISTINCT-SCORE aggregate (tiny table; duplicated across the union's
+    // whole/boundary branches, exchange-reused at execution) and are
+    // recognizable by their (unboundedpreceding, -1) frame; the only
+    // per-ROW window (running sum to current row) partitions by BOTH
+    // (stratum, score) — the boundary group — never by the stratum alone
+    // over the raw scan. The old one-window form sorted entire strata in
+    // single tasks.
+    val windows = p.linesIterator.filter(_.contains("Window [")).map { l =>
+      val keys = "\\], \\[([^\\]]*)\\], \\[[^\\]]*\\]\\s*$".r
+        .findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      (l, keys)
+    }.toSeq
+    val perRow = windows.filter(_._1.contains("currentrow"))
+    val classify = windows.filterNot(_._1.contains("currentrow"))
+    assert(perRow.size == 1, s"expected ONE per-row boundary window:\n$p")
+    assert(perRow.head._2.split(",").length >= 2,
+      s"boundary window must partition by (stratum, score):\n$p")
+    assert(classify.nonEmpty && classify.forall(_._2.split(",").length == 1),
+      s"classify windows ride the distinct-score table keyed by stratum:\n$p")
+    // group classification joins back broadcast (tiny distinct-score side)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast classify join:\n$p")
   }
 }

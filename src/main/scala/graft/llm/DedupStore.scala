@@ -30,10 +30,12 @@ import org.apache.hadoop.fs.{Path => HPath}
   * Scale shape: append cost ∝ batch (one parquet write, no read-modify-write
   * of history); read is a multi-path parquet scan whose per-segment
   * footers prune columns like any other scan. Segment count grows one per
-  * ingest — compact by rewriting `segments/` offline if it ever matters
-  * (markers make the rewrite safely distinguishable from half-appends).
-  * Nothing here is cached: the store lives on disk, not in the session
-  * (see the cache contract note on [[Dedup]]).
+  * ingest — [[compact]] folds committed segments into one when it ever
+  * matters (markers make the rewrite safely distinguishable from
+  * half-appends, and probes are duplicate-tolerant so a crash mid-compact
+  * can only over-report, never drop). Nothing here is cached: the store
+  * lives on disk, not in the session (see the cache contract note on
+  * [[Dedup]]).
   */
 object DedupStore {
 
@@ -88,6 +90,41 @@ object DedupStore {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath.getName).filter(_.startsWith("done-"))
       .map(_.stripPrefix("done-").toLong).sorted.toSeq
+  }
+
+  /** Fold all committed segments into ONE new segment (id = max + 1) and
+    * retire the olds — the offline maintenance pass that keeps the
+    * multi-path read from accumulating one footer per ingest forever.
+    * Returns the new segment's batchId (or the sole existing id if the
+    * store is already compact).
+    *
+    * Crash ordering, weakest-to-strongest: (1) merged data written, (2)
+    * merged marker committed, (3) OLD MARKERS removed, (4) old data
+    * dirs removed. A crash before (2) leaves an unmarked dir reads
+    * ignore; between (2) and (3) reads see every row TWICE — safe for
+    * both probe shapes (the fp anti-join is duplicate-tolerant, the
+    * near-dup candidate set is `.distinct()`-ed before scoring) and
+    * healed by re-running compact; after (3) only unreferenced dirs
+    * remain. Not safe concurrently with an in-flight [[append]] of a NEW
+    * batch id (the snapshot read races the new marker) — run it in the
+    * ingest pipeline's maintenance window, like every other compaction
+    * ([[graft.exec.Maintenance]] has the same contract). */
+  def compact(spark: SparkSession, root: String): Long = {
+    val ids = committedBatches(spark, root)
+    require(ids.nonEmpty, s"DedupStore at $root has no committed segments")
+    if (ids.size == 1) return ids.head
+    val merged = read(spark, root)
+    val newId = ids.max + 1
+    val f = fs(spark, root)
+    merged.write.mode("overwrite").parquet(segDir(root, newId).toString)
+    val tmp = new HPath(root, s".done-$newId.tmp")
+    f.create(tmp, true).close()
+    if (!f.rename(tmp, doneMarker(root, newId)))
+      throw new java.io.IOException(
+        s"DedupStore: cannot commit compaction marker $newId under $root")
+    ids.foreach { id => f.delete(doneMarker(root, id), false) }
+    ids.foreach { id => f.delete(segDir(root, id), true) }
+    newId
   }
 
   // ------------------------------------------------- fingerprint store

@@ -763,6 +763,38 @@ class LlmSpec extends SparkSpec {
     assert(DedupStore.committedBatches(spark, root) == Seq(0L, 1L))
   }
 
+  test("DedupStore.compact: folds segments, retires olds, heals a mid-crash duplicate state") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("fpcompact").toString
+    for (b <- 0L to 2L)
+      assert(DedupStore.appendFingerprints(spark, root, b,
+        Seq(s"fp_a$b", s"fp_b$b").toDF("fp")))
+    val before = DedupStore.readFingerprints(spark, root)
+      .as[String].collect().sorted.toSeq
+    assert(before.size == 6)
+    val newId = DedupStore.compact(spark, root)
+    assert(newId == 3L)
+    assert(DedupStore.committedBatches(spark, root) == Seq(3L))
+    assert(DedupStore.readFingerprints(spark, root)
+      .as[String].collect().sorted.toSeq == before)
+    // already-compact store: no-op, returns the sole id
+    assert(DedupStore.compact(spark, root) == 3L)
+    assert(DedupStore.committedBatches(spark, root) == Seq(3L))
+    // crash window between merged-marker commit and old-marker removal:
+    // an extra committed segment duplicating existing rows. Reads
+    // over-report (duplicate-tolerant probes survive) and a re-run heals.
+    assert(DedupStore.appendFingerprints(spark, root, 4L,
+      Seq("fp_a0").toDF("fp"))) // stand-in for a half-retired duplicate
+    val probe = graft.llm.Dedup.incrementalExact(
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"),
+      DedupStore.readFingerprints(spark, root))
+    assert(probe.count() == 2) // duplicates in the store change nothing
+    val healed = DedupStore.compact(spark, root)
+    assert(DedupStore.committedBatches(spark, root) == Seq(healed))
+    assert(DedupStore.readFingerprints(spark, root)
+      .as[String].collect().sorted.toSeq == (before :+ "fp_a0").sorted)
+  }
+
   test("DedupStore near-dup: persisted sigs probe identically to the in-memory store") {
     import graft.llm.DedupStore
     val root = java.nio.file.Files.createTempDirectory("ndstore").toString

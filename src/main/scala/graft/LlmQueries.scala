@@ -756,7 +756,11 @@ object LlmQueries {
         .select((col("doc_id") + 5 * off).as("doc_id"),
           concat(lit("fresh "), col("text")).as("text")))
     val root = staging("fpstore", dir) + "/" + storeInvocation.incrementAndGet()
-    DedupStore.appendFingerprints(s, root, 0L, Dedup.fingerprintStore(hist))
+    // one corpus distinct, three consumers (seed append, one-shot twin,
+    // store accounting) — without the checkpoint the documents scan +
+    // distinct aggregation would run three times
+    val histFps = Dedup.fingerprintStore(hist).localCheckpoint()
+    DedupStore.appendFingerprints(s, root, 0L, histFps)
     // materialized before the append so the probe plan is pinned to
     // segment 0 (read() captures its path list eagerly; the checkpoint
     // also feeds three consumers below without recompute)
@@ -766,8 +770,7 @@ object LlmQueries {
     val replayAppend = DedupStore.appendFingerprints(s, root, 1L, r1)
     val storeAfter = DedupStore.readFingerprints(s, root)
     val r2 = Dedup.incrementalExact(b2, storeAfter).localCheckpoint()
-    val oneshot = Dedup.incrementalExact(
-      b1.unionByName(b2), Dedup.fingerprintStore(hist))
+    val oneshot = Dedup.incrementalExact(b1.unionByName(b2), histFps)
     val twoStep = r1.unionByName(r2).select(col("fp"), col("doc_id"))
     val symDiff = twoStep.withColumn("__a", lit(1))
       .join(oneshot.select(col("fp"), col("doc_id")).withColumn("__b", lit(1)),
@@ -777,8 +780,7 @@ object LlmQueries {
     r1.agg(count(lit(1)).as("n_b1_kept"))
       .crossJoin(r2.agg(count(lit(1)).as("n_b2_kept")))
       .crossJoin(storeAfter.agg(count(lit(1)).as("n_store_fps")))
-      .crossJoin(Dedup.fingerprintStore(hist)
-        .agg(count(lit(1)).as("__n_hist_fps")))
+      .crossJoin(histFps.agg(count(lit(1)).as("__n_hist_fps")))
       .crossJoin(broadcast(symDiff))
       .select(col("n_b1_kept"), col("n_b2_kept"), col("n_store_fps"),
         lit(firstAppend && !replayAppend).as("replay_noop"),

@@ -561,6 +561,120 @@ object MatQueries {
     """SELECT event_id, user_id, event_type, value, ts
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------ m19 streaming store-backed ingest dedup
+
+  /** The d16/d19 ingest loop STREAMED —
+    * [[graft.streaming.Streaming.dedupIngestStream]]: a two-slab file
+    * backlog (slab A: perturbed copies of history + new docs; slab B:
+    * re-perturbed copies of slab A's new docs + fresh docs) drains
+    * AvailableNow, each micro-batch dedups against the durable
+    * [[graft.llm.DedupStore]] (seeded from history at batchId −1) and
+    * appends its survivors — dedup state lives in the STORE, not the
+    * streaming engine, so it spans restarts and arbitrary time gaps.
+    * The whole backlog is then REPLAYED with a fresh checkpoint against
+    * the same store: the done markers skip every batch, and two gate
+    * columns pin that the output rows and the store row count came
+    * through the replay byte-stable. The oracle reproduces the kept
+    * (doc_id, batch) set from the closed construction. */
+  private def m19(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{Dedup, DedupStore}
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = hist.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val slabA = hist.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text"))
+      .unionByName(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"),
+          concat(lit("newdoc "), col("text")).as("text")))
+    val slabB = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3 * off).as("doc_id"),
+        concat(lit("newdoc "), col("text"), lit(" ")).as("text"))
+      .unionByName(hist.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 4 * off).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+    val base = java.nio.file.Files.createTempDirectory("g_m19").toString
+    // one file per slab with stamped mtimes: the file source drains by
+    // mtime, so batch k = slab k (the m18 recipe)
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    val store = s"$base/store"
+    DedupStore.appendFingerprints(s, store, -1L, Dedup.fingerprintStore(hist))
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.dedupIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt))
+    drain(s"$base/ckpt1")
+    // snapshot after the first drain, then REPLAY the backlog with a
+    // fresh checkpoint — markers must skip every batch end-to-end
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readFingerprints(s, store).count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("batch").cast("int").as("batch"))
+    val storeRows2 = DedupStore.readFingerprints(s, store).count()
+    val sym = out1.withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)), Seq("doc_id", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    out1
+      .crossJoin(broadcast(sym))
+      .select(col("doc_id"), col("batch"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        lit(storeRows1 == storeRows2).as("store_stable"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m19Sql =
+    """WITH hist AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
+      |a AS (
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
+      |    FROM hist WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
+      |    FROM hist WHERE doc_id % 7 = 0),
+      |b AS (
+      |  SELECT doc_id + 3 * (SELECT o FROM off) AS doc_id,
+      |      'newdoc ' || text || ' ' AS text
+      |    FROM hist WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4 * (SELECT o FROM off), 'fresh ' || text
+      |    FROM hist WHERE doc_id % 13 = 0),
+      |storefp AS (SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM hist),
+      |af AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM a),
+      |k0 AS (SELECT fp, MIN(doc_id) AS doc_id FROM af
+      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1),
+      |bf AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM b),
+      |k1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM bf
+      |  WHERE fp NOT IN (SELECT fp FROM storefp)
+      |    AND fp NOT IN (SELECT fp FROM af) GROUP BY 1)
+      |SELECT doc_id, CAST(0 AS INT) AS batch,
+      |  TRUE AS replay_stable, TRUE AS store_stable FROM k0
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS INT), TRUE, TRUE FROM k1
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -581,7 +695,8 @@ object MatQueries {
     "m15_ephemeral" -> (m15 _),
     "m16_delta_update_delete" -> (m16 _),
     "m17_streaming_microbatch" -> (m17 _),
-    "m18_streaming_dedup" -> (m18 _))
+    "m18_streaming_dedup" -> (m18 _),
+    "m19_streaming_store_dedup" -> (m19 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -601,5 +716,6 @@ object MatQueries {
     "m15_ephemeral" -> m15Sql,
     "m16_delta_update_delete" -> m16Sql,
     "m17_streaming_microbatch" -> m17Sql,
-    "m18_streaming_dedup" -> m18Sql)
+    "m18_streaming_dedup" -> m18Sql,
+    "m19_streaming_store_dedup" -> m19Sql)
 }

@@ -29,7 +29,9 @@ object GateCheck {
     "d19_store_append",
     // approx swap-ins gated against their exact twins (GK median/MAD, HLL
     // distinct)
-    "d20_robust_outliers_gk", "dt03_profile_hll")
+    "d20_robust_outliers_gk", "dt03_profile_hll",
+    // streamed store-dedup: full-backlog replay must be byte-stable
+    "m19_streaming_store_dedup")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

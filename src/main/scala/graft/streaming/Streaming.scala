@@ -211,6 +211,48 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming ingest dedup against a DURABLE [[graft.llm.DedupStore]] —
+    * the production ingest loop, streamed: each micro-batch is
+    * incrementally deduplicated against the store (history + every prior
+    * committed batch, [[graft.llm.Dedup.incrementalExact]]), its surviving
+    * DOCS land in `outDir/batch=<id>`, and its surviving FINGERPRINTS
+    * append as store segment `<id>` — whose done marker doubles as the
+    * batch's commit token. A replayed batch (restart, task retry,
+    * at-least-once upstream) is recognized by the marker and skipped
+    * end-to-end; a crash BETWEEN the doc write and the marker re-processes
+    * the batch against the unchanged store and overwrites the same batch
+    * dir with the same rows. Exactly-once on a plain parquet sink without
+    * a transactional table format — the same marker discipline as
+    * [[microbatchStream]], with the dedup store itself as the ledger.
+    *
+    * Contract: seed the store with a NEGATIVE batchId (e.g. −1,
+    * `DedupStore.appendFingerprints(spark, root, -1L, corpusFps)`) so
+    * stream batch ids (0, 1, …) never collide with the seed segment.
+    * Unlike [[dedupStream]] (watermarked per-key state for replays within
+    * a time horizon), this form keeps NO state in the streaming engine —
+    * dedup state IS the store, so it survives restarts, spans arbitrary
+    * time gaps, and is shared with batch ingest paths. */
+  def dedupIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val kept = graft.llm.Dedup.incrementalExact(batch,
+              graft.llm.DedupStore.readFingerprints(spark, storeRoot),
+              idCol, textCol)
+            .localCheckpoint() // feeds the doc semi-join AND the append
+          batch.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendFingerprints(spark, storeRoot, id, kept)
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -307,4 +307,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(ref.render).select("v").as[Long].collect().toSeq
       == Seq(1L))
   }
+
+  test("dedupIngestStream: store-backed dedup continues across a restart, replays are no-ops") {
+    import graft.llm.{Dedup, DedupStore}
+    val base = java.nio.file.Files.createTempDirectory("ingest_dedup").toString
+    def slab(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    val hist = Seq((1L, "history one"), (2L, "history two")).toDF("doc_id", "text")
+    val store = s"$base/store"
+    DedupStore.appendFingerprints(spark, store, -1L, Dedup.fingerprintStore(hist))
+    // slab 0: one copy of history (drop) + one new; slab 1: copy of the
+    // slab-0 new doc (drop via the store) + one new
+    slab("s0", 600000L, (10L, "History  One"), (11L, "brand new alpha"))
+    slab("s1", 1200000L, (20L, "brand  new alpha"), (21L, "brand new beta"))
+    def drain(ckpt: String): Unit = Streaming.runToCompletion(
+      Streaming.dedupIngestStream(spark,
+        spark.readStream
+          .schema(hist.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/src"),
+        store, s"$base/out", ckpt))
+    drain(s"$base/ckpt")
+    def outRows() = spark.read.parquet(s"$base/out")
+      .select($"doc_id", $"batch".cast("int")).as[(Long, Int)].collect().toSet
+    assert(outRows() == Set((11L, 0), (21L, 1)))
+    assert(DedupStore.committedBatches(spark, store) == Seq(-1L, 0L, 1L))
+    val storeRows = DedupStore.readFingerprints(spark, store).count()
+    assert(storeRows == 4) // 2 history + alpha + beta
+    // RESTART with the SAME checkpoint after new data lands: only the new
+    // slab processes (batch 2); earlier batches are not re-read
+    slab("s2", 1800000L, (30L, "brand new beta "), (31L, "brand new gamma"))
+    drain(s"$base/ckpt")
+    assert(outRows() == Set((11L, 0), (21L, 1), (31L, 2)))
+    assert(DedupStore.committedBatches(spark, store) == Seq(-1L, 0L, 1L, 2L))
+    // full REPLAY with a fresh checkpoint: markers skip every batch
+    drain(s"$base/ckpt_replay")
+    assert(outRows() == Set((11L, 0), (21L, 1), (31L, 2)))
+    assert(DedupStore.readFingerprints(spark, store).count() == storeRows + 1)
+  }
 }

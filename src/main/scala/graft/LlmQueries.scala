@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 
@@ -827,6 +827,91 @@ object LlmQueries {
       |    AS BIGINT) AS n_store_fps,
       |  TRUE AS replay_noop, TRUE AS store_consistent,
       |  TRUE AS matches_oneshot""".stripMargin
+
+  // ---------------------------- d21 near-dup store append + replay no-op
+
+  /** The NEAR-dup sibling of d19 — the approximate ingest loop closed
+    * over [[graft.llm.DedupStore]]: seed the MinHash store from history,
+    * probe batch 1 (synthetic novel token streams — all must survive),
+    * APPEND batch 1's signatures, then probe batch 2, which plants
+    * one-token-appended near-dups of batch 1's survivors (Jaccard ≈ 0.98
+    * — catchable ONLY through the appended segment, not history) plus
+    * fresh novel docs. Gates: zero batch-1 false drops, batch-2 planted
+    * recall ≥ 0.6 vs the store-grown index, zero batch-2 false drops,
+    * and the replayed append is a no-op (returns false, store row count
+    * unchanged). DuckDB reproduces the counts and gate booleans from the
+    * closed planted structure. */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(hist)
+    // text streams keyed EXPLICITLY by a separate column: a same-select
+    // `col("doc_id")` next to a `.as("doc_id")` alias resolves to the
+    // ALIAS under Spark's lateral-column-alias rule, which silently built
+    // planted texts from the wrong id (disjoint streams, recall 0)
+    def novelTextOf(id: Column, prefix: String) =
+      array_join(transform(sequence(lit(1), lit(40)),
+        i => concat(lit(prefix), id, lit("x"), i)), " ")
+    def stream(mod: Int, idShift: Long, prefix: String,
+        suffix: String = ""): DataFrame =
+      hist.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("__orig"),
+          (col("doc_id") + idShift).as("doc_id"))
+        .select(col("doc_id"),
+          concat(novelTextOf(col("__orig"), prefix), lit(suffix)).as("text"))
+    val b1 = stream(13, off, "novel")
+    // planted near-dups rebuild batch-1's streams (same __orig ids) with
+    // one appended token — catchable only through the appended segment
+    val planted = stream(13, 2 * off, "novel", " graftmarker")
+    val fresh = stream(17, 3 * off, "fresh")
+    val root = staging("ndstore", dir) + "/" + storeInvocation.incrementAndGet()
+    val (_, sigs0) = Dedup.nearDupStore(hist)
+    DedupStore.appendNearDupSigs(s, root, 0L, sigs0)
+    val r1 = Dedup.incrementalNearDup(b1, DedupStore.readNearDup(s, root),
+      threshold = 0.8).localCheckpoint()
+    val survivors1 = b1.join(
+      r1.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val sig1 = Dedup.minhashSignatures(survivors1)
+      .select(col("doc_id").as("sid"), col("sig"))
+    val firstAppend = DedupStore.appendNearDupSigs(s, root, 1L, sig1)
+    val replayAppend = DedupStore.appendNearDupSigs(s, root, 1L, sig1)
+    // store accounting across the DOUBLE append: exactly history + batch-1
+    // signatures, nothing duplicated
+    val storeRows = DedupStore.readNearDup(s, root)._2.count()
+    val histSigs = sigs0.count()
+    val b1Sigs = sig1.count()
+    val r2 = Dedup.incrementalNearDup(planted.unionByName(fresh),
+      DedupStore.readNearDup(s, root), threshold = 0.8)
+    val g1 = r1.agg(count(lit(1)).as("n_b1"),
+      (sum(when(col("is_dup"), 1L).otherwise(0L)) === 0L).as("b1_all_kept"))
+    val g2 = r2.agg(
+      sum(when(col("doc_id") < 3 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_planted"),
+      sum(when(col("doc_id") >= 3 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_fresh"),
+      (sum(when(col("doc_id") < 3 * off && col("is_dup"), 1L).otherwise(0L))
+        .cast("double")
+        / sum(when(col("doc_id") < 3 * off, 1L).otherwise(0L)) >= 0.6)
+        .as("recall_ok"),
+      (sum(when(col("doc_id") >= 3 * off && col("is_dup"), 1L).otherwise(0L))
+        === 0L).as("no_false_drops"))
+    g1.crossJoin(g2)
+      .select(col("n_b1"), col("n_planted"), col("n_fresh"),
+        col("b1_all_kept"), col("recall_ok"), col("no_false_drops"),
+        lit(firstAppend && !replayAppend).as("replay_noop"),
+        lit(storeRows == histSigs + b1Sigs).as("store_consistent"))
+  }
+
+  private val d21Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+      |    AS BIGINT) AS n_b1,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+      |    AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0)
+      |    AS BIGINT) AS n_fresh,
+      |  TRUE AS b1_all_kept, TRUE AS recall_ok, TRUE AS no_false_drops,
+      |  TRUE AS replay_noop, TRUE AS store_consistent""".stripMargin
 
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
@@ -2504,6 +2589,7 @@ object LlmQueries {
     "d18_incremental_neardup" -> (d18 _),
     "d19_store_append" -> (d19 _),
     "d20_robust_outliers_gk" -> (d20 _),
+    "d21_neardup_store_append" -> (d21 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2576,6 +2662,7 @@ object LlmQueries {
     "d18_incremental_neardup" -> d18Sql,
     "d19_store_append" -> d19Sql,
     "d20_robust_outliers_gk" -> d20Sql,
+    "d21_neardup_store_append" -> d21Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,

@@ -31,7 +31,10 @@ object GateCheck {
     // distinct)
     "d20_robust_outliers_gk", "dt03_profile_hll",
     // streamed store-dedup: full-backlog replay must be byte-stable
-    "m19_streaming_store_dedup")
+    "m19_streaming_store_dedup",
+    // near-dup store ingest loop: batch-1 survival, store-grown recall,
+    // zero false drops, replay no-op, store accounting
+    "d21_neardup_store_append")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

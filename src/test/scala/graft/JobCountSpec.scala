@@ -210,6 +210,30 @@ class JobCountSpec extends SparkSpec {
     }
   }
 
+  test("r10 query additions stay within fixed job budgets") {
+    val dir = "/root/testdata/sf0.001"
+    for ((name, budget) <- Seq(
+        // 2 store writes + offset scalar + checkpoint fills + the gate
+        // frame's 4 single-row aggregates and full-outer sym-diff, each
+        // shuffle branch paying an AQE stage job (measured 29) — the
+        // query runs the dedup pipeline THREE times by design (two-step,
+        // one-shot twin, store accounting)
+        "d19_store_append" -> 34,
+        "d20_robust_outliers_gk" -> 14,  // exact + GK twin profiles joined
+        // 2 sig-store writes + TWO full near-dup probes (sign + band
+        // probe + estimate verify each) + 3 count scalars (measured 35)
+        "d21_neardup_store_append" -> 40,
+        "dt03_profile_hll" -> 6,   // fused union, one action (exact + HLL branches; measured 4)
+        "j03_ingest_chain" -> 18)) {
+      val jobs = countJobs {
+        assert(SparkEntry.queries(name)(spark, dir).count() > 0)
+        spark.catalog.clearCache()
+      }
+      info(s"$name jobs = $jobs (budget $budget)")
+      assert(jobs <= budget, s"$name fixed job count regressed: $jobs")
+    }
+  }
+
   test("fused data-test run computes all counts in one action") {
     import graft.exec.DataTests
     import graft.exec.DataTests._

@@ -82,4 +82,20 @@ class NumericQualitySpec extends SparkSpec {
     assert(b.getLong(4) == 0 && b.getDouble(3) == 0.0,
       s"constant group: MAD 0, zero outliers by convention, got $b")
   }
+
+  test("robustOutliersApprox: matches the exact twin on spike and degenerate-MAD groups") {
+    // the GK sketch is EXACT below its accuracy (rank error n/accuracy
+    // < 1 row here), so the approx twin must reproduce the exact profile
+    // bit-for-bit — including the MAD=0 convention, where a sketchy
+    // median could otherwise divide by a phantom epsilon
+    val normal = (1 to 99).map(i => ("a", 100.0 + (i % 7)))
+    val spike = Seq(("a", 1e6))
+    val constant = (1 to 50).map(_ => ("b", 5.0))
+    val df = (normal ++ spike ++ constant).toDF("g", "x")
+    val exact = NumericQuality.robustOutliers(df, "x", Seq("g"))
+      .orderBy($"g").collect().toSeq
+    val approx = NumericQuality.robustOutliersApprox(df, "x", Seq("g"))
+      .orderBy($"g").collect().toSeq
+    assert(approx == exact, s"approx $approx != exact $exact")
+  }
 }

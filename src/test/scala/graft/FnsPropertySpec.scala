@@ -120,4 +120,40 @@ class FnsPropertySpec extends AnyFunSuite {
       assert(got == want, s"n=$n")
     }
   }
+
+  test("tokenBudget decomposition == window form on random corpora (property)") {
+    // random strata, HEAVILY quantized scores (forces modal tie groups,
+    // the case the decomposition exists for), zero-token rows, budgets
+    // straddling every regime from starved to keep-all — decomposed and
+    // bucketed forms must equal the literal window form on every draw
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      score <- Gen.choose(0, 3).map(_.toDouble)
+      tok <- Gen.frequency(1 -> Gen.const(0L), 5 -> Gen.choose(1L, 20L))
+    } yield (g, score, tok)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    for (seed <- 1L to 5L) {
+      val rows = Gen.listOfN(300, rowGen)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((g, sc, tk), i) => (i.toLong, g, sc, tk) }
+      val df = rows.toDF("doc_id", "g", "score", "n_tok").cache()
+      for (budget <- Seq(25L, 150L, 900L, 100000L)) {
+        val expected = df.withColumn("__c", sum(col("n_tok")).over(w))
+          .filter(col("__c") <= budget).drop("__c")
+          .as[(Long, String, Double, Long)].collect().toSet
+        val plain = graft.llm.Sampling.tokenBudget(df, col("g"), col("n_tok"),
+            col("score"), col("doc_id"), budget)
+          .as[(Long, String, Double, Long)].collect().toSet
+        val bucketed = graft.llm.Sampling.tokenBudget(df, col("g"), col("n_tok"),
+            col("score"), col("doc_id"), budget,
+            tieBucket = Some(floor(col("doc_id") / 32)))
+          .as[(Long, String, Double, Long)].collect().toSet
+        assert(plain == expected, s"plain: seed=$seed budget=$budget")
+        assert(bucketed == expected, s"bucketed: seed=$seed budget=$budget")
+      }
+      df.unpersist()
+    }
+  }
 }

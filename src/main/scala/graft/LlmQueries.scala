@@ -2407,6 +2407,58 @@ object LlmQueries {
       |    <= 0.5 AS keep
       |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // --------------------- t24 substring dedup, hashed-gram form (gated)
+
+  /** t22's 100 TB swap-in, EXECUTED and gated: the same repeated-span
+    * signal with `hashedGrams = true` — grams are 64-bit rotate-xor
+    * mixes of the token hashes, so no gram STRING is ever built and the
+    * gram shuffle moves fixed-width longs (~8× fewer exchange bytes).
+    * Joined per doc against the string twin and gated on full row
+    * equality (identical absent 64-bit collisions). The string twin's
+    * values ride along so the oracle pins the whole row (the d20/dt03
+    * pattern). */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val exact = TextOps.substringDupSignal(docs, w = 8, maxRatio = 0.5)
+    val hashed = TextOps.substringDupSignal(docs, w = 8, maxRatio = 0.5,
+        hashedGrams = true)
+      .select(col("doc_id"), col("n_grams").as("__hn"),
+        col("n_dup_grams").as("__hd"), col("keep").as("__hk"))
+    exact.join(hashed, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        col("dup_ratio"), col("keep"),
+        (col("__hn") === col("n_grams") && col("__hd") === col("n_dup_grams")
+          && col("__hk") === col("keep")).as("hashed_identical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t24Sql =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+      |         ELSE [array_to_string(tk[i:i+7], ' ')
+      |               FOR i IN range(1, len(tk)-6)] END AS grams
+      |  FROM toks),
+      |pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |dup AS (SELECT gram FROM pos GROUP BY 1
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dupc AS (SELECT doc_id, COUNT(*) AS n_dup FROM pos
+      |         WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+      |  round(CASE WHEN len(t.grams) = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END,
+      |        6) AS dup_ratio,
+      |  (CASE WHEN len(t.grams) = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END)
+      |    <= 0.5 AS keep,
+      |  TRUE AS hashed_identical
+      |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------ t23 token-budget greedy fill
 
   /** Budget-constrained mix assembly: per language, fill a 3000-token
@@ -2583,6 +2635,7 @@ object LlmQueries {
     "t20_quality_rules" -> (t20 _),
     "t21_bigram_logprob" -> (t21 _),
     "t22_substring_dedup" -> (t22 _),
+    "t24_substring_dedup_hashed" -> (t24 _),
     "d15_robust_outliers" -> (d15 _),
     "d16_incremental_dedup" -> (d16 _),
     "d17_group_split" -> (d17 _),
@@ -2656,6 +2709,7 @@ object LlmQueries {
     "t20_quality_rules" -> t20Sql,
     "t21_bigram_logprob" -> t21Sql,
     "t22_substring_dedup" -> t22Sql,
+    "t24_substring_dedup_hashed" -> t24Sql,
     "d15_robust_outliers" -> d15Sql,
     "d16_incremental_dedup" -> d16Sql,
     "d17_group_split" -> d17Sql,

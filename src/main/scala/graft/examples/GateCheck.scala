@@ -34,7 +34,9 @@ object GateCheck {
     "m19_streaming_store_dedup",
     // near-dup store ingest loop: batch-1 survival, store-grown recall,
     // zero false drops, replay no-op, store accounting
-    "d21_neardup_store_append")
+    "d21_neardup_store_append",
+    // hashed-gram substring dedup must equal the string twin per doc
+    "t24_substring_dedup_hashed")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -773,21 +773,41 @@ object TextOps {
     *
     * Scale shape: one corpus-sized explode (a gram per token — word-count
     * shape), one shuffle on the gram for the distinct-doc count, one
-    * semi-join + per-doc count. Never all-pairs. At 100 TB the gram
-    * strings would be fingerprinted (`xxhash64`) before the shuffle to cut
-    * exchange bytes ~8×; the string form here keeps the DuckDB oracle
-    * byte-identical, and the count semantics are the same absent 64-bit
-    * collisions. */
+    * semi-join + per-doc count. Never all-pairs. `hashedGrams = true` is
+    * the 100 TB form: grams become 64-bit rotate-xor mixes of the token
+    * hashes — NO gram string is ever built, and the gram shuffle moves
+    * fixed-width longs instead of ~8×-wider strings; identical counts
+    * absent 64-bit collisions, which t24 gates in-query against the
+    * string twin. */
   def substringDupSignal(docs: DataFrame, w: Int = 8, maxRatio: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashedGrams: Boolean = false): DataFrame = {
     require(w >= 2, s"gram width must be >= 2, got $w")
     val tk = tokens(col(textCol))
     // guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 yields a
     // DESCENDING sequence, not an empty one
-    val grams = when(size(tk) < w, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tk) - (w - 1)),
-        i => array_join(slice(tk, i, lit(w)), " ")))
-    val base = docs.select(col(idCol), grams.as("grams"))
+    val base =
+      if (!hashedGrams) {
+        val grams = when(size(tk) < w, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(tk) - (w - 1)),
+            i => array_join(slice(tk, i, lit(w)), " ")))
+        docs.select(col(idCol), grams.as("grams"))
+      } else {
+        // per-POSITION (non-distinct) w-gram hashes from the bound
+        // token-hash array — `__hs` must be a real column (HOF lambdas
+        // don't CSE; inline it and element_at re-runs the transform per
+        // element, O(n²)/doc — same pitfall as Dedup.shingleHashesOf)
+        def rot(x: Column, k: Int): Column =
+          shiftleft(x, k).bitwiseOR(shiftrightunsigned(x, 64 - k))
+        def mixW(hs: Column)(i: Column): Column =
+          (0 until w).map(j => rot(element_at(hs, i + j), 7 * j + 1))
+            .reduce(_.bitwiseXOR(_))
+        docs.select(col(idCol), transform(tk, t => xxhash64(t)).as("__hs"))
+          .select(col(idCol),
+            when(size(col("__hs")) < w, array().cast("array<bigint>"))
+              .otherwise(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+                i => mixW(col("__hs"))(i))).as("grams"))
+      }
     val pos = base.select(col(idCol), explode(col("grams")).as("gram"))
     val dup = pos.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("__nd"))

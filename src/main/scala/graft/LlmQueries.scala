@@ -913,6 +913,110 @@ object LlmQueries {
       |  TRUE AS b1_all_kept, TRUE AS recall_ok, TRUE AS no_false_drops,
       |  TRUE AS replay_noop, TRUE AS store_consistent""".stripMargin
 
+  // ------------------------------- d22 semantic (embedding) decontamination
+
+  /** Embedding-space decontamination — the semantic sibling of d10's n-gram
+    * containment: drop every training vector whose max cosine to ANY eval
+    * vector reaches 0.9 (leaks that survive paraphrase keep their embedding
+    * neighborhood even when their n-grams change). Eval set = vec_id ≡ 7
+    * (mod 10); the train side replants a third of the eval vectors
+    * (+0.05 per coordinate, cos ≈ 0.92–0.95 to their source — the s03
+    * construction) among the clean rest. [[graft.llm.Similarity
+    * .semanticDecontaminate]]: eval collected under the fail-loud RefSetCap,
+    * broadcast, per-row max in ONE mapPartitions pass over the train scan —
+    * zero shuffle, exact (no recall gate needed). Output = the dropped rows
+    * with their evidence (max cos, nearest eval id). */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val eval = emb.filter(col("vec_id") % 10 === 7)
+    val train = emb.filter(col("vec_id") % 10 =!= 7)
+      .unionByName(eval.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+    Similarity.semanticDecontaminate(train, eval, threshold = 0.9)
+      .filter(col("is_contaminated"))
+      .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"),
+        col("nearest_ref_id").as("eval_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d22Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      |  FROM embeddings),
+      |ev AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+      |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x + 0.05)
+      |  FROM ev WHERE vec_id % 3 = 0),
+      |sc AS (SELECT t.vec_id, ev.vec_id AS eid,
+      |    list_cosine_similarity(t.embedding, ev.embedding) AS cos
+      |  FROM tr t CROSS JOIN ev)
+      |SELECT vec_id, round(max(cos), 6) AS max_cos,
+      |  arg_max(eid, cos) AS eval_id
+      |FROM sc GROUP BY vec_id
+      |HAVING max(cos) >= 0.9
+      |ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------- d23 cluster-balanced diverse sample
+
+  /** Semantic-diversity sampling: assign every embedding to its nearest
+    * centroid (8 fixed centroid vectors = the vec_id < 8 rows — the
+    * bring-your-own-codebook path; a production run would feed
+    * [[graft.llm.Similarity.nearestCentroids]] a k-means fit) and keep the
+    * top 3 of each cluster by a deterministic salted-md5 key — the
+    * cluster-balanced subset SemDeDup-style pruning ships. Assignment is
+    * the shuffle-free argmax projection; selection is ONE bounded-heap
+    * TopKAgg aggregate per cluster ([[graft.llm.Sampling
+    * .clusterBalancedSample]] — map-side partials, no corpus-sized
+    * per-cluster window sort). Value-matched: DuckDB reproduces the argmax
+    * (cos desc, cid asc) and the 16-bit md5 rank key exactly. */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = emb.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val wkey = (conv(substring(md5(concat(lit("d23"),
+        col("vec_id").cast("string"))), 1, 4), 16, 10).cast("double")
+      + 0.5) / 65536.0
+    val scored = Similarity.nearestCentroids(emb, cents)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("corpus_id").as("vec_id"))
+      .withColumn("wkey", wkey)
+    Sampling.clusterBalancedSample(scored, perCluster = 3,
+        clusterCol = "centroid_id", scoreCol = "wkey", idCol = "vec_id")
+      .orderBy(col("centroid_id"), col("rank"))
+  }
+
+  private val d23Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
+      |sc AS (SELECT e.vec_id, c.cid,
+      |    list_cosine_similarity(e.embedding, c.cvec) AS cos
+      |  FROM e CROSS JOIN c),
+      |asn AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM sc) WHERE rn = 1),
+      |w AS (SELECT vec_id, cid,
+      |    (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5)
+      |      / 65536.0 AS wkey
+      |  FROM (SELECT vec_id, cid, substring(md5('d23' || vec_id), 1, 4) AS h
+      |        FROM asn)),
+      |r AS (SELECT cid, vec_id,
+      |    row_number() OVER (PARTITION BY cid ORDER BY wkey DESC, vec_id)
+      |      AS rank,
+      |    count(*) OVER (PARTITION BY cid) AS cluster_size
+      |  FROM w)
+      |SELECT cid AS centroid_id, cluster_size, vec_id, rank
+      |FROM r WHERE rank <= 3
+      |ORDER BY centroid_id, rank""".stripMargin
+
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
     * keep the highest-quality document (ties to the lowest doc_id).
@@ -2643,6 +2747,8 @@ object LlmQueries {
     "d19_store_append" -> (d19 _),
     "d20_robust_outliers_gk" -> (d20 _),
     "d21_neardup_store_append" -> (d21 _),
+    "d22_semantic_decontaminate" -> (d22 _),
+    "d23_diverse_sample" -> (d23 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2717,6 +2823,8 @@ object LlmQueries {
     "d19_store_append" -> d19Sql,
     "d20_robust_outliers_gk" -> d20Sql,
     "d21_neardup_store_append" -> d21Sql,
+    "d22_semantic_decontaminate" -> d22Sql,
+    "d23_diverse_sample" -> d23Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,

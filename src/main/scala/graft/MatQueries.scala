@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.{PartitionSpec, TableRef}
 import graft.exec.{Incremental, SnapshotExec}
@@ -675,6 +675,105 @@ object MatQueries {
       |SELECT doc_id, CAST(1 AS INT), TRUE, TRUE FROM k1
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------- m20 streaming NEAR-dup store-backed ingest dedup
+
+  /** The d21 near-dup ingest loop STREAMED —
+    * [[graft.streaming.Streaming.nearDupIngestStream]]: slab A (novel
+    * synthetic token streams — disjoint shingles from history, all must
+    * survive the MinHash probe) then slab B (one-token-appended near-dups
+    * of slab A's docs — catchable ONLY through the signature segment slab
+    * A's micro-batch appended — plus fresh novel streams) drain
+    * AvailableNow against the durable MinHash store seeded from history.
+    * The backlog is then REPLAYED under a fresh checkpoint: done markers
+    * must skip both batches end-to-end. Exact-count columns pin the
+    * zero-false-drop behavior (every slab-A and every fresh doc kept);
+    * gates pin planted recall ≥ 0.6, replay byte-stability, and exact
+    * store signature accounting (history + every survivor, nothing
+    * double-appended). */
+  private def m20(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{Dedup, DedupStore}
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = hist.agg(max(col("doc_id"))).head.getLong(0) + 1
+    // text streams keyed EXPLICITLY by a separate column (the d21
+    // lateral-column-alias lesson: a same-select col("doc_id") sibling of
+    // an .as("doc_id") alias resolves to the ALIAS)
+    def novelTextOf(id: Column, prefix: String) =
+      array_join(transform(sequence(lit(1), lit(40)),
+        i => concat(lit(prefix), id, lit("x"), i)), " ")
+    def stream(mod: Int, idShift: Long, prefix: String,
+        suffix: String = ""): DataFrame =
+      hist.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("__orig"),
+          (col("doc_id") + idShift).as("doc_id"))
+        .select(col("doc_id"),
+          concat(novelTextOf(col("__orig"), prefix), lit(suffix)).as("text"))
+    val slabA = stream(13, off, "novel")
+    val slabB = stream(13, 2 * off, "novel", " graftmarker")
+      .unionByName(stream(17, 3 * off, "fresh"))
+    val base = java.nio.file.Files.createTempDirectory("g_m20").toString
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    val store = s"$base/store"
+    val sigs0 = Dedup.nearDupStore(hist)._2
+    val histSigs = sigs0.count()
+    DedupStore.appendNearDupSigs(s, store, -1L, sigs0)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.nearDupIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt))
+    drain(s"$base/ckpt1")
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readNearDup(s, store)._2.count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("batch").cast("int").as("batch"))
+    val storeRows2 = DedupStore.readNearDup(s, store)._2.count()
+    val sym = out1.withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)), Seq("doc_id", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    out1.agg(
+        sum(when(col("batch") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_a_kept"),
+        sum(when(col("batch") === 1 && col("doc_id") >= 3 * off, 1L)
+          .otherwise(0L)).cast("bigint").as("n_fresh_kept"),
+        sum(when(col("batch") === 1 && col("doc_id") < 3 * off, 1L)
+          .otherwise(0L)).as("__planted_kept"),
+        count(lit(1)).as("__n_out"))
+      .crossJoin(broadcast(sym))
+      .select(col("n_a_kept"), col("n_fresh_kept"),
+        ((lit(1.0) - col("__planted_kept").cast("double") / col("n_a_kept"))
+          >= 0.6).as("recall_ok"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        (lit(storeRows1) === lit(histSigs) + col("__n_out"))
+          .as("store_consistent"),
+        lit(storeRows2 == storeRows1).as("store_stable"))
+  }
+
+  private val m20Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+      |    AS BIGINT) AS n_a_kept,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0)
+      |    AS BIGINT) AS n_fresh_kept,
+      |  TRUE AS recall_ok, TRUE AS replay_stable,
+      |  TRUE AS store_consistent, TRUE AS store_stable""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -696,7 +795,8 @@ object MatQueries {
     "m16_delta_update_delete" -> (m16 _),
     "m17_streaming_microbatch" -> (m17 _),
     "m18_streaming_dedup" -> (m18 _),
-    "m19_streaming_store_dedup" -> (m19 _))
+    "m19_streaming_store_dedup" -> (m19 _),
+    "m20_streaming_neardup" -> (m20 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -717,5 +817,6 @@ object MatQueries {
     "m16_delta_update_delete" -> m16Sql,
     "m17_streaming_microbatch" -> m17Sql,
     "m18_streaming_dedup" -> m18Sql,
-    "m19_streaming_store_dedup" -> m19Sql)
+    "m19_streaming_store_dedup" -> m19Sql,
+    "m20_streaming_neardup" -> m20Sql)
 }

@@ -293,4 +293,33 @@ object Sampling {
     whole.unionByName(kept)
       .drop("__tb_g", "__tb_s", "__tb_t", "__tb_tb", "__tb_whole")
   }
+
+  /** Per-cluster top-`perCluster` selection — the back half of
+    * semantic-diversity sampling ("keep the best n of every embedding
+    * cluster", SemDeDup-style cluster pruning with a deterministic
+    * score). NOT a per-cluster `row_number` window: with a handful of
+    * clusters a window partition is corpus/n_clusters-sized on one
+    * reducer at 100 TB. Instead one aggregate per cluster with a
+    * bounded-heap [[graft.functions.TopKAgg]] — map-side partials ship
+    * ≤ perCluster entries per (partition, cluster), the reducer merges
+    * ≤ perCluster·P, and the cluster row count rides the same pass.
+    * Ordering (score desc, id asc) mirrors the window form exactly
+    * (SamplingSpec pins the equivalence). Ids must be integral (they
+    * ride the heap as longs, cast back on output). Returns
+    * (clusterCol, cluster_size, idCol, rank). */
+  def clusterBalancedSample(df: DataFrame, perCluster: Int,
+      clusterCol: String = "centroid_id", scoreCol: String = "score",
+      idCol: String = "doc_id"): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val idType = df.schema(idCol).dataType
+    df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"),
+        graft.functions.TopKAgg(col(scoreCol), col(idCol).cast("long"),
+          perCluster).as("__topk"))
+      .select(col(clusterCol), col("cluster_size"),
+        posexplode(col("__topk")))
+      .select(col(clusterCol), col("cluster_size"),
+        col("col.id").cast(idType).as(idCol),
+        (col("pos") + 1).as("rank"))
+  }
 }

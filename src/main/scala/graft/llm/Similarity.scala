@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -930,4 +930,98 @@ object Similarity {
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Public nearest-centroid assignment over an explicit centroid set —
+    * the [[assignToCentroids]] kernel (plan-literal argmax projection to
+    * 512 centroids, broadcast-variable `mapPartitions` above): ZERO
+    * shuffle between the corpus scan and the consumer, tie-break
+    * (sim desc, centroid_id asc). Returns (centroid_id, corpus_id,
+    * c_vec) — the front half of cluster-balanced sampling
+    * ([[Sampling.clusterBalancedSample]]) and any caller that brings its
+    * own codebook instead of the in-query k-means fit. */
+  def nearestCentroids(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, vecCol)
+
+  /** Hard cap on a collected reference set (semantic decontamination's
+    * eval side): 200k × 64-dim doubles ≈ 100 MB broadcast — the same
+    * bounded-small-side contract as [[Dedup.bloomDecontaminate]]'s eval
+    * collapse. Reference sets beyond it should go through the ANN paths
+    * ([[imiTopK]] / [[ivfTopK]] with the ref as corpus) instead of a
+    * dense scan per row. */
+  val RefSetCap = 200000
+
+  /** Max cosine of every corpus row to ANY vector of a bounded reference
+    * set — the kernel of embedding-space decontamination. The reference
+    * set is collected under a FAIL-LOUD [[RefSetCap]] (eval benchmarks
+    * are small by nature; a silently truncated ref set would silently
+    * under-drop) and rides a broadcast variable; the per-row max runs in
+    * one `mapPartitions` pass over the corpus scan — ZERO shuffle, exact
+    * (no recall gate needed), cost |ref|·dim multiplies per row. Same
+    * justified-mapPartitions shape as [[assignTopCentroidsBulk]]: no
+    * Catalyst expression can scan a 10⁵-row matrix without materializing
+    * it in the plan. Tie-break (cos desc, ref_id asc). Returns one row
+    * per corpus row: (idCol, max_cos, nearest_ref_id) — null-vector rows
+    * surface with NULL max_cos so callers can't silently lose them. */
+  def maxCosToRef(corpus: DataFrame, ref: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    val refRows = ref
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(RefSetCap + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(refRows.length <= RefSetCap,
+      s"maxCosToRef: reference set exceeds RefSetCap=$RefSetCap — " +
+        "use an ANN path (imiTopK/ivfTopK) for large reference corpora")
+    require(refRows.nonEmpty, "maxCosToRef: empty reference set")
+    val bc = spark.sparkContext.broadcast(refRows)
+    val in = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__vec"))
+    val outSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("max_cos", DoubleType),
+      StructField("nearest_ref_id", LongType)))
+    val rdd = in.rdd.mapPartitions { it =>
+      val refs = bc.value
+      it.map { row =>
+        if (row.isNullAt(1)) Row(row.get(0), null, null)
+        else {
+          val vec = row.getSeq[Double](1).toArray
+          var best = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var j = 0
+          while (j < refs.length) {
+            val s = cosineLocal(vec, refs(j)._2)
+            if (s > best || (s == best && refs(j)._1 < bestId)) {
+              best = s; bestId = refs(j)._1
+            }
+            j += 1
+          }
+          Row(row.get(0), best, bestId)
+        }
+      }
+    }
+    val idType = corpus.schema(idCol).dataType
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("__id").cast(idType).as(idCol), col("max_cos"),
+        col("nearest_ref_id"))
+  }
+
+  /** Embedding-space decontamination: flag every corpus row whose max
+    * cosine to the eval/reference set reaches `threshold` — the semantic
+    * sibling of [[Dedup.decontaminate]] (n-gram containment) for leaks
+    * that survive paraphrase. One [[maxCosToRef]] pass (zero shuffle,
+    * exact); returns (idCol, max_cos, nearest_ref_id, is_contaminated)
+    * for EVERY corpus row, null-vector rows uncontaminated by
+    * convention. */
+  def semanticDecontaminate(corpus: DataFrame, ref: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    maxCosToRef(corpus, ref, idCol, vecCol)
+      .select(col(idCol), col("max_cos"), col("nearest_ref_id"),
+        (col("max_cos").isNotNull && col("max_cos") >= threshold)
+          .as("is_contaminated"))
 }

@@ -253,6 +253,54 @@ object Streaming {
       }
       .start()
 
+  /** The NEAR-dup sibling of [[dedupIngestStream]] — streaming ingest
+    * deduplication against the durable MinHash signature store: each
+    * micro-batch probes [[graft.llm.DedupStore.readNearDup]]
+    * ([[graft.llm.Dedup.incrementalNearDup]] — banded bucket probe +
+    * signature re-verify, shuffle ∝ batch, historical text never
+    * rescanned), survivors' DOCS land in `outDir/batch=<id>` and their
+    * SIGNATURES append as store segment `<id>`, whose done marker is the
+    * batch's commit token. Same exactly-once discipline as the exact
+    * form: a replayed batch is marker-skipped end-to-end; a crash between
+    * the doc write and the marker re-probes the unchanged store and
+    * overwrites the same batch dir with the same rows. Within-batch
+    * near-dups are intentionally NOT collapsed here (both survive and
+    * both sign the store — a periodic [[graft.llm.Dedup
+    * .minhashNearDupPairs]] sweep is the intra-batch pass); dedup state
+    * IS the store, shared with the batch ingest path (d21) and alive
+    * across restarts and arbitrary time gaps.
+    *
+    * Contract: seed the store with a NEGATIVE batchId
+    * (`DedupStore.appendNearDupSigs(spark, root, -1L, corpusSigs)`) so
+    * stream batch ids never collide with the seed segment; `k`/`bands`
+    * must match the seed's signature shape. */
+  def nearDupIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val flags = graft.llm.Dedup.incrementalNearDup(batch,
+              graft.llm.DedupStore.readNearDup(spark, storeRoot, bands),
+              threshold, k, bands, idCol, textCol)
+            .localCheckpoint() // feeds the doc semi-join AND the signing
+          val survivors = batch.join(
+            flags.filter(!col("is_dup")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+            .localCheckpoint() // one slab: sink write + signature append
+          survivors.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendNearDupSigs(spark, storeRoot, id,
+            graft.llm.Dedup.minhashSignatures(survivors, k, idCol, textCol)
+              .select(col(idCol).as("sid"), col("sig")))
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

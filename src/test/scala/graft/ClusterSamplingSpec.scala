@@ -152,4 +152,43 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(out(2) == ((3L, "no pii here 1234-5678", 0L, 0L, 0L)))
     assert(out(3) == ((4L, "two mails <EMAIL> <EMAIL>", 2L, 0L, 0L)))
   }
+
+  test("clusterBalancedSample matches the per-cluster window form exactly") {
+    // deterministic pseudo-random clusters/scores, including score TIES
+    // (scores rounded to one decimal) so the (score desc, id asc)
+    // tie-break is actually exercised
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, rnd.nextInt(5).toLong, math.floor(rnd.nextDouble() * 10) / 10))
+    val df = rows.toDF("doc_id", "centroid_id", "score")
+    val got = Sampling.clusterBalancedSample(df, perCluster = 7,
+        clusterCol = "centroid_id", scoreCol = "score", idCol = "doc_id")
+      .select($"centroid_id", $"cluster_size", $"doc_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"centroid_id").orderBy($"score".desc, $"doc_id".asc)
+    val twin = df
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"centroid_id")))
+      .filter($"rank" <= 7)
+      .select($"centroid_id", $"cluster_size", $"doc_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == twin, "TopKAgg form diverged from the window form")
+  }
+
+  test("clusterBalancedSample: short clusters keep all rows, ranks dense") {
+    val df = Seq((1L, 0L, 0.9), (2L, 0L, 0.5), (3L, 1L, 0.1))
+      .toDF("doc_id", "centroid_id", "score")
+    val got = Sampling.clusterBalancedSample(df, perCluster = 5,
+        clusterCol = "centroid_id", scoreCol = "score", idCol = "doc_id")
+      .select($"centroid_id", $"cluster_size", $"doc_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == Seq((0L, 2L, 1L, 1), (0L, 2L, 2L, 2), (1L, 1L, 3L, 1)))
+    intercept[IllegalArgumentException] {
+      Sampling.clusterBalancedSample(df, perCluster = 0)
+    }
+    ()
+  }
 }

@@ -409,4 +409,47 @@ class RecallSpec extends SparkSpec {
     assert(key(literal) == key(bulk511),
       "literal and bulk paths disagree at nlist=511")
   }
+
+  test("maxCosToRef agrees with bruteForceTopK k=1 over the ref set") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val ref = emb.filter($"vec_id" % 10 === 7)
+    val corpus = emb.filter($"vec_id" % 10 =!= 7).limit(50)
+    val got = Similarity.maxCosToRef(corpus, ref)
+      .select($"vec_id", round($"max_cos", 6), $"nearest_ref_id")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // brute-force twin: top-1 over the REF set per corpus row — swap the
+    // roles (corpus rows are the "queries")
+    val twin = Similarity.bruteForceTopK(ref, corpus, k = 1)
+      .select($"query_id", $"cos", $"corpus_id")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == twin, "mapPartitions max-cos disagrees with the twin")
+  }
+
+  test("maxCosToRef: null vectors surface with NULL, tie goes to low id") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, null))
+      .toDF("vec_id", "embedding")
+    // two identical ref vectors under different ids: tie-break must pick 5
+    val ref = Seq((9L, Seq(1.0, 0.0)), (5L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxCosToRef(corpus, ref).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      (1L, Some(1.0), Some(5L)),
+      (2L, None, None)))
+    // and the decontamination wrapper keeps the null row uncontaminated
+    val flags = Similarity.semanticDecontaminate(corpus, ref, threshold = 0.9)
+      .select($"vec_id", $"is_contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(flags == Map(1L -> true, 2L -> false))
+  }
+
+  test("maxCosToRef fails loud on an empty reference set") {
+    val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.maxCosToRef(corpus, empty)
+    }
+    assert(e.getMessage.contains("empty reference set"))
+  }
 }

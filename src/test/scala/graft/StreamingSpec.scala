@@ -353,4 +353,49 @@ class StreamingSpec extends SparkSpec {
     assert(outRows() == Set((11L, 0), (21L, 1), (31L, 2)))
     assert(DedupStore.readFingerprints(spark, store).count() == storeRows + 1)
   }
+
+  test("nearDupIngestStream: store-probed near-dups drop, survivors sign the store, replays are no-ops") {
+    import graft.llm.{Dedup, DedupStore}
+    val base = java.nio.file.Files.createTempDirectory("ingest_nd").toString
+    def slab(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    // 100-token docs: a one-token append keeps shingle Jaccard ≈ 0.95,
+    // far above the 0.8 threshold for ANY deterministic MinHash draw
+    def doc(prefix: String): String =
+      (1 to 100).map(i => s"$prefix$i").mkString(" ")
+    val hist = Seq((1L, doc("ha")), (2L, doc("hb"))).toDF("doc_id", "text")
+    val store = s"$base/store"
+    DedupStore.appendNearDupSigs(spark, store, -1L, Dedup.nearDupStore(hist)._2)
+    // slab 0: near-dup of history (drop) + novel (keep); slab 1: near-dup
+    // of the slab-0 SURVIVOR — catchable only via the segment slab 0
+    // appended — (drop) + novel (keep)
+    slab("s0", 600000L, (10L, doc("ha") + " tail"), (11L, doc("na")))
+    slab("s1", 1200000L, (20L, doc("na") + " x"), (21L, doc("nb")))
+    def drain(ckpt: String): Unit = Streaming.runToCompletion(
+      Streaming.nearDupIngestStream(spark,
+        spark.readStream
+          .schema(hist.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/src"),
+        store, s"$base/out", ckpt))
+    drain(s"$base/ckpt")
+    def outRows() = spark.read.parquet(s"$base/out")
+      .select($"doc_id", $"batch".cast("int")).as[(Long, Int)].collect().toSet
+    assert(outRows() == Set((11L, 0), (21L, 1)))
+    assert(DedupStore.committedBatches(spark, store) == Seq(-1L, 0L, 1L))
+    // store holds exactly history + the two survivors' signatures
+    assert(DedupStore.readNearDup(spark, store)._2.count() == 4)
+    // full REPLAY with a fresh checkpoint: markers skip every batch
+    drain(s"$base/ckpt_replay")
+    assert(outRows() == Set((11L, 0), (21L, 1)))
+    assert(DedupStore.readNearDup(spark, store)._2.count() == 4)
+  }
 }

@@ -224,7 +224,11 @@ class JobCountSpec extends SparkSpec {
         // probe + estimate verify each) + 3 count scalars (measured 35)
         "d21_neardup_store_append" -> 40,
         "dt03_profile_hll" -> 6,   // fused union, one action (exact + HLL branches; measured 4)
-        "j03_ingest_chain" -> 18)) {
+        "j03_ingest_chain" -> 18,
+        // eval collect + one mapPartitions corpus pass (measured 4)
+        "d22_semantic_decontaminate" -> 6,
+        // centroid collect + assignment projection + TopKAgg (measured 5)
+        "d23_diverse_sample" -> 8)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

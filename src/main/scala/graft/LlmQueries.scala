@@ -1017,6 +1017,101 @@ object LlmQueries {
       |FROM r WHERE rank <= 3
       |ORDER BY centroid_id, rank""".stripMargin
 
+  // ------------------------------------ p01 end-to-end curation pipeline
+
+  /** The whole curation pipeline as ONE declarative plan — the flagship
+    * composition a real training-data run executes, each stage an
+    * independently-proven operator: exact dedup (d01: lowest id per
+    * normalized fingerprint) → content-hash 80/10/10 split (d06) →
+    * decontaminate train against the test split (d10: 3-shingle
+    * containment < 0.5) → quality score + token count (t01) →
+    * per-language token budget (t23: best docs until 3000 tokens/lang) →
+    * deterministic shard assignment (t08's md5 shard key). No stage
+    * materializes: Catalyst sees one tree, so filters/projections fuse
+    * across stage boundaries and AQE re-plans the whole chain. The oracle
+    * recomputes every stage relationally in DuckDB (the same CTE
+    * fragments the per-stage oracles pinned), so a drift ANYWHERE in the
+    * chain — fingerprint, split boundary, shingle set, score formula,
+    * budget cumsum, shard hex — hash-mismatches the final rows.
+    *
+    * Scan discipline (the 100 TB shape): the source is read ONCE —
+    * [[graft.llm.Dedup.exactRows]] dedups in one aggregate (no join-back
+    * re-scan), and the two stage slabs every later stage re-references
+    * (the deduped corpus: read by the split's train AND test branches and
+    * the decontamination join; the scored projection: referenced three
+    * times by tokenBudget's decomposition) are materialized with
+    * `localCheckpoint` — without them Catalyst re-executes the whole
+    * upstream chain per reference (measured: 6 full corpus scans).
+    * In production those two slabs are the stage outputs a pipeline
+    * persists anyway. */
+  private def p01(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val deduped = Dedup.exactRows(docs).localCheckpoint()
+    val bySplit = Sampling.hashSplit(deduped, col("text"), salt = "g1")
+    val train = bySplit.filter(col("split") === "train").drop("split")
+    val test = bySplit.filter(col("split") === "test").drop("split")
+    val clean = Dedup.decontaminate(train, test, n = 3, threshold = 0.5)
+    val scored = clean.select(col("doc_id"), col("lang"), col("containment"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
+    Sampling.tokenBudget(scored, col("lang"), col("n_tokens"),
+        col("quality"), col("doc_id"), budget = 3000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        col("containment"), Packing.shardKey(col("doc_id")).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p01Sql = {
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH norm AS (SELECT doc_id, text, lang,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM norm GROUP BY 1),
+       |docs AS (SELECT n.doc_id, n.text, n.lang FROM norm n
+       |  JOIN keeper k ON n.doc_id = k.doc_id),
+       |base AS (SELECT doc_id, text, lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk,
+       |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM docs),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
+       |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
+       |  UNION
+       |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
+       |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+       |cont AS (SELECT s.doc_id,
+       |    round(CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS containment
+       |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+       |  WHERE s.split = 'train' GROUP BY 1),
+       |clean AS (SELECT b.doc_id, b.text, b.lang, b.tk,
+       |    COALESCE(c.containment, 0.0) AS containment
+       |  FROM base b LEFT JOIN cont c USING (doc_id)
+       |  WHERE b.split = 'train' AND COALESCE(c.containment, 0.0) < 0.5),
+       |pre AS (SELECT doc_id, lang, tk, text, containment,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM clean),
+       |scored AS (SELECT doc_id, lang, containment,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    ${qualitySqlExpr("len(tk)")} AS quality
+       |  FROM pre),
+       |cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM scored)
+       |SELECT doc_id, lang, n_tokens, quality, containment,
+       |  substring(md5('p' || doc_id), 1, 1) AS shard
+       |FROM cum WHERE c <= 3000 ORDER BY doc_id""".stripMargin
+  }
+
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
     * keep the highest-quality document (ties to the lowest doc_id).
@@ -2749,6 +2844,7 @@ object LlmQueries {
     "d21_neardup_store_append" -> (d21 _),
     "d22_semantic_decontaminate" -> (d22 _),
     "d23_diverse_sample" -> (d23 _),
+    "p01_curation_pipeline" -> (p01 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2825,6 +2921,7 @@ object LlmQueries {
     "d21_neardup_store_append" -> d21Sql,
     "d22_semantic_decontaminate" -> d22Sql,
     "d23_diverse_sample" -> d23Sql,
+    "p01_curation_pipeline" -> p01Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,

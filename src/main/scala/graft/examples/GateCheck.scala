@@ -36,7 +36,10 @@ object GateCheck {
     // zero false drops, replay no-op, store accounting
     "d21_neardup_store_append",
     // hashed-gram substring dedup must equal the string twin per doc
-    "t24_substring_dedup_hashed")
+    "t24_substring_dedup_hashed",
+    // streamed near-dup store ingest: recall bound, replay byte-stability,
+    // store signature accounting
+    "m20_streaming_neardup")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -39,6 +39,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup keeping WHOLE ROWS: the lowest-id row per normalized
+    * fingerprint in ONE aggregate — `min` over a (id, carried columns)
+    * struct, whose field-order comparison makes the unique id the sort
+    * key. No join-back: [[exact]] + a semi-join re-reads the corpus twice
+    * (and at 100 TB a second full scan is the single most expensive thing
+    * a plan can add); this form is one scan, one map-side-combined
+    * shuffle of (fp, row). The dedup front of a curation pipeline
+    * (p01). */
+  def exactRows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val carry = docs.columns.filter(_ != idCol).toSeq
+    docs.select(TextOps.fingerprint(col(textCol)).as("__fp"),
+        struct((col(idCol) +: carry.map(col)): _*).as("__row"))
+      .groupBy(col("__fp"))
+      .agg(min(col("__row")).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** DISTINCT content fingerprints of a corpus — the incremental-dedup
     * store. In production this is a materialized table appended per
     * ingest, so its cost is paid ONCE per corpus, not per batch. */

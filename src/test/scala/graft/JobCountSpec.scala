@@ -228,7 +228,10 @@ class JobCountSpec extends SparkSpec {
         // eval collect + one mapPartitions corpus pass (measured 4)
         "d22_semantic_decontaminate" -> 6,
         // centroid collect + assignment projection + TopKAgg (measured 5)
-        "d23_diverse_sample" -> 8)) {
+        "d23_diverse_sample" -> 8,
+        // one corpus scan + two slab checkpoints + the decontaminate and
+        // budget stages' AQE jobs (measured 13 with exactRows)
+        "p01_curation_pipeline" -> 18)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

@@ -20,6 +20,20 @@ class LlmSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("dup_count") == 2L).get.getAs[Long]("doc_id") == 1L)
   }
 
+  test("exactRows keeps the lowest-id row whole — identical to exact + join-back") {
+    val tagged = docs.withColumn("lang", concat(lit("l"), $"doc_id" % 2))
+    val viaRows = Dedup.exactRows(tagged)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val viaJoin = tagged
+      .join(Dedup.exact(tagged).select($"doc_id"), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(viaRows == viaJoin, "single-aggregate form diverged from join-back")
+    // the KEPT duplicate carries ITS OWN text (doc 1's, not doc 2's variant)
+    assert(viaRows.find(_._1 == 1L).get._2.startsWith("the quick"))
+  }
+
   test("incremental dedup: batch vs store drops history matches, collapses batch dups") {
     val hist = Seq((1L, "the quick brown fox"), (2L, "other text")).toDF("doc_id", "text")
     val batch = Seq(

@@ -1112,6 +1112,119 @@ object LlmQueries {
        |FROM cum WHERE c <= 3000 ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------- p02 curation pipeline, approximate (scale) path
+
+  /** The 100 TB-path sibling of p01: the same curation chain but with the
+    * APPROXIMATE dedup stages a real run uses — exact dedup
+    * ([[graft.llm.Dedup.exactRows]]) → MinHash near-dup dedup (banded
+    * pairs → connected components → keep the lowest id per cluster) →
+    * SEMANTIC decontamination against an eval embedding set (d22's
+    * zero-shuffle broadcast kernel). MinHash results aren't
+    * DuckDB-expressible, so correctness is proven the d21 way: the corpus
+    * is BUILT with known structure — disjoint novel token streams as the
+    * clean core, planted exact dups (normalized-equal text), planted
+    * near-dups (one appended token, shingle Jaccard ≈ 0.93), planted
+    * eval-space leaks (perturbed copies of eval embeddings, cos ≥ 0.92;
+    * core docs carry no embeddings and must pass through) — and every
+    * stage's effect is pinned: exact counts where the stage is
+    * deterministic (exact-dup removal, semantic drops, zero false drops
+    * of clean streams), a recall gate where it is probabilistic (MinHash
+    * catch rate ≥ 0.6), and a final-count consistency identity. */
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(hist)
+    def novelTextOf(id: Column, prefix: String) =
+      array_join(transform(sequence(lit(1), lit(40)),
+        i => concat(lit(prefix), id, lit("x"), i)), " ")
+    def stream(mod: Int, idShift: Long, prefix: String,
+        suffix: String = ""): DataFrame =
+      hist.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("__orig"),
+          (col("doc_id") + idShift).as("doc_id"))
+        .select(col("doc_id"),
+          concat(novelTextOf(col("__orig"), prefix), lit(suffix)).as("text"))
+    val core = stream(7, off, "core")
+    val exactDup = stream(7, 2 * off, "core", "  ") // normalized-equal to core
+    val nearDup = stream(14, 3 * off, "core", " graftpad") // J ≈ 0.93 to core
+    val leak = stream(13, 4 * off, "leak")
+    val corpus = core.unionByName(exactDup).unionByName(nearDup)
+      .unionByName(leak)
+    // planted leak EMBEDDINGS: each leak doc carries a +0.05-perturbed copy
+    // of an eval vector (cyclically assigned by rank — eval sets are
+    // bounded by the RefSetCap contract, so the rank windows sort a
+    // bounded frame, not the corpus); core/near-dup docs carry none and
+    // must pass the semantic stage untouched
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val evalE = emb.filter(col("vec_id") % 10 === 7)
+    val nEval = evalE.count()
+    val w = org.apache.spark.sql.expressions.Window
+    val evalIdx = evalE.withColumn("__r",
+      row_number().over(w.orderBy(col("vec_id"))) - 1)
+    val leakEmb = leak.select(col("doc_id"))
+      .withColumn("__r",
+        (row_number().over(w.orderBy(col("doc_id"))) - 1) % nEval)
+      .join(evalIdx.select(col("__r"), col("embedding")), Seq("__r"))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
+    // ---- stage 1: exact dedup
+    val afterExact = Dedup.exactRows(corpus).localCheckpoint()
+    // ---- stage 2: MinHash near-dup dedup, keep lowest id per cluster
+    val pairs = Dedup.minhashNearDupPairs(afterExact, threshold = 0.8)
+    val ndDrops = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id")).localCheckpoint()
+    val afterNd = afterExact.join(ndDrops, Seq("doc_id"), "left_anti")
+    // ---- stage 3: semantic decontamination (docs without embeddings pass)
+    val semDrops = Similarity.semanticDecontaminate(leakEmb, evalE,
+        threshold = 0.9)
+      .filter(col("is_contaminated"))
+      .select(col("vec_id").as("doc_id")).localCheckpoint()
+    val afterSem = afterNd.join(semDrops, Seq("doc_id"), "left_anti")
+    // ---- per-class accounting against the planted construction
+    def cls(id: Column): Column =
+      when(id < 2 * off, "core").when(id < 3 * off, "exact")
+        .when(id < 4 * off, "nd").otherwise("leak")
+    val nCore = core.count(); val nNd = nearDup.count()
+    val nLeak = leak.count()
+    val g1 = afterExact.agg(
+      count(lit(1)).as("__n1"),
+      sum(when(cls(col("doc_id")) === "exact", 1L).otherwise(0L)).as("__x1"))
+    val g2 = ndDrops.agg(
+      sum(when(cls(col("doc_id")) === "nd", 1L).otherwise(0L)).as("__ndHit"),
+      sum(when(cls(col("doc_id")) =!= "nd", 1L).otherwise(0L)).as("__ndClean"))
+    val g3 = semDrops.agg(count(lit(1)).as("__nSem"),
+      sum(when(cls(col("doc_id")) === "leak", 1L).otherwise(0L)).as("__semLeak"))
+    val g4 = afterSem.agg(count(lit(1)).as("__nFinal"))
+    g1.crossJoin(broadcast(g2)).crossJoin(broadcast(g3))
+      .crossJoin(broadcast(g4))
+      .select(
+        lit(nCore).as("n_core"), lit(nCore).as("n_exact_planted"),
+        lit(nNd).as("n_neardup_planted"), lit(nLeak).as("n_leak_planted"),
+        (col("__n1") === lit(nCore + nNd + nLeak) && col("__x1") === 0L)
+          .as("exact_stage_ok"),
+        (col("__ndHit").cast("double") / nNd >= 0.6).as("nd_recall_ok"),
+        (coalesce(col("__ndClean"), lit(0L)) === 0L).as("nd_no_false_drops"),
+        (col("__nSem") === lit(nLeak) && col("__semLeak") === lit(nLeak))
+          .as("sem_ok"),
+        (col("__nFinal") === lit(nCore + nLeak) + (lit(nNd) - col("__ndHit"))
+          - lit(nLeak)).as("final_consistent"))
+  }
+
+  private val p02Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+      |    AS BIGINT) AS n_core,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+      |    AS BIGINT) AS n_exact_planted,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 14 = 0)
+      |    AS BIGINT) AS n_neardup_planted,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
+      |    AS BIGINT) AS n_leak_planted,
+      |  TRUE AS exact_stage_ok, TRUE AS nd_recall_ok,
+      |  TRUE AS nd_no_false_drops, TRUE AS sem_ok,
+      |  TRUE AS final_consistent""".stripMargin
+
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
     * keep the highest-quality document (ties to the lowest doc_id).
@@ -2845,6 +2958,7 @@ object LlmQueries {
     "d22_semantic_decontaminate" -> (d22 _),
     "d23_diverse_sample" -> (d23 _),
     "p01_curation_pipeline" -> (p01 _),
+    "p02_curation_pipeline_approx" -> (p02 _),
     "t23_token_budget" -> (t23 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
@@ -2922,6 +3036,7 @@ object LlmQueries {
     "d22_semantic_decontaminate" -> d22Sql,
     "d23_diverse_sample" -> d23Sql,
     "p01_curation_pipeline" -> p01Sql,
+    "p02_curation_pipeline_approx" -> p02Sql,
     "t23_token_budget" -> t23Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,

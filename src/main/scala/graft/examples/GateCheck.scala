@@ -39,7 +39,9 @@ object GateCheck {
     "t24_substring_dedup_hashed",
     // streamed near-dup store ingest: recall bound, replay byte-stability,
     // store signature accounting
-    "m20_streaming_neardup")
+    "m20_streaming_neardup",
+    // approximate curation pipeline: per-stage planted-structure gates
+    "p02_curation_pipeline_approx")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -231,7 +231,10 @@ class JobCountSpec extends SparkSpec {
         "d23_diverse_sample" -> 8,
         // one corpus scan + two slab checkpoints + the decontaminate and
         // budget stages' AQE jobs (measured 13 with exactRows)
-        "p01_curation_pipeline" -> 18)) {
+        "p01_curation_pipeline" -> 18,
+        // construction + exactRows + minhash band self-join + CC rounds +
+        // semantic stage + 4 gate aggregates (measured 52)
+        "p02_curation_pipeline_approx" -> 62)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

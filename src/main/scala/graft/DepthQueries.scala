@@ -563,6 +563,59 @@ object DepthQueries {
       .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
   }
 
+  // -------------------------------- dt04 distribution drift (PSI) test
+
+  /** Distribution-drift test ([[graft.exec.DataTests.driftPsi]]):
+    * Population Stability Index of `l_extendedprice` between the
+    * pre-1995 and 1995+ shipment snapshots — the model-monitoring check
+    * a pipeline runs when a feature table is re-materialized. 10
+    * equal-width bins over the BASELINE range (current mass outside it
+    * clamps to the edge bins), `eps`-smoothed fractions so empty bins
+    * stay finite, per-bin terms + the repeated total. Everything past
+    * the two grouped counts is bins-sized; the min/max scalars ride a
+    * broadcast, never a collect. Value-matched: DuckDB reproduces bin
+    * boundaries (identical IEEE division/floor), fractions, and ln
+    * terms to the 6-decimal round. */
+  private def dt04(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_shipdate"))
+    val split = lit("1998-01-01").cast("timestamp")
+    graft.exec.DataTests.driftPsi(
+        li.filter(col("l_shipdate") < split),
+        li.filter(col("l_shipdate") >= split),
+        "l_extendedprice", bins = 10)
+      .orderBy(col("bin"))
+  }
+
+  private val dt04Sql =
+    """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+      |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+      |st AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM b),
+      |bb AS (SELECT LEAST(9, GREATEST(0,
+      |    CAST(floor((x - lo) / ((hi - lo) / 10)) AS INT))) AS bin,
+      |    COUNT(*) AS n_base FROM b, st GROUP BY 1),
+      |cb AS (SELECT LEAST(9, GREATEST(0,
+      |    CAST(floor((x - lo) / ((hi - lo) / 10)) AS INT))) AS bin,
+      |    COUNT(*) AS n_cur FROM c, st GROUP BY 1),
+      |spine AS (SELECT UNNEST(range(0, 10)) AS bin),
+      |j AS (SELECT CAST(spine.bin AS INT) AS bin,
+      |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM spine LEFT JOIN bb ON bb.bin = spine.bin
+      |  LEFT JOIN cb ON cb.bin = spine.bin),
+      |tt AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+      |terms AS (SELECT bin, n_base, n_cur,
+      |    GREATEST(CAST(n_base AS DOUBLE) / tb, 1e-6) AS p,
+      |    GREATEST(CAST(n_cur AS DOUBLE) / tc, 1e-6) AS q
+      |  FROM j, tt),
+      |w AS (SELECT bin, n_base, n_cur, round(p, 6) AS p_base,
+      |    round(q, 6) AS p_cur,
+      |    round((q - p) * ln(q / p), 6) AS psi_term FROM terms)
+      |SELECT bin, n_base, n_cur, p_base, p_cur, psi_term,
+      |  (SELECT round(SUM(psi_term), 6) FROM w) AS psi_total
+      |FROM w ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,7 +637,8 @@ object DepthQueries {
     "q30_approx_quantiles" -> (q30 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
-    "dt03_profile_hll" -> (dt03 _))
+    "dt03_profile_hll" -> (dt03 _),
+    "dt04_drift_psi" -> (dt04 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -605,5 +659,6 @@ object DepthQueries {
     "q30_approx_quantiles" -> q30Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
-    "dt03_profile_hll" -> dt03Sql)
+    "dt03_profile_hll" -> dt03Sql,
+    "dt04_drift_psi" -> dt04Sql)
 }

@@ -183,4 +183,61 @@ object DataTests {
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Distribution-drift test between two snapshots of a numeric column —
+    * the Population Stability Index every model-monitoring pipeline runs
+    * when a table is re-materialized: `bins` equal-width bins over the
+    * BASELINE min/max (current values outside the range clamp to the edge
+    * bins, so novel mass is visible, not lost), per-bin population
+    * fractions smoothed by `eps` (an empty bin contributes a finite term
+    * instead of ±∞), psi_term = (p_cur − p_base) · ln(p_cur / p_base).
+    * Total PSI = Σ terms (> 0.25 is the conventional "investigate" bar).
+    *
+    * Shape at scale: one min/max aggregate over the baseline (its scalars
+    * ride a broadcast crossJoin — never collected), one map-side-combined
+    * groupBy per snapshot whose output is `bins` rows, and a static
+    * `sequence` bin spine that makes EMPTY bins explicit rows. Everything
+    * downstream of the two grouped counts is bins-sized. Returns one row
+    * per bin: (bin, n_base, n_cur, p_base, p_cur, psi_term, psi_total —
+    * the total repeated per row so the frame is self-contained). */
+  def driftPsi(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val stats = base.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull)
+        .crossJoin(broadcast(stats))
+        .select(least(lit(bins - 1), greatest(lit(0),
+          floor((col("__x") - col("__lo"))
+            / ((col("__hi") - col("__lo")) / bins)).cast("int")))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = base.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(bins - 1))).as("__b"))
+      .select(col("__b").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(base).withColumnRenamed("n", "n_base"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"))
+    // explicit double casts: under ANSI mode a Long/Long `/` resolves to
+    // integral `div`, which both truncates and throws on a zero divisor
+    val p = greatest(col("n_base").cast("double") / col("__tb").cast("double"),
+      lit(eps))
+    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"),
+      lit(eps))
+    val withTerms = joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(p, 6).as("p_base"), round(q, 6).as("p_cur"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+    val total = withTerms.agg(round(sum(col("psi_term")), 6).as("psi_total"))
+    withTerms.crossJoin(broadcast(total))
+  }
 }

@@ -124,6 +124,37 @@ class DataTestsSpec extends SparkSpec {
     }
   }
 
+  test("driftPsi: identical snapshots score 0, a shifted snapshot scores > 0.25") {
+    import graft.exec.DataTests
+    val base = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    // identical distribution → every psi_term 0, total 0
+    val same = DataTests.driftPsi(base, base, "v", bins = 10)
+      .select($"bin", $"psi_term", $"psi_total")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(same.length == 10)
+    assert(same.forall(r => r._2 == 0.0 && r._3 == 0.0))
+    // mass shifted INTO the top of the baseline range → conventional
+    // "investigate" threshold crossed; clamped, not lost
+    val shifted = (1 to 1000).map(i => 60.0 + i % 40).toDF("v")
+    val drift = DataTests.driftPsi(base, shifted, "v", bins = 10)
+      .select($"bin", $"n_cur", $"psi_total")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(drift.head._3 > 0.25, s"psi ${drift.head._3} not flagged")
+    // bins below 60 are EMPTY in the current snapshot but still present
+    // (spine) with the eps-smoothed finite term
+    assert(drift.count(_._2 == 0L) >= 5)
+    assert(drift.map(_._1).toSeq == (0 to 9))
+    // out-of-range current mass clamps to the edge bin instead of vanishing
+    val above = (1 to 100).map(_ => 1000.0).toDF("v")
+    val clamped = DataTests.driftPsi(base, above, "v", bins = 10)
+      .select($"bin", $"n_cur").as[(Int, Long)].collect().toMap
+    assert(clamped(9) == 100L && clamped.values.sum == 100L)
+    intercept[IllegalArgumentException] {
+      DataTests.driftPsi(base, base, "v", bins = 1)
+    }
+    ()
+  }
+
   test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
     Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
     val fixture = Seq((1L, "fix")).toDF("id", "v")

@@ -234,7 +234,9 @@ class JobCountSpec extends SparkSpec {
         "p01_curation_pipeline" -> 18,
         // construction + exactRows + minhash band self-join + CC rounds +
         // semantic stage + 4 gate aggregates (measured 52)
-        "p02_curation_pipeline_approx" -> 62)) {
+        "p02_curation_pipeline_approx" -> 62,
+        // two grouped bin counts + stats/totals scalars (measured 8)
+        "dt04_drift_psi" -> 11)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

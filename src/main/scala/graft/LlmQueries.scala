@@ -1604,6 +1604,29 @@ object LlmQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Residual IVF-PQ ([[Similarity.ivfTopKPQResidual]], the FAISS IVFADC
+    * shape) — SELF-VERIFYING like s09: recall@5 vs the brute-force twin,
+    * gated at 0.5 with s09's exact dials, so the two rows compare the
+    * plain and residual quantizers like-for-like. RecallSpec additionally
+    * pins residual recall ≥ plain-PQ recall on this corpus. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKPQResidual(s, emb, q, k = 5, dim = 64,
+        nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s13Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** JL random-projection prefilter + exact re-rank
     * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
     * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
@@ -2925,6 +2948,7 @@ object LlmQueries {
     "s10_knn_graph" -> (s10 _),
     "s11_cosine_topk_jl" -> (s11 _),
     "s12_cosine_topk_imi" -> (s12 _),
+    "s13_cosine_topk_ivfpq_res" -> (s13 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -3005,6 +3029,7 @@ object LlmQueries {
     "s10_knn_graph" -> s10Sql,
     "s11_cosine_topk_jl" -> s11Sql,
     "s12_cosine_topk_imi" -> s12Sql,
+    "s13_cosine_topk_ivfpq_res" -> s13Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

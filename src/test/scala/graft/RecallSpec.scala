@@ -225,6 +225,71 @@ class RecallSpec extends SparkSpec {
     assert(all == bf)
   }
 
+  test("residual IVF-PQ: recall >= plain PQ at identical dials, exact under total coverage") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id")).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      rows(df.select("query_id", "corpus_id")).toSet
+        .intersect(exact).size.toDouble / exact.size
+    val plain = recallOf(Similarity.ivfTopKPQ(spark, emb, q, k = 5,
+      dim = 64, nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8))
+    val resid = recallOf(Similarity.ivfTopKPQResidual(spark, emb, q, k = 5,
+      dim = 64, nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8))
+    info(f"pq recall: plain = $plain%.3f, residual = $resid%.3f")
+    assert(resid >= 0.5, f"residual PQ recall $resid%.3f below bound")
+    // UNIFORM embeddings are the residual decomposition's null case: cells
+    // capture almost no structure (‖cell mean‖ ≪ 1), so the residual term
+    // shrinks barely and the two quantizers land within fit noise of each
+    // other — pin parity, not a win
+    assert(resid >= plain - 0.05,
+      f"residual $resid%.3f fell below plain $plain%.3f beyond noise")
+    // on CLUSTERED data — the case coarse cells exist for — the residual
+    // is just the intra-cluster noise, far tighter than the full vector:
+    // residual PQ must beat plain PQ outright
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      val v = c.zip(Array.fill(64)(rnd.nextGaussian() * 0.08))
+        .map { case (a, b) => a + b }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cq2 = clustered.filter($"vec_id" < 10)
+    val exact2 = rows(Similarity.bruteForceTopK(clustered, cq2, k = 5)
+      .select("query_id", "corpus_id")).toSet
+    def recall2(df: org.apache.spark.sql.DataFrame): Double =
+      rows(df.select("query_id", "corpus_id")).toSet
+        .intersect(exact2).size.toDouble / exact2.size
+    val plain2 = recall2(Similarity.ivfTopKPQ(spark, clustered, cq2, k = 5,
+      dim = 64, nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 2))
+    val resid2 = recall2(Similarity.ivfTopKPQResidual(spark, clustered, cq2,
+      k = 5, dim = 64, nlist = 8, nprobe = 3, m = 8, codebookSize = 16,
+      rerank = 2))
+    info(f"clustered pq recall: plain = $plain2%.3f, residual = $resid2%.3f")
+    assert(resid2 > plain2,
+      f"residual $resid2%.3f did not beat plain $plain2%.3f on clustered data")
+    // total coverage: ADC order + centroid term only rank candidates; with
+    // every list probed and rerank·k >= corpus the exact re-rank restores
+    // brute-force rows exactly
+    val n = emb.count().toInt
+    val all = rows(Similarity.ivfTopKPQResidual(spark, emb, q, k = 5,
+        dim = 64, nlist = 4, nprobe = 4, m = 8, codebookSize = 16,
+        rerank = n / 5 + 1)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    val bf = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .orderBy("query_id", "rank"))
+    assert(all == bf)
+  }
+
   test("pqEncode: valid code range, determinism, nearest-centroid argmin") {
     val emb = Tables.t(spark, dir, "embeddings").limit(200)
     val cb = Similarity.pqCodebooks(emb, dim = 64, m = 8, codebookSize = 16)

@@ -44,6 +44,14 @@ object GateCheck {
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx")
 
+  /** Queries whose output carries PER-ROW boolean DATA alongside the
+    * gate: only the listed columns are gates there (t24's `keep` is the
+    * operator's keep/drop decision — at sf1 4 770 docs legitimately
+    * exceed the 50% dup-position ratio, which is a RESULT, not a
+    * failure). Default for every other query: all boolean columns. */
+  val gateColsOverride: Map[String, Seq[String]] = Map(
+    "t24_substring_dedup_hashed" -> Seq("hashed_identical"))
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val names = if (args.length > 1) args.drop(1).toSeq else gated
@@ -54,8 +62,9 @@ object GateCheck {
     for (name <- names) {
       val t0 = System.nanoTime()
       val out = graft.SparkEntry.queries(name)(spark, dir)
-      val boolCols = out.schema.fields
-        .filter(_.dataType == BooleanType).map(_.name).toSeq
+      val boolCols = gateColsOverride.getOrElse(name,
+        out.schema.fields
+          .filter(_.dataType == BooleanType).map(_.name).toSeq)
       if (boolCols.isEmpty)
         println(f"[gate] $name%-26s NO boolean gate column — check manually")
       else {

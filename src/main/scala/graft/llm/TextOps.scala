@@ -793,20 +793,16 @@ object TextOps {
             i => array_join(slice(tk, i, lit(w)), " ")))
         docs.select(col(idCol), grams.as("grams"))
       } else {
-        // per-POSITION (non-distinct) w-gram hashes from the bound
-        // token-hash array — `__hs` must be a real column (HOF lambdas
-        // don't CSE; inline it and element_at re-runs the transform per
-        // element, O(n²)/doc — same pitfall as Dedup.shingleHashesOf)
-        def rot(x: Column, k: Int): Column =
-          shiftleft(x, k).bitwiseOR(shiftrightunsigned(x, 64 - k))
-        def mixW(hs: Column)(i: Column): Column =
-          (0 until w).map(j => rot(element_at(hs, i + j), 7 * j + 1))
-            .reduce(_.bitwiseXOR(_))
-        docs.select(col(idCol), transform(tk, t => xxhash64(t)).as("__hs"))
-          .select(col(idCol),
-            when(size(col("__hs")) < w, array().cast("array<bigint>"))
-              .otherwise(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
-                i => mixW(col("__hs"))(i))).as("grams"))
+        // per-POSITION (non-distinct) w-gram hashes via the NATIVE
+        // [[graft.functions.GramHashes]] expression — one O(n·w) loop
+        // over primitive longs. The HOF predecessor (transform over
+        // element_at on a bound token-hash column) degraded to O(n²·w)
+        // per doc whenever the optimizer inlined the bound array into
+        // the lambda (HOF lambdas don't CSE) — measured 261 s vs the
+        // string twin's 30 s on a 50k-doc corpus.
+        docs.select(col(idCol),
+          graft.functions.GramHashes(
+            transform(tk, t => xxhash64(t)), w).as("grams"))
       }
     val pos = base.select(col(idCol), explode(col("grams")).as("gram"))
     val dup = pos.groupBy(col("gram"))
@@ -820,7 +816,17 @@ object TextOps {
     val raw = when(col("n_grams") === 0, lit(0.0))
       .otherwise(coalesce(col("__dup"), lit(0L)).cast("double")
         / col("n_grams"))
-    base.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+    // n_grams ARITHMETICALLY (max(0, n_tokens − w + 1) — identical to
+    // size(grams) by construction): the gram ARRAYS must only ever be
+    // evaluated under the explode above. A size(grams) branch here
+    // re-built every gram string per doc just to count them, and in the
+    // hashed form the collapsed projection re-inlined the token-hash
+    // array into every element's lambda — O(n²·w)/doc, measured 263 s at
+    // sf1 for a count the token count already knows.
+    docs.select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(greatest(lit(0), size(tk) - (w - 1)).cast("long"))
+          .as("n_grams"))
       .join(dupPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__dup"), lit(0L)).cast("long").as("n_dup_grams"),

@@ -51,4 +51,36 @@ class HashAggSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1) == fps(32))
   }
+
+  test("GramHashes equals the reference rotate-xor model; order-sensitive; short arrays empty") {
+    val rnd = new scala.util.Random(13)
+    val hs = Seq.fill(20)(rnd.nextLong())
+    val w = 8
+    def ref(a: Seq[Long]): Seq[Long] =
+      (0 to a.length - w).map { i =>
+        (0 until w).map(j => java.lang.Long.rotateLeft(a(i + j), 7 * j + 1))
+          .reduce(_ ^ _)
+      }
+    val got = Seq((1L, hs)).toDF("id", "hs")
+      .select(graft.functions.GramHashes($"hs", w).as("g"))
+      .collect()(0).getSeq[Long](0).toSeq
+    assert(got == ref(hs))
+    assert(got.length == hs.length - w + 1)
+    // position-distinct rotations: reordering tokens changes the gram
+    val swapped = hs.updated(0, hs(1)).updated(1, hs(0))
+    val got2 = Seq((1L, swapped)).toDF("id", "hs")
+      .select(graft.functions.GramHashes($"hs", w).as("g"))
+      .collect()(0).getSeq[Long](0).toSeq
+    assert(got2.head != got.head, "token order did not change the gram hash")
+    // n < w → empty, not descending-sequence garbage; null → null
+    val short = Seq((1L, hs.take(w - 1)), (2L, Seq.empty[Long]))
+      .toDF("id", "hs")
+      .select($"id", graft.functions.GramHashes($"hs", w).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(short == Map(1L -> 0, 2L -> 0))
+    val nul = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("id", "hs")
+      .select(graft.functions.GramHashes($"hs", w).as("g"))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }

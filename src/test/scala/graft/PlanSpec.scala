@@ -285,6 +285,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"dup membership is not a semi join:\n$p")
   }
 
+  test("maxCosToRef: one mapPartitions pass — zero exchange to the flag") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.llm.Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 10 =!= 7),
+        emb.filter(col("vec_id") % 10 === 7), threshold = 0.9)
+      .queryExecution.explainString(SimpleMode)
+    // the eval set rides a broadcast VARIABLE; a per-row max that
+    // exchanged corpus rows (crossJoin+groupBy) would shuffle the corpus
+    assert(!p.contains("Exchange"), s"decontamination flag crossed a shuffle:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+  }
+
+  test("clusterBalancedSample: partial TopKAgg, one exchange of heap rows") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = emb.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    val scored = graft.llm.Similarity.nearestCentroids(emb, cents)
+      .select(col("centroid_id"), col("corpus_id").as("vec_id"))
+      .withColumn("score", col("vec_id") % 97 / 97.0)
+    val p = graft.llm.Sampling.clusterBalancedSample(scored, 3,
+        clusterCol = "centroid_id", scoreCol = "score", idCol = "vec_id")
+      .queryExecution.explainString(SimpleMode)
+    // selection is ONE aggregate: map-side partial bounded heaps, a single
+    // exchange of ≤ perCluster-entry heaps + counts per cluster — the
+    // per-cluster row_number window form would sort corpus/n_clusters rows
+    assert(p.contains("partial_topkagg"), s"no map-side partial heap:\n$p")
+    assert(!p.contains("Window"), s"per-cluster window appeared:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange:\n$p")
+  }
+
+  test("driftPsi: grouped bin counts partial; stats and totals broadcast") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice"), col("l_shipdate"))
+    val p = graft.exec.DataTests.driftPsi(
+        li.filter(col("l_shipdate") < org.apache.spark.sql.functions
+          .lit("1998-01-01").cast("timestamp")),
+        li.filter(col("l_shipdate") >= org.apache.spark.sql.functions
+          .lit("1998-01-01").cast("timestamp")), "l_extendedprice")
+      .queryExecution.explainString(SimpleMode)
+    // everything past the two map-side-combined grouped counts is
+    // bins-sized; the min/max scalars and totals ride broadcasts
+    assert(p.contains("partial_count"), s"bin counts not map-side partial:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"stats/totals not broadcast:\n$p")
+  }
+
   test("groupSplit: pure per-row projection — no exchange, no join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))

@@ -2794,6 +2794,40 @@ object LlmQueries {
       |  TRUE AS hashed_identical
       |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------ t25 Zipf corpus audit
+
+  /** Corpus frequency-distribution fingerprint
+    * ([[graft.llm.TextOps.zipfAudit]]): total tokens, vocab size, top-10
+    * mass, and the least-squares Zipf slope over the top-100 ranks —
+    * the one-row shard health check that catches templated/boilerplate
+    * floods (flattened slope, pumped top-10 mass) before training.
+    * Value-matched: DuckDB reproduces the rank set (count desc, token
+    * tie-break), ln sums, and slope to the 6-decimal round. */
+  private def t25(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfAudit(t(s, dir, "documents"), topN = 100)
+
+  private val t25Sql =
+    """WITH tok AS (SELECT unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+      |    AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab_size FROM freq),
+      |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+      |  FROM freq ORDER BY n DESC, tok LIMIT 100),
+      |fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+      |    SUM(ln(rank)) AS sx, SUM(ln(n)) AS sy,
+      |    SUM(ln(rank) * ln(n)) AS sxy, SUM(ln(rank) * ln(rank)) AS sxx,
+      |    SUM(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS top10
+      |  FROM top)
+      |SELECT t.n_tokens, t.vocab_size,
+      |  round(CAST(f.top10 AS DOUBLE) / t.n_tokens, 6) AS top10_mass,
+      |  round((f.k * f.sxy - f.sx * f.sy)
+      |        / (f.k * f.sxx - f.sx * f.sx), 6) AS zipf_slope
+      |FROM tot t, fit f""".stripMargin
+
   // ------------------------------------------ t23 token-budget greedy fill
 
   /** Budget-constrained mix assembly: per language, fill a 3000-token
@@ -2972,6 +3006,7 @@ object LlmQueries {
     "t21_bigram_logprob" -> (t21 _),
     "t22_substring_dedup" -> (t22 _),
     "t24_substring_dedup_hashed" -> (t24 _),
+    "t25_zipf_audit" -> (t25 _),
     "d15_robust_outliers" -> (d15 _),
     "d16_incremental_dedup" -> (d16 _),
     "d17_group_split" -> (d17 _),
@@ -3051,6 +3086,7 @@ object LlmQueries {
     "t21_bigram_logprob" -> t21Sql,
     "t22_substring_dedup" -> t22Sql,
     "t24_substring_dedup_hashed" -> t24Sql,
+    "t25_zipf_audit" -> t25Sql,
     "d15_robust_outliers" -> d15Sql,
     "d16_incremental_dedup" -> d16Sql,
     "d17_group_split" -> d17Sql,

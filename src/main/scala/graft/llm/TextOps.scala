@@ -401,6 +401,46 @@ object TextOps {
     else v.orderBy(col("n").desc, col("token")).limit(topK)
   }
 
+  /** Zipf rank-frequency audit of a corpus: least-squares slope of
+    * (ln rank, ln frequency) over the top-`topN` token ranks plus the
+    * summary a shard health-check wants (total tokens, vocab size, top-10
+    * mass fraction). Natural-language corpora sit near slope −1
+    * (Zipf's law); templated/spammy shards flatten or steepen it and
+    * pump the top-10 mass — a one-row corpus fingerprint that catches
+    * generator bugs and boilerplate floods before training.
+    *
+    * Scale shape: ONE word-count aggregate over the token stream
+    * (map-side combined), a distributed TakeOrdered for the top ranks,
+    * and a window over that ≤ topN-row frame only (never the vocab or
+    * the corpus); the regression itself is a single-row aggregate of the
+    * ln sums. Ranks tie-break (count desc, token asc) so the fit set is
+    * engine-deterministic. */
+  def zipfAudit(docs: DataFrame, topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totals = freq.agg(sum(col("n")).cast("bigint").as("n_tokens"),
+      count(lit(1)).cast("bigint").as("vocab_size"))
+    val top = freq.orderBy(col("n").desc, col("tok")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok"))))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    val fit = top.agg(count(lit(1)).cast("double").as("__k"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(when(col("rank") <= 10, col("n")).otherwise(0L)).as("__top10"))
+    totals.crossJoin(broadcast(fit))
+      .select(col("n_tokens"), col("vocab_size"),
+        round(col("__top10").cast("double") / col("n_tokens"), 6)
+          .as("top10_mass"),
+        round((col("__k") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("__k") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
+  }
+
   // ------------------------------------------- TF-IDF / BM25 relevance
 
   /** Per-document top-`k` terms by smoothed TF-IDF (`idf = ln((1+N)/(1+df))

@@ -236,7 +236,9 @@ class JobCountSpec extends SparkSpec {
         // semantic stage + 4 gate aggregates (measured 52)
         "p02_curation_pipeline_approx" -> 62,
         // two grouped bin counts + stats/totals scalars (measured 8)
-        "dt04_drift_psi" -> 11)) {
+        "dt04_drift_psi" -> 11,
+        // word-count agg + TakeOrdered + single-row fit (measured 5)
+        "t25_zipf_audit" -> 8)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

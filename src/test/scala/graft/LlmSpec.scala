@@ -34,6 +34,26 @@ class LlmSpec extends SparkSpec {
     assert(viaRows.find(_._1 == 1L).get._2.startsWith("the quick"))
   }
 
+  test("zipfAudit: ~-1 slope on a Zipf corpus, ~0 on a uniform one") {
+    // token k appears floor(600/k) times -> frequencies follow 1/rank
+    val zipf = (1 to 30).flatMap(k => Seq.fill(600 / k)(s"w$k"))
+    val zc = Seq((1L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val zr = TextOps.zipfAudit(zc, topN = 30).collect()(0)
+    val zslope = zr.getAs[Double]("zipf_slope")
+    assert(math.abs(zslope - (-1.0)) < 0.1, s"zipf slope $zslope not ~ -1")
+    assert(zr.getAs[Long]("n_tokens") == zipf.length)
+    assert(zr.getAs[Long]("vocab_size") == 30L)
+    // uniform corpus: every token equally frequent -> slope ~ 0 and the
+    // top-10 mass is exactly 10/vocab
+    val uni = (1 to 40).flatMap(k => Seq.fill(25)(s"u$k"))
+    val uc = Seq((1L, uni.mkString(" "))).toDF("doc_id", "text")
+    val ur = TextOps.zipfAudit(uc, topN = 40).collect()(0)
+    assert(math.abs(ur.getAs[Double]("zipf_slope")) < 0.01)
+    assert(math.abs(ur.getAs[Double]("top10_mass") - 0.25) < 1e-6)
+    intercept[IllegalArgumentException] { TextOps.zipfAudit(uc, topN = 1) }
+    ()
+  }
+
   test("incremental dedup: batch vs store drops history matches, collapses batch dups") {
     val hist = Seq((1L, "the quick brown fox"), (2L, "other text")).toDF("doc_id", "text")
     val batch = Seq(

@@ -2068,6 +2068,46 @@ object LlmQueries {
       |  round(sqrt(energy_sum / 128.0), 6) AS rms
       |FROM feat ORDER BY id, frame_idx""".stripMargin
 
+  // -------------------------------------- mm07 voice-activity segments
+
+  /** Voice-activity segmentation over a REAL decode, ORACLE-CHECKED:
+    * clips carry planted silence (every 3rd 256-sample block zeroed —
+    * [[Multimodal.synthesizeAudioGated]]), the query really decodes the
+    * WAVs through `javax.sound.sampled`, frames them at 128 samples and
+    * collapses voiced runs to segments
+    * ([[Multimodal.audioVadSegments]] — gaps-and-islands per clip).
+    * DuckDB reproduces every segment boundary and energy from the gated
+    * integer closed form alone: a decode drift, frame slip, or island
+    * boundary bug hash-mismatches. */
+  private def mm07(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudioGated(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.audioVadSegments(clips, frameLen = 128)
+      .orderBy(col("id"), col("seg_idx"))
+  }
+
+  private val mm07Sql =
+    """WITH d AS (SELECT doc_id AS id, 384 + doc_id % 1200 AS n
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (SELECT id, f.fi FROM d, UNNEST(range(0, n // 128)) AS f(fi)),
+      |s AS (SELECT fr.id, fr.fi, si.i,
+      |    CASE WHEN ((fr.fi * 128 + si.i) // 256) % 3 = 0 THEN 0
+      |         ELSE (fr.id * 31 + 7 * (fr.fi * 128 + si.i)) % 65536 - 32768
+      |    END AS v
+      |  FROM fr, UNNEST(range(0, 128)) AS si(i)),
+      |feat AS (SELECT id, fi, SUM(v * v) AS e FROM s GROUP BY 1, 2),
+      |act AS (SELECT id, fi, e,
+      |    fi - row_number() OVER (PARTITION BY id ORDER BY fi) AS grp
+      |  FROM feat WHERE e >= 1),
+      |seg AS (SELECT id, grp, MIN(fi) AS sf, MAX(fi) AS ef,
+      |    COUNT(*) AS nf, SUM(e) AS se FROM act GROUP BY 1, 2)
+      |SELECT id,
+      |  CAST(row_number() OVER (PARTITION BY id ORDER BY sf) AS INT)
+      |    AS seg_idx,
+      |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+      |  CAST(nf AS BIGINT) AS n_frames, CAST(se AS BIGINT) AS seg_energy
+      |FROM seg ORDER BY id, seg_idx""".stripMargin
+
   /** Real VIDEO frame decode, ORACLE-CHECKED: payloads are complete GFV1
     * clips (MJPEG-style container of genuine PNG/BMP stills) whose frame
     * `f` follows the closed form `(id + 97f + 7x + 13y) mod 256`; the
@@ -3027,7 +3067,8 @@ object LlmQueries {
     "mm03_audio_wav" -> (mm03 _),
     "mm04_video_frames" -> (mm04 _),
     "mm05_image_ahash" -> (mm05 _),
-    "mm06_audio_frame_features" -> (mm06 _))
+    "mm06_audio_frame_features" -> (mm06 _),
+    "mm07_audio_vad" -> (mm07 _))
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -3057,6 +3098,7 @@ object LlmQueries {
     "mm04_video_frames" -> mm04Sql,
     "mm05_image_ahash" -> mm05Sql,
     "mm06_audio_frame_features" -> mm06Sql,
+    "mm07_audio_vad" -> mm07Sql,
     "s06_normalize_quantize" -> s06Sql,
     "s07_cosine_topk_ivf_int8" -> s07Sql,
     "s08_semantic_dedup" -> s08Sql,

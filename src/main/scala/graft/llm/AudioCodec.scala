@@ -21,6 +21,34 @@ object AudioCodec {
   def sample(id: Long, i: Long): Int =
     ((((id * 31L + i * 7L) % 65536L) + 65536L) % 65536L - 32768L).toInt
 
+  /** [[sample]] with SILENCE GATING: every `silentEvery`-th block of
+    * `blockLen` samples (by global sample index) is zeroed — the
+    * speech/silence alternation a VAD front end exists to segment,
+    * closed-form so an oracle reproduces every gated value. */
+  def gatedSample(id: Long, i: Long, blockLen: Int, silentEvery: Int): Int =
+    if ((i / blockLen) % silentEvery == 0) 0 else sample(id, i)
+
+  /** [[encodeWav]] with [[gatedSample]] values — a real RIFF/WAVE payload
+    * whose signal alternates voiced and silent blocks. */
+  def encodeWavGated(id: Long, n: Int, sampleRate: Int,
+      blockLen: Int, silentEvery: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(gatedSample(id, i, blockLen, silentEvery).toShort); i += 1
+    }
+    bb.array()
+  }
+
   /** A real RIFF/WAVE payload: 16-bit LE mono PCM, `n` samples at
     * `sampleRate` Hz, filled by [[sample]]. */
   def encodeWav(id: Long, n: Int, sampleRate: Int = 16000): Array[Byte] = {

@@ -243,6 +243,55 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic audio with PLANTED SILENCE: every 3rd 256-sample block is
+    * zeroed ([[AudioCodec.encodeWavGated]]) — the speech/silence
+    * alternation the VAD segmenter exists for; `384 + id % 1200` samples
+    * at 8 kHz, all values closed-form reproducible. */
+  def synthesizeAudioGated(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          Row(id, AudioCodec.encodeWavGated(id, 384 + (id % 1200).toInt,
+            8000, blockLen = 256, silentEvery = 3))
+        }
+      }
+    }(enc)
+  }
+
+  /** Energy-threshold voice-activity segments over
+    * [[audioFrameFeatures]] — the decode → frame → segment front end of
+    * a speech-data pipeline: frames with `energy_sum ≥ energyMin` are
+    * voiced, maximal runs of consecutive voiced frames collapse to one
+    * segment row (classic gaps-and-islands: `frame_idx − row_number`
+    * per clip is constant within a run). Returns (id, seg_idx,
+    * start_frame, end_frame, n_frames, seg_energy), seg_idx 1-based in
+    * frame order. The windows partition BY CLIP — bounded by a clip's
+    * frame count at any corpus size (clips are minutes, not corpora);
+    * everything else is one grouped aggregate. */
+  def audioVadSegments(media: DataFrame, frameLen: Int = 256,
+      energyMin: Long = 1L, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = audioFrameFeatures(media, frameLen, idCol, payloadCol)
+    val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+    frames.filter(col("energy_sum") >= energyMin)
+      .withColumn("__grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy_sum")).as("seg_energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("start_frame"))))
+      .select(col("id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("seg_energy"))
+  }
+
   /** Synthetic video with REAL bytes: each payload is a complete GFV1 clip
     * ([[VideoCodec]] — MJPEG-style concatenated stills) of `2 + id % 6`
     * genuine PNG/BMP frames at `1 + id % 5` fps; frame `f`'s grayscale

@@ -97,4 +97,29 @@ class AudioCodecSpec extends SparkSpec {
       assert(f(2) == sum.toFloat)
     }
   }
+
+  test("audioVadSegments: islands follow the gated closed form; all-silent clip yields no rows") {
+    import spark.implicits._
+    // id 1, 1536 samples = 12 frames of 128; blocks of 256 (2 frames),
+    // every 3rd silent → frames 0,1 6,7 silent; segments [2,5] and [8,11]
+    val media = Seq(
+      (1L, AudioCodec.encodeWavGated(1L, 1536, 8000, 256, 3)),
+      // every block silent → zero voiced frames → clip absent from output
+      (2L, AudioCodec.encodeWavGated(2L, 1536, 8000, 256, 1)))
+      .toDF("id", "payload")
+    val segs = Multimodal.audioVadSegments(media, frameLen = 128)
+      .select($"id", $"seg_idx", $"start_frame", $"end_frame", $"n_frames")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(segs == Seq((1L, 1, 2, 5, 4L), (1L, 2, 8, 11, 4L)),
+      s"unexpected segments: $segs")
+    // segment energies equal the per-sample closed form summed over runs
+    val e = Multimodal.audioVadSegments(media, frameLen = 128)
+      .select($"seg_energy").as[Long].collect().sorted.toSeq
+    def runEnergy(id: Long, fLo: Int, fHi: Int): Long =
+      (fLo * 128 until (fHi + 1) * 128).map { i =>
+        val v = AudioCodec.gatedSample(id, i, 256, 3).toLong; v * v
+      }.sum
+    assert(e == Seq(runEnergy(1, 2, 5), runEnergy(1, 8, 11)).sorted)
+  }
 }

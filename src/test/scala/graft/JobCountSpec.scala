@@ -238,7 +238,9 @@ class JobCountSpec extends SparkSpec {
         // two grouped bin counts + stats/totals scalars (measured 8)
         "dt04_drift_psi" -> 11,
         // word-count agg + TakeOrdered + single-row fit (measured 5)
-        "t25_zipf_audit" -> 8)) {
+        "t25_zipf_audit" -> 8,
+        // encode+decode mapPartitions + islands windows + seg aggregate
+        "mm07_audio_vad" -> 8)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

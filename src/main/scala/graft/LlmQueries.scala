@@ -1604,6 +1604,31 @@ object LlmQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Metadata-FILTERED top-k ([[Similarity.filteredTopK]]): each query's
+    * neighbors come only from corpus vectors sharing its LABEL — the
+    * same-language / same-tenant retrieval shape, candidates via a hash
+    * join on the label (each query scores its bucket, never the
+    * corpus), exact by construction. Value-matched: DuckDB reproduces
+    * the label join, rounded cosines, and (cos desc, id) ranks. */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s14Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+      |    label FROM embeddings)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding),
+      |                     6) DESC, c.vec_id) AS rank
+      |  FROM e c JOIN (SELECT * FROM e WHERE vec_id < 10) q
+      |    ON c.label = q.label
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Residual IVF-PQ ([[Similarity.ivfTopKPQResidual]], the FAISS IVFADC
     * shape) — SELF-VERIFYING like s09: recall@5 vs the brute-force twin,
     * gated at 0.5 with s09's exact dials, so the two rows compare the
@@ -3023,6 +3048,7 @@ object LlmQueries {
     "s11_cosine_topk_jl" -> (s11 _),
     "s12_cosine_topk_imi" -> (s12 _),
     "s13_cosine_topk_ivfpq_res" -> (s13 _),
+    "s14_cosine_topk_filtered" -> (s14 _),
     "t01_text_analysis" -> (t01 _),
     "t02_winnow_fingerprints" -> (t02 _),
     "t03_text_cleaning" -> (t03 _),
@@ -3107,6 +3133,7 @@ object LlmQueries {
     "s11_cosine_topk_jl" -> s11Sql,
     "s12_cosine_topk_imi" -> s12Sql,
     "s13_cosine_topk_ivfpq_res" -> s13Sql,
+    "s14_cosine_topk_filtered" -> s14Sql,
     "t03_text_cleaning" -> t03Sql,
     "t04_pii_redact" -> t04Sql,
     "t05_url_domains" -> t05Sql,

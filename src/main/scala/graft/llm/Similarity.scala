@@ -1034,6 +1034,32 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Metadata-FILTERED top-k — "nearest neighbors among rows matching
+    * the query's attribute" (same-language retrieval, same-source dedup
+    * probes, tenant isolation): candidates come from a HASH JOIN on the
+    * filter column, so each query scores only its bucket
+    * (corpus/|distinct values| rows under uniform buckets), never the
+    * full corpus — the pre-filter shape, exact by construction (no
+    * recall gate; post-filtering an unfiltered ANN result instead can
+    * return < k rows when the filter is selective). Queries broadcast
+    * (small side); the final rank is the shared two-phase bounded-heap
+    * [[finalTopK]]. For big buckets compose with the ANN paths — the
+    * filter pushes below [[assignToCentroids]] so inverted lists are
+    * built per filtered slice. Returns (query_id, corpus_id, cos,
+    * rank). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      filterCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(filterCol)))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("c_vec"), col(filterCol))
+    val scored = c.join(q, Seq(filterCol))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    finalTopK(scored, k)
+  }
+
   /** Public nearest-centroid assignment over an explicit centroid set —
     * the [[assignToCentroids]] kernel (plan-literal argmax projection to
     * 512 centroids, broadcast-variable `mapPartitions` above): ZERO

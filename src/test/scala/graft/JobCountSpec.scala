@@ -240,7 +240,9 @@ class JobCountSpec extends SparkSpec {
         // word-count agg + TakeOrdered + single-row fit (measured 5)
         "t25_zipf_audit" -> 8,
         // encode+decode mapPartitions + islands windows + seg aggregate
-        "mm07_audio_vad" -> 8)) {
+        "mm07_audio_vad" -> 8,
+        // label hash join + two-phase TopKAgg (measured 3)
+        "s14_cosine_topk_filtered" -> 6)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

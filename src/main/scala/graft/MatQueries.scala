@@ -22,6 +22,30 @@ object MatQueries {
     s.sql(s"CREATE DATABASE $db")
   }
 
+  /** Per-invocation temp dir REGISTERED for recursive delete at JVM exit —
+    * the file-backed queries (seed CSV, streaming sources/checkpoints,
+    * ingest stores) need fresh state per run, but repeated verify/bench
+    * runs must not accumulate /tmp garbage across processes (the j01/j02
+    * staging lesson, applied to the per-call sites). */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    // LOW-priority hook on Hadoop's ordered shutdown manager: a plain
+    // Runtime hook runs CONCURRENTLY with Spark's own shutdown, which can
+    // still be flushing checkpoint/stream state into these dirs — the
+    // delete silently loses the race and the dir survives (observed).
+    // Priority 1 runs after Spark's (priority ≥ 30) teardown completes.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(p.toFile)
+        }
+      }, 1)
+    p.toString
+  }
+
   private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
@@ -349,7 +373,7 @@ object MatQueries {
       val name = r.getString(1).replace("\"", "\"\"")
       csv.append(s"""${r.getLong(0)},"$name",${r.getString(2)},${r.getInt(3)},2024-01-15 10:30:00\n""")
     }
-    val f = java.nio.file.Files.createTempDirectory("graft_seed").resolve("seed.csv")
+    val f = java.nio.file.Paths.get(tempDir("graft_seed")).resolve("seed.csv")
     java.nio.file.Files.writeString(f, csv.toString)
     SeedLoader.seed(s, f.toString, TableRef("g_m11.seeded"))
     s.table("g_m11.seeded")
@@ -485,11 +509,11 @@ object MatQueries {
         date_trunc("second", col("ts")).as("ts_sec"))
     Materializer.table(s, tgt,
       graft.exec.AtomicWriter.withPartitionCols(base.limit(0), part), part)
-    val srcDir = java.nio.file.Files.createTempDirectory("g_m17_src")
+    val srcDir = java.nio.file.Paths.get(tempDir("g_m17_src"))
     base.repartition(4).write.mode("overwrite").parquet(s"$srcDir/data")
     val stream = s.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/data")
-    val ckpt = java.nio.file.Files.createTempDirectory("g_m17_ckpt")
+    val ckpt = java.nio.file.Paths.get(tempDir("g_m17_ckpt"))
     graft.streaming.Streaming.runToCompletion(
       graft.streaming.Streaming.microbatchStream(s, stream, tgt, part,
         ckpt.toString))
@@ -529,7 +553,7 @@ object MatQueries {
         col("value"), col("ts"))
     val withDups = base.union(base.filter(col("event_id") % 3 === 0))
       .repartitionByRange(4, col("ts"), col("event_id"))
-    val srcDir = java.nio.file.Files.createTempDirectory("g_m18_src")
+    val srcDir = java.nio.file.Paths.get(tempDir("g_m18_src"))
     withDups.write.mode("overwrite").parquet(s"$srcDir/data")
     // the file source drains by MODIFICATION TIME, and a parallel write
     // leaves all slabs with the same mtime (arbitrary tie order) — stamp
@@ -543,8 +567,8 @@ object MatQueries {
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/data")
     val deduped = graft.streaming.Streaming.dedupStream(
       stream, "ts", "1 hour", Seq("event_id"))
-    val outDir = java.nio.file.Files.createTempDirectory("g_m18_out")
-    val ckpt = java.nio.file.Files.createTempDirectory("g_m18_ckpt")
+    val outDir = java.nio.file.Paths.get(tempDir("g_m18_out"))
+    val ckpt = java.nio.file.Paths.get(tempDir("g_m18_ckpt"))
     graft.streaming.Streaming.runToCompletion(
       deduped.writeStream.format("parquet")
         .option("path", s"$outDir/tbl")
@@ -592,7 +616,7 @@ object MatQueries {
       .unionByName(hist.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 4 * off).as("doc_id"),
           concat(lit("fresh "), col("text")).as("text")))
-    val base = java.nio.file.Files.createTempDirectory("g_m19").toString
+    val base = tempDir("g_m19")
     // one file per slab with stamped mtimes: the file source drains by
     // mtime, so batch k = slab k (the m18 recipe)
     def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
@@ -710,7 +734,7 @@ object MatQueries {
     val slabA = stream(13, off, "novel")
     val slabB = stream(13, 2 * off, "novel", " graftmarker")
       .unionByName(stream(17, 3 * off, "fresh"))
-    val base = java.nio.file.Files.createTempDirectory("g_m20").toString
+    val base = tempDir("g_m20")
     def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$base/stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -17,8 +17,23 @@ object Verify {
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.warehouse.dir", {
+      val wh = Files.createTempDirectory("graft_wh")
+      // exit-time delete AFTER Spark's own teardown (low-priority hook on
+      // the ordered Hadoop manager — a plain Runtime hook races Spark's
+      // shutdown writes and can lose): repeated sessions must not
+      // accumulate warehouse dirs under /tmp
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          def run(): Unit = {
+            def del(f: java.io.File): Unit = {
+              Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+            }
+            del(wh.toFile)
+          }
+        }, 1)
+      wh.toString
+    })
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

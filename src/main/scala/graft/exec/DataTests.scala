@@ -199,7 +199,12 @@ object DataTests {
     * `sequence` bin spine that makes EMPTY bins explicit rows. Everything
     * downstream of the two grouped counts is bins-sized. Returns one row
     * per bin: (bin, n_base, n_cur, p_base, p_cur, psi_term, psi_total —
-    * the total repeated per row so the frame is self-contained). */
+    * the total repeated per row so the frame is self-contained).
+    *
+    * Caller contract: the baseline must be non-empty with non-constant
+    * values — an empty or constant baseline has no bin width, and the
+    * NaN bin expression fails loud under ANSI casting rather than
+    * binning garbage. */
   def driftPsi(base: DataFrame, cur: DataFrame, valueCol: String,
       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")

@@ -567,7 +567,7 @@ object DepthQueries {
 
   /** Distribution-drift test ([[graft.exec.DataTests.driftPsi]]):
     * Population Stability Index of `l_extendedprice` between the
-    * pre-1995 and 1995+ shipment snapshots — the model-monitoring check
+    * pre-1998 and 1998+ shipment snapshots — the model-monitoring check
     * a pipeline runs when a feature table is re-materialized. 10
     * equal-width bins over the BASELINE range (current mass outside it
     * clamps to the edge bins), `eps`-smoothed fractions so empty bins

@@ -929,10 +929,15 @@ object LlmQueries {
   private def d22(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // collision-free planted-id offset derived from the DATA (the documents
+    // idOffset pattern) — a hard-coded +100000 collides with real train ids
+    // once the corpus is amplified past ~5× the 20k-vector base, and on
+    // collision the two engines diverge structurally (ADVICE r10)
+    val vecOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val eval = emb.filter(col("vec_id") % 10 === 7)
     val train = emb.filter(col("vec_id") % 10 =!= 7)
       .unionByName(eval.filter(col("vec_id") % 3 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + vecOff).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
     Similarity.semanticDecontaminate(train, eval, threshold = 0.9)
       .filter(col("is_contaminated"))
@@ -947,7 +952,8 @@ object LlmQueries {
       |ev AS (SELECT * FROM e WHERE vec_id % 10 = 7),
       |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7
       |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> x + 0.05)
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM e),
+      |    list_transform(embedding, x -> x + 0.05)
       |  FROM ev WHERE vec_id % 3 = 0),
       |sc AS (SELECT t.vec_id, ev.vec_id AS eid,
       |    list_cosine_similarity(t.embedding, ev.embedding) AS cos
@@ -1026,9 +1032,10 @@ object LlmQueries {
     * decontaminate train against the test split (d10: 3-shingle
     * containment < 0.5) → quality score + token count (t01) →
     * per-language token budget (t23: best docs until 3000 tokens/lang) →
-    * deterministic shard assignment (t08's md5 shard key). No stage
-    * materializes: Catalyst sees one tree, so filters/projections fuse
-    * across stage boundaries and AQE re-plans the whole chain. The oracle
+    * deterministic shard assignment (t08's md5 shard key). The chain is
+    * declarative except for the two deliberately persisted slabs below:
+    * between those checkpoints Catalyst sees each segment as one tree, so
+    * filters/projections fuse within a segment and AQE re-plans it. The oracle
     * recomputes every stage relationally in DuckDB (the same CTE
     * fragments the per-stage oracles pinned), so a drift ANYWHERE in the
     * chain — fingerprint, split boundary, shingle set, score formula,

@@ -28,9 +28,14 @@ case class GramHashes(child: Expression, w: Int)
   require(w >= 2, s"gram width must be >= 2 (w=$w)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: compute() reads elements with
+    // ArrayData.getLong, which returns an arbitrary value (typically 0)
+    // for a null slot instead of failing — a nullable array would yield
+    // silently wrong gram fingerprints, so refuse it at analysis time.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"gram_hashes expects array<bigint>, got ${t.simpleString}")
+      s"gram_hashes expects array<bigint> with non-nullable elements, " +
+        s"got ${t.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

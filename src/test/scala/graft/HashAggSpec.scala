@@ -82,5 +82,14 @@ class HashAggSpec extends SparkSpec {
       .select(graft.functions.GramHashes($"hs", w).as("g"))
       .collect()(0)
     assert(nul.isNullAt(0))
+    // nullable ELEMENTS are rejected at analysis time: compute() reads via
+    // ArrayData.getLong, which would silently turn a null slot into 0 and
+    // corrupt the fingerprint (ADVICE r10)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Seq(Option(1L), None))).toDF("id", "hs")
+        .select(graft.functions.GramHashes($"hs", w).as("g"))
+        .collect()
+    }
+    assert(err.getMessage.contains("non-nullable"))
   }
 }

@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data-pipeline operator coverage: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
@@ -12,3170 +10,14 @@ import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing,
   */
 object LlmQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.t(s, dir, name)
-
-  /** Per-(dir, pid) staging path under java.io.tmpdir for queries that
-    * round-trip through files (j01/j02/j03), registered ONCE for recursive
-    * delete at JVM exit — repeated verify/bench runs accumulate no /tmp
-    * garbage (ADVICE r9), while the files stay alive for the whole session
-    * (the returned DataFrames are lazy; deleting at the end of the builder
-    * would break the later action). */
-  private val stagingRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def staging(prefix: String, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") +
-      s"_${ProcessHandle.current().pid()}"
-    if (stagingRegistered.add(path))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-        }
-        del(new java.io.File(path))
-      }))
-    path
-  }
-
-  /** Smallest id strictly above every historical doc_id — the collision-free
-    * offset for synthetic batch ids (planted copies at `off·k + doc_id`).
-    * Derived from the DATA (one scalar aggregate), not a hard-coded
-    * 1 000 000: at a scale factor where doc_ids exceed a fixed constant the
-    * ranges would collide and range-based gate classification would
-    * silently misclassify (ADVICE r9). The oracle derives the same scalar
-    * via `(SELECT MAX(doc_id)+1 FROM documents)`. */
-  private def idOffset(hist: DataFrame): Long =
-    hist.agg(max(col("doc_id"))).head.getLong(0) + 1
-
-  /** documents ∪ perturbed duplicates: every doc_id%5==0 doc reappears under
-    * id+1000000 with trailing whitespace (same normalized content). */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), concat(col("text"), lit("  ")).as("text")))
-  }
-
-  private val docsWithDupsSql =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
-      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
-
-  /** near-identical variants: append one token — high but <1 Jaccard. */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" graftmarker")).as("text")))
-  }
-
-  // ------------------------------------------------------------ exact dedup
-
-  private def d01(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(docsWithDups(s, dir)).orderBy(col("fp"))
-
-  private val d01Sql =
-    s"""WITH docs2 AS ($docsWithDupsSql)
-       |SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-       |       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
-       |FROM docs2 GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ------------------------------------------------- d16 incremental dedup
-
-  /** Incremental exact dedup of an ingest batch against the historical
-    * corpus's fingerprint store (the production shape — a new crawl is
-    * never deduped by re-scanning 100 TB of history). The batch carries
-    * all three cases: whitespace-perturbed copies of history (dropped via
-    * the store anti-join), genuinely new docs (kept), and a within-batch
-    * duplicate pair of a new doc (collapsed to the lowest id,
-    * dup_count 2). */
-  private def d16(s: SparkSession, dir: String): DataFrame = {
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val off = idOffset(hist)
-    val batch = hist.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + off).as("doc_id"),
-        concat(col("text"), lit("  ")).as("text"))
-      .unionByName(hist.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text")).as("text")))
-      .unionByName(hist.filter(col("doc_id") % 35 === 0)
-        .select((col("doc_id") + 3 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text"), lit(" ")).as("text")))
-    Dedup.incrementalExact(batch, Dedup.fingerprintStore(hist))
-      .orderBy(col("fp"))
-  }
-
-  private val d16Sql =
-    """WITH hist AS (SELECT doc_id, text FROM documents),
-      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
-      |batch AS (
-      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
-      |    FROM hist WHERE doc_id % 5 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
-      |    FROM hist WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 3 * (SELECT o FROM off), 'newdoc ' || text || ' '
-      |    FROM hist WHERE doc_id % 35 = 0),
-      |store AS (SELECT DISTINCT
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM hist),
-      |bf AS (SELECT doc_id,
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM batch)
-      |SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
-      |FROM bf WHERE fp NOT IN (SELECT fp FROM store)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ----------------------------------------------------------- MinHash LSH
-
-  /** MinHash-LSH near-dup pairs, SELF-VERIFYING: the query also computes
-    * the exact n-gram-Jaccard twin and emits (exact pair count, recall ≥
-    * 0.7 as a boolean), both DuckDB-reproducible — so the driver's hash
-    * compare pins the approximate operator's recall instead of only its
-    * row count. The gate's cost includes the exact twin by design. */
-  private def d02(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: exact and approx both derive from the same Union
-    // plan; joining them without breaking lineage can hit Catalyst's
-    // UnionBase.rewriteConstraints `key not found: attr`
-    val docs = docsWithNearDups(s, dir).localCheckpoint()
-    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
-      maxDf = 1000).select(col("id_a"), col("id_b"))
-    val approx = Dedup.minhashNearDupPairs(docs, threshold = 0.5, k = 64,
-      bands = 16).select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    exact.join(approx, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.7).as("recall_ok"))
-  }
-
-  // --------------------------------------------------------------- SimHash
-
-  /** SimHash near-dup pairs, SELF-VERIFYING against the injected marker
-    * duplicates (doc_id+1000000 with one appended token): emits the marker
-    * count and marker-recall ≥ 0.6. */
-  private def d03(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(s, dir).localCheckpoint()
-    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
-    val markers = docs.filter(col("doc_id") >= 1000000)
-      .agg(count(lit(1)).as("n_markers"))
-    val found = pairs.filter(col("id_b") - col("id_a") === 1000000)
-      .agg(count(lit(1)).as("n_found"))
-    markers.crossJoin(found)
-      .select(col("n_markers"),
-        (col("n_found").cast("double") / col("n_markers") >= 0.6)
-          .as("recall_ok"))
-  }
-
-  private val d03Sql =
-    """SELECT COUNT(*) AS n_markers, TRUE AS recall_ok
-      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
-
-  // -------------------------------------------------------- n-gram Jaccard
-
-  private def d04(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3, threshold = 0.5,
-        maxDf = 1000)
-      .orderBy(col("id_a"), col("id_b"))
-
-  /** Exact-pair CTE shared by the d04 oracle and d02's recall gate. */
-  private val jaccardPairsCte =
-    """WITH docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
-      |  FROM documents WHERE doc_id % 7 = 0),
-      |toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM docs2),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-      |  UNION
-      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
-      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b,
-      |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-      |FROM shared
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5)""".stripMargin
-
-  private val d04Sql =
-    s"""$jaccardPairsCte
-       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
-
-  private val d02Sql =
-    s"""$jaccardPairsCte
-       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs""".stripMargin
-
-  // ----------------------------------------- d05 duplicate-cluster resolve
-
-  /** Near-dup PAIRS → connected components → per-doc cluster assignment
-    * (the keep/drop decision artifact). Oracle: DuckDB recursive CTE over
-    * the same pair list. */
-  private def d05(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), n = 3,
-      threshold = 0.5, maxDf = 1000)
-    val cc = Dedup.connectedComponents(pairs)
-    // cluster_size via aggregate + join, NOT count().over(Window): a window
-    // partition funnels every member of a cluster into one task and AQE can
-    // never split it, while a skewed join partition (one boilerplate mega-
-    // cluster in crawl data) is split at runtime; the count aggregate itself
-    // combines map-side
-    val assign = cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-    val sizes = assign.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    assign.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Shared recursive-CTE chain (docs ∪ markers → shingles → pairs → CC
-    * labels) used by the d05 and d09 oracles. */
-  private val clusterCte =
-    """WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
-      |  FROM documents WHERE doc_id % 7 = 0),
-      |toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM docs2),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-      |  UNION
-      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
-      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b FROM shared
-      |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION SELECT id_b, id_a FROM pairs),
-      |reach(node, comp) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst),
-      |labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
-      |  FROM reach GROUP BY 1)""".stripMargin
-
-  private val d05Sql =
-    s"""$clusterCte
-       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(cluster_id AS BIGINT) AS cluster_id,
-       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-       |FROM labels ORDER BY doc_id""".stripMargin
-
-  // ------------------------------------- d07 train/test contamination check
-
-  /** Benchmark contamination: docs with doc_id%10==0 play the "test set";
-    * per test doc, the fraction of its distinct 3-shingles occurring
-    * anywhere in the train split. Spark joins on 64-bit shingle hashes;
-    * the oracle joins on shingle strings — counts agree (collision-free at
-    * corpus scale, same argument as d04). */
-  private def d07(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    Dedup.containment(docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), n = 3)
-      .orderBy(col("doc_id"))
-  }
-
-  private val d07Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
-      |  FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-      |  UNION
-      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS shingle
-      |  FROM toks WHERE len(tk) BETWEEN 1 AND 2),
-      |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
-      |test AS (SELECT * FROM sh WHERE doc_id % 10 = 0)
-      |SELECT t.doc_id, COUNT(*) AS n_sh,
-      |  CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-      |  round(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*), 6) AS containment
-      |FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Decontamination, the split-then-purge pipeline: hash-split the corpus
-    * (d06's proven md5 thresholds), then drop train docs whose 3-shingle
-    * containment in the TEST split is ≥ 0.5. The oracle reproduces the
-    * split expression, the shingle sets AND the keep/drop boundary. */
-  private def d10(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
-    Dedup.decontaminate(
-        bySplit.filter(col("split") === "train").drop("split"),
-        bySplit.filter(col("split") === "test").drop("split"),
-        n = 3, threshold = 0.5)
-      .select(col("doc_id"), col("containment"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d10Sql =
-    """WITH base AS (SELECT doc_id, text,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
-      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
-      |         ELSE 'test' END AS split
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
-      |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-      |  UNION
-      |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
-      |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
-      |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
-      |cont AS (SELECT s.doc_id,
-      |    round(CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
-      |      AS DOUBLE) / COUNT(*), 6) AS containment
-      |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
-      |  WHERE s.split = 'train' GROUP BY 1)
-      |SELECT b.doc_id, COALESCE(c.containment, 0.0) AS containment
-      |FROM base b LEFT JOIN cont c USING (doc_id)
-      |WHERE b.split = 'train' AND COALESCE(c.containment, 0.0) < 0.5
-      |ORDER BY b.doc_id""".stripMargin
-
-  /** Bloom-filtered decontamination, SELF-VERIFYING — the 100 TB scale
-    * path for d10: train-side shingles probe a Bloom filter of the test
-    * split (built as a `(word_idx, word)` bit_or-aggregate table, ≤ 4 MB
-    * broadcast) instead of shuffle-joining the full eval shingle set. The
-    * query computes the exact-join twin on the same splits and gates BOTH
-    * Bloom guarantees in-query: no false negatives (every doc's bloom hit
-    * count ≥ its exact hit count — a contaminated doc can never leak
-    * through) and corpus FP rate ≤ 2%. The oracle reproduces the exact
-    * counts and emits the gates as literals, so the driver hash-pins
-    * them. */
-  private def d12(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
-    val train = bySplit.filter(col("split") === "train").drop("split")
-    val ev = bySplit.filter(col("split") === "test").drop("split")
-    val exact = Dedup.containment(ev, train, n = 3)
-      .select(col("doc_id"), col("n_sh"), col("n_hit").as("n_hit_exact"))
-    val bloom = Dedup.bloomContainment(train, ev, n = 3)
-      .select(col("doc_id"), col("n_hit").as("n_hit_bloom"))
-    exact.join(bloom, Seq("doc_id"))
-      .agg(count(lit(1)).as("n_scored_docs"),
-        sum(when(round(col("n_hit_exact").cast("double") / col("n_sh"), 6)
-          >= 0.5, 1L).otherwise(0L)).as("n_flagged_exact"),
-        expr("bool_and(n_hit_bloom >= n_hit_exact)").as("superset_ok"),
-        ((sum(col("n_hit_bloom")) - sum(col("n_hit_exact"))).cast("double")
-          / sum(col("n_sh")) <= 0.02).as("fp_ok"))
-  }
-
-  private val d12Sql =
-    """WITH base AS (SELECT doc_id, text,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
-      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
-      |         ELSE 'test' END AS split
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
-      |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-      |  UNION
-      |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
-      |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
-      |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
-      |cont AS (SELECT s.doc_id, COUNT(*) AS n_sh,
-      |    SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-      |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
-      |  WHERE s.split = 'train' GROUP BY 1)
-      |SELECT CAST(COUNT(*) AS BIGINT) AS n_scored_docs,
-      |  CAST(SUM(CASE WHEN round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= 0.5
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
-      |  TRUE AS superset_ok, TRUE AS fp_ok
-      |FROM cont""".stripMargin
-
-  // --------------------------------------- d06 deterministic split/sample
-
-  /** Content-hash train/valid/test split (80/10/10) + a 10% deterministic
-    * Bernoulli sample, reported per split. Both keyed on md5(salt ‖ text),
-    * so DuckDB reproduces the assignment bit-for-bit. */
-  private def d06(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val bySplit = Sampling.hashSplit(docs, col("text"), salt = "g1")
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_id")).cast("bigint").as("id_sum"))
-    val sampled = Sampling.hashSplit(
-        Sampling.deterministicSample(docs, col("text"), num = 6554, salt = "g2"),
-        col("text"), salt = "g1")
-      .groupBy(col("split")).agg(count(lit(1)).as("n_sampled"))
-    bySplit.join(sampled, Seq("split"), "left")
-      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
-      .orderBy(col("split"))
-  }
-
-  private val d06Sql =
-    """WITH s AS (SELECT doc_id,
-      |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
-      |         ELSE 'test' END AS split,
-      |    substring(md5('g2' || text), 1, 4) < '199a' AS samp
-      |  FROM documents)
-      |SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-      |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ----------------------------------------- j01 JSONL ingest + quarantine
-
-  /** JSONL ingest round-trip with corrupt-line quarantine: documents
-    * doc_id < 300 are serialized to JSON lines (every doc_id % 97 == 0
-    * line TRUNCATED mid-object — invalid JSON), read back through
-    * [[graft.sources.Sources.jsonl]] in PERMISSIVE mode, and summarized:
-    * clean/corrupt counts, the clean rows' id/char sums, and the corrupt
-    * lines' total length. The oracle reproduces every number from the
-    * parquet closed form alone — a parser drift, a silently dropped
-    * malformed line, or a truncation-boundary slip hash-mismatches. */
-  private def j01(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
-      .select(col("doc_id"), col("text"), col("lang"))
-    val line = to_json(struct(col("doc_id"), col("text"), col("lang")))
-    val corrupted = docs.select(
-      when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
-        .otherwise(line).as("value"))
-    // per-dir AND per-process path: a concurrent driver on the same scale
-    // dir (bench + gatecheck) must not clobber this run's file mid-read;
-    // deleted recursively at JVM exit (see staging)
-    val path = staging("jsonl", dir)
-    corrupted.coalesce(1).write.mode("overwrite").text(path)
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("text", StringType), StructField("lang", StringType)))
-    val parsed = graft.sources.Sources.jsonl(s, path, schema).cache()
-    parsed.agg(
-      sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
-        .cast("bigint").as("n_clean"),
-      sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
-        .cast("bigint").as("n_corrupt"),
-      sum(when(col("_corrupt_record").isNull, col("doc_id")))
-        .cast("bigint").as("clean_id_sum"),
-      sum(when(col("_corrupt_record").isNull, length(col("text"))))
-        .cast("bigint").as("clean_chars"),
-      sum(length(col("_corrupt_record"))).cast("bigint").as("corrupt_chars"))
-  }
-
-  private val j01Sql =
-    """WITH d AS (SELECT doc_id, text, lang,
-      |    to_json(struct_pack(doc_id := doc_id, text := text, lang := lang))
-      |      AS line
-      |  FROM documents WHERE doc_id < 300)
-      |SELECT
-      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_clean,
-      |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_corrupt,
-      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN doc_id END) AS BIGINT)
-      |    AS clean_id_sum,
-      |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN length(text) END) AS BIGINT)
-      |    AS clean_chars,
-      |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN length(line) - 5 END)
-      |    AS BIGINT) AS corrupt_chars
-      |FROM d""".stripMargin
-
-  // --------------------------------------------- j02 row provenance stamps
-
-  /** Row-provenance round-trip: documents land in a bucket-partitioned
-    * parquet layout (one file per bucket), are read back through
-    * [[graft.sources.Sources.parquetWithProvenance]], and summarized per
-    * bucket — row count, DISTINCT source files (exactly 1 by
-    * construction), id sum, and whether every row's `_file_path` lies
-    * under its own bucket directory. The lineage stamp that lets a bad
-    * training example be traced to its exact ingest file. */
-  private def j02(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
-      .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("bucket"))
-    val path = staging("prov", dir)
-    docs.coalesce(1).write.mode("overwrite").partitionBy("bucket").parquet(path)
-    graft.sources.Sources.parquetWithProvenance(s, path)
-      .groupBy(col("bucket").cast("int").as("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("_file_path")).cast("bigint").as("n_files"),
-        sum(col("doc_id")).cast("bigint").as("id_sum"),
-        (sum(when(col("_file_path")
-          .contains(concat(lit("bucket="), col("bucket").cast("string"))), 0L)
-          .otherwise(1L)) === 0L).as("paths_match_bucket"))
-      .orderBy(col("bucket"))
-  }
-
-  private val j02Sql =
-    """SELECT CAST(doc_id % 4 AS INT) AS bucket,
-      |  COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
-      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum, TRUE AS paths_match_bucket
-      |FROM documents WHERE doc_id < 400
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ------------------------- j03 ingest → provenance → dedup audit chain
-
-  /** The composed ingest-to-train head of a real pipeline, as ONE query —
-    * j01's quarantine, j02's provenance, and d16's incremental dedup
-    * chained over the same batch, emitting the audit table a production
-    * ingest ships: per SOURCE FILE, line/corrupt/clean counts and how many
-    * clean docs survived dedup against the historical fingerprint store
-    * (kept) vs were dropped as duplicates (of history or within-batch).
-    *
-    * Flow: a synthetic crawl batch (perturbed copies of history that must
-    * drop + genuinely new docs, d16's construction) is serialized to JSONL
-    * partitioned into four source files (`src=0..3`), with every
-    * doc_id % 97 line truncated mid-object; read back through
-    * [[graft.sources.Sources.jsonl]] (PERMISSIVE quarantine) with
-    * `_metadata.file_path` provenance; clean rows dedup against
-    * [[Dedup.fingerprintStore]] (history); kept ids join back to their
-    * source file via the provenance stamp. The oracle reproduces every
-    * count from the closed construction — a quarantine slip, a provenance
-    * mis-stamp, or a dedup drift all hash-mismatch. */
-  private def j03(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 600)
-    val off = idOffset(hist)
-    // d16-shaped batch: copies of history (drop) + new docs (keep, with
-    // one within-batch dup family via %35)
-    val batch = hist.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + off).as("doc_id"),
-        concat(col("text"), lit("  ")).as("text"))
-      .unionByName(hist.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text")).as("text")))
-      .unionByName(hist.filter(col("doc_id") % 35 === 0)
-        .select((col("doc_id") + 3 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text"), lit(" ")).as("text")))
-    val line = to_json(struct(col("doc_id"), col("text")))
-    val corrupted = batch.select(
-      when(col("doc_id") % 97 === 0, line.substr(lit(1), length(line) - 5))
-        .otherwise(line).as("value"),
-      (col("doc_id") % 4).cast("int").as("src"))
-    val path = staging("chain", dir)
-    corrupted.repartition(1).write.mode("overwrite")
-      .partitionBy("src").text(path)
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("text", StringType)))
-    // one scan → quarantine stream + clean stream, each stamped with its
-    // source file; cached because both streams and the dedup join-back
-    // consume it (see Sources.jsonl scaladoc)
-    val parsed = graft.sources.Sources.jsonl(s, path, schema)
-      .select(col("doc_id"), col("text"), col("_corrupt_record"),
-        regexp_extract(col("_metadata.file_path"), "src=(\\d+)", 1)
-          .cast("int").as("src"))
-      .cache()
-    val clean = parsed.filter(col("_corrupt_record").isNull)
-    val kept = Dedup.incrementalExact(clean, Dedup.fingerprintStore(hist))
-      .select(col("doc_id"), lit(1L).as("__kept"))
-    parsed
-      .join(kept, Seq("doc_id"), "left")
-      .groupBy(col("src"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
-          .cast("bigint").as("n_corrupt"),
-        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
-          .cast("bigint").as("n_clean"),
-        sum(coalesce(col("__kept"), lit(0L))).cast("bigint").as("n_kept"))
-      .withColumn("n_dropped", (col("n_clean") - col("n_kept")).cast("bigint"))
-      .orderBy(col("src"))
-  }
-
-  private val j03Sql =
-    """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
-      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
-      |batch AS (
-      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
-      |    FROM hist WHERE doc_id % 5 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
-      |    FROM hist WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 3 * (SELECT o FROM off), 'newdoc ' || text || ' '
-      |    FROM hist WHERE doc_id % 35 = 0),
-      |tagged AS (SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS src,
-      |    doc_id % 97 = 0 AS corrupt
-      |  FROM batch),
-      |storefp AS (SELECT DISTINCT
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM hist),
-      |clean AS (SELECT doc_id, src,
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM tagged WHERE NOT corrupt),
-      |kept AS (SELECT fp, MIN(doc_id) AS doc_id FROM clean
-      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1)
-      |SELECT t.src, COUNT(*) AS n_lines,
-      |  CAST(SUM(CASE WHEN t.corrupt THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_corrupt,
-      |  CAST(SUM(CASE WHEN t.corrupt THEN 0 ELSE 1 END) AS BIGINT)
-      |    AS n_clean,
-      |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_kept,
-      |  CAST(SUM(CASE WHEN t.corrupt THEN 0 ELSE 1 END)
-      |    - SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_dropped
-      |FROM tagged t LEFT JOIN kept k ON t.doc_id = k.doc_id
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // --------------------------------------- d18 incremental near-dup dedup
-
-  /** Incremental NEAR-dup dedup of an ingest batch against the historical
-    * corpus's MinHash band store (the approximate sibling of d16): the
-    * batch plants known near-dups of history (one appended token,
-    * Jaccard ≈ 0.96) and known-novel docs (synthetic disjoint token
-    * streams). Gates: every planted near-dup must be dropped at a ≥ 0.6
-    * recall bound (32 bands × 4 rows at J ≈ 0.96 ⇒ band-match
-    * probability ≈ 1) and NO novel doc may be false-dropped (disjoint
-    * shingles estimate ≈ 0 — the estimate check re-verifies every bucket
-    * candidate). DuckDB reproduces the counts and gate booleans from the
-    * closed planted structure. */
-  private def d18(s: SparkSession, dir: String): DataFrame = {
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // planted ids live in [off, 2·off), novel in [2·off, 3·off) — derived
-    // from max(doc_id), so the classification below cannot collide with
-    // history at any scale factor (ADVICE r9)
-    val off = idOffset(hist)
-    val nearDups = hist.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + off).as("doc_id"),
-        concat(col("text"), lit(" graftmarker")).as("text"))
-    val novel = hist.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 2 * off).as("doc_id"),
-        array_join(transform(sequence(lit(1), lit(40)),
-          i => concat(lit("novel"), col("doc_id"), lit("x"), i)), " ")
-          .as("text"))
-    val res = Dedup.incrementalNearDup(
-      nearDups.unionByName(novel), Dedup.nearDupStore(hist), threshold = 0.8)
-    // both contracts surface as BOOLEANS so GateCheck (which asserts every
-    // boolean column) enforces them at the sf1 rehearsal, not just here
-    res.agg(
-      sum(when(col("doc_id") < 2 * off, 1L).otherwise(0L)).cast("bigint")
-        .as("n_planted"),
-      sum(when(col("doc_id") >= 2 * off, 1L).otherwise(0L)).cast("bigint")
-        .as("n_novel"),
-      (sum(when(col("doc_id") >= 2 * off && col("is_dup"), 1L).otherwise(0L))
-        === 0L).as("no_false_drops"),
-      (sum(when(col("doc_id") < 2 * off && col("is_dup"), 1L).otherwise(0L))
-        .cast("double")
-        / sum(when(col("doc_id") < 2 * off, 1L).otherwise(0L))
-        >= 0.6).as("recall_ok"))
-  }
-
-  private val d18Sql =
-    """SELECT
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
-      |    AS BIGINT) AS n_planted,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
-      |    AS BIGINT) AS n_novel,
-      |  TRUE AS no_false_drops,
-      |  TRUE AS recall_ok""".stripMargin
-
-  // ------------------------------------------- d17 leakage-safe group split
-
-  /** Group-aware split on `source`: per split, doc and distinct-source
-    * counts plus a corpus-wide LEAK GATE — the count of sources straddling
-    * more than one split must be zero by construction (the assignment is a
-    * pure function of the group key). The gate is emitted as a
-    * hash-checked column so the oracle pins the contract, not just the
-    * counts. */
-  private def d17(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val split = Sampling.groupSplit(docs, col("source"), salt = "g3")
-    val leak = split.groupBy(col("source"))
-      .agg(countDistinct(col("split")).as("ns"))
-      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("bigint")
-        .as("n_leaky"))
-    split.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(col("doc_id")).cast("bigint").as("id_sum"))
-      .crossJoin(broadcast(leak))
-      .select(col("split"), col("n_docs"), col("n_sources"), col("id_sum"),
-        (col("n_leaky") === 0L).as("leak_free"))
-      .orderBy(col("split"))
-  }
-
-  private val d17Sql =
-    """WITH s AS (SELECT doc_id, source,
-      |    CASE WHEN substring(md5('g3' || source), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substring(md5('g3' || source), 1, 2) < 'e6' THEN 'valid'
-      |         ELSE 'test' END AS split
-      |  FROM documents),
-      |leak AS (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_leaky
-      |  FROM (SELECT source, COUNT(DISTINCT split) AS ns FROM s GROUP BY 1))
-      |SELECT split, COUNT(*) AS n_docs,
-      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-      |  (SELECT n_leaky FROM leak) = 0 AS leak_free
-      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // --------------------------------------- d19 store append + replay no-op
-
-  /** Fresh store root per INVOCATION: Bench's outlier guard re-runs a query
-    * inside one process, and a second run against a root that already holds
-    * batch 1's appended segment would probe a different store. The parent
-    * staging dir is deleted at JVM exit. */
-  private val storeInvocation = new java.util.concurrent.atomic.AtomicLong()
-
-  /** The production ingest LOOP closed over [[graft.llm.DedupStore]]: seed
-    * the fingerprint store from history, dedup batch 1 against it, APPEND
-    * batch 1's survivors, dedup batch 2 against the grown store — and gate
-    * that (a) replaying batch 1's append is a byte-level no-op (returns
-    * false, store row count unchanged), (b) the on-disk store holds exactly
-    * |history fps| + |batch-1 survivors| rows, and (c) the two-step kept
-    * (fp, doc_id) set equals the ONE-SHOT dedup of batch1 ∪ batch2 against
-    * the original store (dup_count intentionally excluded: the one-shot
-    * form counts cross-batch copies together, the incremental form within
-    * their own batch — the kept set is the contract). Batch-2 ids sit
-    * above batch-1 ids so min-id canonicalization picks the same survivor
-    * in both flows. */
-  private def d19(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.DedupStore
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val off = idOffset(hist)
-    val b1 = hist.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + off).as("doc_id"),
-        concat(col("text"), lit("  ")).as("text"))
-      .unionByName(hist.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 2 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text")).as("text")))
-    val b2 = hist.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 3 * off).as("doc_id"),
-        concat(col("text"), lit(" ")).as("text"))
-      .unionByName(hist.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 4 * off).as("doc_id"),
-          concat(lit("newdoc "), col("text"), lit("  ")).as("text")))
-      .unionByName(hist.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 5 * off).as("doc_id"),
-          concat(lit("fresh "), col("text")).as("text")))
-    val root = staging("fpstore", dir) + "/" + storeInvocation.incrementAndGet()
-    // one corpus distinct, three consumers (seed append, one-shot twin,
-    // store accounting) — without the checkpoint the documents scan +
-    // distinct aggregation would run three times
-    val histFps = Dedup.fingerprintStore(hist).localCheckpoint()
-    DedupStore.appendFingerprints(s, root, 0L, histFps)
-    // materialized before the append so the probe plan is pinned to
-    // segment 0 (read() captures its path list eagerly; the checkpoint
-    // also feeds three consumers below without recompute)
-    val r1 = Dedup.incrementalExact(b1, DedupStore.readFingerprints(s, root))
-      .localCheckpoint()
-    val firstAppend = DedupStore.appendFingerprints(s, root, 1L, r1)
-    val replayAppend = DedupStore.appendFingerprints(s, root, 1L, r1)
-    val storeAfter = DedupStore.readFingerprints(s, root)
-    val r2 = Dedup.incrementalExact(b2, storeAfter).localCheckpoint()
-    val oneshot = Dedup.incrementalExact(b1.unionByName(b2), histFps)
-    val twoStep = r1.unionByName(r2).select(col("fp"), col("doc_id"))
-    val symDiff = twoStep.withColumn("__a", lit(1))
-      .join(oneshot.select(col("fp"), col("doc_id")).withColumn("__b", lit(1)),
-        Seq("fp", "doc_id"), "full_outer")
-      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
-        .as("__n_mismatch"))
-    r1.agg(count(lit(1)).as("n_b1_kept"))
-      .crossJoin(r2.agg(count(lit(1)).as("n_b2_kept")))
-      .crossJoin(storeAfter.agg(count(lit(1)).as("n_store_fps")))
-      .crossJoin(histFps.agg(count(lit(1)).as("__n_hist_fps")))
-      .crossJoin(broadcast(symDiff))
-      .select(col("n_b1_kept"), col("n_b2_kept"), col("n_store_fps"),
-        lit(firstAppend && !replayAppend).as("replay_noop"),
-        (col("n_store_fps") === col("__n_hist_fps") + col("n_b1_kept"))
-          .as("store_consistent"),
-        (coalesce(col("__n_mismatch"), lit(0L)) === 0L).as("matches_oneshot"))
-  }
-
-  private val d19Sql =
-    """WITH hist AS (SELECT doc_id, text FROM documents),
-      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
-      |b1 AS (
-      |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text || '  ' AS text
-      |    FROM hist WHERE doc_id % 5 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2 * (SELECT o FROM off), 'newdoc ' || text
-      |    FROM hist WHERE doc_id % 7 = 0),
-      |b2 AS (
-      |  SELECT doc_id + 3 * (SELECT o FROM off) AS doc_id, text || ' ' AS text
-      |    FROM hist WHERE doc_id % 11 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 4 * (SELECT o FROM off), 'newdoc ' || text || '  '
-      |    FROM hist WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 5 * (SELECT o FROM off), 'fresh ' || text
-      |    FROM hist WHERE doc_id % 13 = 0),
-      |storefp AS (SELECT DISTINCT
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM hist),
-      |b1f AS (SELECT doc_id,
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM b1),
-      |k1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM b1f
-      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1),
-      |b2f AS (SELECT doc_id,
-      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-      |  FROM b2),
-      |k2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM b2f
-      |  WHERE fp NOT IN (SELECT fp FROM storefp)
-      |    AND fp NOT IN (SELECT fp FROM k1) GROUP BY 1)
-      |SELECT CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_b1_kept,
-      |  CAST((SELECT COUNT(*) FROM k2) AS BIGINT) AS n_b2_kept,
-      |  CAST((SELECT COUNT(*) FROM storefp) + (SELECT COUNT(*) FROM k1)
-      |    AS BIGINT) AS n_store_fps,
-      |  TRUE AS replay_noop, TRUE AS store_consistent,
-      |  TRUE AS matches_oneshot""".stripMargin
-
-  // ---------------------------- d21 near-dup store append + replay no-op
-
-  /** The NEAR-dup sibling of d19 — the approximate ingest loop closed
-    * over [[graft.llm.DedupStore]]: seed the MinHash store from history,
-    * probe batch 1 (synthetic novel token streams — all must survive),
-    * APPEND batch 1's signatures, then probe batch 2, which plants
-    * one-token-appended near-dups of batch 1's survivors (Jaccard ≈ 0.98
-    * — catchable ONLY through the appended segment, not history) plus
-    * fresh novel docs. Gates: zero batch-1 false drops, batch-2 planted
-    * recall ≥ 0.6 vs the store-grown index, zero batch-2 false drops,
-    * and the replayed append is a no-op (returns false, store row count
-    * unchanged). DuckDB reproduces the counts and gate booleans from the
-    * closed planted structure. */
-  private def d21(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.DedupStore
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val off = idOffset(hist)
-    // text streams keyed EXPLICITLY by a separate column: a same-select
-    // `col("doc_id")` next to a `.as("doc_id")` alias resolves to the
-    // ALIAS under Spark's lateral-column-alias rule, which silently built
-    // planted texts from the wrong id (disjoint streams, recall 0)
-    def novelTextOf(id: Column, prefix: String) =
-      array_join(transform(sequence(lit(1), lit(40)),
-        i => concat(lit(prefix), id, lit("x"), i)), " ")
-    def stream(mod: Int, idShift: Long, prefix: String,
-        suffix: String = ""): DataFrame =
-      hist.filter(col("doc_id") % mod === 0)
-        .select(col("doc_id").as("__orig"),
-          (col("doc_id") + idShift).as("doc_id"))
-        .select(col("doc_id"),
-          concat(novelTextOf(col("__orig"), prefix), lit(suffix)).as("text"))
-    val b1 = stream(13, off, "novel")
-    // planted near-dups rebuild batch-1's streams (same __orig ids) with
-    // one appended token — catchable only through the appended segment
-    val planted = stream(13, 2 * off, "novel", " graftmarker")
-    val fresh = stream(17, 3 * off, "fresh")
-    val root = staging("ndstore", dir) + "/" + storeInvocation.incrementAndGet()
-    val (_, sigs0) = Dedup.nearDupStore(hist)
-    DedupStore.appendNearDupSigs(s, root, 0L, sigs0)
-    val r1 = Dedup.incrementalNearDup(b1, DedupStore.readNearDup(s, root),
-      threshold = 0.8).localCheckpoint()
-    val survivors1 = b1.join(
-      r1.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val sig1 = Dedup.minhashSignatures(survivors1)
-      .select(col("doc_id").as("sid"), col("sig"))
-    val firstAppend = DedupStore.appendNearDupSigs(s, root, 1L, sig1)
-    val replayAppend = DedupStore.appendNearDupSigs(s, root, 1L, sig1)
-    // store accounting across the DOUBLE append: exactly history + batch-1
-    // signatures, nothing duplicated
-    val storeRows = DedupStore.readNearDup(s, root)._2.count()
-    val histSigs = sigs0.count()
-    val b1Sigs = sig1.count()
-    val r2 = Dedup.incrementalNearDup(planted.unionByName(fresh),
-      DedupStore.readNearDup(s, root), threshold = 0.8)
-    val g1 = r1.agg(count(lit(1)).as("n_b1"),
-      (sum(when(col("is_dup"), 1L).otherwise(0L)) === 0L).as("b1_all_kept"))
-    val g2 = r2.agg(
-      sum(when(col("doc_id") < 3 * off, 1L).otherwise(0L)).cast("bigint")
-        .as("n_planted"),
-      sum(when(col("doc_id") >= 3 * off, 1L).otherwise(0L)).cast("bigint")
-        .as("n_fresh"),
-      (sum(when(col("doc_id") < 3 * off && col("is_dup"), 1L).otherwise(0L))
-        .cast("double")
-        / sum(when(col("doc_id") < 3 * off, 1L).otherwise(0L)) >= 0.6)
-        .as("recall_ok"),
-      (sum(when(col("doc_id") >= 3 * off && col("is_dup"), 1L).otherwise(0L))
-        === 0L).as("no_false_drops"))
-    g1.crossJoin(g2)
-      .select(col("n_b1"), col("n_planted"), col("n_fresh"),
-        col("b1_all_kept"), col("recall_ok"), col("no_false_drops"),
-        lit(firstAppend && !replayAppend).as("replay_noop"),
-        lit(storeRows == histSigs + b1Sigs).as("store_consistent"))
-  }
-
-  private val d21Sql =
-    """SELECT
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
-      |    AS BIGINT) AS n_b1,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
-      |    AS BIGINT) AS n_planted,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 17 = 0)
-      |    AS BIGINT) AS n_fresh,
-      |  TRUE AS b1_all_kept, TRUE AS recall_ok, TRUE AS no_false_drops,
-      |  TRUE AS replay_noop, TRUE AS store_consistent""".stripMargin
-
-  // ------------------------------- d22 semantic (embedding) decontamination
-
-  /** Embedding-space decontamination — the semantic sibling of d10's n-gram
-    * containment: drop every training vector whose max cosine to ANY eval
-    * vector reaches 0.9 (leaks that survive paraphrase keep their embedding
-    * neighborhood even when their n-grams change). Eval set = vec_id ≡ 7
-    * (mod 10); the train side replants a third of the eval vectors
-    * (+0.05 per coordinate, cos ≈ 0.92–0.95 to their source — the s03
-    * construction) among the clean rest. [[graft.llm.Similarity
-    * .semanticDecontaminate]]: eval collected under the fail-loud RefSetCap,
-    * broadcast, per-row max in ONE mapPartitions pass over the train scan —
-    * zero shuffle, exact (no recall gate needed). Output = the dropped rows
-    * with their evidence (max cos, nearest eval id). */
-  private def d22(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    // collision-free planted-id offset derived from the DATA (the documents
-    // idOffset pattern) — a hard-coded +100000 collides with real train ids
-    // once the corpus is amplified past ~5× the 20k-vector base, and on
-    // collision the two engines diverge structurally (ADVICE r10)
-    val vecOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val eval = emb.filter(col("vec_id") % 10 === 7)
-    val train = emb.filter(col("vec_id") % 10 =!= 7)
-      .unionByName(eval.filter(col("vec_id") % 3 === 0)
-        .select((col("vec_id") + vecOff).as("vec_id"),
-          transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
-    Similarity.semanticDecontaminate(train, eval, threshold = 0.9)
-      .filter(col("is_contaminated"))
-      .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"),
-        col("nearest_ref_id").as("eval_id"))
-      .orderBy(col("vec_id"))
-  }
-
-  private val d22Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-      |  FROM embeddings),
-      |ev AS (SELECT * FROM e WHERE vec_id % 10 = 7),
-      |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 7
-      |  UNION ALL
-      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM e),
-      |    list_transform(embedding, x -> x + 0.05)
-      |  FROM ev WHERE vec_id % 3 = 0),
-      |sc AS (SELECT t.vec_id, ev.vec_id AS eid,
-      |    list_cosine_similarity(t.embedding, ev.embedding) AS cos
-      |  FROM tr t CROSS JOIN ev)
-      |SELECT vec_id, round(max(cos), 6) AS max_cos,
-      |  arg_max(eid, cos) AS eval_id
-      |FROM sc GROUP BY vec_id
-      |HAVING max(cos) >= 0.9
-      |ORDER BY vec_id""".stripMargin
-
-  // ----------------------------------- d23 cluster-balanced diverse sample
-
-  /** Semantic-diversity sampling: assign every embedding to its nearest
-    * centroid (8 fixed centroid vectors = the vec_id < 8 rows — the
-    * bring-your-own-codebook path; a production run would feed
-    * [[graft.llm.Similarity.nearestCentroids]] a k-means fit) and keep the
-    * top 3 of each cluster by a deterministic salted-md5 key — the
-    * cluster-balanced subset SemDeDup-style pruning ships. Assignment is
-    * the shuffle-free argmax projection; selection is ONE bounded-heap
-    * TopKAgg aggregate per cluster ([[graft.llm.Sampling
-    * .clusterBalancedSample]] — map-side partials, no corpus-sized
-    * per-cluster window sort). Value-matched: DuckDB reproduces the argmax
-    * (cos desc, cid asc) and the 16-bit md5 rank key exactly. */
-  private def d23(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val cents = emb.filter(col("vec_id") < 8).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    val wkey = (conv(substring(md5(concat(lit("d23"),
-        col("vec_id").cast("string"))), 1, 4), 16, 10).cast("double")
-      + 0.5) / 65536.0
-    val scored = Similarity.nearestCentroids(emb, cents)
-      .select(col("centroid_id").cast("long").as("centroid_id"),
-        col("corpus_id").as("vec_id"))
-      .withColumn("wkey", wkey)
-    Sampling.clusterBalancedSample(scored, perCluster = 3,
-        clusterCol = "centroid_id", scoreCol = "wkey", idCol = "vec_id")
-      .orderBy(col("centroid_id"), col("rank"))
-  }
-
-  private val d23Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-      |  FROM embeddings),
-      |c AS (SELECT vec_id AS cid, embedding AS cvec FROM e WHERE vec_id < 8),
-      |sc AS (SELECT e.vec_id, c.cid,
-      |    list_cosine_similarity(e.embedding, c.cvec) AS cos
-      |  FROM e CROSS JOIN c),
-      |asn AS (SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-      |    FROM sc) WHERE rn = 1),
-      |w AS (SELECT vec_id, cid,
-      |    (((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
-      |      + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
-      |      + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
-      |      + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5)
-      |      / 65536.0 AS wkey
-      |  FROM (SELECT vec_id, cid, substring(md5('d23' || vec_id), 1, 4) AS h
-      |        FROM asn)),
-      |r AS (SELECT cid, vec_id,
-      |    row_number() OVER (PARTITION BY cid ORDER BY wkey DESC, vec_id)
-      |      AS rank,
-      |    count(*) OVER (PARTITION BY cid) AS cluster_size
-      |  FROM w)
-      |SELECT cid AS centroid_id, cluster_size, vec_id, rank
-      |FROM r WHERE rank <= 3
-      |ORDER BY centroid_id, rank""".stripMargin
-
-  // ------------------------------------ p01 end-to-end curation pipeline
-
-  /** The whole curation pipeline as ONE declarative plan — the flagship
-    * composition a real training-data run executes, each stage an
-    * independently-proven operator: exact dedup (d01: lowest id per
-    * normalized fingerprint) → content-hash 80/10/10 split (d06) →
-    * decontaminate train against the test split (d10: 3-shingle
-    * containment < 0.5) → quality score + token count (t01) →
-    * per-language token budget (t23: best docs until 3000 tokens/lang) →
-    * deterministic shard assignment (t08's md5 shard key). The chain is
-    * declarative except for the two deliberately persisted slabs below:
-    * between those checkpoints Catalyst sees each segment as one tree, so
-    * filters/projections fuse within a segment and AQE re-plans it. The oracle
-    * recomputes every stage relationally in DuckDB (the same CTE
-    * fragments the per-stage oracles pinned), so a drift ANYWHERE in the
-    * chain — fingerprint, split boundary, shingle set, score formula,
-    * budget cumsum, shard hex — hash-mismatches the final rows.
-    *
-    * Scan discipline (the 100 TB shape): the source is read ONCE —
-    * [[graft.llm.Dedup.exactRows]] dedups in one aggregate (no join-back
-    * re-scan), and the two stage slabs every later stage re-references
-    * (the deduped corpus: read by the split's train AND test branches and
-    * the decontamination join; the scored projection: referenced three
-    * times by tokenBudget's decomposition) are materialized with
-    * `localCheckpoint` — without them Catalyst re-executes the whole
-    * upstream chain per reference (measured: 6 full corpus scans).
-    * In production those two slabs are the stage outputs a pipeline
-    * persists anyway. */
-  private def p01(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
-    val deduped = Dedup.exactRows(docs).localCheckpoint()
-    val bySplit = Sampling.hashSplit(deduped, col("text"), salt = "g1")
-    val train = bySplit.filter(col("split") === "train").drop("split")
-    val test = bySplit.filter(col("split") === "test").drop("split")
-    val clean = Dedup.decontaminate(train, test, n = 3, threshold = 0.5)
-    val scored = clean.select(col("doc_id"), col("lang"), col("containment"),
-        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality"))
-      .localCheckpoint()
-    Sampling.tokenBudget(scored, col("lang"), col("n_tokens"),
-        col("quality"), col("doc_id"), budget = 3000L)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
-        col("containment"), Packing.shardKey(col("doc_id")).as("shard"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val p01Sql = {
-    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH norm AS (SELECT doc_id, text, lang,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-       |  FROM documents),
-       |keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM norm GROUP BY 1),
-       |docs AS (SELECT n.doc_id, n.text, n.lang FROM norm n
-       |  JOIN keeper k ON n.doc_id = k.doc_id),
-       |base AS (SELECT doc_id, text, lang,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk,
-       |    CASE WHEN substring(md5('g1' || text), 1, 2) < 'cc' THEN 'train'
-       |         WHEN substring(md5('g1' || text), 1, 2) < 'e6' THEN 'valid'
-       |         ELSE 'test' END AS split
-       |  FROM docs),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+2], ' ') AS shingle
-       |  FROM base, UNNEST(range(1, len(tk) - 1)) AS u(i) WHERE len(tk) >= 3
-       |  UNION
-       |  SELECT DISTINCT doc_id, split, array_to_string(tk, ' ') AS shingle
-       |  FROM base WHERE len(tk) BETWEEN 1 AND 2),
-       |ev AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
-       |cont AS (SELECT s.doc_id,
-       |    round(CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
-       |      AS DOUBLE) / COUNT(*), 6) AS containment
-       |  FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
-       |  WHERE s.split = 'train' GROUP BY 1),
-       |clean AS (SELECT b.doc_id, b.text, b.lang, b.tk,
-       |    COALESCE(c.containment, 0.0) AS containment
-       |  FROM base b LEFT JOIN cont c USING (doc_id)
-       |  WHERE b.split = 'train' AND COALESCE(c.containment, 0.0) < 0.5),
-       |pre AS (SELECT doc_id, lang, tk, text, containment,
-       |    length(text) - length(regexp_replace(text,
-       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
-       |  FROM clean),
-       |scored AS (SELECT doc_id, lang, containment,
-       |    CAST(len(tk) AS BIGINT) AS n_tokens,
-       |    ${qualitySqlExpr("len(tk)")} AS quality
-       |  FROM pre),
-       |cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
-       |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS c
-       |  FROM scored)
-       |SELECT doc_id, lang, n_tokens, quality, containment,
-       |  substring(md5('p' || doc_id), 1, 1) AS shard
-       |FROM cum WHERE c <= 3000 ORDER BY doc_id""".stripMargin
-  }
-
-  // --------------------- p02 curation pipeline, approximate (scale) path
-
-  /** The 100 TB-path sibling of p01: the same curation chain but with the
-    * APPROXIMATE dedup stages a real run uses — exact dedup
-    * ([[graft.llm.Dedup.exactRows]]) → MinHash near-dup dedup (banded
-    * pairs → connected components → keep the lowest id per cluster) →
-    * SEMANTIC decontamination against an eval embedding set (d22's
-    * zero-shuffle broadcast kernel). MinHash results aren't
-    * DuckDB-expressible, so correctness is proven the d21 way: the corpus
-    * is BUILT with known structure — disjoint novel token streams as the
-    * clean core, planted exact dups (normalized-equal text), planted
-    * near-dups (one appended token, shingle Jaccard ≈ 0.93), planted
-    * eval-space leaks (perturbed copies of eval embeddings, cos ≥ 0.92;
-    * core docs carry no embeddings and must pass through) — and every
-    * stage's effect is pinned: exact counts where the stage is
-    * deterministic (exact-dup removal, semantic drops, zero false drops
-    * of clean streams), a recall gate where it is probabilistic (MinHash
-    * catch rate ≥ 0.6), and a final-count consistency identity. */
-  private def p02(s: SparkSession, dir: String): DataFrame = {
-    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val off = idOffset(hist)
-    def novelTextOf(id: Column, prefix: String) =
-      array_join(transform(sequence(lit(1), lit(40)),
-        i => concat(lit(prefix), id, lit("x"), i)), " ")
-    def stream(mod: Int, idShift: Long, prefix: String,
-        suffix: String = ""): DataFrame =
-      hist.filter(col("doc_id") % mod === 0)
-        .select(col("doc_id").as("__orig"),
-          (col("doc_id") + idShift).as("doc_id"))
-        .select(col("doc_id"),
-          concat(novelTextOf(col("__orig"), prefix), lit(suffix)).as("text"))
-    val core = stream(7, off, "core")
-    val exactDup = stream(7, 2 * off, "core", "  ") // normalized-equal to core
-    val nearDup = stream(14, 3 * off, "core", " graftpad") // J ≈ 0.93 to core
-    val leak = stream(13, 4 * off, "leak")
-    val corpus = core.unionByName(exactDup).unionByName(nearDup)
-      .unionByName(leak)
-    // planted leak EMBEDDINGS: each leak doc carries a +0.05-perturbed copy
-    // of an eval vector (cyclically assigned by rank — eval sets are
-    // bounded by the RefSetCap contract, so the rank windows sort a
-    // bounded frame, not the corpus); core/near-dup docs carry none and
-    // must pass the semantic stage untouched
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val evalE = emb.filter(col("vec_id") % 10 === 7)
-    val nEval = evalE.count()
-    val w = org.apache.spark.sql.expressions.Window
-    val evalIdx = evalE.withColumn("__r",
-      row_number().over(w.orderBy(col("vec_id"))) - 1)
-    val leakEmb = leak.select(col("doc_id"))
-      .withColumn("__r",
-        (row_number().over(w.orderBy(col("doc_id"))) - 1) % nEval)
-      .join(evalIdx.select(col("__r"), col("embedding")), Seq("__r"))
-      .select(col("doc_id").as("vec_id"),
-        transform(col("embedding"), x => x + lit(0.05)).as("embedding"))
-    // ---- stage 1: exact dedup
-    val afterExact = Dedup.exactRows(corpus).localCheckpoint()
-    // ---- stage 2: MinHash near-dup dedup, keep lowest id per cluster
-    val pairs = Dedup.minhashNearDupPairs(afterExact, threshold = 0.8)
-    val ndDrops = Dedup.connectedComponents(pairs)
-      .filter(col("node") =!= col("comp"))
-      .select(col("node").as("doc_id")).localCheckpoint()
-    val afterNd = afterExact.join(ndDrops, Seq("doc_id"), "left_anti")
-    // ---- stage 3: semantic decontamination (docs without embeddings pass)
-    val semDrops = Similarity.semanticDecontaminate(leakEmb, evalE,
-        threshold = 0.9)
-      .filter(col("is_contaminated"))
-      .select(col("vec_id").as("doc_id")).localCheckpoint()
-    val afterSem = afterNd.join(semDrops, Seq("doc_id"), "left_anti")
-    // ---- per-class accounting against the planted construction
-    def cls(id: Column): Column =
-      when(id < 2 * off, "core").when(id < 3 * off, "exact")
-        .when(id < 4 * off, "nd").otherwise("leak")
-    val nCore = core.count(); val nNd = nearDup.count()
-    val nLeak = leak.count()
-    val g1 = afterExact.agg(
-      count(lit(1)).as("__n1"),
-      sum(when(cls(col("doc_id")) === "exact", 1L).otherwise(0L)).as("__x1"))
-    val g2 = ndDrops.agg(
-      sum(when(cls(col("doc_id")) === "nd", 1L).otherwise(0L)).as("__ndHit"),
-      sum(when(cls(col("doc_id")) =!= "nd", 1L).otherwise(0L)).as("__ndClean"))
-    val g3 = semDrops.agg(count(lit(1)).as("__nSem"),
-      sum(when(cls(col("doc_id")) === "leak", 1L).otherwise(0L)).as("__semLeak"))
-    val g4 = afterSem.agg(count(lit(1)).as("__nFinal"))
-    g1.crossJoin(broadcast(g2)).crossJoin(broadcast(g3))
-      .crossJoin(broadcast(g4))
-      .select(
-        lit(nCore).as("n_core"), lit(nCore).as("n_exact_planted"),
-        lit(nNd).as("n_neardup_planted"), lit(nLeak).as("n_leak_planted"),
-        (col("__n1") === lit(nCore + nNd + nLeak) && col("__x1") === 0L)
-          .as("exact_stage_ok"),
-        (col("__ndHit").cast("double") / nNd >= 0.6).as("nd_recall_ok"),
-        (coalesce(col("__ndClean"), lit(0L)) === 0L).as("nd_no_false_drops"),
-        (col("__nSem") === lit(nLeak) && col("__semLeak") === lit(nLeak))
-          .as("sem_ok"),
-        (col("__nFinal") === lit(nCore + nLeak) + (lit(nNd) - col("__ndHit"))
-          - lit(nLeak)).as("final_consistent"))
-  }
-
-  private val p02Sql =
-    """SELECT
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
-      |    AS BIGINT) AS n_core,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
-      |    AS BIGINT) AS n_exact_planted,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 14 = 0)
-      |    AS BIGINT) AS n_neardup_planted,
-      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 0)
-      |    AS BIGINT) AS n_leak_planted,
-      |  TRUE AS exact_stage_ok, TRUE AS nd_recall_ok,
-      |  TRUE AS nd_no_false_drops, TRUE AS sem_ok,
-      |  TRUE AS final_consistent""".stripMargin
-
-  /** Cluster canonicalization — the KEEP/DROP decision that follows
-    * near-dup clustering in a real dedup pipeline: per duplicate cluster,
-    * keep the highest-quality document (ties to the lowest doc_id).
-    * Composes two independently-proven oracles (d05's recursive-CTE
-    * clusters, t01/t07's quality formula). */
-  private def d09(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(s, dir).localCheckpoint()
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
-      maxDf = 1000)
-    val cc = Dedup.connectedComponents(pairs)
-    val q = docs.select(col("doc_id"),
-      TextOps.qualityScore(col("text")).as("quality"))
-    // the keeper is an ARGMAX per cluster under (quality desc, doc_id asc) —
-    // one max(struct) aggregate, map-side combined, replacing the former
-    // row_number window that sorted every member of a cluster in one task
-    // (struct ordering: quality first, then -doc_id, so ties go to the
-    // LOWEST doc_id exactly like the window's orderBy did)
-    cc.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-      .join(q, Seq("doc_id"))
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"),
-        max(struct(col("quality").as("q"), (-col("doc_id")).as("negid")))
-          .as("__best"))
-      .select(col("cluster_id"), col("cluster_size"),
-        (-col("__best.negid")).as("keeper_doc_id"),
-        round(col("__best.q"), 6).as("keeper_quality"))
-      .orderBy(col("cluster_id"))
-  }
-
-  private val d09Sql = {
-    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""$clusterCte,
-       |pre AS (SELECT d.doc_id, d.text, t.tk,
-       |    length(d.text) - length(regexp_replace(d.text,
-       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-       |    len(list_filter(t.tk, x -> list_contains($allWords, x))) AS sw_hits
-       |  FROM docs2 d JOIN toks t USING (doc_id)),
-       |q AS (SELECT doc_id, ${qualitySqlExpr("len(tk)")} AS quality
-       |  FROM (SELECT doc_id, text, tk, n_punct, sw_hits FROM pre)),
-       |rk AS (SELECT l.doc_id, l.cluster_id, q.quality,
-       |    row_number() OVER (PARTITION BY l.cluster_id
-       |      ORDER BY q.quality DESC, l.doc_id) AS rn
-       |  FROM labels l JOIN q USING (doc_id))
-       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
-       |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
-       |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc_id,
-       |  round(MAX(CASE WHEN rn = 1 THEN quality END), 6) AS keeper_quality
-       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
-  }
-
-  /** Stratified deterministic sampling: rebalance the corpus by language
-    * (keep 25% of overrepresented 'en', 50% of 'zh', everything else
-    * whole) with the salted content-hash rule — per-row projection, no
-    * RNG, no per-stratum pass. The oracle applies the IDENTICAL md5-prefix
-    * comparison per stratum, so every kept row hash-matches. */
-  private def d08(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-    Sampling.stratifiedSample(docs, col("text"), col("lang"),
-        rates = Map("en" -> 16384, "zh" -> 32768), salt = "g3")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d08Sql =
-    """SELECT doc_id, lang FROM documents
-      |WHERE CASE lang
-      |    WHEN 'en' THEN substring(md5('g3' || text), 1, 4) < '4000'
-      |    WHEN 'zh' THEN substring(md5('g3' || text), 1, 4) < '8000'
-      |    ELSE TRUE END
-      |ORDER BY doc_id""".stripMargin
-
-  /** Frequency-cap downsampling — [[Sampling.capSample]]: every language
-    * brought down to ~72 docs in expectation, smaller languages kept
-    * whole. Rates derive from the data (per-stratum counts), unlike d08's
-    * fixed map; the oracle recomputes the identical integer-div threshold
-    * and md5 comparison. */
-  private def d11(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-    Sampling.capSample(docs, col("text"), col("lang"), cap = 72, salt = "g5")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d11Sql =
-    """WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)
-      |SELECT d.doc_id, d.lang FROM documents d JOIN n USING (lang)
-      |WHERE cnt <= 72
-      |   OR substring(md5('g5' || text), 1, 4) <
-      |      printf('%04x', CAST((65536 * 72) // cnt AS INT))
-      |ORDER BY doc_id""".stripMargin
-
-  /** Weighted sampling without replacement — [[Sampling.weightedSample]]
-    * with weight = token count (longer docs proportionally likelier, the
-    * standard length-weighted corpus mix). Deterministic Efraimidis–
-    * Spirakis keys from the salted content hash; the oracle recomputes the
-    * identical 16-bit uniform (hex-digit positional arithmetic), the same
-    * `u^(1/w)` key, and the same top-100 cut with the doc_id tie-break. */
-  private def d13(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-    Sampling.weightedSample(docs, col("text"),
-        greatest(lit(1L), TextOps.tokenCount(col("text")).cast("long"))
-          .cast("double"),
-        n = 100, tieBreak = col("doc_id"), salt = "g6")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d13Sql =
-    """WITH t AS (SELECT doc_id, lang,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
-      |    substring(md5('g6' || text), 1, 4) AS h
-      |  FROM documents),
-      |k AS (SELECT doc_id, lang,
-      |    pow((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
-      |        + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
-      |        + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
-      |        + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) + 0.5)
-      |        / 65536.0,
-      |      1.0 / greatest(1, len(tk))) AS wkey
-      |  FROM t)
-      |SELECT doc_id, lang
-      |FROM (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 100)
-      |ORDER BY doc_id""".stripMargin
-
-  // ---------------------------------------------------- similarity search
-
-  private def s01(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val s01Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
-      |SELECT query_id, corpus_id, cos, rank FROM (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
-      |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
-      |               c.vec_id) AS rank
-      |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
-      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** LSH top-k, SELF-VERIFYING: recall@5 vs the brute-force twin, gated at
-    * the RecallSpec bound (0.6 with 4 tables). n_exact is k × |queries| —
-    * reproducible relationally. */
-  private def s02(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    // uniform-random embeddings are the LSH worst case (no cluster
-    // structure); recall tracks the candidate fraction L(1+probes)/2^bits,
-    // so the dial is set to ~0.44 here to hold the 0.6 gate with margin
-    // (measured 0.78 at sf0.01). Real embedding corpora cluster, buying
-    // the same recall at a far smaller fraction.
-    val approx = Similarity.lshTopK(emb, q, k = 5, dim = 64,
-        bits = 7, probeBits = 6, tables = 8)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.6).as("recall_ok"))
-  }
-
-  private val s02Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** embeddings ∪ perturbed copies (every 4th vector reappears under
-    * id+100000 with +0.05 added to every coordinate — cos ≈ 0.92-0.95 to its
-    * source, far above the ~0.51 max between natural pairs). */
-  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    // capped at 500 vectors: s03 is the quadratic verification baseline
-    // (identical at the sf0.01 correctness scale); s04 is the scale path
-    val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    e.unionByName(e.filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
-  }
-
-  private val embWithNearDupsSql =
-    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
-      |WHERE vec_id < 500
-      |UNION ALL
-      |SELECT vec_id + 100000,
-      |       list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
-      |FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 500""".stripMargin
-
-  private def s03(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairsExact(embWithNearDups(s, dir), threshold = 0.9)
-      .orderBy(col("id_a"), col("id_b"))
-
-  private val s03Sql =
-    s"""WITH e AS ($embWithNearDupsSql)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9
-       |ORDER BY id_a, id_b""".stripMargin
-
-  /** LSH-bucketed embedding near-dup pairs, SELF-VERIFYING vs the exact
-    * quadratic twin (s03's logic), 4 hyperplane families, gated at 0.6. */
-  private def s04(s: SparkSession, dir: String): DataFrame = {
-    val e = embWithNearDups(s, dir).localCheckpoint()
-    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
-      .select(col("id_a"), col("id_b"))
-    val approx = Similarity.nearDupPairs(e, threshold = 0.9, dim = 64,
-        bits = 6, tables = 4)
-      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    exact.join(approx, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.6).as("recall_ok"))
-  }
-
-  private val s04Sql =
-    s"""WITH e AS ($embWithNearDupsSql)
-       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
-
-  /** IVF top-k, SELF-VERIFYING: recall@5 vs brute force, gated at the
-    * RecallSpec bound (0.5 at nprobe=3/nlist=8). */
-  private def s05(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.ivfTopK(s, emb, q, k = 5, nlist = 8, nprobe = 3)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.5).as("recall_ok"))
-  }
-
-  private val s05Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** Quantized IVF + exact re-rank (the 100 TB memory-bandwidth shape:
-    * int8 inverted-list scan, full-precision re-scoring of the top
-    * rerank·k survivors), SELF-VERIFYING like s02/s05: recall@5 vs the
-    * brute-force twin, gated at the s05 bound (same probed lists; the
-    * re-rank recovers quantization error inside them). */
-  private def s07(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.ivfTopKQuantized(s, emb, q, k = 5, nlist = 8,
-        nprobe = 3, rerank = 4)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.5).as("recall_ok"))
-  }
-
-  private val s07Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** IMI (inverted multi-index) top-k: the two-level coarse quantizer —
-    * 8×8 half-space codebooks = 64 cells ranked from 16 half-dot products
-    * per row, the assignment shape that keeps nlist ∝ corpus affordable at
-    * 10⁵+ cells. SELF-VERIFYING like s05: recall@5 vs the brute-force
-    * twin, gated at the family bound (measured 0.78 at nprobe=16). */
-  private def s12(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.imiTopK(s, emb, q, k = 5, kA = 8, kB = 8,
-        nprobe = 16)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.5).as("recall_ok"))
-  }
-
-  private val s12Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** SemDeDup-style semantic dedup (k-means cells → exact within-cell
-    * pairs), SELF-VERIFYING like s04: recall vs the exact quadratic twin
-    * over the same perturbed corpus, gated at 0.6. Precision is 1 by
-    * construction (every emitted pair is exact-cosine-checked), so the
-    * gate only needs the recall side. */
-  private def s08(s: SparkSession, dir: String): DataFrame = {
-    val e = embWithNearDups(s, dir).localCheckpoint()
-    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
-      .select(col("id_a"), col("id_b"))
-    val approx = Similarity.semanticDupPairs(e, threshold = 0.9, nlist = 8)
-      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    exact.join(approx, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.6).as("recall_ok"))
-  }
-
-  private val s08Sql =
-    s"""WITH e AS ($embWithNearDupsSql)
-       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
-
-  /** Approximate k-NN graph — [[Similarity.knnGraph]], SELF-VERIFYING:
-    * mean recall of the per-node exact top-5 edge set (brute-force twin,
-    * labeled oracle-scale — the graph itself never leaves cell-local
-    * work + bounded heaps) gated at 0.6. Dials from the KnnDial sweep:
-    * (nlist=16, nprobe=4) measures 0.948/0.944 recall at sf0.01/sf0.1 —
-    * recall tracks the cell geometry, not the corpus size. nlist DERIVES
-    * from the corpus (~125 rows per cell, the capSample move): a fixed
-    * nlist would let cells grow linearly with the corpus and the
-    * within-cell pair blocks quadratically — the sf1 sweep measured
-    * fixed-16 at 10× data costing ~10× more than the scaled dial. */
-  private def s10(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").localCheckpoint()
-    val nlist = math.max(16, (emb.count() / 125L).toInt)
-    val approx = Similarity.knnGraph(emb, k = 5, nlist = nlist, nprobe = 4)
-      .select(col("src"), col("dst"), lit(1).as("hit"))
-    // the twin ranks every corpus vector but only for a deterministic 10%
-    // of SOURCES — the gate is a mean over nodes, so a fixed sample pins
-    // it while keeping the twin linear in the corpus instead of quadratic
-    // (full-twin s10 at the sf1 rehearsal: 66 s, sampled: seconds)
-    val a2 = emb.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("src"), col("embedding").as("v_a"))
-    val b2 = emb.select(col("vec_id").as("dst"), col("embedding").as("v_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val exact = a2.crossJoin(b2).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-      .select(col("src"), col("dst"))
-    exact.join(approx, Seq("src", "dst"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.6).as("recall_ok"))
-  }
-
-  private val s10Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
-
-  /** IVF-PQ + ADC scan + exact re-rank (the index shape that fits a
-    * 100 TB corpus in executor memory: m-byte PQ codes per vector, per-
-    * query lookup tables, no dot products in the candidate scan),
-    * SELF-VERIFYING like s05/s07: recall@5 vs the brute-force twin, gated
-    * at the RecallSpec bound (0.5 at the same dials; rerank=8 because the
-    * 4-bit ADC ordering is coarser than the int8 scan's). */
-  private def s09(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.ivfTopKPQ(s, emb, q, k = 5, dim = 64, nlist = 8,
-        nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.5).as("recall_ok"))
-  }
-
-  private val s09Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** Metadata-FILTERED top-k ([[Similarity.filteredTopK]]): each query's
-    * neighbors come only from corpus vectors sharing its LABEL — the
-    * same-language / same-tenant retrieval shape, candidates via a hash
-    * join on the label (each query scores its bucket, never the
-    * corpus), exact by construction. Value-matched: DuckDB reproduces
-    * the label join, rounded cosines, and (cos desc, id) ranks. */
-  private def s14(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val s14Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
-      |    label FROM embeddings)
-      |SELECT query_id, corpus_id, cos, rank FROM (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
-      |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding),
-      |                     6) DESC, c.vec_id) AS rank
-      |  FROM e c JOIN (SELECT * FROM e WHERE vec_id < 10) q
-      |    ON c.label = q.label
-      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-
-  /** Residual IVF-PQ ([[Similarity.ivfTopKPQResidual]], the FAISS IVFADC
-    * shape) — SELF-VERIFYING like s09: recall@5 vs the brute-force twin,
-    * gated at 0.5 with s09's exact dials, so the two rows compare the
-    * plain and residual quantizers like-for-like. RecallSpec additionally
-    * pins residual recall ≥ plain-PQ recall on this corpus. */
-  private def s13(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.ivfTopKPQResidual(s, emb, q, k = 5, dim = 64,
-        nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.5).as("recall_ok"))
-  }
-
-  private val s13Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** JL random-projection prefilter + exact re-rank
-    * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
-    * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
-    * arithmetic/bandwidth; rerank=16 re-scores the top 80 projected
-    * candidates per query at full width. JlDialProbe on these UNIFORM
-    * embeddings (the JL worst case — no cluster margin between true
-    * neighbors and the pack) measures 0.76 / 0.88 at sf0.001 / sf0.01;
-    * real embedding corpora cluster, buying more recall at smaller
-    * outDim. */
-  private def s11(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("corpus_id"))
-    val approx = Similarity.jlTopK(emb, q, k = 5, dim = 64, outDim = 32,
-        rerank = 16)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("query_id", "corpus_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-          >= 0.6).as("recall_ok"))
-  }
-
-  private val s11Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 10""".stripMargin
-
-  /** L2 normalization + int8 quantization over embeddings (oracle-checked:
-    * both are pure list arithmetic). */
-  private def s06(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        Similarity.l2Normalize(col("v")).as("nv"),
-        Similarity.quantizeInt8(col("v")).as("q"))
-      .select(col("vec_id"),
-        round(Similarity.l2Norm(col("v")), 6).as("norm"),
-        round(element_at(col("nv"), 1), 6).as("n_first"),
-        round(Similarity.l2Norm(col("nv")), 6).as("unit_norm"),
-        round(col("q").getField("scale"), 9).as("scale"),
-        element_at(col("q").getField("codes"), 1).as("code_first"))
-      .orderBy(col("vec_id"))
-
-  private val s06Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings WHERE vec_id < 200),
-      |n AS (SELECT vec_id, v,
-      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
-      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-      |      FROM e)
-      |SELECT vec_id, round(norm, 6) AS norm,
-      |  round(v[1] / norm, 6) AS n_first,
-      |  round(sqrt(list_sum(list_transform(v, x -> (x/norm)*(x/norm)))), 6) AS unit_norm,
-      |  round(scale, 9) AS scale,
-      |  CAST(round(v[1] / scale, 0) AS INT) AS code_first
-      |FROM n ORDER BY vec_id""".stripMargin
-
-  /** Text cleaning: HTML/URL/email stripping + whitespace collapse, applied
-    * to deterministically-noised documents; cleaned output must equal the
-    * cleaned original. */
-  private def t03(s: SparkSession, dir: String): DataFrame = {
-    val noisy = t(s, dir, "documents").select(col("doc_id"),
-      concat(col("text"),
-        lit(" <b>bold tag</b> visit https://example.com/x?q=1 or www.foo.org "),
-        lit("mail bob@example.com now")).as("text"))
-    noisy.select(col("doc_id"),
-        TextOps.cleanText(col("text")).as("cleaned"))
-      .withColumn("n_chars_clean", length(col("cleaned")).cast("bigint"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t03Sql =
-    """WITH noisy AS (SELECT doc_id,
-      |    text || ' <b>bold tag</b> visit https://example.com/x?q=1 or www.foo.org '
-      |         || 'mail bob@example.com now' AS text
-      |  FROM documents),
-      |cleaned AS (SELECT doc_id,
-      |    trim(regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          regexp_replace(text, '<[^>]*>', ' ', 'g'),
-      |          '(https?://|www\.)[^\s]+', ' ', 'g'),
-      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-      |      '\s+', ' ', 'g')) AS cleaned
-      |  FROM noisy)
-      |SELECT doc_id, cleaned, length(cleaned) AS n_chars_clean
-      |FROM cleaned ORDER BY doc_id""".stripMargin
-
-  // --------------------------------------------------------- text analysis
-
-  private def t01(s: SparkSession, dir: String): DataFrame =
-    TextOps.analyze(t(s, dir, "documents").select(col("doc_id"), col("text")))
-      .drop("text")
-      .withColumn("n_tokens", col("n_tokens").cast("bigint"))
-      .orderBy(col("doc_id"))
-
-  /** The DuckDB form of `TextOps.qualityScore`, shared by the t01 and t07
-    * oracles so the two can never silently drift. Expects `text`, `n_punct`
-    * and `sw_hits` in scope; the token count expression is a parameter
-    * (t01 precomputes `n_tokens`, t07 uses `len(tk)` inline). */
-  private def qualitySqlExpr(nTok: String): String =
-    "round(\n" +
-    "    (CASE WHEN length(text) < 100 THEN length(text) / 100.0\n" +
-    "          WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4 +\n" +
-    "    (CASE WHEN length(text) = 0 THEN 1.0\n" +
-    "          WHEN CAST(n_punct AS DOUBLE) / length(text) > 0.2\n" +
-    "          THEN 0.3 ELSE 1.0 END) * 0.3 +\n" +
-    s"    (CASE WHEN $nTok = 0 THEN 0.5\n" +
-    s"          WHEN CAST(sw_hits AS DOUBLE) / $nTok >= 0.05 AND\n" +
-    s"               CAST(sw_hits AS DOUBLE) / $nTok <= 0.6\n" +
-    "          THEN 1.0 ELSE 0.5 END) * 0.3, 6)"
-
-  private val t01Sql = {
-    val langHits = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"{'hits': CAST(len(list_filter(tk, x -> list_contains($arr, x))) AS INT), 'lang': '$lang'}"
-    }.mkString(",\n        ")
-    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT doc_id, text,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |scored AS (SELECT doc_id, text, tk,
-       |    list_max([
-       |        $langHits
-       |    ]) AS best,
-       |    CAST(len(tk) AS BIGINT) AS n_tokens,
-       |    CAST(list_sum(list_transform(tk,
-       |        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
-       |    length(text) - length(regexp_replace(text,
-       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
-       |  FROM base)
-       |SELECT doc_id, n_tokens,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
-       |    AS n_regex_tokens,
-       |  COALESCE(n_bpe_est, 0) AS n_bpe_est,
-       |  round(CASE WHEN length(text) = 0 THEN 0.0
-       |             ELSE CAST(n_punct AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-       |  round(CASE WHEN n_tokens = 0 THEN 0.0
-       |             ELSE CAST(sw_hits AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
-       |  CASE WHEN struct_extract(best, 'hits') = 0 THEN 'und'
-       |       ELSE struct_extract(best, 'lang') END AS lang_id,
-       |  ${qualitySqlExpr("n_tokens")} AS quality,
-       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-       |FROM scored ORDER BY doc_id""".stripMargin
-  }
-
-  /** Winnowed rolling-hash fingerprints (substring-level dup candidates):
-    * engine-defined hash family → rows-only check. Doc pairs sharing ≥
-    * minShared fingerprints, over docs ∪ near-dup variants. */
-  /** Winnowing fingerprint near-dup pairs, SELF-VERIFYING against the
-    * injected markers (full-text copies + one token): emits marker count
-    * and marker-recall ≥ 0.75 (measured ≈0.90 at sf0.001 and sf0.01 —
-    * misses are docs too short to share 20 fingerprints). */
-  private def t02(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(s, dir).localCheckpoint()
-    val pairs = TextOps.winnowNearDupPairs(docs, minShared = 20, maxDf = 50)
-    val markers = docs.filter(col("doc_id") >= 1000000)
-      .agg(count(lit(1)).as("n_markers"))
-    val found = pairs.filter(col("id_b") - col("id_a") === 1000000)
-      .agg(count(lit(1)).as("n_found"))
-    markers.crossJoin(found)
-      .select(col("n_markers"),
-        (col("n_found").cast("double") / col("n_markers") >= 0.75)
-          .as("recall_ok"))
-  }
-
-  private val t02Sql =
-    """SELECT COUNT(*) AS n_markers, TRUE AS recall_ok
-      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
-
-  // ------------------------------------------------ t05 URL/domain mining
-
-  /** Seed each doc with a deterministic URL (two forms), then extract all
-    * domains and aggregate per-domain mention + document counts — the
-    * source-mix-audit operator. */
-  private def t05(s: SparkSession, dir: String): DataFrame = {
-    val seeded = t(s, dir, "documents").select(col("doc_id"),
-      concat(col("text"), lit(" see "),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("http://www.m"), (col("doc_id") % 20).cast("string"),
-            lit(".net/x?q=1")))
-          .otherwise(concat(lit("https://site"),
-            (col("doc_id") % 50).cast("string"), lit(".example.org/p/"),
-            col("doc_id").cast("string")))).as("text"))
-    TextOps.domainStats(seeded).orderBy(col("domain"))
-  }
-
-  private val t05Sql =
-    """WITH seeded AS (SELECT doc_id, text || ' see ' ||
-      |  CASE WHEN doc_id % 3 = 0
-      |       THEN 'http://www.m' || CAST(doc_id % 20 AS VARCHAR) || '.net/x?q=1'
-      |       ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
-      |            '.example.org/p/' || CAST(doc_id AS VARCHAR) END AS text
-      |  FROM documents),
-      |u AS (SELECT doc_id,
-      |    unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS domain
-      |  FROM seeded)
-      |SELECT domain, COUNT(*) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // --------------------------------------------- t06 repetition signals
-
-  /** Gopher-style boilerplate signal: per-doc bigram totals, the modal
-    * bigram's count, and its fraction of all bigrams. */
-  private def t06(s: SparkSession, dir: String): DataFrame =
-    TextOps.bigramRepetition(
-        t(s, dir, "documents").select(col("doc_id"), col("text")))
-      .orderBy(col("doc_id"))
-
-  private val t06Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |bg AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
-      |  FROM toks, UNNEST(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
-      |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-      |  CAST(MAX(c) AS BIGINT) AS top_n,
-      |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Quality-percentile filtering: keep each language's top quartile by
-    * quality score — the rank-threshold form (row_number ≤ ceil(n/4) with a
-    * deterministic tiebreak), which is engine-exact, unlike interpolated
-    * percentile cutoffs whose tie semantics differ across engines. Spark
-    * side computes the SAME ranks via [[TextOps.qualityTopQ]]'s decomposed
-    * form (distinct-score cumulative counts + per-tie-group row_number) —
-    * no per-language total sort — while the oracle keeps the plain
-    * row_number window, so the decomposition itself is hash-verified. */
-  private def t07(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextOps.qualityScore(col("text")).as("quality"))
-    TextOps.qualityTopQ(scored, col("lang"), col("quality"), col("doc_id"),
-        q = 0.25, tieBucket = Some(floor(col("doc_id") / 8192)))
-      .select(col("doc_id"), col("lang"), col("quality"), col("rk"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t07Sql = {
-    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT doc_id, lang, text,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |pre AS (SELECT doc_id, lang, text, tk,
-       |    length(text) - length(regexp_replace(text,
-       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
-       |  FROM base),
-       |scored AS (SELECT doc_id, lang,
-       |  ${qualitySqlExpr("len(tk)")} AS quality
-       |  FROM pre),
-       |rk AS (SELECT doc_id, lang, quality,
-       |    CAST(row_number() OVER (PARTITION BY lang
-       |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
-       |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
-       |  FROM scored)
-       |SELECT doc_id, lang, quality, rk
-       |FROM rk WHERE rk <= ceil(n_lang * 0.25) ORDER BY doc_id""".stripMargin
-  }
-
-  /** Sequence packing, ORACLE-CHECKED: shard (md5-hex, engine-portable) →
-    * cumulative token count → window bins; per-bin document counts, token
-    * totals and first/last doc pin the full assignment relationally.
-    * `shardHexWidth = 2` (256 shards) exercises the parameterized fan-out
-    * end-to-end — the oracle computes the same 2-char prefix, so a width
-    * bug anywhere in the keying hash-mismatches. */
-  private def t08(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
-    Packing.packStreaming(docs, col("doc_id"), col("n_tokens"), window = 2048,
-        shardHexWidth = 2)
-      .groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard"), col("bin"))
-  }
-
-  private val t08Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
-      |      AS BIGINT) AS n_tokens,
-      |    substring(md5('p' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
-      |  FROM documents),
-      |c AS (SELECT doc_id, shard, n_tokens,
-      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM toks)
-      |SELECT shard,
-      |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin,
-      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  // ------------------------------------------------------------ multimodal
-
-  /** Real image-header decode, ORACLE-CHECKED: payloads are structurally
-    * valid PNG/JPEG/GIF/BMP bytes whose dimensions derive deterministically
-    * from the id; the query parses format/width/height back OUT of the
-    * byte stream (ImageHeaders), and DuckDB reproduces the expected values
-    * relationally — a parse bug or header corruption hash-mismatches. */
-  private def mm01(s: SparkSession, dir: String): DataFrame = {
-    val imgs = Multimodal.synthesizeImages(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    Multimodal.imageDims(imgs).orderBy(col("id"))
-  }
-
-  private val mm01Sql =
-    """SELECT doc_id AS id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
-      |  CAST(1 + doc_id % 31 AS INT) AS width,
-      |  CAST(1 + doc_id % 17 AS INT) AS height
-      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
-
-  /** Real pixel decode, ORACLE-CHECKED end to end: payloads are complete
-    * PNG/GIF/BMP images (lossless formats) whose grayscale fill follows the
-    * closed form `(id + 7x + 13y) mod 256`; the query really encodes them
-    * (`ImageIO.write`), really decodes them back (`ImageIO.read`), and the
-    * resize / frame-sample operators run on the DECODED dimensions — while
-    * DuckDB reproduces every output column (dims, pixel sum/min/max/mean,
-    * resized dims, frame counts) from the integer closed form alone. A codec
-    * bug, raster corruption, or resize/frame math drift hash-mismatches. */
-  private def mm02(s: SparkSession, dir: String): DataFrame = {
-    val imgs = Multimodal.synthesizePixelImages(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    val px = Multimodal.decodePixelStats(imgs)
-    // media struct rebuilt from the DECODED dims (not the synthesis params),
-    // so resize + frame sampling genuinely depend on the codec roundtrip
-    val media = px.select(col("id"), col("format"),
-      col("px_sum"), col("px_min"), col("px_max"),
-      struct(lit(null).cast("binary").as("payload"),
-        struct(lit("video").as("kind"),
-          col("width"), col("height"), lit(16000).as("sample_rate"),
-          (lit(1000L) * (col("id") % 7 + 1)).as("duration_ms")).as("meta"))
-        .as("media"))
-    val resized = Multimodal.resize(media, 16, 12)
-    val frames = Multimodal.sampleFrames(resized, "id", fps = 2.0)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
-    resized.select(col("id"), col("format"),
-        col("media.meta.width").as("width"),
-        col("media.meta.height").as("height"),
-        col("resized_width"), col("resized_height"),
-        col("px_sum"), col("px_min"), col("px_max"),
-        round(col("px_sum") /
-          (col("media.meta.width") * col("media.meta.height")), 6).as("px_mean"))
-      .join(frames, Seq("id"))
-      .orderBy(col("id"))
-  }
-
-  private val mm02Sql =
-    """WITH d AS (SELECT doc_id AS id,
-      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
-      |    1 + doc_id % 31 AS w,
-      |    CASE doc_id % 3 WHEN 1 THEN 5 + doc_id % 13
-      |                    ELSE 1 + doc_id % 17 END AS h,
-      |    1000 * (1 + doc_id % 7) AS dur
-      |  FROM documents WHERE doc_id < 200),
-      |px AS (SELECT d.id,
-      |    CAST(SUM((d.id + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
-      |    CAST(MIN((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
-      |    CAST(MAX((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
-      |  FROM d, UNNEST(range(0, d.w)) AS xs(x), UNNEST(range(0, d.h)) AS ys(y)
-      |  GROUP BY d.id)
-      |SELECT d.id, d.format, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
-      |  CAST(floor(d.w * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_width,
-      |  CAST(floor(d.h * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_height,
-      |  px.px_sum, px.px_min, px.px_max,
-      |  round(CAST(px.px_sum AS DOUBLE) / (d.w * d.h), 6) AS px_mean,
-      |  CAST(greatest(floor(d.dur / 500.0) - 1, 0) + 1 AS BIGINT) AS n_frames
-      |FROM d JOIN px USING (id) ORDER BY d.id""".stripMargin
-
-  /** Real AUDIO decode, ORACLE-CHECKED: payloads are complete RIFF/WAVE
-    * clips (16-bit mono PCM) whose samples follow the closed form
-    * `((id*31 + 7i) mod 65536) - 32768`; the query really encodes them and
-    * really decodes them back through `javax.sound.sampled`, while DuckDB
-    * reproduces every amplitude statistic from the integer closed form. */
-  private def mm03(s: SparkSession, dir: String): DataFrame = {
-    val clips = Multimodal.synthesizeAudio(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    Multimodal.decodeAudioStats(clips)
-      .withColumn("duration_ms",
-        round(col("n_samples") * lit(1000.0) / col("sample_rate"), 3))
-      .orderBy(col("id"))
-  }
-
-  private val mm03Sql =
-    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n,
-      |    8000 * (1 + doc_id % 3) AS rate
-      |  FROM documents WHERE doc_id < 200),
-      |amp AS (SELECT d.id,
-      |    CAST(SUM((d.id*31 + 7*s.i) % 65536 - 32768) AS BIGINT) AS amp_sum,
-      |    CAST(MIN((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_min,
-      |    CAST(MAX((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_max
-      |  FROM d, UNNEST(range(0, d.n)) AS s(i) GROUP BY d.id)
-      |SELECT d.id, CAST(d.rate AS INT) AS sample_rate,
-      |  CAST(d.n AS BIGINT) AS n_samples, amp.amp_sum, amp.amp_min, amp.amp_max,
-      |  round(d.n * 1000.0 / d.rate, 3) AS duration_ms
-      |FROM d JOIN amp USING (id) ORDER BY d.id""".stripMargin
-
-  /** Frame-level audio features over a REAL decode, ORACLE-CHECKED: the
-    * same closed-form RIFF/WAVE clips as mm03, but folded per 128-sample
-    * frame into zero-crossing counts and integer energy (the classic
-    * voice-activity statistics) — one row per complete frame, rms derived
-    * in the projection. DuckDB reproduces zcr and Σs² from the closed
-    * sample form with a lag window over generated sample indices. */
-  private def mm06(s: SparkSession, dir: String): DataFrame = {
-    val clips = Multimodal.synthesizeAudio(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    Multimodal.audioFrameFeatures(clips, frameLen = 128)
-      .withColumn("rms", round(sqrt(col("energy_sum") / lit(128.0)), 6))
-      .orderBy(col("id"), col("frame_idx"))
-  }
-
-  private val mm06Sql =
-    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n
-      |  FROM documents WHERE doc_id < 200),
-      |f AS (SELECT d.id, fr.fi FROM d, UNNEST(range(0, d.n // 128)) AS fr(fi)),
-      |s AS (SELECT f.id, f.fi, si.i,
-      |    (f.id*31 + 7*(f.fi*128 + si.i)) % 65536 - 32768 AS v
-      |  FROM f, UNNEST(range(0, 128)) AS si(i)),
-      |lagged AS (SELECT *, lag(v) OVER (PARTITION BY id, fi ORDER BY i) AS pv
-      |  FROM s),
-      |feat AS (SELECT id, fi,
-      |    CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
-      |      THEN 1 ELSE 0 END) AS INT) AS zcr,
-      |    CAST(SUM(v*v) AS BIGINT) AS energy_sum
-      |  FROM lagged GROUP BY 1, 2)
-      |SELECT id, CAST(fi AS INT) AS frame_idx, zcr, energy_sum,
-      |  round(sqrt(energy_sum / 128.0), 6) AS rms
-      |FROM feat ORDER BY id, frame_idx""".stripMargin
-
-  // -------------------------------------- mm07 voice-activity segments
-
-  /** Voice-activity segmentation over a REAL decode, ORACLE-CHECKED:
-    * clips carry planted silence (every 3rd 256-sample block zeroed —
-    * [[Multimodal.synthesizeAudioGated]]), the query really decodes the
-    * WAVs through `javax.sound.sampled`, frames them at 128 samples and
-    * collapses voiced runs to segments
-    * ([[Multimodal.audioVadSegments]] — gaps-and-islands per clip).
-    * DuckDB reproduces every segment boundary and energy from the gated
-    * integer closed form alone: a decode drift, frame slip, or island
-    * boundary bug hash-mismatches. */
-  private def mm07(s: SparkSession, dir: String): DataFrame = {
-    val clips = Multimodal.synthesizeAudioGated(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    Multimodal.audioVadSegments(clips, frameLen = 128)
-      .orderBy(col("id"), col("seg_idx"))
-  }
-
-  private val mm07Sql =
-    """WITH d AS (SELECT doc_id AS id, 384 + doc_id % 1200 AS n
-      |  FROM documents WHERE doc_id < 200),
-      |fr AS (SELECT id, f.fi FROM d, UNNEST(range(0, n // 128)) AS f(fi)),
-      |s AS (SELECT fr.id, fr.fi, si.i,
-      |    CASE WHEN ((fr.fi * 128 + si.i) // 256) % 3 = 0 THEN 0
-      |         ELSE (fr.id * 31 + 7 * (fr.fi * 128 + si.i)) % 65536 - 32768
-      |    END AS v
-      |  FROM fr, UNNEST(range(0, 128)) AS si(i)),
-      |feat AS (SELECT id, fi, SUM(v * v) AS e FROM s GROUP BY 1, 2),
-      |act AS (SELECT id, fi, e,
-      |    fi - row_number() OVER (PARTITION BY id ORDER BY fi) AS grp
-      |  FROM feat WHERE e >= 1),
-      |seg AS (SELECT id, grp, MIN(fi) AS sf, MAX(fi) AS ef,
-      |    COUNT(*) AS nf, SUM(e) AS se FROM act GROUP BY 1, 2)
-      |SELECT id,
-      |  CAST(row_number() OVER (PARTITION BY id ORDER BY sf) AS INT)
-      |    AS seg_idx,
-      |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
-      |  CAST(nf AS BIGINT) AS n_frames, CAST(se AS BIGINT) AS seg_energy
-      |FROM seg ORDER BY id, seg_idx""".stripMargin
-
-  /** Real VIDEO frame decode, ORACLE-CHECKED: payloads are complete GFV1
-    * clips (MJPEG-style container of genuine PNG/BMP stills) whose frame
-    * `f` follows the closed form `(id + 97f + 7x + 13y) mod 256`; the
-    * query really encodes every frame, really parses the container back
-    * and really decodes each still through `ImageIO` — one row per frame —
-    * while DuckDB reproduces every per-frame statistic from the integer
-    * closed form alone. A container-parse bug, frame-boundary slip, or
-    * codec drift hash-mismatches. */
-  private def mm04(s: SparkSession, dir: String): DataFrame = {
-    val clips = Multimodal.synthesizeVideos(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
-    Multimodal.decodeVideoFrameStats(clips)
-      .withColumn("duration_ms",
-        round(col("n_frames") * lit(1000.0) / col("fps"), 3))
-      .orderBy(col("id"), col("frame_idx"))
-  }
-
-  private val mm04Sql =
-    """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 6 AS nf, 1 + doc_id % 5 AS fps,
-      |    1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h
-      |  FROM documents WHERE doc_id < 200),
-      |fr AS (SELECT d.*, f.f AS fi FROM d, UNNEST(range(0, d.nf)) AS f(f)),
-      |px AS (SELECT fr.id, fr.fi,
-      |    CAST(SUM((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
-      |    CAST(MIN((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
-      |    CAST(MAX((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
-      |  FROM fr, UNNEST(range(0, fr.w)) AS xs(x), UNNEST(range(0, fr.h)) AS ys(y)
-      |  GROUP BY fr.id, fr.fi)
-      |SELECT fr.id, CAST(fr.fi AS INT) AS frame_idx,
-      |  CASE (fr.id + fr.fi) % 2 WHEN 0 THEN 'png' ELSE 'bmp' END AS format,
-      |  CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
-      |  px.px_sum, px.px_min, px.px_max,
-      |  CAST(fr.nf AS INT) AS n_frames, CAST(fr.fps AS INT) AS fps,
-      |  round(fr.nf * 1000.0 / fr.fps, 3) AS duration_ms
-      |FROM fr JOIN px ON px.id = fr.id AND px.fi = fr.fi
-      |ORDER BY fr.id, fr.fi""".stripMargin
-
-  // ------------------------------------------- mm05 perceptual image hash
-
-  /** Perceptual image hashing — [[Multimodal.ahashPair]]: real PNG and
-    * JPEG encodes of the same closed-form raster, real `ImageIO` decodes,
-    * [[graft.llm.ImageCodec.ahash64]] on both. The 64-bit PNG hash is
-    * INTEGER-EXACT (cross-multiplied mean comparisons), so DuckDB
-    * reproduces every bit from the closed form; the JPEG twin's hamming
-    * distance is the perceptual-robustness gate (measured max 6 of 64
-    * bits across the id range — gated at ≤ 10). A codec bug, grid-split
-    * drift, or a lossy-roundtrip blowup all hash-mismatch. */
-  private def mm05(s: SparkSession, dir: String): DataFrame =
-    Multimodal.ahashPair(
-      t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
-      .select(col("id"), col("ahash"), (col("ham_jpeg") <= 10).as("jpeg_ok"))
-      .orderBy(col("id"))
-
-  private val mm05Sql =
-    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
-      |    8 + doc_id % 12 AS h
-      |  FROM documents WHERE doc_id < 150),
-      |px AS (SELECT id, w, h, p % w AS x, p // w AS y,
-      |    (id + 7 * (p % w) + 13 * (p // w)) % 256 AS v
-      |  FROM (SELECT id, w, h, unnest(range(w * h)) AS p FROM ids)),
-      |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
-      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
-      |  FROM px GROUP BY 1, 2),
-      |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1)
-      |SELECT id, CAST(SUM(CASE
-      |    WHEN cs * np > ts * cn THEN
-      |      CASE WHEN c = 0 THEN -9223372036854775808
-      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
-      |    ELSE 0 END) AS BIGINT) AS ahash,
-      |  TRUE AS jpeg_ok
-      |FROM cells JOIN tot USING (id)
-      |GROUP BY id ORDER BY id""".stripMargin
-
-  /** Fixed-size token chunking with overlap (64-token chunks, stride 48 —
-    * the context-window prep pass). The md5 of each chunk's exact token
-    * content pins the slicing against DuckDB's list-slice semantics. */
-  private def t09(s: SparkSession, dir: String): DataFrame =
-    TextOps.chunkTokens(t(s, dir, "documents"), chunkSize = 64, stride = 48)
-      .orderBy(col("doc_id"), col("chunk_idx"))
-
-  private val t09Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |st AS (SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 48)) AS s
-      |  FROM toks WHERE len(tk) > 0)
-      |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
-      |  CAST(least(64, n - s) AS INT) AS n_chunk_tokens,
-      |  md5(array_to_string(tk[s+1:least(s+64, n)], ' ')) AS chunk_md5
-      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
-
-  /** Lexical diversity: type-token ratio, Simpson repeat index, hapax
-    * count — integer-aggregate ratios only (engine-exact, no
-    * transcendental drift), fully reproduced by the oracle. */
-  private def t10(s: SparkSession, dir: String): DataFrame =
-    TextOps.lexicalDiversity(t(s, dir, "documents"))
-      .orderBy(col("doc_id"))
-
-  private val t10Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE len(tk) > 0),
-      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-      |  CAST(COUNT(*) AS BIGINT) AS n_types,
-      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
-      |  CASE WHEN SUM(c) > 1
-      |       THEN round(CAST(SUM(c*(c-1)) AS DOUBLE) / (SUM(c)*(SUM(c)-1)), 6)
-      |       ELSE 0.0 END AS simpson,
-      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Vocabulary build: top-20 tokens by term frequency (df ≥ 3 floor,
-    * deterministic token tiebreak) — the tokenizer-vocab prep pass. topK
-    * is sized BELOW the sf0.01 post-floor vocabulary (31 tokens) so the
-    * oracle verifies the truncation boundary, not just the aggregation. */
-  private def t11(s: SparkSession, dir: String): DataFrame =
-    TextOps.vocabulary(t(s, dir, "documents"), minDf = 3, topK = 20)
-      .orderBy(col("n").desc, col("token"))
-
-  private val t11Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
-      |c AS (SELECT doc_id, token, COUNT(*) AS c FROM u GROUP BY 1, 2),
-      |v AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n,
-      |    CAST(COUNT(*) AS BIGINT) AS df
-      |  FROM c GROUP BY 1 HAVING COUNT(*) >= 3)
-      |SELECT token, n, df FROM v ORDER BY n DESC, token LIMIT 20""".stripMargin
-
-  // ------------------------------------- t12 unigram LM perplexity scoring
-
-  /** CCNet-style LM quality filter: fit a unigram model on the train split
-    * (d07's doc_id%10 boundary), score the test split by mean negative
-    * log-probability under it (Laplace α=1, one virtual OOV slot). The
-    * oracle reproduces tokenization, counts, totals, and the smoothed
-    * −ln(p) average; avg_nll is rounded to 4 decimals so float-summation
-    * order can't flip the hash. */
-  private def t12(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val model = TextOps.unigramModel(docs.filter(col("doc_id") % 10 =!= 0))
-    TextOps.unigramLogProb(docs.filter(col("doc_id") % 10 === 0), model)
-      .orderBy(col("doc_id"))
-  }
-
-  private val t12Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
-      |model AS (SELECT token, COUNT(*) AS n FROM u
-      |  WHERE doc_id % 10 <> 0 GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t_total,
-      |    CAST(COUNT(*) AS DOUBLE) AS v FROM model),
-      |test AS (SELECT e.doc_id, COALESCE(m.n, 0) AS n
-      |  FROM u e LEFT JOIN model m USING (token) WHERE e.doc_id % 10 = 0)
-      |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  round(AVG(-ln((n + 1.0) / (t_total + 1.0 * (v + 1)))), 4) AS avg_nll
-      |FROM test CROSS JOIN tot
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ---------------------------------------- t21 bigram-LM order scoring
-
-  /** Bigram-LM transition scoring — [[TextOps.bigramModel]]/
-    * [[TextOps.bigramLogProb]], same held-out split as t12 (fit on
-    * doc_id % 10 ≠ 0, score the rest): the unigram t12 scores WHAT words
-    * a document uses, this scores the ORDER they come in. The oracle
-    * recomputes the pair explode, both vocab-sized aggregates, the
-    * Laplace-smoothed conditional, and the rounded per-doc mean. */
-  private def t21(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val model = TextOps.bigramModel(docs.filter(col("doc_id") % 10 =!= 0))
-    TextOps.bigramLogProb(docs.filter(col("doc_id") % 10 === 0), model)
-      .orderBy(col("doc_id"))
-  }
-
-  private val t21Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |bg AS (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
-      |  FROM toks, unnest(range(1, len(tk))) AS r(i) WHERE len(tk) >= 2),
-      |model AS (SELECT t1, t2, COUNT(*) AS n FROM bg
-      |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
-      |ctx AS (SELECT t1, CAST(SUM(n) AS DOUBLE) AS cn FROM model GROUP BY 1),
-      |vv AS (SELECT CAST(COUNT(DISTINCT t2) AS DOUBLE) AS v FROM model),
-      |test AS (SELECT b.doc_id, COALESCE(m.n, 0) AS n, COALESCE(c.cn, 0) AS cn
-      |  FROM bg b LEFT JOIN model m USING (t1, t2)
-      |  LEFT JOIN ctx c USING (t1)
-      |  WHERE b.doc_id % 10 = 0)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  round(AVG(-ln((n + 1.0) / (cn + 1.0 * (v + 1)))), 4) AS avg_nll
-      |FROM test CROSS JOIN vv
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ------------------------------------------ t13 cross-document line dedup
-
-  /** CCNet-style line dedup — [[TextOps.dedupSegments]] over the near-dup
-    * corpus re-lined into 4-word segments (the synthetic docs carry no
-    * newlines; the re-lining is query prep, the operator is generic over
-    * `sep`). Every near-dup doc (identical prefix + one appended marker
-    * token) loses all but its final segment to the original's first
-    * occurrence, and any segment in > 5 distinct docs drops as
-    * boilerplate. The oracle reproduces the re-lining, the two-level
-    * (segment, doc) → segment aggregation, the (first doc, first pos)
-    * arg-min, and the reassembly byte-for-byte. */
-  private def t13(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val nLines = ceil(size(words) / lit(4.0)).cast("int")
-    val lined = docsWithNearDups(s, dir).select(col("doc_id"),
-      array_join(transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(words, i * 4 + 1, lit(4)), " ")), "\n").as("text"))
-    TextOps.dedupSegments(lined, sep = "\n", maxDf = 5)
-      .orderBy(col("doc_id"))
-  }
-
-  private val t13Sql =
-    """WITH docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
-      |  FROM documents WHERE doc_id % 7 = 0),
-      |w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM docs2),
-      |lined AS (SELECT doc_id,
-      |    array_to_string(list_transform(
-      |      range(CAST(ceil(len(wd) / 4.0) AS BIGINT)),
-      |      i -> array_to_string(wd[(i*4+1):(i*4+4)], ' ')), chr(10)) AS text
-      |  FROM w),
-      |segs AS (SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
-      |  SELECT doc_id, unnest(list_transform(range(len(sl)),
-      |      i -> {'pos': i, 'seg': sl[CAST(i + 1 AS INT)]})) AS s
-      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM lined))),
-      |perdoc AS (SELECT seg, doc_id, MIN(pos) AS minpos
-      |  FROM segs GROUP BY 1, 2),
-      |perseg AS (SELECT seg, COUNT(*) AS df, MIN(doc_id) AS d0
-      |  FROM perdoc GROUP BY 1),
-      |kept AS (SELECT s.doc_id, s.pos, s.seg
-      |  FROM segs s
-      |  JOIN perseg p ON p.seg = s.seg
-      |  JOIN perdoc pd ON pd.seg = s.seg AND pd.doc_id = p.d0
-      |  WHERE p.df <= 5 AND s.doc_id = p.d0 AND s.pos = pd.minpos),
-      |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-      |    string_agg(seg, chr(10) ORDER BY pos) AS text
-      |  FROM kept GROUP BY 1)
-      |SELECT l.doc_id, COALESCE(r.text, '') AS text,
-      |  COALESCE(r.n_kept, 0) AS n_kept,
-      |  CAST(len(string_split(l.text, chr(10))) AS BIGINT) AS n_segments
-      |FROM lined l LEFT JOIN reb r USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
-
-  // ------------------------------------------- t14 URL canonicalization
-
-  /** URL canonicalization — [[TextOps.canonicalizeUrl]] over seeded
-    * per-doc URL variants (the corpus carries no URLs): u1 is the "dirty"
-    * form (upper-case scheme/host, explicit `:443`, trailing slash,
-    * tracking params, fragment, shuffled param order), u2 the clean twin.
-    * They collapse to the same canonical URL except when doc_id % 4 = 0
-    * (a genuinely different param value). The oracle reproduces every
-    * rule step-for-step in DuckDB CTEs. */
-  private def t14(s: SparkSession, dir: String): DataFrame = {
-    val k = (col("doc_id") % 50).cast("string")
-    val m = (col("doc_id") % 7).cast("string")
-    val va = when(col("doc_id") % 4 === 0, lit("9")).otherwise(lit("1"))
-    val seeded = t(s, dir, "documents").select(col("doc_id"),
-      concat(lit("HTTPS://Site"), k, lit(".Example.ORG:443/Docs/"), m,
-        lit("/?b=2&utm_source=feed&a="), va, lit("&fbclid=zz#top")).as("u1"),
-      concat(lit("https://site"), k, lit(".example.org/Docs/"), m,
-        lit("?a=1&b=2")).as("u2"))
-    seeded.select(col("doc_id"),
-        TextOps.canonicalizeUrl(col("u1")).as("canon1"),
-        TextOps.canonicalizeUrl(col("u2")).as("canon2"))
-      .withColumn("collapsed", col("canon1") === col("canon2"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t14Sql = {
-    def steps(u: String, i: Int): String =
-      s"""regexp_replace($u, '#.*$$', '') AS nf$i""" // fragment off
-    s"""WITH seeds AS (SELECT doc_id,
-       |    'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR) ||
-       |      '.Example.ORG:443/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
-       |      '/?b=2&utm_source=feed&a=' ||
-       |      (CASE WHEN doc_id % 4 = 0 THEN '9' ELSE '1' END) ||
-       |      '&fbclid=zz#top' AS u1,
-       |    'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
-       |      '.example.org/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
-       |      '?a=1&b=2' AS u2
-       |  FROM documents),
-       |s1 AS (SELECT doc_id, ${steps("u1", 1)}, ${steps("u2", 2)} FROM seeds),
-       |s2 AS (SELECT *,
-       |    lower(regexp_extract(nf1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch1,
-       |    regexp_replace(nf1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest1,
-       |    lower(regexp_extract(nf2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch2,
-       |    regexp_replace(nf2, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest2
-       |  FROM s1),
-       |s3 AS (SELECT *,
-       |    lower(regexp_extract(rest1, '^([^/?]+)', 1)) AS hp1,
-       |    regexp_replace(rest1, '^[^/?]+', '') AS pq1,
-       |    lower(regexp_extract(rest2, '^([^/?]+)', 1)) AS hp2,
-       |    regexp_replace(rest2, '^[^/?]+', '') AS pq2
-       |  FROM s2),
-       |s4 AS (SELECT *,
-       |    CASE WHEN sch1 = 'http' THEN regexp_replace(hp1, ':80$$', '')
-       |         WHEN sch1 = 'https' THEN regexp_replace(hp1, ':443$$', '')
-       |         ELSE hp1 END AS host1,
-       |    regexp_extract(pq1, '^([^?]*)', 1) AS p1,
-       |    regexp_extract(pq1, '\\?(.*)$$', 1) AS q1,
-       |    CASE WHEN sch2 = 'http' THEN regexp_replace(hp2, ':80$$', '')
-       |         WHEN sch2 = 'https' THEN regexp_replace(hp2, ':443$$', '')
-       |         ELSE hp2 END AS host2,
-       |    regexp_extract(pq2, '^([^?]*)', 1) AS p2,
-       |    regexp_extract(pq2, '\\?(.*)$$', 1) AS q2
-       |  FROM s3),
-       |s5 AS (SELECT *,
-       |    CASE WHEN p1 = '' OR p1 = '/' THEN '/'
-       |         ELSE regexp_replace(p1, '/$$', '') END AS path1,
-       |    array_to_string(list_sort(list_filter(string_split(q1, '&'),
-       |      p -> p <> '' AND NOT regexp_matches(p,
-       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs1,
-       |    CASE WHEN p2 = '' OR p2 = '/' THEN '/'
-       |         ELSE regexp_replace(p2, '/$$', '') END AS path2,
-       |    array_to_string(list_sort(list_filter(string_split(q2, '&'),
-       |      p -> p <> '' AND NOT regexp_matches(p,
-       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs2
-       |  FROM s4)
-       |SELECT doc_id,
-       |  sch1 || '://' || host1 || path1 ||
-       |    (CASE WHEN qs1 = '' THEN '' ELSE '?' || qs1 END) AS canon1,
-       |  sch2 || '://' || host2 || path2 ||
-       |    (CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END) AS canon2,
-       |  (sch1 || '://' || host1 || path1 ||
-       |    (CASE WHEN qs1 = '' THEN '' ELSE '?' || qs1 END)) =
-       |  (sch2 || '://' || host2 || path2 ||
-       |    (CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END)) AS collapsed
-       |FROM s5 ORDER BY doc_id""".stripMargin
-  }
-
-  // --------------------------------------------------- t15 script mix
-
-  /** Script-mix audit — [[TextOps.scriptMix]] over per-doc seeded
-    * multi-script suffixes (the corpus is ASCII): doc_id-derived repeat
-    * counts of one Cyrillic, one CJK, and one Arabic character make every
-    * count column exercise a real non-Latin range. The oracle recomputes
-    * the identical length-diff counts, CASE-chain dominant script, and
-    * ratio. */
-  private def t15(s: SparkSession, dir: String): DataFrame = {
-    val seeded = t(s, dir, "documents").select(col("doc_id"),
-      concat(col("text"), lit(" "),
-        expr("repeat('ж', CAST(doc_id % 4 AS INT))"),
-        expr("repeat('中', CAST(doc_id % 3 AS INT))"),
-        expr("repeat('م', CAST(doc_id % 5 AS INT))")).as("text"))
-    seeded.select(col("doc_id"), TextOps.scriptMix(col("text")).as("__m"))
-      .select(col("doc_id"), col("__m.n_latin"), col("__m.n_digit"),
-        col("__m.n_cyrillic"), col("__m.n_cjk"), col("__m.n_arabic"),
-        col("__m.main_script"), col("__m.nonlatin_ratio"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t15Sql = {
-    def cnt(cls: String): String =
-      s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
-    s"""WITH s AS (SELECT doc_id,
-       |    text || ' ' || repeat('ж', CAST(doc_id % 4 AS INT))
-       |      || repeat('中', CAST(doc_id % 3 AS INT))
-       |      || repeat('م', CAST(doc_id % 5 AS INT)) AS text
-       |  FROM documents),
-       |c AS (SELECT doc_id, length(text) AS n_chars,
-       |    CAST(${cnt("[A-Za-z]")} AS INT) AS n_latin,
-       |    CAST(${cnt("[0-9]")} AS INT) AS n_digit,
-       |    CAST(${cnt("[Ѐ-ӿ]")} AS INT) AS n_cyrillic,
-       |    CAST(${cnt("[一-鿿]")} AS INT) AS n_cjk,
-       |    CAST(${cnt("[؀-ۿ]")} AS INT) AS n_arabic
-       |  FROM s)
-       |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
-       |  CASE WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'latin'
-       |       WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'digit'
-       |       WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic'
-       |       WHEN n_cjk = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic) THEN 'cjk'
-       |       ELSE 'arabic' END AS main_script,
-       |  round(CAST(n_cyrillic + n_cjk + n_arabic AS DOUBLE) / n_chars, 6)
-       |    AS nonlatin_ratio
-       |FROM c ORDER BY doc_id""".stripMargin
-  }
-
-  // --------------------------------------------- d14 temperature mixing
-
-  /** Temperature-based mixture resampling — [[Sampling.temperatureMix]]
-    * over the language strata at τ = 2 (proportions ∝ √n — the standard
-    * multilingual flattening), budgeted to ~300 rows. The oracle
-    * recomputes the per-stratum counts, the √n normalizer, the 6-decimal
-    * rounding + 16-bit floor, and the salted-md5 comparison. */
-  private def d14(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))
-    Sampling.temperatureMix(docs, col("text"), col("lang"),
-        tau = 2.0, targetRows = 300, salt = "g8")
-      .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val d14Sql =
-    """WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
-      |z AS (SELECT SUM(sqrt(cnt)) AS z FROM n),
-      |r AS (SELECT lang, CAST(floor(round(
-      |    least(1.0, sqrt(cnt) / z * 300 / cnt) * 65536, 6)) AS INT) AS thr
-      |  FROM n CROSS JOIN z)
-      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-      |WHERE thr >= 65536
-      |   OR substring(md5('g8' || text), 1, 4) < printf('%04x', thr)
-      |ORDER BY doc_id""".stripMargin
-
-  // ----------------------------------------------- t16 TF-IDF top terms
-
-  /** Keyword extraction — [[TextOps.tfidfTopTerms]], top-3 terms per doc
-    * at a df ≥ 2 floor. The oracle recomputes tf, df, the smooth idf, the
-    * per-doc rank (ties integer-exact, broken on the token), and the
-    * 4-decimal score. */
-  private def t16(s: SparkSession, dir: String): DataFrame =
-    TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3, minDf = 2)
-      .orderBy(col("doc_id"), col("rank"))
-
-  private val t16Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM u GROUP BY 1, 2),
-      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
-      |  HAVING COUNT(*) >= 2),
-      |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
-      |sc AS (SELECT doc_id, token, tf, df,
-      |    tf * (ln((nd + 1) / (df + 1)) + 1) AS raw
-      |  FROM tf JOIN df USING (token) CROSS JOIN nn),
-      |r AS (SELECT *, row_number() OVER
-      |    (PARTITION BY doc_id ORDER BY raw DESC, token) AS rank FROM sc)
-      |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df,
-      |  round(raw, 4) AS tfidf
-      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
-
-  // ------------------------------------------ t17 count-min token counts
-
-  /** Count-min sketch point estimates — [[Sketches.cmsTable]]/`cmsLookup`
-    * over the corpus token stream, SELF-VERIFYING: the estimates for the
-    * exact top-10 tokens (the in-query exact twin) must never undercount,
-    * and the overcount is gated at TWICE the textbook error term
-    * `⌈e·total/width⌉`. The 1× bound is only probabilistic (holds w.p.
-    * `1 − e^-depth` per item), so a legitimate collision at an untested
-    * scale could fail a 1× gate; the 2× headroom drops the per-item
-    * violation odds to ~(2e)^-depth ≈ 10⁻³ and, with the FIXED xxhash64
-    * seed, the gate is deterministic per dataset — green at every shipped
-    * scale factor (sf0.001/0.01/0.1 and the sf1 rehearsal). The oracle
-    * reproduces the exact counts and pins the gate TRUE. */
-  private def t17(s: SparkSession, dir: String): DataFrame = {
-    val depth = 4; val width = 1024
-    val toks = t(s, dir, "documents")
-      .select(explode(TextOps.tokens(col("text"))).as("token"))
-    val sketch = Sketches.cmsTable(toks, "token", depth, width)
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val top10 = exact.orderBy(col("n").desc, col("token")).limit(10)
-    val total = toks.agg(count(lit(1)).as("__tot"))
-    val est = Sketches.cmsLookup(top10.select("token"), sketch, "token",
-      depth, width)
-    top10.join(est, Seq("token"))
-      .crossJoin(broadcast(total))
-      .select(col("token"), col("n"),
-        (col("cms_est") >= col("n") && col("cms_est") <= col("n") +
-          lit(2) * ceil(lit(math.E) * col("__tot") / width).cast("long"))
-          .as("est_ok"))
-      .orderBy(col("n").desc, col("token"))
-  }
-
-  private val t17Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT unnest(tk) AS token FROM toks),
-      |c AS (SELECT token, COUNT(*) AS n FROM u GROUP BY 1)
-      |SELECT token, n, TRUE AS est_ok FROM c
-      |ORDER BY n DESC, token LIMIT 10""".stripMargin
-
-  // ----------------------------------------------------- t18 BM25 ranking
-
-  /** Retrieval-scored corpus selection — [[TextOps.bm25]] against a fixed
-    * 3-term query profile, top-20 documents. The oracle recomputes dl,
-    * avgdl, per-term tf/df, the Robertson idf, the length-normalized term
-    * weights, and the rounded-score/doc-id ordering. */
-  private def t18(s: SparkSession, dir: String): DataFrame =
-    TextOps.bm25(t(s, dir, "documents"),
-      Seq("join", "customer", "vector"), topN = 20)
-      .orderBy(col("bm25").desc, col("doc_id"))
-
-  private val t18Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |u AS (SELECT doc_id, unnest(tk) AS token FROM toks),
-      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM u GROUP BY 1),
-      |st AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
-      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM u
-      |  WHERE token IN ('join', 'customer', 'vector') GROUP BY 1, 2),
-      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-      |w AS (SELECT t.doc_id,
-      |    ln(1 + (nd - df + 0.5) / (df + 0.5)) * tf * 2.2 /
-      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS w, dl
-      |  FROM tf t JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
-      |SELECT doc_id, COUNT(*) AS n_terms, MAX(dl) AS dl,
-      |  round(SUM(w), 4) AS bm25
-      |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-
-  // ------------------------------------------ t19 compression-ratio signal
-
-  /** Compression-ratio quality signal — [[CompressionSignal.signals]]
-    * (real deflate in a single `mapPartitions` pass), SELF-VERIFYING via
-    * gates the oracle pins TRUE: deflate never inflates past the stored-
-    * block bound, and doubling a ≥ 64-byte document costs strictly less
-    * than double (the LZ77 self-similarity property that makes the signal
-    * a repetition detector). `n_raw` is exact utf-8 bytes, oracle-checked
-    * against DuckDB `strlen` (byte semantics). */
-  private def t19(s: SparkSession, dir: String): DataFrame =
-    CompressionSignal.signals(t(s, dir, "documents"))
-      .select(col("doc_id"), col("n_raw"),
-        (col("n_deflate") <= col("n_raw") + 32).as("ok_bounded"),
-        (col("n_raw") < 64 || col("n_deflate2") < col("n_deflate") * 2)
-          .as("ok_self_similar"))
-      .orderBy(col("doc_id"))
-
-  private val t19Sql =
-    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_raw,
-      |  TRUE AS ok_bounded, TRUE AS ok_self_similar
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  // ------------------------------------- t20 Gopher-style quality rules
-
-  /** Gopher/MassiveText-style composite rule filter
-    * ([[TextOps.gopherRules]]) — every rule its own boolean column plus
-    * the conjunction, fully reproduced by the oracle (all ratios are
-    * single IEEE divisions of integer counts; the regex classes live in
-    * the Java∩RE2 shared subset). Dials are corpus-appropriate so every
-    * rule SPLITS rather than uniformly passing or failing: minWords 20
-    * (the synthetic docs are short) and the function-word list drawn from
-    * the corpus register ("the"/"a"/"data"/"table") — with the English
-    * defaults, r_stopwords failed all 500 docs and `pass` carried no
-    * signal. */
-  private def t20(s: SparkSession, dir: String): DataFrame =
-    TextOps.gopherRules(t(s, dir, "documents"), minWords = 20,
-        stopList = Seq("the", "a", "data", "table"))
-      .orderBy(col("doc_id"))
-
-  private val t20Sql =
-    """WITH d AS (SELECT doc_id, text,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
-      |    regexp_split_to_array(text, '\n') AS ln
-      |  FROM documents),
-      |m AS (SELECT doc_id, len(tk) AS nw,
-      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-      |      CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
-      |        / len(tk) END AS mean_len,
-      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-      |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
-      |        AS DOUBLE) / len(tk) END AS alpha_frac,
-      |    CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]')))
-      |      AS DOUBLE) / len(ln) AS bullet_frac,
-      |    CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
-      |      AS DOUBLE) / len(ln) AS ellipsis_frac,
-      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-      |      CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
-      |        / len(tk) END AS symbol_ratio,
-      |    (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END +
-      |     CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END +
-      |     CASE WHEN list_contains(tk, 'data') THEN 1 ELSE 0 END +
-      |     CASE WHEN list_contains(tk, 'table') THEN 1 ELSE 0 END) AS stop_hits
-      |  FROM d),
-      |r AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-      |    round(mean_len, 6) AS mean_word_len,
-      |    nw > 0 AND nw BETWEEN 20 AND 100000 AS r_word_count,
-      |    nw > 0 AND mean_len BETWEEN 3 AND 10 AS r_mean_word_len,
-      |    nw > 0 AND alpha_frac >= 0.8 AS r_alpha_words,
-      |    nw > 0 AND bullet_frac <= 0.9 AS r_bullet_lines,
-      |    nw > 0 AND ellipsis_frac <= 0.3 AS r_ellipsis_lines,
-      |    nw > 0 AND symbol_ratio < 0.1 AS r_symbol_ratio,
-      |    nw > 0 AND stop_hits >= 2 AS r_stopwords
-      |  FROM m)
-      |SELECT *, r_word_count AND r_mean_word_len AND r_alpha_words AND
-      |    r_bullet_lines AND r_ellipsis_lines AND r_symbol_ratio AND
-      |    r_stopwords AS pass
-      |FROM r ORDER BY doc_id""".stripMargin
-
-  // ------------------------------------------------------ t04 PII redaction
-
-  /** Seed every doc with synthetic PII (email, IPv4, phone derived from
-    * doc_id — the corpus itself is PII-free), then redact and count. The
-    * oracle applies the IDENTICAL regexes in DuckDB (both dialects run the
-    * shared RE2∩Java subset). */
-  private def t04(s: SparkSession, dir: String): DataFrame = {
-    val seeded = t(s, dir, "documents").select(col("doc_id"),
-      concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com via 10."), (col("doc_id") % 200).cast("string"),
-        lit(".0.7 tel 555-123-4567")).as("text"))
-    seeded.select(col("doc_id"),
-        TextOps.piiCount(col("text"), TextOps.EmailRe).as("n_emails"),
-        TextOps.piiCount(col("text"), TextOps.Ipv4Re).as("n_ips"),
-        TextOps.piiCount(col("text"), TextOps.PhoneRe).as("n_phones"),
-        md5(TextOps.redactPii(col("text"))).as("red_md5"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t04Sql =
-    """WITH seeded AS (SELECT doc_id,
-      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-      |  '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR) ||
-      |  '.0.7 tel 555-123-4567' AS text FROM documents)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text,
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-      |  CAST(len(regexp_extract_all(text,
-      |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
-      |FROM seeded ORDER BY doc_id""".stripMargin
-
-  // ------------------------------ t22 exact repeated-span (substring) dedup
-
-  /** Cross-document exact substring duplication, the every-position
-    * complement of t02's sampled winnow fingerprints: 8-token grams
-    * occurring in ≥ 2 distinct docs mark duplicated span positions
-    * (Lee et al. 2021 semantics at gram granularity). Keep flag at
-    * dup_ratio ≤ 0.5 — at sf0.001 45/500 docs carry duplicated spans, so
-    * the oracle exercises both flag values and the zero-gram short-doc
-    * edge. */
-  private def t22(s: SparkSession, dir: String): DataFrame =
-    TextOps.substringDupSignal(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        w = 8, maxRatio = 0.5)
-      .orderBy(col("doc_id"))
-
-  private val t22Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |g AS (SELECT doc_id,
-      |    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
-      |         ELSE [array_to_string(tk[i:i+7], ' ')
-      |               FOR i IN range(1, len(tk)-6)] END AS grams
-      |  FROM toks),
-      |pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-      |dup AS (SELECT gram FROM pos GROUP BY 1
-      |        HAVING COUNT(DISTINCT doc_id) >= 2),
-      |dupc AS (SELECT doc_id, COUNT(*) AS n_dup FROM pos
-      |         WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
-      |SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
-      |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
-      |  round(CASE WHEN len(t.grams) = 0 THEN 0.0
-      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END,
-      |        6) AS dup_ratio,
-      |  (CASE WHEN len(t.grams) = 0 THEN 0.0
-      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END)
-      |    <= 0.5 AS keep
-      |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
-
-  // --------------------- t24 substring dedup, hashed-gram form (gated)
-
-  /** t22's 100 TB swap-in, EXECUTED and gated: the same repeated-span
-    * signal with `hashedGrams = true` — grams are 64-bit rotate-xor
-    * mixes of the token hashes, so no gram STRING is ever built and the
-    * gram shuffle moves fixed-width longs (~8× fewer exchange bytes).
-    * Joined per doc against the string twin and gated on full row
-    * equality (identical absent 64-bit collisions). The string twin's
-    * values ride along so the oracle pins the whole row (the d20/dt03
-    * pattern). */
-  private def t24(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .localCheckpoint()
-    val exact = TextOps.substringDupSignal(docs, w = 8, maxRatio = 0.5)
-    val hashed = TextOps.substringDupSignal(docs, w = 8, maxRatio = 0.5,
-        hashedGrams = true)
-      .select(col("doc_id"), col("n_grams").as("__hn"),
-        col("n_dup_grams").as("__hd"), col("keep").as("__hk"))
-    exact.join(hashed, "doc_id")
-      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-        col("dup_ratio"), col("keep"),
-        (col("__hn") === col("n_grams") && col("__hd") === col("n_dup_grams")
-          && col("__hk") === col("keep")).as("hashed_identical"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val t24Sql =
-    """WITH toks AS (SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
-      |  FROM documents),
-      |g AS (SELECT doc_id,
-      |    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
-      |         ELSE [array_to_string(tk[i:i+7], ' ')
-      |               FOR i IN range(1, len(tk)-6)] END AS grams
-      |  FROM toks),
-      |pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-      |dup AS (SELECT gram FROM pos GROUP BY 1
-      |        HAVING COUNT(DISTINCT doc_id) >= 2),
-      |dupc AS (SELECT doc_id, COUNT(*) AS n_dup FROM pos
-      |         WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
-      |SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
-      |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
-      |  round(CASE WHEN len(t.grams) = 0 THEN 0.0
-      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END,
-      |        6) AS dup_ratio,
-      |  (CASE WHEN len(t.grams) = 0 THEN 0.0
-      |        ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(t.grams) END)
-      |    <= 0.5 AS keep,
-      |  TRUE AS hashed_identical
-      |FROM g t LEFT JOIN dupc d USING (doc_id) ORDER BY t.doc_id""".stripMargin
-
-  // ------------------------------------------------ t25 Zipf corpus audit
-
-  /** Corpus frequency-distribution fingerprint
-    * ([[graft.llm.TextOps.zipfAudit]]): total tokens, vocab size, top-10
-    * mass, and the least-squares Zipf slope over the top-100 ranks —
-    * the one-row shard health check that catches templated/boilerplate
-    * floods (flattened slope, pumped top-10 mass) before training.
-    * Value-matched: DuckDB reproduces the rank set (count desc, token
-    * tie-break), ln sums, and slope to the 6-decimal round. */
-  private def t25(s: SparkSession, dir: String): DataFrame =
-    TextOps.zipfAudit(t(s, dir, "documents"), topN = 100)
-
-  private val t25Sql =
-    """WITH tok AS (SELECT unnest(
-      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
-      |    AS tok
-      |  FROM documents),
-      |freq AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
-      |    CAST(COUNT(*) AS BIGINT) AS vocab_size FROM freq),
-      |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
-      |  FROM freq ORDER BY n DESC, tok LIMIT 100),
-      |fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
-      |    SUM(ln(rank)) AS sx, SUM(ln(n)) AS sy,
-      |    SUM(ln(rank) * ln(n)) AS sxy, SUM(ln(rank) * ln(rank)) AS sxx,
-      |    SUM(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS top10
-      |  FROM top)
-      |SELECT t.n_tokens, t.vocab_size,
-      |  round(CAST(f.top10 AS DOUBLE) / t.n_tokens, 6) AS top10_mass,
-      |  round((f.k * f.sxy - f.sx * f.sy)
-      |        / (f.k * f.sxx - f.sx * f.sx), 6) AS zipf_slope
-      |FROM tot t, fit f""".stripMargin
-
-  // ------------------------------------------ t23 token-budget greedy fill
-
-  /** Budget-constrained mix assembly: per language, fill a 3000-token
-    * budget with the highest-quality documents (greedy by quality desc,
-    * doc_id tiebreak, running-token cutoff) — the step that turns scored
-    * shards into a fixed-size training mix. Budget sized BELOW each
-    * language's total tokens at sf0.001 so the oracle verifies the cutoff
-    * boundary, not just the ranking. */
-  private def t23(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality"))
-    Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
-        col("quality"), col("doc_id"), budget = 3000L)
-      .orderBy(col("doc_id"))
-  }
-
-  private val t23Sql = {
-    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT doc_id, lang, text,
-       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
-       |  FROM documents),
-       |pre AS (SELECT doc_id, lang, text, tk,
-       |    length(text) - length(regexp_replace(text,
-       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
-       |  FROM base),
-       |scored AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
-       |  ${qualitySqlExpr("len(tk)")} AS quality
-       |  FROM pre),
-       |cum AS (SELECT doc_id, lang, n_tokens, quality,
-       |    SUM(n_tokens) OVER (PARTITION BY lang
-       |      ORDER BY quality DESC, doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS c
-       |  FROM scored)
-       |SELECT doc_id, lang, n_tokens, quality
-       |FROM cum WHERE c <= 3000 ORDER BY doc_id""".stripMargin
-  }
-
-  // --------------------------------- d15 robust (median/MAD) outlier screen
-
-  /** Modified-z-score outlier profile of lineitem prices per return flag —
-    * the robust numeric-quality pass a pipeline runs before a column feeds
-    * training statistics. Exact percentiles at test SF (the q30 GK twin is
-    * the 100 TB swap-in). */
-  private def d15(s: SparkSession, dir: String): DataFrame =
-    NumericQuality.robustOutliers(
-        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
-        valueCol = "l_extendedprice", groupCols = Seq("l_returnflag"), z = 3.5)
-      .orderBy(col("l_returnflag"))
-
-  private val d15Sql =
-    """WITH m AS (SELECT l_returnflag,
-      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
-      |  FROM lineitem GROUP BY 1),
-      |d AS (SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS x,
-      |    m.med FROM lineitem l JOIN m USING (l_returnflag)),
-      |md AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
-      |  FROM d GROUP BY 1)
-      |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  round(MIN(d.med), 4) AS med, round(MIN(md.mad), 4) AS mad,
-      |  CAST(SUM(CASE WHEN md.mad > 0
-      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  round(SUM(CASE WHEN md.mad > 0
-      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
-      |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_ratio
-      |FROM d JOIN md USING (l_returnflag)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // --------------------------- d20 robust outliers via GK sketch, gated
-
-  /** d15's 100 TB swap-in, EXECUTED and gated (not prose): the same
-    * median/MAD outlier profile with both percentile passes on
-    * `approx_percentile` ([[NumericQuality.robustOutliersApprox]], GK
-    * accuracy 10⁴ — bounded memory per group instead of `percentile`'s
-    * buffer-every-value reducer), joined per group against the exact twin.
-    * Gates: median and MAD within 1% relative (GK rank error n/10⁴ is far
-    * inside that on this price distribution), outlier count within
-    * max(10, 2%) — the cutoff shift from a sketchy median moves only the
-    * boundary-density sliver. Exact values ride along so the oracle pins
-    * the whole row (the q30 pattern). */
-  private def d20(s: SparkSession, dir: String): DataFrame = {
-    val src = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-    val exact = NumericQuality.robustOutliers(
-      src, "l_extendedprice", Seq("l_returnflag"), z = 3.5)
-    val approx = NumericQuality.robustOutliersApprox(
-        src, "l_extendedprice", Seq("l_returnflag"), z = 3.5, accuracy = 10000)
-      .select(col("l_returnflag"), col("med").as("__amed"),
-        col("mad").as("__amad"), col("n_outliers").as("__aout"))
-    exact.join(approx, "l_returnflag")
-      .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
-        col("n_outliers"), col("outlier_ratio"),
-        (abs(col("__amed") / col("med") - 1) <= 0.01).as("med_ok"),
-        (abs(col("__amad") / col("mad") - 1) <= 0.01).as("mad_ok"),
-        (abs(col("__aout") - col("n_outliers"))
-          <= greatest(lit(10L), (col("n_outliers") * 0.02).cast("long")))
-          .as("outliers_ok"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  private val d20Sql =
-    """WITH m AS (SELECT l_returnflag,
-      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
-      |  FROM lineitem GROUP BY 1),
-      |d AS (SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS x,
-      |    m.med FROM lineitem l JOIN m USING (l_returnflag)),
-      |md AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
-      |  FROM d GROUP BY 1)
-      |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  round(MIN(d.med), 4) AS med, round(MIN(md.mad), 4) AS mad,
-      |  CAST(SUM(CASE WHEN md.mad > 0
-      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |  round(SUM(CASE WHEN md.mad > 0
-      |    AND abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
-      |    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_ratio,
-      |  TRUE AS med_ok, TRUE AS mad_ok, TRUE AS outliers_ok
-      |FROM d JOIN md USING (l_returnflag)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  // ---------------------------------------------------------------- export
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d01_exact_dedup" -> (d01 _),
-    "d02_minhash_lsh_pairs" -> (d02 _),
-    "d03_simhash_pairs" -> (d03 _),
-    "d04_ngram_jaccard_pairs" -> (d04 _),
-    "d05_dup_clusters" -> (d05 _),
-    "d06_hash_split" -> (d06 _),
-    "d07_contamination" -> (d07 _),
-    "d10_decontaminate" -> (d10 _),
-    "d12_bloom_decontaminate" -> (d12 _),
-    "d13_weighted_sample" -> (d13 _),
-    "d14_temperature_mix" -> (d14 _),
-    "d08_stratified_sample" -> (d08 _),
-    "d09_cluster_keep" -> (d09 _),
-    "d11_cap_sample" -> (d11 _),
-    "s01_cosine_topk_brute" -> (s01 _),
-    "s02_cosine_topk_lsh" -> (s02 _),
-    "s03_embed_neardup_exact" -> (s03 _),
-    "s04_embed_neardup_lsh" -> (s04 _),
-    "s05_cosine_topk_ivf" -> (s05 _),
-    "s06_normalize_quantize" -> (s06 _),
-    "s07_cosine_topk_ivf_int8" -> (s07 _),
-    "s08_semantic_dedup" -> (s08 _),
-    "s09_cosine_topk_ivf_pq" -> (s09 _),
-    "s10_knn_graph" -> (s10 _),
-    "s11_cosine_topk_jl" -> (s11 _),
-    "s12_cosine_topk_imi" -> (s12 _),
-    "s13_cosine_topk_ivfpq_res" -> (s13 _),
-    "s14_cosine_topk_filtered" -> (s14 _),
-    "t01_text_analysis" -> (t01 _),
-    "t02_winnow_fingerprints" -> (t02 _),
-    "t03_text_cleaning" -> (t03 _),
-    "t04_pii_redact" -> (t04 _),
-    "t05_url_domains" -> (t05 _),
-    "t06_repetition" -> (t06 _),
-    "t07_quality_topq" -> (t07 _),
-    "t08_sequence_pack" -> (t08 _),
-    "t09_token_chunking" -> (t09 _),
-    "t10_lexical_diversity" -> (t10 _),
-    "t11_vocabulary" -> (t11 _),
-    "t12_unigram_logprob" -> (t12 _),
-    "t13_line_dedup" -> (t13 _),
-    "t14_url_canon" -> (t14 _),
-    "t15_script_mix" -> (t15 _),
-    "t16_tfidf_terms" -> (t16 _),
-    "t17_cms_counts" -> (t17 _),
-    "t18_bm25_rank" -> (t18 _),
-    "t19_compress_signal" -> (t19 _),
-    "t20_quality_rules" -> (t20 _),
-    "t21_bigram_logprob" -> (t21 _),
-    "t22_substring_dedup" -> (t22 _),
-    "t24_substring_dedup_hashed" -> (t24 _),
-    "t25_zipf_audit" -> (t25 _),
-    "d15_robust_outliers" -> (d15 _),
-    "d16_incremental_dedup" -> (d16 _),
-    "d17_group_split" -> (d17 _),
-    "d18_incremental_neardup" -> (d18 _),
-    "d19_store_append" -> (d19 _),
-    "d20_robust_outliers_gk" -> (d20 _),
-    "d21_neardup_store_append" -> (d21 _),
-    "d22_semantic_decontaminate" -> (d22 _),
-    "d23_diverse_sample" -> (d23 _),
-    "p01_curation_pipeline" -> (p01 _),
-    "p02_curation_pipeline_approx" -> (p02 _),
-    "t23_token_budget" -> (t23 _),
-    "j01_jsonl_ingest" -> (j01 _),
-    "j02_provenance" -> (j02 _),
-    "j03_ingest_chain" -> (j03 _),
-    "mm01_image_header_dims" -> (mm01 _),
-    "mm02_media_resize_frames" -> (mm02 _),
-    "mm03_audio_wav" -> (mm03 _),
-    "mm04_video_frames" -> (mm04 _),
-    "mm05_image_ahash" -> (mm05 _),
-    "mm06_audio_frame_features" -> (mm06 _),
-    "mm07_audio_vad" -> (mm07 _))
-
-  val oracleSql: Map[String, String] = Map(
-    "d01_exact_dedup" -> d01Sql,
-    "d02_minhash_lsh_pairs" -> d02Sql,
-    "d03_simhash_pairs" -> d03Sql,
-    "d04_ngram_jaccard_pairs" -> d04Sql,
-    "d05_dup_clusters" -> d05Sql,
-    "d06_hash_split" -> d06Sql,
-    "d07_contamination" -> d07Sql,
-    "d10_decontaminate" -> d10Sql,
-    "d12_bloom_decontaminate" -> d12Sql,
-    "d13_weighted_sample" -> d13Sql,
-    "d14_temperature_mix" -> d14Sql,
-    "d08_stratified_sample" -> d08Sql,
-    "d09_cluster_keep" -> d09Sql,
-    "d11_cap_sample" -> d11Sql,
-    "s01_cosine_topk_brute" -> s01Sql,
-    "s02_cosine_topk_lsh" -> s02Sql,
-    "s03_embed_neardup_exact" -> s03Sql,
-    "s04_embed_neardup_lsh" -> s04Sql,
-    "s05_cosine_topk_ivf" -> s05Sql,
-    "t01_text_analysis" -> t01Sql,
-    "t02_winnow_fingerprints" -> t02Sql,
-    "mm01_image_header_dims" -> mm01Sql,
-    "mm02_media_resize_frames" -> mm02Sql,
-    "mm03_audio_wav" -> mm03Sql,
-    "mm04_video_frames" -> mm04Sql,
-    "mm05_image_ahash" -> mm05Sql,
-    "mm06_audio_frame_features" -> mm06Sql,
-    "mm07_audio_vad" -> mm07Sql,
-    "s06_normalize_quantize" -> s06Sql,
-    "s07_cosine_topk_ivf_int8" -> s07Sql,
-    "s08_semantic_dedup" -> s08Sql,
-    "s09_cosine_topk_ivf_pq" -> s09Sql,
-    "s10_knn_graph" -> s10Sql,
-    "s11_cosine_topk_jl" -> s11Sql,
-    "s12_cosine_topk_imi" -> s12Sql,
-    "s13_cosine_topk_ivfpq_res" -> s13Sql,
-    "s14_cosine_topk_filtered" -> s14Sql,
-    "t03_text_cleaning" -> t03Sql,
-    "t04_pii_redact" -> t04Sql,
-    "t05_url_domains" -> t05Sql,
-    "t06_repetition" -> t06Sql,
-    "t07_quality_topq" -> t07Sql,
-    "t08_sequence_pack" -> t08Sql,
-    "t09_token_chunking" -> t09Sql,
-    "t10_lexical_diversity" -> t10Sql,
-    "t11_vocabulary" -> t11Sql,
-    "t12_unigram_logprob" -> t12Sql,
-    "t13_line_dedup" -> t13Sql,
-    "t14_url_canon" -> t14Sql,
-    "t15_script_mix" -> t15Sql,
-    "t16_tfidf_terms" -> t16Sql,
-    "t17_cms_counts" -> t17Sql,
-    "t18_bm25_rank" -> t18Sql,
-    "t19_compress_signal" -> t19Sql,
-    "t20_quality_rules" -> t20Sql,
-    "t21_bigram_logprob" -> t21Sql,
-    "t22_substring_dedup" -> t22Sql,
-    "t24_substring_dedup_hashed" -> t24Sql,
-    "t25_zipf_audit" -> t25Sql,
-    "d15_robust_outliers" -> d15Sql,
-    "d16_incremental_dedup" -> d16Sql,
-    "d17_group_split" -> d17Sql,
-    "d18_incremental_neardup" -> d18Sql,
-    "d19_store_append" -> d19Sql,
-    "d20_robust_outliers_gk" -> d20Sql,
-    "d21_neardup_store_append" -> d21Sql,
-    "d22_semantic_decontaminate" -> d22Sql,
-    "d23_diverse_sample" -> d23Sql,
-    "p01_curation_pipeline" -> p01Sql,
-    "p02_curation_pipeline_approx" -> p02Sql,
-    "t23_token_budget" -> t23Sql,
-    "j01_jsonl_ingest" -> j01Sql,
-    "j02_provenance" -> j02Sql,
-    "j03_ingest_chain" -> j03Sql)
+  /** Aggregated registry — the family files own the implementations; this
+    * object keeps the single public surface SparkEntry and the specs use. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries ++ PipelineQueries.queries
+
+  val oracleSql: Map[String, String] =
+    DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      TextQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

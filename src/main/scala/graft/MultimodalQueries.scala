@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
+
+/** Multimodal queries (mm01–mm07): image/audio/video decode,
+  * frame features, VAD segmentation, perceptual hashing.
+  * Split out of LlmQueries by family (r11) — pure move; the public surface
+  * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */
+private[graft] object MultimodalQueries {
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Real image-header decode, ORACLE-CHECKED: payloads are structurally
+    * valid PNG/JPEG/GIF/BMP bytes whose dimensions derive deterministically
+    * from the id; the query parses format/width/height back OUT of the
+    * byte stream (ImageHeaders), and DuckDB reproduces the expected values
+    * relationally — a parse bug or header corruption hash-mismatches. */
+  private def mm01(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizeImages(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.imageDims(imgs).orderBy(col("id"))
+  }
+
+  private val mm01Sql =
+    """SELECT doc_id AS id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CAST(1 + doc_id % 31 AS INT) AS width,
+      |  CAST(1 + doc_id % 17 AS INT) AS height
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** Real pixel decode, ORACLE-CHECKED end to end: payloads are complete
+    * PNG/GIF/BMP images (lossless formats) whose grayscale fill follows the
+    * closed form `(id + 7x + 13y) mod 256`; the query really encodes them
+    * (`ImageIO.write`), really decodes them back (`ImageIO.read`), and the
+    * resize / frame-sample operators run on the DECODED dimensions — while
+    * DuckDB reproduces every output column (dims, pixel sum/min/max/mean,
+    * resized dims, frame counts) from the integer closed form alone. A codec
+    * bug, raster corruption, or resize/frame math drift hash-mismatches. */
+  private def mm02(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.synthesizePixelImages(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    val px = Multimodal.decodePixelStats(imgs)
+    // media struct rebuilt from the DECODED dims (not the synthesis params),
+    // so resize + frame sampling genuinely depend on the codec roundtrip
+    val media = px.select(col("id"), col("format"),
+      col("px_sum"), col("px_min"), col("px_max"),
+      struct(lit(null).cast("binary").as("payload"),
+        struct(lit("video").as("kind"),
+          col("width"), col("height"), lit(16000).as("sample_rate"),
+          (lit(1000L) * (col("id") % 7 + 1)).as("duration_ms")).as("meta"))
+        .as("media"))
+    val resized = Multimodal.resize(media, 16, 12)
+    val frames = Multimodal.sampleFrames(resized, "id", fps = 2.0)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    resized.select(col("id"), col("format"),
+        col("media.meta.width").as("width"),
+        col("media.meta.height").as("height"),
+        col("resized_width"), col("resized_height"),
+        col("px_sum"), col("px_min"), col("px_max"),
+        round(col("px_sum") /
+          (col("media.meta.width") * col("media.meta.height")), 6).as("px_mean"))
+      .join(frames, Seq("id"))
+      .orderBy(col("id"))
+  }
+
+  private val mm02Sql =
+    """WITH d AS (SELECT doc_id AS id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+      |    1 + doc_id % 31 AS w,
+      |    CASE doc_id % 3 WHEN 1 THEN 5 + doc_id % 13
+      |                    ELSE 1 + doc_id % 17 END AS h,
+      |    1000 * (1 + doc_id % 7) AS dur
+      |  FROM documents WHERE doc_id < 200),
+      |px AS (SELECT d.id,
+      |    CAST(SUM((d.id + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
+      |    CAST(MIN((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
+      |    CAST(MAX((d.id + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
+      |  FROM d, UNNEST(range(0, d.w)) AS xs(x), UNNEST(range(0, d.h)) AS ys(y)
+      |  GROUP BY d.id)
+      |SELECT d.id, d.format, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+      |  CAST(floor(d.w * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_width,
+      |  CAST(floor(d.h * least(16.0/d.w, 12.0/d.h, 1.0)) AS INT) AS resized_height,
+      |  px.px_sum, px.px_min, px.px_max,
+      |  round(CAST(px.px_sum AS DOUBLE) / (d.w * d.h), 6) AS px_mean,
+      |  CAST(greatest(floor(d.dur / 500.0) - 1, 0) + 1 AS BIGINT) AS n_frames
+      |FROM d JOIN px USING (id) ORDER BY d.id""".stripMargin
+
+  /** Real AUDIO decode, ORACLE-CHECKED: payloads are complete RIFF/WAVE
+    * clips (16-bit mono PCM) whose samples follow the closed form
+    * `((id*31 + 7i) mod 65536) - 32768`; the query really encodes them and
+    * really decodes them back through `javax.sound.sampled`, while DuckDB
+    * reproduces every amplitude statistic from the integer closed form. */
+  private def mm03(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudio(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeAudioStats(clips)
+      .withColumn("duration_ms",
+        round(col("n_samples") * lit(1000.0) / col("sample_rate"), 3))
+      .orderBy(col("id"))
+  }
+
+  private val mm03Sql =
+    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n,
+      |    8000 * (1 + doc_id % 3) AS rate
+      |  FROM documents WHERE doc_id < 200),
+      |amp AS (SELECT d.id,
+      |    CAST(SUM((d.id*31 + 7*s.i) % 65536 - 32768) AS BIGINT) AS amp_sum,
+      |    CAST(MIN((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_min,
+      |    CAST(MAX((d.id*31 + 7*s.i) % 65536 - 32768) AS INT) AS amp_max
+      |  FROM d, UNNEST(range(0, d.n)) AS s(i) GROUP BY d.id)
+      |SELECT d.id, CAST(d.rate AS INT) AS sample_rate,
+      |  CAST(d.n AS BIGINT) AS n_samples, amp.amp_sum, amp.amp_min, amp.amp_max,
+      |  round(d.n * 1000.0 / d.rate, 3) AS duration_ms
+      |FROM d JOIN amp USING (id) ORDER BY d.id""".stripMargin
+
+  /** Frame-level audio features over a REAL decode, ORACLE-CHECKED: the
+    * same closed-form RIFF/WAVE clips as mm03, but folded per 128-sample
+    * frame into zero-crossing counts and integer energy (the classic
+    * voice-activity statistics) — one row per complete frame, rms derived
+    * in the projection. DuckDB reproduces zcr and Σs² from the closed
+    * sample form with a lag window over generated sample indices. */
+  private def mm06(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudio(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.audioFrameFeatures(clips, frameLen = 128)
+      .withColumn("rms", round(sqrt(col("energy_sum") / lit(128.0)), 6))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
+  private val mm06Sql =
+    """WITH d AS (SELECT doc_id AS id, 100 + doc_id % 900 AS n
+      |  FROM documents WHERE doc_id < 200),
+      |f AS (SELECT d.id, fr.fi FROM d, UNNEST(range(0, d.n // 128)) AS fr(fi)),
+      |s AS (SELECT f.id, f.fi, si.i,
+      |    (f.id*31 + 7*(f.fi*128 + si.i)) % 65536 - 32768 AS v
+      |  FROM f, UNNEST(range(0, 128)) AS si(i)),
+      |lagged AS (SELECT *, lag(v) OVER (PARTITION BY id, fi ORDER BY i) AS pv
+      |  FROM s),
+      |feat AS (SELECT id, fi,
+      |    CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
+      |      THEN 1 ELSE 0 END) AS INT) AS zcr,
+      |    CAST(SUM(v*v) AS BIGINT) AS energy_sum
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT id, CAST(fi AS INT) AS frame_idx, zcr, energy_sum,
+      |  round(sqrt(energy_sum / 128.0), 6) AS rms
+      |FROM feat ORDER BY id, frame_idx""".stripMargin
+
+  // -------------------------------------- mm07 voice-activity segments
+
+  /** Voice-activity segmentation over a REAL decode, ORACLE-CHECKED:
+    * clips carry planted silence (every 3rd 256-sample block zeroed —
+    * [[Multimodal.synthesizeAudioGated]]), the query really decodes the
+    * WAVs through `javax.sound.sampled`, frames them at 128 samples and
+    * collapses voiced runs to segments
+    * ([[Multimodal.audioVadSegments]] — gaps-and-islands per clip).
+    * DuckDB reproduces every segment boundary and energy from the gated
+    * integer closed form alone: a decode drift, frame slip, or island
+    * boundary bug hash-mismatches. */
+  private def mm07(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeAudioGated(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.audioVadSegments(clips, frameLen = 128)
+      .orderBy(col("id"), col("seg_idx"))
+  }
+
+  private val mm07Sql =
+    """WITH d AS (SELECT doc_id AS id, 384 + doc_id % 1200 AS n
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (SELECT id, f.fi FROM d, UNNEST(range(0, n // 128)) AS f(fi)),
+      |s AS (SELECT fr.id, fr.fi, si.i,
+      |    CASE WHEN ((fr.fi * 128 + si.i) // 256) % 3 = 0 THEN 0
+      |         ELSE (fr.id * 31 + 7 * (fr.fi * 128 + si.i)) % 65536 - 32768
+      |    END AS v
+      |  FROM fr, UNNEST(range(0, 128)) AS si(i)),
+      |feat AS (SELECT id, fi, SUM(v * v) AS e FROM s GROUP BY 1, 2),
+      |act AS (SELECT id, fi, e,
+      |    fi - row_number() OVER (PARTITION BY id ORDER BY fi) AS grp
+      |  FROM feat WHERE e >= 1),
+      |seg AS (SELECT id, grp, MIN(fi) AS sf, MAX(fi) AS ef,
+      |    COUNT(*) AS nf, SUM(e) AS se FROM act GROUP BY 1, 2)
+      |SELECT id,
+      |  CAST(row_number() OVER (PARTITION BY id ORDER BY sf) AS INT)
+      |    AS seg_idx,
+      |  CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+      |  CAST(nf AS BIGINT) AS n_frames, CAST(se AS BIGINT) AS seg_energy
+      |FROM seg ORDER BY id, seg_idx""".stripMargin
+
+  /** Real VIDEO frame decode, ORACLE-CHECKED: payloads are complete GFV1
+    * clips (MJPEG-style container of genuine PNG/BMP stills) whose frame
+    * `f` follows the closed form `(id + 97f + 7x + 13y) mod 256`; the
+    * query really encodes every frame, really parses the container back
+    * and really decodes each still through `ImageIO` — one row per frame —
+    * while DuckDB reproduces every per-frame statistic from the integer
+    * closed form alone. A container-parse bug, frame-boundary slip, or
+    * codec drift hash-mismatches. */
+  private def mm04(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.synthesizeVideos(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+    Multimodal.decodeVideoFrameStats(clips)
+      .withColumn("duration_ms",
+        round(col("n_frames") * lit(1000.0) / col("fps"), 3))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
+  private val mm04Sql =
+    """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 6 AS nf, 1 + doc_id % 5 AS fps,
+      |    1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (SELECT d.*, f.f AS fi FROM d, UNNEST(range(0, d.nf)) AS f(f)),
+      |px AS (SELECT fr.id, fr.fi,
+      |    CAST(SUM((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS px_sum,
+      |    CAST(MIN((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_min,
+      |    CAST(MAX((fr.id + 97*fr.fi + 7*xs.x + 13*ys.y) % 256) AS INT) AS px_max
+      |  FROM fr, UNNEST(range(0, fr.w)) AS xs(x), UNNEST(range(0, fr.h)) AS ys(y)
+      |  GROUP BY fr.id, fr.fi)
+      |SELECT fr.id, CAST(fr.fi AS INT) AS frame_idx,
+      |  CASE (fr.id + fr.fi) % 2 WHEN 0 THEN 'png' ELSE 'bmp' END AS format,
+      |  CAST(fr.w AS INT) AS width, CAST(fr.h AS INT) AS height,
+      |  px.px_sum, px.px_min, px.px_max,
+      |  CAST(fr.nf AS INT) AS n_frames, CAST(fr.fps AS INT) AS fps,
+      |  round(fr.nf * 1000.0 / fr.fps, 3) AS duration_ms
+      |FROM fr JOIN px ON px.id = fr.id AND px.fi = fr.fi
+      |ORDER BY fr.id, fr.fi""".stripMargin
+
+  // ------------------------------------------- mm05 perceptual image hash
+
+  /** Perceptual image hashing — [[Multimodal.ahashPair]]: real PNG and
+    * JPEG encodes of the same closed-form raster, real `ImageIO` decodes,
+    * [[graft.llm.ImageCodec.ahash64]] on both. The 64-bit PNG hash is
+    * INTEGER-EXACT (cross-multiplied mean comparisons), so DuckDB
+    * reproduces every bit from the closed form; the JPEG twin's hamming
+    * distance is the perceptual-robustness gate (measured max 6 of 64
+    * bits across the id range — gated at ≤ 10). A codec bug, grid-split
+    * drift, or a lossy-roundtrip blowup all hash-mismatch. */
+  private def mm05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ahashPair(
+      t(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
+      .select(col("id"), col("ahash"), (col("ham_jpeg") <= 10).as("jpeg_ok"))
+      .orderBy(col("id"))
+
+  private val mm05Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
+      |    8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 150),
+      |px AS (SELECT id, w, h, p % w AS x, p // w AS y,
+      |    (id + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT id, w, h, unnest(range(w * h)) AS p FROM ids)),
+      |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1)
+      |SELECT id, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash,
+      |  TRUE AS jpeg_ok
+      |FROM cells JOIN tot USING (id)
+      |GROUP BY id ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_image_header_dims" -> (mm01 _),
+    "mm02_media_resize_frames" -> (mm02 _),
+    "mm03_audio_wav" -> (mm03 _),
+    "mm04_video_frames" -> (mm04 _),
+    "mm05_image_ahash" -> (mm05 _),
+    "mm06_audio_frame_features" -> (mm06 _),
+    "mm07_audio_vad" -> (mm07 _))
+
+  private[graft] val oracleSql: Map[String, String] = Map(
+    "mm01_image_header_dims" -> mm01Sql,
+    "mm02_media_resize_frames" -> mm02Sql,
+    "mm03_audio_wav" -> mm03Sql,
+    "mm04_video_frames" -> mm04Sql,
+    "mm05_image_ahash" -> mm05Sql,
+    "mm06_audio_frame_features" -> mm06Sql,
+    "mm07_audio_vad" -> mm07Sql)
+}

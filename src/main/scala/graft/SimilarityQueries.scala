@@ -1,0 +1,403 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
+
+/** Embedding similarity-search queries (s01–s14): brute-force /
+  * LSH / IVF / PQ / IMI top-k, embedding near-dup, semantic dedup, kNN
+  * graph, normalization and quantization.
+  * Split out of LlmQueries by family (r11) — pure move; the public surface
+  * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */
+private[graft] object SimilarityQueries {
+
+  // ---------------------------------------------------- similarity search
+
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s01Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+      |               c.vec_id) AS rank
+      |  FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH top-k, SELF-VERIFYING: recall@5 vs the brute-force twin, gated at
+    * the RecallSpec bound (0.6 with 4 tables). n_exact is k × |queries| —
+    * reproducible relationally. */
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    // uniform-random embeddings are the LSH worst case (no cluster
+    // structure); recall tracks the candidate fraction L(1+probes)/2^bits,
+    // so the dial is set to ~0.44 here to hold the 0.6 gate with margin
+    // (measured 0.78 at sf0.01). Real embedding corpora cluster, buying
+    // the same recall at a far smaller fraction.
+    val approx = Similarity.lshTopK(emb, q, k = 5, dim = 64,
+        bits = 7, probeBits = 6, tables = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s02Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** embeddings ∪ perturbed copies (every 4th vector reappears under
+    * id+100000 with +0.05 added to every coordinate — cos ≈ 0.92-0.95 to its
+    * source, far above the ~0.51 max between natural pairs). */
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    // capped at 500 vectors: s03 is the quadratic verification baseline
+    // (identical at the sf0.01 correctness scale); s04 is the scale path
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.05)).as("embedding")))
+  }
+
+  private val embWithNearDupsSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      |WHERE vec_id < 500
+      |UNION ALL
+      |SELECT vec_id + 100000,
+      |       list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+      |FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 500""".stripMargin
+
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsExact(embWithNearDups(s, dir), threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val s03Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed embedding near-dup pairs, SELF-VERIFYING vs the exact
+    * quadratic twin (s03's logic), 4 hyperplane families, gated at 0.6. */
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNearDups(s, dir).localCheckpoint()
+    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val approx = Similarity.nearDupPairs(e, threshold = 0.9, dim = 64,
+        bits = 6, tables = 4)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s04Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
+
+  /** IVF top-k, SELF-VERIFYING: recall@5 vs brute force, gated at the
+    * RecallSpec bound (0.5 at nprobe=3/nlist=8). */
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopK(s, emb, q, k = 5, nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s05Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Quantized IVF + exact re-rank (the 100 TB memory-bandwidth shape:
+    * int8 inverted-list scan, full-precision re-scoring of the top
+    * rerank·k survivors), SELF-VERIFYING like s02/s05: recall@5 vs the
+    * brute-force twin, gated at the s05 bound (same probed lists; the
+    * re-rank recovers quantization error inside them). */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKQuantized(s, emb, q, k = 5, nlist = 8,
+        nprobe = 3, rerank = 4)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s07Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** IMI (inverted multi-index) top-k: the two-level coarse quantizer —
+    * 8×8 half-space codebooks = 64 cells ranked from 16 half-dot products
+    * per row, the assignment shape that keeps nlist ∝ corpus affordable at
+    * 10⁵+ cells. SELF-VERIFYING like s05: recall@5 vs the brute-force
+    * twin, gated at the family bound (measured 0.78 at nprobe=16). */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.imiTopK(s, emb, q, k = 5, kA = 8, kB = 8,
+        nprobe = 16)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s12Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** SemDeDup-style semantic dedup (k-means cells → exact within-cell
+    * pairs), SELF-VERIFYING like s04: recall vs the exact quadratic twin
+    * over the same perturbed corpus, gated at 0.6. Precision is 1 by
+    * construction (every emitted pair is exact-cosine-checked), so the
+    * gate only needs the recall side. */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNearDups(s, dir).localCheckpoint()
+    val exact = Similarity.nearDupPairsExact(e, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val approx = Similarity.semanticDupPairs(e, threshold = 0.9, nlist = 8)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s08Sql =
+    s"""WITH e AS ($embWithNearDupsSql)
+       |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""".stripMargin
+
+  /** Approximate k-NN graph — [[Similarity.knnGraph]], SELF-VERIFYING:
+    * mean recall of the per-node exact top-5 edge set (brute-force twin,
+    * labeled oracle-scale — the graph itself never leaves cell-local
+    * work + bounded heaps) gated at 0.6. Dials from the KnnDial sweep:
+    * (nlist=16, nprobe=4) measures 0.948/0.944 recall at sf0.01/sf0.1 —
+    * recall tracks the cell geometry, not the corpus size. nlist DERIVES
+    * from the corpus (~125 rows per cell, the capSample move): a fixed
+    * nlist would let cells grow linearly with the corpus and the
+    * within-cell pair blocks quadratically — the sf1 sweep measured
+    * fixed-16 at 10× data costing ~10× more than the scaled dial. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint()
+    val nlist = math.max(16, (emb.count() / 125L).toInt)
+    val approx = Similarity.knnGraph(emb, k = 5, nlist = nlist, nprobe = 4)
+      .select(col("src"), col("dst"), lit(1).as("hit"))
+    // the twin ranks every corpus vector but only for a deterministic 10%
+    // of SOURCES — the gate is a mean over nodes, so a fixed sample pins
+    // it while keeping the twin linear in the corpus instead of quadratic
+    // (full-twin s10 at the sf1 rehearsal: 66 s, sampled: seconds)
+    val a2 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src"), col("embedding").as("v_a"))
+    val b2 = emb.select(col("vec_id").as("dst"), col("embedding").as("v_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val exact = a2.crossJoin(b2).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("src"), col("dst"))
+    exact.join(approx, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s10Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
+  /** IVF-PQ + ADC scan + exact re-rank (the index shape that fits a
+    * 100 TB corpus in executor memory: m-byte PQ codes per vector, per-
+    * query lookup tables, no dot products in the candidate scan),
+    * SELF-VERIFYING like s05/s07: recall@5 vs the brute-force twin, gated
+    * at the RecallSpec bound (0.5 at the same dials; rerank=8 because the
+    * 4-bit ADC ordering is coarser than the int8 scan's). */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKPQ(s, emb, q, k = 5, dim = 64, nlist = 8,
+        nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s09Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Metadata-FILTERED top-k ([[Similarity.filteredTopK]]): each query's
+    * neighbors come only from corpus vectors sharing its LABEL — the
+    * same-language / same-tenant retrieval shape, candidates via a hash
+    * join on the label (each query scores its bucket, never the
+    * corpus), exact by construction. Value-matched: DuckDB reproduces
+    * the label join, rounded cosines, and (cos desc, id) ranks. */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s14Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+      |    label FROM embeddings)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.embedding, c.embedding),
+      |                     6) DESC, c.vec_id) AS rank
+      |  FROM e c JOIN (SELECT * FROM e WHERE vec_id < 10) q
+      |    ON c.label = q.label
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Residual IVF-PQ ([[Similarity.ivfTopKPQResidual]], the FAISS IVFADC
+    * shape) — SELF-VERIFYING like s09: recall@5 vs the brute-force twin,
+    * gated at 0.5 with s09's exact dials, so the two rows compare the
+    * plain and residual quantizers like-for-like. RecallSpec additionally
+    * pins residual recall ≥ plain-PQ recall on this corpus. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopKPQResidual(s, emb, q, k = 5, dim = 64,
+        nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s13Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** JL random-projection prefilter + exact re-rank
+    * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
+    * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
+    * arithmetic/bandwidth; rerank=16 re-scores the top 80 projected
+    * candidates per query at full width. JlDialProbe on these UNIFORM
+    * embeddings (the JL worst case — no cluster margin between true
+    * neighbors and the pack) measures 0.76 / 0.88 at sf0.001 / sf0.01;
+    * real embedding corpora cluster, buying more recall at smaller
+    * outDim. */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.jlTopK(emb, q, k = 5, dim = 64, outDim = 32,
+        rerank = 16)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.6).as("recall_ok"))
+  }
+
+  private val s11Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** L2 normalization + int8 quantization over embeddings (oracle-checked:
+    * both are pure list arithmetic). */
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        Similarity.l2Normalize(col("v")).as("nv"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .select(col("vec_id"),
+        round(Similarity.l2Norm(col("v")), 6).as("norm"),
+        round(element_at(col("nv"), 1), 6).as("n_first"),
+        round(Similarity.l2Norm(col("nv")), 6).as("unit_norm"),
+        round(col("q").getField("scale"), 9).as("scale"),
+        element_at(col("q").getField("codes"), 1).as("code_first"))
+      .orderBy(col("vec_id"))
+
+  private val s06Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 200),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS norm,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM e)
+      |SELECT vec_id, round(norm, 6) AS norm,
+      |  round(v[1] / norm, 6) AS n_first,
+      |  round(sqrt(list_sum(list_transform(v, x -> (x/norm)*(x/norm)))), 6) AS unit_norm,
+      |  round(scale, 9) AS scale,
+      |  CAST(round(v[1] / scale, 0) AS INT) AS code_first
+      |FROM n ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk_brute" -> (s01 _),
+    "s02_cosine_topk_lsh" -> (s02 _),
+    "s03_embed_neardup_exact" -> (s03 _),
+    "s04_embed_neardup_lsh" -> (s04 _),
+    "s05_cosine_topk_ivf" -> (s05 _),
+    "s06_normalize_quantize" -> (s06 _),
+    "s07_cosine_topk_ivf_int8" -> (s07 _),
+    "s08_semantic_dedup" -> (s08 _),
+    "s09_cosine_topk_ivf_pq" -> (s09 _),
+    "s10_knn_graph" -> (s10 _),
+    "s11_cosine_topk_jl" -> (s11 _),
+    "s12_cosine_topk_imi" -> (s12 _),
+    "s13_cosine_topk_ivfpq_res" -> (s13 _),
+    "s14_cosine_topk_filtered" -> (s14 _))
+
+  private[graft] val oracleSql: Map[String, String] = Map(
+    "s01_cosine_topk_brute" -> s01Sql,
+    "s02_cosine_topk_lsh" -> s02Sql,
+    "s03_embed_neardup_exact" -> s03Sql,
+    "s04_embed_neardup_lsh" -> s04Sql,
+    "s05_cosine_topk_ivf" -> s05Sql,
+    "s06_normalize_quantize" -> s06Sql,
+    "s07_cosine_topk_ivf_int8" -> s07Sql,
+    "s08_semantic_dedup" -> s08Sql,
+    "s09_cosine_topk_ivf_pq" -> s09Sql,
+    "s10_knn_graph" -> s10Sql,
+    "s11_cosine_topk_jl" -> s11Sql,
+    "s12_cosine_topk_imi" -> s12Sql,
+    "s13_cosine_topk_ivfpq_res" -> s13Sql,
+    "s14_cosine_topk_filtered" -> s14Sql)
+}

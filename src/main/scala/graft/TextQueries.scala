@@ -910,10 +910,16 @@ private[graft] object TextQueries {
     * language's total tokens at sf0.001 so the oracle verifies the cutoff
     * boundary, not just the ranking. */
   private def t23(s: SparkSession, dir: String): DataFrame = {
+    // the scored slab is persisted (the p01 pattern): tokenBudget's
+    // decomposition reads its input twice (distinct-score classify +
+    // candidate join), and re-running the quality/token expressions —
+    // the dominant cost — doubles the query. The slab is a 4-column
+    // narrow projection, the stage output a real pipeline persists anyway.
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
         TextOps.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
     Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
         col("quality"), col("doc_id"), budget = 3000L)
       .orderBy(col("doc_id"))

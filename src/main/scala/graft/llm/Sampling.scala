@@ -211,9 +211,19 @@ object Sampling {
     *     dropped WHOLESALE before any sort; tokens-before + group total ≤
     *     budget ⇒ kept wholesale (no per-row sum needed at all). At most
     *     ONE group per stratum straddles the boundary.
-    *  3. Only the boundary group pays a per-row running-sum window,
-    *     partitioned by (stratum, score) — parallel across strata, and
-    *     bounded by the boundary group's size, not the stratum's.
+    *  3. The surviving candidate set (the inner join against the
+    *     classified groups drops everything past the budget) is
+    *     budget-bounded, so ONE per-row running-sum window over it —
+    *     partitioned by (stratum, score), so each task is bounded by a
+    *     single score-group's size, not the stratum's — decides the
+    *     boundary group; whole groups pass on their flag. One pass: the
+    *     r10 whole/boundary split-and-union re-executed the corpus-sized
+    *     input once per branch (t23 bench cost 3× the window form —
+    *     VERDICT r10 watch item 2); the single filter
+    *     `whole OR cum <= budget` needs no union and no re-execution.
+    *     The classified groups table is distinct-score-sized and
+    *     budget-bounded — broadcast explicitly, the corpus side never
+    *     shuffles for the join.
     *
     * The residual skew is a MODAL score (one score value dominating a
     * stratum) landing on the boundary: pass `tieBucket` (any
@@ -249,49 +259,52 @@ object Sampling {
       .filter(col("__tb_tb") <= budget) // tokens-before > budget: drop wholesale
       .withColumn("__tb_whole", col("__tb_tb") + col("__tb_gt") <= budget)
       .select(col("__tb_g"), col("__tb_s"), col("__tb_tb"), col("__tb_whole"))
-    val cand = keyed.join(groups, Seq("__tb_g", "__tb_s"))
-    val whole = cand.filter(col("__tb_whole"))
-    val boundary = cand.filter(!col("__tb_whole"))
+    val cand = keyed.join(broadcast(groups), Seq("__tb_g", "__tb_s"))
     val kept = tieBucket match {
       case None =>
         val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"))
           .orderBy(tie.asc)
           .rowsBetween(Window.unboundedPreceding, 0)
-        boundary
+        // cum only matters where !__tb_whole; computing it for the whole
+        // groups too is one sort of the budget-bounded candidate set and
+        // saves the split-and-union (and its re-execution of `keyed`)
+        cand
           .withColumn("__tb_cum", col("__tb_tb") + sum(col("__tb_t")).over(wRow))
-          .filter(col("__tb_cum") <= budget).drop("__tb_cum")
+          .filter(col("__tb_whole") || col("__tb_cum") <= budget)
+          .drop("__tb_cum")
       case Some(tb) =>
-        // same decomposition one level down: distinct TIE BUCKETS of the
-        // boundary group, running totals over the bucket table, per-row
-        // window only inside the boundary bucket
-        val bnd = boundary.withColumn("__tb_b", tb)
+        // same decomposition one level down: distinct TIE BUCKETS, running
+        // totals over the bucket table, the per-row window partitioned by
+        // (stratum, score, bucket) so each task is bounded by one bucket
+        val bcand0 = cand.withColumn("__tb_b", tb)
         val wB = Window.partitionBy(col("__tb_g"), col("__tb_s"))
           .orderBy(col("__tb_b").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val bkts = bnd.groupBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
+        val bkts = bcand0.groupBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
           // __tb_tb is constant within a (stratum, score) group — min()
           // just carries it through the aggregate
           .agg(sum(col("__tb_t")).as("__tb_bt"), min(col("__tb_tb")).as("__tb_gtb"))
           .withColumn("__tb_btb",
             coalesce(sum(col("__tb_bt")).over(wB), lit(0L)))
+          // buckets past the budget drop wholesale; whole-group buckets
+          // always satisfy gtb + btb <= gtb + group_total <= budget, so
+          // the filter never touches them
           .filter(col("__tb_gtb") + col("__tb_btb") <= budget)
           .withColumn("__tb_bwhole",
             col("__tb_gtb") + col("__tb_btb") + col("__tb_bt") <= budget)
           .select(col("__tb_g"), col("__tb_s"), col("__tb_b"),
             col("__tb_btb"), col("__tb_bwhole"))
-        val bcand = bnd.join(bkts, Seq("__tb_g", "__tb_s", "__tb_b"))
         val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
           .orderBy(tie.asc)
           .rowsBetween(Window.unboundedPreceding, 0)
-        bcand.filter(col("__tb_bwhole"))
-          .unionByName(bcand.filter(!col("__tb_bwhole"))
-            .withColumn("__tb_cum", col("__tb_tb") + col("__tb_btb")
-              + sum(col("__tb_t")).over(wRow))
-            .filter(col("__tb_cum") <= budget).drop("__tb_cum"))
-          .drop("__tb_b", "__tb_btb", "__tb_bwhole")
+        bcand0.join(broadcast(bkts), Seq("__tb_g", "__tb_s", "__tb_b"))
+          .withColumn("__tb_cum", col("__tb_tb") + col("__tb_btb")
+            + sum(col("__tb_t")).over(wRow))
+          .filter(col("__tb_whole") || col("__tb_bwhole") ||
+            col("__tb_cum") <= budget)
+          .drop("__tb_cum", "__tb_b", "__tb_btb", "__tb_bwhole")
     }
-    whole.unionByName(kept)
-      .drop("__tb_g", "__tb_s", "__tb_t", "__tb_tb", "__tb_whole")
+    kept.drop("__tb_g", "__tb_s", "__tb_t", "__tb_tb", "__tb_whole")
   }
 
   /** Per-cluster top-`perCluster` selection — the back half of

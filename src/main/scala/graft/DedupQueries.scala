@@ -13,17 +13,20 @@ import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 private[graft] object DedupQueries {
 
   /** documents ∪ perturbed duplicates: every doc_id%5==0 doc reappears under
-    * id+1000000 with trailing whitespace (same normalized content). */
+    * a derived collision-free offset with trailing whitespace (same
+    * normalized content). */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = LlmShared.markerOffset(s, dir)
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), concat(col("text"), lit("  ")).as("text")))
+      .select((col("doc_id") + off).as("doc_id"), concat(col("text"), lit("  ")).as("text")))
   }
 
   private val docsWithDupsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      |SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |  text || '  ' AS text
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
   // ------------------------------------------------------------ exact dedup
@@ -109,14 +112,15 @@ private[graft] object DedupQueries {
   // --------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs, SELF-VERIFYING against the injected marker
-    * duplicates (doc_id+1000000 with one appended token): emits the marker
+    * duplicates (doc_id + derived offset with one appended token): emits the marker
     * count and marker-recall ≥ 0.6. */
   private def d03(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val off = LlmShared.markerOffset(s, dir)
     val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
-    val markers = docs.filter(col("doc_id") >= 1000000)
+    val markers = docs.filter(col("doc_id") >= off)
       .agg(count(lit(1)).as("n_markers"))
-    val found = pairs.filter(col("id_b") - col("id_a") === 1000000)
+    val found = pairs.filter(col("id_b") - col("id_a") === off)
       .agg(count(lit(1)).as("n_found"))
     markers.crossJoin(found)
       .select(col("n_markers"),
@@ -138,7 +142,8 @@ private[graft] object DedupQueries {
   /** Exact-pair CTE shared by the d04 oracle and d02's recall gate. */
   private val jaccardPairsCte =
     """WITH docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+      |    text || ' graftmarker'
       |  FROM documents WHERE doc_id % 7 = 0),
       |toks AS (SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -195,7 +200,8 @@ private[graft] object DedupQueries {
     * labels) used by the d05 and d09 oracles. */
   private val clusterCte =
     """WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+      |    text || ' graftmarker'
       |  FROM documents WHERE doc_id % 7 = 0),
       |toks AS (SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

@@ -44,11 +44,22 @@ private[graft] object LlmShared {
   private[graft] def idOffset(hist: DataFrame): Long =
     hist.agg(max(col("doc_id"))).head.getLong(0) + 1
 
+  /** The collision-free offset the near-dup marker injection uses — derived
+    * from the data like [[idOffset]], NOT the old hard-coded 1 000 000:
+    * amplified corpora (sf10 = 100× sf0.1) push real doc_ids past any fixed
+    * constant, and a collision silently turns real docs into "markers" in
+    * every recall gate. Queries that classify by id range recompute this
+    * same scalar; the oracles derive it as `(SELECT MAX(doc_id) + 1 FROM
+    * documents)`. */
+  private[graft] def markerOffset(s: SparkSession, dir: String): Long =
+    idOffset(t(s, dir, "documents"))
+
   /** near-identical variants: append one token — high but <1 Jaccard. */
   private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = markerOffset(s, dir)
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" graftmarker")).as("text")))
   }
 

@@ -414,11 +414,176 @@ private[graft] object PipelineQueries {
       |  TRUE AS nd_no_false_drops, TRUE AS sem_ok,
       |  TRUE AS final_consistent""".stripMargin
 
+  // --------------------------- p03 multimodal curation pipeline branch
+
+  /** The MULTIMODAL branch of the curation pipeline — the screens a
+    * training-data run applies to image/audio shards before the text tail,
+    * composed end to end (VERDICT r10 #2: p01/p02 never touched the mm
+    * operators). Corpus: one shard row per `doc_id % 61` document carrying
+    * a REAL decodable image (PNG/GIF/BMP, [[graft.llm.Multimodal
+    * .synthesizePixelImages]]) and a REAL WAV clip, plus two planted
+    * defect streams with collision-free derived ids — perceptual image
+    * duplicates (payload synthesized from the SOURCE id → identical
+    * pixels → identical aHash) and all-silent audio
+    * (`synthesizeAudioGated(silentEvery = 1)`).
+    *
+    * Stages: (1) header-decode dims floor (≥ 8×8, also what makes the
+    * 8×8 aHash grid total) → (2) perceptual near-dup drop (keep the
+    * lowest id per aHash — mm05's primitive as a SCREEN) → (3) VAD
+    * voiced-fraction floor ≥ 0.3 over a real `javax.sound` decode
+    * (mm06/mm07's front end) → (4) the p01 text tail: quality/token
+    * scoring + per-language token budget + md5 shard key. Every stage is
+    * VALUE-MATCHED, not gated: image dims, pixel fills, aHash bit
+    * patterns, silence placement and frame counts are integer closed
+    * forms of the ids, so DuckDB reproduces each screen's exact keep set
+    * (accidental aHash collisions included) and the final rows
+    * hash-compare; per-stage keep counts ride every row as audit columns.
+    *
+    * Scale shape: codecs run in partition-parallel `mapPartitions` with
+    * no shuffle inside a stage; each screen is one grouped aggregate or
+    * broadcast-joinable keep-set; the checkpointed slabs are
+    * screen-output-sized. At 100 TB the per-shard codec cost dominates
+    * and parallelizes embarrassingly; nothing here is corpus-global
+    * except the budget tail, which is the (bounded) tokenBudget
+    * decomposition. */
+  private def p03(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val off = idOffset(hist)
+    val base = hist.filter(col("doc_id") % 61 === 0)
+    val core = base.select(col("doc_id").as("id"),
+      col("doc_id").as("img_src"), lit(3).as("sil"), col("lang"), col("text"))
+    val imgdup = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + off).as("id"), col("doc_id").as("img_src"),
+        lit(3).as("sil"), col("lang"), col("text"))
+    val silent = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2 * off).as("id"),
+        (col("doc_id") + 2 * off).as("img_src"), lit(1).as("sil"),
+        col("lang"), col("text"))
+    val shards = core.unionByName(imgdup).unionByName(silent).localCheckpoint()
+    // payloads synthesized once per DISTINCT seed (the dup stream shares
+    // its source's seed), joined back to shard rows
+    val imgs = Multimodal.synthesizePixelImages(
+        shards.select(col("img_src")).distinct(), "img_src")
+      .select(col("id").as("img_src"), col("payload"))
+    // stage 1: dims floor over a real header decode
+    val dims = Multimodal.imageDims(
+      shards.join(imgs, Seq("img_src")).select(col("id"), col("payload")))
+    val s1 = shards.join(
+      dims.filter(col("width") >= 8 && col("height") >= 8).select(col("id")),
+      Seq("id")).localCheckpoint()
+    // stage 2: perceptual near-dup screen — keep the lowest id per aHash
+    val hashed = Multimodal.ahash(
+      s1.join(imgs, Seq("img_src")).select(col("id"), col("payload")))
+    val keepImg = hashed.groupBy(col("ahash")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val s2 = s1.join(keepImg, Seq("id")).localCheckpoint()
+    // stage 3: VAD voiced-fraction floor over a real WAV decode
+    val aud = Multimodal.synthesizeAudioGated(
+        s2.filter(col("sil") === 3).select(col("id")), "id")
+      .unionByName(Multimodal.synthesizeAudioGated(
+        s2.filter(col("sil") === 1).select(col("id")), "id", silentEvery = 1))
+    val voiced = Multimodal.audioFrameFeatures(aud, frameLen = 128)
+      .groupBy(col("id"))
+      .agg((sum(when(col("energy_sum") >= 1, 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("__vf"))
+      .filter(col("__vf") >= 0.3).select(col("id"))
+    val s3 = s2.join(voiced, Seq("id")).localCheckpoint()
+    // stage 4: the p01 text tail over the multimodal survivors
+    val scored = s3.select(col("id").as("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val kept = Sampling.tokenBudget(scored, col("lang"), col("n_tokens"),
+      col("quality"), col("doc_id"), budget = 6000L)
+    // one action for all four audit counts (each side is a checkpointed
+    // slab, so the branches are RDD re-reads, not recomputation)
+    val cRow = shards.agg(count(lit(1)).as("c0"))
+      .crossJoin(s1.agg(count(lit(1)).as("c1")))
+      .crossJoin(s2.agg(count(lit(1)).as("c2")))
+      .crossJoin(s3.agg(count(lit(1)).as("c3"))).head
+    val (c0, c1, c2, c3) =
+      (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2), cRow.getLong(3))
+    kept.select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        Packing.shardKey(col("doc_id")).as("shard"),
+        lit(c0).as("n_shards"), lit(c1).as("n_dims_kept"),
+        lit(c2).as("n_imgdedup_kept"), lit(c3).as("n_vad_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val p03Sql = {
+    val allWords = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 61 = 0),
+       |shards AS (
+       |  SELECT doc_id AS id, doc_id AS img_src, 3 AS sil, lang, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + o, doc_id, 3, lang, text FROM base, off
+       |  WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2 * o, doc_id + 2 * o, 1, lang, text FROM base, off
+       |  WHERE doc_id % 5 = 0),
+       |dims AS (SELECT id, img_src, sil, lang, text,
+       |    CAST(1 + img_src % 31 AS INT) AS w,
+       |    CAST(CASE WHEN img_src % 3 = 1 THEN 5 + img_src % 13
+       |              ELSE 1 + img_src % 17 END AS INT) AS h
+       |  FROM shards),
+       |s1 AS (SELECT * FROM dims WHERE w >= 8 AND h >= 8),
+       |px AS (SELECT id, w, h,
+       |    (img_src + 7 * (p % w) + 13 * (p // w)) % 256 AS v,
+       |    p % w AS x, p // w AS y
+       |  FROM (SELECT id, img_src, w, h, unnest(range(w * h)) AS p FROM s1)),
+       |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+       |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+       |  FROM px GROUP BY 1, 2),
+       |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1),
+       |ah AS (SELECT id, CAST(SUM(CASE
+       |      WHEN cs * np > ts * cn THEN
+       |        CASE WHEN c = 0 THEN -9223372036854775808
+       |             ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+       |      ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM cells JOIN tot USING (id) GROUP BY id),
+       |keep2 AS (SELECT MIN(id) AS id FROM ah GROUP BY ahash),
+       |s2 AS (SELECT s1.* FROM s1 JOIN keep2 USING (id)),
+       |fr AS (SELECT id, sil, f.fi
+       |  FROM (SELECT id, sil, 384 + id % 1200 AS n FROM s2) t,
+       |    UNNEST(range(0, n // 128)) AS f(fi)),
+       |vf AS (SELECT id, SUM(CASE WHEN sil = 3 AND (fi // 2) % 3 <> 0
+       |      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS frac
+       |  FROM fr GROUP BY id),
+       |s3 AS (SELECT s2.* FROM s2 JOIN vf USING (id) WHERE vf.frac >= 0.3),
+       |pre AS (SELECT id AS doc_id, lang, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM s3),
+       |pre2 AS (SELECT doc_id, lang, tk, text,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM pre),
+       |scored AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    ${qualitySqlExpr("len(tk)")} AS quality
+       |  FROM pre2),
+       |cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+       |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM scored),
+       |counts AS (SELECT
+       |  CAST((SELECT COUNT(*) FROM shards) AS BIGINT) AS n_shards,
+       |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_dims_kept,
+       |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_imgdedup_kept,
+       |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_vad_kept)
+       |SELECT doc_id, lang, n_tokens, quality,
+       |  substring(md5('p' || doc_id), 1, 1) AS shard,
+       |  n_shards, n_dims_kept, n_imgdedup_kept, n_vad_kept
+       |FROM cum, counts WHERE c <= 6000 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> (p01 _),
     "p02_curation_pipeline_approx" -> (p02 _),
+    "p03_curation_multimodal" -> (p03 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _))
@@ -426,6 +591,7 @@ private[graft] object PipelineQueries {
   private[graft] val oracleSql: Map[String, String] = Map(
     "p01_curation_pipeline" -> p01Sql,
     "p02_curation_pipeline_approx" -> p02Sql,
+    "p03_curation_multimodal" -> p03Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql)

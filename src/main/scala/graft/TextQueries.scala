@@ -96,10 +96,11 @@ private[graft] object TextQueries {
     * misses are docs too short to share 20 fingerprints). */
   private def t02(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val off = LlmShared.markerOffset(s, dir)
     val pairs = TextOps.winnowNearDupPairs(docs, minShared = 20, maxDf = 50)
-    val markers = docs.filter(col("doc_id") >= 1000000)
+    val markers = docs.filter(col("doc_id") >= off)
       .agg(count(lit(1)).as("n_markers"))
-    val found = pairs.filter(col("id_b") - col("id_a") === 1000000)
+    val found = pairs.filter(col("id_b") - col("id_a") === off)
       .agg(count(lit(1)).as("n_found"))
     markers.crossJoin(found)
       .select(col("n_markers"),
@@ -393,7 +394,8 @@ private[graft] object TextQueries {
 
   private val t13Sql =
     """WITH docs2 AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text || ' graftmarker'
+      |  UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+      |    text || ' graftmarker'
       |  FROM documents WHERE doc_id % 7 = 0),
       |w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM docs2),
       |lined AS (SELECT doc_id,

@@ -12,14 +12,16 @@ import graft.Verify
   * copy CONSTANT — verbatim copies would grow true-pair counts
   * quadratically and ruin the recall-gate comparison), embeddings with
   * per-copy perturbation (near- but not exact duplicates across copies).
-  * Doc ids stay far below the 10⁶ marker-injection offset the gated
-  * queries use. Usage: `runMain graft.examples.AmplifyTestdata <outDir>`.
-  */
+  * Marker-injection offsets are DERIVED from max(doc_id) everywhere
+  * (LlmShared.markerOffset, r11), so amplified ids can grow without
+  * colliding with planted markers at any scale.
+  * Usage: `runMain graft.examples.AmplifyTestdata <outDir> [copies] [srcDir]`
+  * — default 10× sf0.1 (= sf1); `100` gives sf10. */
 object AmplifyTestdata {
   def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
-    val copies = 10
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
 
@@ -65,12 +67,9 @@ object AmplifyTestdata {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val docs = read("documents")
     val docShift = nextAbove(docs, "doc_id")
-    // the gated near-dup queries inject markers at doc_id + 10⁶ — amplified
-    // ids crossing that line would masquerade as markers and corrupt the
-    // recall gates
-    require(copies * docShift < 1000000L,
-      s"amplified doc ids would reach ${copies * docShift} — collides with " +
-        "the 1e6 marker-injection offset the gated queries use")
+    // marker-injection offsets are derived from max(doc_id) in every gated
+    // query (LlmShared.markerOffset), so amplified ids cannot collide with
+    // planted markers — the old 1e6-guard is gone with the old constant
     write("documents")((0 until copies).map { i =>
       val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       docs.select((col("doc_id") + lit(i * docShift)).as("doc_id"),

@@ -243,11 +243,14 @@ object Multimodal {
       }(enc)
   }
 
-  /** Synthetic audio with PLANTED SILENCE: every 3rd 256-sample block is
-    * zeroed ([[AudioCodec.encodeWavGated]]) — the speech/silence
-    * alternation the VAD segmenter exists for; `384 + id % 1200` samples
-    * at 8 kHz, all values closed-form reproducible. */
-  def synthesizeAudioGated(df: DataFrame, idCol: String): DataFrame = {
+  /** Synthetic audio with PLANTED SILENCE: every `silentEvery`-th
+    * 256-sample block is zeroed ([[AudioCodec.encodeWavGated]]) — the
+    * speech/silence alternation the VAD segmenter exists for;
+    * `384 + id % 1200` samples at 8 kHz, all values closed-form
+    * reproducible. `silentEvery = 1` silences EVERY block — the
+    * degenerate all-silent clip a voiced-fraction screen must reject. */
+  def synthesizeAudioGated(df: DataFrame, idCol: String,
+      silentEvery: Int = 3): DataFrame = {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -257,7 +260,7 @@ object Multimodal {
         else {
           val id = r.getLong(0)
           Row(id, AudioCodec.encodeWavGated(id, 384 + (id % 1200).toInt,
-            8000, blockLen = 256, silentEvery = 3))
+            8000, blockLen = 256, silentEvery = silentEvery))
         }
       }
     }(enc)

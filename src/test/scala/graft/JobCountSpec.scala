@@ -116,7 +116,8 @@ class JobCountSpec extends SparkSpec {
         "t10_lexical_diversity" -> 5,
         "t11_vocabulary" -> 6,
         "t12_unigram_logprob" -> 8,
-        "t13_line_dedup" -> 5,
+        // +1 r11: the derived marker offset costs one max(doc_id) scalar
+        "t13_line_dedup" -> 7,
         "t14_url_canon" -> 4,
         "d10_decontaminate" -> 9,
         "d11_cap_sample" -> 7,
@@ -242,7 +243,11 @@ class JobCountSpec extends SparkSpec {
         // encode+decode mapPartitions + islands windows + seg aggregate
         "mm07_audio_vad" -> 8,
         // label hash join + two-phase TopKAgg (measured 3)
-        "s14_cosine_topk_filtered" -> 6)) {
+        "s14_cosine_topk_filtered" -> 6,
+        // r11: four codec screens, each a checkpoint slab + keep-set join;
+        // the count is AQE sub-stage materialization jobs (tiny [1]-[3]
+        // task stages), fixed in number — not per-row work (measured 75)
+        "p03_curation_multimodal" -> 85)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

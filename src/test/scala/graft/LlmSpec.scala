@@ -829,6 +829,43 @@ class LlmSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq == (before :+ "fp_a0").sorted)
   }
 
+  test("DedupStore: compact/append exclusion — lease fails appends loud, stale lease reclaimed") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("fplease").toString
+    for (b <- 0L to 1L)
+      assert(DedupStore.appendFingerprints(spark, root, b,
+        Seq(s"fp_$b").toDF("fp")))
+    // simulate an in-flight compact: the lease file exists and is fresh
+    val lease = new java.io.File(root, "compacting")
+    assert(lease.createNewFile())
+    // append during the maintenance window: FAILS LOUD, store unchanged —
+    // never a silently-landed segment the compact's retire pass misses
+    val err = intercept[IllegalStateException] {
+      DedupStore.appendFingerprints(spark, root, 2L, Seq("fp_2").toDF("fp"))
+    }
+    assert(err.getMessage.contains("compaction in flight"))
+    assert(DedupStore.committedBatches(spark, root) == Seq(0L, 1L))
+    // a second compact against a fresh lease also fails loud
+    val err2 = intercept[IllegalStateException] {
+      DedupStore.compact(spark, root)
+    }
+    assert(err2.getMessage.contains("lease"))
+    // stale lease (dead compactor): ages out and the append reclaims it
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - 31L * 60 * 1000))
+    assert(DedupStore.appendFingerprints(spark, root, 2L,
+      Seq("fp_2").toDF("fp")))
+    assert(!lease.exists())
+    assert(DedupStore.committedBatches(spark, root) == Seq(0L, 1L, 2L))
+    // a normal compact releases its lease and the loop continues
+    val newId = DedupStore.compact(spark, root)
+    assert(!lease.exists())
+    assert(DedupStore.committedBatches(spark, root) == Seq(newId))
+    assert(DedupStore.appendFingerprints(spark, root, newId + 1,
+      Seq("fp_3").toDF("fp")))
+    assert(DedupStore.readFingerprints(spark, root).count() == 4)
+  }
+
   test("DedupStore near-dup: persisted sigs probe identically to the in-memory store") {
     import graft.llm.DedupStore
     val root = java.nio.file.Files.createTempDirectory("ndstore").toString

@@ -50,9 +50,19 @@ private[graft] object LlmShared {
     * constant, and a collision silently turns real docs into "markers" in
     * every recall gate. Queries that classify by id range recompute this
     * same scalar; the oracles derive it as `(SELECT MAX(doc_id) + 1 FROM
-    * documents)`. */
+    * documents)`.
+    *
+    * Memoized per (session, dir): ~20 gated queries each derive the same
+    * scalar during construction, and at rehearsal scale each derivation is
+    * a full single-column scan (VERDICT r11 minor). The corpus dirs are
+    * immutable test fixtures, so a cached offset can never go stale within
+    * a session; keying by session too keeps a restarted session (new
+    * catalog, maybe re-generated dir) from inheriting a dead one's value. */
+  private val markerOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
   private[graft] def markerOffset(s: SparkSession, dir: String): Long =
-    idOffset(t(s, dir, "documents"))
+    markerOffsetCache.computeIfAbsent((s, dir),
+      _ => idOffset(t(s, dir, "documents")))
 
   /** near-identical variants: append one token — high but <1 Jaccard. */
   private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {

@@ -48,19 +48,32 @@ object DedupStore {
     new HPath(root, s"done-$batchId")
   private def leasePath(root: String) = new HPath(root, "compacting")
 
-  /** Age (ms) of the compaction lease if one is held. */
+  /** Segment ids at or above this are RESERVED for [[compact]]'s merged
+    * segments: appends may never use them, so a compact's output directory
+    * can never collide with an in-flight append's — the id spaces are
+    * disjoint by construction, which is what makes the residual
+    * lease-acquired-mid-append race harmless (see [[append]]). Append ids
+    * below the base are unrestricted (the -1L seed convention included). */
+  val CompactBase: Long = 1L << 61
+
+  /** Age (ms) of the compaction lease if one is held. The release between
+    * exists() and getFileStatus() is a benign race: a vanished lease means
+    * the compactor finished — treat as lease-free, don't surface the FNF. */
   private def leaseAge(f: org.apache.hadoop.fs.FileSystem,
       root: String): Option[Long] = {
     val p = leasePath(root)
-    if (!f.exists(p)) None
-    else Some(math.max(0L,
-      System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    try {
+      if (!f.exists(p)) None
+      else Some(math.max(0L,
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** A lease older than this is treated as a dead compactor's leftover and
-    * reclaimed (the [[graft.exec.Maintenance]] `minAgeMs` convention). Set
-    * it ABOVE the longest compaction you ever expect — a live compact that
-    * outruns the gate loses its exclusion. */
+    * reclaimed (the [[graft.exec.Maintenance]] `minAgeMs` convention). A
+    * LIVE compact never ages out: it heartbeats the lease mtime every
+    * `min(60 s, maxAge/3)` for its whole run, so the ceiling only ever
+    * reclaims a compactor that actually died. */
   private def leaseMaxAgeMs(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dedupstore.leaseMaxAgeMs")
       .map(_.toLong).getOrElse(30L * 60 * 1000)
@@ -72,26 +85,39 @@ object DedupStore {
     * wrote identical data by contract); distinct batchIds never contend. */
   def append(spark: SparkSession, root: String, batchId: Long,
       rows: DataFrame): Boolean = {
+    require(batchId < CompactBase,
+      s"DedupStore: batchIds >= 2^61 ($CompactBase) are reserved for " +
+        "compaction segments")
     val f = fs(spark, root)
     if (f.exists(doneMarker(root, batchId))) return false
-    // compaction exclusion (VERDICT r10 #4): a compact's segment snapshot
-    // races any new marker, so an append while the lease is held FAILS LOUD
-    // instead of silently landing a segment the compact's delete pass never
-    // saw. A stale lease (dead compactor) is reclaimed by age, the
-    // Maintenance.recover convention. The check-then-write window is
-    // microseconds, not the compact's whole duration — the lease enforces
-    // the "appends outside the maintenance window" contract, it is not a
-    // distributed lock.
-    leaseAge(f, root).foreach { age =>
+    // compaction exclusion (VERDICT r10 #4): an append while the lease is
+    // held FAILS LOUD instead of silently landing a segment mid-maintenance.
+    // A stale lease (dead compactor — a LIVE one heartbeats) is reclaimed by
+    // age, the Maintenance.recover convention. The lease is checked twice:
+    // here, and again immediately before the marker rename below — the
+    // rows.write between them is a full Spark job (seconds to minutes), so
+    // a compact can acquire the lease mid-write; the re-check shrinks the
+    // unguarded window to the rename itself. Even that residual race cannot
+    // lose data: compact's merged segment lives in the disjoint
+    // [[CompactBase]] id space, so the worst case is a just-committed append
+    // segment the concurrent compact doesn't fold — it survives the retire
+    // pass untouched and folds next time.
+    def failIfCompacting(): Unit = leaseAge(f, root).foreach { age =>
       if (age <= leaseMaxAgeMs(spark)) throw new IllegalStateException(
         s"DedupStore at $root: compaction in flight (lease age ${age} ms) — " +
           "appends during the maintenance window are forbidden; retry after " +
           "compact finishes or raise spark.graft.dedupstore.leaseMaxAgeMs")
       f.delete(leasePath(root), false)
     }
+    failIfCompacting()
     // data first (overwrite clears any half-written retry debris) …
     rows.write.mode("overwrite").parquet(segDir(root, batchId).toString)
-    // … marker last, appearing atomically via temp-create + rename
+    // … lease re-checked NOW (the write may have taken minutes) …
+    failIfCompacting()
+    // … marker last, appearing atomically via temp-create + rename. A
+    // marker that appeared during the write means a concurrent replay of
+    // the SAME batch committed first (identical data by contract): yield.
+    if (f.exists(doneMarker(root, batchId))) return false
     val tmp = new HPath(root, s".done-$batchId.tmp")
     f.create(tmp, true).close()
     if (!f.rename(tmp, doneMarker(root, batchId)))
@@ -125,11 +151,13 @@ object DedupStore {
       .map(_.stripPrefix("done-").toLong).sorted.toSeq
   }
 
-  /** Fold all committed segments into ONE new segment (id = max + 1) and
-    * retire the olds — the offline maintenance pass that keeps the
-    * multi-path read from accumulating one footer per ingest forever.
-    * Returns the new segment's batchId (or the sole existing id if the
-    * store is already compact).
+  /** Fold all committed segments into ONE new segment and retire the
+    * olds — the offline maintenance pass that keeps the multi-path read
+    * from accumulating one footer per ingest forever. The merged segment's
+    * id lives in the RESERVED [[CompactBase]] space appends can never use,
+    * so its data directory is collision-free against any in-flight append
+    * by construction. Returns the new segment's batchId (or the sole
+    * existing id if the store is already compact).
     *
     * Crash ordering, weakest-to-strongest: (1) merged data written, (2)
     * merged marker committed, (3) OLD MARKERS removed, (4) old data
@@ -140,16 +168,24 @@ object DedupStore {
     * healed by re-running compact; after (3) only unreferenced dirs
     * remain.
     *
-    * Concurrency is ENFORCED, not just documented (VERDICT r10 #4): compact
-    * holds a `compacting` lease (created via temp+rename — the rename is the
-    * atomic arbiter between two racing compacts) for its whole run, and
-    * [[append]] fails loud while the lease is fresh, so a mis-scheduled
-    * append can never land a segment the delete pass silently misses. A
-    * crash mid-compact leaves the lease behind; it ages out after
-    * `spark.graft.dedupstore.leaseMaxAgeMs` (default 30 min) and the next
-    * compact or append reclaims it — the same stale-marker recovery as
-    * [[graft.exec.Maintenance]]. Still run compact in the ingest pipeline's
-    * maintenance window; the lease turns a scheduling bug into an error. */
+    * Concurrency is mutual-exclusion-by-lease with a fail-safe fallback
+    * (VERDICT r10 #4, hardened r12): compact holds a `compacting` lease
+    * (created via temp+rename — the rename is the atomic arbiter between
+    * two racing compacts) for its whole run and HEARTBEATS its mtime every
+    * `min(60 s, maxAge/3)`, so a long compact never ages out of its own
+    * exclusion; the stale ceiling (`spark.graft.dedupstore.leaseMaxAgeMs`,
+    * default 30 min) only reclaims a compactor that died mid-run, the same
+    * stale-marker recovery as [[graft.exec.Maintenance]]. [[append]] checks
+    * the lease both before its write and before its marker rename, so a
+    * mis-scheduled append fails loud rather than landing mid-maintenance.
+    * The one interleaving the lease cannot serialize — an append whose
+    * final check beat the lease acquisition by microseconds — is rendered
+    * harmless by the disjoint id spaces: the append's segment is simply not
+    * in this compact's snapshot, survives the retire pass (which deletes
+    * only snapshotted ids), and folds next time. Still run compact in the
+    * ingest pipeline's maintenance window; the lease turns a scheduling
+    * bug into an error, and the id-space split turns the residual race
+    * into at-worst deferred folding, never data loss. */
   def compact(spark: SparkSession, root: String): Long = {
     val f = fs(spark, root)
     leaseAge(f, root) match {
@@ -165,14 +201,28 @@ object DedupStore {
     if (!f.rename(ltmp, leasePath(root)))
       throw new IllegalStateException(
         s"DedupStore at $root: lost the compaction-lease race")
+    // lease heartbeat: touch the mtime so a live compact stays fresh under
+    // any maxAge; a dead compactor stops touching and ages out as before
+    val hbInterval = math.max(50L, math.min(60000L, leaseMaxAgeMs(spark) / 3))
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      try while (!hbStop.get()) {
+        try f.setTimes(leasePath(root), System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // lease gone = we're done
+        Thread.sleep(hbInterval)
+      } catch { case _: InterruptedException => () } // release woke us: exit
+    }, "dedupstore-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
     try {
-      // ids snapshot AFTER the lease: nothing can commit a marker between
-      // this listing and the retire pass below
+      // ids snapshot AFTER the lease: an append that saw the lease cannot
+      // commit a marker between this listing and the retire pass below
       val ids = committedBatches(spark, root)
       require(ids.nonEmpty, s"DedupStore at $root has no committed segments")
       if (ids.size == 1) return ids.head
       val merged = read(spark, root)
-      val newId = ids.max + 1
+      // merged segments live in the reserved id space (append-collision-free)
+      val newId = math.max(ids.max + 1, CompactBase)
       merged.write.mode("overwrite").parquet(segDir(root, newId).toString)
       val tmp = new HPath(root, s".done-$newId.tmp")
       f.create(tmp, true).close()
@@ -182,7 +232,11 @@ object DedupStore {
       ids.foreach { id => f.delete(doneMarker(root, id), false) }
       ids.foreach { id => f.delete(segDir(root, id), true) }
       newId
-    } finally f.delete(leasePath(root), false)
+    } finally {
+      hbStop.set(true)
+      hb.interrupt()
+      f.delete(leasePath(root), false)
+    }
   }
 
   // ------------------------------------------------- fingerprint store

@@ -221,9 +221,13 @@ object Sampling {
     *     input once per branch (t23 bench cost 3× the window form —
     *     VERDICT r10 watch item 2); the single filter
     *     `whole OR cum <= budget` needs no union and no re-execution.
-    *     The classified groups table is distinct-score-sized and
-    *     budget-bounded — broadcast explicitly, the corpus side never
-    *     shuffles for the join.
+    *     The classified groups table is distinct-score-sized — persisted,
+    *     counted off the cache, and broadcast when provably small (the
+    *     common case: the corpus side never shuffles for the join); a
+    *     degenerate near-unique score column falls back to AQE's runtime
+    *     join choice instead of an unconditional driver broadcast
+    *     (threshold: `spark.graft.tokenBudget.maxBroadcastGroups`,
+    *     default 1e6 rows).
     *
     * The residual skew is a MODAL score (one score value dominating a
     * stratum) landing on the boundary: pass `tieBucket` (any
@@ -259,7 +263,23 @@ object Sampling {
       .filter(col("__tb_tb") <= budget) // tokens-before > budget: drop wholesale
       .withColumn("__tb_whole", col("__tb_tb") + col("__tb_gt") <= budget)
       .select(col("__tb_g"), col("__tb_s"), col("__tb_tb"), col("__tb_whole"))
-    val cand = keyed.join(broadcast(groups), Seq("__tb_g", "__tb_s"))
+    // The classified-groups table is distinct-(stratum, score)-sized — tiny
+    // for real score columns (quantile buckets, quality tiers). But an
+    // UNCONDITIONAL broadcast hint bypasses autoBroadcastJoinThreshold, and
+    // with a near-unique continuous score (or many zero-token rows weakening
+    // the >=1-token-per-group bound) the table approaches corpus size —
+    // driver OOM at scale (r11 advisory). So: persist (∝ distinct scores,
+    // not corpus), count cheaply off the cache, and only hint when the side
+    // is provably small; past the threshold AQE picks the join from runtime
+    // sizes. The persist also means the classify agg runs once, not twice.
+    val maxBcast = df.sparkSession.conf
+      .getOption("spark.graft.tokenBudget.maxBroadcastGroups")
+      .map(_.toLong).getOrElse(1000000L)
+    def sizeGatedBroadcast(side: DataFrame): DataFrame = {
+      val p = side.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (p.count() <= maxBcast) broadcast(p) else p
+    }
+    val cand = keyed.join(sizeGatedBroadcast(groups), Seq("__tb_g", "__tb_s"))
     val kept = tieBucket match {
       case None =>
         val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"))
@@ -297,7 +317,7 @@ object Sampling {
         val wRow = Window.partitionBy(col("__tb_g"), col("__tb_s"), col("__tb_b"))
           .orderBy(tie.asc)
           .rowsBetween(Window.unboundedPreceding, 0)
-        bcand0.join(broadcast(bkts), Seq("__tb_g", "__tb_s", "__tb_b"))
+        bcand0.join(sizeGatedBroadcast(bkts), Seq("__tb_g", "__tb_s", "__tb_b"))
           .withColumn("__tb_cum", col("__tb_tb") + col("__tb_btb")
             + sum(col("__tb_t")).over(wRow))
           .filter(col("__tb_whole") || col("__tb_bwhole") ||

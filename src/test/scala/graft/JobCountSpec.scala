@@ -197,8 +197,10 @@ class JobCountSpec extends SparkSpec {
         "d17_group_split" -> 8,        // two aggregates + broadcast leak gate (measured 6)
         // r10: decomposed running sum — distinct-score table + classify
         // join + boundary window (measured 8; the old single-window form
-        // was 4 jobs but sorted whole strata in one task)
-        "t23_token_budget" -> 10,
+        // was 4 jobs but sorted whole strata in one task); r12 adds ONE
+        // job: the size-gate count() off the persisted classify table
+        // (r11 advisory — broadcast only when provably small). Measured 11.
+        "t23_token_budget" -> 12,
         "j01_jsonl_ingest" -> 8,       // serialize + text write + parse + agg
         "j02_provenance" -> 8,         // partitioned write + provenance agg
         "d18_incremental_neardup" -> 10)) { // two sig pipelines + band probe

@@ -807,13 +807,15 @@ class LlmSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq
     assert(before.size == 6)
     val newId = DedupStore.compact(spark, root)
-    assert(newId == 3L)
-    assert(DedupStore.committedBatches(spark, root) == Seq(3L))
+    // merged segments land in the RESERVED id space appends can't use, so
+    // a compact's data dir can never collide with an in-flight append's
+    assert(newId == DedupStore.CompactBase)
+    assert(DedupStore.committedBatches(spark, root) == Seq(newId))
     assert(DedupStore.readFingerprints(spark, root)
       .as[String].collect().sorted.toSeq == before)
     // already-compact store: no-op, returns the sole id
-    assert(DedupStore.compact(spark, root) == 3L)
-    assert(DedupStore.committedBatches(spark, root) == Seq(3L))
+    assert(DedupStore.compact(spark, root) == newId)
+    assert(DedupStore.committedBatches(spark, root) == Seq(newId))
     // crash window between merged-marker commit and old-marker removal:
     // an extra committed segment duplicating existing rows. Reads
     // over-report (duplicate-tolerant probes survive) and a re-run heals.
@@ -861,9 +863,74 @@ class LlmSpec extends SparkSpec {
     val newId = DedupStore.compact(spark, root)
     assert(!lease.exists())
     assert(DedupStore.committedBatches(spark, root) == Seq(newId))
-    assert(DedupStore.appendFingerprints(spark, root, newId + 1,
+    // next append id comes from the ORCHESTRATOR's space, not max+1 of the
+    // store: compact ids are reserved and append rejects them
+    val reserved = intercept[IllegalArgumentException] {
+      DedupStore.appendFingerprints(spark, root, newId + 1,
+        Seq("fp_3").toDF("fp"))
+    }
+    assert(reserved.getMessage.contains("reserved"))
+    assert(DedupStore.appendFingerprints(spark, root, 100L,
       Seq("fp_3").toDF("fp")))
     assert(DedupStore.readFingerprints(spark, root).count() == 4)
+  }
+
+  test("DedupStore: lease acquired MID-append-write still fails the append loud") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("fpmidrace").toString
+    assert(DedupStore.appendFingerprints(spark, root, 0L,
+      Seq("fp_0").toDF("fp")))
+    // rows whose EVALUATION drops the lease file: simulates a compact
+    // acquiring the lease while append's write job is running — after the
+    // first lease check passed but before the marker rename
+    val leaseFile = new java.io.File(root, "compacting")
+    val rows = Seq("fp_1").toDS().mapPartitions { it =>
+      new java.io.File(root, "compacting").createNewFile(); it
+    }.toDF("fp")
+    val err = intercept[IllegalStateException] {
+      DedupStore.appendFingerprints(spark, root, 1L, rows)
+    }
+    assert(err.getMessage.contains("compaction in flight"))
+    // no marker committed: the segment debris is unmarked and invisible
+    assert(DedupStore.committedBatches(spark, root) == Seq(0L))
+    assert(DedupStore.readFingerprints(spark, root).count() == 1)
+    assert(leaseFile.delete())
+  }
+
+  test("DedupStore: long compact heartbeats its lease past the stale ceiling") {
+    import graft.llm.DedupStore
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = java.nio.file.Files.createTempDirectory("fplongcompact").toString
+    for (b <- 0L to 15L)
+      assert(DedupStore.appendFingerprints(spark, root, b,
+        Seq(s"fp_$b").toDF("fp")))
+    // a ceiling far shorter than the compact: without the heartbeat the
+    // lease would age out mid-run and an append would reclaim it mid-compact
+    spark.conf.set("spark.graft.dedupstore.leaseMaxAgeMs", "400")
+    try {
+      val compacting = Future(DedupStore.compact(spark, root))
+      val lease = new java.io.File(root, "compacting")
+      val t0 = System.currentTimeMillis()
+      while (!lease.exists() && !compacting.isCompleted &&
+        System.currentTimeMillis() - t0 < 10000) Thread.sleep(5)
+      Thread.sleep(600) // > leaseMaxAgeMs: a non-heartbeated lease is stale now
+      if (!compacting.isCompleted) {
+        // live compact, lease older than the ceiling by wall-clock — the
+        // heartbeat must have kept it fresh, so the append still fails loud
+        val err = intercept[IllegalStateException] {
+          DedupStore.appendFingerprints(spark, root, 99L,
+            Seq("fp_99").toDF("fp"))
+        }
+        assert(err.getMessage.contains("compaction in flight"))
+      } // else: compact outran the sleep on this host — exclusion untestable,
+        // but the fold/release assertions below still hold
+      val newId = Await.result(compacting, 120.seconds)
+      assert(!lease.exists())
+      assert(DedupStore.committedBatches(spark, root) == Seq(newId))
+      assert(DedupStore.readFingerprints(spark, root).count() == 16)
+    } finally spark.conf.unset("spark.graft.dedupstore.leaseMaxAgeMs")
   }
 
   test("DedupStore near-dup: persisted sigs probe identically to the in-memory store") {

@@ -350,14 +350,15 @@ class PlanSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"),
         graft.llm.TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
         graft.llm.TextOps.qualityScore(col("text")).as("quality"))
-    val p = graft.llm.Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
+    val out = graft.llm.Sampling.tokenBudget(docs, col("lang"), col("n_tokens"),
         col("quality"), col("doc_id"), budget = 3000L)
-      .queryExecution.explainString(SimpleMode)
-    // r10 decomposed shape: the classify cumsum windows ride the
-    // DISTINCT-SCORE aggregate (tiny table; duplicated across the union's
-    // whole/boundary branches, exchange-reused at execution) and are
-    // recognizable by their (unboundedpreceding, -1) frame; the only
-    // per-ROW window (running sum to current row) partitions by BOTH
+    val p = out.queryExecution.explainString(SimpleMode)
+    // r10 decomposed shape, r12 persisted: the classify cumsum windows ride
+    // the DISTINCT-SCORE aggregate — since r12 that table is persisted
+    // (size-gated broadcast, r11 advisory), so they appear inside the
+    // InMemoryRelation's inlined cached plan, keyed by the stratum alone
+    // (they sort score VALUES of the tiny table, never corpus rows). The
+    // only per-ROW window (running sum to current row) partitions by BOTH
     // (stratum, score) — the boundary group — never by the stratum alone
     // over the raw scan. The old one-window form sorted entire strata in
     // single tasks.
@@ -373,7 +374,10 @@ class PlanSpec extends SparkSpec {
       s"boundary window must partition by (stratum, score):\n$p")
     assert(classify.nonEmpty && classify.forall(_._2.split(",").length == 1),
       s"classify windows ride the distinct-score table keyed by stratum:\n$p")
-    // group classification joins back broadcast (tiny distinct-score side)
+    // the classify side is the persisted distinct-score table…
+    assert(p.contains("InMemoryTableScan"),
+      s"classify side must probe the persisted table:\n$p")
+    // …and the classification joins back broadcast (provably small side)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast classify join:\n$p")
   }
 }

@@ -291,37 +291,55 @@ object Dedup {
     * they create quadratic hot keys and carry no discriminative signal;
     * [[hotShingles]] reports exactly what the guard ignored, so the cap is
     * auditable rather than silent).
-    * Exact Jaccard = shared / (|A| + |B| − shared) ≥ threshold. */
+    * Exact Jaccard = shared / (|A| + |B| − shared) ≥ threshold.
+    *
+    * Shape (r12): ONE groupBy builds the whole inverted index as bounded
+    * posting lists ([[graft.functions.CappedListAgg]] — a shingle past
+    * `maxDf` overflows to NULL during aggregation, map-side partials ship
+    * ≤ maxDf ids and hot-key partials a 5-byte tombstone), and each
+    * surviving list emits its ordered pairs IN-TASK via posexplode+slice.
+    * The r6 form shuffled the exploded (doc, shingle) table three times
+    * (df count, then both sides of a self-join); this shuffles it once,
+    * and the d09 family's dominant stage drops with it. Pair multiplicity
+    * is identical: for a<b the self-join emitted mult(a)·mult(b) rows per
+    * shingle, exactly the i<j index pairs of the sorted list with the
+    * equal-value (same-doc repeat) pairs filtered. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 1000, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // join/aggregate on the 64-bit hash of each shingle, not the string —
+    // aggregate on the 64-bit hash of each shingle, not the string —
     // fixed-width keys shuffle and compare far cheaper, and a 64-bit
     // collision across one document corpus is vanishingly unlikely
-    // persisted: the shingle pipeline feeds the df guard AND the filtered
-    // set — without this the tokenize+shingle+explode job runs twice
-    val sh = explodedShingleHashes(docs, n, idCol, textCol)
+    val idType = docs.schema(idCol).dataType
+    val grouped = explodedShingleHashes(docs, n, idCol, textCol)
+      .groupBy(col("shingle"))
+      .agg(graft.functions.CappedListAgg(col(idCol), maxDf).as("ids"))
+      .filter(col("ids").isNotNull)
+      // persisted: feeds the per-doc sizes AND the pair generation
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df guard as hash-agg + semi-join (map-side combined) — cheaper than a
-    // window (which would shuffle AND sort every (doc, shingle) row)
-    val hotShingles = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      .select(col("shingle"))
-    // persisted: feeds the per-doc sizes AND both sides of the pair join
-    val filtered = sh.join(hotShingles, Seq("shingle"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val aa = filtered.select(col("shingle"), col(idCol).as("id_a"))
-    val bb = filtered.select(col("shingle"), col(idCol).as("id_b"))
-    val shared = aa.join(bb, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val sizes = grouped.select(explode(col("ids")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_sh"))
+    val shared = grouped
+      .filter(size(col("ids")) >= 2)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")))
+      .filter(col("pos") < size(col("ids")) - 1)
+      .select(col("col").as("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")) - col("pos") - lit(1))).as("id_b"))
+      // sorted list ⇒ id_a <= id_b; equality = a doc repeating the shingle,
+      // which the old id_a < id_b join predicate excluded too
+      .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("n_sh", "n_a").withColumnRenamed(idCol, "id_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("n_sh", "n_b").withColumnRenamed(idCol, "id_b"), Seq("id_b"))
+      .join(sizes.select(col("__id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ------------------------------------------------- duplicate clustering

@@ -17,6 +17,16 @@ object Verify {
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // localCheckpoint/persist blocks are reclaimed by the ContextCleaner,
+    // which only learns a block is dead when the JVM GCs the reference —
+    // on a big heap a many-query session can run for many minutes without
+    // a single full GC, dead blocks pile up in the block manager, and
+    // per-query wall-clock degrades 2-5x (measured at sf1 with a 48g
+    // driver: d09's CC stage 3.2 s -> 16.1 s by rep 2; flat at 16g where
+    // GC runs). Spark's own remedy is the periodic-GC cleaner tick —
+    // default 30 min, far past a bench run; 90 s bounds the garbage
+    // window at negligible GC cost.
+    .config("spark.cleaner.periodicGC.interval", "90s")
     .config("spark.sql.warehouse.dir", {
       val wh = Files.createTempDirectory("graft_wh")
       // exit-time delete AFTER Spark's own teardown (low-priority hook on

@@ -8,9 +8,10 @@ import graft.Verify
   * copied verbatim, fact tables unioned `copies`× with key shifts that
   * preserve referential integrity (order keys shift in orders AND
   * lineitem; customer/part/supplier FKs stay valid), documents amplified
-  * with per-copy alphabet rotation (keeps the near-dup pair structure per
-  * copy CONSTANT — verbatim copies would grow true-pair counts
-  * quadratically and ruin the recall-gate comparison), embeddings with
+  * with a per-copy alphabet PERMUTATION (keeps the near-dup pair structure
+  * per copy CONSTANT at any copy count — verbatim copies would grow
+  * true-pair counts quadratically and ruin the recall-gate comparison;
+  * rotations, the r10 scheme, collide past 26 copies), embeddings with
   * per-copy perturbation (near- but not exact duplicates across copies).
   * Marker-injection offsets are DERIVED from max(doc_id) everywhere
   * (LlmShared.markerOffset, r11), so amplified ids can grow without
@@ -65,15 +66,39 @@ object AmplifyTestdata {
     }.reduce(_ unionByName _))
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // Per-copy alphabet PERMUTATION (deterministic xorshift Fisher–Yates),
+    // not the old rotation: rotations offer only 26 distinct transforms, so
+    // at copies > 26 every ~26th copy mapped the same source text to an
+    // IDENTICAL string — 100 copies planted 25 hidden verbatim-quadruple
+    // groups, the exact quadratic true-pair growth this transform exists to
+    // prevent (measured: d05 at sf10 ran 19× sf1 instead of ~10× — the
+    // inflation was DATA, not plan). 26! permutations keep cross-copy
+    // shingle overlap ≈ 0 at any copy count; uniqueness asserted below.
+    // Copy 0 stays identity so the source rows survive verbatim.
+    def permOf(i: Int): String =
+      if (i == 0) alpha
+      else {
+        val a = alpha.toCharArray
+        var s = 0x9e3779b97f4a7c15L ^ (i * 0x100000001b3L)
+        def nxt(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+        var j = a.length - 1
+        while (j > 0) {
+          val k = ((nxt() >>> 1) % (j + 1)).toInt
+          val t = a(j); a(j) = a(k); a(k) = t; j -= 1
+        }
+        new String(a)
+      }
+    val perms = (0 until copies).map(permOf)
+    require(perms.distinct.size == copies,
+      "per-copy alphabet permutations must be pairwise distinct")
     val docs = read("documents")
     val docShift = nextAbove(docs, "doc_id")
     // marker-injection offsets are derived from max(doc_id) in every gated
     // query (LlmShared.markerOffset), so amplified ids cannot collide with
     // planted markers — the old 1e6-guard is gone with the old constant
     write("documents")((0 until copies).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       docs.select((col("doc_id") + lit(i * docShift)).as("doc_id"),
-        translate(lower(col("text")), alpha, rot).as("text"),
+        translate(lower(col("text")), alpha, perms(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _))
 

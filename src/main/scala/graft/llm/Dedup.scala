@@ -144,30 +144,49 @@ object Dedup {
     * `bands`×`rowsPerBand` must equal the signature width. Pairs whose
     * estimated Jaccard (fraction of equal signature positions) ≥ `threshold`
     * survive. Join key is (band index, band hash) — only same-bucket docs
-    * ever meet. Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+    * ever meet. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Shape (r12, the [[incrementalNearDup]] discipline applied to the
+    * self-join): the band probe carries NARROW (band, bh, id) rows — the
+    * r6 form shipped the full k-wide signature (k=128 ⇒ ~1 KB) on BOTH
+    * sides of the band shuffle, 2·bands copies per doc — and candidate
+    * pairs are DEDUPLICATED across bands before any k-wide work, so a
+    * pair sharing b bands is scored once, not b times. The signatures
+    * join back by id to score each distinct pair exactly once. */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    // persisted: the signature pipeline (shingle explode + minhash agg) feeds
-    // both sides of the band self-join — without this it runs twice
+    // persisted AND materialized (count) before the fan-out: the signature
+    // pipeline feeds the band probe AND both sides of the pair-scoring
+    // join — three independent downstream stages that Spark can schedule
+    // CONCURRENTLY, and concurrent first readers of a lazy cache each
+    // recompute the full shuffle+aggregate before any block lands (the
+    // sf10 rehearsal measured the race at 41-204 s for the same query that
+    // runs in a deterministic ~33 s with the cache pre-materialized; sf1
+    // pays ~1.5 s for the extra traversal). An eager localCheckpoint is
+    // the wrong tool here: row-level RDD caching of the k-wide table
+    // measured 2x the COLUMNAR SQL cache at sf1 (BENCH_LOCAL r12).
     val sig = minhashSignatures(docs, k, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     // band bucket keys via the native long-mixing kernel (one expression)
     // instead of bands × xxhash64(concat_ws(…)) string churn
-    val banded = sig.select(col(idCol), col("sig"),
+    val banded = sig.select(col(idCol),
         posexplode(graft.functions.BandHashes(col("sig"), bands)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+      .select(col("pos").as("band"), col("col").as("bh"), col(idCol))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Near-dup store of a corpus — the approximate sibling of
@@ -315,8 +334,12 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(graft.functions.CappedListAgg(col(idCol), maxDf).as("ids"))
       .filter(col("ids").isNotNull)
-      // persisted: feeds the per-doc sizes AND the pair generation
+      // persisted AND materialized before the fan-out: feeds the per-doc
+      // sizes AND the pair generation — concurrent first readers of a lazy
+      // cache would each recompute the corpus-wide shingle aggregate (the
+      // minhashNearDupPairs race, same fix, measured in BENCH_LOCAL r12)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
     val sizes = grouped.select(explode(col("ids")).as("__id"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_sh"))
     val shared = grouped
@@ -380,10 +403,16 @@ object Dedup {
     * the fixpoint). */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 40): (DataFrame, Int) = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
+    // materialize the caller's pair plan ONCE before the src/dst self-union:
+    // both union branches read `pairs`, and an un-materialized pairs plan
+    // (a whole LSH or shingle pipeline) would execute TWICE before the
+    // edges persist below ever sees a row (measured: d09's chained pair
+    // stage ran double until this checkpoint — the profile's standalone
+    // stages hid it behind an explicit checkpoint between stages)
+    val base = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")).localCheckpoint()
+    val edges = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop a superseded localCheckpoint's cached RDD (Dataset.unpersist
@@ -441,7 +470,13 @@ object Dedup {
       }
       require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
       (labels.select(col("node"), col("comp")), iter)
-    } finally edges.unpersist()
+    } finally {
+      edges.unpersist()
+      // the base checkpoint is superseded once the rounds have fully
+      // materialized (or abandoned) the edges cache — release it now
+      // instead of waiting for the ContextCleaner's GC tick
+      free(base)
+    }
   }
 
   /** One row per duplicate cluster: survivor (min id), member count, and the

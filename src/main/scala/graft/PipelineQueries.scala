@@ -347,12 +347,17 @@ private[graft] object PipelineQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val evalE = emb.filter(col("vec_id") % 10 === 7)
     val nEval = evalE.count()
-    val w = org.apache.spark.sql.expressions.Window
-    val evalIdx = evalE.withColumn("__r",
-      row_number().over(w.orderBy(col("vec_id"))) - 1)
+    // ranks are CLOSED FORMS of the planted arithmetic sequences (eval
+    // vec_ids are 7, 17, 27, …; leak doc_ids are 4·off + multiples of 13),
+    // so the cyclic eval-vector assignment is a pure projection. The r10b
+    // form ranked both sides with an UNPARTITIONED row_number window —
+    // a one-task global sort whose single partition then swallowed the
+    // whole fused leak-synthesis + broadcast-kernel stage downstream of it
+    // (sf10: one 114 s task inside a 97 s wall — the stage, not the
+    // kernel, was the bottleneck).
+    val evalIdx = evalE.withColumn("__r", (col("vec_id") - 7) / 10)
     val leakEmb = leak.select(col("doc_id"))
-      .withColumn("__r",
-        (row_number().over(w.orderBy(col("doc_id"))) - 1) % nEval)
+      .withColumn("__r", ((col("doc_id") - lit(4) * off) / 13) % nEval)
       .join(evalIdx.select(col("__r"), col("embedding")), Seq("__r"))
       .select(col("doc_id").as("vec_id"),
         transform(col("embedding"), x => x + lit(0.05)).as("embedding"))

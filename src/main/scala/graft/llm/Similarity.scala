@@ -245,23 +245,39 @@ object Similarity {
     * saturates at ~10³ points per list; the limit reads only as many
     * partitions as needed. */
   /** THE bounded-sample contract for every driver-local fit (coarse
-    * k-means, IMI half-codebooks, PQ codebooks): one limited scan,
-    * null-filtered, widened to double — `fitSampleLimit` bounds driver
-    * memory (100k × 64 doubles ≈ 50 MB) and the limit reads only as many
-    * partitions as needed. Centralized so the sampling rules can't drift
-    * between the three fits. */
+    * k-means, IMI half-codebooks, PQ codebooks): a UNIFORM Bernoulli
+    * sample at fraction `fitSampleLimit / count`, null-filtered, widened
+    * to double — `fitSampleLimit` hard-caps driver memory (100k × 64
+    * doubles ≈ 50 MB; the trailing limit only trims the rare overshoot).
+    *
+    * r12: this was `.limit(fitSampleLimit)` — which reads only the FIRST
+    * partitions of the corpus. On any layout-correlated corpus (time- or
+    * source-sorted files — i.e., every real corpus) that fits the
+    * quantizers on a non-representative slice; the sf10 rehearsal caught
+    * it red-handed: the PQ codebooks centered on the middle copy-offsets
+    * of the amplified corpus, the query region quantized badly, and s09's
+    * recall gate went RED with the approx path returning a contiguous
+    * band of far copies at cos 0.97 instead of the true 0.9999 neighbors.
+    * The uniform sample costs one metadata-cheap count + one narrow scan
+    * of the vector column per fit — the honest price of a representative
+    * codebook; the limit-based form was cheaper but WRONG at scale.
+    * Centralized so the sampling rules can't drift between the fits. */
   private def sampleVectors(corpus: DataFrame, vecCol: String,
       fitSampleLimit: Int, what: String): Array[Array[Double]] = {
-    val sample = corpus
+    val pool = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(vecCol).cast("array<double>").as("__v"))
-      .limit(fitSampleLimit)
+    val n = pool.count()
+    require(n > 0, s"$what: empty corpus")
+    val frac = fitSampleLimit.toDouble / n.toDouble
+    val thinned = if (frac >= 1.0) pool else pool.sample(false, frac, 7L)
+    val sample = thinned.limit(fitSampleLimit)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, s"$what: empty corpus")
     sample
   }
 
-  private def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long,
+  private[graft] def kmeansCentroids(corpus: DataFrame, nlist: Int, seed: Long,
       idCol: String, vecCol: String,
       fitSampleLimit: Int): Seq[(Int, Seq[Double])] = {
     // ONE bounded scan, collected, then driver-local Lloyd's — the same
@@ -993,29 +1009,41 @@ object Similarity {
     * cosine — the precursor structure for SemDeDup-style cluster pruning,
     * graph-based diversity sampling, and agglomerative dedup. Same cell
     * decomposition as [[semanticDupPairs]] (bounded-sample k-means,
-    * shuffle-free top-`nprobe`-cell multi-assignment), scored pairs only
-    * WITHIN a cell and in both directions, then the scale-safe two-phase
+    * shuffle-free assignment), but ASYMMETRIC like [[ivfTopK]]: the
+    * candidate side lives in its single nearest cell, the query side
+    * probes its `nprobe` nearest cells, then the scale-safe two-phase
     * top-k per source ([[finalTopK]]: bounded-heap map-side partials, no
-    * single-reducer window). Candidate edges ≈ nprobe²·corpus²/nlist under
+    * single-reducer window). Candidate edges ≈ nprobe·corpus²/nlist under
     * balanced cells; nlist is the cost dial exactly as in
-    * [[semanticDupPairs]]. A true neighbor is missed only if its
-    * nprobe-nearest-cell set is disjoint from the source's — s10 gates
+    * [[semanticDupPairs]]. A true neighbor is missed only if its single
+    * nearest cell is outside the source's nprobe probe set — s10 gates
     * mean recall@k against the brute-force twin in-query. */
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
     val centroids = kmeansCentroids(corpus, nlist, seed, idCol, vecCol,
       fitSampleLimit)
-    val assigned = assignTopCentroids(corpus, centroids, nprobe, idCol, vecCol)
-    val a = assigned.select(col("centroid_id"), col("corpus_id").as("query_id"),
-      col("c_vec").as("v_a"))
-    val b = assigned.select(col("centroid_id"), col("corpus_id").as("corpus_id"),
-      col("c_vec").as("v_b"))
+    // ASYMMETRIC assignment: the candidate (dst) side sits in its
+    // `dstProbes` nearest cells (< nprobe), the query (src) side fans out
+    // over all nprobe. Candidate edges ≈ nprobe·dstProbes·corpus²/nlist —
+    // the pre-r12 form assigned BOTH sides to nprobe cells and paid the
+    // full nprobe² multiplier. A fully-asymmetric dst=1 (the ivfTopK
+    // shape) measured recall 0.59 at the RecallSpec dials — at the 0.6
+    // gate edge; dst=2/src=4 halves the pair work and measures with
+    // margin. A true neighbor is missed only if its dstProbes nearest
+    // cells are ALL outside src's nprobe probe set — s10's in-query gate
+    // verifies the bound holds.
+    val dstProbes = math.min(2, nprobe)
+    val a = assignTopCentroids(corpus, centroids, nprobe, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("v_a"))
+    val b = assignTopCentroids(corpus, centroids, dstProbes, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id"), col("c_vec").as("v_b"))
     val scored = a.join(b, Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
-      // a pair co-assigned to several cells scores identically in each:
+      // a pair sharing up to dstProbes cells scores identically in each:
       // dedup before the heap so duplicates can't crowd out real neighbors
       .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
     finalTopK(scored, k)

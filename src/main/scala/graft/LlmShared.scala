@@ -58,11 +58,26 @@ private[graft] object LlmShared {
     * immutable test fixtures, so a cached offset can never go stale within
     * a session; keying by session too keeps a restarted session (new
     * catalog, maybe re-generated dir) from inheriting a dead one's value. */
+  // WEAK keys, not a strong (session, dir) tuple map: a session is a
+  // heavyweight object (state, caches, listener refs) and a strong map key
+  // would pin every session that ever derived an offset for the JVM
+  // lifetime (ADVICE r12). WeakHashMap uses identity here (SparkSession
+  // doesn't override equals), so a restarted session still never inherits
+  // a dead one's value; the per-session inner map holds no session ref.
   private val markerOffsetCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
-  private[graft] def markerOffset(s: SparkSession, dir: String): Long =
-    markerOffsetCache.computeIfAbsent((s, dir),
-      _ => idOffset(t(s, dir, "documents")))
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private[graft] def markerOffset(s: SparkSession, dir: String): Long = {
+    val per = markerOffsetCache.synchronized {
+      var m = markerOffsetCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        markerOffsetCache.put(s, m)
+      }
+      m
+    }
+    per.computeIfAbsent(dir, _ => idOffset(t(s, dir, "documents"))).longValue()
+  }
 
   /** near-identical variants: append one token — high but <1 Jaccard. */
   private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {

@@ -57,6 +57,19 @@ case class CappedListAgg(
 
   require(cap >= 1, "cap >= 1")
 
+  // fail at ANALYSIS time, not as a MatchError deep inside an executor
+  // task: the buffer stores longs, so only integral id columns are legal
+  // (callers with string/decimal ids dictionary-encode first — see
+  // [[graft.llm.Dedup.ngramJaccardPairs]]).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    id.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"CappedListAgg requires an integral id column (byte/short/int/long), got $t")
+    }
+
   override def children: Seq[Expression] = Seq(id)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deduplication operators for training-data pipelines, each designed to be
   * shuffle-minimal at 100 TB:
@@ -330,6 +331,29 @@ object Dedup {
     // fixed-width keys shuffle and compare far cheaper, and a 64-bit
     // collision across one document corpus is vanishingly unlikely
     val idType = docs.schema(idCol).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integralId) {
+      // CappedListAgg's buffer stores longs, so non-integral ids (strings,
+      // decimals) are dictionary-encoded to longs, the integral path runs,
+      // and the (small) pair output joins back to the original ids. The
+      // dict is localCheckpoint-ed because monotonically_increasing_id is
+      // not recompute-stable — the two decode joins must see ONE assignment.
+      val dict = docs.select(col(idCol).as("__orig")).distinct()
+        .withColumn("__gid", monotonically_increasing_id())
+        .localCheckpoint()
+      val encoded = docs.withColumnRenamed(idCol, "__origId")
+        .join(dict, col("__origId") === col("__orig"))
+        .select(col("__gid").as(idCol), col(textCol))
+      return ngramJaccardPairs(encoded, n, threshold, maxDf, idCol, textCol)
+        .join(dict.select(col("__gid").as("id_a"), col("__orig").as("__oa")), Seq("id_a"))
+        .join(dict.select(col("__gid").as("id_b"), col("__orig").as("__ob")), Seq("id_b"))
+        .select(least(col("__oa"), col("__ob")).as("id_a"),
+          greatest(col("__oa"), col("__ob")).as("id_b"),
+          col("jaccard"))
+    }
     val grouped = explodedShingleHashes(docs, n, idCol, textCol)
       .groupBy(col("shingle"))
       .agg(graft.functions.CappedListAgg(col(idCol), maxDf).as("ids"))

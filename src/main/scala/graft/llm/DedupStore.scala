@@ -206,9 +206,29 @@ object DedupStore {
     val hbInterval = math.max(50L, math.min(60000L, leaseMaxAgeMs(spark) / 3))
     val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
+      // setTimes is a silent no-op in the base FileSystem impl and on common
+      // object stores (S3A) — there a long compact would age out of its OWN
+      // lease despite heartbeating. Verify the mtime actually advanced on
+      // the first beat; if not, fall back to rewriting the lease content
+      // (a fresh create always moves the mtime). The rewrite is guarded by
+      // an exists() check so a finished/released lease is never resurrected.
+      var rewriteFallback = false
+      var verified = false
       try while (!hbStop.get()) {
-        try f.setTimes(leasePath(root), System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () } // lease gone = we're done
+        try {
+          val p = leasePath(root)
+          if (!rewriteFallback) {
+            val want = System.currentTimeMillis()
+            f.setTimes(p, want, -1)
+            if (!verified) {
+              val got = f.getFileStatus(p).getModificationTime
+              if (math.abs(got - want) > hbInterval) rewriteFallback = true
+              verified = true
+            }
+          }
+          if (rewriteFallback && f.exists(p) && !hbStop.get())
+            f.create(p, true).close()
+        } catch { case _: java.io.IOException => () } // lease gone = done
         Thread.sleep(hbInterval)
       } catch { case _: InterruptedException => () } // release woke us: exit
     }, "dedupstore-lease-heartbeat")
@@ -220,7 +240,13 @@ object DedupStore {
       val ids = committedBatches(spark, root)
       require(ids.nonEmpty, s"DedupStore at $root has no committed segments")
       if (ids.size == 1) return ids.head
-      val merged = read(spark, root)
+      // Build the merged segment from the SNAPSHOT, not a re-listing read():
+      // an append whose marker lands between two listings would otherwise be
+      // folded into the merge AND survive the retire pass (which deletes only
+      // snapshotted ids) — permanent duplication. Reading exactly `ids` makes
+      // the folded set and the retired set identical by construction; the
+      // racing append's segment simply folds next time (deferred, never dup).
+      val merged = spark.read.parquet(ids.map(id => segDir(root, id).toString): _*)
       // merged segments live in the reserved id space (append-collision-free)
       val newId = math.max(ids.max + 1, CompactBase)
       merged.write.mode("overwrite").parquet(segDir(root, newId).toString)
@@ -235,6 +261,7 @@ object DedupStore {
     } finally {
       hbStop.set(true)
       hb.interrupt()
+      hb.join(5000) // serialize: no beat (esp. rewrite-fallback create) after release
       f.delete(leasePath(root), false)
     }
   }

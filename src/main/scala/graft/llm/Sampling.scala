@@ -242,6 +242,23 @@ object Sampling {
     * and `score` non-null (the decomposition joins on them — same
     * contract as qualityTopQ), `tie` unique within a stratum so the kept
     * set is deterministic. */
+  /** Bounded release seam for [[tokenBudget]]'s persisted classify tables
+    * (ADVICE r12): keep the newest few handles, unpersist the oldest — the
+    * leak is bounded at `keep` CacheManager entries per JVM instead of one
+    * per call for the session lifetime, and a recycled entry's surviving
+    * consumers simply recompute. Non-blocking unpersist: an in-flight job
+    * over a recycled cache finishes from the blocks it already holds. */
+  private val persistedClassify = new java.util.ArrayDeque[DataFrame]()
+  private def boundedPersist(side: DataFrame, keep: Int = 8): DataFrame = {
+    val p = side.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedClassify.synchronized {
+      persistedClassify.addLast(p)
+      while (persistedClassify.size > keep)
+        persistedClassify.removeFirst().unpersist(false)
+    }
+    p
+  }
+
   def tokenBudget(df: DataFrame, stratum: Column, tokens: Column,
       score: Column, tie: Column, budget: Long,
       tieBucket: Option[Column] = None): DataFrame = {
@@ -276,7 +293,16 @@ object Sampling {
       .getOption("spark.graft.tokenBudget.maxBroadcastGroups")
       .map(_.toLong).getOrElse(1000000L)
     def sizeGatedBroadcast(side: DataFrame): DataFrame = {
-      val p = side.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persist + bounded release registry: a persist() here has no natural
+      // unpersist point (the cache must outlive this call), so each
+      // tokenBudget call would otherwise leak one CacheManager entry for
+      // the session lifetime (ADVICE r12). boundedPersist recycles the
+      // oldest handles — a recycled entry's consumers just recompute
+      // (persist is purely a perf hint), and unlike localCheckpoint the
+      // cached side keeps recompute-on-loss fault tolerance on a real
+      // cluster. The count is necessarily eager: the broadcast-vs-shuffle
+      // decision needs the size at plan-construction time.
+      val p = boundedPersist(side)
       if (p.count() <= maxBcast) broadcast(p) else p
     }
     val cand = keyed.join(sizeGatedBroadcast(groups), Seq("__tb_g", "__tb_s"))

@@ -257,8 +257,18 @@ private[graft] object SimilarityQueries {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, k = 5)
       .select(col("query_id"), col("corpus_id"))
+    // rerank = 32: rerank·k is the candidate budget of the exact re-rank
+    // pass, and it must cover the ADC TIE MULTIPLICITY — on the amplified
+    // rehearsal corpora every vector has `copies` near-duplicates whose PQ
+    // codes collide (the 0.001-shift is far below the quantization step),
+    // so the top-rerank·k ADC candidates are a coin-flip subset of the tie
+    // cluster until the budget covers it (sf10, 100 copies: rerank=8 →
+    // recall 0.12, rerank=32 → 1.00; finer codebooks DON'T fix it —
+    // cbs=64 at rerank=8 is still 0.48). 160 broadcast exact cosines per
+    // query is trivially cheap at any corpus size; the corpus-side scan
+    // stays untouched.
     val approx = Similarity.ivfTopKPQ(s, emb, q, k = 5, dim = 64, nlist = 8,
-        nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+        nprobe = 3, m = 8, codebookSize = 16, rerank = 32)
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
@@ -306,7 +316,7 @@ private[graft] object SimilarityQueries {
     val exact = Similarity.bruteForceTopK(emb, q, k = 5)
       .select(col("query_id"), col("corpus_id"))
     val approx = Similarity.ivfTopKPQResidual(s, emb, q, k = 5, dim = 64,
-        nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 8)
+        nlist = 8, nprobe = 3, m = 8, codebookSize = 16, rerank = 32)
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),

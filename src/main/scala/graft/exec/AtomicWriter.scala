@@ -123,25 +123,31 @@ object AtomicWriter {
         out.schema.map(f => f.name -> f.dataType).toMap ==
           meta.schema.map(f => f.name -> f.dataType).toMap
     }
-    if (existed && bucketBy.isEmpty &&
-        Committer.forSession(spark) == VersionedCommitter && sameShape) {
-      VersionedCommitter.overwriteTable(spark, df, target, partition)
-      return
-    }
     val stamp = Committer.newStamp()
-    val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
-    val old = target.copy(name = target.name + "__graft_old_" + stamp)
-    // bucket spec travels WITH the staged table through the rename (the
-    // catalog moves the whole CatalogTable), so bucketed replacements get
-    // the same crash-recoverable swap as everything else
-    createOrReplace(spark, df, stg, partition, bucketBy)
-    if (existed) {
-      spark.sql(s"ALTER TABLE ${target.render} RENAME TO ${old.render}")
-      repairPartitionLocations(spark, old)
+    // heartbeated writer-presence marker for the WHOLE swap (stage through
+    // rename/flip): Maintenance.recover won't sweep this table's stamped
+    // rollback artifacts while the marker is fresh, however long the
+    // staging write runs (WriterLease — the DedupStore heartbeat shape)
+    WriterLease.holding(spark, target, stamp) {
+      if (existed && bucketBy.isEmpty &&
+          Committer.forSession(spark) == VersionedCommitter && sameShape) {
+        VersionedCommitter.overwriteTable(spark, df, target, partition)
+        return
+      }
+      val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
+      val old = target.copy(name = target.name + "__graft_old_" + stamp)
+      // bucket spec travels WITH the staged table through the rename (the
+      // catalog moves the whole CatalogTable), so bucketed replacements get
+      // the same crash-recoverable swap as everything else
+      createOrReplace(spark, df, stg, partition, bucketBy)
+      if (existed) {
+        spark.sql(s"ALTER TABLE ${target.render} RENAME TO ${old.render}")
+        repairPartitionLocations(spark, old)
+      }
+      spark.sql(s"ALTER TABLE ${stg.render} RENAME TO ${target.render}")
+      repairPartitionLocations(spark, target)
+      if (existed) spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
     }
-    spark.sql(s"ALTER TABLE ${stg.render} RENAME TO ${target.render}")
-    repairPartitionLocations(spark, target)
-    if (existed) spark.sql(s"DROP TABLE IF EXISTS ${old.render}")
   }
 
   /** RENAME moves a managed table's directory but leaves each PARTITION's
@@ -209,8 +215,12 @@ object AtomicWriter {
       .select(tgtCols.map(col).toIndexedSeq: _*)
     val tgtDir = tableDir(spark, target)
     val fs = fsOf(spark, tgtDir)
-    val commit = Committer.forSession(spark)
-      .stageAndCommit(spark, aligned, target, partition, tgtDir, fs)
+    // writer-presence marker (see overwriteTable): fresh marker = recover
+    // keeps its hands off this table's stamped staging/trash artifacts
+    val commit = WriterLease.holding(spark, target, Committer.newStamp()) {
+      Committer.forSession(spark)
+        .stageAndCommit(spark, aligned, target, partition, tgtDir, fs)
+    }
     // REFRESH TABLE is needed only when a path Spark may have LISTED
     // before changed underneath it (replaced or deleted partition dirs —
     // the FileStatusCache holds stale listings for those). Brand-new

@@ -127,6 +127,16 @@ object Maintenance {
     * any writer that started within the window keeps its rollback state. */
   def recover(spark: SparkSession, target: TableRef): Seq[String] = {
     val actions = scala.collection.mutable.ListBuffer[String]()
+    // a LIVE writer lease (heartbeated presence marker, [[WriterLease]])
+    // is a positive "writer in flight" signal — stronger than the stamp
+    // age heuristic below, which a write merely LONGER than minAgeMs
+    // defeats. Refuse to sweep anything while one is fresh; a crashed
+    // writer's marker stops beating and ages out of the ceiling.
+    val live = WriterLease.liveWriters(spark, target)
+    if (live.nonEmpty)
+      return Seq(s"SKIPPED recover of ${target.render} — live writer " +
+        s"lease(s) ${live.mkString(", ")} present (heartbeated; a crashed " +
+        "writer's lease ages out at spark.graft.writerLease.maxAgeMs)")
     val cat = spark.sessionState.catalog
     def exists(r: TableRef) =
       spark.catalog.tableExists(r.render.replace("`", ""))

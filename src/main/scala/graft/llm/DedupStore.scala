@@ -60,14 +60,8 @@ object DedupStore {
     * exists() and getFileStatus() is a benign race: a vanished lease means
     * the compactor finished — treat as lease-free, don't surface the FNF. */
   private def leaseAge(f: org.apache.hadoop.fs.FileSystem,
-      root: String): Option[Long] = {
-    val p = leasePath(root)
-    try {
-      if (!f.exists(p)) None
-      else Some(math.max(0L,
-        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
-    } catch { case _: java.io.FileNotFoundException => None }
-  }
+      root: String): Option[Long] =
+    graft.exec.Lease.age(f, leasePath(root))
 
   /** A lease older than this is treated as a dead compactor's leftover and
     * reclaimed (the [[graft.exec.Maintenance]] `minAgeMs` convention). A
@@ -196,44 +190,13 @@ object DedupStore {
       case Some(_) => f.delete(leasePath(root), false) // dead compactor
       case None => ()
     }
-    val ltmp = new HPath(root, ".compacting.tmp")
-    f.create(ltmp, true).close()
-    if (!f.rename(ltmp, leasePath(root)))
-      throw new IllegalStateException(
-        s"DedupStore at $root: lost the compaction-lease race")
-    // lease heartbeat: touch the mtime so a live compact stays fresh under
-    // any maxAge; a dead compactor stops touching and ages out as before
-    val hbInterval = math.max(50L, math.min(60000L, leaseMaxAgeMs(spark) / 3))
-    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val hb = new Thread(() => {
-      // setTimes is a silent no-op in the base FileSystem impl and on common
-      // object stores (S3A) — there a long compact would age out of its OWN
-      // lease despite heartbeating. Verify the mtime actually advanced on
-      // the first beat; if not, fall back to rewriting the lease content
-      // (a fresh create always moves the mtime). The rewrite is guarded by
-      // an exists() check so a finished/released lease is never resurrected.
-      var rewriteFallback = false
-      var verified = false
-      try while (!hbStop.get()) {
-        try {
-          val p = leasePath(root)
-          if (!rewriteFallback) {
-            val want = System.currentTimeMillis()
-            f.setTimes(p, want, -1)
-            if (!verified) {
-              val got = f.getFileStatus(p).getModificationTime
-              if (math.abs(got - want) > hbInterval) rewriteFallback = true
-              verified = true
-            }
-          }
-          if (rewriteFallback && f.exists(p) && !hbStop.get())
-            f.create(p, true).close()
-        } catch { case _: java.io.IOException => () } // lease gone = done
-        Thread.sleep(hbInterval)
-      } catch { case _: InterruptedException => () } // release woke us: exit
-    }, "dedupstore-lease-heartbeat")
-    hb.setDaemon(true)
-    hb.start()
+    // atomic acquire + VERIFIED heartbeat via the shared lease util (the
+    // setTimes-no-op object-store fallback and the release/beat
+    // serialization live there — graft.exec.Lease)
+    val handle = graft.exec.Lease.tryAcquire(f, leasePath(root),
+        graft.exec.Lease.intervalFor(leaseMaxAgeMs(spark)))
+      .getOrElse(throw new IllegalStateException(
+        s"DedupStore at $root: lost the compaction-lease race"))
     try {
       // ids snapshot AFTER the lease: an append that saw the lease cannot
       // commit a marker between this listing and the retire pass below
@@ -258,12 +221,7 @@ object DedupStore {
       ids.foreach { id => f.delete(doneMarker(root, id), false) }
       ids.foreach { id => f.delete(segDir(root, id), true) }
       newId
-    } finally {
-      hbStop.set(true)
-      hb.interrupt()
-      hb.join(5000) // serialize: no beat (esp. rewrite-fallback create) after release
-      f.delete(leasePath(root), false)
-    }
+    } finally handle.release()
   }
 
   // ------------------------------------------------- fingerprint store

@@ -68,6 +68,78 @@ class MaintenanceSpec extends SparkSpec {
     assert(calls == 4 && e.getMessage.contains("lease"))
   }
 
+  test("recover refuses to sweep while a writer lease is fresh; sweeps after release") {
+    val ref = TableRef("default.maint_lease_race")
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    // an abandoned staging table with an ANCIENT stamp (year 2001): far
+    // outside any minAgeMs grace window, so only the lease protects it
+    val stg = ref.copy(name = ref.name + "__graft_stg_1000000000000_000001")
+    Seq((9L, "z")).toDF("id", "v").write.saveAsTable(stg.render)
+    // a "live writer": heartbeated presence marker held across the recover
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      graft.exec.WriterLease.holding(spark, ref, "1000000000000_000001") {
+        held.countDown()
+        release.await()
+      }
+    })
+    writer.start()
+    held.await()
+    val skipped = Maintenance.recover(spark, ref)
+    assert(skipped.size == 1 && skipped.head.contains("SKIPPED"),
+      s"recover must refuse under a live lease: $skipped")
+    assert(spark.catalog.tableExists(stg.render),
+      "live writer's staging table was swept")
+    release.countDown()
+    writer.join(10000)
+    val swept = Maintenance.recover(spark, ref)
+    assert(swept.exists(_.contains("__graft_stg_1000000000000_000001")),
+      s"released lease must unblock the sweep: $swept")
+    assert(!spark.catalog.tableExists(stg.render))
+  }
+
+  test("a dead writer's lease ages out; a live one heartbeats past the ceiling") {
+    val ref = TableRef("default.maint_lease_age")
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    spark.conf.set("spark.graft.writerLease.maxAgeMs", "300")
+    try {
+      // crashed writer: marker exists but nothing heartbeats it
+      val cat = spark.sessionState.catalog
+      val dbDir = new org.apache.hadoop.fs.Path(
+        cat.getDatabaseMetadata("default").locationUri)
+      val dir = new org.apache.hadoop.fs.Path(dbDir, ".graft_writer_leases")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dir)
+      val dead = new org.apache.hadoop.fs.Path(dir,
+        s"${ref.name}__1000000000000_000002")
+      fs.create(dead, true).close()
+      assert(graft.exec.WriterLease.liveWriters(spark, ref).nonEmpty)
+      Thread.sleep(400)
+      assert(graft.exec.WriterLease.liveWriters(spark, ref).isEmpty,
+        "un-heartbeated marker must age out of the ceiling")
+      assert(!fs.exists(dead), "aged-out marker must be reclaimed")
+      // live writer: the heartbeat (interval = ceiling/3 = 100 ms) keeps
+      // the marker fresh well past the ceiling
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        graft.exec.WriterLease.holding(spark, ref, "1000000000000_000003") {
+          done.await()
+        }
+      })
+      t.start()
+      Thread.sleep(700)
+      assert(graft.exec.WriterLease.liveWriters(spark, ref).nonEmpty,
+        "heartbeated marker aged out despite a live writer")
+      done.countDown()
+      t.join(10000)
+      assert(graft.exec.WriterLease.liveWriters(spark, ref).isEmpty,
+        "release must remove the marker")
+    } finally spark.conf.unset("spark.graft.writerLease.maxAgeMs")
+  }
+
   test("Retry does NOT retry data-destroying or unknown failures") {
     var calls = 0
     intercept[java.io.IOException] {

@@ -127,19 +127,29 @@ class RecallSpec extends SparkSpec {
   }
 
   test("IVF argmax projection survives a realistic nlist (codegen width)") {
-    // the shuffle-free centroid assignment unrolls nlist cosine expressions
-    // into ONE projection — at production nlist (hundreds+) the generated
-    // code must split across methods rather than fail or fall over. Recall
-    // vs brute force must also stay sane when each list holds few vectors.
+    // the assignment kernel must NEVER run interpreted: with codegen
+    // fallback DISABLED a whole-stage compile failure throws instead of
+    // silently falling back (the r12 suite logged two janino 64 KB
+    // failures here and still passed — a 2–5× tax at cluster scale hiding
+    // behind green). nlist=63 pins the largest plan-literal dial in the
+    // heaviest fused shape (assignment + probe join + pair cosine in one
+    // processNext); nlist=128 rides the bulk broadcast-matrix route
+    // (BulkNlistThreshold=64) and must also compile clean. Recall vs
+    // brute force must stay sane when each list holds few vectors.
     val emb = Tables.t(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" < 10)
-    val got = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 128, nprobe = 32)
-    assert(got.count() == 50, "k results per query at nlist=128")
-    val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
-      .select("query_id", "corpus_id"))
-    val approx = rows(got.select("query_id", "corpus_id"))
-    val r = approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
-    assert(r >= 0.5, f"IVF nlist=128 recall $r%.3f below bound")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val lit = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 63, nprobe = 16)
+      assert(lit.count() == 50, "k results per query at nlist=63 (literal path)")
+      val got = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 128, nprobe = 32)
+      assert(got.count() == 50, "k results per query at nlist=128 (bulk path)")
+      val exact = rows(Similarity.bruteForceTopK(emb, q, k = 5)
+        .select("query_id", "corpus_id"))
+      val approx = rows(got.select("query_id", "corpus_id"))
+      val r = approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+      assert(r >= 0.5, f"IVF nlist=128 recall $r%.3f below bound")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("quantized IVF + re-rank: recall bound, and exact under total coverage") {

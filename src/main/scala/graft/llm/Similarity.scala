@@ -84,14 +84,12 @@ object Similarity {
 
   /** Symmetric int8 quantization with a per-vector scale = max|x|/127:
     * returns (scale, array<int> codes). The standard storage/bandwidth dial
-    * for embedding corpora (4× smaller than float32, 8× than float64). */
-  def quantizeInt8(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
-    struct(scale.as("scale"),
-      when(scale === 0, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x => round(x.cast("double") / scale, 0).cast("int")))
-        .as("codes"))
-  }
+    * for embedding corpora (4× smaller than float32, 8× than float64).
+    * One fused native pass ([[graft.functions.QuantizeInt8]]) — the HOF
+    * form re-inlined its (normalize-chain) child into every lambda
+    * reference and re-ran it per CANDIDATE PAIR when the projection
+    * collapsed into the s07 probe join: ~30× on the int8 scan. */
+  def quantizeInt8(v: Column): Column = graft.functions.QuantizeInt8(v)
 
   /** Dequantize back to array<double>. */
   def dequantizeInt8(q: Column): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Dedup / decontamination / sampling queries (d01–d23): exact,
+/** Dedup / decontamination / sampling queries (d01–d24): exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, cluster canonicalization, the
   * durable-store ingest loops, splits and samplers.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -793,6 +793,67 @@ private[graft] object DedupQueries {
       |FROM r WHERE rank <= 3
       |ORDER BY centroid_id, rank""".stripMargin
 
+  // ------------------------------- d24 incremental SEMANTIC near-dup dedup
+
+  /** Incremental semantic (embedding-cosine) near-dup dedup of an ingest
+    * batch against the historical corpus's
+    * [[graft.llm.Similarity.embeddingStore]] — completing the incremental
+    * family: exact fingerprints (d16), MinHash text (d18), embedding
+    * cosine (this). The batch plants near-dups of history (a +0.0005
+    * per-coordinate shift — cos ≈ 0.9999, the amplified-corpus shape) and
+    * known-novel vectors (deterministic hash-derived directions — in 64
+    * dims a random direction's cosine to anything concentrates within
+    * ~±0.13, far under the 0.95 threshold). Gates: planted near-dups must
+    * be dropped at a ≥ 0.6 recall bound (the +0.0005 shift almost never
+    * flips a hyperplane sign, and a pair must split in BOTH families to
+    * be missed) and NO novel vector may be false-dropped (every bucket
+    * candidate is re-verified with exact cosine). DuckDB reproduces the
+    * counts and gate booleans from the closed planted structure. */
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val off = hist.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val planted = hist.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + 0.0005)
+          .as("embedding"))
+    val novel = hist.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 2 * off).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          (pmod(xxhash64(concat(lit("nv"), col("vec_id"), lit("_"), i)),
+            lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0)
+          .as("embedding"))
+    // bits = 12 (4096 buckets/family): candidate pairs ≈
+    // tables·|batch|·|store|/2^bits — THE cost dial, sized with the
+    // corpus like every LSH query (bits = 8 measured 42× super-linear at
+    // the sf10 rehearsal: 2 M store rows × 440 k batch / 256 buckets;
+    // 12 bits is linear-ish there and recall-neutral — a +0.0005 shift
+    // almost never flips a plane regardless of plane count)
+    val res = Similarity.incrementalEmbeddingNearDup(
+      planted.unionByName(novel),
+      Similarity.embeddingStore(hist, dim = 64, bits = 12),
+      threshold = 0.95, dim = 64, bits = 12)
+    res.agg(
+      sum(when(col("vec_id") < 2 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_planted"),
+      sum(when(col("vec_id") >= 2 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_novel"),
+      (sum(when(col("vec_id") >= 2 * off && col("is_dup"), 1L).otherwise(0L))
+        === 0L).as("no_false_drops"),
+      (sum(when(col("vec_id") < 2 * off && col("is_dup"), 1L).otherwise(0L))
+        .cast("double")
+        / sum(when(col("vec_id") < 2 * off, 1L).otherwise(0L))
+        >= 0.6).as("recall_ok"))
+  }
+
+  private val d24Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 0)
+      |    AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 = 0)
+      |    AS BIGINT) AS n_novel,
+      |  TRUE AS no_false_drops,
+      |  TRUE AS recall_ok""".stripMargin
+
   /** Cluster canonicalization — the KEEP/DROP decision that follows
     * near-dup clustering in a real dedup pipeline: per duplicate cluster,
     * keep the highest-quality document (ties to the lowest doc_id).
@@ -1057,7 +1118,8 @@ private[graft] object DedupQueries {
     "d20_robust_outliers_gk" -> (d20 _),
     "d21_neardup_store_append" -> (d21 _),
     "d22_semantic_decontaminate" -> (d22 _),
-    "d23_diverse_sample" -> (d23 _))
+    "d23_diverse_sample" -> (d23 _),
+    "d24_incremental_semantic_neardup" -> (d24 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1082,5 +1144,6 @@ private[graft] object DedupQueries {
     "d20_robust_outliers_gk" -> d20Sql,
     "d21_neardup_store_append" -> d21Sql,
     "d22_semantic_decontaminate" -> d22Sql,
-    "d23_diverse_sample" -> d23Sql)
+    "d23_diverse_sample" -> d23Sql,
+    "d24_incremental_semantic_neardup" -> d24Sql)
 }

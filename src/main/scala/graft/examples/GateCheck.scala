@@ -25,6 +25,9 @@ object GateCheck {
     "d17_group_split",
     // planted-structure gates: near-dup recall bound + zero false drops
     "d18_incremental_neardup",
+    // embedding sibling of d18: LSH-bucket probe recall + exact-cosine
+    // verify zero false drops
+    "d24_incremental_semantic_neardup",
     // store-append loop: replay no-op + store row accounting + two-step
     // equals one-shot
     "d19_store_append",

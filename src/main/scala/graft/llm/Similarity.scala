@@ -1106,6 +1106,76 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Historical embedding store for incremental SEMANTIC near-dup — the
+    * embedding-space sibling of [[graft.llm.Dedup.nearDupStore]]: returns
+    * `(banded, vectors)` where `banded` is one (table, bucket) row per
+    * vector per hyperplane family (the LSH probe index) and `vectors` is
+    * `(sid, s_vec)` for the exact cosine verify. Both are NARROW
+    * projections of the corpus (ids + buckets; ids + vectors); in a
+    * production ingest loop they are materialized tables appended per
+    * batch, so their cost is paid once per corpus, not per probe. */
+  def embeddingStore(corpus: DataFrame, dim: Int, bits: Int = 8,
+      tables: Int = 2, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(tables >= 1, "tables >= 1")
+    val hps = Array.tabulate(tables)(t => planes(bits, dim, seed + t))
+    val keys = hps.zipWithIndex.map { case (hp, t) =>
+      struct(lit(t).as("t"), bucketCol(col(vecCol), hp).as("b")) }
+    val banded = corpus.select(col(idCol).as("sid"),
+      explode(array(keys.toIndexedSeq: _*)).as("tb"))
+    val vecs = corpus.select(col(idCol).as("sid"),
+      col(vecCol).cast("array<double>").as("s_vec"))
+    (banded, vecs)
+  }
+
+  /** Incremental SEMANTIC near-dup of an ingest batch against a
+    * historical [[embeddingStore]] — the embedding sibling of
+    * [[graft.llm.Dedup.incrementalNearDup]], completing the incremental
+    * family (exact fp / MinHash text / embedding cosine). Candidate
+    * (batch, store) pairs come ONLY from matching (table, bucket) in any
+    * of the L hyperplane families (the s04 recall lever: a true pair
+    * split by one family's plane rarely splits in all L) and are
+    * DEDUPLICATED across families before any vector-width work; every
+    * candidate is then verified with full-precision cosine ≥ `threshold`
+    * — precision is exact by construction, recall carries the LSH bound.
+    * Shuffle ∝ batch buckets + probed candidates; the store sides are
+    * scanned narrow (never shuffled, never rescanned as raw corpus).
+    * `bits` is THE cost dial: candidates ≈ tables·|batch|·|store|/2^bits,
+    * so size it with the store (2^bits ≳ store/10³) — the sf10 rehearsal
+    * measured bits=8 going 42× super-linear on a 2 M-vector store where
+    * bits=12 stays linear-ish; for near-identical duplicates extra planes
+    * are recall-neutral (a plane flips only if it splits the pair).
+    * Returns one row per batch ROW: (idCol, is_dup, best_cos — NULL when
+    * no candidate reached the threshold). */
+  def incrementalEmbeddingNearDup(batch: DataFrame,
+      store: (DataFrame, DataFrame), threshold: Double, dim: Int,
+      bits: Int = 8, tables: Int = 2, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tables >= 1, "tables >= 1")
+    val (storeBanded, storeVecs) = store
+    val hps = Array.tabulate(tables)(t => planes(bits, dim, seed + t))
+    val keys = hps.zipWithIndex.map { case (hp, t) =>
+      struct(lit(t).as("t"), bucketCol(col("__bv"), hp).as("b")) }
+    // cheap narrow projection — re-derived (at most twice) rather than
+    // persisted; the expensive side (the store) is probed, not rebuilt
+    val bvec = batch.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__bv"))
+    val banded = bvec.select(col(idCol),
+      explode(array(keys.toIndexedSeq: _*)).as("tb"))
+    val cand = banded.join(storeBanded, Seq("tb"))
+      .select(col(idCol), col("sid")).distinct()
+    val hits = cand
+      .join(bvec, Seq(idCol))
+      .join(storeVecs, Seq("sid"))
+      .select(col(idCol), cosine(col("__bv"), col("s_vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol)).agg(max("cos").as("best_cos"))
+    batch.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("best_cos").isNotNull.as("is_dup"),
+        round(col("best_cos"), 6).as("best_cos"))
+  }
+
   /** Exact near-duplicate pairs (quadratic — oracle/verification sizes only). */
   def nearDupPairsExact(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

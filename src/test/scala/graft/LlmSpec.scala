@@ -87,6 +87,30 @@ class LlmSpec extends SparkSpec {
     assert(!out(12L), "token-less doc reports is_dup=false, not absence")
   }
 
+  test("incremental SEMANTIC near-dup: perturbed history dropped, novel and zero vectors kept") {
+    import graft.llm.Similarity
+    val dim = 8
+    def vec(xs: Double*): Seq[Double] = xs.toSeq
+    val a = vec(1, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, 0.4)
+    val b = vec(-0.7, 0.9, 0.3, -0.2, 0.5, 0.1, -0.8, 0.6)
+    val hist = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, a.map(_ + 0.001)),              // near-copy of history
+      (11L, vec(0, 0, 1, 0, 0, 0, 0, 0)),   // orthogonal-ish novel
+      (12L, vec(0, 0, 0, 0, 0, 0, 0, 0))    // zero vector: cos = 0 contract
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.incrementalEmbeddingNearDup(batch,
+        Similarity.embeddingStore(hist, dim), threshold = 0.95, dim = dim)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size == 3, "one row per batch row, zero vectors included")
+    assert(out(10L)._1 && out(10L)._2.exists(_ >= 0.99),
+      "perturbed copy of history must be flagged with its best cosine")
+    assert(!out(11L)._1 && out(11L)._2.isEmpty,
+      "novel vector must not be flagged and best_cos must be NULL")
+    assert(!out(12L)._1, "zero vector scores cos 0 everywhere — kept")
+  }
+
   test("minhash LSH finds the near-dup pair and not the distinct pair") {
     // bands=32 (r=2): band-match probability 1-(1-J²)³² ≈ 1 for J ≈ 0.6
     val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 32)

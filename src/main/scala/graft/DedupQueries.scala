@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Dedup / decontamination / sampling queries (d01–d24): exact,
+/** Dedup / decontamination / sampling queries (d01–d25): exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, cluster canonicalization, the
   * durable-store ingest loops, splits and samplers.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -683,6 +683,94 @@ private[graft] object DedupQueries {
       |  TRUE AS b1_all_kept, TRUE AS recall_ok, TRUE AS no_false_drops,
       |  TRUE AS replay_noop, TRUE AS store_consistent""".stripMargin
 
+  // --------------------------- d25 semantic near-dup store ingest LOOP
+
+  /** The full SEMANTIC near-dup ingest loop against the durable
+    * [[graft.llm.DedupStore]] — the embedding sibling of d21, proving the
+    * store is a real incremental accumulator, not a read-only snapshot:
+    * seed the store with history's vectors, ingest batch 1 (novel
+    * hash-derived directions — ALL must survive, exact count gate),
+    * append the survivors' vectors as batch 1's segment, then ingest
+    * batch 2 whose planted near-dups (+0.0005 shift) rebuild BATCH 1's
+    * vectors — catchable only through the appended segment (recall gate)
+    * — alongside fresh novel directions (zero false drops, exact).
+    * Replaying batch 1's append must be a no-op and the store must hold
+    * exactly history + batch-1 vectors (accounting gates). Only vectors
+    * persist; the banded LSH index re-derives on read
+    * ([[graft.llm.DedupStore.readVectors]], the readNearDup discipline).
+    * bits = 12: the d24 cost dial, sf10-sized. */
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val off = hist.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // vectors keyed EXPLICITLY by a separate __orig column (the d21
+    // lateral-column-alias lesson): planted rebuilds batch-1's vectors
+    // from the SAME __orig ids, so they are near-dups of batch 1 only
+    def novelVecOf(orig: Column, prefix: String): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        (pmod(xxhash64(concat(lit(prefix), orig, lit("_"), i)),
+          lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0)
+    def vstream(mod: Int, idShift: Long, prefix: String,
+        shift: Double = 0.0): DataFrame =
+      hist.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("__orig"),
+          (col("vec_id") + idShift).as("vec_id"))
+        .select(col("vec_id"),
+          transform(novelVecOf(col("__orig"), prefix), x => x + shift)
+            .as("embedding"))
+    val b1 = vstream(13, off, "nv")
+    val planted = vstream(13, 2 * off, "nv", shift = 0.0005)
+    val fresh = vstream(17, 3 * off, "fv")
+    val root = staging("vecstore", dir) + "/" + storeInvocation.incrementAndGet()
+    val dim = 64; val bits = 12
+    DedupStore.appendVectors(s, root, 0L,
+      Similarity.embeddingStore(hist, dim, bits)._2)
+    def store = DedupStore.readVectors(s, root, dim, bits)
+    val r1 = Similarity.incrementalEmbeddingNearDup(b1, store,
+      threshold = 0.95, dim = dim, bits = bits).localCheckpoint()
+    val survivors1 = b1.join(
+      r1.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val vec1 = survivors1.select(col("vec_id").as("sid"),
+      col("embedding").as("s_vec"))
+    val firstAppend = DedupStore.appendVectors(s, root, 1L, vec1)
+    val replayAppend = DedupStore.appendVectors(s, root, 1L, vec1)
+    val storeRows = store._2.count()
+    val histVecs = hist.count()
+    val b1Vecs = vec1.count()
+    val r2 = Similarity.incrementalEmbeddingNearDup(
+      planted.unionByName(fresh), store,
+      threshold = 0.95, dim = dim, bits = bits)
+    val g1 = r1.agg(count(lit(1)).as("n_b1"),
+      (sum(when(col("is_dup"), 1L).otherwise(0L)) === 0L).as("b1_all_kept"))
+    val g2 = r2.agg(
+      sum(when(col("vec_id") < 3 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_planted"),
+      sum(when(col("vec_id") >= 3 * off, 1L).otherwise(0L)).cast("bigint")
+        .as("n_fresh"),
+      (sum(when(col("vec_id") < 3 * off && col("is_dup"), 1L).otherwise(0L))
+        .cast("double")
+        / sum(when(col("vec_id") < 3 * off, 1L).otherwise(0L)) >= 0.6)
+        .as("recall_ok"),
+      (sum(when(col("vec_id") >= 3 * off && col("is_dup"), 1L).otherwise(0L))
+        === 0L).as("no_false_drops"))
+    g1.crossJoin(g2)
+      .select(col("n_b1"), col("n_planted"), col("n_fresh"),
+        col("b1_all_kept"), col("recall_ok"), col("no_false_drops"),
+        lit(firstAppend && !replayAppend).as("replay_noop"),
+        lit(storeRows == histVecs + b1Vecs).as("store_consistent"))
+  }
+
+  private val d25Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 = 0)
+      |    AS BIGINT) AS n_b1,
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 = 0)
+      |    AS BIGINT) AS n_planted,
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 = 0)
+      |    AS BIGINT) AS n_fresh,
+      |  TRUE AS b1_all_kept, TRUE AS recall_ok, TRUE AS no_false_drops,
+      |  TRUE AS replay_noop, TRUE AS store_consistent""".stripMargin
+
   // ------------------------------- d22 semantic (embedding) decontamination
 
   /** Embedding-space decontamination — the semantic sibling of d10's n-gram
@@ -1119,7 +1207,8 @@ private[graft] object DedupQueries {
     "d21_neardup_store_append" -> (d21 _),
     "d22_semantic_decontaminate" -> (d22 _),
     "d23_diverse_sample" -> (d23 _),
-    "d24_incremental_semantic_neardup" -> (d24 _))
+    "d24_incremental_semantic_neardup" -> (d24 _),
+    "d25_semantic_store_append" -> (d25 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1145,5 +1234,6 @@ private[graft] object DedupQueries {
     "d21_neardup_store_append" -> d21Sql,
     "d22_semantic_decontaminate" -> d22Sql,
     "d23_diverse_sample" -> d23Sql,
-    "d24_incremental_semantic_neardup" -> d24Sql)
+    "d24_incremental_semantic_neardup" -> d24Sql,
+    "d25_semantic_store_append" -> d25Sql)
 }

@@ -28,6 +28,10 @@ object GateCheck {
     // embedding sibling of d18: LSH-bucket probe recall + exact-cosine
     // verify zero false drops
     "d24_incremental_semantic_neardup",
+    // embedding sibling of d21: vector-store ingest loop (batch-1
+    // survival, store-grown recall, zero false drops, replay no-op,
+    // store accounting)
+    "d25_semantic_store_append",
     // store-append loop: replay no-op + store row accounting + two-step
     // equals one-shot
     "d19_store_append",

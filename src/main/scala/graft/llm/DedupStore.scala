@@ -264,4 +264,29 @@ object DedupStore {
       .select(col("pos").as("band"), col("col").as("bh"), col("sid"))
     (banded, sigs)
   }
+
+  // ------------------------------------------------------ embedding store
+
+  /** Seed/append the SEMANTIC near-dup store: `vecs` must carry
+    * (sid, s_vec) — [[graft.llm.Similarity.embeddingStore]]'s `vectors`
+    * half for batch 0, or a batch's surviving vectors projected the same
+    * way. Only the vectors persist; the banded LSH index re-derives on
+    * read (the [[readNearDup]] discipline — the index is `tables×` wider
+    * than the ids it carries and cheap to rebuild from a narrow scan). */
+  def appendVectors(spark: SparkSession, root: String, batchId: Long,
+      vecs: DataFrame): Boolean =
+    append(spark, root, batchId,
+      vecs.select(col("sid"), col("s_vec").cast("array<double>").as("s_vec")))
+
+  /** The store as [[graft.llm.Similarity.incrementalEmbeddingNearDup]]'s
+    * `store` argument: (banded, vectors), banded re-derived from the
+    * persisted vectors with the same hyperplane family (same dim / bits /
+    * tables / seed) that the probe side uses. */
+  def readVectors(spark: SparkSession, root: String, dim: Int,
+      bits: Int = 8, tables: Int = 2,
+      seed: Long = 42L): (DataFrame, DataFrame) =
+    graft.llm.Similarity.embeddingStore(
+      read(spark, root).select(col("sid").as("vec_id"),
+        col("s_vec").as("embedding")),
+      dim, bits, tables, seed)
 }

@@ -980,4 +980,27 @@ class LlmSpec extends SparkSpec {
     assert(viaDisk == Set((10L, true), (11L, false)))
     spark.catalog.clearCache() // cache contract: see Dedup scaladoc
   }
+
+  test("DedupStore vectors: persisted store probes identically to the in-memory store") {
+    import graft.llm.{DedupStore, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("vecstore").toString
+    val dim = 8
+    val a = Seq(1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, 0.4)
+    val b = Seq(-0.7, 0.9, 0.3, -0.2, 0.5, 0.1, -0.8, 0.6)
+    val hist = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, a.map(_ + 0.001)),
+      (11L, Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val storeMem = Similarity.embeddingStore(hist, dim)
+    assert(DedupStore.appendVectors(spark, root, 0L, storeMem._2))
+    def probe(store: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) =
+      Similarity.incrementalEmbeddingNearDup(batch, store,
+        threshold = 0.95, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val viaDisk = probe(DedupStore.readVectors(spark, root, dim))
+    assert(viaDisk == probe(storeMem))
+    assert(viaDisk == Set((10L, true), (11L, false)))
+  }
 }

@@ -798,6 +798,102 @@ object MatQueries {
       |  TRUE AS recall_ok, TRUE AS replay_stable,
       |  TRUE AS store_consistent, TRUE AS store_stable""".stripMargin
 
+  /** Streaming SEMANTIC near-dup ingest against the durable vector store
+    * — the embedding sibling of m20, completing the streaming parity of
+    * the d24/d25 family: slab A's novel hash-derived directions all
+    * survive (exact count), their vectors append as the slab's segment,
+    * slab B's planted +0.0005 rebuilds of slab-A vectors are caught ONLY
+    * through that appended segment (recall-gated) next to zero-false-drop
+    * fresh directions, and a full replay from a fresh checkpoint is
+    * byte-stable with the store unchanged (the done marker is the commit
+    * token). bits = 12: the d24 cost dial. */
+  private def m21(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{DedupStore, Similarity}
+    val hist = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val off = hist.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // vectors keyed EXPLICITLY by __orig (the d21 lateral-column-alias
+    // lesson); slab B's planted stream rebuilds slab A's vectors from the
+    // SAME __orig ids + 0.0005 — near-dups of slab A alone
+    def novelVecOf(orig: Column, prefix: String): Column =
+      transform(sequence(lit(1), lit(64)), i =>
+        (pmod(xxhash64(concat(lit(prefix), orig, lit("_"), i)),
+          lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0)
+    def vstream(mod: Int, idShift: Long, prefix: String,
+        shift: Double = 0.0): DataFrame =
+      hist.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("__orig"),
+          (col("vec_id") + idShift).as("vec_id"))
+        .select(col("vec_id"),
+          transform(novelVecOf(col("__orig"), prefix), x => x + shift)
+            .as("embedding"))
+    val slabA = vstream(13, off, "nv")
+    val slabB = vstream(13, 2 * off, "nv", shift = 0.0005)
+      .unionByName(vstream(17, 3 * off, "fv"))
+    val base = tempDir("g_m21")
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    val store = s"$base/store"
+    val dim = 64; val bits = 12
+    val histVecs = hist.count()
+    DedupStore.appendVectors(s, store, -1L,
+      Similarity.embeddingStore(hist, dim, bits)._2)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.semanticIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt, dim = dim, bits = bits))
+    drain(s"$base/ckpt1")
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("vec_id"), col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readVectors(s, store, dim, bits)._2.count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("vec_id"), col("batch").cast("int").as("batch"))
+    val storeRows2 = DedupStore.readVectors(s, store, dim, bits)._2.count()
+    val sym = out1.withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)), Seq("vec_id", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    out1.agg(
+        sum(when(col("batch") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_a_kept"),
+        sum(when(col("batch") === 1 && col("vec_id") >= 3 * off, 1L)
+          .otherwise(0L)).cast("bigint").as("n_fresh_kept"),
+        sum(when(col("batch") === 1 && col("vec_id") < 3 * off, 1L)
+          .otherwise(0L)).as("__planted_kept"),
+        count(lit(1)).as("__n_out"))
+      .crossJoin(broadcast(sym))
+      .select(col("n_a_kept"), col("n_fresh_kept"),
+        ((lit(1.0) - col("__planted_kept").cast("double") / col("n_a_kept"))
+          >= 0.6).as("recall_ok"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        (lit(storeRows1) === lit(histVecs) + col("__n_out"))
+          .as("store_consistent"),
+        lit(storeRows2 == storeRows1).as("store_stable"))
+  }
+
+  private val m21Sql =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 = 0)
+      |    AS BIGINT) AS n_a_kept,
+      |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 = 0)
+      |    AS BIGINT) AS n_fresh_kept,
+      |  TRUE AS recall_ok, TRUE AS replay_stable,
+      |  TRUE AS store_consistent, TRUE AS store_stable""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -820,7 +916,8 @@ object MatQueries {
     "m17_streaming_microbatch" -> (m17 _),
     "m18_streaming_dedup" -> (m18 _),
     "m19_streaming_store_dedup" -> (m19 _),
-    "m20_streaming_neardup" -> (m20 _))
+    "m20_streaming_neardup" -> (m20 _),
+    "m21_streaming_semantic_neardup" -> (m21 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -842,5 +939,6 @@ object MatQueries {
     "m17_streaming_microbatch" -> m17Sql,
     "m18_streaming_dedup" -> m18Sql,
     "m19_streaming_store_dedup" -> m19Sql,
-    "m20_streaming_neardup" -> m20Sql)
+    "m20_streaming_neardup" -> m20Sql,
+    "m21_streaming_semantic_neardup" -> m21Sql)
 }

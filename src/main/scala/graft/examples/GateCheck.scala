@@ -48,6 +48,8 @@ object GateCheck {
     // streamed near-dup store ingest: recall bound, replay byte-stability,
     // store signature accounting
     "m20_streaming_neardup",
+    // streamed SEMANTIC near-dup ingest (embedding sibling of m20)
+    "m21_streaming_semantic_neardup",
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx")
 

@@ -301,6 +301,45 @@ object Streaming {
       }
       .start()
 
+  /** Streaming SEMANTIC near-dup ingest — the embedding sibling of
+    * [[nearDupIngestStream]], same commit discipline: each micro-batch
+    * probes the durable vector store
+    * ([[graft.llm.Similarity.incrementalEmbeddingNearDup]] over
+    * [[graft.llm.DedupStore.readVectors]] — LSH bucket probe + exact
+    * cosine verify, shuffle ∝ batch), survivors land under
+    * `outDir/batch=<id>` and their VECTORS append as segment `id` — the
+    * store's done marker is the batch's commit token, so a replayed batch
+    * (marker present) skips end-to-end and dedup state survives restarts,
+    * spans arbitrary gaps, and is shared with the batch ingest path
+    * (d25). `bits` is the d24 cost dial — size it with the store. */
+  def semanticIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.95, dim: Int = 64, bits: Int = 12,
+      tables: Int = 2, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val flags = graft.llm.Similarity.incrementalEmbeddingNearDup(batch,
+              graft.llm.DedupStore.readVectors(spark, storeRoot, dim, bits,
+                tables, seed),
+              threshold, dim, bits, tables, seed, idCol, vecCol)
+            .localCheckpoint() // feeds the semi-join AND the append
+          val survivors = batch.join(
+            flags.filter(!col("is_dup")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+            .localCheckpoint() // one slab: sink write + vector append
+          survivors.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendVectors(spark, storeRoot, id,
+            survivors.select(col(idCol).as("sid"), col(vecCol).as("s_vec")))
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -398,4 +398,50 @@ class StreamingSpec extends SparkSpec {
     assert(outRows() == Set((11L, 0), (21L, 1)))
     assert(DedupStore.readNearDup(spark, store)._2.count() == 4)
   }
+
+  test("semanticIngestStream: store-probed embedding near-dups drop, survivors' vectors sign the store, replays are no-ops") {
+    import graft.llm.{DedupStore, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("ingest_sem").toString
+    val dim = 8
+    val ha = Seq(1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, 0.4)
+    val na = Seq(0.1, -0.9, 0.4, 0.3, -0.6, 0.7, 0.2, -0.5)
+    val nb = Seq(-0.4, 0.3, 0.9, -0.1, 0.2, -0.7, 0.5, 0.6)
+    def slab(name: String, mtime: Long, rows: (Long, Seq[Double])*): Unit = {
+      val tmp = s"$base/stage_$name"
+      rows.toSeq.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    val hist = Seq((1L, ha)).toDF("vec_id", "embedding")
+    val store = s"$base/store"
+    DedupStore.appendVectors(spark, store, -1L,
+      Similarity.embeddingStore(hist, dim)._2)
+    // slab 0: near-copy of history (drop) + novel (keep); slab 1:
+    // near-copy of the slab-0 SURVIVOR — catchable only via the vectors
+    // slab 0 appended — (drop) + novel (keep)
+    slab("s0", 600000L, (10L, ha.map(_ + 0.001)), (11L, na))
+    slab("s1", 1200000L, (20L, na.map(_ + 0.001)), (21L, nb))
+    def drain(ckpt: String): Unit = Streaming.runToCompletion(
+      Streaming.semanticIngestStream(spark,
+        spark.readStream
+          .schema(hist.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/src"),
+        store, s"$base/out", ckpt, dim = dim, bits = 8))
+    drain(s"$base/ckpt")
+    def outRows() = spark.read.parquet(s"$base/out")
+      .select($"vec_id", $"batch".cast("int")).as[(Long, Int)].collect().toSet
+    assert(outRows() == Set((11L, 0), (21L, 1)))
+    assert(DedupStore.committedBatches(spark, store) == Seq(-1L, 0L, 1L))
+    // store holds exactly history + the two survivors' vectors
+    assert(DedupStore.readVectors(spark, store, dim)._2.count() == 3)
+    // full REPLAY with a fresh checkpoint: markers skip every batch
+    drain(s"$base/ckpt_replay")
+    assert(outRows() == Set((11L, 0), (21L, 1)))
+    assert(DedupStore.readVectors(spark, store, dim)._2.count() == 3)
+  }
 }

@@ -251,7 +251,13 @@ class JobCountSpec extends SparkSpec {
         // r11: four codec screens, each a checkpoint slab + keep-set join;
         // the count is AQE sub-stage materialization jobs (tiny [1]-[3]
         // task stages), fixed in number — not per-row work (measured 75)
-        "p03_curation_multimodal" -> 85)) {
+        "p03_curation_multimodal" -> 85,
+        // r13: offset scalar + one bucket-probe join + verify + gate agg
+        // (measured 5)
+        "d24_incremental_semantic_neardup" -> 8,
+        // r13: 2 vector-store writes + two probes + 3 count scalars (the
+        // d21 shape in embedding space; measured 31)
+        "d25_semantic_store_append" -> 36)) {
       val jobs = countJobs {
         assert(SparkEntry.queries(name)(spark, dir).count() > 0)
         spark.catalog.clearCache()

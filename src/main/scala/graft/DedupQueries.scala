@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Dedup / decontamination / sampling queries (d01–d25): exact,
+/** Dedup / decontamination / sampling queries (d01–d26): exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, cluster canonicalization, the
   * durable-store ingest loops, splits and samplers.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -1181,6 +1181,43 @@ private[graft] object DedupQueries {
       |FROM d JOIN md USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------- d26 EXACT per-stratum cap
+
+  /** Exact frequency cap ([[graft.llm.Sampling.exactCapSample]]): exactly
+    * `min(40, |lang|)` documents per language, selected as the 40 smallest
+    * salted content hashes — the deterministic-reservoir complement to
+    * d11's in-expectation cap, for quotas a downstream contract needs
+    * exact (a fixed-size per-language eval set). One map-side-combined
+    * bounded-heap aggregate (never a per-stratum `row_number` window — a
+    * window partition is stratum-sized on one reducer at 100 TB), then the
+    * k·|langs|-sized winner set joins back for payload columns (AQE
+    * broadcasts it). The oracle reproduces the selection by ordering on
+    * the hex prefix STRING — fixed-width lowercase hex compares
+    * lexicographically exactly as its numeric value, so the window form
+    * over md5 text is the same ordering the heap used. */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Sampling.exactCapSample(docs, col("text"), col("lang"), col("doc_id"),
+        k = 40, salt = "d26")
+      .select(col("stratum").as("lang"), col("stratum_size").as("n_lang"),
+        col("id").as("doc_id"), col("rank"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("lang"), col("n_lang"), col("doc_id"), col("rank"),
+        col("source"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val d26Sql =
+    """WITH r AS (SELECT lang, doc_id, source, n_chars,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY substring(md5('d26' || text), 1, 8), doc_id) AS INT)
+      |      AS rank
+      |  FROM documents)
+      |SELECT lang, n_lang, doc_id, rank, source, n_chars
+      |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1208,7 +1245,8 @@ private[graft] object DedupQueries {
     "d22_semantic_decontaminate" -> (d22 _),
     "d23_diverse_sample" -> (d23 _),
     "d24_incremental_semantic_neardup" -> (d24 _),
-    "d25_semantic_store_append" -> (d25 _))
+    "d25_semantic_store_append" -> (d25 _),
+    "d26_exact_cap_sample" -> (d26 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1235,5 +1273,6 @@ private[graft] object DedupQueries {
     "d22_semantic_decontaminate" -> d22Sql,
     "d23_diverse_sample" -> d23Sql,
     "d24_incremental_semantic_neardup" -> d24Sql,
-    "d25_semantic_store_append" -> d25Sql)
+    "d25_semantic_store_append" -> d25Sql,
+    "d26_exact_cap_sample" -> d26Sql)
 }

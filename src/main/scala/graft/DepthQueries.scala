@@ -616,6 +616,63 @@ object DepthQueries {
       |  (SELECT round(SUM(psi_term), 6) FROM w) AS psi_total
       |FROM w ORDER BY bin""".stripMargin
 
+  // ----------------------------- dt05 distribution drift (KS) test
+
+  /** Two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.exec.DataTests.driftKs]]) of `o_totalprice` between the
+    * pre-1997 and 1997+ order snapshots — dt04's PSI answers "how much
+    * total divergence", this answers "how large is the worst single
+    * distribution shift" (a localized mode move can be PSI-small but
+    * KS-large). Binned ECDF over 64 equal-width baseline bins — a lower
+    * bound on the exact KS tight to one bin width, taken so no global
+    * sort of the raw column ever happens; the cumulative window runs
+    * over the 64-row binned frame, never the corpus. Value-matched:
+    * DuckDB reproduces bins, cumulative fractions, and the max to the
+    * 6-decimal round. */
+  private def dt05(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_totalprice"), col("o_orderdate"))
+    val split = lit("1997-01-01").cast("timestamp")
+    graft.exec.DataTests.driftKs(
+        o.filter(col("o_orderdate") < split),
+        o.filter(col("o_orderdate") >= split),
+        "o_totalprice", bins = 64)
+      .orderBy(col("bin"))
+  }
+
+  private val dt05Sql =
+    """WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |c AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+      |st AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM b),
+      |bb AS (SELECT LEAST(63, GREATEST(0,
+      |    CAST(floor((x - lo) / ((hi - lo) / 64)) AS INT))) AS bin,
+      |    COUNT(*) AS n_base FROM b, st GROUP BY 1),
+      |cb AS (SELECT LEAST(63, GREATEST(0,
+      |    CAST(floor((x - lo) / ((hi - lo) / 64)) AS INT))) AS bin,
+      |    COUNT(*) AS n_cur FROM c, st GROUP BY 1),
+      |spine AS (SELECT UNNEST(range(0, 64)) AS bin),
+      |j AS (SELECT CAST(spine.bin AS INT) AS bin,
+      |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM spine LEFT JOIN bb ON bb.bin = spine.bin
+      |  LEFT JOIN cb ON cb.bin = spine.bin),
+      |tt AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+      |cdf AS (SELECT bin, n_base, n_cur,
+      |    CAST(SUM(n_base) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / CAST(tb AS DOUBLE) AS fb,
+      |    CAST(SUM(n_cur) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / CAST(tc AS DOUBLE) AS fc
+      |  FROM j, tt),
+      |terms AS (SELECT bin, n_base, n_cur, round(fb, 6) AS cdf_base,
+      |    round(fc, 6) AS cdf_cur, round(abs(fb - fc), 6) AS ks_term
+      |  FROM cdf)
+      |SELECT bin, n_base, n_cur, cdf_base, cdf_cur, ks_term,
+      |  (SELECT MAX(ks_term) FROM terms) AS ks_stat
+      |FROM terms ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -638,7 +695,8 @@ object DepthQueries {
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
-    "dt04_drift_psi" -> (dt04 _))
+    "dt04_drift_psi" -> (dt04 _),
+    "dt05_drift_ks" -> (dt05 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -660,5 +718,6 @@ object DepthQueries {
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,
-    "dt04_drift_psi" -> dt04Sql)
+    "dt04_drift_psi" -> dt04Sql,
+    "dt05_drift_ks" -> dt05Sql)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Ingest and end-to-end curation pipelines (j01–j03, p01–p02):
+/** Ingest and end-to-end curation pipelines (j01–j04, p01–p03):
   * JSONL quarantine, provenance, the composed ingest chain, and the exact
   * and approximate curation flagships.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -583,6 +583,63 @@ private[graft] object PipelineQueries {
        |FROM cum, counts WHERE c <= 6000 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------ j04 snapshot diff (CDC)
+
+  /** Row-level snapshot diff ([[graft.exec.SnapshotDiff.diff]]): the CDC
+    * primitive for a re-delivered full extract — classify every order key
+    * as insert / delete / update between today's table and a simulated
+    * next delivery (keys ≡1 mod 13 dropped, ≡2 repriced +1.50, ≡3
+    * re-delivered under an offset key — the offset constant sits above
+    * any real order key at any scale factor). Each side reduces map-side
+    * to (key, md5 fingerprint over status, priority, and PRE-QUANTIZED
+    * cents — double→string is not engine-portable, `floor(price·100)` is)
+    * so the one full-outer shuffle join carries narrow rows; unchanged
+    * keys are dropped so the output is churn-sized, not table-sized. The
+    * oracle rebuilds the identical fingerprints (chr(31) separator, NULL
+    * sentinel) and classification in SQL. */
+  private def j04(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val inserts = o.filter(col("o_orderkey") % 13 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000000L))
+    val next = o.filter(col("o_orderkey") % 13 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")))
+      .unionByName(inserts)
+    def prep(df: DataFrame): DataFrame = df.select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    graft.exec.SnapshotDiff.diff(prep(o), prep(next), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority", "o_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val j04Sql = {
+    val fp = "md5(COALESCE(CAST(o_orderstatus AS VARCHAR), 'NULL') " +
+      "|| chr(31) || COALESCE(CAST(o_orderpriority AS VARCHAR), 'NULL') " +
+      "|| chr(31) || COALESCE(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) " +
+      "AS VARCHAR), 'NULL'))"
+    s"""WITH oldp AS (SELECT o_orderkey, $fp AS old_fp FROM orders),
+       |next AS (
+       |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       |    CASE WHEN o_orderkey % 13 = 2 THEN o_totalprice + 1.5
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 13 <> 1
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000000, o_orderstatus, o_orderpriority,
+       |    o_totalprice
+       |  FROM orders WHERE o_orderkey % 13 = 3),
+       |newp AS (SELECT o_orderkey, $fp AS new_fp FROM next),
+       |d AS (SELECT COALESCE(oldp.o_orderkey, newp.o_orderkey) AS o_orderkey,
+       |    CASE WHEN new_fp IS NULL THEN 'delete'
+       |         WHEN old_fp IS NULL THEN 'insert'
+       |         WHEN old_fp <> new_fp THEN 'update' END AS change_type,
+       |    old_fp, new_fp
+       |  FROM oldp FULL OUTER JOIN newp ON oldp.o_orderkey = newp.o_orderkey)
+       |SELECT o_orderkey, change_type, old_fp, new_fp
+       |FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -591,7 +648,8 @@ private[graft] object PipelineQueries {
     "p03_curation_multimodal" -> (p03 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
-    "j03_ingest_chain" -> (j03 _))
+    "j03_ingest_chain" -> (j03 _),
+    "j04_snapshot_diff" -> (j04 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "p01_curation_pipeline" -> p01Sql,
@@ -599,5 +657,6 @@ private[graft] object PipelineQueries {
     "p03_curation_multimodal" -> p03Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
-    "j03_ingest_chain" -> j03Sql)
+    "j03_ingest_chain" -> j03Sql,
+    "j04_snapshot_diff" -> j04Sql)
 }

@@ -245,4 +245,72 @@ object DataTests {
     val total = withTerms.agg(round(sum(col("psi_term")), 6).as("psi_total"))
     withTerms.crossJoin(broadcast(total))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test between two snapshots of a
+    * numeric column on a binned ECDF: `bins` equal-width bins over the
+    * BASELINE min/max ([[driftPsi]]'s binning exactly — current values
+    * outside the range clamp to the edge bins), cumulative per-bin
+    * fractions, ks_term = |F_base(b) − F_cur(b)|, KS statistic =
+    * max over bins. PSI answers "how much total divergence"; KS answers
+    * "how large is the worst single distribution shift" — a localized
+    * mode moving between snapshots can be PSI-small but KS-large, which
+    * is why monitoring pipelines run both. Binning makes the statistic a
+    * lower bound on the exact KS, tight to one bin width — the standard
+    * streaming/distributed trade, taken here so no global sort of the
+    * raw column ever happens.
+    *
+    * Shape at scale: identical to [[driftPsi]] — one baseline min/max
+    * aggregate (scalars ride a broadcast), one map-side-combined groupBy
+    * per snapshot emitting `bins` rows, and everything downstream
+    * (including the cumulative window, which IS unpartitioned — over the
+    * bins-sized frame, never the corpus) is bins-sized. Returns one row
+    * per bin: (bin, n_base, n_cur, cdf_base, cdf_cur, ks_term, ks_stat —
+    * the max repeated per row so the frame is self-contained). Rounds to
+    * 6 decimals AFTER the max so the reported stat is the max of the
+    * reported terms. Same caller contract as [[driftPsi]]: non-empty,
+    * non-constant baseline. */
+  def driftKs(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val stats = base.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    def binned(df: DataFrame): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull)
+        .crossJoin(broadcast(stats))
+        .select(least(lit(bins - 1), greatest(lit(0),
+          floor((col("__x") - col("__lo"))
+            / ((col("__hi") - col("__lo")) / bins)).cast("int")))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = base.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(bins - 1))).as("__b"))
+      .select(col("__b").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(base).withColumnRenamed("n", "n_base"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"))
+    // the cumulative window is unpartitioned BY DESIGN: its input is the
+    // bins-sized joined frame, not the corpus (the corpus was reduced by
+    // the two grouped counts above)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // explicit double casts: ANSI Long/Long `/` is integral div
+    val withCdf = joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        (sum(col("n_base")).over(wCum).cast("double")
+          / col("__tb").cast("double")).as("__fb"),
+        (sum(col("n_cur")).over(wCum).cast("double")
+          / col("__tc").cast("double")).as("__fc"))
+    val terms = withCdf.select(col("bin"), col("n_base"), col("n_cur"),
+      round(col("__fb"), 6).as("cdf_base"), round(col("__fc"), 6).as("cdf_cur"),
+      round(abs(col("__fb") - col("__fc")), 6).as("ks_term"))
+    val ksMax = terms.agg(max(col("ks_term")).as("ks_stat"))
+    terms.crossJoin(broadcast(ksMax))
+  }
 }

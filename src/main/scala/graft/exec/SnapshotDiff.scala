@@ -1,0 +1,68 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level diff between two snapshots of a keyed table — the CDC
+  * primitive a pipeline runs when a source re-delivers a full extract and
+  * only the delta should flow downstream (feed an incremental model, audit
+  * an upstream re-materialization, alert on unexpected churn).
+  *
+  * Classification per key: `insert` (key only in the new snapshot),
+  * `delete` (key only in the old), `update` (key in both, compared-column
+  * fingerprint differs). Unchanged rows are DROPPED — at 100 TB the whole
+  * point is that the output is churn-sized, not table-sized.
+  *
+  * Shape at scale: each side is reduced map-side to (key..., fingerprint)
+  * — a fixed-width md5 over the compared columns, computed in the scan
+  * projection, so the full-outer shuffle join on the key carries narrow
+  * rows regardless of how wide the table is. One shuffle each side, AQE
+  * handles key skew. The fingerprint is engine-portable (md5 over
+  * explicitly stringified columns with an explicit NULL sentinel and unit
+  * separator — never a raw `concat_ws`, which silently DROPS nulls and
+  * makes ("a", NULL) collide with ("a")), so an external system can
+  * reproduce and audit the same change classification.
+  *
+  * Caller contract: `keyCols` must be unique per snapshot (it is the
+  * table's primary key; duplicate keys would cross-multiply in the join);
+  * `compareCols` must stringify deterministically on every engine that
+  * needs to reproduce the fingerprint — floating-point columns should be
+  * pre-quantized by the caller (e.g. `floor(price * 100)` cents), because
+  * double→string formatting is NOT portable across engines. */
+object SnapshotDiff {
+
+  private val NullSentinel = "NULL"
+  private val Sep = "\u001f"
+
+  /** Engine-portable row fingerprint over `cols`: md5 of the
+    * unit-separated, NULL-sentineled string forms. */
+  def fingerprint(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val parts = cols.map(c => coalesce(c.cast("string"), lit(NullSentinel)))
+    md5(concat(parts.flatMap(p => Seq(p, lit(Sep))).init: _*))
+  }
+
+  /** The diff: one row per changed key — (keyCols..., change_type,
+    * old_fp, new_fp), change_type ∈ insert | delete | update. */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    require(compareCols.nonEmpty, "diff needs at least one compared column")
+    def slim(df: DataFrame, fpName: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        fingerprint(compareCols.map(col)).as(fpName): _*)
+    val o = slim(oldDf, "old_fp")
+    val n = slim(newDf, "new_fp")
+    // join on the key columns by NAME (coalesced output key): a NULL key
+    // component never matches anything on the other side, so such rows
+    // surface as delete+insert pairs — the honest reading of a NULL key
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("new_fp").isNull, "delete")
+          .when(col("old_fp").isNull, "insert")
+          .when(col("old_fp") =!= col("new_fp"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type") :+
+        col("old_fp") :+ col("new_fp"): _*)
+  }
+}

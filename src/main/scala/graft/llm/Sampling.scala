@@ -381,4 +381,46 @@ object Sampling {
         col("col.id").cast(idType).as(idCol),
         (col("pos") + 1).as("rank"))
   }
+
+  /** EXACT frequency cap: per stratum, exactly `min(k, |stratum|)` rows,
+    * chosen as the k SMALLEST salted 32-bit content hashes (ties by id asc)
+    * — a deterministic reservoir. Complements [[capSample]], which caps in
+    * EXPECTATION with a pure per-row filter: use this form when a
+    * downstream contract needs the cap exact (a fixed eval-set size, a
+    * per-language quota) and [[capSample]] when a binomial cap is fine and
+    * even the k-sized aggregate state is unwelcome.
+    *
+    * Shape at scale: the hash is a per-row projection; the selection is
+    * ONE map-side-combined [[graft.functions.TopKAgg]] pass (each map
+    * partition ships ≤ k entries per stratum, a reducer merges ≤ k·P) —
+    * never a `row_number` window, whose partition funnels an entire
+    * stratum into one reducer task at 100 TB. Reuses
+    * [[clusterBalancedSample]] with score = −hash, so the window
+    * equivalence pinned by SamplingSpec carries over.
+    *
+    * Determinism contract: same salted-md5 keying as every sampler here —
+    * same row, same decision, on any engine at any parallelism, and
+    * byte-identical duplicate keys rank adjacently (the id tie-break keeps
+    * the ordering total). Rows with a NULL key or NULL id are EXCLUDED
+    * (the aggregate skips nulls) — hash-undefined rows must not occupy
+    * quota slots silently. Ids must be integral (they ride the heap as
+    * longs). Returns (stratum, stratum_size, id, rank) with rank 1..k in
+    * hash order. */
+  def exactCapSample(df: DataFrame, key: Column, stratum: Column,
+      id: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // negated numeric value of the first 8 hex chars (32 bits: ~2^-16
+    // collision odds at k=10^3, and any collision only engages the id
+    // tie-break, not correctness); top-k by −hash == bottom-k by hash,
+    // and fixed-width hex compares lexicographically exactly as the
+    // numeric value does, so a SQL oracle reproduces the selection by
+    // ordering on the hex prefix string itself
+    val u = conv(hexPrefix(key, salt, 8), 16, 10).cast("long")
+    val prepared = df.select(stratum.as("__ec_stratum"),
+      negate(u.cast("double")).as("__ec_score"), id.as("__ec_id"))
+    clusterBalancedSample(prepared, k, "__ec_stratum", "__ec_score", "__ec_id")
+      .select(col("__ec_stratum").as("stratum"),
+        col("cluster_size").as("stratum_size"),
+        col("__ec_id").as("id"), col("rank"))
+  }
 }

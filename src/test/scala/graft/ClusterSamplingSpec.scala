@@ -191,4 +191,45 @@ class ClusterSamplingSpec extends SparkSpec {
     }
     ()
   }
+
+  test("exactCapSample matches the bottom-k-by-hash window form exactly") {
+    // duplicate keys across strata (identical hash engages the id
+    // tie-break), short strata keep everything
+    val rows = (1L to 300L).map(i => (i, s"s${i % 4}", s"key${i % 90}")) ++
+      Seq((900L, "tiny", "only"), (901L, "tiny", "only"))
+    val df = rows.toDF("doc_id", "stratum", "k")
+    val got = Sampling.exactCapSample(df, $"k", $"stratum", $"doc_id",
+        k = 10, salt = "t")
+      .select($"stratum", $"stratum_size", $"id", $"rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val h = substring(md5(concat(lit("t"), $"k")), 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"stratum").orderBy(h.asc, $"doc_id".asc)
+    val twin = df
+      .withColumn("rank", row_number().over(w))
+      .withColumn("stratum_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"stratum")))
+      .filter($"rank" <= 10)
+      .select($"stratum", $"stratum_size", $"doc_id".as("id"), $"rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == twin, "heap form diverged from the hash-window form")
+    // exact cap: every stratum at min(k, n)
+    val sizes = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes == Map("s0" -> 10, "s1" -> 10, "s2" -> 10, "s3" -> 10,
+      "tiny" -> 2))
+  }
+
+  test("exactCapSample: determinism across partitionings; null keys excluded") {
+    val df = (1L to 100L).map(i => (i, "s", s"k$i")).toDF("doc_id", "st", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.exactCapSample(d, $"k", $"st", $"doc_id", k = 7, salt = "x")
+        .select($"id", $"rank").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(run(df) == run(df.repartition(13)), "selection moved with layout")
+    val withNull = df.unionByName(
+      Seq((999L, "s", null: String)).toDF("doc_id", "st", "k"))
+    val got = run(withNull)
+    assert(got.size == 7 && !got.exists(_._1 == 999L),
+      "a NULL-key row must not occupy a quota slot")
+  }
 }

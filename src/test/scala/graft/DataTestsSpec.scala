@@ -155,6 +155,33 @@ class DataTestsSpec extends SparkSpec {
     ()
   }
 
+  test("driftKs: identical → 0, disjoint shift → near 1, cdf monotone to 1") {
+    import graft.exec.DataTests
+    val base = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    val same = DataTests.driftKs(base, base, "v", bins = 20)
+      .select($"bin", $"ks_term", $"ks_stat")
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(same.length == 20 && same.forall(r => r._2 == 0.0 && r._3 == 0.0))
+    // current mass entirely ABOVE the baseline range (clamps to top bin):
+    // the ECDF gap reaches 1 − 1/bins at the penultimate bin
+    val above = (1 to 500).map(_ => 1000.0).toDF("v")
+    val ks = DataTests.driftKs(base, above, "v", bins = 20)
+      .select($"bin", $"cdf_base", $"cdf_cur", $"ks_stat")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(ks.last._4 >= 0.94, s"ks ${ks.last._4} too small for a full shift")
+    // both CDFs are monotone and end exactly at 1
+    assert(ks.map(_._2).toSeq == ks.map(_._2).sorted.toSeq && ks.last._2 == 1.0)
+    assert(ks.map(_._3).toSeq == ks.map(_._3).sorted.toSeq && ks.last._3 == 1.0)
+    // the reported stat IS the max of the reported terms (rounded after max)
+    val terms = DataTests.driftKs(base, above, "v", bins = 20)
+      .select($"ks_term").as[Double].collect()
+    assert(ks.last._4 == terms.max)
+    intercept[IllegalArgumentException] {
+      DataTests.driftKs(base, base, "v", bins = 1)
+    }
+    ()
+  }
+
   test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
     Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
     val fixture = Seq((1L, "fix")).toDF("id", "v")

@@ -443,6 +443,44 @@ object DepthQueries {
       |    AND p_size <= 25)
       |GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------- q31 salted skew-mitigated join
+
+  /** Skew-mitigated fact-to-dim join ([[graft.exec.Skew.saltedJoin]]):
+    * lineitem joins part on `l_partkey` through the counter-salted path —
+    * the big side takes a round-robin salt, the dim explodes saltFactor×,
+    * the shuffle key becomes (key, salt) so a hot key spreads across
+    * `saltFactor` reducer tasks instead of funneling into one. The whole
+    * point of salting is SEMANTIC TRANSPARENCY, which is exactly what the
+    * oracle pins: the per-brand aggregate over the salted join must be
+    * hash-identical to DuckDB's plain join. (SkewSpec pins the left /
+    * left_semi / left_anti variants and the outer-type rejection; this
+    * query puts the inner path behind the driver's gate.) Decimal-cast
+    * before summing per the double-parity rule. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume"))
+    val dim = t(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.exec.Skew.saltedJoin(li, dim, Seq("l_partkey"), "inner",
+        saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("volume")).cast("double"), 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q31Sql =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS sum_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -692,6 +730,7 @@ object DepthQueries {
     "q28_market_share" -> (q28 _),
     "q29_recursive_cte" -> (q29 _),
     "q30_approx_quantiles" -> (q30 _),
+    "q31_salted_skew_join" -> (q31 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -715,6 +754,7 @@ object DepthQueries {
     "q28_market_share" -> q28Sql,
     "q29_recursive_cte" -> q29Sql,
     "q30_approx_quantiles" -> q30Sql,
+    "q31_salted_skew_join" -> q31Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

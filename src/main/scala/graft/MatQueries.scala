@@ -894,6 +894,91 @@ object MatQueries {
       |  TRUE AS recall_ok, TRUE AS replay_stable,
       |  TRUE AS store_consistent, TRUE AS store_stable""".stripMargin
 
+  // ------------------------------------------- m22 model DAG run (ref()/deps)
+
+  /** The dbt-style model DAG executor ([[graft.pipeline.ModelGraph.run]])
+    * behind the driver's hash gate: two independent staging CTAS models run
+    * thread-parallel, a mart joins them (dep-ordered), a failing model
+    * marks its TRANSITIVE dependents skipped (with the blocking dep
+    * recorded) while everything else still builds — dbt's partial-failure
+    * semantics (reference tests/functional/test_concurrency.py). Output is
+    * one row per model (name, status, blocked_by) plus the mart's actual
+    * content rows, so the oracle pins BOTH the scheduling outcome and that
+    * the dep-ordered build produced the right table. */
+  private def m22(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m22")
+    import graft.pipeline.ModelGraph
+    import graft.pipeline.ModelGraph.{Failed, Model, Skipped, Success_}
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val models = Seq(
+      Model("stg_orders")(sp => Materializer.table(sp,
+        TableRef("g_m22.stg_orders"),
+        orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")))),
+      Model("stg_customer")(sp => Materializer.table(sp,
+        TableRef("g_m22.stg_customer"),
+        cust.select(col("c_custkey"), col("c_mktsegment")))),
+      Model("mart_segment_sales", deps = Seq("stg_orders", "stg_customer"))(
+        sp => Materializer.table(sp, TableRef("g_m22.mart_segment_sales"),
+          sp.table("g_m22.stg_orders")
+            .join(sp.table("g_m22.stg_customer"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"),
+              round(sum(col("o_totalprice")).cast("double"), 2)
+                .as("revenue")))),
+      Model("bad_model")(_ => throw new RuntimeException("planted failure")),
+      Model("dead_model", deps = Seq("bad_model"))(_ => ()),
+      Model("dead_deeper", deps = Seq("dead_model"))(_ => ()))
+    val statuses = ModelGraph.run(s, models, parallelism = 4)
+    import s.implicits._
+    val statusDf = models.map(_.name).map { n =>
+      statuses(n) match {
+        case Success_   => (n, "success", null: String)
+        case Failed(_)  => (n, "failed", null: String)
+        case Skipped(d) => (n, "skipped", d)
+      }
+    }.toDF("name", "status", "blocked_by")
+      .select(col("name"), col("status"), col("blocked_by"),
+        lit(null).cast("string").as("c_mktsegment"),
+        lit(null).cast("long").as("n_orders"),
+        lit(null).cast("double").as("revenue"))
+    val martDf = s.table("g_m22.mart_segment_sales")
+      .select(lit("mart_row").as("name"), lit("data").as("status"),
+        lit(null).cast("string").as("blocked_by"),
+        col("c_mktsegment"), col("n_orders"), col("revenue"))
+    statusDf.unionByName(martDf)
+      .orderBy(col("name"), col("c_mktsegment"))
+  }
+
+  private val m22Sql =
+    """WITH mart AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |      AS revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1),
+      |status AS (
+      |  SELECT * FROM (VALUES
+      |    ('stg_orders', 'success', CAST(NULL AS VARCHAR)),
+      |    ('stg_customer', 'success', NULL),
+      |    ('mart_segment_sales', 'success', NULL),
+      |    ('bad_model', 'failed', NULL),
+      |    ('dead_model', 'skipped', 'bad_model'),
+      |    ('dead_deeper', 'skipped', 'dead_model'))
+      |    AS t(name, status, blocked_by))
+      |SELECT name, status, blocked_by,
+      |  CAST(NULL AS VARCHAR) AS c_mktsegment,
+      |  CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS revenue
+      |FROM status
+      |UNION ALL
+      |SELECT 'mart_row', 'data', NULL, c_mktsegment, n_orders, revenue
+      |FROM mart
+      |ORDER BY name, c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -917,7 +1002,8 @@ object MatQueries {
     "m18_streaming_dedup" -> (m18 _),
     "m19_streaming_store_dedup" -> (m19 _),
     "m20_streaming_neardup" -> (m20 _),
-    "m21_streaming_semantic_neardup" -> (m21 _))
+    "m21_streaming_semantic_neardup" -> (m21 _),
+    "m22_model_dag" -> (m22 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -940,5 +1026,6 @@ object MatQueries {
     "m18_streaming_dedup" -> m18Sql,
     "m19_streaming_store_dedup" -> m19Sql,
     "m20_streaming_neardup" -> m20Sql,
-    "m21_streaming_semantic_neardup" -> m21Sql)
+    "m21_streaming_semantic_neardup" -> m21Sql,
+    "m22_model_dag" -> m22Sql)
 }

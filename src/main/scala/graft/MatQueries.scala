@@ -979,6 +979,73 @@ object MatQueries {
       |FROM mart
       |ORDER BY name, c_mktsegment""".stripMargin
 
+  // --------------------------------------- m23 compaction + crash recovery
+
+  /** Table maintenance behind the driver's hash gate
+    * ([[graft.exec.Maintenance]]): orders written 4-ways into a
+    * priority-partitioned table (4 data files per partition), compacted to
+    * one file per partition through the atomic partition swap, then a
+    * planted crash leftover (`<t>__dbt_tmp`, the abandoned staging-table
+    * shape) is swept by `recover`. The oracle pins the full evidence chain
+    * per partition: measured file counts before (4) and after (1), row
+    * counts and checksum UNCHANGED by the rewrite, 5 partitions compacted,
+    * exactly one recover action, leftover gone. MaintenanceSpec keeps the
+    * race/lease/null-partition cases; this puts the happy path's
+    * end-to-end state behind the oracle. */
+  private def m23(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m23")
+    val part = PartitionSpec.Static(Seq("o_orderpriority" -> "string"))
+    val tgt = TableRef("g_m23.orders_part")
+    // the writer repartitions by the partition columns (one file per
+    // partition per write, Committer.scala:379) — the 4-files state is
+    // built the way it arises in production: a CTAS plus three appends of
+    // disjoint key quarters
+    def quarter(q: Int): DataFrame = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 4 === q)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderpriority"))
+    Materializer.table(s, tgt, quarter(0), part)
+    (1 to 3).foreach(q => Materializer.incremental(s, tgt, quarter(q),
+      IncrementalStrategy.Append, partition = part))
+    import graft.exec.Maintenance
+    def fileCounts(name: String): DataFrame = {
+      import s.implicits._
+      // priority values ("1-URGENT"…) contain no path-escaped characters,
+      // so the dir value IS the column value
+      Maintenance.partitionFileCounts(s, tgt, part).toSeq
+        .map { case (rel, n) => (rel.split("=", 2)(1), n) }
+        .toDF("o_orderpriority", name)
+    }
+    val before = fileCounts("files_before")
+    val compacted = Maintenance.compact(s, tgt, part, maxFiles = 1)
+    val after = fileCounts("files_after")
+    s.sql("CREATE TABLE g_m23.orders_part__dbt_tmp AS SELECT 1 AS x")
+    val actions = Maintenance.recover(s, tgt)
+    val tmpLeft =
+      if (s.catalog.tableExists("g_m23.orders_part__dbt_tmp")) 1 else 0
+    s.table(tgt.render)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")).cast("double"), 2).as("total_price"))
+      .join(broadcast(before), Seq("o_orderpriority"))
+      .join(broadcast(after), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("files_before").cast("int"),
+        col("files_after").cast("int"), col("n_rows"), col("total_price"),
+        lit(compacted.size).as("n_compacted"),
+        lit(actions.size).as("n_recover_actions"),
+        lit(tmpLeft).as("tmp_left"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val m23Sql =
+    """SELECT o_orderpriority, 4 AS files_before, 1 AS files_after,
+      |  COUNT(*) AS n_rows,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total_price,
+      |  5 AS n_compacted, 1 AS n_recover_actions, 0 AS tmp_left
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1003,7 +1070,8 @@ object MatQueries {
     "m19_streaming_store_dedup" -> (m19 _),
     "m20_streaming_neardup" -> (m20 _),
     "m21_streaming_semantic_neardup" -> (m21 _),
-    "m22_model_dag" -> (m22 _))
+    "m22_model_dag" -> (m22 _),
+    "m23_compact_recover" -> (m23 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1027,5 +1095,6 @@ object MatQueries {
     "m19_streaming_store_dedup" -> m19Sql,
     "m20_streaming_neardup" -> m20Sql,
     "m21_streaming_semantic_neardup" -> m21Sql,
-    "m22_model_dag" -> m22Sql)
+    "m22_model_dag" -> m22Sql,
+    "m23_compact_recover" -> m23Sql)
 }

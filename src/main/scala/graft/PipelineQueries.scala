@@ -640,6 +640,61 @@ private[graft] object PipelineQueries {
        |FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin
   }
 
+  // --------------------------------------- j05 CDC apply (diff → merge)
+
+  /** The j04 diff APPLIED — the full CDC loop: materialize today's
+    * snapshot as a table, diff it against the re-delivered extract
+    * ([[graft.exec.SnapshotDiff.diff]]), then bring the table to the new
+    * state touching only churn-sized frames: upserts (insert+update keys
+    * semi-join the new extract for payload) through
+    * [[graft.exec.Incremental.merge]], deletes through the new
+    * [[graft.exec.Mutations.deleteKeys]] (one distributed anti join — the
+    * key set is a DataFrame, never a driver in-list). The oracle pins the
+    * FINAL TABLE STATE equal to the new extract row-for-row — if any
+    * classification, merge, or delete is wrong, the hash breaks. */
+  private def j05(s: SparkSession, dir: String): DataFrame = {
+    s.sql("DROP DATABASE IF EXISTS g_j05 CASCADE")
+    s.sql("CREATE DATABASE g_j05")
+    val tgt = graft.catalog.TableRef("g_j05.orders_cur")
+    val o = t(s, dir, "orders")
+    val inserts = o.filter(col("o_orderkey") % 13 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000000L))
+    val next = o.filter(col("o_orderkey") % 13 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")))
+      .unionByName(inserts)
+    def prep(df: DataFrame): DataFrame = df.select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("o_cents"))
+    graft.mat.Materializer.table(s, tgt, prep(o))
+    val diff = graft.exec.SnapshotDiff.diff(prep(o), prep(next),
+      Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority", "o_cents"))
+    val upserts = prep(next).join(
+      diff.filter(col("change_type").isin("insert", "update"))
+        .select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_semi")
+    graft.exec.Incremental.merge(s, tgt, upserts, Seq("o_orderkey"))
+    graft.exec.Mutations.deleteKeys(s, tgt,
+      diff.filter(col("change_type") === "delete").select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    s.table(tgt.render).orderBy(col("o_orderkey"))
+  }
+
+  private val j05Sql =
+    """WITH next AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 13 = 2 THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000000, o_orderstatus, o_orderpriority,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 3)
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_cents
+      |FROM next ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,7 +704,8 @@ private[graft] object PipelineQueries {
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _),
-    "j04_snapshot_diff" -> (j04 _))
+    "j04_snapshot_diff" -> (j04 _),
+    "j05_cdc_apply" -> (j05 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "p01_curation_pipeline" -> p01Sql,
@@ -658,5 +714,6 @@ private[graft] object PipelineQueries {
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql,
-    "j04_snapshot_diff" -> j04Sql)
+    "j04_snapshot_diff" -> j04Sql,
+    "j05_cdc_apply" -> j05Sql)
 }

@@ -92,6 +92,51 @@ object Mutations {
     }
   }
 
+  /** DELETE FROM target WHERE (key...) IN (keys) with the key set arriving
+    * as a DATAFRAME — the CDC-apply / GDPR-erasure shape, where the keys to
+    * remove are the output of another computation (a snapshot diff, a
+    * right-to-be-forgotten feed) and may be far too many for the driver-side
+    * in-list [[delete]]'s predicate would need. The survivor set is one
+    * distributed left-anti join (hash build dedups the key frame, AQE
+    * broadcasts a churn-sized one); on a partitioned table only partitions
+    * actually containing matched keys are rewritten (semi-join touched
+    * scan, same cap-and-fallback discipline as [[delete]]).
+    *
+    * Key matching is null-safe (`<=>`): a NULL key component matches a NULL
+    * target component — the key frame SAYS to delete that row. Callers who
+    * want SQL IN's NULL-never-matches semantics should filter NULL keys out
+    * of the frame first. */
+  def deleteKeys(spark: SparkSession, target: TableRef, keys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], partition: PartitionSpec = PartitionSpec.None): Unit = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val tgt = spark.table(target.render)
+    val k = keys.select(keyCols.map(keys(_)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def cond = keyCols.map(c => tgt(c) <=> k(c)).reduce(_ && _)
+      def kept = tgt.join(k, cond, "left_anti")
+        .select(tgt.columns.map(col).toIndexedSeq: _*)
+      partition.partitionColumns match {
+        case Nil =>
+          AtomicWriter.overwriteTable(spark, kept, target, partition,
+            AtomicWriter.currentBucketing(spark, target))
+        case pcols =>
+          val key = AtomicWriter.partitionKey(pcols.map(col))
+          val cap = Incremental.touchedCap(spark)
+          val touched = tgt.join(k, cond, "left_semi")
+            .select(key.as("p")).distinct()
+            .limit(cap + 1).collect().map(_.getString(0))
+          if (touched.length > cap)
+            AtomicWriter.overwriteTable(spark, kept, target, partition,
+              AtomicWriter.currentBucketing(spark, target))
+          else if (touched.nonEmpty)
+            AtomicWriter.overwritePartitions(spark,
+              kept.filter(key.isin(touched.toSeq: _*)), target, partition,
+              Some(touched.toSet))
+      }
+    } finally k.unpersist()
+  }
+
   /** TRUNCATE TABLE (ref adapters.sql:6-12). */
   def truncate(spark: SparkSession, target: TableRef): Unit =
     spark.sql(s"TRUNCATE TABLE ${target.render}")

@@ -100,6 +100,47 @@ class MutationsSpec extends SparkSpec {
     assert(spark.table(ref.render).count() == 0)
   }
 
+  test("deleteKeys on unpartitioned table: frame-keyed, duplicate keys OK") {
+    val ref = fresh(PartitionSpec.None)
+    // key frame with duplicates — anti join dedups, no row multiplication
+    val keys = Seq(2L, 2L, 4L, 99L).toDF("id")
+    Mutations.deleteKeys(spark, ref, keys, Seq("id"))
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+  }
+
+  test("deleteKeys on partitioned table rewrites only touched partitions") {
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val ref = fresh(part)
+    Mutations.deleteKeys(spark, ref, Seq(1L).toDF("id"), Seq("id"), part)
+    assert(spark.table(ref.render).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 3L, 4L))
+    // untouched p2 partition still registered with both rows
+    assert(spark.table(ref.render).filter($"pt" === "p2").count() == 2)
+  }
+
+  test("deleteKeys is null-safe: a NULL key component deletes NULL rows") {
+    val ref = TableRef("default.mut_delkeys_null")
+    Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("id", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    Mutations.deleteKeys(spark, ref,
+      Seq[Option[Long]](None, Some(3L)).toDF("id"), Seq("id"))
+    assert(spark.table(ref.render).select("v").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+  }
+
+  test("deleteKeys multi-column key matches on the full tuple") {
+    val ref = TableRef("default.mut_delkeys_multi")
+    Seq((1L, "x", 10), (1L, "y", 20), (2L, "x", 30))
+      .toDF("k1", "k2", "v")
+      .write.mode("overwrite").saveAsTable(ref.render)
+    Mutations.deleteKeys(spark, ref, Seq((1L, "x")).toDF("k1", "k2"),
+      Seq("k1", "k2"))
+    assert(spark.table(ref.render).select("v").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(20, 30))
+  }
+
   test("UPDATE/DELETE on a bucketed table preserve the bucket spec") {
     import graft.catalog.TableRef
     val ref = TableRef("default.mut_bucketed")

@@ -1046,6 +1046,88 @@ object MatQueries {
       |  5 AS n_compacted, 1 AS n_recover_actions, 0 AS tmp_left
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------- m24 watermarked windowed streaming aggregation
+
+  /** [[graft.streaming.Streaming.windowedCounts]] — watermarked tumbling
+    * event-time windows — behind the driver's hash gate, with the LATE-DATA
+    * semantics actually exercised. Slabs 1–4 are the events table
+    * range-partitioned on event time (the m18 ingest-log shape: file k =
+    * time slab k, drained in mtime order); slab 5 arrives LAST carrying
+    * (a) re-keyed copies of day-1 events — by then the watermark sits one
+    * hour behind the slab-4 maximum, ~28 days past their window end, so
+    * the engine must DROP every one — and (b) re-keyed fresh events inside
+    * the final day's still-open window, which must be COUNTED (this pins
+    * that slab 5 really drained: lose the slab and the fresh rows vanish
+    * from the hash; leak the late rows and day-1 windows break it).
+    * Update-mode emissions land per micro-batch via foreachBatch stamped
+    * with their batch id; the final table takes each window's LATEST
+    * emission, so the result is the full non-late aggregate with no
+    * dependence on trailing no-data batches finalizing the tail windows
+    * (append mode's close-out timing is engine-internal; the aggregate
+    * VALUES are the contract). Oracle: the plain batch aggregate over
+    * events ∪ the fresh plants. */
+  private def m24(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    val bounds = base.agg(
+      max(col("event_id")), min(date_trunc("day", col("ts"))),
+      max(date_trunc("day", col("ts")))).head
+    val (off, minDay, maxDay) =
+      (bounds.getLong(0) + 1, bounds.getTimestamp(1), bounds.getTimestamp(2))
+    val late = base.filter(col("ts") < lit(minDay) + expr("INTERVAL 1 DAY"))
+      .withColumn("event_id", col("event_id") + off)
+    val fresh = base.filter(col("ts") >= lit(maxDay))
+      .withColumn("event_id", col("event_id") + lit(2 * off))
+    val root = tempDir("g_m24")
+    base.repartitionByRange(4, col("ts"), col("event_id"))
+      .write.parquet(s"$root/src")
+    new java.io.File(s"$root/src").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified((i + 1) * 600000L) }
+    late.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stage")
+    val part5 = new java.io.File(s"$root/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$root/src/slab-5.parquet")
+    java.nio.file.Files.move(part5.toPath, dst.toPath)
+    dst.setLastModified(5 * 600000L)
+    val stream = s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+    val agg = graft.streaming.Streaming.windowedCounts(
+      stream, "ts", "1 hour", "1 day")
+    graft.streaming.Streaming.runToCompletion(
+      agg.writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(s"$root/emits"); () }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    s.read.parquet(s"$root/emits")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(struct(col("batch_id"), col("window_end"), col("n"),
+        col("total_value"))).as("m"))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("m.window_end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("m.n").as("n"),
+        col("m.total_value").as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val m24Sql =
+    """WITH src AS (
+      |  SELECT event_type, value, ts FROM events
+      |  UNION ALL
+      |  SELECT event_type, value, ts FROM events
+      |  WHERE ts >= date_trunc('day', (SELECT max(ts) FROM events)))
+      |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+      |    AS window_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM src GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1071,7 +1153,8 @@ object MatQueries {
     "m20_streaming_neardup" -> (m20 _),
     "m21_streaming_semantic_neardup" -> (m21 _),
     "m22_model_dag" -> (m22 _),
-    "m23_compact_recover" -> (m23 _))
+    "m23_compact_recover" -> (m23 _),
+    "m24_windowed_stream_agg" -> (m24 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1096,5 +1179,6 @@ object MatQueries {
     "m20_streaming_neardup" -> m20Sql,
     "m21_streaming_semantic_neardup" -> m21Sql,
     "m22_model_dag" -> m22Sql,
-    "m23_compact_recover" -> m23Sql)
+    "m23_compact_recover" -> m23Sql,
+    "m24_windowed_stream_agg" -> m24Sql)
 }

@@ -1128,6 +1128,132 @@ object MatQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM src GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  /** m25 — STREAMING gap sessionization behind the FULL-VALUE oracle: the
+    * `flatMapGroupsWithState` sessionizer (custom keyed state + event-time
+    * timeouts, [[graft.streaming.Streaming.sessionize]]) driven over a file
+    * stream of the events table, checked for exact equality against the
+    * relational cumulative-flag formulation in DuckDB (q26's oracle — the
+    * batch twin q26 pins `sessionizeBatch`; this pins the STREAMING path).
+    *
+    * Flush discipline: all real data rides ONE first batch (watermark still
+    * at its floor → zero late drops), then two sentinel batches for a
+    * fictitious user advance the event-time watermark past every real
+    * session's close + gap. The second sentinel is a DATA batch processed
+    * with the watermark already beyond all registered timeouts, so every
+    * remaining open session flushes inside a data batch — no reliance on
+    * trailing no-data microbatches. Sentinel sessions never close and are
+    * filtered from the output. Scale shape: state and shuffle are per-user
+    * and bounded by open sessions only; emission is append-exactly-once. */
+  private def m25(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").filter(col("user_id") <= 100)
+      .select(col("user_id"), col("ts"))
+    // flavor-agnostic max: events.ts is NTZ from naive parquet; the UTC
+    // session makes the cast a lossless wall-clock reinterpretation
+    val maxUs = base.agg(max(unix_micros(col("ts").cast("timestamp"))))
+      .head.getLong(0)
+    val tsType = base.schema("ts").dataType
+    val root = tempDir("g_m25")
+    base.coalesce(1).write.parquet(s"$root/src")
+    new java.io.File(s"$root/src").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .foreach { f => f.setLastModified(600000L); () }
+    def sentinel(plusSec: Long, idx: Int): Unit = {
+      import s.implicits._
+      Seq((-1L, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochMilli(maxUs / 1000L + plusSec * 1000L))))
+        .toDF("user_id", "ts")
+        .select(col("user_id"), col("ts").cast(tsType).as("ts"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/src/sentinel-$idx.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(idx * 600000L); ()
+    }
+    sentinel(7200L, 2); sentinel(14400L, 3)
+    val stream = s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+    val sessions = graft.streaming.Streaming.sessionizeStream(
+      stream, java.time.Duration.ofMinutes(30), watermark = "0 seconds")
+    graft.streaming.Streaming.runToCompletion(
+      sessions.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$root/emits"); () }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    s.read.parquet(s"$root/emits").filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val m25Sql =
+    """WITH e AS (SELECT user_id, ts FROM events WHERE user_id <= 100),
+      |g AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |        THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, SUM(new_s) OVER
+      |        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM g)
+      |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** m26 — watermarked stream-stream interval join behind the FULL-VALUE
+    * oracle: clicks and purchases of the events table, each read as its own
+    * file stream, joined per user on |purchase.ts − click.ts| ≤ 1 hour
+    * ([[graft.streaming.Streaming.intervalJoin]]) and checked for exact
+    * equality against the plain relational interval join in DuckDB. Inner
+    * stream-stream joins emit matches as they arrive, so a single
+    * AvailableNow pass yields the complete join; the watermarks exist to
+    * BOUND THE JOIN STATE both engines must retain — the property that
+    * matters at cluster scale (an unwatermarked stream join grows state
+    * without bound). */
+  private def m26(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") <= 100)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val root = tempDir("g_m26")
+    clicks.write.parquet(s"$root/l")
+    purchases.write.parquet(s"$root/r")
+    val joined = graft.streaming.Streaming.intervalJoin(
+      graft.streaming.Streaming.parquetStream(s, s"$root/l"),
+      graft.streaming.Streaming.parquetStream(s, s"$root/r"),
+      key = "user_id", tsCol = "ts", watermark = "0 seconds",
+      before = "1 HOUR", after = "1 HOUR")
+    graft.streaming.Streaming.runToCompletion(
+      joined.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$root/out"); () }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    s.read.parquet(s"$root/out")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("r_value").cast("double").as("r_value"))
+      .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+  }
+
+  private val m26Sql =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type, value
+      |           FROM events WHERE user_id <= 100),
+      |c AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id, value FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+      |  CAST(p.value AS DOUBLE) AS r_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1154,7 +1280,9 @@ object MatQueries {
     "m21_streaming_semantic_neardup" -> (m21 _),
     "m22_model_dag" -> (m22 _),
     "m23_compact_recover" -> (m23 _),
-    "m24_windowed_stream_agg" -> (m24 _))
+    "m24_windowed_stream_agg" -> (m24 _),
+    "m25_streaming_sessionize" -> (m25 _),
+    "m26_stream_interval_join" -> (m26 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1180,5 +1308,7 @@ object MatQueries {
     "m21_streaming_semantic_neardup" -> m21Sql,
     "m22_model_dag" -> m22Sql,
     "m23_compact_recover" -> m23Sql,
-    "m24_windowed_stream_agg" -> m24Sql)
+    "m24_windowed_stream_agg" -> m24Sql,
+    "m25_streaming_sessionize" -> m25Sql,
+    "m26_stream_interval_join" -> m26Sql)
 }

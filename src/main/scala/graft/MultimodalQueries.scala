@@ -262,6 +262,50 @@ private[graft] object MultimodalQueries {
       |FROM cells JOIN tot USING (id)
       |GROUP BY id ORDER BY id""".stripMargin
 
+  // ----------------------------------------- mm08 image near-dup pairing
+
+  /** Cross-image near-duplicate pairing, the corpus-level complement of
+    * mm05's per-image hash: real PNG encode → `ImageIO` decode →
+    * [[graft.llm.ImageCodec.ahash64]] for each id, then
+    * [[Multimodal.ahashNearDupPairs]] — 4×16-bit band buckets + exact
+    * Hamming verify, pigeonhole-EXACT at maxHamming=3 < 4 bands, so the
+    * banded plan must reproduce DuckDB's all-pairs closed-form twin
+    * row-for-row (a recall gap, band-slice drift, or codec bug
+    * hash-mismatches; the closed-form raster family genuinely exercises
+    * both sides of the threshold — ham 0–3 in, 4+ out). The id cap bounds
+    * DECODE cost, not the plan: the pairing is the same banded bucket
+    * join the MinHash path runs corpus-wide. */
+  private def mm08(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ahashNearDupPairs(
+        Multimodal.ahashPair(
+            t(s, dir, "documents").filter(col("doc_id") < 2000), "doc_id")
+          .select(col("id"), col("ahash")),
+        maxHamming = 3, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val mm08Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
+      |    8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 2000),
+      |px AS (SELECT id, w, h, p % w AS x, p // w AS y,
+      |    (id + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT id, w, h, unnest(range(w * h)) AS p FROM ids)),
+      |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1),
+      |hsh AS (SELECT id, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells JOIN tot USING (id) GROUP BY id)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      |FROM hsh a JOIN hsh b ON a.id < b.id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -271,7 +315,8 @@ private[graft] object MultimodalQueries {
     "mm04_video_frames" -> (mm04 _),
     "mm05_image_ahash" -> (mm05 _),
     "mm06_audio_frame_features" -> (mm06 _),
-    "mm07_audio_vad" -> (mm07 _))
+    "mm07_audio_vad" -> (mm07 _),
+    "mm08_image_neardup_pairs" -> (mm08 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "mm01_image_header_dims" -> mm01Sql,
@@ -280,5 +325,6 @@ private[graft] object MultimodalQueries {
     "mm04_video_frames" -> mm04Sql,
     "mm05_image_ahash" -> mm05Sql,
     "mm06_audio_frame_features" -> mm06Sql,
-    "mm07_audio_vad" -> mm07Sql)
+    "mm07_audio_vad" -> mm07Sql,
+    "mm08_image_neardup_pairs" -> mm08Sql)
 }

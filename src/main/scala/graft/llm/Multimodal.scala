@@ -482,6 +482,46 @@ object Multimodal {
       }(enc)
   }
 
+  /** Banded-Hamming near-duplicate IMAGE pairs over (id, ahash) rows — the
+    * cross-image complement of [[ahash]]: the 64-bit hash splits into
+    * `bands` contiguous slices, images sharing ANY slice value meet in a
+    * bucket join, and candidates verify by exact Hamming distance
+    * (`bit_count(a XOR b)`). Pigeonhole: a pair within `maxHamming` <
+    * `bands` differing bits cannot differ in every slice, so recall is
+    * EXACTLY 1.0 — the output equals the all-pairs result while the
+    * shuffle stays linear in corpus size + true candidate volume (bucket
+    * fan-out IS the corpus's duplicate-cluster structure, the thing being
+    * measured — same shape as the MinHash band probe in `llm/Dedup`).
+    * NULL hashes (undecodable payloads) are excluded. */
+  def ahashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole-exact recall needs maxHamming ($maxHamming) < bands ($bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = hashes.filter(col("ahash").isNotNull)
+      .select(col("id"), col("ahash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col("ahash"), b * width)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("band"))
+      .select(col("id"), col("ahash"),
+        col("band.b").as("b"), col("band.bv").as("bv"))
+    val left = banded.select(col("b"), col("bv"),
+      col("id").as("id_a"), col("ahash").as("ha"))
+    val right = banded.select(col("b"), col("bv"),
+      col("id").as("id_b"), col("ahash").as("hb"))
+    left.join(right, Seq("b", "bv")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      // verify BEFORE the cross-band dedup so the distinct runs on the
+      // surviving pairs only
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Lossless/lossy perceptual-hash pair probe: for each id, a real PNG
     * and a real JPEG of the SAME closed-form raster (w = 8 + id%24,
     * h = 8 + id%12 — always ≥ the 8×8 grid), both genuinely encoded and

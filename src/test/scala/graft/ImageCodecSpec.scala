@@ -134,4 +134,35 @@ class ImageCodecSpec extends SparkSpec {
     assert(ImageCodec.ahash64(Array[Byte](1, 2, 3)).isEmpty)
     assert(ImageCodec.ahash64(null).isEmpty)
   }
+
+  test("ahashNearDupPairs: banded plan equals brute-force all-pairs exactly") {
+    import spark.implicits._
+    // hashes engineered to span hamming 0..5 and to cross band boundaries:
+    // 0x0F ^ 0x0D = 2 bits inside band 0; 0x1000F differs from 0x0F in
+    // band 1; 0xF0000000000000F differs across bands 0 and 3
+    val hs = Seq(
+      1L -> 0x0FL, 2L -> 0x0FL, 3L -> 0x0DL, 4L -> 0x1000FL,
+      5L -> 0x0F0000000000000FL, 6L -> 0xFFL, 7L -> -1L,
+      8L -> java.lang.Long.MIN_VALUE)
+      .toDF("id", "ahash")
+    val got = Multimodal.ahashNearDupPairs(hs, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = hs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw if ia < ib
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (ia, ib, ham)).toSet
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 2),
+      "fixture must exercise several hamming values")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // NULL hashes drop out instead of matching everything
+    val withNull = hs.unionByName(
+      Seq((9L, Option.empty[Long])).toDF("id", "ahash"))
+    assert(!Multimodal.ahashNearDupPairs(withNull).collect()
+      .exists(r => r.getLong(0) == 9L || r.getLong(1) == 9L))
+    // the pigeonhole contract is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashNearDupPairs(hs, maxHamming = 4, bands = 4)
+    }
+  }
 }

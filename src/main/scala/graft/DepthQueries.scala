@@ -481,6 +481,119 @@ object DepthQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ q32 bucketed point-in-interval join
+
+  /** Range (point-in-interval) join WITHOUT a nested-loop plan: events join
+    * a table of 120 overlapping 36-hour analysis windows (6-hour stride) on
+    * `ws <= ts < we`. A naive inequality join forces Spark into
+    * BroadcastNestedLoopJoin — O(|events|·|windows|) comparisons and, once
+    * the interval side outgrows the broadcast threshold, a cartesian. The
+    * scale-correct plan bucketizes time: each interval EXPLODES into the
+    * fixed-width buckets it overlaps (≤ ceil(width/bucket)+1 = 7 here), each
+    * point maps to exactly ONE bucket, and the join becomes a hash equi-join
+    * on bucket id with the exact containment predicate as a residual filter
+    * — shuffle ∝ data, never ∝ data², and it survives interval tables of any
+    * size (DepthPlanSpec pins the no-BNLJ/no-cartesian shape). A point
+    * matching k windows is emitted k times by construction (its bucket holds
+    * k expanded interval rows), so no dedup pass is needed. The oracle runs
+    * the plain inequality join in DuckDB — the bucketed decomposition must
+    * be value-invisible. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L          // µs
+    val bucket = 21600000000L       // 6 h
+    val width = 129600000000L       // 36 h window
+    val stride = 21600000000L       // 6 h stride → 6× overlap
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("value"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    // day-floored corpus start anchors the window grid; the one-row agg
+    // rides a broadcast (no driver collect)
+    val d0 = ev.agg(expr(s"(min(us) div $day) * $day").as("d0"))
+    val windows = s.range(120).select(col("id").as("window_id"))
+      .crossJoin(broadcast(d0))
+      .select(col("window_id"),
+        (col("d0") + col("window_id") * lit(stride)).as("ws"))
+      .withColumn("we", col("ws") + lit(width))
+    val expanded = windows.withColumn("b",
+      explode(sequence(expr(s"ws div $bucket"), expr(s"(we - 1) div $bucket"))))
+    val pts = ev.withColumn("b", expr(s"us div $bucket"))
+    expanded.join(pts, Seq("b"))
+      .filter(col("us") >= col("ws") && col("us") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  private val q32Sql =
+    """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us
+      |           FROM events),
+      |b AS (SELECT (min(us) // 86400000000) * 86400000000 AS d0 FROM e),
+      |w AS (SELECT CAST(r.range AS BIGINT) AS window_id,
+      |             d0 + CAST(r.range AS BIGINT) * 21600000000 AS ws,
+      |             d0 + CAST(r.range AS BIGINT) * 21600000000
+      |               + 129600000000 AS we
+      |      FROM range(120) r, b)
+      |SELECT window_id, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(SUM(value), 2) AS sum_value
+      |FROM w JOIN e ON e.us >= w.ws AND e.us < w.we
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------- q33 funnel analysis
+
+  /** Ordered event funnel (view → first click AFTER the first view → first
+    * purchase AFTER that click), the conversion-analysis staple. Single
+    * shuffle by user: three chained unbounded-frame window minima over the
+    * SAME partitioning (each stage's timestamp conditions on the previous
+    * stage's — Catalyst stacks the three Window operators on one exchange),
+    * then a per-user collapse and a one-row global rollup with conversion
+    * rates. No self-joins, no sorts beyond the window's, state per user is
+    * three longs — the shape survives arbitrary user cardinality. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val staged = ev
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("us") > col("v_us"),
+          col("us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("c_us"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_us")).as("v_us"), max(col("c_us")).as("c_us"),
+        max(col("p_us")).as("p_us"))
+    staged.agg(count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_click"),
+        count(col("p_us")).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 6)
+          .as("view_to_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6)
+          .as("click_to_purchase"))
+  }
+
+  private val q33Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |         OVER (PARTITION BY user_id) AS v_us FROM e),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > v_us
+      |         THEN us END) OVER (PARTITION BY user_id) AS c_us FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_us
+      |         THEN us END) OVER (PARTITION BY user_id) AS p_us FROM w2),
+      |u AS (SELECT user_id, max(v_us) AS v_us, max(c_us) AS c_us,
+      |        max(p_us) AS p_us FROM w3 GROUP BY 1)
+      |SELECT COUNT(v_us) AS n_view, COUNT(c_us) AS n_click,
+      |  COUNT(p_us) AS n_purchase,
+      |  round(CAST(COUNT(c_us) AS DOUBLE) / COUNT(v_us), 6) AS view_to_click,
+      |  round(CAST(COUNT(p_us) AS DOUBLE) / COUNT(c_us), 6)
+      |    AS click_to_purchase
+      |FROM u""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -731,6 +844,8 @@ object DepthQueries {
     "q29_recursive_cte" -> (q29 _),
     "q30_approx_quantiles" -> (q30 _),
     "q31_salted_skew_join" -> (q31 _),
+    "q32_bucketed_range_join" -> (q32 _),
+    "q33_event_funnel" -> (q33 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -755,6 +870,8 @@ object DepthQueries {
     "q29_recursive_cte" -> q29Sql,
     "q30_approx_quantiles" -> q30Sql,
     "q31_salted_skew_join" -> q31Sql,
+    "q32_bucketed_range_join" -> q32Sql,
+    "q33_event_funnel" -> q33Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

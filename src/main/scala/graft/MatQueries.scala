@@ -1254,6 +1254,51 @@ object MatQueries {
       |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** m27 — stream-static broadcast enrichment join behind the FULL-VALUE
+    * oracle: the events table read as a file stream (8 files per trigger,
+    * so the enrichment provably survives an arbitrary batch split) is
+    * inner-joined per micro-batch against the STATIC customer dimension
+    * with an explicit broadcast hint, and the landed enriched rows are
+    * checked for exact equality against the plain relational join in
+    * DuckDB. This is the canonical streaming-ETL enrichment shape the
+    * m17–m26 family does not cover: unlike the stream-stream join (m26)
+    * it is STATELESS — no watermark, no state store, no join buffer — and
+    * the broadcast keeps the stream side shuffle-free, so at cluster scale
+    * each micro-batch costs one narrow map-side pass regardless of history
+    * size (the dim re-broadcasts per batch and may be refreshed between
+    * batches — the lookup-table pattern). Batch-split invariance is
+    * structural: a per-row stateless join commutes with any partition of
+    * the stream into batches. */
+  private def m27(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val root = tempDir("g_m27")
+    ev.write.parquet(s"$root/src")
+    val dim = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val joined = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 8).parquet(s"$root/src")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("double").as("value"),
+        col("c_mktsegment"), col("c_nationkey"))
+    graft.streaming.Streaming.runToCompletion(
+      joined.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$root/out"); () }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    s.read.parquet(s"$root/out").orderBy(col("event_id"))
+  }
+
+  private val m27Sql =
+    """SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+      |  c.c_mktsegment, c.c_nationkey
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1282,7 +1327,8 @@ object MatQueries {
     "m23_compact_recover" -> (m23 _),
     "m24_windowed_stream_agg" -> (m24 _),
     "m25_streaming_sessionize" -> (m25 _),
-    "m26_stream_interval_join" -> (m26 _))
+    "m26_stream_interval_join" -> (m26 _),
+    "m27_stream_static_join" -> (m27 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1310,5 +1356,6 @@ object MatQueries {
     "m23_compact_recover" -> m23Sql,
     "m24_windowed_stream_agg" -> m24Sql,
     "m25_streaming_sessionize" -> m25Sql,
-    "m26_stream_interval_join" -> m26Sql)
+    "m26_stream_interval_join" -> m26Sql,
+    "m27_stream_static_join" -> m27Sql)
 }

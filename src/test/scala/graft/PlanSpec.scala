@@ -380,4 +380,26 @@ class PlanSpec extends SparkSpec {
     // …and the classification joins back broadcast (provably small side)
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast classify join:\n$p")
   }
+
+  test("bucketed range join: hash equi-join on the bucket, never a nested loop over data") {
+    val p = plan("q32_bucketed_range_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+    // the only permitted nested-loop is the one-row day-anchor attach;
+    // the events-side range predicate must ride the bucket equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"range predicate fell to a nested loop over the data:\n$p")
+    assert(p.contains("Generate explode"), s"no interval→bucket expansion:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin) \\[b#".r.findFirstIn(p).nonEmpty,
+      s"no hash equi-join on the bucket id:\n$p")
+  }
+
+  test("funnel: three stacked stage windows ride ONE user exchange") {
+    val p = plan("q33_event_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"funnel stages must share the user_id exchange:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 3,
+      s"expected 3 chained window stages:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must not self-join the events table:\n$p")
+  }
 }

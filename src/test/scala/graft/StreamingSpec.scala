@@ -444,4 +444,38 @@ class StreamingSpec extends SparkSpec {
     assert(outRows() == Set((11L, 0), (21L, 1)))
     assert(DedupStore.readVectors(spark, store, dim)._2.count() == 3)
   }
+
+  test("stream-static enrichment join: broadcast, stateless, equals the batch twin") {
+    val ev = Tables.t(spark, dir, "events").filter($"user_id" <= 60)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val dim = Tables.t(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val tmp = java.nio.file.Files.createTempDirectory("ssj_src")
+    ev.write.mode("overwrite").parquet(tmp.toString)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val joined = Streaming.parquetStream(spark, tmp.toString)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_mktsegment")
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => out.add(r.toSeq)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the foreachBatch df is an ExistingRDD over already-joined rows; the
+    // micro-batch's real physical plan lives on the stream's lastExecution
+    val planStr = {
+      Streaming.runToCompletion(q)
+      q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+    }
+    // the dim must broadcast (stream side never shuffles) and the join
+    // must be STATELESS — no state store, no watermark machinery
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+    assert(!planStr.contains("StateStore"), s"stateless join expected:\n$planStr")
+    val want = ev.join(dim, $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_mktsegment").collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(out.toArray(Array.empty[Seq[Any]]).toSet == want)
+  }
 }

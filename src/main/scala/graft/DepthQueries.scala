@@ -594,6 +594,54 @@ object DepthQueries {
       |    AS click_to_purchase
       |FROM u""".stripMargin
 
+  // ----------------------------------------------- q34 z-order layout stats
+
+  /** Z-order (Morton) clustering for multi-dimensional scan pruning
+    * ([[graft.exec.Layout]]): quantize (l_partkey, l_suppkey) to 8 bits
+    * each against broadcast min/max stats, bit-interleave into a 16-bit
+    * z-value, and report per-z-run statistics — each `zbucket` is the key
+    * range one file of a 16-file `zorderWrite` layout would hold, and its
+    * min/max on BOTH keys is exactly the parquet footer range a scan
+    * filtered on EITHER column would prune against (single-key sorting
+    * gives perfect pruning on one column and none on the other; LayoutSpec
+    * measures the difference on real files). The whole computation is flat
+    * integer arithmetic (exact IntegralDivide quantization + unrolled
+    * shift/mask interleave — no UDF, fully codegen'd, one exchange for the
+    * groupBy), which is why DuckDB can reproduce it verbatim: the oracle
+    * re-derives every z-value and bucket stat from the same closed form. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Layout
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    Layout.withZValue(li, "l_partkey", "l_suppkey", bits = 8)
+      .groupBy(expr("z div 4096").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("zbucket"))
+  }
+
+  private val q34Sql = {
+    val terms = (0 until 8).map { i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i + 1)} + ((qy >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("\n      |        + ")
+    s"""WITH s AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+       |             min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+       |           FROM lineitem),
+       |q AS (SELECT l_partkey, l_suppkey,
+       |        least(greatest(((l_partkey - xlo) * 256) // (xhi - xlo + 1),
+       |          0), 255) AS qx,
+       |        least(greatest(((l_suppkey - ylo) * 256) // (yhi - ylo + 1),
+       |          0), 255) AS qy
+       |      FROM lineitem, s),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |        $terms AS z
+       |      FROM q)
+       |SELECT z // 4096 AS zbucket, COUNT(*) AS n,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -846,6 +894,7 @@ object DepthQueries {
     "q31_salted_skew_join" -> (q31 _),
     "q32_bucketed_range_join" -> (q32 _),
     "q33_event_funnel" -> (q33 _),
+    "q34_zorder_layout" -> (q34 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -872,6 +921,7 @@ object DepthQueries {
     "q31_salted_skew_join" -> q31Sql,
     "q32_bucketed_range_join" -> q32Sql,
     "q33_event_funnel" -> q33Sql,
+    "q34_zorder_layout" -> q34Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

@@ -1,0 +1,88 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering so parquet
+  * file-level min/max statistics prune scans filtered on ANY of the layout
+  * columns — the 100 TB counterpart of single-key sorting, which gives
+  * perfect pruning on one column and none on the others.
+  *
+  * Everything here is pure `Column` integer arithmetic (quantize → bit
+  * interleave), so the z-value computation stays inside whole-stage codegen
+  * and — being engine-agnostic math — is reproducible verbatim in the
+  * DuckDB oracle (q34). The write path is one `repartitionByRange` on the
+  * z-value + an in-partition sort: exactly one shuffle, the same cost shape
+  * as a plain sorted write, with the locality benefit in every dimension.
+  */
+object Layout {
+
+  /** Quantize `c` into `[0, 2^bits)` by linear range scaling. `lo`/`hi` are
+    * COLUMNS (ride a broadcast one-row stats table — never a driver
+    * collect). Integer arithmetic only: `(c - lo) * 2^bits div (hi - lo + 1)`
+    * with a degenerate-range guard, clamped so out-of-stats values (a stale
+    * stats row) land in the edge cells instead of corrupting the interleave. */
+  def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val cells = 1L << bits
+    val span = hi.cast("long") - lo.cast("long") + lit(1L)
+    // EXACT integer division (Column./ on longs is double division — a
+    // floor() over it can be off by one near integer boundaries, which the
+    // oracle's exact `//` would catch)
+    val q = GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression((c.cast("long") - lo.cast("long")) * lit(cells)),
+      GraftColumnBridge.expression(span),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    least(greatest(q.cast("long"), lit(0L)), lit(cells - 1))
+  }
+
+  /** Morton-interleave two already-quantized `bits`-wide values: bit i of
+    * `qx` lands at position 2i+1, bit i of `qy` at 2i. Unrolled shift/mask
+    * terms — a flat codegen-friendly expression tree, no UDF, no loop at
+    * runtime. */
+  def interleave(qx: Column, qy: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftright(qx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(qy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  /** Z-value for two numeric columns with stats columns attached (see
+    * [[withZValue]] for the self-contained form). */
+  def zValue(x: Column, xLo: Column, xHi: Column,
+             y: Column, yLo: Column, yHi: Column, bits: Int): Column =
+    interleave(quantize(x, xLo, xHi, bits), quantize(y, yLo, yHi, bits), bits)
+
+  /** Attach a `z` column for (`xCol`, `yCol`): computes the min/max stats as
+    * a one-row aggregate and broadcasts it onto every row (one narrow extra
+    * scan, no driver collect), then the pure-arithmetic z-value. */
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 8, as: String = "z"): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("__xlo"),
+      max(col(xCol)).cast("long").as("__xhi"),
+      min(col(yCol)).cast("long").as("__ylo"),
+      max(col(yCol)).cast("long").as("__yhi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(as, zValue(col(xCol), col("__xlo"), col("__xhi"),
+        col(yCol), col("__ylo"), col("__yhi"), bits))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+  }
+
+  /** Write `df` z-ordered on (`xCol`, `yCol`) into ~`nFiles` files: range
+    * partition by the z-TILE (z div blockSize, boundaries aligned to
+    * power-of-two Morton blocks) and sort within each partition by raw z so
+    * row groups inherit the locality too. Tile alignment matters: a file
+    * whose z-run straddles an unaligned quadrant boundary covers up to the
+    * FULL key range in one dimension (Morton jumps quadrants), wrecking its
+    * footer min/max; aligned blocks are square-ish tiles with ~√(1/nFiles)
+    * of each key's span. One shuffle, same cost as any clustered write. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
+                  path: String, bits: Int = 8): Unit = {
+    val blocks = math.max(1L, (1L << (2 * bits)) / nFiles)
+    withZValue(df, xCol, yCol, bits)
+      .repartitionByRange(nFiles, expr(s"z div $blocks"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.Layout
+
+/** Z-order layout: the pruning claim is MEASURED, not asserted — write the
+  * same table z-ordered and single-key-sorted, recover each FILE's min/max
+  * footer ranges (per-file aggregation over `input_file_name`, exactly the
+  * stats a reader prunes against), and compare how many files a selective
+  * predicate on the NON-sort column must touch. */
+class LayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quantize + interleave are exact integer arithmetic") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (255L, 255L), (7L, 200L)).toDF("x", "y")
+      .withColumn("qx", Layout.quantize(col("x"), lit(0L), lit(255L), 8))
+      .withColumn("qy", Layout.quantize(col("y"), lit(0L), lit(255L), 8))
+      .withColumn("z", Layout.interleave(col("qx"), col("qy"), 8))
+    val got = df.select("z").as[Long].collect().toSeq
+    // closed-form Morton values: (0,0)→0; (255,255)→65535; (7,200) bitwise
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i))).sum
+    assert(got == Seq(morton(0, 0), morton(255, 255), morton(7, 200)))
+    assert(got.head == 0L && got(1) == 65535L)
+  }
+
+  test("quantize clamps values outside the stats range into edge cells") {
+    import spark.implicits._
+    val df = Seq(-50L, 500L).toDF("x")
+      .withColumn("q", Layout.quantize(col("x"), lit(0L), lit(255L), 8))
+    assert(df.select("q").as[Long].collect().toSeq == Seq(0L, 255L))
+  }
+
+  test("z-order layout prunes on BOTH keys; single-key sort prunes on one") {
+    // sf0.01: the sf0.001 supplier domain (10 keys) is too coarse for
+    // 8-bit quantization to show tile locality through sampled range
+    // boundaries — 100 keys is representative
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zorder")
+    val nFiles = 16
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", nFiles, s"$base/z")
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$base/pk")
+
+    // per-file [min,max] of a key — the parquet footer range a scan prunes on
+    def ranges(path: String, key: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(key)).cast("long").as("lo"), max(col(key)).cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // fraction of files a 10%-band predicate on `key` must touch
+    def touched(path: String, key: String): Double = {
+      val rs = ranges(path, key)
+      val (glo, ghi) = (rs.map(_._1).min, rs.map(_._2).max)
+      val span = ghi - glo + 1
+      val (plo, phi) = (glo + (span * 45) / 100, glo + (span * 55) / 100)
+      rs.count { case (lo, hi) => hi >= plo && lo <= phi }.toDouble / rs.size
+    }
+
+    val zOnSupp = touched(s"$base/z", "l_suppkey")
+    val pkOnSupp = touched(s"$base/pk", "l_suppkey")
+    val zOnPart = touched(s"$base/z", "l_partkey")
+    info(s"touched: z/supp=$zOnSupp pk/supp=$pkOnSupp z/part=$zOnPart")
+    // the partkey-sorted layout cannot prune a suppkey band at all…
+    assert(pkOnSupp >= 0.9, s"expected no pruning, got $pkOnSupp")
+    // …the z-ordered layout prunes it to a strict subset, while still
+    // pruning partkey bands (locality in BOTH dimensions)
+    assert(zOnSupp <= 0.6, s"z-layout should prune suppkey bands: $zOnSupp")
+    assert(zOnPart <= 0.6, s"z-layout should prune partkey bands: $zOnPart")
+  }
+}

@@ -872,6 +872,55 @@ object DepthQueries {
       |  (SELECT MAX(ks_term) FROM terms) AS ks_stat
       |FROM terms ORDER BY bin""".stripMargin
 
+  // ---------------------- dt06 categorical drift (chi-squared) test
+
+  /** Chi-squared homogeneity drift on the CATEGORICAL `event_type` between
+    * the first and second half of the event stream
+    * ([[graft.exec.DataTests.driftChi2]]) — completes the drift family:
+    * dt04 PSI and dt05 KS bin NUMERIC columns and have nothing to say
+    * about an unordered category mix shift (a new crawler source flipping
+    * the click/error ratio). Oracle re-derives every expected count,
+    * per-category term, dof and the statistic relationally. */
+  private def dt06(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val split = lit("2024-01-16").cast("timestamp")
+    graft.exec.DataTests.driftChi2(
+        e.filter(col("ts") < split), e.filter(col("ts") >= split),
+        "event_type")
+      .orderBy(col("category"))
+  }
+
+  private val dt06Sql =
+    """WITH b AS (SELECT COALESCE(event_type, '__null') AS category
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |c AS (SELECT COALESCE(event_type, '__null') AS category
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      |bb AS (SELECT category, COUNT(*) AS n_base FROM b GROUP BY 1),
+      |cb AS (SELECT category, COUNT(*) AS n_cur FROM c GROUP BY 1),
+      |j AS (SELECT COALESCE(bb.category, cb.category) AS category,
+      |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM bb FULL JOIN cb ON bb.category = cb.category),
+      |tt AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc,
+      |    COUNT(*) AS k FROM j),
+      |terms AS (SELECT category, n_base, n_cur,
+      |    round((n_base + n_cur) * CAST(tb AS DOUBLE) / (tb + tc), 6)
+      |      AS exp_base,
+      |    round((n_base + n_cur) * CAST(tc AS DOUBLE) / (tb + tc), 6)
+      |      AS exp_cur,
+      |    round(pow(n_base - (n_base + n_cur) * CAST(tb AS DOUBLE)
+      |        / (tb + tc), 2)
+      |        / ((n_base + n_cur) * CAST(tb AS DOUBLE) / (tb + tc))
+      |      + pow(n_cur - (n_base + n_cur) * CAST(tc AS DOUBLE)
+      |        / (tb + tc), 2)
+      |        / ((n_base + n_cur) * CAST(tc AS DOUBLE) / (tb + tc)), 6)
+      |      AS chi2_term,
+      |    k - 1 AS dof
+      |  FROM j, tt)
+      |SELECT category, n_base, n_cur, exp_base, exp_cur, chi2_term, dof,
+      |  (SELECT round(SUM(chi2_term), 6) FROM terms) AS chi2_stat
+      |FROM terms ORDER BY category""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -899,7 +948,8 @@ object DepthQueries {
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
     "dt04_drift_psi" -> (dt04 _),
-    "dt05_drift_ks" -> (dt05 _))
+    "dt05_drift_ks" -> (dt05 _),
+    "dt06_drift_chi2" -> (dt06 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -926,5 +976,6 @@ object DepthQueries {
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,
     "dt04_drift_psi" -> dt04Sql,
-    "dt05_drift_ks" -> dt05Sql)
+    "dt05_drift_ks" -> dt05Sql,
+    "dt06_drift_chi2" -> dt06Sql)
 }

@@ -313,4 +313,42 @@ object DataTests {
     val ksMax = terms.agg(max(col("ks_term")).as("ks_stat"))
     terms.crossJoin(broadcast(ksMax))
   }
+
+  /** Pearson chi-squared two-sample homogeneity test for a CATEGORICAL
+    * column — the drift check dt04's PSI and dt05's KS (both numeric
+    * binning) cannot express: categories have no order to bin or
+    * accumulate over. For each category the expected count under "no
+    * drift" is `rowTotal · sampleTotal / grandTotal`; the statistic is
+    * Σ (obs − exp)²/exp over both samples with k−1 degrees of freedom.
+    * Scale shape: the ONLY corpus-scale work is the two map-side-combined
+    * grouped counts; everything downstream is categories-sized, and the
+    * totals ride a broadcast (never a collect). NULL is its own category
+    * (a drift in null-rate is drift). */
+  def driftChi2(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String): DataFrame =
+      df.select(coalesce(col(valueCol).cast("string"), lit("__null"))
+          .as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as(as))
+    val joined = counted(base, "n_base")
+      .join(counted(cur, "n_cur"), Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__k"))
+    val withExp = joined.crossJoin(broadcast(totals))
+      .withColumn("__row", (col("n_base") + col("n_cur")).cast("double"))
+      .withColumn("__g", (col("__tb") + col("__tc")).cast("double"))
+      .withColumn("__eb", col("__row") * col("__tb").cast("double") / col("__g"))
+      .withColumn("__ec", col("__row") * col("__tc").cast("double") / col("__g"))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        round(col("__eb"), 6).as("exp_base"),
+        round(col("__ec"), 6).as("exp_cur"),
+        round(pow(col("n_base").cast("double") - col("__eb"), 2) / col("__eb")
+          + pow(col("n_cur").cast("double") - col("__ec"), 2) / col("__ec"), 6)
+          .as("chi2_term"),
+        (col("__k") - 1).as("dof"))
+    val stat = withExp.agg(round(sum(col("chi2_term")), 6).as("chi2_stat"))
+    withExp.crossJoin(broadcast(stat))
+  }
 }

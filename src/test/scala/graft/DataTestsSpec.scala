@@ -182,6 +182,33 @@ class DataTestsSpec extends SparkSpec {
     ()
   }
 
+  test("driftChi2: identical → 0, planted category shift detected, NULLs bucketed") {
+    import graft.exec.DataTests
+    val base = ((1 to 400).map(_ => "a") ++ (1 to 400).map(_ => "b")
+      ++ (1 to 200).map(_ => "c")).toDF("v")
+    val same = DataTests.driftChi2(base, base, "v")
+      .select($"category", $"chi2_term", $"chi2_stat", $"dof")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1)
+    assert(same.length == 3 && same.forall(r => r._2 == 0.0 && r._3 == 0.0))
+    assert(same.head._4 == 2L) // k−1 degrees of freedom
+    // a/b ratio flips 2:2:1 → 1:3:1 — far past the 0.01-significance
+    // critical value for dof=2 (9.21)
+    val cur = ((1 to 200).map(_ => "a") ++ (1 to 600).map(_ => "b")
+      ++ (1 to 200).map(_ => "c")).toDF("v")
+    val drift = DataTests.driftChi2(base, cur, "v")
+      .select($"chi2_stat").as[Double].collect().head
+    assert(drift > 9.21, s"chi2 $drift should flag the planted shift")
+    // NULL is its own category: a null-rate drift is visible, and a
+    // category absent from one side still gets a finite term
+    val withNull = ((1 to 500).map(_ => "a")
+      ++ (1 to 500).map(_ => null: String)).toDF("v")
+    val nul = DataTests.driftChi2(base, withNull, "v")
+      .select($"category", $"chi2_term").as[(String, Double)].collect()
+    assert(nul.map(_._1).toSet == Set("a", "b", "c", "__null"))
+    assert(nul.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    ()
+  }
+
   test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
     Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
     val fixture = Seq((1L, "fix")).toDF("id", "v")

@@ -695,6 +695,42 @@ private[graft] object PipelineQueries {
       |  CAST(floor(o_totalprice * 100) AS BIGINT) AS o_cents
       |FROM next ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------ j06 schema-evolution ingest union
+
+  /** j06 — schema-evolution-tolerant slab ingest
+    * ([[graft.sources.Sources.unionEvolved]]): generation A of a feed
+    * (even doc_ids) landed with (doc_id INT, text, n_chars INT);
+    * generation B (odd doc_ids) added a `lang` column and widened the ids
+    * and counters to LONG — the two changes long-lived feeds actually
+    * make, and the pair parquet's own `mergeSchema` hard-fails on
+    * (int→long conflict). The evolved union reads each slab with its own
+    * schema, casts shared columns to the widest type, and back-fills the
+    * added column with NULL for generation A; the oracle re-derives the
+    * landed table from `documents` with the same parity split. Per-slab
+    * work is a projection (no shuffle) — the ingest stays one scan per
+    * slab at any history length. */
+  private def j06(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = staging("evolve", dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").cast("int").as("doc_id"), col("text"),
+        col("n_chars").cast("int").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/gen_a")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/gen_b")
+    graft.sources.Sources
+      .unionEvolved(s, Seq(s"$root/gen_a", s"$root/gen_b"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val j06Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -705,7 +741,8 @@ private[graft] object PipelineQueries {
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _),
     "j04_snapshot_diff" -> (j04 _),
-    "j05_cdc_apply" -> (j05 _))
+    "j05_cdc_apply" -> (j05 _),
+    "j06_schema_evolution" -> (j06 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "p01_curation_pipeline" -> p01Sql,
@@ -715,5 +752,6 @@ private[graft] object PipelineQueries {
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql,
     "j04_snapshot_diff" -> j04Sql,
-    "j05_cdc_apply" -> j05Sql)
+    "j05_cdc_apply" -> j05Sql,
+    "j06_schema_evolution" -> j06Sql)
 }

@@ -60,6 +60,43 @@ object Sources {
       org.apache.spark.sql.functions.col("_metadata.file_size").as("_file_size"))): _*)
   }
 
+  /** Union parquet slabs whose schemas EVOLVED across ingest generations —
+    * columns added over time and integral/floating types widened (the two
+    * changes a long-lived feed actually makes). Each slab is read with its
+    * OWN schema, every shared column is cast to the WIDEST type any slab
+    * uses (byte < short < int < long < float < double — parquet's own
+    * `mergeSchema` hard-fails on an int→long widen), and the slabs fold
+    * with `unionByName(allowMissingColumns = true)` so columns missing
+    * from older slabs back-fill NULL. Incompatible redefinitions (string →
+    * numeric, nested changes) fail loudly at plan time rather than
+    * corrupting rows. Per-slab work is a projection — no shuffle; the
+    * union is a plan concatenation, so the whole ingest stays one scan per
+    * slab at any history length. */
+  def unionEvolved(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(paths.nonEmpty, "unionEvolved needs at least one slab")
+    val dfs = paths.map(p => spark.read.parquet(p))
+    val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4, FloatType -> 5, DoubleType -> 6)
+    val widest = dfs.flatMap(_.schema.fields).groupBy(_.name).map {
+      case (name, fields) =>
+        val types = fields.map(_.dataType).distinct
+        val w = types.reduce { (a, b) =>
+          if (a == b) a
+          else (rank.get(a), rank.get(b)) match {
+            case (Some(ra), Some(rb)) => if (ra >= rb) a else b
+            case _ => throw new IllegalArgumentException(
+              s"column '$name' redefined incompatibly across slabs: $a vs $b")
+          }
+        }
+        name -> w
+    }
+    dfs.map { df =>
+      df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).cast(widest(c)).as(c)).toSeq: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def write(df: DataFrame, path: String, format: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil): Unit = {

@@ -81,4 +81,25 @@ class SourcesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(spark.read.parquet(p).filter($"pt" === 1).count() == 2)
   }
+
+  test("unionEvolved widens types, back-fills added columns, rejects redefinitions") {
+    val base = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1, 10)).toDF("id", "n")
+      .write.parquet(s"$base/a")                       // id INT, n INT
+    Seq((2L, 20.5, "en")).toDF("id", "n", "lang")
+      .write.parquet(s"$base/b")                       // id LONG, n DOUBLE, +lang
+    val u = Sources.unionEvolved(spark, Seq(s"$base/a", s"$base/b"))
+    // widest types win: id → long, n → double; lang back-fills NULL
+    assert(u.schema("id").dataType.typeName == "long")
+    assert(u.schema("n").dataType.typeName == "double")
+    val rows = u.select($"id", $"n", $"lang").collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    assert(rows.toSeq == Seq(Seq(1L, 10.0, null), Seq(2L, 20.5, "en")))
+    // a string→numeric redefinition must fail loudly, not corrupt rows
+    Seq(Tuple1("oops")).toDF("n").write.parquet(s"$base/c")
+    val e = intercept[IllegalArgumentException] {
+      Sources.unionEvolved(spark, Seq(s"$base/a", s"$base/c"))
+    }
+    assert(e.getMessage.contains("redefined incompatibly"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.exec.AsOfJoin
 
@@ -872,6 +872,63 @@ object DepthQueries {
       |  (SELECT MAX(ks_term) FROM terms) AS ks_stat
       |FROM terms ORDER BY bin""".stripMargin
 
+  // ------------------------------------ q35 KMV sketch set intersection
+
+  /** Set-INTERSECTION cardinality from two bottom-k (KMV theta) sketches
+    * ([[graft.functions.KmvAgg]]) — the sketch question HLL cannot answer
+    * (inclusion–exclusion error explodes for small overlaps) and Bloom
+    * does not pose (membership, not cardinality): size the overlap of two
+    * key sets from two k-sized arrays instead of an exact distinct join.
+    * Two bounded map-side-combinable aggregates are the only corpus-scale
+    * work; the union/Jaccard estimator (merge sketches, re-trim to k, θ =
+    * k-th fraction, ρ = survivors present in both) is array math on one
+    * row. q17-HLL-style gating: the exact twin runs in-query and the
+    * estimates must land inside 10% (union) / 15% (intersection) — with
+    * k=1024 the expected errors are ~3% and ~5%. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvAgg
+    val k = 1024
+    val o = t(s, dir, "orders").select(col("o_orderkey"))
+    def side(pred: Column, nAs: String, skAs: String): DataFrame =
+      o.filter(pred).agg(
+        KmvAgg(xxhash64(col("o_orderkey")), k).as(skAs),
+        count(lit(1)).as(nAs))
+    val a = side(col("o_orderkey") % 3 <= 1, "n_a", "ska")
+    val b = side(col("o_orderkey") % 3 >= 1, "n_b", "skb")
+    val exact = o.agg(
+      sum(when(col("o_orderkey") % 3 === 1, 1L).otherwise(0L))
+        .cast("bigint").as("exact_inter"))
+    a.crossJoin(b).crossJoin(exact)
+      .withColumn("mk",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("ku", size(col("mk")))
+      .withColumn("theta", KmvAgg.frac(element_at(col("mk"), col("ku"))))
+      .withColumn("n_union_est",
+        when(col("ku") < k, col("ku").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("mk"), col("ska")),
+          col("skb"))).cast("double") / col("ku"))
+      .withColumn("inter_est", col("rho") * col("n_union_est"))
+      .select(col("n_a"), col("n_b"), col("exact_inter"),
+        (abs(col("n_union_est")
+          / (col("n_a") + col("n_b") - col("exact_inter")).cast("double")
+          - 1) <= 0.10).as("union_ok"),
+        (abs(col("inter_est") / col("exact_inter").cast("double") - 1)
+          <= 0.15).as("inter_ok"))
+  }
+
+  private val q35Sql =
+    """SELECT
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_a,
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_b,
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS exact_inter,
+      |  TRUE AS union_ok, TRUE AS inter_ok
+      |FROM orders""".stripMargin
+
   // ---------------------- dt06 categorical drift (chi-squared) test
 
   /** Chi-squared homogeneity drift on the CATEGORICAL `event_type` between
@@ -944,6 +1001,7 @@ object DepthQueries {
     "q32_bucketed_range_join" -> (q32 _),
     "q33_event_funnel" -> (q33 _),
     "q34_zorder_layout" -> (q34 _),
+    "q35_kmv_intersection" -> (q35 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -972,6 +1030,7 @@ object DepthQueries {
     "q32_bucketed_range_join" -> q32Sql,
     "q33_event_funnel" -> q33Sql,
     "q34_zorder_layout" -> q34Sql,
+    "q35_kmv_intersection" -> q35Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

@@ -51,7 +51,9 @@ object GateCheck {
     // streamed SEMANTIC near-dup ingest (embedding sibling of m20)
     "m21_streaming_semantic_neardup",
     // approximate curation pipeline: per-stage planted-structure gates
-    "p02_curation_pipeline_approx")
+    "p02_curation_pipeline_approx",
+    // KMV theta sketch: union/intersection estimates vs the exact twin
+    "q35_kmv_intersection")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

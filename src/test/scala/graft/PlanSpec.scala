@@ -393,6 +393,15 @@ class PlanSpec extends SparkSpec {
       s"no hash equi-join on the bucket id:\n$p")
   }
 
+  test("KMV sketches aggregate map-side partial; estimator is one-row math") {
+    val p = plan("q35_kmv_intersection")
+    assert("partial_kmvagg".r.findAllIn(p).size == 2,
+      s"both sketches must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"estimator must not window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row composes must broadcast, never shuffle-join:\n$p")
+  }
+
   test("funnel: three stacked stage windows ride ONE user exchange") {
     val p = plan("q33_event_funnel")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -1299,6 +1299,52 @@ object MatQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  /** m28 — incremental AGGREGATE maintenance (the rollup pattern): a
+    * per-(priority, month) count/sum rollup is kept current across three
+    * arriving batches by merging each batch's PARTIAL aggregate into the
+    * stored rollup — history rows are never rescanned. Per batch the
+    * corpus-scale work is one map-side-combined aggregate over THAT batch;
+    * the additive merge (union + re-aggregate) touches two rollup-sized
+    * tables, and rollup size ∝ key cardinality, not corpus size — so at
+    * 100 TB each refresh costs the new slab plus a key-space-sized merge,
+    * where a view-style refresh (m14) would rescan everything. The rollup
+    * swap rides [[graft.exec.AtomicWriter.overwriteTable]] (staged write +
+    * location flip — crash-safe, and the read-then-overwrite cycle is
+    * resolved by staging). Oracle: the full aggregate over orders — any
+    * double-count, lost batch, or merge drift hash-mismatches. Decimal
+    * sums per the double-parity rule. */
+  private def m28(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m28")
+    val ref = graft.catalog.TableRef("g_m28.rollup")
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("prio"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    (0 until 3).foreach { i =>
+      val part = o.filter(col("o_orderkey") % 3 === i)
+        .groupBy(col("prio"), col("mon"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("tot"))
+      val merged =
+        if (i == 0) part
+        else s.table("g_m28.rollup").unionByName(part)
+          .groupBy(col("prio"), col("mon"))
+          .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+      graft.exec.AtomicWriter.overwriteTable(s, merged, ref)
+    }
+    s.table("g_m28.rollup")
+      .select(col("prio"), col("mon"), col("n"),
+        round(col("tot").cast("double"), 2).as("total"))
+      .orderBy(col("prio"), col("mon"))
+  }
+
+  private val m28Sql =
+    """SELECT o_orderpriority AS prio,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+      |  COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1328,7 +1374,8 @@ object MatQueries {
     "m24_windowed_stream_agg" -> (m24 _),
     "m25_streaming_sessionize" -> (m25 _),
     "m26_stream_interval_join" -> (m26 _),
-    "m27_stream_static_join" -> (m27 _))
+    "m27_stream_static_join" -> (m27 _),
+    "m28_incremental_rollup" -> (m28 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1357,5 +1404,6 @@ object MatQueries {
     "m24_windowed_stream_agg" -> m24Sql,
     "m25_streaming_sessionize" -> m25Sql,
     "m26_stream_interval_join" -> m26Sql,
-    "m27_stream_static_join" -> m27Sql)
+    "m27_stream_static_join" -> m27Sql,
+    "m28_incremental_rollup" -> m28Sql)
 }

@@ -123,4 +123,31 @@ class MaterializerSpec extends SparkSpec {
     assert(Materializer.materializedViewApply(spark, TableRef("default.mvd"), sql2,
       Map("graft.lifecycle.days" -> "7")) == "refreshed")
   }
+
+  test("incremental rollup: additive partial-agg merges equal the full aggregate") {
+    import graft.exec.AtomicWriter
+    spark.sql("DROP TABLE IF EXISTS default.rollup_t")
+    val ref = TableRef("default.rollup_t")
+    val rows = (1L to 300L).map(i => (i, s"k${i % 4}", i.toDouble))
+      .toDF("id", "k", "v")
+    // three batches, the middle one EMPTY (a no-op refresh must not
+    // corrupt counts); merge = union + re-aggregate, never a history scan
+    val batches = Seq(rows.filter($"id" % 2 === 0),
+      rows.filter(lit(false)), rows.filter($"id" % 2 === 1))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = b.groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("tot"))
+      val merged =
+        if (i == 0) part
+        else spark.table("default.rollup_t").unionByName(part)
+          .groupBy($"k").agg(sum($"n").as("n"), sum($"tot").as("tot"))
+      AtomicWriter.overwriteTable(spark, merged, ref)
+    }
+    val got = spark.table("default.rollup_t")
+      .select($"k", $"n", $"tot").collect().map(_.toSeq).toSet
+    val want = rows.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("tot"))
+      .select($"k", $"n", $"tot").collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
 }

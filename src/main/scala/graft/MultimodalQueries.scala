@@ -306,6 +306,78 @@ private[graft] object MultimodalQueries {
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
       |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------- mm09 image near-dup STORE probe
+
+  /** Store-backed incremental image dedup — the image modality joining the
+    * d16 (exact) / d18 (MinHash) / d24 (embedding) incremental family:
+    * history images' aHashes live in the durable [[graft.llm.DedupStore]]
+    * (8 bytes per image, batch −1 is the seed), and a new crawl batch —
+    * single-bit perturbations of every 5th history image (re-encodes that
+    * must DROP) plus new rasters — probes it via
+    * [[Multimodal.ahashStoreProbe]]: banded bucket join + exact Hamming
+    * verify, pigeonhole-EXACT at 1 < 4 bands, so the banded probe must
+    * reproduce DuckDB's all-pairs batch×history twin row-for-row. The
+    * gradient raster family's aHashes genuinely cluster (some new rasters
+    * repeat a history hash outright), so the fresh leg exercises BOTH
+    * decisions — ~half keep, ~half drop — and the oracle computes the
+    * same closed-form hashes, so there is no probabilistic gate to tune.
+    * The flipped bit stays in 0..62: bit 63 would need the mm08 sign-bit
+    * CASE on the SQL side. */
+  private def mm09(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val hist = Multimodal.ahashPair(
+        t(s, dir, "documents").filter(col("doc_id") < 400), "doc_id")
+      .select(col("id").as("img_id"), col("ahash"))
+    val root = staging("mm09store", dir)
+    DedupStore.appendImageHashes(s, root, -1L, hist)
+    val nd = DedupStore.readImageHashes(s, root)
+      .filter(col("img_id") % 5 === 0)
+      .select((col("img_id") + lit(100000L)).as("id"),
+        expr("ahash ^ (CAST(1 AS BIGINT) << CAST(img_id % 63 AS INT))")
+          .as("ahash"))
+    val fresh = Multimodal.ahashPair(
+        t(s, dir, "documents")
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500), "doc_id")
+      .select(col("id"), col("ahash"))
+    Multimodal.ahashStoreProbe(nd.unionByName(fresh),
+        DedupStore.readImageHashes(s, root), maxHamming = 1)
+      .orderBy(col("id"))
+  }
+
+  private val mm09Sql =
+    """WITH ids AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
+      |    8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 500),
+      |px AS (SELECT id, w, h, p % w AS x, p // w AS y,
+      |    (id + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT id, w, h, unnest(range(w * h)) AS p FROM ids)),
+      |cells AS (SELECT id, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, SUM(cs) AS ts FROM cells GROUP BY 1),
+      |hsh AS (SELECT id, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells JOIN tot USING (id) GROUP BY id),
+      |hist AS (SELECT id AS img_id, ahash FROM hsh WHERE id < 400),
+      |nd AS (SELECT img_id + 100000 AS id,
+      |    xor(ahash, (CAST(1 AS BIGINT) << CAST(img_id % 63 AS INT)))
+      |      AS ahash
+      |  FROM hist WHERE img_id % 5 = 0),
+      |fresh AS (SELECT id, ahash FROM hsh WHERE id >= 400),
+      |batch AS (SELECT * FROM nd UNION ALL SELECT * FROM fresh),
+      |m AS (SELECT b.id,
+      |    CAST(COUNT(DISTINCT h.img_id) AS BIGINT) AS n_matches,
+      |    CAST(MIN(bit_count(xor(b.ahash, h.ahash))) AS INT) AS min_ham
+      |  FROM batch b JOIN hist h
+      |    ON bit_count(xor(b.ahash, h.ahash)) <= 1
+      |  GROUP BY 1)
+      |SELECT b.id, (m.n_matches IS NULL) AS kept,
+      |  COALESCE(m.n_matches, 0) AS n_matches, m.min_ham
+      |FROM batch b LEFT JOIN m ON b.id = m.id ORDER BY b.id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,7 +388,8 @@ private[graft] object MultimodalQueries {
     "mm05_image_ahash" -> (mm05 _),
     "mm06_audio_frame_features" -> (mm06 _),
     "mm07_audio_vad" -> (mm07 _),
-    "mm08_image_neardup_pairs" -> (mm08 _))
+    "mm08_image_neardup_pairs" -> (mm08 _),
+    "mm09_image_store_dedup" -> (mm09 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "mm01_image_header_dims" -> mm01Sql,
@@ -326,5 +399,6 @@ private[graft] object MultimodalQueries {
     "mm05_image_ahash" -> mm05Sql,
     "mm06_audio_frame_features" -> mm06Sql,
     "mm07_audio_vad" -> mm07Sql,
-    "mm08_image_neardup_pairs" -> mm08Sql)
+    "mm08_image_neardup_pairs" -> mm08Sql,
+    "mm09_image_store_dedup" -> mm09Sql)
 }

@@ -289,4 +289,21 @@ object DedupStore {
       read(spark, root).select(col("sid").as("vec_id"),
         col("s_vec").as("embedding")),
       dim, bits, tables, seed)
+
+  // ----------------------------------------------------- image-hash store
+
+  /** Seed/append the IMAGE near-dup store: (img_id, ahash) — 8 bytes of
+    * 64-bit perceptual hash per image are the ONLY persisted bytes; the
+    * band index re-derives on read ([[readNearDup]]'s discipline, at its
+    * extreme: the stored row is 100× smaller than a thumbnail). */
+  def appendImageHashes(spark: SparkSession, root: String, batchId: Long,
+      hashes: DataFrame): Boolean =
+    append(spark, root, batchId,
+      hashes.select(col("img_id").cast("long").as("img_id"),
+        col("ahash").cast("long").as("ahash")))
+
+  /** The store as [[graft.llm.Multimodal.ahashStoreProbe]]'s `store`
+    * argument. */
+  def readImageHashes(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
 }

@@ -522,6 +522,45 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Probe a batch of image hashes against the durable image-hash STORE
+    * ([[DedupStore.readImageHashes]]): both sides band into 64/bands-bit
+    * slices, candidates meet in a bucket equi-join, and the exact Hamming
+    * verify runs on the candidates only — with maxHamming < bands the
+    * pigeonhole makes recall EXACTLY 1.0, so the probe is value-equal to
+    * the all-pairs batch×history comparison at a shuffle cost of
+    * batch + store/2^slice fan-out, never |batch|·|store|. History hashes
+    * are scanned once, 8 bytes per image, and never re-decoded — the d24
+    * scale discipline applied to the image modality. Output per batch id:
+    * kept (no history image within maxHamming), n_matches, min_ham. */
+  def ahashStoreProbe(batch: DataFrame, store: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole-exact recall needs maxHamming ($maxHamming) < bands ($bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    def banded(df: DataFrame, id: String, h: String): DataFrame =
+      df.filter(col(h).isNotNull).select(col(id), col(h),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col(h), b * width)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("band"))
+        .select(col(id), col(h), col("band.b").as("b"), col("band.bv").as("bv"))
+    val matches = banded(batch, "id", "ahash")
+      .join(banded(store.select(col("img_id"), col("ahash").as("h_hash")),
+        "img_id", "h_hash"), Seq("b", "bv"))
+      .withColumn("hamming",
+        bit_count(col("ahash").bitwiseXOR(col("h_hash"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("img_id")).as("n_matches"),
+        min(col("hamming")).as("min_ham"))
+    batch.select(col("id"))
+      .join(matches, Seq("id"), "left")
+      .select(col("id"), col("n_matches").isNull.as("kept"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("min_ham"))
+  }
+
   /** Lossless/lossy perceptual-hash pair probe: for each id, a real PNG
     * and a real JPEG of the SAME closed-form raster (w = 8 + id%24,
     * h = 8 + id%12 — always ≥ the 8×8 grid), both genuinely encoded and

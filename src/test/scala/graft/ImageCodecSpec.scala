@@ -165,4 +165,33 @@ class ImageCodecSpec extends SparkSpec {
       Multimodal.ahashNearDupPairs(hs, maxHamming = 4, bands = 4)
     }
   }
+
+  test("ahashStoreProbe: banded probe equals brute-force batch x history") {
+    import spark.implicits._
+    val store = Seq(10L -> 0x0FL, 11L -> 0xFF00FFL, 12L -> -1L,
+      13L -> java.lang.Long.MIN_VALUE).toDF("img_id", "ahash")
+    val batch = Seq(
+      1L -> 0x0FL,                  // exact dup of 10 → drop, min_ham 0
+      2L -> 0x0DL,                  // 1 bit off 10 → drop at maxHamming 1
+      3L -> 0x0F000FL,              // far from everything → keep
+      4L -> (-1L ^ 1L),             // 1 bit off 12 → drop
+      5L -> 0x7070707070707070L)    // keep
+      .toDF("id", "ahash")
+    val got = Multimodal.ahashStoreProbe(batch, store, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    val s = store.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = batch.collect().map(r => (r.getLong(0), r.getLong(1))).map {
+      case (id, h) =>
+        val hams = s.map { case (_, hh) => java.lang.Long.bitCount(h ^ hh) }
+          .filter(_ <= 1)
+        val n = s.count { case (_, hh) => java.lang.Long.bitCount(h ^ hh) <= 1 }
+        (id, hams.isEmpty, n.toLong, if (hams.isEmpty) -1 else hams.min)
+    }.toSet
+    assert(want.count(!_._2) == 3 && want.count(_._2) == 2)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashStoreProbe(batch, store, maxHamming = 4, bands = 4)
+    }
+  }
 }

@@ -26,6 +26,25 @@ class LayoutSpec extends SparkSpec {
     assert(got.head == 0L && got(1) == 65535L)
   }
 
+  test("interleave is a bijection on the quantized grid (generated pairs)") {
+    import spark.implicits._
+    // derandomized-but-dense sample of the 256×256 grid: every residue of
+    // both coordinates appears; injectivity over it would fail on any
+    // dropped/duplicated/misplaced bit
+    val pairs = (0 until 4096).map(i => ((i * 37L) % 256, (i * 101L) % 256))
+    val zs = pairs.toDF("x", "y")
+      .select(Layout.interleave(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length == pairs.distinct.length, "interleave collided")
+    assert(zs.forall(z => z >= 0 && z < 65536))
+    // de-interleave recovers the inputs exactly
+    def extract(z: Long, off: Int): Long =
+      (0 until 8).map(i => ((z >> (2 * i + off)) & 1) << i).sum
+    pairs.zip(zs).foreach { case ((x, y), z) =>
+      assert(extract(z, 1) == x && extract(z, 0) == y, s"($x,$y) -> $z")
+    }
+  }
+
   test("quantize clamps values outside the stats range into edge cells") {
     import spark.implicits._
     val df = Seq(-50L, 500L).toDF("x")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Multimodal queries (mm01–mm07): image/audio/video decode,
+/** Multimodal queries (mm01–mm09): image/audio/video decode,
   * frame features, VAD segmentation, perceptual hashing.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
   * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Ingest and end-to-end curation pipelines (j01–j04, p01–p03):
-  * JSONL quarantine, provenance, the composed ingest chain, and the exact
+/** Ingest and end-to-end curation pipelines (j01–j06, p01–p03):
+  * JSONL quarantine, provenance, the composed ingest chain, CDC, schema
+  * evolution, and the exact
   * and approximate curation flagships.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
   * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */

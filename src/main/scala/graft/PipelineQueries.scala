@@ -596,8 +596,8 @@ private[graft] object PipelineQueries {
     * cents — double→string is not engine-portable, `floor(price·100)` is)
     * so the one full-outer shuffle join carries narrow rows; unchanged
     * keys are dropped so the output is churn-sized, not table-sized. The
-    * oracle rebuilds the identical fingerprints (chr(31) separator, NULL
-    * sentinel) and classification in SQL. */
+    * oracle rebuilds the identical fingerprints (chr(31) separator,
+    * per-column null flag) and classification in SQL. */
   private def j04(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val inserts = o.filter(col("o_orderkey") % 13 === 3)
@@ -616,10 +616,12 @@ private[graft] object PipelineQueries {
   }
 
   private val j04Sql = {
-    val fp = "md5(COALESCE(CAST(o_orderstatus AS VARCHAR), 'NULL') " +
-      "|| chr(31) || COALESCE(CAST(o_orderpriority AS VARCHAR), 'NULL') " +
-      "|| chr(31) || COALESCE(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) " +
-      "AS VARCHAR), 'NULL'))"
+    def flagged(c: String) =
+      s"CASE WHEN $c IS NULL THEN '1' ELSE '0' END || " +
+        s"COALESCE(CAST($c AS VARCHAR), '')"
+    val fp = s"md5(${flagged("o_orderstatus")} || chr(31) || " +
+      s"${flagged("o_orderpriority")} || chr(31) || " +
+      s"${flagged("CAST(floor(o_totalprice * 100) AS BIGINT)")})"
     s"""WITH oldp AS (SELECT o_orderkey, $fp AS old_fp FROM orders),
        |next AS (
        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,

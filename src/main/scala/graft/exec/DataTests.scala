@@ -323,7 +323,10 @@ object DataTests {
     * Scale shape: the ONLY corpus-scale work is the two map-side-combined
     * grouped counts; everything downstream is categories-sized, and the
     * totals ride a broadcast (never a collect). NULL is its own category
-    * (a drift in null-rate is drift). */
+    * (a drift in null-rate is drift). An EMPTY snapshot (either side) has
+    * no homogeneity to test — expected counts would be 0 and the terms
+    * NaN — so the plan raises a loud error instead (in-plan `raise_error`,
+    * no extra validation job, no re-scan of the corpus-scale counts). */
   def driftChi2(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     def counted(df: DataFrame, as: String): DataFrame =
       df.select(coalesce(col(valueCol).cast("string"), lit("__null"))
@@ -337,6 +340,12 @@ object DataTests {
     val totals = joined.agg(sum(col("n_base")).as("__tb"),
       sum(col("n_cur")).as("__tc"), count(lit(1)).as("__k"))
     val withExp = joined.crossJoin(broadcast(totals))
+      .withColumn("__tb", when(col("__tb") > 0, col("__tb")).otherwise(
+        raise_error(lit("driftChi2: base snapshot is empty — " +
+          "chi-squared homogeneity is undefined against an empty sample"))))
+      .withColumn("__tc", when(col("__tc") > 0, col("__tc")).otherwise(
+        raise_error(lit("driftChi2: current snapshot is empty — " +
+          "chi-squared homogeneity is undefined against an empty sample"))))
       .withColumn("__row", (col("n_base") + col("n_cur")).cast("double"))
       .withColumn("__g", (col("__tb") + col("__tc")).cast("double"))
       .withColumn("__eb", col("__row") * col("__tb").cast("double") / col("__g"))

@@ -20,17 +20,22 @@ object Layout {
 
   /** Quantize `c` into `[0, 2^bits)` by linear range scaling. `lo`/`hi` are
     * COLUMNS (ride a broadcast one-row stats table — never a driver
-    * collect). Integer arithmetic only: `(c - lo) * 2^bits div (hi - lo + 1)`
-    * with a degenerate-range guard, clamped so out-of-stats values (a stale
-    * stats row) land in the edge cells instead of corrupting the interleave. */
+    * collect). Exact integer arithmetic: `(c - lo) * 2^bits div (hi - lo + 1)`
+    * scaled in DECIMAL(38,0) — a long-domain column spanning more than
+    * 2^(63-bits) would silently wrap the multiply in 64-bit arithmetic and
+    * the clamp would then file rows into WRONG edge cells; decimal keeps the
+    * product exact for any long span (≤ 2^64 · 2^bits « 10^38). Clamped so
+    * out-of-stats values (a stale stats row) land in the edge cells instead
+    * of corrupting the interleave. */
   def quantize(c: Column, lo: Column, hi: Column, bits: Int): Column = {
     val cells = 1L << bits
-    val span = hi.cast("long") - lo.cast("long") + lit(1L)
-    // EXACT integer division (Column./ on longs is double division — a
-    // floor() over it can be off by one near integer boundaries, which the
-    // oracle's exact `//` would catch)
+    val dec = "decimal(38,0)"
+    val span = hi.cast(dec) - lo.cast(dec) + lit(1L)
+    // EXACT integer division (Column./ is fractional division — a floor()
+    // over it can be off by one near integer boundaries, which the oracle's
+    // exact `//` would catch)
     val q = GraftColumnBridge.column(IntegralDivide(
-      GraftColumnBridge.expression((c.cast("long") - lo.cast("long")) * lit(cells)),
+      GraftColumnBridge.expression((c.cast(dec) - lo.cast(dec)) * lit(cells)),
       GraftColumnBridge.expression(span),
       evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
     least(greatest(q.cast("long"), lit(0L)), lit(cells - 1))
@@ -75,10 +80,19 @@ object Layout {
     * whose z-run straddles an unaligned quadrant boundary covers up to the
     * FULL key range in one dimension (Morton jumps quadrants), wrecking its
     * footer min/max; aligned blocks are square-ish tiles with ~√(1/nFiles)
-    * of each key's span. One shuffle, same cost as any clustered write. */
+    * of each key's span. One shuffle, same cost as any clustered write.
+    *
+    * The tile size is rounded UP to the next power of FOUR: `4^bits /
+    * nFiles` is only Morton-block-aligned when `nFiles` is itself a power
+    * of two, and an unaligned tile silently loses the measured-alignment
+    * property this scaladoc promises. Rounding up means a non-power-of-two
+    * `nFiles` yields FEWER, still-aligned files (e.g. nFiles=10, bits=8 →
+    * 4 aligned tiles) — locality is never sacrificed to hit a file count. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
                   path: String, bits: Int = 8): Unit = {
-    val blocks = math.max(1L, (1L << (2 * bits)) / nFiles)
+    val raw = math.max(1L, (1L << (2 * bits)) / nFiles)
+    var blocks = 1L
+    while (blocks < raw) blocks <<= 2
     withZValue(df, xCol, yCol, bits)
       .repartitionByRange(nFiles, expr(s"z div $blocks"))
       .sortWithinPartitions(col("z"))

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   * — a fixed-width md5 over the compared columns, computed in the scan
   * projection, so the full-outer shuffle join on the key carries narrow
   * rows regardless of how wide the table is. One shuffle each side, AQE
-  * handles key skew. The fingerprint is engine-portable (md5 over
-  * explicitly stringified columns with an explicit NULL sentinel and unit
-  * separator — never a raw `concat_ws`, which silently DROPS nulls and
-  * makes ("a", NULL) collide with ("a")), so an external system can
-  * reproduce and audit the same change classification.
+  * handles key skew. The fingerprint is engine-portable: each column
+  * contributes a one-char NULL FLAG ('1' null / '0' not) followed by its
+  * string form (empty when null) and a unit separator — never a raw
+  * `concat_ws`, which silently DROPS nulls and makes ("a", NULL) collide
+  * with ("a"), and never a string sentinel, which a real value can spoof
+  * (a column whose actual text is "NULL" must NOT fingerprint like SQL
+  * NULL). An external system can reproduce and audit the same change
+  * classification with `CASE WHEN c IS NULL THEN '1' ELSE '0' END ||
+  * COALESCE(CAST(c AS VARCHAR), '') || chr(31)` per column.
   *
   * Caller contract: `keyCols` must be unique per snapshot (it is the
   * table's primary key; duplicate keys would cross-multiply in the join);
@@ -31,14 +35,16 @@ import org.apache.spark.sql.functions._
   * double→string formatting is NOT portable across engines. */
 object SnapshotDiff {
 
-  private val NullSentinel = "NULL"
   private val Sep = "\u001f"
 
   /** Engine-portable row fingerprint over `cols`: md5 of the
-    * unit-separated, NULL-sentineled string forms. */
+    * unit-separated, null-FLAGGED string forms (flag char + value). */
   def fingerprint(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    val parts = cols.map(c => coalesce(c.cast("string"), lit(NullSentinel)))
+    val parts = cols.map { c =>
+      concat(when(c.isNull, lit("1")).otherwise(lit("0")),
+        coalesce(c.cast("string"), lit("")))
+    }
     md5(concat(parts.flatMap(p => Seq(p, lit(Sep))).init: _*))
   }
 

@@ -206,6 +206,14 @@ class DataTestsSpec extends SparkSpec {
       .select($"category", $"chi2_term").as[(String, Double)].collect()
     assert(nul.map(_._1).toSet == Set("a", "b", "c", "__null"))
     assert(nul.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    // an EMPTY snapshot fails LOUD (in-plan raise_error), never NaN terms
+    val empty = base.filter(org.apache.spark.sql.functions.lit(false))
+    val boom = intercept[Exception] {
+      DataTests.driftChi2(base, empty, "v").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage +: Option(t.getCause).toSeq.map(rootMsg)).mkString(" | ")
+    assert(rootMsg(boom).contains("snapshot is empty"), rootMsg(boom))
     ()
   }
 

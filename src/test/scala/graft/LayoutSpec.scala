@@ -52,6 +52,52 @@ class LayoutSpec extends SparkSpec {
     assert(df.select("q").as[Long].collect().toSeq == Seq(0L, 255L))
   }
 
+  test("quantize is exact on wide long domains (no 64-bit wrap)") {
+    import spark.implicits._
+    // span 2^60+1 at bits=8: (c-lo)*256 reaches 2^67 — 64-bit arithmetic
+    // would wrap and the clamp would file the row in a WRONG edge cell;
+    // decimal scaling keeps it exact
+    val hi = 1L << 60
+    val df = Seq(0L, 1L << 59, hi).toDF("x")
+      .withColumn("q", Layout.quantize(col("x"), lit(0L), lit(hi), 8))
+    val got = df.select("q").as[Long].collect().toSeq
+    def exact(c: BigInt): Long =
+      ((c * 256) / (BigInt(hi) + 1)).toLong.max(0L).min(255L)
+    assert(got == Seq(exact(0), exact(BigInt(1) << 59), exact(BigInt(hi))),
+      s"wide-domain quantize wrapped: $got")
+    // full long domain: lo=MinValue, hi=MaxValue — span 2^64 still exact
+    val full = Seq(Long.MinValue, 0L, Long.MaxValue).toDF("x")
+      .withColumn("q", Layout.quantize(col("x"),
+        lit(Long.MinValue), lit(Long.MaxValue), 8))
+      .select("q").as[Long].collect().toSeq
+    assert(full == Seq(0L, 128L, 255L), s"full-domain quantize: $full")
+  }
+
+  test("zorderWrite keeps tile alignment for a non-power-of-two nFiles") {
+    // nFiles=10 at bits=8: the raw tile 65536/10 is NOT Morton-aligned —
+    // a straddling file would cover up to the FULL span of one key; the
+    // rounded-up power-of-four tile (16384 = a 128×128 quadrant) bounds
+    // every file's footer range to about half of each key's span
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zorder10")
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", 10, s"$base/z")
+    def spans(key: String): Seq[Double] = {
+      val rs = spark.read.parquet(s"$base/z")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(key)).cast("long").as("lo"),
+          max(col(key)).cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val (glo, ghi) = (rs.map(_._1).min, rs.map(_._2).max)
+      rs.map { case (lo, hi) => (hi - lo + 1).toDouble / (ghi - glo + 1) }
+    }
+    val (ps, ss) = (spans("l_partkey"), spans("l_suppkey"))
+    info(s"per-file span fractions: part=${ps.map(d => f"$d%.2f")} " +
+      s"supp=${ss.map(d => f"$d%.2f")}")
+    assert(ps.forall(_ <= 0.65), s"partkey tile straddles a quadrant: $ps")
+    assert(ss.forall(_ <= 0.65), s"suppkey tile straddles a quadrant: $ss")
+  }
+
   test("z-order layout prunes on BOTH keys; single-key sort prunes on one") {
     // sf0.01: the sf0.001 supplier domain (10 keys) is too coarse for
     // 8-bit quantization to show tile locality through sampled range

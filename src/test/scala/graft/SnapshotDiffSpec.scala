@@ -26,11 +26,19 @@ class SnapshotDiffSpec extends SparkSpec {
       Seq((s, v)).toDF("s", "v")
         .select(SnapshotDiff.fingerprint(Seq($"s", $"v")).as("fp"))
         .as[String].head()
-    // a real NULL vs the literal string the sentinel uses: the separator
-    // keeps positions fixed, so these four are pairwise distinct hashes
+    // a real NULL vs literal text that could spoof a sentinel: the
+    // per-column null FLAG (not a sentinel string) keeps every value
+    // distinguishable from NULL, so all six are pairwise distinct hashes
     val all = Seq(fp(None, Some("x")), fp(Some("NULL"), Some("x")),
-      fp(Some("x"), None), fp(Some("x"), Some("NULL")))
+      fp(Some("x"), None), fp(Some("x"), Some("NULL")),
+      fp(Some("\u0002NULL\u0003"), Some("x")), fp(Some(""), Some("x")))
     assert(all.distinct.size == all.size, s"fingerprint collision: $all")
+    // a NULL↔'NULL'-text flip IS an update (the old-sentinel blind spot)
+    val old = Seq((1L, Option.empty[String])).toDF("id", "s")
+    val neu = Seq((1L, Option("NULL"))).toDF("id", "s")
+    val d = SnapshotDiff.diff(old, neu, Seq("id"), Seq("s"))
+      .select($"change_type").as[String].collect().toSeq
+    assert(d == Seq("update"), s"NULL->'NULL' flip must be visible: $d")
     // ("ab","c") must not collide with ("a","bc") — separator in force
     assert(fp(Some("ab"), Some("c")) != fp(Some("a"), Some("bc")))
   }

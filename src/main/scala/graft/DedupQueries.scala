@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Dedup / decontamination / sampling queries (d01–d26): exact,
+/** Dedup / decontamination / sampling queries (d01–d27): exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, cluster canonicalization, the
   * durable-store ingest loops, splits and samplers.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -1218,6 +1218,42 @@ private[graft] object DedupQueries {
       |SELECT lang, n_lang, doc_id, rank, source, n_chars
       |FROM r WHERE rank <= 40 ORDER BY lang, rank""".stripMargin
 
+  // ------------------------------------------- d27 shard export manifest
+
+  /** Deterministic training-shard export manifest
+    * ([[graft.llm.Sampling.shardManifest]]): the corpus assigned to 8
+    * shards by salted content hash, ordered within each shard by the full
+    * hash (the reproducible training-order shuffle), manifest row per
+    * shard with count, id checksum, ORDER fingerprint (Σ pos·(id mod
+    * 1000003) mod 1000000007 — audits order, not just membership) and the
+    * shard's hash range. 8 divides 65536, so the 16-bit shard key is
+    * exactly unbiased. Value-matched: DuckDB re-derives the shard id by
+    * nibble-decoding the hex prefix and replays the same window. */
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Sampling.shardManifest(docs, col("text"), col("doc_id"), nShards = 8,
+        salt = "d27")
+      .orderBy(col("shard"))
+  }
+
+  private val d27Sql =
+    """WITH t AS (SELECT doc_id, md5('d27' || text) AS h FROM documents),
+      |a AS (SELECT doc_id, h,
+      |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+      |      AS shard
+      |  FROM t),
+      |p AS (SELECT shard, doc_id, h,
+      |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |  FROM a)
+      |SELECT shard, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM((pos * (doc_id % 1000003)) % 1000000007) % 1000000007
+      |    AS BIGINT) AS order_fp,
+      |  MIN(h) AS first_key, MAX(h) AS last_key
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1246,7 +1282,8 @@ private[graft] object DedupQueries {
     "d23_diverse_sample" -> (d23 _),
     "d24_incremental_semantic_neardup" -> (d24 _),
     "d25_semantic_store_append" -> (d25 _),
-    "d26_exact_cap_sample" -> (d26 _))
+    "d26_exact_cap_sample" -> (d26 _),
+    "d27_shard_manifest" -> (d27 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1274,5 +1311,6 @@ private[graft] object DedupQueries {
     "d23_diverse_sample" -> d23Sql,
     "d24_incremental_semantic_neardup" -> d24Sql,
     "d25_semantic_store_append" -> d25Sql,
-    "d26_exact_cap_sample" -> d26Sql)
+    "d26_exact_cap_sample" -> d26Sql,
+    "d27_shard_manifest" -> d27Sql)
 }

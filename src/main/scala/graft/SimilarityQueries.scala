@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Embedding similarity-search queries (s01–s14): brute-force /
+/** Embedding similarity-search queries (s01–s16): brute-force /
   * LSH / IVF / PQ / IMI top-k, embedding near-dup, semantic dedup, kNN
-  * graph, normalization and quantization.
+  * graph, normalization and quantization, persisted-index lifecycle.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
   * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */
 private[graft] object SimilarityQueries {
@@ -328,6 +328,81 @@ private[graft] object SimilarityQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  private val storeInvocation = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Persisted-index IVFADC search ([[graft.llm.IndexStore]] — the FAISS
+    * train-once discipline): fit + persist the quantizer as a durable
+    * artifact, append the corpus as encoded inverted-list segment 0 (m-byte
+    * PQ codes, never raw vectors), then search THROUGH THE STORE — the
+    * search path runs ZERO fit jobs; the quantizer loads back as kilobytes
+    * of plan literals. SELF-VERIFYING like s13: recall@5 vs the brute-force
+    * twin at the same dials, gated at 0.5; IndexStoreSpec additionally pins
+    * the store path row-identical to the fit-per-query path. `store_ok`
+    * hash-checks the artifact lifecycle: fresh append committed, replayed
+    * append a no-op. */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = staging("ixstore", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.train(s, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    val indexed = IndexStore.appendCodes(s, root, 0L, emb)
+    val replayNoop = !IndexStore.appendCodes(s, root, 0L, emb)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+        rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(indexed && replayNoop).as("store_ok"))
+  }
+
+  private val s15Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** INCREMENTAL indexing against a deliberately STALE quantizer — the
+    * production lifecycle the persisted artifact exists for: train once on
+    * the corpus snapshot available at train time (the even-id HALF), then
+    * the late half arrives as a second batch ENCODED WITH THE SAME
+    * ARTIFACT — no refit, no history re-encode, append cost ∝ batch — and
+    * search spans both segments. Recall stays gated at s13's 0.5 bound
+    * even though half the corpus was never seen by the fit: IVF cells
+    * degrade gracefully under drift (recall, not correctness — the exact
+    * re-rank tail keeps precision exact), which is why train-once is the
+    * standard production trade. `store_ok` hash-checks both segment
+    * commits. */
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val early = emb.filter(col("vec_id") % 2 === 0)
+    val late = emb.filter(col("vec_id") % 2 === 1)
+    val root = staging("ixstore", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.train(s, root, early, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    val b0 = IndexStore.appendCodes(s, root, 0L, early)
+    val b1 = IndexStore.appendCodes(s, root, 1L, late)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+        rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(b0 && b1).as("store_ok"))
+  }
+
+  private val s16Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** JL random-projection prefilter + exact re-rank
     * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
     * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
@@ -401,7 +476,9 @@ private[graft] object SimilarityQueries {
     "s11_cosine_topk_jl" -> (s11 _),
     "s12_cosine_topk_imi" -> (s12 _),
     "s13_cosine_topk_ivfpq_res" -> (s13 _),
-    "s14_cosine_topk_filtered" -> (s14 _))
+    "s14_cosine_topk_filtered" -> (s14 _),
+    "s15_cosine_topk_ivfpq_store" -> (s15 _),
+    "s16_cosine_topk_ivfpq_incr" -> (s16 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -417,5 +494,7 @@ private[graft] object SimilarityQueries {
     "s11_cosine_topk_jl" -> s11Sql,
     "s12_cosine_topk_imi" -> s12Sql,
     "s13_cosine_topk_ivfpq_res" -> s13Sql,
-    "s14_cosine_topk_filtered" -> s14Sql)
+    "s14_cosine_topk_filtered" -> s14Sql,
+    "s15_cosine_topk_ivfpq_store" -> s15Sql,
+    "s16_cosine_topk_ivfpq_incr" -> s16Sql)
 }

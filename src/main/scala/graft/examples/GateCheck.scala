@@ -18,6 +18,9 @@ object GateCheck {
     "s07_cosine_topk_ivf_int8", "s08_semantic_dedup", "s09_cosine_topk_ivf_pq",
     "s10_knn_graph", "s11_cosine_topk_jl", "s12_cosine_topk_imi",
     "s13_cosine_topk_ivfpq_res",
+    // persisted-index lifecycle: train-once artifact + store search
+    // recall, incremental append against a stale quantizer
+    "s15_cosine_topk_ivfpq_store", "s16_cosine_topk_ivfpq_incr",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // exact contract gate (not an approximation bound): zero sources may

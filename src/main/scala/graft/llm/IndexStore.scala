@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.llm.Similarity.ResidualQuantizer
+
+/** Durable ANN index artifacts — the FAISS index discipline on Spark.
+  *
+  * Every IVF-family query used to re-fit its k-means centroids and PQ
+  * codebooks from a corpus sample ON EVERY RUN. At 100 TB the fitted
+  * quantizer is a once-per-corpus artifact: `train` once, persist, and
+  * every later query — and every ingest batch — LOADS it instead of
+  * re-fitting (fit drift between runs also disappears: two sessions
+  * searching the same store score against identical codebooks).
+  *
+  * Two halves, two lifecycles:
+  *
+  *  - **Quantizer** (`<root>/quantizer/…` + `<root>/quantizer.done`): a
+  *    one-shot immutable artifact — nlist coarse centroids, nlist cell
+  *    means, m·codebookSize residual codebook rows, a one-row param
+  *    frame. Kilobytes. Written parquet-first, committed by an atomic
+  *    temp+rename marker (the [[DedupStore]] discipline); a crash
+  *    mid-save leaves an unmarked directory that loads refuse and a
+  *    retry overwrites. Replayed saves are no-ops.
+  *  - **Codes** (`<root>/codes/…`): append-only encoded inverted-list
+  *    segments — (centroid_id, corpus_id, codes) rows, m bytes of PQ
+  *    code per vector — managed by [[DedupStore.append]]/[[DedupStore.read]]
+  *    verbatim (same markers, same compaction lease, same replay
+  *    idempotency). Indexing a NEW batch = encode against the loaded
+  *    quantizer + append ONE segment: cost ∝ batch, history never
+  *    re-encoded, never rescanned.
+  *
+  * The store holds codes, never raw vectors: full-precision vectors stay
+  * in the source-of-truth corpus table, touched only by the exact
+  * re-rank tail over the rerank·k ADC survivors per query
+  * ([[Similarity.rerankExactCandidates]]). At m=8 / codebookSize=256 the
+  * persisted index is ~8 bytes + ids per vector — the dial that keeps a
+  * 100 TB corpus' index within executor memory.
+  *
+  * Staleness contract: the quantizer is fit ONCE (on the corpus snapshot
+  * available at train time) and deliberately NOT refit as batches
+  * arrive — IVF cells degrade gracefully under distribution drift
+  * (recall, not correctness, decays; the exact re-rank tail keeps
+  * precision exact), which is the standard production trade
+  * (s16 gates recall with the quantizer fit on HALF the corpus). A
+  * refit is an explicit new store, never an in-place mutation.
+  */
+object IndexStore {
+
+  private def fs(spark: SparkSession, root: String) =
+    new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def qDir(root: String) = new HPath(root, "quantizer")
+  private def qMarker(root: String) = new HPath(root, "quantizer.done")
+  private def codesRoot(root: String) = s"$root/codes"
+
+  /** True when a committed quantizer artifact exists under `root`. */
+  def quantizerCommitted(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(qMarker(root))
+
+  /** Persist a fitted quantizer under `root`. Returns true if THIS call
+    * committed it, false when one was already committed (replay — store
+    * unchanged; the caller's quantizer is NOT compared: a store has one
+    * immutable quantizer by contract, refits go to a new root). */
+  def saveQuantizer(spark: SparkSession, root: String,
+      rq: ResidualQuantizer): Boolean = {
+    val f = fs(spark, root)
+    if (f.exists(qMarker(root))) return false
+    import spark.implicits._
+    val base = qDir(root).toString
+    // data first (overwrite clears half-written retry debris) …
+    Seq((rq.dim, rq.nlist, rq.m, rq.codebookSize))
+      .toDF("dim", "nlist", "m", "codebook_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    rq.centroids.map { case (i, v) => (i, v) }
+      .toDF("centroid_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    rq.cellMeans.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/cellmeans")
+    rq.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
+    // … marker last, appearing atomically via temp-create + rename. A
+    // marker that appeared during the writes means a concurrent save
+    // committed first: yield (same-store saves carry the same fit by
+    // contract — deterministic seed + sample rules).
+    if (f.exists(qMarker(root))) return false
+    val tmp = new HPath(root, ".quantizer.done.tmp")
+    f.create(tmp, true).close()
+    if (!f.rename(tmp, qMarker(root)))
+      throw new java.io.IOException(
+        s"IndexStore: cannot commit quantizer marker under $root")
+    true
+  }
+
+  /** Load the committed quantizer. Bounded collects by construction:
+    * nlist + nlist + m·codebookSize rows of dim-width vectors. */
+  def loadQuantizer(spark: SparkSession, root: String): ResidualQuantizer = {
+    require(quantizerCommitted(spark, root),
+      s"IndexStore at $root has no committed quantizer " +
+        "(missing or half-written — run saveQuantizer)")
+    val base = qDir(root).toString
+    val meta = spark.read.parquet(s"$base/meta").collect()(0)
+    val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
+    val (m, cbs) = (meta.getInt(2), meta.getInt(3))
+    def vecRows(sub: String): Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$base/$sub")
+        .select(col("centroid_id"), col("vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val cents = vecRows("centroids").sortBy(_._1)
+    val means = vecRows("cellmeans").sortBy(_._1)
+    require(cents.length == nlist && means.length == nlist,
+      s"IndexStore at $root: quantizer artifact is corrupt — " +
+        s"${cents.length} centroids / ${means.length} cell means vs nlist=$nlist")
+    val cbRows = spark.read.parquet(s"$base/codebooks")
+      .select(col("subspace"), col("code"), col("vec"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    require(cbRows.size == m * cbs,
+      s"IndexStore at $root: quantizer artifact is corrupt — " +
+        s"${cbRows.size} codebook rows vs m·codebookSize=${m * cbs}")
+    ResidualQuantizer(dim, nlist, m, cbs,
+      cents.map { case (i, v) => (i, v.toSeq) }.toSeq,
+      means.map(_._2),
+      Array.tabulate(m)(mi => Array.tabulate(cbs)(j => cbRows((mi, j)))))
+  }
+
+  /** Fit a quantizer on `corpus` and persist it — the `train` step, run
+    * ONCE per store. Replay-idempotent: an already-committed store wins
+    * and the fresh fit is discarded. Returns the quantizer that is now
+    * committed (the loaded one on replay, so concurrent trainers converge
+    * on identical codebooks). */
+  def train(spark: SparkSession, root: String, corpus: DataFrame, dim: Int,
+      nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): ResidualQuantizer = {
+    if (quantizerCommitted(spark, root)) return loadQuantizer(spark, root)
+    val rq = Similarity.fitResidualQuantizer(corpus, dim, nlist, m,
+      codebookSize, seed, vecCol, fitSampleLimit)
+    if (saveQuantizer(spark, root, rq)) rq else loadQuantizer(spark, root)
+  }
+
+  /** Encode one ingest batch against the COMMITTED quantizer and append
+    * it as inverted-list segment `batchId`. No fit, no history read:
+    * cost ∝ batch. Returns [[DedupStore.append]]'s replay contract
+    * (false = batchId already committed, store unchanged). */
+  def appendCodes(spark: SparkSession, root: String, batchId: Long,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val rq = loadQuantizer(spark, root)
+    DedupStore.append(spark, codesRoot(root), batchId,
+      Similarity.encodeResidual(batch, rq, idCol, vecCol))
+  }
+
+  /** All committed inverted-list segments as one (centroid_id, corpus_id,
+    * codes) frame. */
+  def readCodes(spark: SparkSession, root: String): DataFrame =
+    DedupStore.read(spark, codesRoot(root))
+
+  /** Top-k cosine search over the PERSISTED index: load the quantizer
+    * (kilobytes), ADC-score the committed code segments against the
+    * probed cells, exact-re-rank the rerank·k survivors against the raw
+    * `corpus` (the source-of-truth vector table — the store itself never
+    * holds vectors). ZERO fit jobs, zero corpus-side encode: the
+    * corpus-scale work is one narrow scan of the code segments plus the
+    * candidate-sized re-rank. */
+  def searchTopK(spark: SparkSession, root: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= 1, "rerank >= 1")
+    val rq = loadQuantizer(spark, root)
+    val approx = Similarity.adcScoreResidual(readCodes(spark, root),
+      queries, rq, nprobe, idCol, vecCol)
+    Similarity.rerankExactCandidates(corpus, queries, approx, k, rerank,
+      idCol, vecCol)
+  }
+}

@@ -423,4 +423,45 @@ object Sampling {
         col("cluster_size").as("stratum_size"),
         col("__ec_id").as("id"), col("rank"))
   }
+
+  /** Deterministic training-shard EXPORT manifest — the last step of a
+    * curation pipeline, where the surviving corpus becomes numbered
+    * training shards. Every row is assigned to one of `nShards` shards by
+    * a salted content hash (layout-independent: the same corpus shards
+    * identically on any partitioning, any history, any engine), ordered
+    * WITHIN its shard by the full hash with an id tie-break (a seeded,
+    * reproducible global shuffle — training order must be decorrelated
+    * from ingest order yet bit-reproducible across re-runs), and
+    * summarized as one MANIFEST row per shard: row count, id checksum,
+    * an ORDER fingerprint `Σ pos·(id mod 1000003) mod 1000000007` that a
+    * consumer (or the SQL oracle) recomputes to audit membership AND
+    * order, and the first/last order keys (the shard's hash range).
+    *
+    * Scale shape: ONE shuffle on (shard) with an in-partition sort — the
+    * exact exchange the shard write itself needs, nothing extra — then a
+    * per-shard aggregate. Shard sizes are hash-balanced (exactly unbiased
+    * when nShards divides 65536, ±1/65536 otherwise). The fingerprint
+    * terms stay below 10^15, so the per-shard sum fits a long up to
+    * ~10^4 billion rows per shard — far past any real shard. */
+  def shardManifest(df: DataFrame, key: Column, id: Column, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val withShard = df.select(
+      pmod(conv(hexPrefix(key, salt, 4), 16, 10).cast("long"),
+        lit(nShards.toLong)).as("shard"),
+      md5(concat(lit(salt), key.cast("string"))).as("__h"),
+      id.cast("long").as("__id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("__id"))
+    withShard
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__id")).as("id_sum"),
+        pmod(sum(pmod(col("__pos") * pmod(col("__id"), lit(1000003L)),
+          lit(1000000007L))), lit(1000000007L)).as("order_fp"),
+        min(col("__h")).as("first_key"),
+        max(col("__h")).as("last_key"))
+  }
 }

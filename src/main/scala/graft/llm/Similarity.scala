@@ -20,6 +20,21 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   */
 object Similarity {
 
+  /** The fitted IVFADC quantizer — the once-per-corpus index artifact (the
+    * FAISS `index.train(...)` output): coarse k-means centroids in RAW
+    * vector space (cell assignment is cosine, scale-invariant), per-cell
+    * means of the NORMALIZED sample members (residual reference points),
+    * and the residual PQ codebooks `codebooks(subspace)(code) = centroid`.
+    * Small by construction — nlist·dim + nlist·dim + m·codebookSize·(dim/m)
+    * doubles — so it broadcasts as plan literals AND persists as a tiny
+    * durable artifact ([[IndexStore]]) that every later query and every
+    * ingest batch reuses instead of re-fitting. */
+  final case class ResidualQuantizer(
+      dim: Int, nlist: Int, m: Int, codebookSize: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      cellMeans: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
   /** Cosine similarity of two array<float/double> columns (0 for zero-norm).
     * Backed by the codegen'd native expression
     * [[graft.functions.CosineSimilarity]] — a single fused loop instead of
@@ -926,29 +941,35 @@ object Similarity {
       rerank: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
     require(rerank >= 1, "rerank >= 1")
-    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     // ONE shared sample pool for all three fit stages (coarse k-means,
     // normalized cell means, residual codebooks) — was three corpus
     // count+scan pairs per query (VERDICT r12 #4).
     val pool = sampleVectors(corpus, vecCol, fitSampleLimit, seed,
       "ivfTopKPQResidual")
+    val rq = fitResidualQuantizerFromPool(pool, dim, nlist, m, codebookSize,
+      seed)
+    val approx = adcScoreResidual(encodeResidual(corpus, rq, idCol, vecCol),
+      queries, rq, nprobe, idCol, vecCol)
+    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
+  }
+
+  /** Fit the three IVFADC stages from an already-drawn sample pool —
+    * coarse k-means (raw space), per-cell means of the NORMALIZED sample
+    * members (the residual reference points — a residual against a raw
+    * centroid can be LARGER than the vector itself, which would make
+    * quantization worse, not better; the normalized cell mean minimizes
+    * residual variance on the unit sphere), residual PQ codebooks.
+    * Sample rows are assigned driver-side with the same arithmetic and
+    * (sim desc, id asc) tie-break as the distributed path; a cell with no
+    * sample members falls back to the zero vector — residual = x̂, i.e.
+    * that cell degenerates to plain PQ instead of corrupting scores.
+    * Returned as a [[ResidualQuantizer]] — the once-per-corpus artifact
+    * [[IndexStore]] persists so per-query / per-batch runs never re-fit. */
+  private[graft] def fitResidualQuantizerFromPool(pool: Array[Array[Double]],
+      dim: Int, nlist: Int, m: Int, codebookSize: Int,
+      seed: Long): ResidualQuantizer = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val centroids = kmeansCentroidsFromSample(pool, nlist, seed)
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
-    val probes = assignTopCentroids(queries, centroids, nprobe, idCol, vecCol)
-      .select(col("centroid_id"), col("corpus_id").as("query_id"),
-        col("c_vec").as("q_vec"))
-    // residual reference points: the coarse k-means centroids live in RAW
-    // vector space, but codes/scores work on L2-NORMALIZED vectors — a
-    // residual against a raw centroid can be LARGER than the vector
-    // itself (wrong scale), which would make quantization worse, not
-    // better. The reference for cell i is therefore the MEAN OF THE
-    // NORMALIZED sample members assigned to it (the point that minimizes
-    // residual variance on the unit sphere); assignment itself keeps the
-    // cosine structure (scale-invariant), sample rows are assigned
-    // driver-side with the same arithmetic and (sim desc, id asc)
-    // tie-break as the distributed path. A cell with no sample members
-    // falls back to the zero vector — residual = x̂, i.e. that cell
-    // degenerates to plain PQ instead of corrupting scores.
     val cents = centroids.map(_._2.toArray).toArray
     val sample = pool.map(l2NormalizeLocal)
     val assignedSample = sample.map { v =>
@@ -983,27 +1004,84 @@ object Similarity {
       localKMeans(residuals.map(v => java.util.Arrays.copyOfRange(
         v, mi * subdim, (mi + 1) * subdim)), codebookSize, seed + 101 + mi)
     }
+    ResidualQuantizer(dim, nlist, m, codebookSize, centroids, cellMeans, cbRes)
+  }
+
+  /** [[fitResidualQuantizerFromPool]] drawing its own bounded uniform
+    * sample — the public once-per-corpus fit entry for [[IndexStore]]. */
+  def fitResidualQuantizer(corpus: DataFrame, dim: Int, nlist: Int = 16,
+      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): ResidualQuantizer = {
+    val pool = sampleVectors(corpus, vecCol, fitSampleLimit, seed,
+      "fitResidualQuantizer")
+    fitResidualQuantizerFromPool(pool, dim, nlist, m, codebookSize, seed)
+  }
+
+  /** The quantizer's cell means as a broadcastable (centroid_id, __cent)
+    * frame — attached to corpus rows for residual encoding and to probe
+    * rows for the exact `q·c` centroid term. */
+  private def cellMeanDf(rq: ResidualQuantizer,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val centDF = cellMeans.zipWithIndex
+    rq.cellMeans.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("centroid_id", "__cent")
-    val cq = assigned.join(broadcast(centDF), Seq("centroid_id"))
+  }
+
+  /** Encode a corpus (or an ingest batch) against a FITTED quantizer:
+    * nearest-coarse-centroid assignment (single projection, zero
+    * shuffle), then PQ codes of the normalized vector's residual against
+    * its cell mean. Output (centroid_id, corpus_id, codes) — the m-byte
+    * inverted-list rows [[IndexStore.appendCodes]] persists; encoding a
+    * NEW batch needs only the quantizer artifact, never a re-fit and
+    * never the already-indexed history. */
+  private[graft] def encodeResidual(corpus: DataFrame, rq: ResidualQuantizer,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(corpus, rq.centroids, idCol, vecCol)
+    assigned.join(broadcast(cellMeanDf(rq, corpus.sparkSession)),
+        Seq("centroid_id"))
       .select(col("centroid_id"),
         col("corpus_id").cast("long").as("corpus_id"),
         pqEncode(zip_with(l2Normalize(col("c_vec")), col("__cent"),
-          (a, b) => a - b), cbRes).as("codes"))
-    val pq = probes.join(broadcast(centDF), Seq("centroid_id"))
+          (a, b) => a - b), rq.codebooks).as("codes"))
+  }
+
+  /** ADC-score encoded inverted lists against `queries`: per query the
+    * nprobe nearest cells, a per-query ADC lookup table plus the exact
+    * `q·c` centroid term (the residual decomposition `q·x̂ = q·c +
+    * q·(x̂−c)`), then candidate score = centroid term + m array lookups.
+    * Probe side is broadcast; the encoded side — the only corpus-scale
+    * frame — is scanned once, never shuffled. */
+  private[graft] def adcScoreResidual(encoded: DataFrame, queries: DataFrame,
+      rq: ResidualQuantizer, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probes = assignTopCentroids(queries, rq.centroids, nprobe, idCol,
+        vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("q_vec"))
+    val pq = probes.join(broadcast(cellMeanDf(rq, queries.sparkSession)),
+        Seq("centroid_id"))
       .select(col("centroid_id"), col("query_id"),
-        pqAdcTable(l2Normalize(col("q_vec")), cbRes).as("adc"),
+        pqAdcTable(l2Normalize(col("q_vec")), rq.codebooks).as("adc"),
         graft.functions.DotDouble(l2Normalize(col("q_vec")), col("__cent"))
           .as("__qc"))
-    val approx = cq.join(broadcast(pq), Seq("centroid_id"))
+    encoded.join(broadcast(pq), Seq("centroid_id"))
       .select(col("query_id"), col("corpus_id"),
         (col("__qc") + aggregate(
           zip_with(col("adc"), col("codes"), (tm, cm) => get(tm, cm)),
           lit(0.0), (acc, x) => acc + x)).as("ascore"))
-    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
   }
+
+  /** Exact re-rank of an approximate candidate set against the raw
+    * corpus, exposed for [[IndexStore.searchTopK]] — the store holds only
+    * m-byte codes; full-precision vectors stay in the source-of-truth
+    * corpus table and are touched only for the rerank·k survivors. */
+  private[graft] def rerankExactCandidates(corpus: DataFrame,
+      queries: DataFrame, approx: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame =
+    rerankExact(corpus, queries, approx, k, rerank, idCol, vecCol)
+
 
   /** Embedding-cosine near-duplicate pairs (both sides the full corpus):
     * LSH-bucketed self-join, cosine ≥ threshold. `tables=L` unions the

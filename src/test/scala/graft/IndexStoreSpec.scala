@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{IndexStore, Similarity}
+
+/** The persisted ANN index artifact ([[graft.llm.IndexStore]]): quantizer
+  * roundtrip fidelity, commit-marker atomicity, replay idempotency, and —
+  * the load-bearing claim — that a search over the persisted index returns
+  * EXACTLY what the in-memory fit-per-query path returns at the same dials
+  * and seed, whether the corpus was indexed in one segment or many. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val inv = new java.util.concurrent.atomic.AtomicLong()
+  private def freshRoot(): String = {
+    val p = java.nio.file.Files.createTempDirectory("ixstore")
+    s"$p/store${inv.incrementAndGet()}"
+  }
+
+  private def emb = Tables.t(spark, dir, "embeddings")
+
+  test("quantizer roundtrips through parquet bit-exact; replay is a no-op") {
+    val root = freshRoot()
+    val rq = Similarity.fitResidualQuantizer(emb, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    assert(IndexStore.saveQuantizer(spark, root, rq))
+    assert(!IndexStore.saveQuantizer(spark, root, rq), "replay must no-op")
+    val back = IndexStore.loadQuantizer(spark, root)
+    assert(back.dim == rq.dim && back.nlist == rq.nlist
+      && back.m == rq.m && back.codebookSize == rq.codebookSize)
+    // doubles roundtrip parquet BIT-exact — the loaded quantizer must
+    // score identically, not approximately
+    assert(back.centroids == rq.centroids)
+    assert(back.cellMeans.map(_.toSeq).toSeq == rq.cellMeans.map(_.toSeq).toSeq)
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      == rq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("an unmarked (crashed) quantizer save is invisible and fails loud") {
+    val root = freshRoot()
+    val rq = Similarity.fitResidualQuantizer(emb, dim = 64, nlist = 4,
+      m = 4, codebookSize = 8, seed = 7L)
+    assert(IndexStore.saveQuantizer(spark, root, rq))
+    // simulate a crash BEFORE the marker rename: data present, marker gone
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.delete(new org.apache.hadoop.fs.Path(root, "quantizer.done"), false))
+    assert(!IndexStore.quantizerCommitted(spark, root))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadQuantizer(spark, root)
+    }
+    assert(e.getMessage.contains("no committed quantizer"), e.getMessage)
+    // a retry (train) overwrites the debris and commits
+    val again = IndexStore.train(spark, root, emb, dim = 64, nlist = 4,
+      m = 4, codebookSize = 8, seed = 7L)
+    assert(IndexStore.quantizerCommitted(spark, root))
+    assert(again.centroids == rq.centroids, "deterministic refit")
+  }
+
+  test("train is replay-idempotent: a committed store wins over a fresh fit") {
+    val root = freshRoot()
+    val first = IndexStore.train(spark, root, emb, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    // second trainer arrives with a DIFFERENT corpus slice and seed — the
+    // committed artifact must win (one immutable quantizer per store)
+    val second = IndexStore.train(spark, root, emb.filter($"vec_id" < 50),
+      dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 99L)
+    assert(second.centroids == first.centroids)
+    assert(second.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      == first.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("persisted-index search == in-memory fit-per-query search, and " +
+      "segment splits are invisible") {
+    val q = emb.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+        col("rank").cast("int")).as[(Long, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    val inMem = rows(Similarity.ivfTopKPQResidual(spark, emb, q, k = 5,
+      dim = 64, nlist = 8, nprobe = 3, m = 8, codebookSize = 16,
+      rerank = 32, seed = 42L))
+
+    // one-segment store
+    val root1 = freshRoot()
+    IndexStore.train(spark, root1, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    assert(IndexStore.appendCodes(spark, root1, 0L, emb))
+    assert(!IndexStore.appendCodes(spark, root1, 0L, emb), "replay no-op")
+    val oneSeg = rows(IndexStore.searchTopK(spark, root1, emb, q, k = 5,
+      nprobe = 3, rerank = 32))
+    assert(oneSeg == inMem,
+      "persisted-index search must equal the fit-per-query path")
+
+    // same corpus indexed as THREE batches — the segment layout must be
+    // invisible to search results
+    val root3 = freshRoot()
+    IndexStore.train(spark, root3, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    (0 until 3).foreach { b =>
+      assert(IndexStore.appendCodes(spark, root3, b.toLong,
+        emb.filter($"vec_id" % 3 === b)))
+    }
+    val threeSeg = rows(IndexStore.searchTopK(spark, root3, emb, q, k = 5,
+      nprobe = 3, rerank = 32))
+    assert(threeSeg == inMem, "segment split changed search results")
+  }
+
+  test("searching a store with no committed quantizer fails loud") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.searchTopK(spark, root, emb, emb.filter($"vec_id" < 2), k = 3)
+    }
+    assert(e.getMessage.contains("no committed quantizer"), e.getMessage)
+  }
+}

@@ -1345,6 +1345,69 @@ object MatQueries {
       |    AS total
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------ m29 streaming ANN index ingest
+
+  /** Streaming ANN index ingest
+    * ([[graft.streaming.Streaming.indexIngestStream]]) — the persisted-
+    * quantizer store ([[graft.llm.IndexStore]]) fed by a file-source
+    * stream, completing the streaming store matrix (m19 exact / m20
+    * near-dup / m21 semantic / NOW vector index): train once on the
+    * corpus snapshot, stream the corpus in three disjoint slabs
+    * (maxFilesPerTrigger=1 → one codes segment per microbatch), then
+    * prove the streamed index end-to-end: search recall vs the brute
+    * twin at s13's dials, segment + code-row accounting, and byte-stable
+    * full-backlog replay (fresh checkpoint re-offers every batch; each
+    * append must no-op on its committed marker before any write). */
+  private def m29(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{DedupStore, IndexStore, Similarity}
+    val emb = t(s, dir, "embeddings")
+    val base = tempDir("g_m29")
+    (0 until 3).foreach { b =>
+      val tmp = s"$base/stage_$b"
+      emb.filter(col("vec_id") % 3 === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/slab-$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      ()
+    }
+    val store = s"$base/store"
+    IndexStore.train(s, store, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.indexIngestStream(s,
+          s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, ckpt))
+    drain(s"$base/ckpt1")
+    val segs1 = DedupStore.committedBatches(s, s"$store/codes").size
+    val rows1 = IndexStore.readCodes(s, store).count()
+    drain(s"$base/ckpt2")
+    val segs2 = DedupStore.committedBatches(s, s"$store/codes").size
+    val rows2 = IndexStore.readCodes(s, store).count()
+    val embCount = emb.count()
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopK(s, store, emb, q, k = 5, nprobe = 3,
+        rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(segs1 == 3 && rows1 == embCount).as("store_consistent"),
+        lit(segs2 == segs1 && rows2 == rows1).as("replay_stable"))
+  }
+
+  private val m29Sql =
+    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok,
+      |  TRUE AS store_consistent, TRUE AS replay_stable
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1375,7 +1438,8 @@ object MatQueries {
     "m25_streaming_sessionize" -> (m25 _),
     "m26_stream_interval_join" -> (m26 _),
     "m27_stream_static_join" -> (m27 _),
-    "m28_incremental_rollup" -> (m28 _))
+    "m28_incremental_rollup" -> (m28 _),
+    "m29_streaming_index_ingest" -> (m29 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1405,5 +1469,6 @@ object MatQueries {
     "m25_streaming_sessionize" -> m25Sql,
     "m26_stream_interval_join" -> m26Sql,
     "m27_stream_static_join" -> m27Sql,
-    "m28_incremental_rollup" -> m28Sql)
+    "m28_incremental_rollup" -> m28Sql,
+    "m29_streaming_index_ingest" -> m29Sql)
 }

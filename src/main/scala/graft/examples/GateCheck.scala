@@ -53,6 +53,9 @@ object GateCheck {
     "m20_streaming_neardup",
     // streamed SEMANTIC near-dup ingest (embedding sibling of m20)
     "m21_streaming_semantic_neardup",
+    // streamed ANN index ingest: recall through the persisted quantizer,
+    // segment accounting, byte-stable full-backlog replay
+    "m29_streaming_index_ingest",
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx",
     // KMV theta sketch: union/intersection estimates vs the exact twin

@@ -340,6 +340,33 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ANN index ingest — the streaming sibling of
+    * [[graft.llm.IndexStore.appendCodes]], completing the store modality
+    * matrix (exact fp / MinHash / semantic / image / VECTOR INDEX): each
+    * microbatch is encoded against the store's COMMITTED quantizer (train
+    * precedes the stream — the artifact is immutable, so every batch of a
+    * long-running ingest quantizes identically) and appended as
+    * inverted-list segment `batchId`. Exactly-once by the
+    * [[graft.llm.DedupStore.append]] replay contract: a restarted query
+    * re-offers committed batch ids and the append no-ops before any
+    * write, so the index is byte-stable under full-backlog replay. Batch
+    * cost ∝ batch — encode is a single projection over plan-literal
+    * codebooks; the only history touched is the kilobyte quantizer load. */
+  def indexIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.llm.IndexStore.appendCodes(spark, storeRoot, id, batch,
+            idCol, vecCol)
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

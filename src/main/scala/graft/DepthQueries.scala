@@ -978,6 +978,73 @@ object DepthQueries {
       |  (SELECT round(SUM(chi2_term), 6) FROM terms) AS chi2_stat
       |FROM terms ORDER BY category""".stripMargin
 
+  // ------------- dt07 quantizer staleness (index cell-occupancy drift)
+
+  /** The RETRAIN SIGNAL for the train-once ANN index
+    * ([[graft.llm.IndexStore]]): chi-squared homogeneity
+    * ([[graft.exec.DataTests.driftChi2]]) between the stored index's
+    * cell assignments and a candidate batch's — centroid_id is the
+    * category, because the drift that actually hurts an IVF index is new
+    * data crowding into cells the quantizer placed for an older
+    * distribution (recall decays exactly there; the store's immutable-
+    * quantizer contract needs this monitor, not a silent decay).
+    *
+    * The threshold is CALIBRATED, not absolute: real corpora carry
+    * duplicate clusters (the amplified rehearsal corpora: ~10–100 near-
+    * copies per vector), and clustered draws inflate a two-sample chi²
+    * by roughly the copy factor — an absolute dof-scale cutoff flags
+    * clean data on any duplicated corpus. The monitor therefore scores
+    * the candidate batch AGAINST a held-out same-distribution split (the
+    * odd-id half, with the even half indexed): no drift while the batch
+    * statistic stays within 20× of the calibration split's; the planted
+    * +0.5-per-dimension shift (a different embedding region → different
+    * cells, chi² ∝ n) must exceed it. DriftDialProbe measured the dial:
+    * calibration chi² 5.6 / 4.9 / 4.8 / 9.3 / 1469.6 at sf0.001→sf10
+    * (the sf10 jump IS the ~100-copy inflation), shift/calibration
+    * ratios 51 / 78 / 273 / 1414 / 99.7 — factor 20 keeps ≥ 2.5× margin
+    * on both sides at every scale. Corpus-scale work is three map-side
+    * grouped counts over narrow scans; the statistic side is
+    * nlist-sized. */
+  private def dt07(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{IndexStore, Similarity}
+    val emb = t(s, dir, "embeddings")
+    val root = graft.LlmShared.staging("ixdrift", dir) + "/" +
+      dt07Invocation.incrementAndGet()
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val shifted = odd.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    IndexStore.train(s, root, even, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(s, root, 0L, even)
+    val rq = IndexStore.loadQuantizer(s, root)
+    val storeCells = IndexStore.readCodes(s, root).select(col("centroid_id"))
+    def stat(batch: DataFrame, as: String): DataFrame =
+      graft.exec.DataTests.driftChi2(storeCells,
+          Similarity.encodeResidual(batch, rq).select(col("centroid_id")),
+          "centroid_id")
+        .agg(max(col("chi2_stat")).as(as))
+    val same = stat(odd, "__chi2_same")
+    val shift = stat(shifted, "__chi2_shift")
+    val cells = IndexStore.cellOccupancy(s, root)
+      .agg(count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(same)).crossJoin(broadcast(shift))
+      .select(col("n_cells"),
+        // calibration split stays well under the planted shift — the
+        // separation that makes the calibrated threshold usable
+        (col("__chi2_same") * 20.0 < col("__chi2_shift")).as("no_drift_ok"),
+        // shifted batch: chi2 ∝ n, past the calibrated cutoff at any SF
+        (col("__chi2_shift") > 100.0
+          && col("__chi2_shift") > greatest(col("__chi2_same"), lit(7.0)) * 20)
+          .as("drift_detected"))
+  }
+
+  private val dt07Invocation = new java.util.concurrent.atomic.AtomicLong()
+
+  private val dt07Sql =
+    """SELECT CAST(8 AS BIGINT) AS n_cells, TRUE AS no_drift_ok,
+      |  TRUE AS drift_detected""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,7 +1074,8 @@ object DepthQueries {
     "dt03_profile_hll" -> (dt03 _),
     "dt04_drift_psi" -> (dt04 _),
     "dt05_drift_ks" -> (dt05 _),
-    "dt06_drift_chi2" -> (dt06 _))
+    "dt06_drift_chi2" -> (dt06 _),
+    "dt07_quantizer_drift" -> (dt07 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -1036,5 +1104,6 @@ object DepthQueries {
     "dt03_profile_hll" -> dt03Sql,
     "dt04_drift_psi" -> dt04Sql,
     "dt05_drift_ks" -> dt05Sql,
-    "dt06_drift_chi2" -> dt06Sql)
+    "dt06_drift_chi2" -> dt06Sql,
+    "dt07_quantizer_drift" -> dt07Sql)
 }

@@ -59,7 +59,10 @@ object GateCheck {
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx",
     // KMV theta sketch: union/intersection estimates vs the exact twin
-    "q35_kmv_intersection")
+    "q35_kmv_intersection",
+    // quantizer staleness monitor: same-distribution batch must not
+    // flag, planted-shift batch must
+    "dt07_quantizer_drift")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

@@ -163,6 +163,29 @@ object IndexStore {
   def readCodes(spark: SparkSession, root: String): DataFrame =
     DedupStore.read(spark, codesRoot(root))
 
+  /** Fold all committed code segments into one ([[DedupStore.compact]]
+    * verbatim — same lease, same crash contract): a long-running ingest
+    * accumulates one segment per batch, and scan cost grows with file
+    * count even when total rows don't. Search results are unchanged by
+    * construction (the scan is a union of segments either way —
+    * IndexStoreSpec pins it). Returns the merged segment's id. */
+  def compactCodes(spark: SparkSession, root: String): Long =
+    DedupStore.compact(spark, codesRoot(root))
+
+  /** Per-cell occupancy of the stored index — the denominator of the
+    * staleness question this store's train-once contract raises: coarse
+    * cells were placed for the corpus AS OF train time, and the way they
+    * degrade under distribution drift is new batches crowding into few
+    * cells (recall decays there). One map-side grouped count over the
+    * narrow codes scan. For a tested retrain SIGNAL, feed the row-level
+    * assignments — [[readCodes]] vs a candidate batch's
+    * [[Similarity.encodeResidual]] — to
+    * [[graft.exec.DataTests.driftChi2]] with centroid_id as the category
+    * (dt07 gates exactly that). */
+  def cellOccupancy(spark: SparkSession, root: String): DataFrame =
+    readCodes(spark, root).groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+
   /** Top-k cosine search over the PERSISTED index: load the quantizer
     * (kilobytes), ADC-score the committed code segments against the
     * probed cells, exact-re-rank the rerank·k survivors against the raw

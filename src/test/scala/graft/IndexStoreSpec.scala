@@ -107,6 +107,32 @@ class IndexStoreSpec extends SparkSpec {
     assert(threeSeg == inMem, "segment split changed search results")
   }
 
+  test("compactCodes folds segments without changing search results") {
+    val q = emb.filter($"vec_id" < 10)
+    val root = freshRoot()
+    IndexStore.train(spark, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    (0 until 3).foreach { b =>
+      assert(IndexStore.appendCodes(spark, root, b.toLong,
+        emb.filter($"vec_id" % 3 === b)))
+    }
+    def rows(): Seq[(Long, Long, Int)] =
+      IndexStore.searchTopK(spark, root, emb, q, k = 5, nprobe = 3,
+          rerank = 32)
+        .select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+          col("rank").cast("int")).as[(Long, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    val before = rows()
+    val preRows = IndexStore.readCodes(spark, root).count()
+    val merged = IndexStore.compactCodes(spark, root)
+    assert(merged >= graft.llm.DedupStore.CompactBase,
+      s"merged id $merged must live in the reserved compact id space")
+    assert(graft.llm.DedupStore.committedBatches(spark, s"$root/codes")
+      == Seq(merged), "three segments must fold into exactly the merged one")
+    assert(IndexStore.readCodes(spark, root).count() == preRows)
+    assert(rows() == before, "compaction changed search results")
+  }
+
   test("searching a store with no committed quantizer fails loud") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Ingest and end-to-end curation pipelines (j01–j06, p01–p03):
+/** Ingest and end-to-end curation pipelines (j01–j06, p01–p04):
   * JSONL quarantine, provenance, the composed ingest chain, CDC, schema
   * evolution, and the exact
   * and approximate curation flagships.
@@ -584,6 +584,97 @@ private[graft] object PipelineQueries {
        |FROM cum, counts WHERE c <= 6000 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------ p04 EXPORT pipeline
+
+  /** The EXPORT end of a curation pipeline — what happens after p01/p02
+    * decide what survives: quality gate ([[graft.llm.TextOps.qualityScore]]
+    * ≥ 0.3) → exact dedup ([[graft.llm.Dedup.exactRows]]) → deterministic
+    * 8-shard assignment by salted content hash → greedy 2048-token
+    * sequence packing IN THE SHARD'S REPRODUCIBLE ORDER (the d27 hash
+    * order — training order must be decorrelated from ingest order and
+    * bit-stable across re-runs) → one manifest row per shard: doc count,
+    * bin count, token total, id checksum, and the d27 ORDER fingerprint.
+    * Everything is one shuffle on (shard) + the dedup exchange; the
+    * window runs inside the export partitioning the shard write needs
+    * anyway. The oracle replays every stage relationally — quality
+    * doubles, dedup keepers, nibble-decoded shard ids, the packing
+    * window, the fingerprint. */
+  private def p04(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val kept = docs
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .select(col("doc_id"), col("text"))
+    val deduped = Dedup.exactRows(kept)
+    val h = md5(concat(lit("p04"), col("text")))
+    val assigned = deduped.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(8L))
+        .as("shard"),
+      h.as("__h"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    assigned
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__bin",
+        floor((col("__cum") - col("n_tokens")).cast("double") / 2048.0)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("__bin")) + 1).as("n_bins"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        pmod(sum(pmod(col("__pos") * pmod(col("doc_id"), lit(1000003L)),
+          lit(1000000007L))), lit(1000000007L)).as("order_fp"))
+      .orderBy(col("shard"))
+  }
+
+  private val p04Sql = {
+    val allWords = graft.llm.TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM documents),
+       |pre AS (SELECT doc_id, text, tk,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base),
+       |kept AS (SELECT doc_id, text, tk FROM pre
+       |  WHERE ${graft.LlmShared.qualitySqlExpr("len(tk)")} >= 0.3),
+       |norm AS (SELECT doc_id, text, tk,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM kept),
+       |keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM norm GROUP BY 1),
+       |dd AS (SELECT n.doc_id, n.text, n.tk FROM norm n
+       |  JOIN keeper k ON n.doc_id = k.doc_id),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    md5('p04' || text) AS h
+       |  FROM dd),
+       |a AS (SELECT doc_id, n_tokens, h,
+       |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+       |      AS shard
+       |  FROM tok),
+       |p AS (SELECT shard, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM a)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(MAX(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0)) + 1
+       |    AS BIGINT) AS n_bins,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM((pos * (doc_id % 1000003)) % 1000000007) % 1000000007
+       |    AS BIGINT) AS order_fp
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------ j04 snapshot diff (CDC)
 
   /** Row-level snapshot diff ([[graft.exec.SnapshotDiff.diff]]): the CDC
@@ -740,6 +831,7 @@ private[graft] object PipelineQueries {
     "p01_curation_pipeline" -> (p01 _),
     "p02_curation_pipeline_approx" -> (p02 _),
     "p03_curation_multimodal" -> (p03 _),
+    "p04_export_pipeline" -> (p04 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _),
@@ -751,6 +843,7 @@ private[graft] object PipelineQueries {
     "p01_curation_pipeline" -> p01Sql,
     "p02_curation_pipeline_approx" -> p02Sql,
     "p03_curation_multimodal" -> p03Sql,
+    "p04_export_pipeline" -> p04Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql,

@@ -133,6 +133,30 @@ class IndexStoreSpec extends SparkSpec {
     assert(rows() == before, "compaction changed search results")
   }
 
+  test("an unmarked (in-flight) code segment is invisible to search") {
+    val q = emb.filter($"vec_id" < 10)
+    val root = freshRoot()
+    IndexStore.train(spark, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    assert(IndexStore.appendCodes(spark, root, 0L, emb))
+    val committed = IndexStore.searchTopK(spark, root, emb, q, k = 5,
+        nprobe = 3, rerank = 32)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSet
+    // simulate a crash mid-append of batch 1: segment data present, no
+    // done marker — readers must not see it
+    val rq = IndexStore.loadQuantizer(spark, root)
+    graft.llm.Similarity.encodeResidual(
+        emb.select($"vec_id" + 1000000L as "vec_id", $"embedding"), rq)
+      .write.mode("overwrite").parquet(s"$root/codes/segments/1")
+    val after = IndexStore.searchTopK(spark, root, emb, q, k = 5,
+        nprobe = 3, rerank = 32)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(after == committed, "half-appended segment leaked into search")
+    assert(IndexStore.readCodes(spark, root).count() == emb.count())
+  }
+
   test("searching a store with no committed quantizer fails loud") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

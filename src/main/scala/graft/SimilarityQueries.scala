@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Embedding similarity-search queries (s01–s16): brute-force /
+/** Embedding similarity-search queries (s01–s17): brute-force /
   * LSH / IVF / PQ / IMI top-k, embedding near-dup, semantic dedup, kNN
   * graph, normalization and quantization, persisted-index lifecycle.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -403,6 +403,37 @@ private[graft] object SimilarityQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Metadata-FILTERED search through the persisted index — the
+    * same-language / same-tenant retrieval shape (s14) served by the
+    * store instead of an exact label-bucket join: the label rides IN the
+    * code segments (attribute-carrying index, `appendCodes(carryCols)`),
+    * the scan PRE-filters on it — rejected candidates never consume the
+    * rerank budget, the corpus is never joined before the rerank tail —
+    * and recall@5 is gated against [[Similarity.filteredTopK]]'s exact
+    * twin at 0.5. */
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = staging("ixstore", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.train(s, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(s, root, 0L, emb, carryCols = Seq("label"))
+    val exact = Similarity.filteredTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+        rerank = 32, matchCols = Seq("label"))
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"))
+  }
+
+  private val s17Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** JL random-projection prefilter + exact re-rank
     * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
     * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
@@ -478,7 +509,8 @@ private[graft] object SimilarityQueries {
     "s13_cosine_topk_ivfpq_res" -> (s13 _),
     "s14_cosine_topk_filtered" -> (s14 _),
     "s15_cosine_topk_ivfpq_store" -> (s15 _),
-    "s16_cosine_topk_ivfpq_incr" -> (s16 _))
+    "s16_cosine_topk_ivfpq_incr" -> (s16 _),
+    "s17_cosine_topk_filtered_store" -> (s17 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -496,5 +528,6 @@ private[graft] object SimilarityQueries {
     "s13_cosine_topk_ivfpq_res" -> s13Sql,
     "s14_cosine_topk_filtered" -> s14Sql,
     "s15_cosine_topk_ivfpq_store" -> s15Sql,
-    "s16_cosine_topk_ivfpq_incr" -> s16Sql)
+    "s16_cosine_topk_ivfpq_incr" -> s16Sql,
+    "s17_cosine_topk_filtered_store" -> s17Sql)
 }

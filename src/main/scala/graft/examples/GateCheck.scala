@@ -20,7 +20,7 @@ object GateCheck {
     "s13_cosine_topk_ivfpq_res",
     // persisted-index lifecycle: train-once artifact + store search
     // recall, incremental append against a stale quantizer
-    "s15_cosine_topk_ivfpq_store", "s16_cosine_topk_ivfpq_incr",
+    "s15_cosine_topk_ivfpq_store", "s16_cosine_topk_ivfpq_incr", "s17_cosine_topk_filtered_store",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // exact contract gate (not an approximation bound): zero sources may

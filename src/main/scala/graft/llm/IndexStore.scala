@@ -148,14 +148,17 @@ object IndexStore {
 
   /** Encode one ingest batch against the COMMITTED quantizer and append
     * it as inverted-list segment `batchId`. No fit, no history read:
-    * cost ∝ batch. Returns [[DedupStore.append]]'s replay contract
+    * cost ∝ batch. `carryCols` lands filter metadata IN the segment (the
+    * attribute-carrying index a filtered search needs — see
+    * [[searchTopK]]'s matchCols; every segment of a store must carry the
+    * same columns). Returns [[DedupStore.append]]'s replay contract
     * (false = batchId already committed, store unchanged). */
   def appendCodes(spark: SparkSession, root: String, batchId: Long,
       batch: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Boolean = {
+      vecCol: String = "embedding", carryCols: Seq[String] = Nil): Boolean = {
     val rq = loadQuantizer(spark, root)
     DedupStore.append(spark, codesRoot(root), batchId,
-      Similarity.encodeResidual(batch, rq, idCol, vecCol))
+      Similarity.encodeResidual(batch, rq, idCol, vecCol, carryCols))
   }
 
   /** All committed inverted-list segments as one (centroid_id, corpus_id,
@@ -193,13 +196,21 @@ object IndexStore {
     * holds vectors). ZERO fit jobs, zero corpus-side encode: the
     * corpus-scale work is one narrow scan of the code segments plus the
     * candidate-sized re-rank. */
+  /** `matchCols`: metadata-FILTERED search (same-language / same-tenant
+    * retrieval) — each query's neighbors come only from indexed vectors
+    * agreeing with it on these columns. Requires the store's segments to
+    * carry them ([[appendCodes]] carryCols). PRE-filter semantics: the
+    * scan drops non-matching candidates before the rerank budget, so the
+    * k survivors are the best of the FILTERED pool, and the corpus is
+    * never joined ahead of the rerank tail. */
   def searchTopK(spark: SparkSession, root: String, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      matchCols: Seq[String] = Nil): DataFrame = {
     require(rerank >= 1, "rerank >= 1")
     val rq = loadQuantizer(spark, root)
     val approx = Similarity.adcScoreResidual(readCodes(spark, root),
-      queries, rq, nprobe, idCol, vecCol)
+      queries, rq, nprobe, idCol, vecCol, matchCols)
     Similarity.rerankExactCandidates(corpus, queries, approx, k, rerank,
       idCol, vecCol)
   }

@@ -1037,14 +1037,24 @@ object Similarity {
     * NEW batch needs only the quantizer artifact, never a re-fit and
     * never the already-indexed history. */
   private[graft] def encodeResidual(corpus: DataFrame, rq: ResidualQuantizer,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val assigned = assignToCentroids(corpus, rq.centroids, idCol, vecCol)
-    assigned.join(broadcast(cellMeanDf(rq, corpus.sparkSession)),
+    val base = assigned.join(broadcast(cellMeanDf(rq, corpus.sparkSession)),
         Seq("centroid_id"))
       .select(col("centroid_id"),
         col("corpus_id").cast("long").as("corpus_id"),
         pqEncode(zip_with(l2Normalize(col("c_vec")), col("__cent"),
           (a, b) => a - b), rq.codebooks).as("codes"))
+    // attribute-carrying index (the filtered-ANN shape): the filter
+    // metadata rides IN the segments so a filtered scan never joins back
+    // to the corpus — the join here is write-side, ∝ batch, paid once
+    if (carryCols.isEmpty) base
+    else base.join(
+      corpus.select(col(idCol).cast("long").as("corpus_id") +:
+        carryCols.map(col): _*), Seq("corpus_id"))
+      .select((Seq("centroid_id", "corpus_id", "codes") ++ carryCols)
+        .map(col): _*)
   }
 
   /** ADC-score encoded inverted lists against `queries`: per query the
@@ -1055,22 +1065,35 @@ object Similarity {
     * frame — is scanned once, never shuffled. */
   private[graft] def adcScoreResidual(encoded: DataFrame, queries: DataFrame,
       rq: ResidualQuantizer, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      matchCols: Seq[String] = Nil): DataFrame = {
     val probes = assignTopCentroids(queries, rq.centroids, nprobe, idCol,
         vecCol)
       .select(col("centroid_id"), col("corpus_id").as("query_id"),
         col("c_vec").as("q_vec"))
-    val pq = probes.join(broadcast(cellMeanDf(rq, queries.sparkSession)),
+    val pq0 = probes.join(broadcast(cellMeanDf(rq, queries.sparkSession)),
         Seq("centroid_id"))
       .select(col("centroid_id"), col("query_id"),
         pqAdcTable(l2Normalize(col("q_vec")), rq.codebooks).as("adc"),
         graft.functions.DotDouble(l2Normalize(col("q_vec")), col("__cent"))
           .as("__qc"))
-    encoded.join(broadcast(pq), Seq("centroid_id"))
-      .select(col("query_id"), col("corpus_id"),
-        (col("__qc") + aggregate(
-          zip_with(col("adc"), col("codes"), (tm, cm) => get(tm, cm)),
-          lit(0.0), (acc, x) => acc + x)).as("ascore"))
+    // metadata-filtered search: the query's match values ride the (tiny)
+    // broadcast side; `encoded` must carry the same columns (the
+    // attribute-carrying index, [[encodeResidual]]'s carryCols) so the
+    // scan PRE-filters — rejected candidates never consume the rerank
+    // budget and the corpus is never joined before the rerank tail
+    val pq = if (matchCols.isEmpty) pq0
+      else pq0.join(broadcast(queries.select(
+        col(idCol).as("query_id") +:
+          matchCols.map(c => col(c).as(s"__q_$c")): _*)), Seq("query_id"))
+    val joined = encoded.join(broadcast(pq), Seq("centroid_id"))
+    val filtered = matchCols.foldLeft(joined) { (df, c) =>
+      df.filter(col(c) <=> col(s"__q_$c"))
+    }
+    filtered.select(col("query_id"), col("corpus_id"),
+      (col("__qc") + aggregate(
+        zip_with(col("adc"), col("codes"), (tm, cm) => get(tm, cm)),
+        lit(0.0), (acc, x) => acc + x)).as("ascore"))
   }
 
   /** Exact re-rank of an approximate candidate set against the raw

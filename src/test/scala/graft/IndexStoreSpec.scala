@@ -157,6 +157,30 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.readCodes(spark, root).count() == emb.count())
   }
 
+  test("filtered search returns only same-label results (pre-filter)") {
+    val root = freshRoot()
+    IndexStore.train(spark, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    assert(IndexStore.appendCodes(spark, root, 0L, emb,
+      carryCols = Seq("label")))
+    val q = emb.filter($"vec_id" < 10)
+    val got = IndexStore.searchTopK(spark, root, emb, q, k = 5, nprobe = 8,
+        rerank = 32, matchCols = Seq("label"))
+      .join(emb.select($"vec_id".as("query_id"), $"label".as("q_label")),
+        Seq("query_id"))
+      .join(emb.select($"vec_id".as("corpus_id"), $"label".as("c_label")),
+        Seq("corpus_id"))
+    assert(got.filter($"q_label" =!= $"c_label").isEmpty,
+      "filtered search leaked a cross-label result")
+    // every query gets k results (its label group is larger than k, and
+    // nprobe = nlist scans every cell — the filter must not starve the
+    // budget below the available same-label pool)
+    val counts = got.groupBy($"query_id").count()
+      .select($"count").as[Long].collect()
+    assert(counts.length == 10 && counts.forall(_ == 5L),
+      s"filtered search starved some query: ${counts.toSeq}")
+  }
+
   test("searching a store with no committed quantizer fails loud") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

@@ -312,4 +312,28 @@ class JobCountSpec extends SparkSpec {
     assert(jobs <= 18, s"j03 chain job count regressed: $jobs")
     spark.catalog.clearCache()
   }
+
+  test("persisted-index search runs ZERO fit jobs") {
+    import graft.llm.IndexStore
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("jcix") + "/s"
+    IndexStore.train(spark, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(spark, root, 0L, emb)
+    val jobs = countJobs {
+      val n = IndexStore.searchTopK(spark, root, emb,
+        emb.filter($"vec_id" < 10), k = 5, nprobe = 3, rerank = 32).count()
+      assert(n == 50L)
+    }
+    info(s"persisted-index search jobs = $jobs")
+    // measured 17: four bounded quantizer collects (meta, centroids, cell
+    // means, codebooks — kilobytes each), the codes-scan footer job, and
+    // the search action's AQE stage jobs. NOTE the fit-per-query path
+    // measures FEWER jobs (11) — but two of those are a corpus COUNT and
+    // a corpus-scale sample collect, and the action hides a full corpus
+    // encode; the store path's jobs are all metadata-sized. The pin is
+    // against a re-fit creeping into the search path: its count + pool
+    // collect + per-corpus encode stages land well past this bound
+    assert(jobs <= 20, s"persisted-index search job count regressed: $jobs")
+  }
 }

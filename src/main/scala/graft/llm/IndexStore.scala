@@ -17,13 +17,16 @@ import graft.llm.Similarity.ResidualQuantizer
   *
   * Two halves, two lifecycles:
   *
-  *  - **Quantizer** (`<root>/quantizer/…` + `<root>/quantizer.done`): a
-  *    one-shot immutable artifact — nlist coarse centroids, nlist cell
-  *    means, m·codebookSize residual codebook rows, a one-row param
-  *    frame. Kilobytes. Written parquet-first, committed by an atomic
-  *    temp+rename marker (the [[DedupStore]] discipline); a crash
-  *    mid-save leaves an unmarked directory that loads refuse and a
-  *    retry overwrites. Replayed saves are no-ops.
+  *  - **Quantizer** (`<root>/quantizer/…`): a one-shot immutable
+  *    artifact — nlist coarse centroids, nlist cell means,
+  *    m·codebookSize residual codebook rows, a one-row param frame.
+  *    Kilobytes. Staged into a PRIVATE per-attempt directory, published
+  *    by ONE atomic whole-directory rename — the rename IS the commit
+  *    (see [[saveQuantizer]] for why a shared-directory marker protocol
+  *    is not enough here); a crash mid-save leaves only inert staging
+  *    debris, and the final directory never exists partially. Replayed
+  *    and racing saves are no-ops that converge on the committed
+  *    artifact.
   *  - **Codes** (`<root>/codes/…`): append-only encoded inverted-list
   *    segments — (centroid_id, corpus_id, codes) rows, m bytes of PQ
   *    code per vector — managed by [[DedupStore.append]]/[[DedupStore.read]]
@@ -53,24 +56,40 @@ object IndexStore {
     new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def qDir(root: String) = new HPath(root, "quantizer")
-  private def qMarker(root: String) = new HPath(root, "quantizer.done")
   private def codesRoot(root: String) = s"$root/codes"
 
-  /** True when a committed quantizer artifact exists under `root`. */
+  /** True when a committed quantizer artifact exists under `root`. The
+    * final `quantizer/` directory can ONLY appear via [[saveQuantizer]]'s
+    * atomic whole-directory rename, so its existence IS the commit —
+    * there is no observable partial state. */
   def quantizerCommitted(spark: SparkSession, root: String): Boolean =
-    fs(spark, root).exists(qMarker(root))
+    fs(spark, root).exists(qDir(root))
 
   /** Persist a fitted quantizer under `root`. Returns true if THIS call
     * committed it, false when one was already committed (replay — store
     * unchanged; the caller's quantizer is NOT compared: a store has one
-    * immutable quantizer by contract, refits go to a new root). */
+    * immutable quantizer by contract, refits go to a new root).
+    *
+    * Commit protocol: every attempt writes into its own PRIVATE staging
+    * directory (`.quantizer-tmp-<uuid>`), then publishes with ONE atomic
+    * rename to `quantizer/`. A marker-file protocol over a SHARED data
+    * directory is not enough here: unlike DedupStore segments (same
+    * batchId ⇒ identical bytes by contract), two racing trainers hold
+    * DIFFERENT fits (their own corpus slice and seed), and overwrite-mode
+    * writes into one directory delete each other's in-flight task files
+    * (IndexStoreSpec's four-trainer race caught exactly that). With
+    * rename-as-commit the loser's rename fails, it discards its staging
+    * and loads the winner's artifact — every concurrent trainer converges
+    * on the ONE committed quantizer. A crash mid-save leaves only inert
+    * private staging debris; the final directory never exists partially. */
   def saveQuantizer(spark: SparkSession, root: String,
       rq: ResidualQuantizer): Boolean = {
     val f = fs(spark, root)
-    if (f.exists(qMarker(root))) return false
+    if (f.exists(qDir(root))) return false
     import spark.implicits._
-    val base = qDir(root).toString
-    // data first (overwrite clears half-written retry debris) …
+    val stage = new HPath(root,
+      s".quantizer-tmp-${java.util.UUID.randomUUID().toString}")
+    val base = stage.toString
     Seq((rq.dim, rq.nlist, rq.m, rq.codebookSize))
       .toDF("dim", "nlist", "m", "codebook_size")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
@@ -84,25 +103,25 @@ object IndexStore {
       cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
-    // … marker last, appearing atomically via temp-create + rename. A
-    // marker that appeared during the writes means a concurrent save
-    // committed first: yield (same-store saves carry the same fit by
-    // contract — deterministic seed + sample rules).
-    if (f.exists(qMarker(root))) return false
-    val tmp = new HPath(root, ".quantizer.done.tmp")
-    f.create(tmp, true).close()
-    if (!f.rename(tmp, qMarker(root)))
-      throw new java.io.IOException(
-        s"IndexStore: cannot commit quantizer marker under $root")
-    true
+    // publish: one atomic rename. Failure (or a destination that appeared
+    // during staging) means a concurrent trainer won — yield, clean up.
+    val won = !f.exists(qDir(root)) && f.rename(stage, qDir(root))
+    if (!won) {
+      f.delete(stage, true)
+      if (!f.exists(qDir(root)))
+        throw new java.io.IOException(
+          s"IndexStore: cannot publish quantizer under $root")
+    }
+    won
   }
 
   /** Load the committed quantizer. Bounded collects by construction:
     * nlist + nlist + m·codebookSize rows of dim-width vectors. */
   def loadQuantizer(spark: SparkSession, root: String): ResidualQuantizer = {
     require(quantizerCommitted(spark, root),
-      s"IndexStore at $root has no committed quantizer " +
-        "(missing or half-written — run saveQuantizer)")
+      s"IndexStore at $root has no committed quantizer — run train/" +
+        "saveQuantizer (a crashed save leaves only inert staging debris; " +
+        "the final directory only ever appears whole)")
     val base = qDir(root).toString
     val meta = spark.read.parquet(s"$base/meta").collect()(0)
     val (dim, nlist) = (meta.getInt(0), meta.getInt(1))

@@ -37,21 +37,23 @@ class IndexStoreSpec extends SparkSpec {
       == rq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
-  test("an unmarked (crashed) quantizer save is invisible and fails loud") {
+  test("a crashed (never-published) quantizer save is invisible; retry commits") {
     val root = freshRoot()
     val rq = Similarity.fitResidualQuantizer(emb, dim = 64, nlist = 4,
       m = 4, codebookSize = 8, seed = 7L)
-    assert(IndexStore.saveQuantizer(spark, root, rq))
-    // simulate a crash BEFORE the marker rename: data present, marker gone
+    // simulate a crash BEFORE the publishing rename: full staging data on
+    // disk under a private tmp dir, final directory never appeared
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(f.delete(new org.apache.hadoop.fs.Path(root, "quantizer.done"), false))
+    assert(IndexStore.saveQuantizer(spark, root, rq))
+    assert(f.rename(new org.apache.hadoop.fs.Path(root, "quantizer"),
+      new org.apache.hadoop.fs.Path(root, ".quantizer-tmp-crashed")))
     assert(!IndexStore.quantizerCommitted(spark, root))
     val e = intercept[IllegalArgumentException] {
       IndexStore.loadQuantizer(spark, root)
     }
     assert(e.getMessage.contains("no committed quantizer"), e.getMessage)
-    // a retry (train) overwrites the debris and commits
+    // staging debris is inert — a retry (train) publishes and commits
     val again = IndexStore.train(spark, root, emb, dim = 64, nlist = 4,
       m = 4, codebookSize = 8, seed = 7L)
     assert(IndexStore.quantizerCommitted(spark, root))
@@ -179,6 +181,35 @@ class IndexStoreSpec extends SparkSpec {
       .select($"count").as[Long].collect()
     assert(counts.length == 10 && counts.forall(_ == 5L),
       s"filtered search starved some query: ${counts.toSeq}")
+  }
+
+  test("concurrent trainers converge on ONE committed quantizer") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // four trainers race with DIFFERENT corpus slices and seeds — every
+      // caller must come back holding the quantizer that actually
+      // committed (losers load the winner's, never their own fresh fit)
+      val got = Await.result(Future.sequence((0 until 4).map(i => Future {
+        IndexStore.train(spark, root, emb.filter($"vec_id" % 4 <= i),
+          dim = 64, nlist = 4, m = 4, codebookSize = 8, seed = 100L + i)
+      })), 120.seconds)
+      val committed = IndexStore.loadQuantizer(spark, root)
+      got.foreach { rq =>
+        assert(rq.centroids == committed.centroids,
+          "a trainer returned a quantizer that is not the committed one")
+        assert(rq.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+          == committed.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      }
+      // and searches through it work: the store is in a coherent state
+      assert(IndexStore.appendCodes(spark, root, 0L, emb))
+      assert(IndexStore.searchTopK(spark, root, emb,
+        emb.filter($"vec_id" < 3), k = 3, nprobe = 4, rerank = 8)
+        .count() == 9L)
+    } finally pool.shutdown()
   }
 
   test("searching a store with no committed quantizer fails loud") {

@@ -185,6 +185,25 @@ object IndexStore {
   def readCodes(spark: SparkSession, root: String): DataFrame =
     DedupStore.read(spark, codesRoot(root))
 
+  /** Sweep crashed trainers' staging debris: deletes `.quantizer-tmp-*`
+    * directories older than `minAgeMs` (the [[graft.exec.Maintenance]]
+    * `recover` convention — age-gated so a LIVE trainer's in-flight
+    * staging is never swept; a healthy save lives seconds, the default
+    * floor is 30 min). Returns the swept paths. Debris is inert either
+    * way — this is disk hygiene, not correctness. */
+  def recoverStaging(spark: SparkSession, root: String,
+      minAgeMs: Long = 30L * 60 * 1000): Seq[String] = {
+    val f = fs(spark, root)
+    val rootPath = new HPath(root)
+    if (!f.exists(rootPath)) return Nil
+    val now = System.currentTimeMillis()
+    f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory
+        && st.getPath.getName.startsWith(".quantizer-tmp-")
+        && now - st.getModificationTime >= minAgeMs)
+      .map { st => f.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Fold all committed code segments into one ([[DedupStore.compact]]
     * verbatim — same lease, same crash contract): a long-running ingest
     * accumulates one segment per batch, and scan cost grows with file

@@ -58,6 +58,16 @@ class IndexStoreSpec extends SparkSpec {
       m = 4, codebookSize = 8, seed = 7L)
     assert(IndexStore.quantizerCommitted(spark, root))
     assert(again.centroids == rq.centroids, "deterministic refit")
+    // age-gated debris sweep: a young staging dir survives (could be a
+    // LIVE trainer), an aged one is reclaimed; the committed artifact is
+    // untouched either way
+    assert(IndexStore.recoverStaging(spark, root).isEmpty,
+      "a young staging dir must never be swept")
+    val swept = IndexStore.recoverStaging(spark, root, minAgeMs = 0L)
+    assert(swept.size == 1 && swept.head.contains(".quantizer-tmp-crashed"),
+      s"expected the crashed staging dir swept, got $swept")
+    assert(IndexStore.quantizerCommitted(spark, root))
+    assert(IndexStore.loadQuantizer(spark, root).centroids == rq.centroids)
   }
 
   test("train is replay-idempotent: a committed store wins over a fresh fit") {

@@ -232,4 +232,43 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(got.size == 7 && !got.exists(_._1 == 999L),
       "a NULL-key row must not occupy a quota slot")
   }
+
+  test("shardManifest: layout-independent, order-audited, hash-balanced") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(df, $"text", $"doc_id", nShards = 8,
+          salt = "sm1")
+        .orderBy($"shard").collect().map(_.toSeq).toSeq
+    val base = manifest(docs)
+    // layout independence: the SAME corpus must produce an IDENTICAL
+    // manifest (shards, counts, order fingerprints, hash ranges) under
+    // any physical partitioning — the property that makes the manifest
+    // reproducible across engines, re-runs, and cluster sizes
+    assert(manifest(docs.repartition(13)) == base,
+      "manifest changed under repartition(13)")
+    assert(manifest(docs.repartition(1)) == base,
+      "manifest changed under a single partition")
+    assert(manifest(docs.orderBy($"doc_id".desc)) == base,
+      "manifest changed under a different input order")
+    // every shard present, counts total the corpus, hash-balanced within
+    // a generous band (500 docs over 8 shards: ±60% of the mean)
+    val counts = base.map(_(1).asInstanceOf[Long])
+    assert(base.map(_(0)) == (0L until 8L).toSeq)
+    assert(counts.sum == 500L)
+    val mean = counts.sum / 8.0
+    assert(counts.forall(c => c > mean * 0.4 && c < mean * 1.6),
+      s"shard balance outside band: ${counts.toSeq}")
+    // the order fingerprint actually audits ORDER: permuting two ids
+    // within one shard must change it (swap-sensitivity via a synthetic
+    // two-row shard)
+    val two = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val swapped = Seq((2L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(df, $"text", $"doc_id", nShards = 1,
+          salt = "sm2")
+        .select($"order_fp").as[Long].collect().toSeq
+    assert(fps(two) != fps(swapped),
+      "order_fp must distinguish the same membership in a different order")
+  }
 }

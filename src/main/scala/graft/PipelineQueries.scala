@@ -688,7 +688,8 @@ private[graft] object PipelineQueries {
     * so the one full-outer shuffle join carries narrow rows; unchanged
     * keys are dropped so the output is churn-sized, not table-sized. The
     * oracle rebuilds the identical fingerprints (chr(31) separator,
-    * per-column null flag) and classification in SQL. */
+    * per-column null flag + char-length prefix — the prefix-free
+    * encoding, ADVICE r14) and classification in SQL. */
   private def j04(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val inserts = o.filter(col("o_orderkey") % 13 === 3)
@@ -709,7 +710,8 @@ private[graft] object PipelineQueries {
   private val j04Sql = {
     def flagged(c: String) =
       s"CASE WHEN $c IS NULL THEN '1' ELSE '0' END || " +
-        s"COALESCE(CAST($c AS VARCHAR), '')"
+        s"COALESCE(CAST(length(CAST($c AS VARCHAR)) AS VARCHAR), '0') || " +
+        s"':' || COALESCE(CAST($c AS VARCHAR), '')"
     val fp = s"md5(${flagged("o_orderstatus")} || chr(31) || " +
       s"${flagged("o_orderpriority")} || chr(31) || " +
       s"${flagged("CAST(floor(o_totalprice * 100) AS BIGINT)")})"

@@ -339,13 +339,37 @@ object DataTests {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = joined.agg(sum(col("n_base")).as("__tb"),
       sum(col("n_cur")).as("__tc"), count(lit(1)).as("__k"))
-    val withExp = joined.crossJoin(broadcast(totals))
-      .withColumn("__tb", when(col("__tb") > 0, col("__tb")).otherwise(
+    // the empty-side guards live on the TOTALS row, which exists even when
+    // `joined` is empty (a global aggregate always emits one row) — the
+    // r14 form guarded per JOINED row, so BOTH snapshots empty produced a
+    // silently empty frame instead of the promised loud error (ADVICE
+    // r14). The guarded row flows into every output row via the
+    // crossJoin, so the one-side-empty case still raises per-row too.
+    val guarded = totals.select(
+      when(coalesce(col("__tb"), lit(0L)) > 0, col("__tb")).otherwise(
         raise_error(lit("driftChi2: base snapshot is empty — " +
-          "chi-squared homogeneity is undefined against an empty sample"))))
-      .withColumn("__tc", when(col("__tc") > 0, col("__tc")).otherwise(
+          "chi-squared homogeneity is undefined against an empty sample")))
+        .as("__tb"),
+      when(coalesce(col("__tc"), lit(0L)) > 0, col("__tc")).otherwise(
         raise_error(lit("driftChi2: current snapshot is empty — " +
-          "chi-squared homogeneity is undefined against an empty sample"))))
+          "chi-squared homogeneity is undefined against an empty sample")))
+        .as("__tc"),
+      col("__k"))
+    // both-empty: `joined` is empty, so the crossJoin below emits no rows
+    // and (under adaptive planning) may never evaluate the broadcast side —
+    // the guard row is therefore ALSO unioned in through an always-false
+    // filter whose predicate REFERENCES the guarded totals (the raise
+    // lives inside the referenced value, so the optimizer cannot fold the
+    // branch away — a `when(c, null)` form folded to a constant and the
+    // raise with it); it evaluates whenever the result materializes, then
+    // contributes no rows
+    val guardRows = guarded
+      .select((col("__tb") + col("__tc")).cast("string").as("category"))
+      .filter(col("category").isNull)
+      .select(col("category"), lit(0L).as("n_base"), lit(0L).as("n_cur"),
+        lit(0.0).as("exp_base"), lit(0.0).as("exp_cur"),
+        lit(0.0).as("chi2_term"), lit(0L).as("dof"))
+    val withExp = joined.crossJoin(broadcast(guarded))
       .withColumn("__row", (col("n_base") + col("n_cur")).cast("double"))
       .withColumn("__g", (col("__tb") + col("__tc")).cast("double"))
       .withColumn("__eb", col("__row") * col("__tb").cast("double") / col("__g"))
@@ -357,7 +381,8 @@ object DataTests {
           + pow(col("n_cur").cast("double") - col("__ec"), 2) / col("__ec"), 6)
           .as("chi2_term"),
         (col("__k") - 1).as("dof"))
-    val stat = withExp.agg(round(sum(col("chi2_term")), 6).as("chi2_stat"))
-    withExp.crossJoin(broadcast(stat))
+    val full = withExp.unionByName(guardRows)
+    val stat = full.agg(round(sum(col("chi2_term")), 6).as("chi2_stat"))
+    full.crossJoin(broadcast(stat))
   }
 }

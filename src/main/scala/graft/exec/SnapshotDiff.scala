@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   * — a fixed-width md5 over the compared columns, computed in the scan
   * projection, so the full-outer shuffle join on the key carries narrow
   * rows regardless of how wide the table is. One shuffle each side, AQE
-  * handles key skew. The fingerprint is engine-portable: each column
-  * contributes a one-char NULL FLAG ('1' null / '0' not) followed by its
-  * string form (empty when null) and a unit separator — never a raw
-  * `concat_ws`, which silently DROPS nulls and makes ("a", NULL) collide
-  * with ("a"), and never a string sentinel, which a real value can spoof
-  * (a column whose actual text is "NULL" must NOT fingerprint like SQL
-  * NULL). An external system can reproduce and audit the same change
-  * classification with `CASE WHEN c IS NULL THEN '1' ELSE '0' END ||
-  * COALESCE(CAST(c AS VARCHAR), '') || chr(31)` per column.
+  * handles key skew. The fingerprint is engine-portable AND injective:
+  * each column contributes a one-char NULL FLAG ('1' null / '0' not), the
+  * value's LENGTH in characters, a ':', its string form (empty when
+  * null), and a unit separator. Never a raw `concat_ws`, which silently
+  * DROPS nulls and makes ("a", NULL) collide with ("a"); never a string
+  * sentinel, which a real value can spoof (a column whose actual text is
+  * "NULL" must NOT fingerprint like SQL NULL); and the length prefix
+  * makes the concatenation a prefix-free code, so values CONTAINING the
+  * separator cannot realign across column boundaries (("a0b", "X")
+  * vs ("a", "b0X") — identical pre-images under the r14
+  * separator-only scheme, ADVICE r14). An external system can reproduce
+  * and audit the same change classification with `CASE WHEN c IS NULL
+  * THEN '1' ELSE '0' END || COALESCE(CAST(length(CAST(c AS VARCHAR)) AS
+  * VARCHAR), '0') || ':' || COALESCE(CAST(c AS VARCHAR), '') || chr(31)`
+  * per column.
   *
   * Caller contract: `keyCols` must be unique per snapshot (it is the
   * table's primary key; duplicate keys would cross-multiply in the join);
@@ -37,13 +43,18 @@ object SnapshotDiff {
 
   private val Sep = "\u001f"
 
-  /** Engine-portable row fingerprint over `cols`: md5 of the
-    * unit-separated, null-FLAGGED string forms (flag char + value). */
+  /** Engine-portable, injective row fingerprint over `cols`: md5 of the
+    * unit-separated, null-FLAGGED, LENGTH-PREFIXED string forms
+    * (flag char + char length + ':' + value — the length prefix makes the
+    * encoding prefix-free, so a value containing the separator cannot
+    * shift bytes into a neighboring column's slot). */
   def fingerprint(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
     val parts = cols.map { c =>
+      val s = c.cast("string")
       concat(when(c.isNull, lit("1")).otherwise(lit("0")),
-        coalesce(c.cast("string"), lit("")))
+        coalesce(length(s).cast("string"), lit("0")), lit(":"),
+        coalesce(s, lit("")))
     }
     md5(concat(parts.flatMap(p => Seq(p, lit(Sep))).init: _*))
   }

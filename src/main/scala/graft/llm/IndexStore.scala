@@ -81,47 +81,104 @@ object IndexStore {
     * rename-as-commit the loser's rename fails, it discards its staging
     * and loads the winner's artifact — every concurrent trainer converges
     * on the ONE committed quantizer. A crash mid-save leaves only inert
-    * private staging debris; the final directory never exists partially. */
+    * private staging debris; the final directory never exists partially.
+    *
+    * Win detection is a per-attempt TOKEN, not the rename's return value:
+    * Hadoop `FileSystem.rename` with an EXISTING destination directory
+    * moves the source INSIDE it and returns true (HDFS semantics;
+    * RawLocalFileSystem's copy fallback nests the same way), so a trainer
+    * whose rename raced a just-committed winner would otherwise read
+    * "true", return its OWN divergent fit to the caller, and leave its
+    * staging as debris nested inside the winner's `quantizer/`. Each
+    * attempt stamps `attempt-<uuid>` into its staging before the rename;
+    * the attempt won iff `quantizer/attempt-<uuid>` exists AFTERWARD —
+    * the token travels with the directory, so a nested loser can never
+    * read as a win. Losers sweep both the un-renamed staging AND the
+    * nested-inside-the-winner copy. */
   def saveQuantizer(spark: SparkSession, root: String,
-      rq: ResidualQuantizer): Boolean = {
+      rq: ResidualQuantizer): Boolean =
+    commitArtifact(spark, root, "quantizer") { base =>
+      import spark.implicits._
+      Seq((rq.dim, rq.nlist, rq.m, rq.codebookSize))
+        .toDF("dim", "nlist", "m", "codebook_size")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+      rq.centroids.map { case (i, v) => (i, v) }
+        .toDF("centroid_id", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      rq.cellMeans.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("centroid_id", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/cellmeans")
+      rq.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
+      }.toSeq.toDF("subspace", "code", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
+    }
+
+  /** The rename-as-commit protocol shared by every artifact kind under a
+    * store root (`quantizer/` for the residual family, `ivf/` / `imi/`
+    * for the flat-vector families): stage into a private
+    * `.<dirName>-tmp-<uuid>`, stamp the attempt token, publish with one
+    * rename, detect the win via the token (see [[saveQuantizer]]'s
+    * scaladoc for why the rename's return value cannot be trusted).
+    * Returns true iff THIS attempt's staging became the committed
+    * artifact. */
+  private def commitArtifact(spark: SparkSession, root: String,
+      dirName: String)(write: String => Unit): Boolean = {
     val f = fs(spark, root)
-    if (f.exists(qDir(root))) return false
-    import spark.implicits._
-    val stage = new HPath(root,
-      s".quantizer-tmp-${java.util.UUID.randomUUID().toString}")
-    val base = stage.toString
-    Seq((rq.dim, rq.nlist, rq.m, rq.codebookSize))
-      .toDF("dim", "nlist", "m", "codebook_size")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-    rq.centroids.map { case (i, v) => (i, v) }
-      .toDF("centroid_id", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-    rq.cellMeans.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("centroid_id", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/cellmeans")
-    rq.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
-      cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
-    }.toSeq.toDF("subspace", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
-    // publish: one atomic rename. Failure (or a destination that appeared
-    // during staging) means a concurrent trainer won — yield, clean up.
-    val won = !f.exists(qDir(root)) && f.rename(stage, qDir(root))
+    val dst = new HPath(root, dirName)
+    if (f.exists(dst)) return false
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = new HPath(root, s".$dirName-tmp-$uuid")
+    write(stage.toString)
+    // the commit receipt: travels with the directory through the rename,
+    // so "did MY staging become the committed dir?" is one exists() check
+    val token = s"attempt-$uuid"
+    f.create(new HPath(stage, token), true).close()
+    f.rename(stage, dst)
+    val won = f.exists(new HPath(dst, token))
     if (!won) {
+      // lost the race: our staging is either still at the root (rename
+      // failed outright) or nested INSIDE the winner's committed dir
+      // (rename-into-existing-dst semantics) — sweep both spots
       f.delete(stage, true)
-      if (!f.exists(qDir(root)))
+      f.delete(new HPath(dst, stage.getName), true)
+      if (!f.exists(dst))
         throw new java.io.IOException(
-          s"IndexStore: cannot publish quantizer under $root")
+          s"IndexStore: cannot publish $dirName under $root")
     }
     won
   }
 
-  /** Load the committed quantizer. Bounded collects by construction:
+  /** Per-root cache of loaded quantizers. The artifact is IMMUTABLE by
+    * contract (a refit is a new root, never an in-place mutation), so
+    * caching by committed-dir path is trivially safe; SoftReference lets
+    * the JVM reclaim entries under memory pressure (each is kilobytes,
+    * but a long-lived session may touch many roots). Cuts the per-call
+    * reload — four bounded parquet collects — out of hot loops like the
+    * streaming ingest, which calls [[appendCodes]] once per microbatch. */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[ResidualQuantizer]]()
+
+  /** Load the committed quantizer. Cached per root (immutable-artifact
+    * contract); a cold load is bounded collects by construction:
     * nlist + nlist + m·codebookSize rows of dim-width vectors. */
   def loadQuantizer(spark: SparkSession, root: String): ResidualQuantizer = {
     require(quantizerCommitted(spark, root),
       s"IndexStore at $root has no committed quantizer — run train/" +
         "saveQuantizer (a crashed save leaves only inert staging debris; " +
         "the final directory only ever appears whole)")
+    val key = fs(spark, root).makeQualified(qDir(root)).toString
+    val hit = Option(quantizerCache.get(key)).flatMap(r => Option(r.get))
+    hit.getOrElse {
+      val rq = loadQuantizerUncached(spark, root)
+      quantizerCache.put(key, new java.lang.ref.SoftReference(rq))
+      rq
+    }
+  }
+
+  private def loadQuantizerUncached(spark: SparkSession,
+      root: String): ResidualQuantizer = {
     val base = qDir(root).toString
     val meta = spark.read.parquet(s"$base/meta").collect()(0)
     val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
@@ -185,22 +242,31 @@ object IndexStore {
   def readCodes(spark: SparkSession, root: String): DataFrame =
     DedupStore.read(spark, codesRoot(root))
 
-  /** Sweep crashed trainers' staging debris: deletes `.quantizer-tmp-*`
+  /** Sweep crashed trainers' staging debris: deletes `.<artifact>-tmp-*`
     * directories older than `minAgeMs` (the [[graft.exec.Maintenance]]
     * `recover` convention — age-gated so a LIVE trainer's in-flight
     * staging is never swept; a healthy save lives seconds, the default
-    * floor is 30 min). Returns the swept paths. Debris is inert either
-    * way — this is disk hygiene, not correctness. */
+    * floor is 30 min). Sweeps BOTH root-level debris (a crash before the
+    * publish rename) and debris nested INSIDE a committed artifact dir
+    * (a loser whose rename raced the winner — rename-into-existing-dst
+    * nests the source — and then crashed before its own sweep). Returns
+    * the swept paths. Debris is inert either way — this is disk hygiene,
+    * not correctness. */
   def recoverStaging(spark: SparkSession, root: String,
       minAgeMs: Long = 30L * 60 * 1000): Seq[String] = {
     val f = fs(spark, root)
     val rootPath = new HPath(root)
     if (!f.exists(rootPath)) return Nil
     val now = System.currentTimeMillis()
-    f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory
-        && st.getPath.getName.startsWith(".quantizer-tmp-")
-        && now - st.getModificationTime >= minAgeMs)
+    def debris(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.contains("-tmp-") &&
+        now - st.getModificationTime >= minAgeMs
+    val top = f.listStatus(rootPath).toSeq
+    val committedDirs = top.filter(st => st.isDirectory
+      && !st.getPath.getName.startsWith("."))
+    val nested = committedDirs.flatMap(d => f.listStatus(d.getPath).toSeq)
+    (top ++ nested).filter(debris)
       .map { st => f.delete(st.getPath, true); st.getPath.toString }
   }
 

@@ -889,6 +889,10 @@ object Similarity {
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
     require(rerank >= 1, "rerank >= 1")
+    // fail-fast duplicate of pqCodebooksFromSample's dial check: without
+    // it an invalid m fails only AFTER the pool draw's corpus count +
+    // sample collect (ADVICE r14)
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     // ONE shared sample pool for BOTH fits (coarse k-means in raw space,
     // PQ codebooks in normalized space — normalization is driver-local):
     // the per-fit pool draw cost a count + narrow corpus scan each, ×2
@@ -941,6 +945,9 @@ object Similarity {
       rerank: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", fitSampleLimit: Int = 100000): DataFrame = {
     require(rerank >= 1, "rerank >= 1")
+    // fail-fast duplicate of fitResidualQuantizerFromPool's dial check,
+    // BEFORE the pool draw's corpus-scale work (ADVICE r14)
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     // ONE shared sample pool for all three fit stages (coarse k-means,
     // normalized cell means, residual codebooks) — was three corpus
     // count+scan pairs per query (VERDICT r12 #4).
@@ -1013,6 +1020,9 @@ object Similarity {
       m: Int = 8, codebookSize: Int = 16, seed: Long = 42L,
       vecCol: String = "embedding",
       fitSampleLimit: Int = 100000): ResidualQuantizer = {
+    // fail-fast duplicate of fitResidualQuantizerFromPool's dial check,
+    // BEFORE the pool draw's corpus-scale work (ADVICE r14)
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val pool = sampleVectors(corpus, vecCol, fitSampleLimit, seed,
       "fitResidualQuantizer")
     fitResidualQuantizerFromPool(pool, dim, nlist, m, codebookSize, seed)

@@ -214,6 +214,14 @@ class DataTestsSpec extends SparkSpec {
     def rootMsg(t: Throwable): String =
       (t.getMessage +: Option(t.getCause).toSeq.map(rootMsg)).mkString(" | ")
     assert(rootMsg(boom).contains("snapshot is empty"), rootMsg(boom))
+    // BOTH snapshots empty must also fail loud: the full-outer join of the
+    // two counted frames is empty, so the r14 per-joined-row guards never
+    // evaluated and the result was a silently empty frame (ADVICE r14) —
+    // the guard now lives on the always-present totals row
+    val boom2 = intercept[Exception] {
+      DataTests.driftChi2(empty, empty, "v").collect()
+    }
+    assert(rootMsg(boom2).contains("snapshot is empty"), rootMsg(boom2))
     ()
   }
 

@@ -70,6 +70,41 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.loadQuantizer(spark, root).centroids == rq.centroids)
   }
 
+  test("a loser nested INSIDE the winner's artifact is detected and swept") {
+    // the ADVICE r14 TOCTOU: Hadoop rename with an EXISTING destination
+    // directory moves the source INSIDE it and returns true — so the
+    // rename's return value cannot distinguish a win from a nested loss.
+    // Reproduce the post-race state (winner committed, loser's staging
+    // nested inside it) and verify (a) the committed artifact still loads
+    // bit-exact, (b) the aged sweep reclaims the NESTED debris too (the
+    // r14 sweep listed only the root level).
+    val root = freshRoot()
+    val rq = Similarity.fitResidualQuantizer(emb, dim = 64, nlist = 4,
+      m = 4, codebookSize = 8, seed = 7L)
+    assert(IndexStore.saveQuantizer(spark, root, rq))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val loser = new org.apache.hadoop.fs.Path(root, ".quantizer-tmp-loser")
+    f.mkdirs(loser)
+    f.create(new org.apache.hadoop.fs.Path(loser, "attempt-loser"), true).close()
+    // the racing rename: dst exists, so the loser's staging NESTS inside it
+    assert(f.rename(loser, new org.apache.hadoop.fs.Path(root, "quantizer")))
+    val nested = new org.apache.hadoop.fs.Path(root,
+      "quantizer/.quantizer-tmp-loser")
+    assert(f.exists(nested), "rename-into-existing-dst must nest the source")
+    // the loser's token did NOT land at quantizer/attempt-loser — the
+    // token protocol reads this as a loss, never a win
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root,
+      "quantizer/attempt-loser")))
+    // the committed artifact is unharmed by the nested debris
+    assert(IndexStore.loadQuantizer(spark, root).centroids == rq.centroids)
+    val swept = IndexStore.recoverStaging(spark, root, minAgeMs = 0L)
+    assert(swept.exists(_.contains("quantizer/.quantizer-tmp-loser")),
+      s"nested loser debris must be swept, got $swept")
+    assert(!f.exists(nested))
+    assert(IndexStore.quantizerCommitted(spark, root))
+  }
+
   test("train is replay-idempotent: a committed store wins over a fresh fit") {
     val root = freshRoot()
     val first = IndexStore.train(spark, root, emb, dim = 64, nlist = 8,

@@ -41,6 +41,13 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(d == Seq("update"), s"NULL->'NULL' flip must be visible: $d")
     // ("ab","c") must not collide with ("a","bc") — separator in force
     assert(fp(Some("ab"), Some("c")) != fp(Some("a"), Some("bc")))
+    // values CONTAINING the  separator must not realign across
+    // column boundaries: ("a00:b", "X") and ("a", "b00:X")
+    // concatenated identically under the r14 separator-only scheme — the
+    // length prefix makes the encoding prefix-free (ADVICE r14)
+    assert(fp(Some("a00:b"), Some("X")) != fp(Some("a"), Some("b00:X")),
+      "separator-bearing values must not collide across columns")
+    assert(fp(Some("a"), Some("b")) != fp(Some("a"), Some("b")))
   }
 
   test("diff: multi-column keys and a changed-then-restored row is silent") {

@@ -434,6 +434,76 @@ private[graft] object SimilarityQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** The CLOSED staleness loop — detect, retrain, rotate, recover
+    * ([[graft.llm.IndexStore.rotate]]): epoch-1 store trained on and
+    * indexing the even-id half; the corpus then DRIFTS (the odd half
+    * arrives shifted +0.5 per dimension — a new embedding region, dt07's
+    * planted shape); the staleness monitor fires (chi² of the drifted
+    * batch's cell assignments vs the store, calibrated against the
+    * unshifted same-distribution split — dt07's measured factor-20 dial);
+    * the RESPONSE is `rotate`: fit a fresh quantizer on the drifted
+    * corpus at a NEW root, re-encode, and cut over with one atomic
+    * pointer publish — searches concurrently in flight resolve a
+    * complete store on either side of the flip (IndexStoreSpec pins the
+    * zero-downtime claim with a search thread racing the rotate), and
+    * the old root stays for rollback. Post-rotate recall over the
+    * drifted corpus is gated at the family bound (0.5) — the quantizer
+    * that had never seen the shifted region is retired, closing the loop
+    * dt07 only opens. rotate_ok hash-checks the cutover mechanics:
+    * pointer flipped to the new root, old store still committed
+    * (rollback intact). */
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val shifted = odd.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val drifted = even.unionByName(shifted)
+    val alias = staging("ixrotate", dir) + "/" + storeInvocation.incrementAndGet()
+    // epoch 1: the store the world searches today
+    val root1 = IndexStore.rotate(s, alias, even, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    // the monitor (dt07's machinery): drifted batch vs store cells,
+    // calibrated against the unshifted same-distribution split
+    val rq = IndexStore.loadQuantizer(s, root1)
+    val storeCells = IndexStore.readCodes(s, root1).select(col("centroid_id"))
+    def stat(batch: DataFrame, as: String): DataFrame =
+      graft.exec.DataTests.driftChi2(storeCells,
+          graft.llm.Similarity.encodeResidual(batch, rq)
+            .select(col("centroid_id")), "centroid_id")
+        .agg(max(col("chi2_stat")).as(as))
+    val same = stat(odd, "__chi2_same")
+    val shift = stat(shifted, "__chi2_shift")
+    // the response: retrain on the drifted corpus, atomic cutover
+    val root2 = IndexStore.rotate(s, alias, drifted, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 43L)
+    val rotateOk = IndexStore.currentRoot(s, alias).contains(root2) &&
+      IndexStore.quantizerCommitted(s, root1) && root1 != root2
+    val q = drifted.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(drifted, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchCurrent(s, alias, drifted, q, k = 5,
+        nprobe = 3, rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .crossJoin(broadcast(same)).crossJoin(broadcast(shift))
+      .agg(count(lit(1)).as("n_exact"),
+        (max(col("__chi2_shift")) > 100.0 &&
+          max(col("__chi2_shift")) >
+            greatest(max(col("__chi2_same")), lit(7.0)) * 20)
+          .as("drift_detected"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(rotateOk).as("rotate_ok"))
+  }
+
+  private val s18Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS drift_detected,
+      |  TRUE AS recall_ok, TRUE AS rotate_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** JL random-projection prefilter + exact re-rank
     * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
     * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
@@ -510,7 +580,8 @@ private[graft] object SimilarityQueries {
     "s14_cosine_topk_filtered" -> (s14 _),
     "s15_cosine_topk_ivfpq_store" -> (s15 _),
     "s16_cosine_topk_ivfpq_incr" -> (s16 _),
-    "s17_cosine_topk_filtered_store" -> (s17 _))
+    "s17_cosine_topk_filtered_store" -> (s17 _),
+    "s18_cosine_topk_rotate" -> (s18 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -529,5 +600,6 @@ private[graft] object SimilarityQueries {
     "s14_cosine_topk_filtered" -> s14Sql,
     "s15_cosine_topk_ivfpq_store" -> s15Sql,
     "s16_cosine_topk_ivfpq_incr" -> s16Sql,
-    "s17_cosine_topk_filtered_store" -> s17Sql)
+    "s17_cosine_topk_filtered_store" -> s17Sql,
+    "s18_cosine_topk_rotate" -> s18Sql)
 }

@@ -21,6 +21,9 @@ object GateCheck {
     // persisted-index lifecycle: train-once artifact + store search
     // recall, incremental append against a stale quantizer
     "s15_cosine_topk_ivfpq_store", "s16_cosine_topk_ivfpq_incr", "s17_cosine_topk_filtered_store",
+    // the closed staleness loop: drift detected -> retrain-rotate ->
+    // recall recovered on the drifted corpus through the alias cutover
+    "s18_cosine_topk_rotate",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // exact contract gate (not an approximation bound): zero sources may

@@ -318,4 +318,139 @@ object IndexStore {
     Similarity.rerankExactCandidates(corpus, queries, approx, k, rerank,
       idCol, vecCol)
   }
+
+  // ------------------------------------------------- retrain-rotate cutover
+
+  /** The RESPONSE to the staleness signal the train-once contract raises
+    * (dt07's drift monitor): the quantizer is immutable per root, so a
+    * refit is a NEW store — and the alias layer below makes the cutover
+    * atomic for readers. An ALIAS is a directory holding versioned
+    * POINTER files (`ptr-<stamp>`, content = the live store root);
+    * readers resolve the lexicographically-newest pointer, writers
+    * publish a new one with a private-stage + atomic-file-rename commit.
+    * Readers therefore always see a COMPLETE store: the pointer is
+    * written only after the new root's quantizer and segments are fully
+    * committed, a crash mid-rotate leaves the old pointer live and the
+    * half-built root as unreferenced (sweepable) debris, and the old
+    * store remains on disk for rollback (re-publishing its root IS the
+    * rollback). This is the materialized-view refresh discipline
+    * (reference: dbt/adapters/maxcompute/impl.py:113-158 +
+    * relations/materialized_view/refresh.sql — rebuild, then swap)
+    * applied to the ANN index artifact. */
+  private def ptrPrefix = "ptr-"
+
+  private def newStamp(): String =
+    f"${System.currentTimeMillis()}%013d-${
+      java.util.UUID.randomUUID().toString}"
+
+  /** The store root the alias currently serves, None before the first
+    * publish. One directory listing + one kilobyte read. */
+  def currentRoot(spark: SparkSession, alias: String): Option[String] = {
+    val f = fs(spark, alias)
+    val a = new HPath(alias)
+    if (!f.exists(a)) return None
+    val ptrs = f.listStatus(a).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(ptrPrefix))
+    if (ptrs.isEmpty) return None
+    val latest = ptrs.maxBy(_.getPath.getName).getPath
+    val in = f.open(latest)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    finally in.close()
+  }
+
+  /** Point the alias at `storeRoot` — the atomic cutover step. The
+    * pointer file is staged privately and published by one atomic FILE
+    * rename; concurrent publishes both land (distinct stamps) and the
+    * newest wins deterministically. Requires the target store to be
+    * complete (committed quantizer) — publishing a half-built root is the
+    * one way to break the reader contract. */
+  def publishRoot(spark: SparkSession, alias: String, storeRoot: String): Unit = {
+    require(quantizerCommitted(spark, storeRoot),
+      s"IndexStore: refusing to publish $storeRoot — no committed " +
+        "quantizer (readers must never resolve to a half-built store)")
+    val f = fs(spark, alias)
+    f.mkdirs(new HPath(alias))
+    val stamp = newStamp()
+    val tmp = new HPath(alias, s".$ptrPrefix$stamp-tmp")
+    val out = f.create(tmp, true)
+    try out.write(storeRoot.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new HPath(alias, ptrPrefix + stamp))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"IndexStore: cannot publish pointer under $alias")
+    }
+  }
+
+  /** Retrain-rotate: fit a FRESH quantizer on `corpus` at a new root
+    * under the alias, re-encode the corpus as that root's segment 0, and
+    * cut searches over with one atomic pointer publish. Searches running
+    * concurrently resolve either the old root or the new one — never a
+    * partial store (the pointer flips only after the new store is fully
+    * committed) — and the old root stays on disk for rollback
+    * ([[sweepSuperseded]] reclaims it once it ages out). Also the FIRST
+    * build: with no prior pointer this simply creates and publishes the
+    * initial store. Returns the new root. */
+  def rotate(spark: SparkSession, alias: String, corpus: DataFrame,
+      dim: Int, nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", carryCols: Seq[String] = Nil,
+      fitSampleLimit: Int = 100000): String = {
+    val newRoot = s"$alias/store-${newStamp()}"
+    train(spark, newRoot, corpus, dim, nlist, m, codebookSize, seed,
+      vecCol, fitSampleLimit)
+    appendCodes(spark, newRoot, 0L, corpus, idCol, vecCol, carryCols)
+    publishRoot(spark, alias, newRoot)
+    newRoot
+  }
+
+  /** [[searchTopK]] through the alias: resolve the live pointer, search
+    * that root. Rotate-safe by construction — the resolved root is
+    * immutable-complete whichever side of a concurrent cutover this lands
+    * on. */
+  def searchCurrent(spark: SparkSession, alias: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      matchCols: Seq[String] = Nil): DataFrame = {
+    val root = currentRoot(spark, alias).getOrElse(throw
+      new IllegalStateException(
+        s"IndexStore alias $alias has no published store — run rotate"))
+    searchTopK(spark, root, corpus, queries, k, nprobe, rerank, idCol,
+      vecCol, matchCols)
+  }
+
+  /** GC superseded stores under an alias: keeps every store referenced by
+    * the newest `keepPointers` pointer files plus anything younger than
+    * `minAgeMs` (a rotate may be mid-flight), deletes the rest and their
+    * stale pointers. The age gate is the rollback window — size it to the
+    * operational "how long until we trust the new quantizer" horizon.
+    * Returns the deleted paths. */
+  def sweepSuperseded(spark: SparkSession, alias: String,
+      keepPointers: Int = 2, minAgeMs: Long = 30L * 60 * 1000): Seq[String] = {
+    require(keepPointers >= 1, "keepPointers >= 1 — never sweep the live store")
+    val f = fs(spark, alias)
+    val a = new HPath(alias)
+    if (!f.exists(a)) return Nil
+    val now = System.currentTimeMillis()
+    val all = f.listStatus(a).toSeq
+    val ptrs = all.filter(st => st.isFile
+      && st.getPath.getName.startsWith(ptrPrefix)).sortBy(_.getPath.getName)
+    val (old, kept) = ptrs.splitAt(math.max(0, ptrs.size - keepPointers))
+    def read(p: HPath): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val keptRoots = kept.map(st => read(st.getPath)).toSet
+    val sweptPtrs = old.filter(st => now - st.getModificationTime >= minAgeMs
+        && !keptRoots.contains(read(st.getPath)))
+      .map { st => f.delete(st.getPath, false); st.getPath.toString }
+    val sweptStores = all.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("store-") &&
+        !keptRoots.contains(st.getPath.toString) &&
+        !keptRoots.contains(f.makeQualified(st.getPath).toString) &&
+        !keptRoots.exists(_.endsWith("/" + st.getPath.getName)) &&
+        now - st.getModificationTime >= minAgeMs
+    }.map { st => f.delete(st.getPath, true); st.getPath.toString }
+    sweptPtrs ++ sweptStores
+  }
 }

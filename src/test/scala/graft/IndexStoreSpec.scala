@@ -257,6 +257,120 @@ class IndexStoreSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("rotate: atomic pointer cutover, old store intact for rollback") {
+    val alias = freshRoot()
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val root1 = IndexStore.rotate(spark, alias, half, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    assert(IndexStore.currentRoot(spark, alias).contains(root1))
+    val q = emb.filter($"vec_id" < 10)
+    val before = IndexStore.searchCurrent(spark, alias, half, q, k = 5,
+      nprobe = 3, rerank = 8).collect()
+    assert(before.length == 50)
+    // refit on the full corpus at a new root; cutover
+    val root2 = IndexStore.rotate(spark, alias, emb, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 43L)
+    assert(root2 != root1)
+    assert(IndexStore.currentRoot(spark, alias).contains(root2))
+    // alias search == direct search of the new root, row-identical
+    val viaAlias = IndexStore.searchCurrent(spark, alias, emb, q, k = 5,
+      nprobe = 3, rerank = 8).orderBy($"query_id", $"rank").collect().toSeq
+    val direct = IndexStore.searchTopK(spark, root2, emb, q, k = 5,
+      nprobe = 3, rerank = 8).orderBy($"query_id", $"rank").collect().toSeq
+    assert(viaAlias == direct)
+    // the old store is untouched — rollback is just re-publishing it
+    assert(IndexStore.quantizerCommitted(spark, root1))
+    IndexStore.publishRoot(spark, alias, root1)
+    assert(IndexStore.currentRoot(spark, alias).contains(root1))
+    val rolledBack = IndexStore.searchCurrent(spark, alias, half, q, k = 5,
+      nprobe = 3, rerank = 8).collect()
+    assert(rolledBack.length == 50)
+  }
+
+  test("searches racing a rotate see a complete store — zero failures") {
+    val alias = freshRoot()
+    val half = emb.filter($"vec_id" % 2 === 0)
+    IndexStore.rotate(spark, alias, half, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    val q = emb.filter($"vec_id" < 6)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val searches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val searcher = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // the corpus arg only feeds the rerank tail; the full corpus is
+          // a superset of both epochs' indexed sets, valid on either side
+          val n = IndexStore.searchCurrent(spark, alias, emb, q, k = 3,
+            nprobe = 3, rerank = 8).count()
+          if (n != 18L) failures.incrementAndGet()
+          searches.incrementAndGet()
+        } catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    })
+    searcher.start()
+    try {
+      // several rotations while searches hammer the alias
+      for (seed <- 43L to 45L)
+        IndexStore.rotate(spark, alias, emb, dim = 64, nlist = 8,
+          m = 8, codebookSize = 16, seed = seed)
+    } finally {
+      stop.set(true)
+      searcher.join(60000)
+    }
+    assert(failures.get() == 0,
+      s"${failures.get()} searches failed during rotate (of ${searches.get()})")
+    assert(searches.get() > 0, "the racing searcher never ran")
+  }
+
+  test("a crashed rotate (store built, pointer never published) is invisible") {
+    val alias = freshRoot()
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val root1 = IndexStore.rotate(spark, alias, half, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    // a rotate that dies between the store build and the pointer publish:
+    // fully committed store at a new root, no pointer
+    val orphan = s"$alias/store-9999999999999-orphan"
+    IndexStore.train(spark, orphan, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 43L)
+    IndexStore.appendCodes(spark, orphan, 0L, emb)
+    assert(IndexStore.currentRoot(spark, alias).contains(root1),
+      "an unpublished store must never be resolved")
+    // publishing a HALF-built root is refused outright
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.publishRoot(spark, alias, s"$alias/store-0000000000000-empty")
+    }
+    assert(e.getMessage.contains("half-built"), e.getMessage)
+    // the aged sweep reclaims the orphan (unreferenced by any kept
+    // pointer), never the live store
+    val swept = IndexStore.sweepSuperseded(spark, alias, keepPointers = 1,
+      minAgeMs = 0L)
+    assert(swept.exists(_.contains("orphan")), s"orphan not swept: $swept")
+    assert(IndexStore.quantizerCommitted(spark, root1))
+    assert(IndexStore.currentRoot(spark, alias).contains(root1))
+  }
+
+  test("sweepSuperseded keeps the newest pointers' stores, GCs the rest") {
+    val alias = freshRoot()
+    val roots = (42L to 44L).map { seed =>
+      IndexStore.rotate(spark, alias, emb.filter($"vec_id" % 2 === 0),
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = seed)
+    }
+    // age-gate: a young store is NEVER swept (mid-flight rotate window)
+    assert(IndexStore.sweepSuperseded(spark, alias, keepPointers = 1).isEmpty)
+    val swept = IndexStore.sweepSuperseded(spark, alias, keepPointers = 1,
+      minAgeMs = 0L)
+    assert(swept.exists(_.contains(roots(0).split("/").last)) &&
+      swept.exists(_.contains(roots(1).split("/").last)), s"swept: $swept")
+    assert(IndexStore.currentRoot(spark, alias).contains(roots(2)))
+    assert(IndexStore.quantizerCommitted(spark, roots(2)))
+    assert(!IndexStore.quantizerCommitted(spark, roots(0)))
+    intercept[IllegalArgumentException] {
+      IndexStore.sweepSuperseded(spark, alias, keepPointers = 0)
+    }
+    ()
+  }
+
   test("searching a store with no committed quantizer fails loud") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {

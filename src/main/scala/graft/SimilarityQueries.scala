@@ -504,6 +504,103 @@ private[graft] object SimilarityQueries {
       |  TRUE AS recall_ok, TRUE AS rotate_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Persisted IVF-FLAT store (FAISS IndexIVFFlat on Spark —
+    * [[graft.llm.IndexStore.trainIvf]]/appendFlat/searchTopKFlat): the
+    * coarse centroids are the ENTIRE fit product, persisted once; the
+    * inverted-list segments carry raw vectors, so the probed-cell scan
+    * scores exact cosine with no re-rank tail. This retires s05's
+    * per-query k-means fit: the store search runs ZERO fit jobs
+    * (JobCountSpec-pinned) and IndexStoreSpec pins it row-identical to
+    * the fit-per-query [[Similarity.ivfTopK]] at the same dials and
+    * seed. Gated like s05: recall@5 vs the brute-force twin ≥ 0.5;
+    * store_ok checks the fresh-commit + replay-no-op lifecycle. */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = staging("ixflat", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.trainIvf(s, root, emb, dim = 64, nlist = 8, seed = 42L)
+    val indexed = IndexStore.appendFlat(s, root, 0L, emb)
+    val replayNoop = !IndexStore.appendFlat(s, root, 0L, emb)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopKFlat(s, root, q, k = 5, nprobe = 3)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(indexed && replayNoop).as("store_ok"))
+  }
+
+  private val s19Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Persisted IVF-INT8 store (FAISS IndexIVFScalarQuantizer —
+    * [[graft.llm.IndexStore.appendInt8]]/searchTopKInt8): same persisted
+    * centroids as s19, but segments carry 1-byte-per-dimension codes +
+    * a per-vector scale — 8× less scan traffic than float64 — and the
+    * rerank·k ADC survivors re-score full-precision against the raw
+    * corpus. Retires s07's per-query fit; zero fit jobs on the search
+    * (JobCountSpec-pinned), row-identical to the fit-per-query
+    * [[Similarity.ivfTopKQuantized]] (IndexStoreSpec). Gated at s07's
+    * 0.5 recall bound. */
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = staging("ixint8", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.trainIvf(s, root, emb, dim = 64, nlist = 8, seed = 42L)
+    val indexed = IndexStore.appendInt8(s, root, 0L, emb)
+    val replayNoop = !IndexStore.appendInt8(s, root, 0L, emb)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopKInt8(s, root, emb, q, k = 5,
+        nprobe = 3, rerank = 4)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(indexed && replayNoop).as("store_ok"))
+  }
+
+  private val s20Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Persisted IMI store ([[graft.llm.IndexStore.trainImi]]/appendImi/
+    * searchTopKImi): the two half-space codebooks persist once (the
+    * coarse layer that scales to 10⁵ cells — kA·kB cells ranked from
+    * kA+kB half-dots per probe), segments carry per-cell vectors.
+    * Retires s12's per-query fit; zero fit jobs on the search
+    * (JobCountSpec-pinned), row-identical to the fit-per-query
+    * [[Similarity.imiTopK]] (IndexStoreSpec). Gated at s12's 0.5 recall
+    * bound with its dials (8×8 cells, nprobe=16). */
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = staging("iximi", dir) + "/" + storeInvocation.incrementAndGet()
+    IndexStore.trainImi(s, root, emb, dim = 64, kA = 8, kB = 8, seed = 42L)
+    val indexed = IndexStore.appendImi(s, root, 0L, emb)
+    val replayNoop = !IndexStore.appendImi(s, root, 0L, emb)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopKImi(s, root, q, k = 5, nprobe = 16)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(indexed && replayNoop).as("store_ok"))
+  }
+
+  private val s21Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   /** JL random-projection prefilter + exact re-rank
     * ([[Similarity.jlTopK]]), SELF-VERIFYING like s05/s07: recall@5 vs
     * the brute-force twin, gated at 0.6. 64 → 32 dims halves the scan
@@ -581,7 +678,10 @@ private[graft] object SimilarityQueries {
     "s15_cosine_topk_ivfpq_store" -> (s15 _),
     "s16_cosine_topk_ivfpq_incr" -> (s16 _),
     "s17_cosine_topk_filtered_store" -> (s17 _),
-    "s18_cosine_topk_rotate" -> (s18 _))
+    "s18_cosine_topk_rotate" -> (s18 _),
+    "s19_cosine_topk_ivfflat_store" -> (s19 _),
+    "s20_cosine_topk_int8_store" -> (s20 _),
+    "s21_cosine_topk_imi_store" -> (s21 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -601,5 +701,8 @@ private[graft] object SimilarityQueries {
     "s15_cosine_topk_ivfpq_store" -> s15Sql,
     "s16_cosine_topk_ivfpq_incr" -> s16Sql,
     "s17_cosine_topk_filtered_store" -> s17Sql,
-    "s18_cosine_topk_rotate" -> s18Sql)
+    "s18_cosine_topk_rotate" -> s18Sql,
+    "s19_cosine_topk_ivfflat_store" -> s19Sql,
+    "s20_cosine_topk_int8_store" -> s20Sql,
+    "s21_cosine_topk_imi_store" -> s21Sql)
 }

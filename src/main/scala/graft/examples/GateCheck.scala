@@ -24,6 +24,10 @@ object GateCheck {
     // the closed staleness loop: drift detected -> retrain-rotate ->
     // recall recovered on the drifted corpus through the alias cutover
     "s18_cosine_topk_rotate",
+    // the remaining persisted-fit families: IVF-Flat / int8 / IMI store
+    // searches (zero fit jobs), recall + store lifecycle gates
+    "s19_cosine_topk_ivfflat_store", "s20_cosine_topk_int8_store",
+    "s21_cosine_topk_imi_store",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // exact contract gate (not an approximation bound): zero sources may

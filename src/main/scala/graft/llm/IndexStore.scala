@@ -319,6 +319,253 @@ object IndexStore {
       idCol, vecCol)
   }
 
+  // ---------------------------------- persisted IVF-Flat / int8 / IMI stores
+
+  /** The remaining ANN families' fit products, persisted under the same
+    * rename-as-commit protocol as the residual quantizer, so NO family
+    * re-fits per query or per ingest batch:
+    *
+    *  - **IVF artifact** (`<root>/ivf/`): the coarse centroids alone —
+    *    shared by the FLAT store (segments carry raw vectors, FAISS
+    *    IndexIVFFlat's layout: exact in-scan scores, no re-rank needed;
+    *    the simplest store, 8·dim bytes per vector) and the INT8 store
+    *    (segments carry per-vector scale + int8 codes, FAISS
+    *    IndexIVFScalarQuantizer: 4× less scan traffic than float32, 8×
+    *    than float64, exact re-rank tail — the memory-bandwidth shape).
+    *  - **IMI artifact** (`<root>/imi/`): the two half-space codebooks —
+    *    segments carry raw vectors per CELL (kA·kB cells ranked from
+    *    kA+kB half-dots per probe, the coarse layer that scales to 10⁵
+    *    cells).
+    *
+    * Segments ride [[DedupStore.append]] exactly like the residual codes
+    * (markers, lease, compaction, replay), and every search leg runs ZERO
+    * fit jobs: the artifact loads back as a bounded collect (cached per
+    * root — immutable by the same contract), query assignment is a
+    * projection / broadcast kernel, and the corpus-scale work is one
+    * narrow segment scan. */
+  final case class IvfArtifact(dim: Int, nlist: Int,
+      centroids: Seq[(Int, Seq[Double])])
+
+  final case class ImiArtifact(dim: Int,
+      cbA: Array[Array[Double]], cbB: Array[Array[Double]])
+
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[AnyRef]]()
+
+  private def cached[A <: AnyRef](spark: SparkSession, root: String,
+      dirName: String)(load: => A): A = {
+    val key = fs(spark, root).makeQualified(new HPath(root, dirName)).toString
+    Option(artifactCache.get(key)).flatMap(r => Option(r.get)) match {
+      case Some(a) => a.asInstanceOf[A]
+      case None =>
+        val a = load
+        artifactCache.put(key, new java.lang.ref.SoftReference[AnyRef](a))
+        a
+    }
+  }
+
+  def ivfCommitted(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new HPath(root, "ivf"))
+
+  /** Persist fitted coarse centroids (the IVF-Flat / int8 families' whole
+    * fit product). Same replay/race contract as [[saveQuantizer]]. */
+  def saveIvf(spark: SparkSession, root: String, art: IvfArtifact): Boolean =
+    commitArtifact(spark, root, "ivf") { base =>
+      import spark.implicits._
+      Seq((art.dim, art.nlist)).toDF("dim", "nlist")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+      art.centroids.map { case (i, v) => (i, v) }.toDF("centroid_id", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+    }
+
+  def loadIvf(spark: SparkSession, root: String): IvfArtifact = {
+    require(ivfCommitted(spark, root),
+      s"IndexStore at $root has no committed IVF artifact — run trainIvf")
+    cached(spark, root, "ivf") {
+      val base = new HPath(root, "ivf").toString
+      val meta = spark.read.parquet(s"$base/meta").collect()(0)
+      val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
+      val cents = spark.read.parquet(s"$base/centroids")
+        .select(col("centroid_id"), col("vec")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      require(cents.length == nlist,
+        s"IndexStore at $root: IVF artifact is corrupt — " +
+          s"${cents.length} centroids vs nlist=$nlist")
+      IvfArtifact(dim, nlist, cents)
+    }
+  }
+
+  /** Fit coarse centroids on `corpus` and persist them — run ONCE per
+    * store; replays load the committed artifact. */
+  def trainIvf(spark: SparkSession, root: String, corpus: DataFrame,
+      dim: Int, nlist: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): IvfArtifact = {
+    if (ivfCommitted(spark, root)) return loadIvf(spark, root)
+    val art = IvfArtifact(dim, nlist,
+      Similarity.kmeansCentroids(corpus, nlist, seed, "", vecCol,
+        fitSampleLimit))
+    if (saveIvf(spark, root, art)) art else loadIvf(spark, root)
+  }
+
+  /** Encode + append one batch to a FLAT store: nearest-centroid
+    * assignment (single projection), segments carry the raw vectors.
+    * Cost ∝ batch; replay contract = [[DedupStore.append]]'s. */
+  def appendFlat(spark: SparkSession, root: String, batchId: Long,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val art = loadIvf(spark, root)
+    DedupStore.append(spark, codesRoot(root), batchId,
+      Similarity.assignToCentroids(
+        batch.select(col(idCol).cast("long").as(idCol),
+          col(vecCol).cast("array<double>").as(vecCol)),
+        art.centroids, idCol, vecCol))
+  }
+
+  /** Top-k cosine over the FLAT store: probe the nprobe nearest cells per
+    * query (projection over the loaded centroids — zero fit jobs), scan
+    * the probed inverted lists with EXACT cosine (the store holds the
+    * vectors), bounded top-k. Row-identical to the fit-per-query
+    * [[Similarity.ivfTopK]] at the same dials and seed (spec-pinned). */
+  def searchTopKFlat(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val art = loadIvf(spark, root)
+    val probes = Similarity.assignTopCentroids(queries, art.centroids,
+        nprobe, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("q_vec"))
+    val scored = readCodes(spark, root).join(broadcast(probes),
+        Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    Similarity.finalTopK(scored, k)
+  }
+
+  /** Encode + append one batch to an INT8 store: nearest-centroid
+    * assignment, then per-vector L2-normalize + int8-quantize — segments
+    * carry (centroid_id, corpus_id, cq struct(scale, codes)), 1 byte per
+    * dimension. */
+  def appendInt8(spark: SparkSession, root: String, batchId: Long,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val art = loadIvf(spark, root)
+    val assigned = Similarity.assignToCentroids(
+      batch.select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol)),
+      art.centroids, idCol, vecCol)
+    DedupStore.append(spark, codesRoot(root), batchId,
+      assigned.select(col("centroid_id"), col("corpus_id"),
+        Similarity.quantizeInt8(Similarity.l2Normalize(col("c_vec")))
+          .as("cq")))
+  }
+
+  /** Top-k cosine over the INT8 store: int8 dot-product scan of the
+    * probed lists ([[graft.functions.DotInt8]], 8× less traffic than
+    * float64), exact re-rank of the rerank·k survivors against the raw
+    * `corpus` — the [[Similarity.ivfTopKQuantized]] plan with the fit
+    * and corpus-side encode replaced by the persisted artifact. */
+  def searchTopKInt8(spark: SparkSession, root: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= 1, "rerank >= 1")
+    val art = loadIvf(spark, root)
+    val probes = Similarity.assignTopCentroids(queries, art.centroids,
+        nprobe, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("query_id"),
+        Similarity.quantizeInt8(Similarity.l2Normalize(col("c_vec")))
+          .as("qq"))
+    val approx = readCodes(spark, root).join(broadcast(probes),
+        Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("qq").getField("scale") * col("cq").getField("scale") *
+          graft.functions.DotInt8(col("qq").getField("codes"),
+            col("cq").getField("codes"))).as("ascore"))
+    Similarity.rerankExactCandidates(corpus, queries, approx, k, rerank,
+      idCol, vecCol)
+  }
+
+  def imiCommitted(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new HPath(root, "imi"))
+
+  /** Persist fitted IMI half-space codebooks. Same replay/race contract
+    * as [[saveQuantizer]]. */
+  def saveImi(spark: SparkSession, root: String, art: ImiArtifact): Boolean =
+    commitArtifact(spark, root, "imi") { base =>
+      import spark.implicits._
+      Seq((art.dim, art.cbA.length, art.cbB.length))
+        .toDF("dim", "ka", "kb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+      (art.cbA.zipWithIndex.map { case (v, j) => (0, j, v.toSeq) } ++
+        art.cbB.zipWithIndex.map { case (v, j) => (1, j, v.toSeq) }).toSeq
+        .toDF("half", "code", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
+    }
+
+  def loadImi(spark: SparkSession, root: String): ImiArtifact = {
+    require(imiCommitted(spark, root),
+      s"IndexStore at $root has no committed IMI artifact — run trainImi")
+    cached(spark, root, "imi") {
+      val base = new HPath(root, "imi").toString
+      val meta = spark.read.parquet(s"$base/meta").collect()(0)
+      val (dim, ka, kb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      val rows = spark.read.parquet(s"$base/codebooks")
+        .select(col("half"), col("code"), col("vec")).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      require(rows.size == ka + kb,
+        s"IndexStore at $root: IMI artifact is corrupt — " +
+          s"${rows.size} codebook rows vs kA+kB=${ka + kb}")
+      ImiArtifact(dim, Array.tabulate(ka)(j => rows((0, j))),
+        Array.tabulate(kb)(j => rows((1, j))))
+    }
+  }
+
+  /** Fit IMI half-space codebooks on `corpus` and persist them — run ONCE
+    * per store; replays load the committed artifact. */
+  def trainImi(spark: SparkSession, root: String, corpus: DataFrame,
+      dim: Int, kA: Int = 8, kB: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): ImiArtifact = {
+    if (imiCommitted(spark, root)) return loadImi(spark, root)
+    val (cbA, cbB) = Similarity.imiCodebooks(corpus, kA, kB, seed, vecCol,
+      fitSampleLimit)
+    val art = ImiArtifact(dim, cbA, cbB)
+    if (saveImi(spark, root, art)) art else loadImi(spark, root)
+  }
+
+  /** Encode + append one batch to an IMI store: top-1 cell assignment
+    * (broadcast half-codebook kernel, kA+kB half-dots per row), segments
+    * carry (cell_id, corpus_id, c_vec). */
+  def appendImi(spark: SparkSession, root: String, batchId: Long,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val art = loadImi(spark, root)
+    DedupStore.append(spark, codesRoot(root), batchId,
+      Similarity.imiAssignTop(batch, art.cbA, art.cbB, 1, idCol, vecCol))
+  }
+
+  /** Top-k cosine over the IMI store: rank the kA·kB cells per query from
+    * kA+kB half-dots (loaded codebooks — zero fit jobs), scan the probed
+    * cells with exact cosine, bounded top-k. Row-identical to the
+    * fit-per-query [[Similarity.imiTopK]] at the same dials and seed
+    * (spec-pinned). */
+  def searchTopKImi(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val art = loadImi(spark, root)
+    val probes = Similarity.imiAssignTop(queries, art.cbA, art.cbB, nprobe,
+        idCol, vecCol)
+      .select(col("cell_id"), col("corpus_id").as("query_id"),
+        col("c_vec").as("q_vec"))
+    val scored = readCodes(spark, root).join(broadcast(probes),
+        Seq("cell_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    Similarity.finalTopK(scored, k)
+  }
+
   // ------------------------------------------------- retrain-rotate cutover
 
   /** The RESPONSE to the staleness signal the train-once contract raises

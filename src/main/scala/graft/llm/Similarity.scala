@@ -68,7 +68,7 @@ object Similarity {
     * Integral ids ride the heap as longs and are cast back to the source id
     * type on output; non-integral ids (rare — the library's id columns are
     * int64) fall back to the window form, documented small-scale only. */
-  private def finalTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def finalTopK(scored: DataFrame, k: Int): DataFrame =
     scored.schema("corpus_id").dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         val idType = scored.schema("corpus_id").dataType
@@ -597,8 +597,8 @@ object Similarity {
     * Lloyd's fits over the vector halves. Cells are the cross product —
     * `kA·kB` cells from codebooks of size kA and kB. */
   private[graft] def imiCodebooks(corpus: DataFrame, kA: Int, kB: Int,
-      seed: Long, vecCol: String,
-      fitSampleLimit: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+      seed: Long, vecCol: String = "embedding",
+      fitSampleLimit: Int = 100000): (Array[Array[Double]], Array[Array[Double]]) = {
     val sample = sampleVectors(corpus, vecCol, fitSampleLimit, seed,
       "imiCodebooks")
     val h = sample(0).length / 2

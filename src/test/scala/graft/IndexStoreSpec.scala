@@ -257,6 +257,47 @@ class IndexStoreSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("flat/int8/IMI store searches == their fit-per-query twins, row-identical") {
+    val q = emb.filter($"vec_id" < 10)
+    // IVF-Flat vs ivfTopK (same seed -> same centroids; exact in-scan
+    // cosine both sides; float->double widening is exact, so bit-identical)
+    val fr = freshRoot()
+    IndexStore.trainIvf(spark, fr, emb, dim = 64, nlist = 8, seed = 42L)
+    assert(IndexStore.appendFlat(spark, fr, 0L, emb))
+    assert(!IndexStore.appendFlat(spark, fr, 0L, emb), "replay must no-op")
+    val flatGot = IndexStore.searchTopKFlat(spark, fr, q, k = 5, nprobe = 3)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val flatWant = Similarity.ivfTopK(spark, emb, q, k = 5, nlist = 8,
+      nprobe = 3, seed = 42L).orderBy($"query_id", $"rank").collect().toSeq
+    assert(flatGot == flatWant, "flat store diverged from ivfTopK")
+    // INT8 vs ivfTopKQuantized (same centroids, same quantized scan, same
+    // exact re-rank tail)
+    val ir = freshRoot()
+    IndexStore.trainIvf(spark, ir, emb, dim = 64, nlist = 8, seed = 42L)
+    assert(IndexStore.appendInt8(spark, ir, 0L, emb))
+    val i8Got = IndexStore.searchTopKInt8(spark, ir, emb, q, k = 5,
+      nprobe = 3, rerank = 4).orderBy($"query_id", $"rank").collect().toSeq
+    val i8Want = Similarity.ivfTopKQuantized(spark, emb, q, k = 5, nlist = 8,
+      nprobe = 3, rerank = 4, seed = 42L)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(i8Got == i8Want, "int8 store diverged from ivfTopKQuantized")
+    // IMI vs imiTopK (same half-codebooks, same cell kernel)
+    val mr = freshRoot()
+    IndexStore.trainImi(spark, mr, emb, dim = 64, kA = 8, kB = 8, seed = 42L)
+    assert(IndexStore.appendImi(spark, mr, 0L, emb))
+    val imiGot = IndexStore.searchTopKImi(spark, mr, q, k = 5, nprobe = 16)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val imiWant = Similarity.imiTopK(spark, emb, q, k = 5, kA = 8, kB = 8,
+      nprobe = 16, seed = 42L).orderBy($"query_id", $"rank").collect().toSeq
+    assert(imiGot == imiWant, "IMI store diverged from imiTopK")
+    // artifact roundtrips are loud on corruption: a fresh session-less
+    // reload from disk matches the fitted product
+    val art = IndexStore.loadIvf(spark, fr)
+    assert(art.nlist == 8 && art.dim == 64 && art.centroids.size == 8)
+    val imi = IndexStore.loadImi(spark, mr)
+    assert(imi.cbA.length == 8 && imi.cbB.length == 8)
+  }
+
   test("rotate: atomic pointer cutover, old store intact for rollback") {
     val alias = freshRoot()
     val half = emb.filter($"vec_id" % 2 === 0)

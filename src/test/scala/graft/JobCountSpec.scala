@@ -338,4 +338,40 @@ class JobCountSpec extends SparkSpec {
     // collect + per-corpus encode stages land well past this bound
     assert(jobs <= 12, s"persisted-index search job count regressed: $jobs")
   }
+
+  test("flat/int8/IMI store searches run ZERO fit jobs") {
+    import graft.llm.IndexStore
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val base = java.nio.file.Files.createTempDirectory("jcix2")
+    // build all three stores OUTSIDE the counted window (warms the
+    // artifact caches too — searches must not even reload the artifacts)
+    IndexStore.trainIvf(spark, s"$base/flat", emb, dim = 64, nlist = 8)
+    IndexStore.appendFlat(spark, s"$base/flat", 0L, emb)
+    IndexStore.trainIvf(spark, s"$base/int8", emb, dim = 64, nlist = 8)
+    IndexStore.appendInt8(spark, s"$base/int8", 0L, emb)
+    IndexStore.trainImi(spark, s"$base/imi", emb, dim = 64, kA = 8, kB = 8)
+    IndexStore.appendImi(spark, s"$base/imi", 0L, emb)
+    // a fit leaking back into any search leg adds a corpus count + pool
+    // collect + (for IMI) a second assignment pass — each lands well past
+    // these bounds (the fit-per-query twins measure 11+ jobs)
+    val flatJobs = countJobs {
+      assert(IndexStore.searchTopKFlat(spark, s"$base/flat", q, k = 5,
+        nprobe = 3).count() == 50L)
+    }
+    info(s"flat store search jobs = $flatJobs")
+    assert(flatJobs <= 6, s"flat store search job count regressed: $flatJobs")
+    val i8Jobs = countJobs {
+      assert(IndexStore.searchTopKInt8(spark, s"$base/int8", emb, q, k = 5,
+        nprobe = 3, rerank = 4).count() == 50L)
+    }
+    info(s"int8 store search jobs = $i8Jobs")
+    assert(i8Jobs <= 10, s"int8 store search job count regressed: $i8Jobs")
+    val imiJobs = countJobs {
+      assert(IndexStore.searchTopKImi(spark, s"$base/imi", q, k = 5,
+        nprobe = 16).count() == 50L)
+    }
+    info(s"IMI store search jobs = $imiJobs")
+    assert(imiJobs <= 8, s"IMI store search job count regressed: $imiJobs")
+  }
 }

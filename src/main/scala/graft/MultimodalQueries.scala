@@ -378,6 +378,108 @@ private[graft] object MultimodalQueries {
       |  COALESCE(m.n_matches, 0) AS n_matches, m.min_ham
       |FROM batch b LEFT JOIN m ON b.id = m.id ORDER BY b.id""".stripMargin
 
+  // ------------------------------- mm10 VIDEO near-dup STORE probe
+
+  /** Store-backed incremental VIDEO dedup — the video modality closing
+    * the d16/d18/d24/mm09 incremental matrix: a clip's signature is its
+    * ORDERED per-frame aHash sequence ([[Multimodal.videoAhashes]] — a
+    * real GFV1 container parse + `ImageIO` decode per frame, 8 bytes per
+    * frame in the durable [[graft.llm.DedupStore]]), and a new crawl
+    * batch — every 5th history clip RE-ENCODED (id+100000: byte-different
+    * container, frame formats flipped PNG↔BMP, pixel-identical rasters —
+    * the transcode that must DROP) plus fresh clips — probes it via
+    * [[Multimodal.videoStoreProbe]]: frame-0 band buckets for candidates
+    * (pigeonhole-EXACT at maxHamming 3 < 4 bands), frame-ALIGNED Hamming
+    * verify over candidates only, match = same frame count ∧ every
+    * aligned frame within the bound. The oracle recomputes every frame
+    * hash closed-form and the same all-pairs classification — kept /
+    * n_matches / min_ham are VALUE-matched, not gate-asserted — while
+    * `exact_ok` re-proves the banded probe against an in-query exhaustive
+    * twin per run (the sf1/sf10 gate where the oracle doesn't reach; the
+    * id caps make the twin constant-size at any scale). */
+  private def mm10(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val docs = t(s, dir, "documents")
+    val hist = Multimodal.videoAhashes(
+        Multimodal.synthesizeVideoCorpus(
+          docs.filter(col("doc_id") < 300), "doc_id"))
+      .select(col("id").as("vid_id"), col("n_frames"), col("frame_idx"),
+        col("ahash"))
+    val root = staging("mm10store", dir)
+    DedupStore.appendVideoSigs(s, root, -1L, hist)
+    val batchIds = docs.filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"))
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id").cast("long").as("doc_id")))
+    val batch = Multimodal.videoAhashes(
+      Multimodal.synthesizeVideoCorpus(batchIds, "doc_id"))
+    val store = DedupStore.readVideoSigs(s, root)
+    val probe = Multimodal.videoStoreProbe(batch, store,
+      maxHamming = 3, bands = 4)
+    // exhaustive in-query twin: every (batch, history) clip pair,
+    // frame-aligned — no candidate leg to miss through
+    val exact = batch
+      .select(col("id"), col("n_frames").as("nb"), col("frame_idx"),
+        col("ahash"))
+      .join(hist.select(col("vid_id"), col("n_frames").as("nh"),
+        col("frame_idx"), col("ahash").as("h_hash")), Seq("frame_idx"))
+      .filter(col("ahash").isNotNull && col("h_hash").isNotNull)
+      .groupBy(col("id"), col("vid_id"))
+      .agg(first(col("nb")).as("nb"), first(col("nh")).as("nh"),
+        count(lit(1)).as("n_aligned"),
+        max(bit_count(col("ahash").bitwiseXOR(col("h_hash"))).cast("int"))
+          .as("max_ham"))
+      .filter(col("nb") === col("nh") && col("n_aligned") === col("nb")
+        && col("max_ham") <= 3)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("vid_id")).as("n_matches_exact"))
+    probe.join(exact, Seq("id"), "left")
+      .select(col("id"), col("kept"), col("n_matches"), col("min_ham"),
+        (col("n_matches") === coalesce(col("n_matches_exact"), lit(0L)))
+          .as("exact_ok"))
+      .orderBy(col("id"))
+  }
+
+  private val mm10Sql =
+    """WITH bases AS (SELECT DISTINCT doc_id AS b FROM documents
+      |    WHERE doc_id < 400),
+      |dims AS (SELECT b, 8 + b % 24 AS w, 8 + b % 12 AS h,
+      |    CAST(2 + b % 3 AS INT) AS nf FROM bases),
+      |fr AS (SELECT b, w, h, nf, unnest(range(nf)) AS f FROM dims),
+      |px AS (SELECT b, f, nf, w, h, p % w AS x, p // w AS y,
+      |    (b + 97 * f + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT b, f, nf, w, h, unnest(range(w * h)) AS p FROM fr)),
+      |cells AS (SELECT b, f, nf, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |tot AS (SELECT b, f, SUM(cs) AS ts FROM cells GROUP BY 1, 2),
+      |hsh AS (SELECT cells.b, cells.f, cells.nf, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells JOIN tot ON cells.b = tot.b AND cells.f = tot.f
+      |  GROUP BY 1, 2, 3),
+      |hist AS (SELECT b AS vid_id, nf, f, ahash FROM hsh WHERE b < 300),
+      |batch AS (
+      |  SELECT b + 100000 AS id, nf, f, ahash FROM hsh
+      |  WHERE b < 300 AND b % 5 = 0
+      |  UNION ALL
+      |  SELECT b AS id, nf, f, ahash FROM hsh WHERE b >= 300),
+      |pairs AS (
+      |  SELECT bt.id, h.vid_id,
+      |    MAX(bit_count(xor(bt.ahash, h.ahash))) AS max_ham
+      |  FROM batch bt JOIN hist h ON bt.f = h.f AND bt.nf = h.nf
+      |  GROUP BY 1, 2
+      |  HAVING MAX(bit_count(xor(bt.ahash, h.ahash))) <= 3),
+      |m AS (SELECT id, CAST(COUNT(DISTINCT vid_id) AS BIGINT) AS n_matches,
+      |    CAST(MIN(max_ham) AS INT) AS min_ham
+      |  FROM pairs GROUP BY 1),
+      |bids AS (SELECT DISTINCT id FROM batch)
+      |SELECT b.id, (m.n_matches IS NULL) AS kept,
+      |  COALESCE(m.n_matches, 0) AS n_matches, m.min_ham, TRUE AS exact_ok
+      |FROM bids b LEFT JOIN m ON b.id = m.id ORDER BY b.id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -389,7 +491,8 @@ private[graft] object MultimodalQueries {
     "mm06_audio_frame_features" -> (mm06 _),
     "mm07_audio_vad" -> (mm07 _),
     "mm08_image_neardup_pairs" -> (mm08 _),
-    "mm09_image_store_dedup" -> (mm09 _))
+    "mm09_image_store_dedup" -> (mm09 _),
+    "mm10_video_neardup" -> (mm10 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "mm01_image_header_dims" -> mm01Sql,
@@ -400,5 +503,6 @@ private[graft] object MultimodalQueries {
     "mm06_audio_frame_features" -> mm06Sql,
     "mm07_audio_vad" -> mm07Sql,
     "mm08_image_neardup_pairs" -> mm08Sql,
-    "mm09_image_store_dedup" -> mm09Sql)
+    "mm09_image_store_dedup" -> mm09Sql,
+    "mm10_video_neardup" -> mm10Sql)
 }

@@ -30,6 +30,10 @@ object GateCheck {
     "s21_cosine_topk_imi_store",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
+    // video near-dup store probe: the banded frame-0 candidate leg must
+    // equal the in-query exhaustive frame-aligned twin (kept is DATA —
+    // see gateColsOverride)
+    "mm10_video_neardup",
     // exact contract gate (not an approximation bound): zero sources may
     // straddle splits, at any scale
     "d17_group_split",
@@ -77,7 +81,8 @@ object GateCheck {
     * exceed the 50% dup-position ratio, which is a RESULT, not a
     * failure). Default for every other query: all boolean columns. */
   val gateColsOverride: Map[String, Seq[String]] = Map(
-    "t24_substring_dedup_hashed" -> Seq("hashed_identical"))
+    "t24_substring_dedup_hashed" -> Seq("hashed_identical"),
+    "mm10_video_neardup" -> Seq("exact_ok"))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

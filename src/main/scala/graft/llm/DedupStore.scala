@@ -306,4 +306,21 @@ object DedupStore {
     * argument. */
   def readImageHashes(spark: SparkSession, root: String): DataFrame =
     read(spark, root)
+
+  /** Seed/append the VIDEO near-dup store: (vid_id, n_frames, frame_idx,
+    * ahash) — the clip's ordered frame-hash signature, 8 bytes per FRAME
+    * (a 3-frame clip persists 24 bytes + ids; pixels never land in the
+    * store and history frames are never re-decoded). */
+  def appendVideoSigs(spark: SparkSession, root: String, batchId: Long,
+      sigs: DataFrame): Boolean =
+    append(spark, root, batchId,
+      sigs.select(col("vid_id").cast("long").as("vid_id"),
+        col("n_frames").cast("int").as("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        col("ahash").cast("long").as("ahash")))
+
+  /** The store as [[graft.llm.Multimodal.videoStoreProbe]]'s `store`
+    * argument. */
+  def readVideoSigs(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
 }

@@ -594,6 +594,136 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video near-dup corpus with REAL bytes and a planted re-encode family:
+    * clip `id`'s CONTENT derives from its base `id % 100000` — frame `f`
+    * is a genuine `8+base%24 × 8+base%12` still (always ≥ the aHash
+    * 8×8 grid) filled by [[ImageCodec.pixel]] with seed `base + 97f`,
+    * `2 + base%3` frames at 4 fps — while its container FORMAT choice
+    * flips with `id / 100000`: frame f encodes PNG when
+    * `(id/100000 + f)` is even, BMP otherwise (both lossless). A clip
+    * re-published under `id + 100000` is therefore a true RE-ENCODE:
+    * byte-different container, pixel-identical frames — the planted
+    * near-duplicate a video dedup must drop — and every frame statistic
+    * stays closed-form SQL-reproducible. */
+  def synthesizeVideoCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          val base = id % 100000L
+          val gen = id / 100000L
+          val w = 8 + (base % 24).toInt
+          val h = 8 + (base % 12).toInt
+          val frames = (0 until (2 + (base % 3).toInt)).map { f =>
+            val fmt = if ((gen + f) % 2 == 0) "png" else "bmp"
+            ImageCodec.encode(fmt, base + 97L * f, w, h)
+          }
+          Row(id, VideoCodec.encodeFrames(frames, fps = 4))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame perceptual signatures — the VIDEO dedup primitive: one row
+    * per decoded frame, (id, n_frames, frame_idx, ahash), via a real
+    * container parse + `ImageIO` decode + [[ImageCodec.ahash64]]. A clip
+    * is represented by its ORDERED frame-hash sequence (8 bytes/frame —
+    * the only thing a store ever persists; pixels never cross a
+    * shuffle). Corrupt containers contribute no rows; an undecodable or
+    * sub-8×8 frame yields a NULL hash row (it can then never verify,
+    * failing SAFE toward kept). */
+  def videoAhashes(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          VideoCodec.decode(r.getAs[Array[Byte]](1)) match {
+            case None => Iterator.empty
+            case Some((_, frames)) =>
+              val nf = Integer.valueOf(frames.length)
+              frames.iterator.zipWithIndex.map { case (frame, idx) =>
+                Row(id, nf, Integer.valueOf(idx),
+                  ImageCodec.ahash64(frame).map(java.lang.Long.valueOf).orNull)
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Probe a batch of video signatures against the durable STORE of
+    * frame-hash signatures — the VIDEO modality joining the incremental
+    * dedup family (d16 exact / d18 MinHash / d24 embedding / mm09
+    * image). A batch clip matches a history clip iff they have the SAME
+    * frame count and EVERY aligned frame pair is within `maxHamming`
+    * bits — the re-encoded-clip contract (transcodes keep frame count
+    * and perceptual content; trims/splices are different videos).
+    *
+    * Candidates come from FRAME-0 band buckets: a matching pair has
+    * frame 0 within maxHamming, and with maxHamming < bands the
+    * pigeonhole guarantees a shared frame-0 band slice — recall is
+    * EXACTLY 1.0 (the in-query exact twin in mm10 re-proves it per
+    * run), while the shuffle stays batch + probed buckets, never
+    * |batch|·|store|. The verify leg joins candidates frame-ALIGNED
+    * (`frame_idx` equality) so only n_frames rows per candidate pair are
+    * compared; history frames are 8-byte hashes, never re-decoded.
+    * Output per batch clip: kept (no history match), n_matches, min_ham
+    * (the best matching clip's WORST aligned frame distance — NULL when
+    * kept). `batch`/`store` carry (id|vid_id, n_frames, frame_idx,
+    * ahash). NULL frame hashes never verify (their pair cannot reach
+    * full frame coverage), failing safe toward kept. */
+  def videoStoreProbe(batch: DataFrame, store: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole-exact recall needs maxHamming ($maxHamming) < bands ($bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    def banded0(df: DataFrame, id: String, h: String): DataFrame =
+      df.filter(col("frame_idx") === 0 && col(h).isNotNull)
+        .select(col(id),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("b"),
+              shiftrightunsigned(col(h), b * width)
+                .bitwiseAND(lit(mask)).as("bv"))): _*)).as("band"))
+        .select(col(id), col("band.b").as("b"), col("band.bv").as("bv"))
+    val cand = banded0(batch, "id", "ahash")
+      .join(banded0(store.select(col("vid_id"), col("frame_idx"),
+        col("ahash").as("h_hash")), "vid_id", "h_hash"), Seq("b", "bv"))
+      .select(col("id"), col("vid_id")).distinct()
+    val verified = cand
+      .join(batch.select(col("id"), col("n_frames").as("nb"),
+        col("frame_idx"), col("ahash")), Seq("id"))
+      .join(store.select(col("vid_id"), col("n_frames").as("nh"),
+        col("frame_idx"), col("ahash").as("h_hash")),
+        Seq("vid_id", "frame_idx"))
+      .filter(col("ahash").isNotNull && col("h_hash").isNotNull)
+      .groupBy(col("id"), col("vid_id"))
+      .agg(first(col("nb")).as("nb"), first(col("nh")).as("nh"),
+        count(lit(1)).as("n_aligned"),
+        max(bit_count(col("ahash").bitwiseXOR(col("h_hash"))).cast("int"))
+          .as("max_ham"))
+      .filter(col("nb") === col("nh") && col("n_aligned") === col("nb")
+        && col("max_ham") <= maxHamming)
+    val matches = verified.groupBy(col("id"))
+      .agg(countDistinct(col("vid_id")).as("n_matches"),
+        min(col("max_ham")).as("min_ham"))
+    batch.select(col("id")).distinct()
+      .join(matches, Seq("id"), "left")
+      .select(col("id"), col("n_matches").isNull.as("kept"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("min_ham"))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index
     * at `fps` over the clip duration (pure explode — partition-parallel). */
   def sampleFrames(media: DataFrame, idCol: String, fps: Double): DataFrame =

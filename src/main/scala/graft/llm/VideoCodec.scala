@@ -28,19 +28,26 @@ object VideoCodec {
     * [[ImageCodec.pixel]] with seed `id + 97*f`, so a SQL oracle
     * reproduces every decoded pixel statistic of every frame. */
   def encode(id: Long, nFrames: Int, fps: Int, w: Int, h: Int): Array[Byte] = {
-    require(nFrames >= 0 && fps > 0, s"bad clip shape: $nFrames frames @ $fps")
+    require(nFrames >= 0, s"bad clip shape: $nFrames frames")
+    encodeFrames((0 until nFrames).map { f =>
+      val fmt = if ((id + f) % 2 == 0) "png" else "bmp"
+      ImageCodec.encode(fmt, id + 97L * f, w, h)
+    }, fps)
+  }
+
+  /** A GFV1 container from pre-encoded stills — the general entry
+    * [[encode]] derives its closed-form clips through, and what a
+    * re-encode pipeline uses to wrap transcoded frames. */
+  def encodeFrames(frames: Seq[Array[Byte]], fps: Int): Array[Byte] = {
+    require(fps > 0, s"bad clip shape: $fps fps")
     val out = new ByteArrayOutputStream()
     val dos = new DataOutputStream(out)
     dos.write(Magic)
-    dos.writeInt(nFrames)
+    dos.writeInt(frames.length)
     dos.writeInt(fps)
-    var f = 0
-    while (f < nFrames) {
-      val fmt = if ((id + f) % 2 == 0) "png" else "bmp"
-      val frame = ImageCodec.encode(fmt, id + 97L * f, w, h)
+    frames.foreach { frame =>
       dos.writeInt(frame.length)
       dos.write(frame)
-      f += 1
     }
     dos.flush()
     out.toByteArray

@@ -80,6 +80,45 @@ class VideoCodecSpec extends SparkSpec {
       out.head.getInt(9) == 4 && out.head.isNullAt(1))
   }
 
+  test("re-encoded clips: different container bytes, identical frame hashes") {
+    // synthesizeVideoCorpus's plant contract: id+100000 flips every
+    // frame's container format (PNG<->BMP, both lossless) but keeps the
+    // rasters — the perceptual signature must be INVARIANT to the
+    // transcode while the payload bytes differ
+    val ids = Seq(5L, 12L, 23L)
+    val both = Multimodal.synthesizeVideoCorpus(
+      (ids ++ ids.map(_ + 100000L)).toDF("doc_id"), "doc_id")
+    val payloads = both.collect().map(r => r.getLong(0) ->
+      r.getAs[Array[Byte]](1)).toMap
+    ids.foreach { id =>
+      assert(!java.util.Arrays.equals(payloads(id), payloads(id + 100000L)),
+        s"clip $id: the re-encode must be byte-different")
+    }
+    val sigs = Multimodal.videoAhashes(both)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getInt(1), if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    ids.foreach { id =>
+      val nf = 2 + (id % 3).toInt
+      (0 until nf).foreach { f =>
+        assert(sigs((id, f)) == sigs((id + 100000L, f)),
+          s"clip $id frame $f: transcode moved the perceptual hash")
+      }
+    }
+    // probe: the re-encode drops (match at ham 0), a genuinely different
+    // clip keeps; banded candidates equal the exhaustive contract
+    val hist = Multimodal.videoAhashes(Multimodal.synthesizeVideoCorpus(
+        ids.toDF("doc_id"), "doc_id"))
+      .select($"id".as("vid_id"), $"n_frames", $"frame_idx", $"ahash")
+    val batch = Multimodal.videoAhashes(Multimodal.synthesizeVideoCorpus(
+      Seq(100005L, 777L).toDF("doc_id"), "doc_id"))
+    val out = Multimodal.videoStoreProbe(batch, hist, maxHamming = 3,
+        bands = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(100005L) == (false, 1L), s"re-encode of 5 must drop: $out")
+    assert(out(777L)._1, s"fresh clip must keep: $out")
+  }
+
   test("extractFeatures routes GFV1 payloads through the real frame decode") {
     val media = Multimodal.synthesizeVideos(
         spark.range(3, 5).select($"id".as("doc_id")), "doc_id")

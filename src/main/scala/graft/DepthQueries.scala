@@ -642,6 +642,82 @@ object DepthQueries {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------ q36 incremental z-order maintenance
+
+  /** INCREMENTAL Z-order maintenance ([[graft.exec.Layout.zorderCompact]]):
+    * the missing half of q34's story. A fresh `zorderWrite` gives every
+    * file a tight footer min/max on BOTH keys; m06-style appends then land
+    * UNCLUSTERED slabs whose footers span the full key range, so filtered
+    * scans stop pruning and the table degrades monotonically with each
+    * append. The maintenance op re-clusters the directory (one shuffle —
+    * the clustered write's own range exchange) and swaps it in with the
+    * trash-aside rename discipline. Self-measuring: per-file key spans
+    * (input_file_name + one grouped aggregate — the relational form of
+    * LayoutSpec's footer audit) must show ≥ 0.9 of the global span on some
+    * file BEFORE the compact (the degradation is real) and ≤ 0.65 on every
+    * file AFTER (fresh-write locality restored, LayoutSpec's bound); the
+    * row SET rides through untouched — n_rows/sum_qty/sum_okey value-match
+    * DuckDB over the same source rows. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Layout
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val root = graft.LlmShared.staging("zmaint", dir) + "/" +
+      q36Invocation.incrementAndGet()
+    val path = s"$root/t"
+    Layout.zorderWrite(li.filter(col("l_orderkey") % 4 === 0),
+      "l_partkey", "l_suppkey", nFiles = 8, path)
+    (1 to 3).foreach { r =>
+      li.filter(col("l_orderkey") % 4 === r)
+        .write.mode("append").parquet(path)
+    }
+    // worst per-file span ratio across both layout keys — the pruning
+    // quality a filtered scan actually sees (ratio 1.0 = footer useless)
+    def worstSpan(df: DataFrame, as: String): DataFrame = {
+      val per = df.select(input_file_name().as("f"), col("l_partkey"),
+          col("l_suppkey"))
+        .groupBy(col("f"))
+        .agg(min(col("l_partkey")).as("fxlo"), max(col("l_partkey")).as("fxhi"),
+          min(col("l_suppkey")).as("fylo"), max(col("l_suppkey")).as("fyhi"))
+      val g = df.agg(min(col("l_partkey")).as("xlo"),
+        max(col("l_partkey")).as("xhi"),
+        min(col("l_suppkey")).as("ylo"), max(col("l_suppkey")).as("yhi"))
+      per.crossJoin(broadcast(g))
+        .select(greatest(
+          (col("fxhi") - col("fxlo")).cast("double") /
+            greatest(col("xhi") - col("xlo"), lit(1L)).cast("double"),
+          (col("fyhi") - col("fylo")).cast("double") /
+            greatest(col("yhi") - col("ylo"), lit(1L)).cast("double"))
+          .as("r"))
+        .agg(max(col("r")).as(as))
+    }
+    // EAGER (localCheckpoint): the degraded-state measurement must read
+    // the pre-compact files — left lazy it would evaluate after the swap,
+    // against files that no longer exist. One row.
+    val before = worstSpan(s.read.parquet(path), "__before").localCheckpoint()
+    Layout.zorderCompact(s, path, "l_partkey", "l_suppkey", nFiles = 8)
+    val after = s.read.parquet(path)
+    val afterSpan = worstSpan(after, "__after")
+    after.agg(count(lit(1)).as("n_rows"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+          .as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+      .crossJoin(broadcast(before)).crossJoin(broadcast(afterSpan))
+      .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
+        (col("__before") > 0.9).as("degraded_before"),
+        (col("__after") <= 0.65).as("restored_ok"))
+  }
+
+  private val q36Invocation = new java.util.concurrent.atomic.AtomicLong()
+
+  private val q36Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  SUM(l_orderkey) AS sum_okey,
+      |  TRUE AS degraded_before, TRUE AS restored_ok
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -1069,6 +1145,7 @@ object DepthQueries {
     "q33_event_funnel" -> (q33 _),
     "q34_zorder_layout" -> (q34 _),
     "q35_kmv_intersection" -> (q35 _),
+    "q36_zorder_maintenance" -> (q36 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -1099,6 +1176,7 @@ object DepthQueries {
     "q33_event_funnel" -> q33Sql,
     "q34_zorder_layout" -> q34Sql,
     "q35_kmv_intersection" -> q35Sql,
+    "q36_zorder_maintenance" -> q36Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

@@ -73,7 +73,10 @@ object GateCheck {
     "q35_kmv_intersection",
     // quantizer staleness monitor: same-distribution batch must not
     // flag, planted-shift batch must
-    "dt07_quantizer_drift")
+    "dt07_quantizer_drift",
+    // incremental z-order maintenance: appends measurably degrade
+    // per-file spans, the compact measurably restores them
+    "q36_zorder_maintenance")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

@@ -111,4 +111,45 @@ object Layout {
       .drop("z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** INCREMENTAL Z-order maintenance: restore a z-ordered directory whose
+    * locality has degraded under plain appends. An appended slab lands as
+    * unclustered files whose footer min/max spans the full key range —
+    * every filtered scan reads them, and the table degrades monotonically
+    * with each append (the m06-style ingest pattern). The fix is a
+    * re-cluster: read everything, [[zorderWrite]] into PRIVATE staging,
+    * and swap directories with trash-aside renames — the same
+    * all-or-nothing discipline as [[Committer]]'s rename path (old data
+    * moves ASIDE before the staged dir moves in; any failure restores it;
+    * the trash is deleted only after the swap completes). Rows are
+    * preserved exactly (one shuffle — the clustered write's own range
+    * exchange — same cost as the original write); LayoutSpec measures
+    * pruning restored to fresh-write level, and q36 value-matches the
+    * row set through the compact. Path-based layouts only (q34's shape);
+    * CATALOG tables get the same machinery through
+    * [[Maintenance.compact]] + the committer seam. */
+  def zorderCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      xCol: String, yCol: String, nFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val stamp = f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+    val staged = new HPath(p.getParent, s".${p.getName}_zstage_$stamp")
+    // the staged write completes BEFORE the live dir is touched (the scan
+    // of `path` is fully consumed by the write action)
+    zorderWrite(spark.read.parquet(path), xCol, yCol, nFiles,
+      staged.toString, bits)
+    val trash = new HPath(p.getParent, s".${p.getName}_ztrash_$stamp")
+    if (!fs.rename(p, trash))
+      throw new java.io.IOException(s"zorderCompact: cannot set aside $path")
+    if (!fs.rename(staged, p)) {
+      // restore: the old data is the only copy — failures here must be loud
+      if (!fs.rename(trash, p))
+        throw new java.io.IOException(
+          s"zorderCompact ROLLBACK INCOMPLETE: old data only in $trash")
+      throw new java.io.IOException(s"zorderCompact: cannot publish $path")
+    }
+    fs.delete(trash, true)
+  }
 }

@@ -98,6 +98,49 @@ class LayoutSpec extends SparkSpec {
     assert(ss.forall(_ <= 0.65), s"suppkey tile straddles a quadrant: $ss")
   }
 
+  test("zorderCompact restores fresh-write pruning after appends; rows exact") {
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zmaint")
+    val path = s"$base/z"
+    Layout.zorderWrite(li.filter(col("l_orderkey") % 4 === 0),
+      "l_partkey", "l_suppkey", 10, path)
+    (1 to 3).foreach { r =>
+      li.filter(col("l_orderkey") % 4 === r).write.mode("append").parquet(path)
+    }
+    def worst(key: String): Double = {
+      val rs = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(key)).cast("long").as("lo"),
+          max(col(key)).cast("long").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val (glo, ghi) = (rs.map(_._1).min, rs.map(_._2).max)
+      rs.map { case (lo, hi) => (hi - lo + 1).toDouble / (ghi - glo + 1) }.max
+    }
+    val checksumBefore = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    // appended slabs are unclustered: some file spans ~the full key range
+    assert(worst("l_partkey") > 0.9 || worst("l_suppkey") > 0.9,
+      "appends should have degraded per-file spans")
+    Layout.zorderCompact(spark, path, "l_partkey", "l_suppkey", 10)
+    // fresh-write locality restored (the zorderWrite alignment bound)…
+    assert(worst("l_partkey") <= 0.65, s"partkey span ${worst("l_partkey")}")
+    assert(worst("l_suppkey") <= 0.65, s"suppkey span ${worst("l_suppkey")}")
+    // …and the row set rode through exactly
+    val checksumAfter = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    assert(checksumBefore == checksumAfter,
+      s"compact changed the rows: $checksumBefore -> $checksumAfter")
+    // no staging/trash debris after a clean compact
+    val leftovers = new java.io.File(base.toString).listFiles()
+      .map(_.getName).filter(_.contains("zstage") ).toSeq ++
+      new java.io.File(base.toString).listFiles()
+        .map(_.getName).filter(_.contains("ztrash")).toSeq
+    assert(leftovers.isEmpty, s"compact left debris: $leftovers")
+  }
+
   test("z-order layout prunes on BOTH keys; single-key sort prunes on one") {
     // sf0.01: the sf0.001 supplier domain (10 keys) is too coarse for
     // 8-bit quantization to show tile locality through sampled range

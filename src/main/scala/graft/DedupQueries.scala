@@ -1256,6 +1256,59 @@ private[graft] object DedupQueries {
 
   // ---------------------------------------------------------------- export
 
+  // ----------------------------------- d28 capped (representative) pairs
+
+  /** The O(n)-output pair listing ([[Dedup.minhashNearDupPairsCapped]]):
+    * d02's API with the quadratic-per-cluster output replaced by one
+    * (representative, member) row per clustered doc — the form that
+    * retires the full listing as the suite's sf10 ceiling. SELF-VERIFYING
+    * against the uncapped run at the same dials:
+    * `membership_ok` — the capped rows name EXACTLY the docs the full
+    * pair list clusters (vertex-set equality both ways);
+    * `linear_ok` — row count == members − clusters (the s−1 per cluster
+    * identity) AND every member appears exactly once as id_b;
+    * `marker_recall_ok` — ≥ 0.7 of the planted marker docs surface in the
+    * capped output (d02's recall bound, proving the cap lost no planted
+    * structure). n_markers value-matches DuckDB. */
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val off = LlmShared.markerOffset(s, dir)
+    val full = Dedup.minhashNearDupPairs(docs, threshold = 0.5, k = 64,
+      bands = 16).select(col("id_a"), col("id_b")).localCheckpoint()
+    val capped = Dedup.minhashNearDupPairsCapped(docs, threshold = 0.5,
+      k = 64, bands = 16).localCheckpoint()
+    def vertices(df: DataFrame): DataFrame =
+      df.select(col("id_a").as("v"))
+        .unionByName(df.select(col("id_b").as("v"))).distinct()
+    val fullV = vertices(full)
+    val capV = vertices(capped)
+    val missing = fullV.join(capV, Seq("v"), "left_anti")
+      .unionByName(capV.join(fullV, Seq("v"), "left_anti"))
+      .agg(count(lit(1)).as("__missing"))
+    val counts = capped.agg(count(lit(1)).as("__rows"),
+      countDistinct(col("id_b")).as("__members"),
+      countDistinct(col("id_a")).as("__clusters"))
+    val nVerts = fullV.agg(count(lit(1)).as("__verts"))
+    val markers = docs.filter(col("doc_id") >= off)
+      .agg(count(lit(1)).as("n_markers"))
+    val markersFound = capV.filter(col("v") >= off)
+      .agg(count(lit(1)).as("__mk_found"))
+    markers.crossJoin(broadcast(missing)).crossJoin(broadcast(counts))
+      .crossJoin(broadcast(nVerts)).crossJoin(broadcast(markersFound))
+      .select(col("n_markers"),
+        (col("__missing") === 0).as("membership_ok"),
+        (col("__rows") === col("__members") &&
+          col("__rows") === col("__verts") - col("__clusters"))
+          .as("linear_ok"),
+        (col("__mk_found").cast("double") / col("n_markers") >= 0.7)
+          .as("marker_recall_ok"))
+  }
+
+  private val d28Sql =
+    """SELECT COUNT(*) AS n_markers, TRUE AS membership_ok,
+      |  TRUE AS linear_ok, TRUE AS marker_recall_ok
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh_pairs" -> (d02 _),
@@ -1283,7 +1336,8 @@ private[graft] object DedupQueries {
     "d24_incremental_semantic_neardup" -> (d24 _),
     "d25_semantic_store_append" -> (d25 _),
     "d26_exact_cap_sample" -> (d26 _),
-    "d27_shard_manifest" -> (d27 _))
+    "d27_shard_manifest" -> (d27 _),
+    "d28_capped_pairs" -> (d28 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1312,5 +1366,6 @@ private[graft] object DedupQueries {
     "d24_incremental_semantic_neardup" -> d24Sql,
     "d25_semantic_store_append" -> d25Sql,
     "d26_exact_cap_sample" -> d26Sql,
-    "d27_shard_manifest" -> d27Sql)
+    "d27_shard_manifest" -> d27Sql,
+    "d28_capped_pairs" -> d28Sql)
 }

@@ -1102,10 +1102,17 @@ object DepthQueries {
         .agg(max(col("chi2_stat")).as(as))
     val same = stat(odd, "__chi2_same")
     val shift = stat(shifted, "__chi2_shift")
+    // n_store / n_batch are VALUE-matched by the oracle (the even/odd
+    // split counts), anchoring the row beyond the gate booleans; the chi²
+    // values themselves cannot be oracle-computed — the categories are
+    // fitted cell ids, a fit product DuckDB cannot reproduce — so the
+    // in-query calibration split stays the load-bearing check for them
     val cells = IndexStore.cellOccupancy(s, root)
-      .agg(count(lit(1)).as("n_cells"))
-    cells.crossJoin(broadcast(same)).crossJoin(broadcast(shift))
-      .select(col("n_cells"),
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_store"))
+    val nBatch = odd.agg(count(lit(1)).as("n_batch"))
+    cells.crossJoin(broadcast(nBatch))
+      .crossJoin(broadcast(same)).crossJoin(broadcast(shift))
+      .select(col("n_cells"), col("n_store"), col("n_batch"),
         // calibration split stays well under the planted shift — the
         // separation that makes the calibrated threshold usable
         (col("__chi2_same") * 20.0 < col("__chi2_shift")).as("no_drift_ok"),
@@ -1118,8 +1125,10 @@ object DepthQueries {
   private val dt07Invocation = new java.util.concurrent.atomic.AtomicLong()
 
   private val dt07Sql =
-    """SELECT CAST(8 AS BIGINT) AS n_cells, TRUE AS no_drift_ok,
-      |  TRUE AS drift_detected""".stripMargin
+    """SELECT CAST(8 AS BIGINT) AS n_cells,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_store,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_batch,
+      |  TRUE AS no_drift_ok, TRUE AS drift_detected""".stripMargin
 
   // ---------------------------------------------------------------- export
 

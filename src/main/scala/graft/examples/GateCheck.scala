@@ -13,6 +13,9 @@ import org.apache.spark.sql.types.BooleanType
 object GateCheck {
   val gated = Seq(
     "d02_minhash_lsh_pairs", "d03_simhash_pairs", "d12_bloom_decontaminate",
+    // capped representative pairing: vertex-set equality with the full
+    // listing, s-1 rows per cluster, marker recall preserved
+    "d28_capped_pairs",
     "q17_hll_sketches", "q30_approx_quantiles",
     "s02_cosine_topk_lsh", "s04_embed_neardup_lsh", "s05_cosine_topk_ivf",
     "s07_cosine_topk_ivf_int8", "s08_semantic_dedup", "s09_cosine_topk_ivf_pq",

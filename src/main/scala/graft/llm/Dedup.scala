@@ -190,6 +190,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** CAPPED pair listing — the O(n)-output mode of
+    * [[minhashNearDupPairs]] and the scale path for the pair-listing API
+    * itself. The full listing's output grows QUADRATICALLY per duplicate
+    * cluster (a 100-copy cluster is 4,950 pairs; at 10⁴ copies — real
+    * boilerplate on a crawl — 5×10⁷ rows for ONE document), and at sf10
+    * that output was the whole suite's heaviest query. Here every scored
+    * pair feeds connected components ([[connectedComponents]] — the same
+    * labels the d05 cluster API returns, so cluster MEMBERSHIP is
+    * identical by construction) and each member is emitted ONCE, paired
+    * with its cluster REPRESENTATIVE (the minimum id): exactly
+    * `cluster_size − 1` rows per cluster. The representative pair is a
+    * CLUSTER link, not necessarily a directly-scored pair (two members
+    * can both be near the rep without being near each other — standard
+    * single-link semantics); callers needing every raw pair keep the
+    * uncapped form and its cost. Returns (id_a = representative, id_b =
+    * member). */
+  def minhashNearDupPairsCapped(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, threshold, k, bands, idCol,
+      textCol).select(col("id_a"), col("id_b"))
+    connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("comp").as("id_a"), col("node").as("id_b"))
+  }
+
   /** Near-dup store of a corpus — the approximate sibling of
     * [[fingerprintStore]], NORMALIZED into two frames so the store never
     * duplicates signature bytes per band: `bands` = (band, bh, sid), one

@@ -612,9 +612,11 @@ object IndexStore {
     * complete (committed quantizer) — publishing a half-built root is the
     * one way to break the reader contract. */
   def publishRoot(spark: SparkSession, alias: String, storeRoot: String): Unit = {
-    require(quantizerCommitted(spark, storeRoot),
+    require(quantizerCommitted(spark, storeRoot) ||
+        ivfCommitted(spark, storeRoot) || imiCommitted(spark, storeRoot),
       s"IndexStore: refusing to publish $storeRoot — no committed " +
-        "quantizer (readers must never resolve to a half-built store)")
+        "artifact of any family (readers must never resolve to a " +
+        "half-built store)")
     val f = fs(spark, alias)
     f.mkdirs(new HPath(alias))
     val stamp = newStamp()

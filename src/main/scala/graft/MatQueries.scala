@@ -1397,6 +1397,10 @@ object MatQueries {
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
+        // n_indexed VALUE-matches the oracle's corpus count — an absolute
+        // anchor on the store contents beyond the gate booleans (r15, the
+        // dt07 discipline applied here)
+        lit(rows1).as("n_indexed"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
           >= 0.5).as("recall_ok"),
         lit(segs1 == 3 && rows1 == embCount).as("store_consistent"),
@@ -1404,9 +1408,152 @@ object MatQueries {
   }
 
   private val m29Sql =
-    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok,
+    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  TRUE AS recall_ok,
       |  TRUE AS store_consistent, TRUE AS replay_stable
       |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  // --------------------------------- m30 streaming VIDEO ingest dedup
+
+  /** Streaming VIDEO ingest dedup
+    * ([[graft.streaming.Streaming.videoIngestStream]]) — the video leg of
+    * the streaming store-dedup matrix (m19 exact / m20 MinHash / m21
+    * semantic / m29 index): history clips' frame-hash signatures seed the
+    * durable store (batch −1), then a two-slab backlog drains through an
+    * AvailableNow stream — slab A is 100 fresh clips (every keep/drop is
+    * DETERMINISTIC: the frame-aligned probe is pigeonhole-exact, so the
+    * oracle derives the exact survivor count from closed-form frame
+    * hashes — no probabilistic gate anywhere in this row); slab B mixes
+    * re-encoded TRANSCODES of history clips (caught via the seed
+    * segment), transcodes of slab-A clips (catchable ONLY through slab
+    * A's appended segment — the store measurably GREW), and fresh clips.
+    * n_a_kept / n_b_fresh_kept / n_b_reenc_kept VALUE-match DuckDB's
+    * closed-form replay of the same two-epoch store evolution; the gates
+    * pin full-backlog replay byte-stability and exact store accounting
+    * (signature rows = seed + Σ n_frames of kept clips). */
+  private def m30(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{DedupStore, Multimodal}
+    val docs = t(s, dir, "documents")
+    val hist = Multimodal.videoAhashes(Multimodal.synthesizeVideoCorpus(
+        docs.filter(col("doc_id") < 300), "doc_id"))
+      .select(col("id").as("vid_id"), col("n_frames"), col("frame_idx"),
+        col("ahash"))
+    val base = tempDir("g_m30")
+    val store = s"$base/store"
+    val histSigRows = hist.count()
+    DedupStore.appendVideoSigs(s, store, -1L, hist)
+    val slabA = Multimodal.synthesizeVideoCorpus(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "doc_id")
+    val slabB = Multimodal.synthesizeVideoCorpus(
+      docs.filter(col("doc_id") < 400 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"))
+        .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select(col("doc_id").cast("long").as("doc_id"))), "doc_id")
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.videoIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt))
+    drain(s"$base/ckpt1")
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("id"), col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readVideoSigs(s, store).count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("id"), col("batch").cast("int").as("batch"))
+    val storeRows2 = DedupStore.readVideoSigs(s, store).count()
+    val sym = out1.withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)), Seq("id", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    // appended signature rows per kept clip = its frame count, closed form
+    val framesKept = out1
+      .agg(sum(expr("2 + (id % 100000) % 3")).as("__frames_kept"))
+    out1.agg(
+        sum(when(col("batch") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_a_kept"),
+        sum(when(col("batch") === 1 && col("id") < 100000L, 1L)
+          .otherwise(0L)).cast("bigint").as("n_b_fresh_kept"),
+        sum(when(col("batch") === 1 && col("id") >= 100000L, 1L)
+          .otherwise(0L)).cast("bigint").as("n_b_reenc_kept"))
+      .crossJoin(broadcast(sym)).crossJoin(broadcast(framesKept))
+      .select(col("n_a_kept"), col("n_b_fresh_kept"), col("n_b_reenc_kept"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        (lit(storeRows1) === lit(histSigRows) + col("__frames_kept"))
+          .as("store_consistent"),
+        lit(storeRows2 == storeRows1).as("store_stable"))
+  }
+
+  /** The m30 oracle replays the two-epoch store evolution in SQL from the
+    * closed-form frame hashes: keptA = slab-A clips with no frame-aligned
+    * match in history; keptB = slab-B clips with no match in history ∪
+    * keptA (re-encodes carry their base's hashes, so every transcode
+    * matches either its stored base or the same history clip its base
+    * matched — n_b_reenc_kept is derived, not assumed). */
+  private val m30Sql =
+    """WITH bases AS (SELECT DISTINCT doc_id AS b FROM documents
+      |    WHERE doc_id < 450),
+      |dims AS (SELECT b, 8 + b % 24 AS w, 8 + b % 12 AS h,
+      |    CAST(2 + b % 3 AS INT) AS nf FROM bases),
+      |fr AS (SELECT b, w, h, nf, unnest(range(nf)) AS f FROM dims),
+      |px AS (SELECT b, f, nf, w, h, p % w AS x, p // w AS y,
+      |    (b + 97 * f + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+      |  FROM (SELECT b, f, nf, w, h, unnest(range(w * h)) AS p FROM fr)),
+      |cells AS (SELECT b, f, nf, CAST(y * 8 // h * 8 + x * 8 // w AS INT) AS c,
+      |    SUM(v) AS cs, COUNT(*) AS cn, MAX(w * h) AS np
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |tot AS (SELECT b, f, SUM(cs) AS ts FROM cells GROUP BY 1, 2),
+      |hsh AS (SELECT cells.b, cells.f, cells.nf, CAST(SUM(CASE
+      |    WHEN cs * np > ts * cn THEN
+      |      CASE WHEN c = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - c)) END
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells JOIN tot ON cells.b = tot.b AND cells.f = tot.f
+      |  GROUP BY 1, 2, 3),
+      |hist AS (SELECT b AS vid_id, nf, f, ahash FROM hsh WHERE b < 300),
+      |slab_a AS (SELECT b AS id, nf, f, ahash FROM hsh
+      |  WHERE b >= 300 AND b < 400),
+      |kept_a AS (SELECT DISTINCT id FROM slab_a
+      |  WHERE id NOT IN (
+      |    SELECT a.id FROM slab_a a JOIN hist h ON a.f = h.f AND a.nf = h.nf
+      |    GROUP BY a.id, h.vid_id
+      |    HAVING MAX(bit_count(xor(a.ahash, h.ahash))) <= 3)),
+      |store1 AS (SELECT vid_id, nf, f, ahash FROM hist
+      |  UNION ALL
+      |  SELECT id, nf, f, ahash FROM slab_a WHERE id IN (SELECT id FROM kept_a)),
+      |slab_b AS (
+      |  SELECT b + 100000 AS id, nf, f, ahash FROM hsh
+      |  WHERE b < 400 AND b % 5 = 0
+      |  UNION ALL
+      |  SELECT b AS id, nf, f, ahash FROM hsh WHERE b >= 400 AND b < 450),
+      |kept_b AS (SELECT DISTINCT id FROM slab_b
+      |  WHERE id NOT IN (
+      |    SELECT sb.id FROM slab_b sb JOIN store1 st
+      |      ON sb.f = st.f AND sb.nf = st.nf
+      |    GROUP BY sb.id, st.vid_id
+      |    HAVING MAX(bit_count(xor(sb.ahash, st.ahash))) <= 3))
+      |SELECT
+      |  (SELECT COUNT(*) FROM kept_a) AS n_a_kept,
+      |  (SELECT COUNT(*) FROM kept_b WHERE id < 100000) AS n_b_fresh_kept,
+      |  (SELECT COUNT(*) FROM kept_b WHERE id >= 100000) AS n_b_reenc_kept,
+      |  TRUE AS replay_stable, TRUE AS store_consistent,
+      |  TRUE AS store_stable""".stripMargin
 
   // ---------------------------------------------------------------- export
 
@@ -1439,7 +1586,8 @@ object MatQueries {
     "m26_stream_interval_join" -> (m26 _),
     "m27_stream_static_join" -> (m27 _),
     "m28_incremental_rollup" -> (m28 _),
-    "m29_streaming_index_ingest" -> (m29 _))
+    "m29_streaming_index_ingest" -> (m29 _),
+    "m30_streaming_video_dedup" -> (m30 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1470,5 +1618,6 @@ object MatQueries {
     "m26_stream_interval_join" -> m26Sql,
     "m27_stream_static_join" -> m27Sql,
     "m28_incremental_rollup" -> m28Sql,
-    "m29_streaming_index_ingest" -> m29Sql)
+    "m29_streaming_index_ingest" -> m29Sql,
+    "m30_streaming_video_dedup" -> m30Sql)
 }

@@ -70,6 +70,9 @@ object GateCheck {
     // streamed ANN index ingest: recall through the persisted quantizer,
     // segment accounting, byte-stable full-backlog replay
     "m29_streaming_index_ingest",
+    // streamed VIDEO store dedup: deterministic keep/drop (pigeonhole-
+    // exact probe), replay byte-stability, frame-level store accounting
+    "m30_streaming_video_dedup",
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx",
     // KMV theta sketch: union/intersection estimates vs the exact twin

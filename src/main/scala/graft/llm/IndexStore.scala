@@ -652,10 +652,15 @@ object IndexStore {
     newRoot
   }
 
-  /** [[searchTopK]] through the alias: resolve the live pointer, search
-    * that root. Rotate-safe by construction — the resolved root is
-    * immutable-complete whichever side of a concurrent cutover this lands
-    * on. */
+  /** Search through the alias: resolve the live pointer, search that
+    * root with the family the root's committed artifact declares —
+    * residual-PQ ([[searchTopK]]), IMI ([[searchTopKImi]]), or the
+    * shared-centroid families, where the SEGMENT schema distinguishes
+    * int8 codes from flat vectors. Rotate-safe by construction — the
+    * resolved root is immutable-complete whichever side of a concurrent
+    * cutover this lands on. `matchCols` is residual-store-only (the one
+    * attribute-carrying segment layout); `rerank` is ignored by the
+    * exact-in-scan families (flat, IMI). */
   def searchCurrent(spark: SparkSession, alias: String, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -663,8 +668,21 @@ object IndexStore {
     val root = currentRoot(spark, alias).getOrElse(throw
       new IllegalStateException(
         s"IndexStore alias $alias has no published store — run rotate"))
-    searchTopK(spark, root, corpus, queries, k, nprobe, rerank, idCol,
-      vecCol, matchCols)
+    if (quantizerCommitted(spark, root))
+      searchTopK(spark, root, corpus, queries, k, nprobe, rerank, idCol,
+        vecCol, matchCols)
+    else {
+      require(matchCols.isEmpty,
+        "metadata-filtered search requires a residual-PQ store " +
+          "(the attribute-carrying segment layout)")
+      if (imiCommitted(spark, root))
+        searchTopKImi(spark, root, queries, k, nprobe, idCol, vecCol)
+      else if (readCodes(spark, root).columns.contains("cq"))
+        searchTopKInt8(spark, root, corpus, queries, k, nprobe, rerank,
+          idCol, vecCol)
+      else
+        searchTopKFlat(spark, root, queries, k, nprobe, idCol, vecCol)
+    }
   }
 
   /** GC superseded stores under an alias: keeps every store referenced by

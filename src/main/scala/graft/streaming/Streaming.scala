@@ -367,6 +367,53 @@ object Streaming {
       }
       .start()
 
+  /** Streaming VIDEO ingest dedup — the video sibling of
+    * [[nearDupIngestStream]], completing streaming parity for the store
+    * modality matrix (exact fp / MinHash / semantic / image / index /
+    * VIDEO): each micro-batch's clips decode ONCE into ordered per-frame
+    * aHash signatures ([[graft.llm.Multimodal.videoAhashes]] — the only
+    * pixel-touching step, reused for both the probe and the append),
+    * probe the durable frame-hash store
+    * ([[graft.llm.Multimodal.videoStoreProbe]] — frame-0 band buckets,
+    * frame-aligned Hamming verify, pigeonhole-exact recall; shuffle ∝
+    * batch + probed buckets), survivors' CLIPS land under
+    * `outDir/batch=<id>` and their SIGNATURES (8 bytes per frame, never
+    * pixels) append as store segment `<id>` — the done marker is the
+    * batch's commit token, so a replayed batch skips end-to-end and
+    * dedup state survives restarts, spans arbitrary gaps, and is shared
+    * with the batch probe path (mm10). Seed history with a NEGATIVE
+    * batchId (`DedupStore.appendVideoSigs(spark, root, -1L, sigs)`). */
+  def videoIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      maxHamming: Int = 3, bands: Int = 4, idCol: String = "id",
+      payloadCol: String = "payload"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val sigs = graft.llm.Multimodal.videoAhashes(batch, idCol,
+              payloadCol)
+            .localCheckpoint() // decode once: feeds the probe AND the append
+          val keptIds = graft.llm.Multimodal.videoStoreProbe(sigs,
+              graft.llm.DedupStore.readVideoSigs(spark, storeRoot),
+              maxHamming, bands)
+            .filter(col("kept")).select(col("id"))
+            .localCheckpoint() // feeds the clip semi-join AND the signing
+          batch.select(col(idCol).cast("long").as("id"),
+              col(payloadCol).as("payload"))
+            .join(keptIds, Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendVideoSigs(spark, storeRoot, id,
+            sigs.join(keptIds, Seq("id"), "left_semi")
+              .select(col("id").as("vid_id"), col("n_frames"),
+                col("frame_idx"), col("ahash")))
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -298,6 +298,47 @@ class IndexStoreSpec extends SparkSpec {
     assert(imi.cbA.length == 8 && imi.cbB.length == 8)
   }
 
+  test("searchCurrent dispatches by the resolved root's artifact family") {
+    val q = emb.filter($"vec_id" < 6)
+    // flat family behind an alias
+    val aliasF = freshRoot()
+    val rf = s"$aliasF/store-flat"
+    IndexStore.trainIvf(spark, rf, emb, dim = 64, nlist = 8, seed = 42L)
+    IndexStore.appendFlat(spark, rf, 0L, emb)
+    IndexStore.publishRoot(spark, aliasF, rf)
+    assert(IndexStore.searchCurrent(spark, aliasF, emb, q, k = 3, nprobe = 3)
+        .orderBy($"query_id", $"rank").collect().toSeq ==
+      IndexStore.searchTopKFlat(spark, rf, q, k = 3, nprobe = 3)
+        .orderBy($"query_id", $"rank").collect().toSeq)
+    // int8 family (same artifact kind — the SEGMENT schema dispatches)
+    val aliasI = freshRoot()
+    val ri = s"$aliasI/store-int8"
+    IndexStore.trainIvf(spark, ri, emb, dim = 64, nlist = 8, seed = 42L)
+    IndexStore.appendInt8(spark, ri, 0L, emb)
+    IndexStore.publishRoot(spark, aliasI, ri)
+    assert(IndexStore.searchCurrent(spark, aliasI, emb, q, k = 3,
+        nprobe = 3, rerank = 4)
+        .orderBy($"query_id", $"rank").collect().toSeq ==
+      IndexStore.searchTopKInt8(spark, ri, emb, q, k = 3, nprobe = 3,
+        rerank = 4).orderBy($"query_id", $"rank").collect().toSeq)
+    // IMI family
+    val aliasM = freshRoot()
+    val rm = s"$aliasM/store-imi"
+    IndexStore.trainImi(spark, rm, emb, dim = 64, kA = 8, kB = 8, seed = 42L)
+    IndexStore.appendImi(spark, rm, 0L, emb)
+    IndexStore.publishRoot(spark, aliasM, rm)
+    assert(IndexStore.searchCurrent(spark, aliasM, emb, q, k = 3, nprobe = 16)
+        .orderBy($"query_id", $"rank").collect().toSeq ==
+      IndexStore.searchTopKImi(spark, rm, q, k = 3, nprobe = 16)
+        .orderBy($"query_id", $"rank").collect().toSeq)
+    // filtered search is residual-only — refused loudly elsewhere
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.searchCurrent(spark, aliasF, emb, q, k = 3,
+        matchCols = Seq("label"))
+    }
+    assert(e.getMessage.contains("residual"), e.getMessage)
+  }
+
   test("rotate: atomic pointer cutover, old store intact for rollback") {
     val alias = freshRoot()
     val half = emb.filter($"vec_id" % 2 === 0)

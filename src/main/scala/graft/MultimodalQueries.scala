@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Multimodal queries (mm01–mm09): image/audio/video decode,
-  * frame features, VAD segmentation, perceptual hashing.
+/** Multimodal queries (mm01–mm11): image/audio/video decode,
+  * frame features, VAD segmentation, perceptual hashing, and the
+  * image/video/audio near-dup store probes.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
   * stays [[graft.LlmQueries.queries]] / [[graft.LlmQueries.oracleSql]]. */
 private[graft] object MultimodalQueries {
@@ -480,6 +481,99 @@ private[graft] object MultimodalQueries {
       |  COALESCE(m.n_matches, 0) AS n_matches, m.min_ham, TRUE AS exact_ok
       |FROM bids b LEFT JOIN m ON b.id = m.id ORDER BY b.id""".stripMargin
 
+  // ------------------------------- mm11 AUDIO near-dup STORE probe
+
+  /** Store-backed incremental AUDIO dedup — the audio modality closing
+    * the d16/d18/d24/mm09/mm10 incremental matrix: a clip's signature is
+    * its ORDERED per-frame sign-pattern fingerprint
+    * ([[Multimodal.audioSignSigs]] — a real RIFF/WAVE parse through
+    * `javax.sound.sampled` + 64-sample sign pack, 8 bytes per frame in
+    * the durable [[graft.llm.DedupStore]]), and a new crawl batch — every
+    * 5th history clip RE-PUBLISHED volume-attenuated (id+100000:
+    * byte-different payload, every sample arithmetically halved,
+    * sign-pattern identical — the re-encode that must DROP) plus fresh
+    * clips — probes it via [[Multimodal.audioStoreProbe]]: frame-0
+    * signature-equality candidates (recall EXACTLY 1.0 — a matching pair
+    * has frame 0 equal by definition), frame-ALIGNED equality verify over
+    * candidates only, match = same frame count ∧ every aligned frame
+    * equal. The oracle recomputes every sign bit closed-form and the same
+    * all-pairs classification — kept / n_matches are VALUE-matched, not
+    * gate-asserted — while `exact_ok` re-proves the bucketed probe
+    * against an in-query exhaustive twin per run (the sf1/sf10 gate where
+    * the oracle doesn't reach; the id caps make the twin constant-size at
+    * any scale). */
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val docs = t(s, dir, "documents")
+    val hist = Multimodal.audioSignSigs(
+        Multimodal.synthesizeAudioCorpus(
+          docs.filter(col("doc_id") < 300), "doc_id"))
+      .select(col("id").as("clip_id"), col("n_frames"), col("frame_idx"),
+        col("sig"))
+    val root = staging("mm11store", dir)
+    DedupStore.appendAudioSigs(s, root, -1L, hist)
+    val batchIds = docs.filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"))
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id").cast("long").as("doc_id")))
+    val batch = Multimodal.audioSignSigs(
+      Multimodal.synthesizeAudioCorpus(batchIds, "doc_id"))
+    val store = DedupStore.readAudioSigs(s, root)
+    val probe = Multimodal.audioStoreProbe(batch, store)
+    // exhaustive in-query twin: every (batch, history) clip pair,
+    // frame-aligned — no candidate leg to miss through
+    val exact = batch
+      .select(col("id"), col("n_frames").as("nb"), col("frame_idx"),
+        col("sig"))
+      .join(hist.select(col("clip_id"), col("n_frames").as("nh"),
+        col("frame_idx"), col("sig").as("h_sig")), Seq("frame_idx"))
+      .groupBy(col("id"), col("clip_id"))
+      .agg(first(col("nb")).as("nb"), first(col("nh")).as("nh"),
+        count(lit(1)).as("n_aligned"),
+        sum(when(col("sig") === col("h_sig"), 0L).otherwise(1L))
+          .as("n_diff"))
+      .filter(col("nb") === col("nh") && col("n_aligned") === col("nb")
+        && col("n_diff") === 0L)
+      .groupBy(col("id"))
+      .agg(countDistinct(col("clip_id")).as("n_matches_exact"))
+    probe.join(exact, Seq("id"), "left")
+      .select(col("id"), col("kept"), col("n_matches"),
+        (col("n_matches") === coalesce(col("n_matches_exact"), lit(0L)))
+          .as("exact_ok"))
+      .orderBy(col("id"))
+  }
+
+  private val mm11Sql =
+    """WITH bases AS (SELECT DISTINCT doc_id AS b FROM documents
+      |    WHERE doc_id < 400),
+      |dims AS (SELECT b, CAST(2 + b % 3 AS INT) AS nf FROM bases),
+      |fr AS (SELECT b, nf, unnest(range(nf)) AS f FROM dims),
+      |bits AS (SELECT b, nf, f, unnest(range(64)) AS j FROM fr),
+      |sg AS (SELECT b, nf, f, CAST(SUM(CASE
+      |    WHEN (b * 20011 + 9973 * (f * 64 + j)
+      |          + b * (f * 64 + j) * 37) % 65536 >= 32768 THEN
+      |      CASE WHEN j = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - j)) END
+      |    ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY 1, 2, 3),
+      |hist AS (SELECT b AS clip_id, nf, f, sig FROM sg WHERE b < 300),
+      |batch AS (
+      |  SELECT b + 100000 AS id, nf, f, sig FROM sg
+      |  WHERE b < 300 AND b % 5 = 0
+      |  UNION ALL
+      |  SELECT b AS id, nf, f, sig FROM sg WHERE b >= 300),
+      |pairs AS (
+      |  SELECT bt.id, h.clip_id
+      |  FROM batch bt JOIN hist h ON bt.f = h.f AND bt.nf = h.nf
+      |  GROUP BY 1, 2
+      |  HAVING SUM(CASE WHEN bt.sig <> h.sig THEN 1 ELSE 0 END) = 0),
+      |m AS (SELECT id, CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_matches
+      |  FROM pairs GROUP BY 1),
+      |bids AS (SELECT DISTINCT id FROM batch)
+      |SELECT b.id, (m.n_matches IS NULL) AS kept,
+      |  COALESCE(m.n_matches, 0) AS n_matches, TRUE AS exact_ok
+      |FROM bids b LEFT JOIN m ON b.id = m.id ORDER BY b.id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -492,7 +586,8 @@ private[graft] object MultimodalQueries {
     "mm07_audio_vad" -> (mm07 _),
     "mm08_image_neardup_pairs" -> (mm08 _),
     "mm09_image_store_dedup" -> (mm09 _),
-    "mm10_video_neardup" -> (mm10 _))
+    "mm10_video_neardup" -> (mm10 _),
+    "mm11_audio_neardup" -> (mm11 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "mm01_image_header_dims" -> mm01Sql,
@@ -504,5 +599,6 @@ private[graft] object MultimodalQueries {
     "mm07_audio_vad" -> mm07Sql,
     "mm08_image_neardup_pairs" -> mm08Sql,
     "mm09_image_store_dedup" -> mm09Sql,
-    "mm10_video_neardup" -> mm10Sql)
+    "mm10_video_neardup" -> mm10Sql,
+    "mm11_audio_neardup" -> mm11Sql)
 }

@@ -323,4 +323,21 @@ object DedupStore {
     * argument. */
   def readVideoSigs(spark: SparkSession, root: String): DataFrame =
     read(spark, root)
+
+  /** Seed/append the AUDIO near-dup store: (clip_id, n_frames, frame_idx,
+    * sig) — the clip's ordered frame sign-pattern signature, 8 bytes per
+    * FRAME (PCM samples never land in the store and history clips are
+    * never re-decoded). */
+  def appendAudioSigs(spark: SparkSession, root: String, batchId: Long,
+      sigs: DataFrame): Boolean =
+    append(spark, root, batchId,
+      sigs.select(col("clip_id").cast("long").as("clip_id"),
+        col("n_frames").cast("int").as("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        col("sig").cast("long").as("sig")))
+
+  /** The store as [[graft.llm.Multimodal.audioStoreProbe]]'s `store`
+    * argument. */
+  def readAudioSigs(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
 }

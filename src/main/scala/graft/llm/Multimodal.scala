@@ -724,6 +724,112 @@ object Multimodal {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"), col("min_ham"))
   }
 
+  /** Synthetic AUDIO corpus with planted near-duplicates — the audio
+    * sibling of [[synthesizeVideoCorpus]]: clip `id` (base = `id %
+    * 100000`) is a real RIFF/WAVE payload of
+    * `64·(2 + base%3) + base%7` 16-bit mono PCM samples at 16 kHz
+    * following [[AudioCodec.oscSample]]'s closed form (dense sign
+    * oscillation — distinct bases disagree on some sample sign with
+    * overwhelming probability), ATTENUATED by `id / 100000` bits
+    * ([[AudioCodec.encodeWavOscShifted]] — arithmetic shift,
+    * sign-preserving). A clip re-published under `id + 100000` is
+    * therefore a true volume-changed RE-ENCODE: byte-different payload,
+    * sign-pattern-identical samples — the planted near-duplicate an audio
+    * dedup must drop — and every sign bit stays closed-form
+    * SQL-reproducible. The `base%7` tail exercises the fingerprinter's
+    * incomplete-final-frame drop. */
+  def synthesizeAudioCorpus(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) Row(null, null)
+        else {
+          val id = r.getLong(0)
+          val base = id % 100000L
+          val shift = (id / 100000L).toInt
+          val n = 64 * (2 + (base % 3).toInt) + (base % 7).toInt
+          Row(id, AudioCodec.encodeWavOscShifted(base, n, 16000, shift))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame sign-pattern fingerprints — the AUDIO dedup primitive: one
+    * row per complete 64-sample frame, (id, n_frames, frame_idx, sig),
+    * via a real `AudioSystem` decode + [[AudioCodec.frameSignSigs]]. A
+    * clip is represented by its ORDERED frame-sig sequence (8 bytes per
+    * frame — the only thing a store ever persists; PCM samples never
+    * cross a shuffle), and the fingerprint is invariant under positive
+    * amplitude scaling, so volume-changed re-publications carry their
+    * original's signature. Corrupt payloads contribute no rows. */
+  def audioSignSigs(media: DataFrame, idCol: String = "id",
+      payloadCol: String = "payload", frameLen: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("sig", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          AudioCodec.frameSignSigs(r.getAs[Array[Byte]](1), frameLen) match {
+            case None => Iterator.empty
+            case Some(sigs) =>
+              val nf = Integer.valueOf(sigs.length)
+              sigs.iterator.map { case (f, sig) =>
+                Row(id, nf, Integer.valueOf(f), java.lang.Long.valueOf(sig))
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Probe a batch of audio signatures against the durable STORE of
+    * frame-sig signatures — the AUDIO modality joining the incremental
+    * dedup family (d16 exact / d18 MinHash / d24 embedding / mm09 image /
+    * mm10 video). A batch clip matches a history clip iff they have the
+    * SAME frame count and EVERY aligned frame signature is EQUAL — the
+    * volume-re-encode contract (attenuation keeps every sign bit;
+    * trims/splices are different clips), so the match test is exact
+    * equality, no Hamming budget. Candidates come from frame-0 signature
+    * equality (a matching pair has frame 0 equal by definition — recall
+    * is EXACTLY 1.0 with no pigeonhole argument needed), keeping the
+    * shuffle at batch + probed buckets, never |batch|·|store|; the verify
+    * leg joins candidates frame-ALIGNED so only n_frames rows per
+    * candidate pair are compared, and history frames are 8-byte sigs,
+    * never re-decoded. Output per batch clip: kept / n_matches.
+    * `batch`/`store` carry (id|clip_id, n_frames, frame_idx, sig). */
+  def audioStoreProbe(batch: DataFrame, store: DataFrame): DataFrame = {
+    val cand = batch.filter(col("frame_idx") === 0)
+      .select(col("id"), col("sig"))
+      .join(store.filter(col("frame_idx") === 0)
+        .select(col("clip_id"), col("sig")), Seq("sig"))
+      .select(col("id"), col("clip_id")).distinct()
+    val verified = cand
+      .join(batch.select(col("id"), col("n_frames").as("nb"),
+        col("frame_idx"), col("sig")), Seq("id"))
+      .join(store.select(col("clip_id"), col("n_frames").as("nh"),
+        col("frame_idx"), col("sig").as("h_sig")),
+        Seq("clip_id", "frame_idx"))
+      .groupBy(col("id"), col("clip_id"))
+      .agg(first(col("nb")).as("nb"), first(col("nh")).as("nh"),
+        count(lit(1)).as("n_aligned"),
+        sum(when(col("sig") === col("h_sig"), 0L).otherwise(1L))
+          .as("n_diff"))
+      .filter(col("nb") === col("nh") && col("n_aligned") === col("nb")
+        && col("n_diff") === 0L)
+    val matches = verified.groupBy(col("id"))
+      .agg(countDistinct(col("clip_id")).as("n_matches"))
+    batch.select(col("id")).distinct()
+      .join(matches, Seq("id"), "left")
+      .select(col("id"), col("n_matches").isNull.as("kept"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index
     * at `fps` over the clip duration (pure explode — partition-parallel). */
   def sampleFrames(media: DataFrame, idCol: String, fps: Double): DataFrame =

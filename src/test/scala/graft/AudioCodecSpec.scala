@@ -122,4 +122,89 @@ class AudioCodecSpec extends SparkSpec {
       }.sum
     assert(e == Seq(runEnergy(1, 2, 5), runEnergy(1, 8, 11)).sorted)
   }
+
+  test("frameSignSigs: sign pack matches the closed form; tail dropped; hostile inputs") {
+    val id = 11L
+    val n = 150 // 2 complete 64-frames + a 22-sample tail (dropped)
+    val wav = AudioCodec.encodeWav(id, n, 16000)
+    val Some(sigs) = AudioCodec.frameSignSigs(wav, 64)
+    assert(sigs.map(_._1) == Seq(0, 1), "complete frames only, tail dropped")
+    sigs.foreach { case (f, sig) =>
+      var want = 0L
+      for (j <- 0 until 64)
+        if (AudioCodec.sample(id, f * 64L + j) >= 0) want |= 1L << (63 - j)
+      assert(sig == want, s"frame $f sign pack")
+    }
+    assert(AudioCodec.frameSignSigs("not audio".getBytes, 64).isEmpty)
+    assert(AudioCodec.frameSignSigs(null, 64).isEmpty)
+    intercept[IllegalArgumentException] {
+      AudioCodec.frameSignSigs(wav, 65) // can't pack >64 sign bits in a long
+    }
+  }
+
+  test("volume-shifted re-publication: byte-different payload, identical sign sigs") {
+    import spark.implicits._
+    val ids = Seq(5L, 12L, 23L)
+    val both = Multimodal.synthesizeAudioCorpus(
+      (ids ++ ids.map(_ + 100000L)).toDF("doc_id"), "doc_id")
+    val payloads = both.collect().map(r => r.getLong(0) ->
+      r.getAs[Array[Byte]](1)).toMap
+    ids.foreach { id =>
+      assert(!java.util.Arrays.equals(payloads(id), payloads(id + 100000L)),
+        s"clip $id: the attenuated re-publication must be byte-different")
+      // the attenuation really halves: decoded amplitude sum shrinks
+      val Some((_, n0, sum0, _, _)) = AudioCodec.decodeWav(payloads(id))
+      val Some((_, n1, sum1, _, _)) =
+        AudioCodec.decodeWav(payloads(id + 100000L))
+      assert(n0 == n1 && sum0 != sum1, s"clip $id: expected a volume change")
+    }
+    val sigs = Multimodal.audioSignSigs(both)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getInt(1), r.getLong(3))).toMap
+    ids.foreach { id =>
+      val nf = 2 + (id % 3).toInt
+      (0 until nf).foreach { f =>
+        assert(sigs((id, f)) == sigs((id + 100000L, f)),
+          s"clip $id frame $f: volume change moved the sign-pattern sig")
+      }
+    }
+    // probe: the re-encode drops (exact aligned equality), a genuinely
+    // different clip keeps
+    val hist = Multimodal.audioSignSigs(Multimodal.synthesizeAudioCorpus(
+        ids.toDF("doc_id"), "doc_id"))
+      .select($"id".as("clip_id"), $"n_frames", $"frame_idx", $"sig")
+    val batch = Multimodal.audioSignSigs(Multimodal.synthesizeAudioCorpus(
+      Seq(100005L, 777L).toDF("doc_id"), "doc_id"))
+    val out = Multimodal.audioStoreProbe(batch, hist)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(100005L) == (false, 1L), s"re-encode of 5 must drop: $out")
+    assert(out(777L)._1, s"fresh clip must keep: $out")
+  }
+
+  test("audioStoreProbe: frame-0 collision without full alignment keeps; frame-count mismatch keeps") {
+    import spark.implicits._
+    val store = Seq(
+      (10L, 2, 0, 111L), (10L, 2, 1, 222L), // history clip: sigs (111, 222)
+      (11L, 3, 0, 777L), (11L, 3, 1, 888L), (11L, 3, 2, 999L))
+      .toDF("clip_id", "n_frames", "frame_idx", "sig")
+    val batch = Seq(
+      // frame 0 matches clip 10 but frame 1 differs → must KEEP
+      (1L, 2, 0, 111L), (1L, 2, 1, 999L),
+      // full sig match with clip 10 → must DROP
+      (2L, 2, 0, 111L), (2L, 2, 1, 222L),
+      // exact 2-frame PREFIX of 3-frame clip 11: every aligned frame
+      // equal, only the frame count differs → must KEEP
+      (3L, 2, 0, 777L), (3L, 2, 1, 888L),
+      // no frame-0 bucket at all → must KEEP (and never shuffle wide)
+      (4L, 2, 0, 555L), (4L, 2, 1, 222L))
+      .toDF("id", "n_frames", "frame_idx", "sig")
+    val out = Multimodal.audioStoreProbe(batch, store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(1L)._1, s"partial match must keep: $out")
+    assert(out(2L) == (false, 1L), s"exact re-encode must drop: $out")
+    assert(out(3L)._1, s"frame-count mismatch must keep: $out")
+    assert(out(4L)._1, s"unmatched bucket must keep: $out")
+  }
 }

@@ -1555,6 +1555,142 @@ object MatQueries {
       |  TRUE AS replay_stable, TRUE AS store_consistent,
       |  TRUE AS store_stable""".stripMargin
 
+  // --------------------------------- m31 streaming AUDIO ingest dedup
+
+  /** Streaming AUDIO ingest dedup
+    * ([[graft.streaming.Streaming.audioIngestStream]]) — the audio leg of
+    * the streaming store-dedup matrix (m19 exact / m20 MinHash / m21
+    * semantic / m29 index / m30 video): history clips' sign-pattern
+    * signatures seed the durable store (batch −1), then a two-slab
+    * backlog drains through an AvailableNow stream — slab A is 100 fresh
+    * clips (every keep/drop is DETERMINISTIC: the frame-aligned equality
+    * probe has recall exactly 1.0 and the oscillating PCM fill makes
+    * distinct clips sign-distinct, so the oracle derives the exact
+    * survivor count from closed-form sign bits — no probabilistic gate
+    * anywhere in this row); slab B mixes volume-attenuated RE-ENCODES of
+    * history clips (caught via the seed segment), re-encodes of slab-A
+    * clips (catchable ONLY through slab A's appended segment — the store
+    * measurably GREW), and fresh clips. n_a_kept / n_b_fresh_kept /
+    * n_b_reenc_kept VALUE-match DuckDB's closed-form replay of the same
+    * two-epoch store evolution; the gates pin full-backlog replay
+    * byte-stability and exact store accounting (signature rows = seed +
+    * Σ n_frames of kept clips). */
+  private def m31(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{DedupStore, Multimodal}
+    val docs = t(s, dir, "documents")
+    val hist = Multimodal.audioSignSigs(Multimodal.synthesizeAudioCorpus(
+        docs.filter(col("doc_id") < 300), "doc_id"))
+      .select(col("id").as("clip_id"), col("n_frames"), col("frame_idx"),
+        col("sig"))
+    val base = tempDir("g_m31")
+    val store = s"$base/store"
+    val histSigRows = hist.count()
+    DedupStore.appendAudioSigs(s, store, -1L, hist)
+    val slabA = Multimodal.synthesizeAudioCorpus(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "doc_id")
+    val slabB = Multimodal.synthesizeAudioCorpus(
+      docs.filter(col("doc_id") < 400 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"))
+        .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select(col("doc_id").cast("long").as("doc_id"))), "doc_id")
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.audioIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt))
+    drain(s"$base/ckpt1")
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("id"), col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readAudioSigs(s, store).count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("id"), col("batch").cast("int").as("batch"))
+    val storeRows2 = DedupStore.readAudioSigs(s, store).count()
+    val sym = out1.withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)), Seq("id", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    // appended signature rows per kept clip = its frame count, closed form
+    val framesKept = out1
+      .agg(sum(expr("2 + (id % 100000) % 3")).as("__frames_kept"))
+    out1.agg(
+        sum(when(col("batch") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_a_kept"),
+        sum(when(col("batch") === 1 && col("id") < 100000L, 1L)
+          .otherwise(0L)).cast("bigint").as("n_b_fresh_kept"),
+        sum(when(col("batch") === 1 && col("id") >= 100000L, 1L)
+          .otherwise(0L)).cast("bigint").as("n_b_reenc_kept"))
+      .crossJoin(broadcast(sym)).crossJoin(broadcast(framesKept))
+      .select(col("n_a_kept"), col("n_b_fresh_kept"), col("n_b_reenc_kept"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        (lit(storeRows1) === lit(histSigRows) + col("__frames_kept"))
+          .as("store_consistent"),
+        lit(storeRows2 == storeRows1).as("store_stable"))
+  }
+
+  /** The m31 oracle replays the two-epoch store evolution in SQL from the
+    * closed-form sign bits: keptA = slab-A clips with no frame-aligned
+    * full-equality match in history; keptB = slab-B clips with no match
+    * in history ∪ keptA (re-encodes carry their base's signature, so
+    * every transcode matches either its stored base or the same history
+    * clip its base matched — n_b_reenc_kept is derived, not assumed). */
+  private val m31Sql =
+    """WITH bases AS (SELECT DISTINCT doc_id AS b FROM documents
+      |    WHERE doc_id < 450),
+      |dims AS (SELECT b, CAST(2 + b % 3 AS INT) AS nf FROM bases),
+      |fr AS (SELECT b, nf, unnest(range(nf)) AS f FROM dims),
+      |bits AS (SELECT b, nf, f, unnest(range(64)) AS j FROM fr),
+      |sg AS (SELECT b, nf, f, CAST(SUM(CASE
+      |    WHEN (b * 20011 + 9973 * (f * 64 + j)
+      |          + b * (f * 64 + j) * 37) % 65536 >= 32768 THEN
+      |      CASE WHEN j = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << (63 - j)) END
+      |    ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY 1, 2, 3),
+      |hist AS (SELECT b AS clip_id, nf, f, sig FROM sg WHERE b < 300),
+      |slab_a AS (SELECT b AS id, nf, f, sig FROM sg
+      |  WHERE b >= 300 AND b < 400),
+      |kept_a AS (SELECT DISTINCT id FROM slab_a
+      |  WHERE id NOT IN (
+      |    SELECT a.id FROM slab_a a JOIN hist h ON a.f = h.f AND a.nf = h.nf
+      |    GROUP BY a.id, h.clip_id
+      |    HAVING SUM(CASE WHEN a.sig <> h.sig THEN 1 ELSE 0 END) = 0)),
+      |store1 AS (SELECT clip_id, nf, f, sig FROM hist
+      |  UNION ALL
+      |  SELECT id, nf, f, sig FROM slab_a WHERE id IN (SELECT id FROM kept_a)),
+      |slab_b AS (
+      |  SELECT b + 100000 AS id, nf, f, sig FROM sg
+      |  WHERE b < 400 AND b % 5 = 0
+      |  UNION ALL
+      |  SELECT b AS id, nf, f, sig FROM sg WHERE b >= 400 AND b < 450),
+      |kept_b AS (SELECT DISTINCT id FROM slab_b
+      |  WHERE id NOT IN (
+      |    SELECT sb.id FROM slab_b sb JOIN store1 st
+      |      ON sb.f = st.f AND sb.nf = st.nf
+      |    GROUP BY sb.id, st.clip_id
+      |    HAVING SUM(CASE WHEN sb.sig <> st.sig THEN 1 ELSE 0 END) = 0))
+      |SELECT
+      |  (SELECT COUNT(*) FROM kept_a) AS n_a_kept,
+      |  (SELECT COUNT(*) FROM kept_b WHERE id < 100000) AS n_b_fresh_kept,
+      |  (SELECT COUNT(*) FROM kept_b WHERE id >= 100000) AS n_b_reenc_kept,
+      |  TRUE AS replay_stable, TRUE AS store_consistent,
+      |  TRUE AS store_stable""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1587,7 +1723,8 @@ object MatQueries {
     "m27_stream_static_join" -> (m27 _),
     "m28_incremental_rollup" -> (m28 _),
     "m29_streaming_index_ingest" -> (m29 _),
-    "m30_streaming_video_dedup" -> (m30 _))
+    "m30_streaming_video_dedup" -> (m30 _),
+    "m31_streaming_audio_dedup" -> (m31 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1619,5 +1756,6 @@ object MatQueries {
     "m27_stream_static_join" -> m27Sql,
     "m28_incremental_rollup" -> m28Sql,
     "m29_streaming_index_ingest" -> m29Sql,
-    "m30_streaming_video_dedup" -> m30Sql)
+    "m30_streaming_video_dedup" -> m30Sql,
+    "m31_streaming_audio_dedup" -> m31Sql)
 }

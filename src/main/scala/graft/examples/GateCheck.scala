@@ -73,6 +73,13 @@ object GateCheck {
     // streamed VIDEO store dedup: deterministic keep/drop (pigeonhole-
     // exact probe), replay byte-stability, frame-level store accounting
     "m30_streaming_video_dedup",
+    // audio near-dup store probe: frame-0 equality candidates must equal
+    // the in-query exhaustive frame-aligned twin (kept is DATA — see
+    // gateColsOverride)
+    "mm11_audio_neardup",
+    // streamed AUDIO store dedup: deterministic keep/drop (equality
+    // probe, recall exactly 1), replay byte-stability, store accounting
+    "m31_streaming_audio_dedup",
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx",
     // KMV theta sketch: union/intersection estimates vs the exact twin
@@ -91,7 +98,8 @@ object GateCheck {
     * failure). Default for every other query: all boolean columns. */
   val gateColsOverride: Map[String, Seq[String]] = Map(
     "t24_substring_dedup_hashed" -> Seq("hashed_identical"),
-    "mm10_video_neardup" -> Seq("exact_ok"))
+    "mm10_video_neardup" -> Seq("exact_ok"),
+    "mm11_audio_neardup" -> Seq("exact_ok"))
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -414,6 +414,52 @@ object Streaming {
       }
       .start()
 
+  /** Streaming AUDIO ingest dedup — the audio sibling of
+    * [[videoIngestStream]], completing streaming parity for the store
+    * modality matrix (exact fp / MinHash / semantic / index / video /
+    * AUDIO): each micro-batch's clips decode ONCE into ordered per-frame
+    * sign-pattern fingerprints ([[graft.llm.Multimodal.audioSignSigs]] —
+    * the only PCM-touching step, reused for both the probe and the
+    * append), probe the durable frame-sig store
+    * ([[graft.llm.Multimodal.audioStoreProbe]] — frame-0
+    * signature-equality candidates, frame-aligned equality verify, recall
+    * exactly 1.0; shuffle ∝ batch + probed buckets), survivors' CLIPS
+    * land under `outDir/batch=<id>` and their SIGNATURES (8 bytes per
+    * frame, never samples) append as store segment `<id>` — the done
+    * marker is the batch's commit token, so a replayed batch skips
+    * end-to-end and dedup state survives restarts, spans arbitrary gaps,
+    * and is shared with the batch probe path (mm11). Seed history with a
+    * NEGATIVE batchId (`DedupStore.appendAudioSigs(spark, root, -1L,
+    * sigs)`). */
+  def audioIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      idCol: String = "id", payloadCol: String = "payload"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val sigs = graft.llm.Multimodal.audioSignSigs(batch, idCol,
+              payloadCol)
+            .localCheckpoint() // decode once: feeds the probe AND the append
+          val keptIds = graft.llm.Multimodal.audioStoreProbe(sigs,
+              graft.llm.DedupStore.readAudioSigs(spark, storeRoot))
+            .filter(col("kept")).select(col("id"))
+            .localCheckpoint() // feeds the clip semi-join AND the signing
+          batch.select(col(idCol).cast("long").as("id"),
+              col(payloadCol).as("payload"))
+            .join(keptIds, Seq("id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendAudioSigs(spark, storeRoot, id,
+            sigs.join(keptIds, Seq("id"), "left_semi")
+              .select(col("id").as("clip_id"), col("n_frames"),
+                col("frame_idx"), col("sig")))
+          ()
+        }
+      }
+      .start()
+
   // --------------------------------------------------------- stateful ops
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -27,7 +27,7 @@ object MatQueries {
     * ingest stores) need fresh state per run, but repeated verify/bench
     * runs must not accumulate /tmp garbage across processes (the j01/j02
     * staging lesson, applied to the per-call sites). */
-  private def tempDir(prefix: String): String = {
+  private[graft] def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     // LOW-priority hook on Hadoop's ordered shutdown manager: a plain
     // Runtime hook runs CONCURRENTLY with Spark's own shutdown, which can

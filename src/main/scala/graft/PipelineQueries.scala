@@ -675,6 +675,133 @@ private[graft] object PipelineQueries {
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------- p05 STREAMING export pipeline
+
+  /** Streaming incremental EXPORT pipeline
+    * ([[graft.streaming.Streaming.exportIngestStream]]) — the p04
+    * curation-export DAG run per MICRO-BATCH against durable state
+    * instead of per corpus: epoch 0 is the raw documents table; epoch 1
+    * mixes exact RE-PUBLICATIONS of every 4th document under an offset id
+    * (same text — the fingerprint store built by epoch 0 must drop them
+    * without ever rescanning epoch-0 text) and genuinely fresh documents
+    * (every 4th+1, text extended — new fingerprints, must export). Each
+    * batch flows quality gate → store-probed exact dedup → content-hash
+    * shard assign → shard-partitioned export, with fingerprints as the
+    * commit token. The per-shard manifest over BOTH epochs (n_docs /
+    * total_tokens / id_sum — order-independent sums, so streaming order
+    * can't perturb them) VALUE-matches DuckDB's batch replay of the same
+    * quality + min-id dedup + nibble-shard pipeline; the gates pin
+    * full-backlog replay byte-stability and store accounting (fingerprint
+    * rows = exported docs). At 100 TB this is the shape that matters:
+    * curation cost ∝ new slab, never ∝ corpus. */
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(docs)
+    val base = MatQueries.tempDir("g_p05")
+    val store = s"$base/store"
+    val slabA = docs
+    val slabB = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + lit(off)).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text")))
+    def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/$name.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      ()
+    }
+    moveIn(slabA, "slab-a", 600000L)
+    moveIn(slabB, "slab-b", 1200000L)
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.exportIngestStream(s,
+          s.readStream.schema(slabA.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          store, s"$base/out", ckpt))
+    drain(s"$base/ckpt1")
+    val out1 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("batch").cast("int").as("batch"))
+      .localCheckpoint()
+    val storeRows1 = DedupStore.readFingerprints(s, store).count()
+    drain(s"$base/ckpt2")
+    val out2 = s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("shard"), col("batch").cast("int").as("batch"))
+    val sym = out1.select(col("doc_id"), col("shard"), col("batch"))
+      .withColumn("__a", lit(1))
+      .join(out2.withColumn("__b", lit(1)),
+        Seq("doc_id", "shard", "batch"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_diff"))
+    val nOut = out1.count()
+    out1.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .crossJoin(broadcast(sym))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("total_tokens"), col("id_sum"),
+        (coalesce(col("__n_diff"), lit(0L)) === 0L).as("replay_stable"),
+        lit(storeRows1 == nOut).as("store_consistent"))
+      .orderBy(col("shard"))
+  }
+
+  /** The p05 oracle replays the two-epoch evolution as one batch: quality
+    * over the union (fresh docs' extended text re-scored, not assumed),
+    * keeper = min doc_id per fingerprint (equal to first-epoch-wins here
+    * because every re-publication's id sits one idOffset above its base),
+    * then the p04 nibble-shard assignment and per-shard sums. */
+  private val p05Sql = {
+    val allWords = graft.llm.TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |slab AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off), text FROM documents
+       |  WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off), text || ' zq' FROM documents
+       |  WHERE doc_id % 4 = 1),
+       |base AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM slab),
+       |pre AS (SELECT doc_id, text, tk,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base),
+       |kept AS (SELECT doc_id, text, tk FROM pre
+       |  WHERE ${graft.LlmShared.qualitySqlExpr("len(tk)")} >= 0.3),
+       |norm AS (SELECT doc_id, text, tk,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM kept),
+       |keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM norm GROUP BY 1),
+       |dd AS (SELECT n.doc_id, n.text, n.tk FROM norm n
+       |  JOIN keeper k ON n.doc_id = k.doc_id),
+       |a AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    md5('p05' || text) AS h
+       |  FROM dd)
+       |SELECT CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+       |    AS INT) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  TRUE AS replay_stable, TRUE AS store_consistent
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------ j04 snapshot diff (CDC)
 
   /** Row-level snapshot diff ([[graft.exec.SnapshotDiff.diff]]): the CDC
@@ -834,6 +961,7 @@ private[graft] object PipelineQueries {
     "p02_curation_pipeline_approx" -> (p02 _),
     "p03_curation_multimodal" -> (p03 _),
     "p04_export_pipeline" -> (p04 _),
+    "p05_streaming_export" -> (p05 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _),
@@ -846,6 +974,7 @@ private[graft] object PipelineQueries {
     "p02_curation_pipeline_approx" -> p02Sql,
     "p03_curation_multimodal" -> p03Sql,
     "p04_export_pipeline" -> p04Sql,
+    "p05_streaming_export" -> p05Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql,

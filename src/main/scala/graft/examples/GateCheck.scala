@@ -82,6 +82,9 @@ object GateCheck {
     "m31_streaming_audio_dedup",
     // approximate curation pipeline: per-stage planted-structure gates
     "p02_curation_pipeline_approx",
+    // streaming export pipeline: replay byte-stability + fingerprint
+    // store accounting across the two-epoch backlog
+    "p05_streaming_export",
     // KMV theta sketch: union/intersection estimates vs the exact twin
     "q35_kmv_intersection",
     // quantizer staleness monitor: same-distribution batch must not

@@ -253,6 +253,59 @@ object Streaming {
       }
       .start()
 
+  /** Streaming EXPORT pipeline — the incremental form of the batch
+    * curation-export DAG (p04): each micro-batch flows quality gate →
+    * incremental exact dedup against the durable fingerprint store
+    * ([[graft.llm.Dedup.incrementalExact]] — anti-join on 16-byte
+    * fingerprints, shuffle ∝ batch + store fps, historical text never
+    * rescanned) → token count + content-hash shard assignment →
+    * SHARD-PARTITIONED parquet export under `outDir/batch=<id>/shard=<s>`,
+    * and the surviving fingerprints append as store segment `<id>` — the
+    * done marker is the batch's commit token, so a replayed batch skips
+    * end-to-end, a crash between the export write and the marker
+    * re-probes the unchanged store and overwrites the same batch dir
+    * with the same rows, and the curated corpus is NEVER re-curated: at
+    * 100 TB the export runs once per ingested slab, not once per corpus.
+    * The shard assignment is pure content hash (first 4 md5 nibbles of
+    * `saltPrefix ++ text` mod `shards`), so shard membership is stable
+    * across batches, restarts, and replans — downstream training readers
+    * can consume shards while later batches still append. */
+  def exportIngestStream(spark: SparkSession, src: DataFrame,
+      storeRoot: String, outDir: String, checkpointDir: String,
+      minQuality: Double = 0.3, shards: Int = 8, saltPrefix: String = "p05",
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val committed = graft.llm.DedupStore.committedBatches(spark, storeRoot)
+        if (!committed.contains(id) && !batch.isEmpty) {
+          val kept = batch.filter(
+            graft.llm.TextOps.qualityScore(col(textCol)) >= minQuality)
+          // bootstrap-friendly: a brand-new pipeline's first batch sees an
+          // EMPTY store, not a missing-segment error (no seeding ceremony)
+          val store = if (committed.isEmpty)
+            graft.llm.Dedup.fingerprintStore(batch.limit(0), textCol)
+          else graft.llm.DedupStore.readFingerprints(spark, storeRoot)
+          val newFps = graft.llm.Dedup.incrementalExact(kept, store,
+              idCol, textCol)
+            .localCheckpoint() // feeds the export semi-join AND the append
+          kept.join(newFps.select(col(idCol)), Seq(idCol), "left_semi")
+            .select(col(idCol), col(textCol),
+              graft.llm.TextOps.tokenCount(col(textCol)).cast("long")
+                .as("n_tokens"),
+              pmod(conv(substring(md5(concat(lit(saltPrefix),
+                col(textCol))), 1, 4), 16, 10).cast("long"),
+                lit(shards.toLong)).cast("int").as("shard"))
+            .write.partitionBy("shard").mode("overwrite")
+            .parquet(s"$outDir/batch=$id")
+          graft.llm.DedupStore.appendFingerprints(spark, storeRoot, id,
+            newFps)
+          ()
+        }
+      }
+      .start()
+
   /** The NEAR-dup sibling of [[dedupIngestStream]] — streaming ingest
     * deduplication against the durable MinHash signature store: each
     * micro-batch probes [[graft.llm.DedupStore.readNearDup]]

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{CompressionSignal, Dedup, Multimodal, NumericQuality, Packing, Sampling, Similarity, Sketches, TextOps}
 import graft.LlmShared.{t, staging, idOffset, docsWithNearDups, qualitySqlExpr}
 
-/** Dedup / decontamination / sampling queries (d01–d27): exact,
+/** Dedup / decontamination / sampling queries (d01–d29): exact,
   * MinHash-LSH, SimHash, n-gram Jaccard, cluster canonicalization, the
   * durable-store ingest loops, splits and samplers.
   * Split out of LlmQueries by family (r11) — pure move; the public surface
@@ -1309,6 +1309,81 @@ private[graft] object DedupQueries {
       |  TRUE AS linear_ok, TRUE AS marker_recall_ok
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  // ----------------------------------------- d29 shard export AUDIT
+
+  /** Consumer-side export audit ([[Sampling.auditShardExport]]): the
+    * producer publishes a d27-style manifest; the delivered rows are then
+    * CORRUPTED two ways — doc 0 dropped (a lost row — and deliberately
+    * the one id that contributes NOTHING to the id checksum, so only the
+    * row count and the position-weighted order fingerprint catch it) and
+    * doc 1's id substituted with an off-corpus id while its text (the
+    * shard key) stays put (breaks ids and the order fingerprint but NOT
+    * the row count or hash range — the class a naive count-only audit
+    * misses). Between them every detector column is exercised. The audit
+    * recomputes the manifest from the delivered rows and compares per
+    * shard; every flag is VALUE-matched against DuckDB's relational
+    * replay of the same corruption, including the six untouched shards
+    * auditing clean. */
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(docs)
+    val manifest = Sampling.shardManifest(docs, col("text"), col("doc_id"),
+      nShards = 8, salt = "d29")
+    val delivered = docs.filter(col("doc_id") =!= 0 && col("doc_id") =!= 1)
+      .unionByName(docs.filter(col("doc_id") === 1)
+        .select(lit(off).as("doc_id"), col("text")))
+    Sampling.auditShardExport(delivered, manifest, col("text"),
+        col("doc_id"), nShards = 8, salt = "d29")
+      .orderBy(col("shard"))
+  }
+
+  private val d29Sql =
+    """WITH del AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1)
+      |  UNION ALL
+      |  SELECT (SELECT MAX(doc_id) + 1 FROM documents), text
+      |  FROM documents WHERE doc_id = 1),
+      |mt AS (SELECT doc_id, text, md5('d29' || text) AS h FROM documents),
+      |ma AS (SELECT doc_id, h,
+      |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+      |      AS shard FROM mt),
+      |mp AS (SELECT shard, doc_id, h,
+      |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |  FROM ma),
+      |man AS (SELECT shard, COUNT(*) AS n_rows,
+      |    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |    CAST(SUM((pos * (doc_id % 1000003)) % 1000000007) % 1000000007
+      |      AS BIGINT) AS order_fp,
+      |    MIN(h) AS first_key, MAX(h) AS last_key
+      |  FROM mp GROUP BY 1),
+      |rt AS (SELECT doc_id, text, md5('d29' || text) AS h FROM del),
+      |ra AS (SELECT doc_id, h,
+      |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+      |      AS shard FROM rt),
+      |rp AS (SELECT shard, doc_id, h,
+      |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |  FROM ra),
+      |rec AS (SELECT shard, COUNT(*) AS n_rows,
+      |    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |    CAST(SUM((pos * (doc_id % 1000003)) % 1000000007) % 1000000007
+      |      AS BIGINT) AS order_fp,
+      |    MIN(h) AS first_key, MAX(h) AS last_key
+      |  FROM rp GROUP BY 1)
+      |SELECT shard, COALESCE(r.n_rows, 0) AS n_rows,
+      |  (r.n_rows IS NOT DISTINCT FROM m.n_rows) AS rows_ok,
+      |  (r.id_sum IS NOT DISTINCT FROM m.id_sum) AS ids_ok,
+      |  (r.order_fp IS NOT DISTINCT FROM m.order_fp) AS order_ok,
+      |  (r.first_key IS NOT DISTINCT FROM m.first_key
+      |   AND r.last_key IS NOT DISTINCT FROM m.last_key) AS range_ok
+      |FROM rec r FULL OUTER JOIN man m USING (shard)
+      |ORDER BY shard""".stripMargin
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh_pairs" -> (d02 _),
@@ -1337,7 +1412,8 @@ private[graft] object DedupQueries {
     "d25_semantic_store_append" -> (d25 _),
     "d26_exact_cap_sample" -> (d26 _),
     "d27_shard_manifest" -> (d27 _),
-    "d28_capped_pairs" -> (d28 _))
+    "d28_capped_pairs" -> (d28 _),
+    "d29_export_audit" -> (d29 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1367,5 +1443,6 @@ private[graft] object DedupQueries {
     "d25_semantic_store_append" -> d25Sql,
     "d26_exact_cap_sample" -> d26Sql,
     "d27_shard_manifest" -> d27Sql,
-    "d28_capped_pairs" -> d28Sql)
+    "d28_capped_pairs" -> d28Sql,
+    "d29_export_audit" -> d29Sql)
 }

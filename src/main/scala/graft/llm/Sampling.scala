@@ -464,4 +464,34 @@ object Sampling {
         min(col("__h")).as("first_key"),
         max(col("__h")).as("last_key"))
   }
+
+  /** Audit a DELIVERED export against its claimed [[shardManifest]] — the
+    * consumer-side half of the reproducible-export contract: recompute
+    * the manifest from the delivered rows (same key/id/nShards/salt
+    * dials) and compare per shard. `rows_ok` catches cardinality drift
+    * (a lost or duplicated file), `ids_ok` membership drift (wrong rows
+    * of the right count), `order_ok` any change to the canonical
+    * training order (position-weighted, so id substitutions that
+    * preserve the id SUM still break it), `range_ok` the shard's hash
+    * span; null-safe comparisons make a missing shard fail every flag
+    * rather than vanish from the report. Cost: the recompute's one
+    * (shard) shuffle over the delivered rows + a join against the
+    * nShards-row claimed manifest — auditing a 100 TB export costs one
+    * pass, and the manifest side is kilobytes. */
+  def auditShardExport(delivered: DataFrame, manifest: DataFrame,
+      key: Column, id: Column, nShards: Int, salt: String = ""): DataFrame = {
+    val recomputed = shardManifest(delivered, key, id, nShards, salt)
+    val m = manifest.select(col("shard"),
+      col("n_rows").as("__m_rows"), col("id_sum").as("__m_ids"),
+      col("order_fp").as("__m_fp"), col("first_key").as("__m_first"),
+      col("last_key").as("__m_last"))
+    recomputed.join(broadcast(m), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        (col("n_rows") <=> col("__m_rows")).as("rows_ok"),
+        (col("id_sum") <=> col("__m_ids")).as("ids_ok"),
+        (col("order_fp") <=> col("__m_fp")).as("order_ok"),
+        (col("first_key") <=> col("__m_first") &&
+          col("last_key") <=> col("__m_last")).as("range_ok"))
+  }
 }

@@ -271,4 +271,35 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(fps(two) != fps(swapped),
       "order_fp must distinguish the same membership in a different order")
   }
+
+  test("auditShardExport: clean delivery passes; duplication, loss, and a missing shard fail loudly") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val man = Sampling.shardManifest(docs, $"text", $"doc_id", nShards = 4,
+      salt = "au1")
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      Sampling.auditShardExport(df, man, $"text", $"doc_id", nShards = 4,
+          salt = "au1")
+        .orderBy($"shard").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
+    // clean: every flag true on every shard, even under a different layout
+    assert(audit(docs.repartition(7)).values.forall(_ == ((true, true, true, true))))
+    // duplicated row: its shard fails rows+ids+order; others stay clean
+    val dup = docs.unionByName(docs.filter($"doc_id" === 2L))
+    val dupFlags = audit(dup)
+    assert(dupFlags.count(_._2 == ((true, true, true, true))) == 3)
+    assert(dupFlags.exists { case (_, (r, i, o, _)) => !r && !i && !o })
+    // a whole shard missing must surface as a failing row, not vanish
+    val shardOf = pmod(conv(substring(md5(concat(lit("au1"), $"text")),
+      1, 4), 16, 10).cast("long"), lit(4L))
+    val gone = Sampling.auditShardExport(docs.filter(shardOf =!= 0L), man,
+        $"text", $"doc_id", nShards = 4, salt = "au1")
+      .orderBy($"shard").collect()
+    assert(gone.length == 4, "the missing shard must still report")
+    val s0 = gone.find(_.getLong(0) == 0L).get
+    assert(s0.getLong(1) == 0L && !s0.getBoolean(2) && !s0.getBoolean(3)
+      && !s0.getBoolean(4) && !s0.getBoolean(5),
+      s"missing shard must fail every flag: $s0")
+  }
 }

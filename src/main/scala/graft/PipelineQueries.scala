@@ -694,12 +694,14 @@ private[graft] object PipelineQueries {
     * full-backlog replay byte-stability and store accounting (fingerprint
     * rows = exported docs). At 100 TB this is the shape that matters:
     * curation cost ∝ new slab, never ∝ corpus. */
-  private def p05(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.DedupStore
+  /** Stage the p05/p06 two-epoch document backlog under `base/src`
+    * (slab A = raw corpus, slab B = exact re-publications of every 4th
+    * doc + fresh extended-text docs, both under offset ids) and return
+    * the slab schema for the file-stream reader. */
+  private def stageExportSlabs(s: SparkSession, dir: String,
+      base: String): org.apache.spark.sql.types.StructType = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val off = idOffset(docs)
-    val base = MatQueries.tempDir("g_p05")
-    val store = s"$base/store"
     val slabA = docs
     val slabB = docs.filter(col("doc_id") % 4 === 0)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
@@ -719,12 +721,23 @@ private[graft] object PipelineQueries {
     }
     moveIn(slabA, "slab-a", 600000L)
     moveIn(slabB, "slab-b", 1200000L)
-    def drain(ckpt: String): Unit =
-      graft.streaming.Streaming.runToCompletion(
-        graft.streaming.Streaming.exportIngestStream(s,
-          s.readStream.schema(slabA.schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
-          store, s"$base/out", ckpt))
+    slabA.schema
+  }
+
+  private def exportDrain(s: SparkSession, base: String,
+      schema: org.apache.spark.sql.types.StructType, ckpt: String): Unit =
+    graft.streaming.Streaming.runToCompletion(
+      graft.streaming.Streaming.exportIngestStream(s,
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+        s"$base/store", s"$base/out", ckpt))
+
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val base = MatQueries.tempDir("g_p05")
+    val store = s"$base/store"
+    val schema = stageExportSlabs(s, dir, base)
+    def drain(ckpt: String): Unit = exportDrain(s, base, schema, ckpt)
     drain(s"$base/ckpt1")
     val out1 = s.read.parquet(s"$base/out")
       .select(col("doc_id"), col("n_tokens"), col("shard"),
@@ -799,6 +812,99 @@ private[graft] object PipelineQueries {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        |  TRUE AS replay_stable, TRUE AS store_consistent
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------ p06 export COMPACTION under audit
+
+  /** Small-file compaction of a streaming export, proven membership-safe
+    * by the d29 audit: the p05 two-epoch backlog drains once (every
+    * micro-batch write lands its own files per shard — the accumulation
+    * that makes consumers open O(batches·shards) files), a d27-style
+    * manifest is taken of the BATCHED export, then
+    * [[graft.exec.Maintenance.compactExport]] consolidates to exactly one
+    * data file per shard (one (shard) shuffle), and
+    * [[graft.llm.Sampling.auditShardExport]] re-audits the COMPACTED
+    * directory against the pre-compact manifest — rows_ok / ids_ok /
+    * order_ok / range_ok all hold per shard (compaction moved bytes, not
+    * membership), `compacted_ok` pins the physical claim (one file per
+    * non-empty shard, strictly fewer files than before). Per-shard totals
+    * VALUE-match the same relational replay as p05; the manifest salt
+    * matches the export's shard assignment, so the audit's shard IS the
+    * physical partition directory. */
+  private def p06(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Maintenance
+    val base = MatQueries.tempDir("g_p06")
+    val schema = stageExportSlabs(s, dir, base)
+    exportDrain(s, base, schema, s"$base/ckpt1")
+    val export = s.read.parquet(s"$base/out")
+    val manifest = Sampling.shardManifest(export, col("text"),
+      col("doc_id"), nShards = 8, salt = "p05")
+    val filesBefore = Maintenance.dataFileCount(s, s"$base/out")
+    val compacted = Maintenance.compactExport(s, s"$base/out",
+      s"$base/compact", nShards = 8)
+    val filesAfter = Maintenance.dataFileCount(s, s"$base/compact")
+    val nShardsLive = compacted.select(col("shard")).distinct().count()
+    val audit = Sampling.auditShardExport(compacted, manifest, col("text"),
+      col("doc_id"), nShards = 8, salt = "p05")
+    compacted.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .join(audit.select(col("shard"), col("rows_ok"), col("ids_ok"),
+        col("order_ok"), col("range_ok")), Seq("shard"))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("total_tokens"), col("id_sum"), col("rows_ok"), col("ids_ok"),
+        col("order_ok"), col("range_ok"),
+        lit(filesAfter == nShardsLive && filesAfter < filesBefore)
+          .as("compacted_ok"))
+      .orderBy(col("shard"))
+  }
+
+  /** Same relational replay as p05 (the compaction must not move a single
+    * row), with the audit and physical-layout flags as gates. */
+  private val p06Sql = {
+    val allWords = graft.llm.TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |slab AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off), text FROM documents
+       |  WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT o FROM off), text || ' zq' FROM documents
+       |  WHERE doc_id % 4 = 1),
+       |base AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tk
+       |  FROM slab),
+       |pre AS (SELECT doc_id, text, tk,
+       |    length(text) - length(regexp_replace(text,
+       |        '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+       |    len(list_filter(tk, x -> list_contains($allWords, x))) AS sw_hits
+       |  FROM base),
+       |kept AS (SELECT doc_id, text, tk FROM pre
+       |  WHERE ${graft.LlmShared.qualitySqlExpr("len(tk)")} >= 0.3),
+       |norm AS (SELECT doc_id, text, tk,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM kept),
+       |keeper AS (SELECT fp, MIN(doc_id) AS doc_id FROM norm GROUP BY 1),
+       |dd AS (SELECT n.doc_id, n.text, n.tk FROM norm n
+       |  JOIN keeper k ON n.doc_id = k.doc_id),
+       |a AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    md5('p05' || text) AS h
+       |  FROM dd)
+       |SELECT CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 8
+       |    AS INT) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  TRUE AS rows_ok, TRUE AS ids_ok, TRUE AS order_ok,
+       |  TRUE AS range_ok, TRUE AS compacted_ok
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
@@ -962,6 +1068,7 @@ private[graft] object PipelineQueries {
     "p03_curation_multimodal" -> (p03 _),
     "p04_export_pipeline" -> (p04 _),
     "p05_streaming_export" -> (p05 _),
+    "p06_export_compaction" -> (p06 _),
     "j01_jsonl_ingest" -> (j01 _),
     "j02_provenance" -> (j02 _),
     "j03_ingest_chain" -> (j03 _),
@@ -975,6 +1082,7 @@ private[graft] object PipelineQueries {
     "p03_curation_multimodal" -> p03Sql,
     "p04_export_pipeline" -> p04Sql,
     "p05_streaming_export" -> p05Sql,
+    "p06_export_compaction" -> p06Sql,
     "j01_jsonl_ingest" -> j01Sql,
     "j02_provenance" -> j02Sql,
     "j03_ingest_chain" -> j03Sql,

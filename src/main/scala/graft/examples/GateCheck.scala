@@ -85,6 +85,9 @@ object GateCheck {
     // streaming export pipeline: replay byte-stability + fingerprint
     // store accounting across the two-epoch backlog
     "p05_streaming_export",
+    // export compaction under audit: membership/order bit-preserved
+    // (d29 audit flags) + the one-file-per-shard physical claim
+    "p06_export_compaction",
     // KMV theta sketch: union/intersection estimates vs the exact twin
     "q35_kmv_intersection",
     // quantizer staleness monitor: same-distribution batch must not

@@ -360,4 +360,47 @@ object Maintenance {
     }
     actions.toSeq
   }
+
+  /** Compact a STREAMING EXPORT directory (`batch=<id>/shard=<s>` slabs
+    * accumulated by [[graft.streaming.Streaming.exportIngestStream]]) into
+    * a consolidated `shard=<s>` layout with exactly one data file per
+    * shard: each micro-batch write lands its own small files per shard,
+    * and after N batches a consumer opens O(N·shards) files — the classic
+    * small-files tax that dominates scan cost at 100 TB long before
+    * bytes do. One shuffle on (shard) — every shard is routed wholly to
+    * one task, so `partitionBy` emits exactly one file per shard — and
+    * the batch provenance column is dropped (membership, not lineage, is
+    * the compacted artifact's contract; the batched original remains the
+    * lineage record). Row membership is bit-preserved: the caller proves
+    * it by auditing the compacted dir against the pre-compact manifest
+    * ([[graft.llm.Sampling.auditShardExport]]). Returns the compacted
+    * frame. */
+  def compactExport(spark: SparkSession, exportDir: String, outDir: String,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    spark.read.parquet(exportDir)
+      .drop("batch")
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** Count data files under a directory tree (hidden `_`/`.` entries
+    * excluded) — the before/after measurement for [[compactExport]].
+    * Driver-side metadata walk, bounded by the export's file count. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: org.apache.hadoop.fs.Path): Int = {
+      val stats =
+        try fs.listStatus(p).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      stats.map { s =>
+        if (s.isFile)
+          (if (!s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".")) 1 else 0)
+        else walk(s.getPath)
+      }.sum
+    }
+    walk(root)
+  }
 }

@@ -411,4 +411,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"funnel must not self-join the events table:\n$p")
   }
+
+  test("audioStoreProbe: hash joins on sig buckets — no all-pairs, no window, partial aggs") {
+    import graft.llm.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hist = Multimodal.audioSignSigs(Multimodal.synthesizeAudioCorpus(
+        docs.filter(col("doc_id") < 50), "doc_id"))
+      .select(col("id").as("clip_id"), col("n_frames"), col("frame_idx"),
+        col("sig"))
+    val batch = Multimodal.audioSignSigs(Multimodal.synthesizeAudioCorpus(
+      docs.filter(col("doc_id") >= 50).filter(col("doc_id") < 80), "doc_id"))
+    val p = Multimodal.audioStoreProbe(batch, hist)
+      .queryExecution.explainString(SimpleMode)
+    // candidates come from a frame-0 signature EQUI-join; anything
+    // nested-loop-shaped would be |batch|x|store| at scale
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs shape:\n$p")
+    assert(!p.contains("Window"), s"window appeared:\n$p")
+    // per-pair and per-clip rollups must combine map-side
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"aggregation not partial:\n$p")
+    // what shuffles is 8-byte signatures, never PCM payloads: the only
+    // binary column dies inside the decode mapPartitions
+    assert(!p.linesIterator.exists(l => l.contains("Exchange")
+      && l.contains("payload")), s"payload bytes crossed a shuffle:\n$p")
+  }
 }

@@ -708,28 +708,40 @@ private[graft] object PipelineQueries {
       .unionByName(docs.filter(col("doc_id") % 4 === 1)
         .select((col("doc_id") + lit(off)).as("doc_id"),
           concat(col("text"), lit(" zq")).as("text")))
+    // each slab lands as EXACTLY `SlabFiles` parquet files sharing one
+    // mtime, so `maxFilesPerTrigger = SlabFiles` makes slab == micro-batch
+    // while the staging write stays parallel (a coalesce(1) stage was the
+    // serial bottleneck at sf10 — the slab is the whole corpus here, not
+    // an id-capped plant)
     def moveIn(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = s"$base/stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(s"$base/src/$name.parquet")
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-      ()
+      df.repartition(SlabFiles).write.mode("overwrite").parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.length == SlabFiles,
+        s"staging must land $SlabFiles files, got ${parts.length}")
+      new java.io.File(s"$base/src").mkdirs()
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val dst = new java.io.File(s"$base/src/$name-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
     }
     moveIn(slabA, "slab-a", 600000L)
     moveIn(slabB, "slab-b", 1200000L)
     slabA.schema
   }
 
+  /** Files per staged slab; the file-stream trigger consumes exactly this
+    * many per micro-batch, so the slab boundary IS the batch boundary. */
+  private val SlabFiles = 4
+
   private def exportDrain(s: SparkSession, base: String,
       schema: org.apache.spark.sql.types.StructType, ckpt: String): Unit =
     graft.streaming.Streaming.runToCompletion(
       graft.streaming.Streaming.exportIngestStream(s,
         s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          .option("maxFilesPerTrigger", SlabFiles).parquet(s"$base/src"),
         s"$base/store", s"$base/out", ckpt))
 
   private def p05(s: SparkSession, dir: String): DataFrame = {

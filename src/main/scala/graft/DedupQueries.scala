@@ -1384,6 +1384,136 @@ private[graft] object DedupQueries {
       |FROM rec r FULL OUTER JOIN man m USING (shard)
       |ORDER BY shard""".stripMargin
 
+  // ----------------------------------------- d30 as-of store audit
+
+  /** TIME-TRAVEL dedup audit ([[graft.llm.DedupStore.readAsOf]]): the
+    * fingerprint store grows over three ingests (seed corpus → batch-1
+    * 'newdoc' survivors → batch-2 'fresh' survivors), then a disputed
+    * probe batch is re-classified against the store AS IT STOOD after
+    * each ingest — "why was this document dropped last Tuesday?" answered
+    * exactly, after later ingests landed. Every committed segment is an
+    * immutable dated fact, so as-of N is just "segments ≤ N" — no
+    * snapshot copies, no log replay; the monotone kept-counts
+    * (asof0 ≥ asof1 ≥ asof2, strict where the probe re-publishes that
+    * epoch's docs) VALUE-match DuckDB's cumulative-set replay, and
+    * head_ok pins as-of-head ≡ the live read (same kept set, both ways).
+    * Compaction interplay is spec territory: a fold carries an `_upto`
+    * provenance sidecar, as-of at/after it reads the fold, as-of below
+    * it REFUSES loudly (collapsed history is never silently
+    * approximated) — DedupStoreSpec. */
+  private def d30(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.DedupStore
+    val hist = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val off = idOffset(hist)
+    val b1 = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(lit("newdoc "), col("text")).as("text"))
+      .unionByName(hist.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text")))
+    val b2 = hist.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 3 * off).as("doc_id"),
+        concat(lit("fresh "), col("text")).as("text"))
+    val root = staging("fpstore", dir) + "/" + storeInvocation.incrementAndGet()
+    val histFps = Dedup.fingerprintStore(hist).localCheckpoint()
+    DedupStore.appendFingerprints(s, root, 0L, histFps)
+    val r1 = Dedup.incrementalExact(b1, DedupStore.readFingerprints(s, root))
+      .localCheckpoint()
+    DedupStore.appendFingerprints(s, root, 1L, r1)
+    val r2 = Dedup.incrementalExact(b2, DedupStore.readFingerprints(s, root))
+      .localCheckpoint()
+    DedupStore.appendFingerprints(s, root, 2L, r2)
+    // the disputed batch: re-publications of each epoch's content plus
+    // genuinely new docs — each group flips from kept to dropped exactly
+    // at the epoch whose ingest introduced its fingerprint
+    val probe = hist.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 6 * off).as("doc_id"), col("text"))
+      .unionByName(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 7 * off).as("doc_id"),
+          concat(lit("newdoc "), col("text")).as("text")))
+      .unionByName(hist.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 8 * off).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+      .unionByName(hist.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 9 * off).as("doc_id"),
+          concat(lit("probe "), col("text")).as("text")))
+      .localCheckpoint()
+    val k0 = Dedup.incrementalExact(probe, DedupStore.readAsOf(s, root, 0L))
+    val k1 = Dedup.incrementalExact(probe, DedupStore.readAsOf(s, root, 1L))
+    val k2 = Dedup.incrementalExact(probe, DedupStore.readAsOf(s, root, 2L))
+      .localCheckpoint()
+    val live = Dedup.incrementalExact(probe,
+      DedupStore.readFingerprints(s, root))
+    val headDiff = k2.select(col("fp"), col("doc_id")).withColumn("__a", lit(1))
+      .join(live.select(col("fp"), col("doc_id")).withColumn("__b", lit(1)),
+        Seq("fp", "doc_id"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L).otherwise(0L))
+        .as("__n_mismatch"))
+    probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(k0.agg(count(lit(1)).as("n_kept_asof0")))
+      .crossJoin(k1.agg(count(lit(1)).as("n_kept_asof1")))
+      .crossJoin(k2.agg(count(lit(1)).as("n_kept_asof2")))
+      .crossJoin(broadcast(headDiff))
+      .select(col("n_probe"), col("n_kept_asof0"), col("n_kept_asof1"),
+        col("n_kept_asof2"),
+        (coalesce(col("__n_mismatch"), lit(0L)) === 0L).as("head_ok"))
+  }
+
+  private val d30Sql =
+    """WITH hist AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT MAX(doc_id) + 1 AS o FROM hist),
+      |b1 AS (
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+      |      'newdoc ' || text AS text FROM hist WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * (SELECT o FROM off), text || ' '
+      |    FROM hist WHERE doc_id % 5 = 0),
+      |b2 AS (SELECT doc_id + 3 * (SELECT o FROM off) AS doc_id,
+      |    'fresh ' || text AS text FROM hist WHERE doc_id % 13 = 0),
+      |storefp AS (SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM hist),
+      |b1f AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM b1),
+      |k1 AS (SELECT fp FROM b1f
+      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1),
+      |b2f AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM b2),
+      |k2 AS (SELECT fp FROM b2f
+      |  WHERE fp NOT IN (SELECT fp FROM storefp)
+      |    AND fp NOT IN (SELECT fp FROM k1) GROUP BY 1),
+      |probe AS (
+      |  SELECT doc_id + 6 * (SELECT o FROM off) AS doc_id, text
+      |    FROM hist WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 7 * (SELECT o FROM off), 'newdoc ' || text
+      |    FROM hist WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 8 * (SELECT o FROM off), 'fresh ' || text
+      |    FROM hist WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 9 * (SELECT o FROM off), 'probe ' || text
+      |    FROM hist WHERE doc_id % 17 = 0),
+      |pf AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM probe),
+      |a0 AS (SELECT fp FROM pf
+      |  WHERE fp NOT IN (SELECT fp FROM storefp) GROUP BY 1),
+      |a1 AS (SELECT fp FROM pf
+      |  WHERE fp NOT IN (SELECT fp FROM storefp)
+      |    AND fp NOT IN (SELECT fp FROM k1) GROUP BY 1),
+      |a2 AS (SELECT fp FROM pf
+      |  WHERE fp NOT IN (SELECT fp FROM storefp)
+      |    AND fp NOT IN (SELECT fp FROM k1)
+      |    AND fp NOT IN (SELECT fp FROM k2) GROUP BY 1)
+      |SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+      |  CAST((SELECT COUNT(*) FROM a0) AS BIGINT) AS n_kept_asof0,
+      |  CAST((SELECT COUNT(*) FROM a1) AS BIGINT) AS n_kept_asof1,
+      |  CAST((SELECT COUNT(*) FROM a2) AS BIGINT) AS n_kept_asof2,
+      |  TRUE AS head_ok""".stripMargin
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh_pairs" -> (d02 _),
@@ -1413,7 +1543,8 @@ private[graft] object DedupQueries {
     "d26_exact_cap_sample" -> (d26 _),
     "d27_shard_manifest" -> (d27 _),
     "d28_capped_pairs" -> (d28 _),
-    "d29_export_audit" -> (d29 _))
+    "d29_export_audit" -> (d29 _),
+    "d30_store_asof" -> (d30 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1444,5 +1575,6 @@ private[graft] object DedupQueries {
     "d26_exact_cap_sample" -> d26Sql,
     "d27_shard_manifest" -> d27Sql,
     "d28_capped_pairs" -> d28Sql,
-    "d29_export_audit" -> d29Sql)
+    "d29_export_audit" -> d29Sql,
+    "d30_store_asof" -> d30Sql)
 }

@@ -658,6 +658,52 @@ private[graft] object SimilarityQueries {
       |  CAST(round(v[1] / scale, 0) AS INT) AS code_first
       |FROM n ORDER BY vec_id""".stripMargin
 
+  /** Persisted-store MERGE — the FAISS `merge_from` discipline
+    * ([[graft.llm.IndexStore.mergeStores]]): train ONCE on the corpus
+    * sample, ship the kilobyte artifact to two shard builders (even /
+    * odd ids — the per-region / per-day build), each indexes its slice
+    * against the SHARED quantizer, and merge unifies the shards WITHOUT
+    * touching a vector — the destination commits the same artifact and
+    * each source's code segments copy over (m bytes + id per vector;
+    * zero fit jobs, zero encode jobs, zero corpus reads — at 100 TB the
+    * merge moves the index, never the data). Search over the merged
+    * store is ROW-IDENTICAL to a single-store build of the full corpus
+    * (IndexStoreSpec — same artifact, same codes, same math); here the
+    * recall gate re-proves it against the brute-force twin, and
+    * merge_ok pins the lifecycle: both sources committed by the first
+    * merge, the replayed merge a per-source no-op (crash-rerun safe),
+    * divergent-artifact refusal spec-pinned. */
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val base = staging("ixmerge", dir) + "/" + storeInvocation.incrementAndGet()
+    val (rootA, rootB, dst) = (s"$base/a", s"$base/b", s"$base/merged")
+    val rq = IndexStore.train(s, rootA, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.saveQuantizer(s, rootB, rq) // ship the artifact, not a refit
+    IndexStore.appendCodes(s, rootA, 0L, even)
+    IndexStore.appendCodes(s, rootB, 0L, odd)
+    val m1 = IndexStore.mergeStores(s, dst, Seq(rootA, rootB))
+    val m2 = IndexStore.mergeStores(s, dst, Seq(rootA, rootB)) // crash-rerun
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchTopK(s, dst, emb, q, k = 5, nprobe = 3,
+        rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(m1.forall(identity) && m2.forall(!_)).as("merge_ok"))
+  }
+
+  private val s22Sql =
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS merge_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -681,7 +727,8 @@ private[graft] object SimilarityQueries {
     "s18_cosine_topk_rotate" -> (s18 _),
     "s19_cosine_topk_ivfflat_store" -> (s19 _),
     "s20_cosine_topk_int8_store" -> (s20 _),
-    "s21_cosine_topk_imi_store" -> (s21 _))
+    "s21_cosine_topk_imi_store" -> (s21 _),
+    "s22_cosine_topk_merged_store" -> (s22 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -704,5 +751,6 @@ private[graft] object SimilarityQueries {
     "s18_cosine_topk_rotate" -> s18Sql,
     "s19_cosine_topk_ivfflat_store" -> s19Sql,
     "s20_cosine_topk_int8_store" -> s20Sql,
-    "s21_cosine_topk_imi_store" -> s21Sql)
+    "s21_cosine_topk_imi_store" -> s21Sql,
+    "s22_cosine_topk_merged_store" -> s22Sql)
 }

@@ -31,6 +31,11 @@ object GateCheck {
     // searches (zero fit jobs), recall + store lifecycle gates
     "s19_cosine_topk_ivfflat_store", "s20_cosine_topk_int8_store",
     "s21_cosine_topk_imi_store",
+    // shard-build-then-merge: merged-store recall + first-merge-commits
+    // + replay-no-op lifecycle
+    "s22_cosine_topk_merged_store",
+    // time-travel dedup audit: as-of-head kept set == the live read's
+    "d30_store_asof",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // video near-dup store probe: the banded frame-0 candidate leg must

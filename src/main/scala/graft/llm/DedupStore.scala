@@ -135,6 +135,59 @@ object DedupStore {
       committed.map(id => segDir(root, id).toString): _*)
   }
 
+  /** The `_upto-<n>` provenance sidecar of a compacted fold, if present
+    * (legacy folds predate it). One directory listing. */
+  private def foldUpto(f: org.apache.hadoop.fs.FileSystem, root: String,
+      id: Long): Option[Long] = {
+    val d = segDir(root, id)
+    if (!f.exists(d)) None
+    else f.listStatus(d).map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("_upto-") =>
+        n.stripPrefix("_upto-").toLong }
+  }
+
+  /** Time-travel read: the store exactly as it stood after ingest batch
+    * `asOfBatch` committed — reproduce yesterday's keep/drop decisions
+    * after more ingests landed, audit a disputed drop, bisect a dedup
+    * regression. Selects every committed segment with id ≤ asOfBatch,
+    * plus any compacted fold whose `_upto` provenance proves it holds
+    * only history ≤ asOfBatch (compaction is membership-preserving, so
+    * such a fold IS those batches).
+    *
+    * REFUSES loudly — never silently-partial — when compaction has
+    * collapsed the requested point: a fold containing ingests past
+    * `asOfBatch` cannot be split back into its inputs, and excluding it
+    * would misclassify every probe against the reconstruction. Size
+    * compaction cadence to the audit horizon if as-of reads matter. */
+  def readAsOf(spark: SparkSession, root: String,
+      asOfBatch: Long): DataFrame = {
+    val f = fs(spark, root)
+    val committed = committedBatches(spark, root)
+    require(committed.nonEmpty,
+      s"DedupStore at $root has no committed segments")
+    val keep = committed.filter { id =>
+      if (id <= asOfBatch) true // covers normal ids and at-or-after-the-fold
+      else if (id < CompactBase) false // a later ingest: simply not yet there
+      else foldUpto(f, root, id) match {
+        case Some(u) if u <= asOfBatch => true
+        case Some(u) => throw new IllegalStateException(
+          s"DedupStore at $root: compacted fold $id holds ingests up to " +
+            s"$u — the store as of batch $asOfBatch cannot be " +
+            "reconstructed (compaction collapsed that history); audit " +
+            s"at asOfBatch >= $u, or schedule compaction outside the " +
+            "audit window")
+        case None => throw new IllegalStateException(
+          s"DedupStore at $root: compacted fold $id predates provenance " +
+            s"sidecars — the store as of batch $asOfBatch cannot be " +
+            "proven reconstructible; audit at asOfBatch >= the fold id")
+      }
+    }
+    require(keep.nonEmpty,
+      s"DedupStore at $root has no committed segment at or before " +
+        s"batch $asOfBatch")
+    spark.read.parquet(keep.map(id => segDir(root, id).toString): _*)
+  }
+
   /** Committed batch ids, ascending — the audit view ("which ingests are
     * in this store?") and the input to an offline compaction. */
   def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
@@ -213,6 +266,18 @@ object DedupStore {
       // merged segments live in the reserved id space (append-collision-free)
       val newId = math.max(ids.max + 1, CompactBase)
       merged.write.mode("overwrite").parquet(segDir(root, newId).toString)
+      // provenance sidecar for [[readAsOf]]: the largest INGEST batch id
+      // this fold contains (carried forward through re-compactions). The
+      // underscore prefix keeps it invisible to the parquet reader; written
+      // AFTER the data (overwrite-mode cleared the dir) and BEFORE the
+      // marker, so a marked fold always carries its provenance. Skipped
+      // only when every folded input is a legacy fold without one —
+      // unknown provenance must stay unknown, never guessed.
+      val upto = ids.filter(_ < CompactBase) ++
+        ids.filter(_ >= CompactBase).flatMap(id => foldUpto(f, root, id))
+      if (upto.nonEmpty)
+        f.create(new HPath(segDir(root, newId), s"_upto-${upto.max}"),
+          true).close()
       val tmp = new HPath(root, s".done-$newId.tmp")
       f.create(tmp, true).close()
       if (!f.rename(tmp, doneMarker(root, newId)))

@@ -720,4 +720,110 @@ object IndexStore {
     }.map { st => f.delete(st.getPath, true); st.getPath.toString }
     sweptPtrs ++ sweptStores
   }
+
+  // ------------------------------------------------------------ store merge
+
+  /** Exact bit-fingerprint of a fitted artifact — the merge-compatibility
+    * check. Doubles are compared by RAW BITS (doubleToRawLongBits), not
+    * by value: two fits that differ in the last ulp produce codes that
+    * score differently, so "close enough" is exactly the silent-wrongness
+    * merge must refuse. */
+  private def artifactFingerprint(kind: String, ints: Seq[Int],
+      vecs: Iterator[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(kind.getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array(), 0, 8)
+    }
+    ints.foreach(i => putLong(i.toLong))
+    vecs.foreach { v =>
+      putLong(v.length.toLong)
+      v.foreach(d => putLong(java.lang.Double.doubleToRawLongBits(d)))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The committed artifact family under `root` plus its exact
+    * fingerprint: ("quantizer", fp) / ("ivf", fp) / ("imi", fp). Loads
+    * ride the per-root cache — kilobytes either way. */
+  private def familyFingerprint(spark: SparkSession,
+      root: String): (String, String) =
+    if (quantizerCommitted(spark, root)) {
+      val rq = loadQuantizer(spark, root)
+      ("quantizer", artifactFingerprint("quantizer",
+        Seq(rq.dim, rq.nlist, rq.m, rq.codebookSize),
+        rq.centroids.iterator.map(_._2.toArray) ++
+          rq.cellMeans.iterator ++
+          rq.codebooks.iterator.flatMap(_.iterator)))
+    } else if (ivfCommitted(spark, root)) {
+      val art = loadIvf(spark, root)
+      ("ivf", artifactFingerprint("ivf", Seq(art.dim, art.nlist),
+        art.centroids.iterator.map(_._2.toArray)))
+    } else if (imiCommitted(spark, root)) {
+      val art = loadImi(spark, root)
+      ("imi", artifactFingerprint("imi", Seq(art.dim),
+        art.cbA.iterator ++ art.cbB.iterator))
+    } else throw new IllegalArgumentException(
+      s"IndexStore at $root has no committed artifact of any family")
+
+  /** Merge committed sibling stores into `dstRoot` — the FAISS
+    * `merge_from`/`merge_ondisk` discipline on Spark: shard builders
+    * index their slice against ONE shared fitted artifact (train once,
+    * ship the kilobyte artifact to every region/day builder), and merge
+    * unifies the shards WITHOUT touching a single vector. The
+    * destination commits the shared artifact (replay-idempotent), then
+    * each source's committed code rows append as one destination
+    * segment: cost ∝ code bytes (m bytes + id per vector), ZERO fit
+    * jobs, ZERO encode jobs, zero corpus reads — at 100 TB the merge
+    * moves the index, never the data.
+    *
+    * Safety contract: refuses loudly unless every store involved
+    * (sources AND a dst with a pre-existing artifact) carries the same
+    * family with a BIT-IDENTICAL artifact ([[artifactFingerprint]] —
+    * raw double bits, not value-epsilon): codes encoded against
+    * different codebooks score silently wrong, and re-encoding divergent
+    * stores is [[rotate]]'s job, never merge's. Segment schemas must
+    * match too (a carryCols residual store cannot merge with a bare one:
+    * every segment of a store carries the same columns).
+    *
+    * Idempotent by the [[DedupStore.append]] replay contract: the dst
+    * segment id for source i is `idBase + i`, so a crashed merge re-run
+    * no-ops the already-copied sources and finishes the rest. Returns
+    * one Boolean per source — true when THIS call committed it. */
+  def mergeStores(spark: SparkSession, dstRoot: String,
+      srcRoots: Seq[String], idBase: Long = 0L): Seq[Boolean] = {
+    require(srcRoots.nonEmpty, "mergeStores: no sources")
+    val fps = srcRoots.map(r => r -> familyFingerprint(spark, r))
+    val (family, fp) = fps.head._2
+    fps.foreach { case (r, (fam, f2)) =>
+      require(fam == family && f2 == fp,
+        s"mergeStores: $r ($fam/$f2) is not merge-compatible with " +
+          s"${srcRoots.head} ($family/$fp) — stores must share one " +
+          "bit-identical fitted artifact; re-encoding divergent stores " +
+          "is rotate's job")
+    }
+    val schemas = srcRoots.map(r => readCodes(spark, r).schema)
+    schemas.tail.foreach(sc2 => require(sc2 == schemas.head,
+      s"mergeStores: segment schemas differ across sources " +
+        s"(${schemas.head.simpleString} vs ${sc2.simpleString}) — " +
+        "a carryCols store cannot merge with a bare one"))
+    // commit the shared artifact at dst (no-op when already committed —
+    // but then it must BE the shared artifact, not some third fit)
+    family match {
+      case "quantizer" => saveQuantizer(spark, dstRoot,
+        loadQuantizer(spark, srcRoots.head))
+      case "ivf" => saveIvf(spark, dstRoot, loadIvf(spark, srcRoots.head))
+      case _ => saveImi(spark, dstRoot, loadImi(spark, srcRoots.head))
+    }
+    val (dstFam, dstFp) = familyFingerprint(spark, dstRoot)
+    require(dstFam == family && dstFp == fp,
+      s"mergeStores: $dstRoot already holds a DIFFERENT committed " +
+        s"artifact ($dstFam/$dstFp vs $family/$fp) — refusing to append " +
+        "foreign codes into it")
+    srcRoots.zipWithIndex.map { case (src, i) =>
+      DedupStore.append(spark, codesRoot(dstRoot), idBase + i,
+        readCodes(spark, src))
+    }
+  }
 }

@@ -460,4 +460,98 @@ class IndexStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed quantizer"), e.getMessage)
   }
+
+  test("mergeStores: shard builds unify row-identical to a single build, zero re-encode") {
+    val q = emb.filter($"vec_id" < 10)
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    // residual family: one global train, the artifact shipped to both
+    // shard builders (saveQuantizer of the same fit), merge = artifact
+    // commit + two segment copies
+    val base = freshRoot()
+    val (a, b, dst) = (s"$base/a", s"$base/b", s"$base/m")
+    val rq = IndexStore.train(spark, a, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    assert(IndexStore.saveQuantizer(spark, b, rq))
+    assert(IndexStore.appendCodes(spark, a, 0L, even))
+    assert(IndexStore.appendCodes(spark, b, 0L, odd))
+    assert(IndexStore.mergeStores(spark, dst, Seq(a, b)) == Seq(true, true))
+    // crash-rerun: per-source no-op, store unchanged
+    assert(IndexStore.mergeStores(spark, dst, Seq(a, b)) == Seq(false, false))
+    assert(IndexStore.readCodes(spark, dst).count() == emb.count())
+    // the load-bearing claim: search over the merged store == search over
+    // a single-store build of the full corpus with the same artifact
+    val single = s"$base/single"
+    assert(IndexStore.saveQuantizer(spark, single, rq))
+    assert(IndexStore.appendCodes(spark, single, 0L, emb))
+    val got = IndexStore.searchTopK(spark, dst, emb, q, k = 5, nprobe = 3,
+      rerank = 8).orderBy($"query_id", $"rank").collect().toSeq
+    val want = IndexStore.searchTopK(spark, single, emb, q, k = 5,
+      nprobe = 3, rerank = 8).orderBy($"query_id", $"rank").collect().toSeq
+    assert(got == want, "merged store diverged from the single build")
+    // flat family merges the same way (artifact = shared centroids)
+    val (fa, fb, fm) = (s"$base/fa", s"$base/fb", s"$base/fm")
+    val art = IndexStore.trainIvf(spark, fa, emb, dim = 64, nlist = 8,
+      seed = 42L)
+    assert(IndexStore.saveIvf(spark, fb, art))
+    assert(IndexStore.appendFlat(spark, fa, 0L, even))
+    assert(IndexStore.appendFlat(spark, fb, 0L, odd))
+    assert(IndexStore.mergeStores(spark, fm, Seq(fa, fb)) == Seq(true, true))
+    val fs2 = s"$base/fsingle"
+    assert(IndexStore.saveIvf(spark, fs2, art))
+    assert(IndexStore.appendFlat(spark, fs2, 0L, emb))
+    assert(IndexStore.searchTopKFlat(spark, fm, q, k = 5, nprobe = 3)
+        .orderBy($"query_id", $"rank").collect().toSeq ==
+      IndexStore.searchTopKFlat(spark, fs2, q, k = 5, nprobe = 3)
+        .orderBy($"query_id", $"rank").collect().toSeq,
+      "merged flat store diverged from the single build")
+  }
+
+  test("mergeStores refuses divergent artifacts, foreign destinations, schema drift") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val base = freshRoot()
+    // divergent fits (different seeds): bit-fingerprints differ -> refuse;
+    // codes encoded against different codebooks would score silently wrong
+    val (a, b) = (s"$base/a", s"$base/b")
+    IndexStore.train(spark, a, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.train(spark, b, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 43L)
+    IndexStore.appendCodes(spark, a, 0L, even)
+    IndexStore.appendCodes(spark, b, 0L, odd)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, s"$base/m1", Seq(a, b))
+    }
+    assert(e1.getMessage.contains("not merge-compatible"), e1.getMessage)
+    // cross-family is just a special case of the same refusal
+    val c = s"$base/c"
+    IndexStore.trainIvf(spark, c, emb, dim = 64, nlist = 8, seed = 42L)
+    IndexStore.appendFlat(spark, c, 0L, odd)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, s"$base/m2", Seq(a, c))
+    }
+    assert(e2.getMessage.contains("not merge-compatible"), e2.getMessage)
+    // a destination that already holds a DIFFERENT committed artifact
+    // must refuse the foreign codes rather than mixing codebooks
+    val e3 = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, b, Seq(a, a))
+    }
+    assert(e3.getMessage.contains("DIFFERENT committed"), e3.getMessage)
+    // segment schema drift: a carryCols store cannot merge with a bare one
+    val rq = IndexStore.loadQuantizer(spark, a)
+    val d = s"$base/d"
+    assert(IndexStore.saveQuantizer(spark, d, rq))
+    IndexStore.appendCodes(spark, d, 0L,
+      odd.withColumn("label", lit("x")), carryCols = Seq("label"))
+    val e4 = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, s"$base/m3", Seq(a, d))
+    }
+    assert(e4.getMessage.contains("schemas differ"), e4.getMessage)
+    // a store with no committed artifact at all
+    val e5 = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, s"$base/m4", Seq(s"$base/nothing"))
+    }
+    assert(e5.getMessage.contains("no committed artifact"), e5.getMessage)
+  }
 }

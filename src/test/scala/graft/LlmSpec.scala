@@ -855,6 +855,71 @@ class LlmSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq == (before :+ "fp_a0").sorted)
   }
 
+  test("DedupStore.readAsOf: exact history slices; compaction folds carry provenance or refuse") {
+    import graft.llm.DedupStore
+    val root = java.nio.file.Files.createTempDirectory("fpasof").toString
+    for (b <- 0L to 2L)
+      assert(DedupStore.appendFingerprints(spark, root, b,
+        Seq(s"fp_a$b", s"fp_b$b").toDF("fp")))
+    def fps(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.as[String].collect().sorted.toSeq
+    // plain slices: as-of N = segments <= N, exactly
+    assert(fps(DedupStore.readAsOf(spark, root, 0L))
+      == Seq("fp_a0", "fp_b0"))
+    assert(fps(DedupStore.readAsOf(spark, root, 1L))
+      == Seq("fp_a0", "fp_a1", "fp_b0", "fp_b1"))
+    assert(fps(DedupStore.readAsOf(spark, root, 2L))
+      == fps(DedupStore.readFingerprints(spark, root)))
+    // between commits: a missing middle batch is "not yet there", never an
+    // error — as-of is a point on the ingest timeline, not a lookup
+    assert(DedupStore.appendFingerprints(spark, root, 5L,
+      Seq("fp_late").toDF("fp")))
+    assert(fps(DedupStore.readAsOf(spark, root, 3L))
+      == Seq("fp_a0", "fp_a1", "fp_a2", "fp_b0", "fp_b1", "fp_b2"))
+    // no committed segment at or before the asked point: loud, not empty
+    val early = intercept[IllegalArgumentException] {
+      DedupStore.readAsOf(spark, root, -1L)
+    }
+    assert(early.getMessage.contains("at or before"), early.getMessage)
+    // compaction: the fold carries an _upto provenance sidecar, so as-of
+    // AT or AFTER the folded history reads the fold (membership preserved)
+    val fold = DedupStore.compact(spark, root)
+    assert(fold >= DedupStore.CompactBase)
+    assert(fps(DedupStore.readAsOf(spark, root, 5L))
+      == fps(DedupStore.readFingerprints(spark, root)))
+    // … and as-of BELOW the fold refuses loudly — collapsed history is
+    // never silently approximated as empty or as the whole fold
+    val e = intercept[IllegalStateException] {
+      DedupStore.readAsOf(spark, root, 2L)
+    }
+    assert(e.getMessage.contains("cannot be reconstructed"), e.getMessage)
+    // provenance carries FORWARD through re-compaction: append + re-fold,
+    // the new fold's floor is the new append's id
+    assert(DedupStore.appendFingerprints(spark, root, 7L,
+      Seq("fp_more").toDF("fp")))
+    val fold2 = DedupStore.compact(spark, root)
+    assert(fps(DedupStore.readAsOf(spark, root, 7L))
+      == fps(DedupStore.readFingerprints(spark, root)))
+    val e2 = intercept[IllegalStateException] {
+      DedupStore.readAsOf(spark, root, 6L)
+    }
+    assert(e2.getMessage.contains(s"fold $fold2"), e2.getMessage)
+    // a legacy fold WITHOUT the sidecar refuses below its id rather than
+    // guessing what it holds
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.listStatus(new org.apache.hadoop.fs.Path(s"$root/segments/$fold2"))
+      .filter(_.getPath.getName.startsWith("_upto-"))
+      .foreach(st => f.delete(st.getPath, false))
+    val e3 = intercept[IllegalStateException] {
+      DedupStore.readAsOf(spark, root, 7L)
+    }
+    assert(e3.getMessage.contains("predates provenance"), e3.getMessage)
+    assert(fps(DedupStore.readAsOf(spark, root, fold2))
+      == fps(DedupStore.readFingerprints(spark, root)),
+      "as-of at the fold id itself stays readable even without provenance")
+  }
+
   test("DedupStore: compact/append exclusion — lease fails appends loud, stale lease reclaimed") {
     import graft.llm.DedupStore
     val root = java.nio.file.Files.createTempDirectory("fplease").toString

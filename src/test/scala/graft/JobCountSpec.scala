@@ -374,4 +374,30 @@ class JobCountSpec extends SparkSpec {
     info(s"IMI store search jobs = $imiJobs")
     assert(imiJobs <= 8, s"IMI store search job count regressed: $imiJobs")
   }
+
+  test("store merge runs ZERO fit and ZERO encode jobs") {
+    import graft.llm.IndexStore
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("jcmerge")
+    val rq = IndexStore.train(spark, s"$base/a", emb, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    IndexStore.saveQuantizer(spark, s"$base/b", rq)
+    IndexStore.appendCodes(spark, s"$base/a", 0L,
+      emb.filter($"vec_id" % 2 === 0))
+    IndexStore.appendCodes(spark, s"$base/b", 0L,
+      emb.filter($"vec_id" % 2 === 1))
+    val jobs = countJobs {
+      assert(IndexStore.mergeStores(spark, s"$base/m",
+        Seq(s"$base/a", s"$base/b")) == Seq(true, true))
+    }
+    info(s"store merge jobs = $jobs")
+    // measured 18, every one metadata- or code-sized: two uncached
+    // artifact loads (4 kilobyte-parquet collects each — source b and the
+    // dst fingerprint re-check), the dst artifact commit's 4 kilobyte
+    // writes, per-source codes-footer reads, and the two segment-copy
+    // writes. A fit (corpus count + sample collect + kmeans passes) or an
+    // encode (corpus-scale projection) creeping in lands well past this
+    // bound — merge must move the index, never the data
+    assert(jobs <= 22, s"store merge job count regressed: $jobs")
+  }
 }

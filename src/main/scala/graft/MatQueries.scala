@@ -1691,6 +1691,86 @@ object MatQueries {
       |  TRUE AS replay_stable, TRUE AS store_consistent,
       |  TRUE AS store_stable""".stripMargin
 
+  // ------------------------------ m32 self-healing streaming index ingest
+
+  /** SELF-HEALING streaming index ingest
+    * ([[graft.streaming.Streaming.autoRotateIndexIngest]] →
+    * [[graft.llm.IndexStore.ingestWithDriftGuard]]) — the m29 ingest loop
+    * with dt07's drift monitor and s18's retrain-rotate CLOSED INSIDE the
+    * pipeline: slab 1 bootstraps the store through the alias, slab 2
+    * (same distribution) appends under the quantizer the monitor clears,
+    * slab 3 arrives SHIFTED +0.5/dim — the per-batch calibration-split
+    * dial fires (store-vs-batch chi² ≫ within-batch chi²) and the batch
+    * triggers a fresh fit on history + batch with an atomic alias
+    * cutover instead of appending garbage codes. Proven end-to-end:
+    * n_indexed VALUE-matches the corpus count through the fold +
+    * empty-marker accounting, rotated_once pins exactly two published
+    * pointers (boot + the one rotation — a same-distribution fire would
+    * make three), recall over the DRIFTED corpus through the alias gated
+    * at the family bound (the pre-rotate quantizer never saw the shifted
+    * region), and a fresh-checkpoint full replay is byte-stable ACROSS
+    * the cutover (every batch id no-ops against the new root's carried
+    * markers — the exactly-once-through-rotation claim). */
+  private def m32(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{IndexStore, Similarity}
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val s0 = emb.filter(col("vec_id") % 4 === 0)
+    val s1 = emb.filter(col("vec_id") % 4 === 1)
+    val s2 = emb.filter(col("vec_id") % 4 >= 2).select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+    val corpus = s0.unionByName(s1).unionByName(s2).localCheckpoint()
+    val base = tempDir("g_m32")
+    Seq(s0, s1, s2).zipWithIndex.foreach { case (df, b) =>
+      val tmp = s"$base/stage_$b"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/src/slab-$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // slab order IS arrival order: the file source drains by mtime
+      dst.setLastModified((b + 1) * 600000L)
+      ()
+    }
+    val alias = s"$base/alias"
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streaming.runToCompletion(
+        graft.streaming.Streaming.autoRotateIndexIngest(s,
+          s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          alias, corpus, ckpt, dim = 64, nlist = 8, m = 8,
+          codebookSize = 16, seed = 42L))
+    def ptrs: Int = new java.io.File(alias).listFiles()
+      .count(_.getName.startsWith("ptr-"))
+    drain(s"$base/ckpt1")
+    val root1 = IndexStore.currentRoot(s, alias).get
+    val (ptrs1, rows1) = (ptrs, IndexStore.readCodes(s, root1).count())
+    drain(s"$base/ckpt2") // fresh checkpoint: full-backlog replay
+    val root2 = IndexStore.currentRoot(s, alias).get
+    val (ptrs2, rows2) = (ptrs, IndexStore.readCodes(s, root2).count())
+    val corpusCount = corpus.count()
+    val q = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchCurrent(s, alias, corpus, q, k = 5,
+        nprobe = 3, rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        lit(rows1).as("n_indexed"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(ptrs1 == 2 && rows1 == corpusCount).as("rotated_once"),
+        lit(ptrs2 == ptrs1 && rows2 == rows1 && root2 == root1)
+          .as("replay_stable"))
+  }
+
+  private val m32Sql =
+    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  TRUE AS recall_ok, TRUE AS rotated_once, TRUE AS replay_stable
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1724,7 +1804,8 @@ object MatQueries {
     "m28_incremental_rollup" -> (m28 _),
     "m29_streaming_index_ingest" -> (m29 _),
     "m30_streaming_video_dedup" -> (m30 _),
-    "m31_streaming_audio_dedup" -> (m31 _))
+    "m31_streaming_audio_dedup" -> (m31 _),
+    "m32_streaming_autorotate" -> (m32 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1757,5 +1838,6 @@ object MatQueries {
     "m28_incremental_rollup" -> m28Sql,
     "m29_streaming_index_ingest" -> m29Sql,
     "m30_streaming_video_dedup" -> m30Sql,
-    "m31_streaming_audio_dedup" -> m31Sql)
+    "m31_streaming_audio_dedup" -> m31Sql,
+    "m32_streaming_autorotate" -> m32Sql)
 }

@@ -34,6 +34,9 @@ object GateCheck {
     // shard-build-then-merge: merged-store recall + first-merge-commits
     // + replay-no-op lifecycle
     "s22_cosine_topk_merged_store",
+    // self-healing streaming ingest: drift fires exactly once, recall
+    // recovered through the cutover, replay stable across the rotation
+    "m32_streaming_autorotate",
     // time-travel dedup audit: as-of-head kept set == the live read's
     "d30_store_asof",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",

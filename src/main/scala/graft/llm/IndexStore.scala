@@ -643,11 +643,15 @@ object IndexStore {
       dim: Int, nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", carryCols: Seq[String] = Nil,
-      fitSampleLimit: Int = 100000): String = {
+      fitSampleLimit: Int = 100000, foldBatchId: Long = 0L): String = {
     val newRoot = s"$alias/store-${newStamp()}"
     train(spark, newRoot, corpus, dim, nlist, m, codebookSize, seed,
       vecCol, fitSampleLimit)
-    appendCodes(spark, newRoot, 0L, corpus, idCol, vecCol, carryCols)
+    // `foldBatchId` is the re-encoded corpus segment's id — callers whose
+    // ingest batch ids share the default 0 (the guarded streaming ingest)
+    // pass the -1L seed convention so the fold never shadows a real batch
+    appendCodes(spark, newRoot, foldBatchId, corpus, idCol, vecCol,
+      carryCols)
     publishRoot(spark, alias, newRoot)
     newRoot
   }
@@ -719,6 +723,109 @@ object IndexStore {
         now - st.getModificationTime >= minAgeMs
     }.map { st => f.delete(st.getPath, true); st.getPath.toString }
     sweptPtrs ++ sweptStores
+  }
+
+  // ------------------------------------------- self-healing ingest (guarded)
+
+  /** One ingest step of a SELF-HEALING index: append the batch to the
+    * alias's live store — unless the batch's cell-assignment distribution
+    * says the committed quantizer no longer fits the data, in which case
+    * RESPOND with [[rotate]] (fresh fit on history + batch, atomic alias
+    * cutover) instead of appending garbage codes. This closes dt07's
+    * monitor and s18's rotate into the ingest loop itself: at 100 TB
+    * nobody watches a dashboard — the pipeline must notice drift and heal
+    * within the batch that brought it.
+    *
+    * Drift dial (dt07's calibration-split discipline, localized per
+    * batch): the store-vs-batch chi² must exceed BOTH an absolute floor
+    * (`minChi2` — tiny batches are noisy) and `calibFactor ×` the
+    * within-batch half-vs-half chi² (the batch split by id hash — a
+    * same-distribution yardstick measured on THIS batch, so the dial
+    * needs no external calibration table). Corpus-scale work is three
+    * grouped counts over the encoded batch + one over the store's codes.
+    *
+    * Exactly-once ACROSS the cutover: the batch id is the commit token
+    * in the live root's code segments. On rotate (and on bootstrap) the
+    * re-encoded corpus lands as the `-1L` fold segment — the seed
+    * convention, so it can never shadow a real stream batch id — and
+    * every previously-committed id (plus the firing one) is re-committed
+    * as an EMPTY segment: a replayed batch no-ops whichever side of the
+    * rotation it lands on, and a restarted stream cannot double-index
+    * through a cutover. (A replayed id at or below the rotation point
+    * maps to "content already inside the fold", the same skip semantics
+    * as [[DedupStore.append]]'s.)
+    *
+    * `corpus` is the source-of-truth vector table (the store holds codes,
+    * never vectors): the rotate re-encodes `corpus ∩ indexed-ids ∪ batch`
+    * — exactly what the index held plus the batch that fired. First call
+    * (no published root) bootstraps the initial store from the batch.
+    * Returns true when this step rotated (or bootstrapped). */
+  def ingestWithDriftGuard(spark: SparkSession, alias: String,
+      batchId: Long, batch: DataFrame, corpus: DataFrame, dim: Int,
+      nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", minChi2: Double = 100.0,
+      calibFactor: Double = 20.0, fitSampleLimit: Int = 100000): Boolean = {
+    require(batchId >= 0L,
+      "ingestWithDriftGuard: stream batch ids are non-negative (the -1L " +
+        "fold convention and the reserved compaction space are the store's)")
+    val slim = batch.select(col(idCol), col(vecCol))
+    def markCommitted(root: String, ids: Seq[Long]): Unit =
+      ids.filter(id => id >= 0L && id < DedupStore.CompactBase).distinct
+        .foreach(id => appendCodes(spark, root, id, slim.limit(0),
+          idCol, vecCol))
+    currentRoot(spark, alias) match {
+      case None =>
+        val r = rotate(spark, alias, slim, dim, nlist, m, codebookSize,
+          seed, idCol, vecCol, Nil, fitSampleLimit, foldBatchId = -1L)
+        markCommitted(r, Seq(batchId))
+        true
+      case Some(root) =>
+        val committed = DedupStore.committedBatches(spark, codesRoot(root))
+        if (committed.contains(batchId)) return false // replay: skip
+        val rq = loadQuantizer(spark, root)
+        val codes = Similarity.encodeResidual(slim, rq, idCol, vecCol)
+          .localCheckpoint() // encode ONCE: feeds the monitor and the append
+        def chi2Of(base: DataFrame, cur: DataFrame): Double =
+          graft.exec.DataTests.driftChi2(base, cur, "centroid_id")
+            .agg(max(col("chi2_stat"))).collect()(0).getDouble(0)
+        // store-vs-batch uses the WHOLE batch (chi² grows ∝ n — halving
+        // the sample halves the drift signal); the id-hash halves only
+        // supply the same-distribution yardstick the factor dial needs
+        val halfA = codes.filter(pmod(xxhash64(col("corpus_id")), lit(2)) === 0)
+          .select(col("centroid_id"))
+        val halfB = codes.filter(pmod(xxhash64(col("corpus_id")), lit(2)) === 1)
+          .select(col("centroid_id"))
+        val vsStore = chi2Of(readCodes(spark, root).select(col("centroid_id")),
+          codes.select(col("centroid_id")))
+        // the yardstick needs both halves populated: a batch so small one
+        // hash-half is empty cannot supply drift evidence (a single stray
+        // vector in an unseen cell CAN push raw chi² past the floor) —
+        // insufficient evidence appends, it never rotates
+        val fire = vsStore > minChi2 &&
+          halfA.limit(1).count() > 0 && halfB.limit(1).count() > 0 &&
+          vsStore > calibFactor * math.max(chi2Of(halfA, halfB), 7.0)
+        if (fire) {
+          val indexedIds = readCodes(spark, root)
+            .select(col("corpus_id").cast("long").as(idCol))
+          val history = corpus.select(col(idCol), col(vecCol))
+            .join(indexedIds, Seq(idCol), "left_semi")
+          val r2 = rotate(spark, alias, history.unionByName(slim), dim,
+            nlist, m, codebookSize, seed, idCol, vecCol, Nil,
+            fitSampleLimit, foldBatchId = -1L)
+          // exactly-once across the cutover: every batch the OLD store had
+          // committed (its content now lives in the fold), plus the firing
+          // batch, re-commits as an empty segment — replays no-op on
+          // either side of the rotation. (Compacted-code folds cannot be
+          // carried — don't compact a store under active streaming ingest,
+          // the m29 discipline.)
+          markCommitted(r2, committed :+ batchId)
+          true
+        } else {
+          DedupStore.append(spark, codesRoot(root), batchId, codes)
+          false
+        }
+    }
   }
 
   // ------------------------------------------------------------ store merge

@@ -420,6 +420,39 @@ object Streaming {
       }
       .start()
 
+  /** SELF-HEALING streaming index ingest — [[indexIngestStream]] with the
+    * drift guard in the loop ([[graft.llm.IndexStore.ingestWithDriftGuard]]):
+    * every micro-batch is appended through the ALIAS's live store unless
+    * its cell-assignment distribution says the committed quantizer no
+    * longer fits, in which case the batch triggers a retrain-rotate
+    * (fresh fit on history + batch, atomic alias cutover) instead of
+    * appending garbage codes — the index notices its own staleness and
+    * heals inside the ingest pipeline, with searches live through the
+    * cutover. Exactly-once across rotation: batch ids are re-committed
+    * as empty segments in the new root, so a restarted stream cannot
+    * double-index through a cutover (the replay no-ops on either side).
+    * `corpus` is the source-of-truth vector table the rotate re-encodes
+    * from (the store itself holds codes, never vectors). The first batch
+    * bootstraps the initial store. */
+  def autoRotateIndexIngest(spark: SparkSession, src: DataFrame,
+      alias: String, corpus: DataFrame, checkpointDir: String,
+      dim: Int, nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", minChi2: Double = 100.0,
+      calibFactor: Double = 20.0): StreamingQuery =
+    src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.llm.IndexStore.ingestWithDriftGuard(spark, alias, id,
+            batch, corpus, dim, nlist, m, codebookSize, seed, idCol,
+            vecCol, minChi2, calibFactor)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming VIDEO ingest dedup — the video sibling of
     * [[nearDupIngestStream]], completing streaming parity for the store
     * modality matrix (exact fp / MinHash / semantic / image / index /

@@ -461,6 +461,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed quantizer"), e.getMessage)
   }
 
+  test("ingestWithDriftGuard: same-distribution batches append, drift rotates, replay no-ops across the cutover") {
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    val b0 = e.filter($"vec_id" % 4 === 0)
+    val b1 = e.filter($"vec_id" % 4 === 1)
+    val b2 = e.filter($"vec_id" % 4 === 2)
+    val shifted = e.filter($"vec_id" % 4 === 3).select($"vec_id",
+      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
+    val corpus = b0.unionByName(b1).unionByName(b2).unionByName(shifted)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    // bootstrap rotates (publishes the first store)
+    assert(ingest(0L, b0), "first batch must bootstrap")
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    // same-distribution batches append — the dial must NOT fire
+    assert(!ingest(1L, b1), "same-distribution batch must not rotate")
+    assert(!ingest(2L, b2), "same-distribution batch must not rotate")
+    assert(IndexStore.currentRoot(spark, alias).contains(root0))
+    assert(IndexStore.readCodes(spark, root0).count() ==
+      b0.count() + b1.count() + b2.count())
+    // replays of committed ids skip without touching the monitor
+    assert(!ingest(1L, b1))
+    // the drifted batch fires: fresh fit, atomic cutover, old root intact
+    assert(ingest(3L, shifted), "drifted batch must rotate")
+    val root1 = IndexStore.currentRoot(spark, alias).get
+    assert(root1 != root0, "rotation must publish a NEW root")
+    assert(IndexStore.quantizerCommitted(spark, root0), "rollback intact")
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count(),
+      "the fold must hold history + the firing batch")
+    // exactly-once ACROSS the cutover: every pre-rotation id and the
+    // firing id no-op against the new root's carried markers
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      assert(!ingest(id, corpus.limit(5)),
+        s"replayed batch $id must no-op after the rotation")
+    }
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count())
+    // post-rotation ingest appends to the NEW root
+    assert(!ingest(4L, b1.limit(0).unionByName(b2.limit(3))))
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count() + 3)
+    // stream ids own the non-negative space; the fold convention is -1L
+    val bad = intercept[IllegalArgumentException] {
+      ingest(-1L, b1)
+    }
+    assert(bad.getMessage.contains("non-negative"), bad.getMessage)
+    // search through the alias serves the rotated store
+    assert(IndexStore.searchCurrent(spark, alias, corpus,
+      corpus.filter($"vec_id" < 4), k = 3, nprobe = 3, rerank = 8)
+      .count() > 0)
+  }
+
   test("mergeStores: shard builds unify row-identical to a single build, zero re-encode") {
     val q = emb.filter($"vec_id" < 10)
     val even = emb.filter($"vec_id" % 2 === 0)

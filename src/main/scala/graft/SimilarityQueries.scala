@@ -704,6 +704,63 @@ private[graft] object SimilarityQueries {
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS merge_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** TIME-TRAVEL index search ([[graft.llm.IndexStore.searchTopK]]'s
+    * `asOfBatch` — [[graft.llm.DedupStore.readAsOf]] under the code
+    * segments): re-run yesterday's eval against yesterday's index,
+    * EXACTLY, after later ingests landed — the retrieval-reproducibility
+    * discipline (an eval score means nothing if the index it ran against
+    * cannot be reconstructed). The store ingests two epochs; the as-of-0
+    * search must be ROW-IDENTICAL to a twin store holding only epoch 0
+    * under the same artifact (asof_exact — segments are immutable dated
+    * facts, so the slice IS that store), and the as-of-head search must
+    * equal the live read (head_ok). Compaction interplay inherits d30's
+    * honest refusal (spec territory). */
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IndexStore
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val base = staging("ixasof", dir) + "/" + storeInvocation.incrementAndGet()
+    val (root, twin) = (s"$base/live", s"$base/twin")
+    val rq = IndexStore.train(s, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(s, root, 0L, even)
+    IndexStore.appendCodes(s, root, 1L, odd)
+    IndexStore.saveQuantizer(s, twin, rq) // epoch-0 store, same artifact
+    IndexStore.appendCodes(s, twin, 0L, even)
+    def keyed(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("corpus_id"), col("rank"))
+    val asOf0 = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+      rerank = 32, asOfBatch = 0L).localCheckpoint()
+    val twinSearch = IndexStore.searchTopK(s, twin, emb, q, k = 5,
+      nprobe = 3, rerank = 32)
+    val head = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+      rerank = 32, asOfBatch = 1L)
+    val live = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,
+      rerank = 32)
+    val dAsof = keyed(asOf0).withColumn("__a", lit(1))
+      .join(keyed(twinSearch).withColumn("__b", lit(1)),
+        Seq("query_id", "corpus_id", "rank"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+        .otherwise(0L)).as("__m1"))
+    val dHead = keyed(head).withColumn("__a", lit(1))
+      .join(keyed(live).withColumn("__b", lit(1)),
+        Seq("query_id", "corpus_id", "rank"), "full_outer")
+      .agg(sum(when(col("__a").isNull || col("__b").isNull, 1L)
+        .otherwise(0L)).as("__m2"))
+    asOf0.agg(count(lit(1)).as("n_results_asof"))
+      .crossJoin(broadcast(dAsof)).crossJoin(broadcast(dHead))
+      .select(col("n_results_asof"),
+        (coalesce(col("__m1"), lit(0L)) === 0L).as("asof_exact"),
+        (coalesce(col("__m2"), lit(0L)) === 0L).as("head_ok"))
+  }
+
+  private val s23Sql =
+    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_results_asof,
+      |  TRUE AS asof_exact, TRUE AS head_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -728,7 +785,8 @@ private[graft] object SimilarityQueries {
     "s19_cosine_topk_ivfflat_store" -> (s19 _),
     "s20_cosine_topk_int8_store" -> (s20 _),
     "s21_cosine_topk_imi_store" -> (s21 _),
-    "s22_cosine_topk_merged_store" -> (s22 _))
+    "s22_cosine_topk_merged_store" -> (s22 _),
+    "s23_cosine_topk_asof" -> (s23 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "s01_cosine_topk_brute" -> s01Sql,
@@ -752,5 +810,6 @@ private[graft] object SimilarityQueries {
     "s19_cosine_topk_ivfflat_store" -> s19Sql,
     "s20_cosine_topk_int8_store" -> s20Sql,
     "s21_cosine_topk_imi_store" -> s21Sql,
-    "s22_cosine_topk_merged_store" -> s22Sql)
+    "s22_cosine_topk_merged_store" -> s22Sql,
+    "s23_cosine_topk_asof" -> s23Sql)
 }

@@ -39,6 +39,9 @@ object GateCheck {
     "m32_streaming_autorotate",
     // time-travel dedup audit: as-of-head kept set == the live read's
     "d30_store_asof",
+    // time-travel index search: as-of slice row-identical to the
+    // epoch-store twin, as-of head == live
+    "s23_cosine_topk_asof",
     "t02_winnow_fingerprints", "t17_cms_counts", "t19_compress_signal",
     "mm05_image_ahash",
     // video near-dup store probe: the banded frame-0 candidate leg must

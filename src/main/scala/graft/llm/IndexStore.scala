@@ -310,10 +310,20 @@ object IndexStore {
   def searchTopK(spark: SparkSession, root: String, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4, rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      matchCols: Seq[String] = Nil): DataFrame = {
+      matchCols: Seq[String] = Nil,
+      asOfBatch: Long = Long.MaxValue): DataFrame = {
     require(rerank >= 1, "rerank >= 1")
     val rq = loadQuantizer(spark, root)
-    val approx = Similarity.adcScoreResidual(readCodes(spark, root),
+    // `asOfBatch`: TIME-TRAVEL search — score only segments committed at
+    // or before that ingest ([[DedupStore.readAsOf]]'s contract, including
+    // its loud refusal when compaction collapsed the requested point).
+    // "Re-run yesterday's eval against yesterday's index, exactly" — the
+    // quantizer needs no as-of (immutable per root by contract). The
+    // default reads the live store.
+    val codes =
+      if (asOfBatch == Long.MaxValue) readCodes(spark, root)
+      else DedupStore.readAsOf(spark, codesRoot(root), asOfBatch)
+    val approx = Similarity.adcScoreResidual(codes,
       queries, rq, nprobe, idCol, vecCol, matchCols)
     Similarity.rerankExactCandidates(corpus, queries, approx, k, rerank,
       idCol, vecCol)

@@ -512,6 +512,39 @@ class IndexStoreSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("searchTopK asOfBatch: dated slices search exactly; compaction refuses honestly") {
+    val root = freshRoot()
+    val q = emb.filter($"vec_id" < 6)
+    IndexStore.train(spark, root, emb, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(spark, root, 0L, emb.filter($"vec_id" % 2 === 0))
+    IndexStore.appendCodes(spark, root, 1L, emb.filter($"vec_id" % 2 === 1))
+    // as-of 0 can only ever return epoch-0 (even) neighbors
+    val asOf0 = IndexStore.searchTopK(spark, root, emb, q, k = 5,
+      nprobe = 3, rerank = 8, asOfBatch = 0L).collect()
+    assert(asOf0.nonEmpty && asOf0.forall(_.getAs[Long]("corpus_id") % 2 == 0),
+      "an as-of-0 search must never surface epoch-1 vectors")
+    // as-of head == the live read, row for row
+    val head = IndexStore.searchTopK(spark, root, emb, q, k = 5,
+      nprobe = 3, rerank = 8, asOfBatch = 1L)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val live = IndexStore.searchTopK(spark, root, emb, q, k = 5,
+      nprobe = 3, rerank = 8)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(head == live)
+    // compaction collapses the dated history: the as-of search inherits
+    // readAsOf's loud refusal rather than silently scoring a wrong slice
+    IndexStore.compactCodes(spark, root)
+    val e = intercept[IllegalStateException] {
+      IndexStore.searchTopK(spark, root, emb, q, k = 5, nprobe = 3,
+        rerank = 8, asOfBatch = 0L).collect()
+    }
+    assert(e.getMessage.contains("cannot be reconstructed"), e.getMessage)
+    // the live search is untouched by compaction
+    assert(IndexStore.searchTopK(spark, root, emb, q, k = 5, nprobe = 3,
+      rerank = 8).orderBy($"query_id", $"rank").collect().toSeq == live)
+  }
+
   test("mergeStores: shard builds unify row-identical to a single build, zero re-encode") {
     val q = emb.filter($"vec_id" < 10)
     val even = emb.filter($"vec_id" % 2 === 0)

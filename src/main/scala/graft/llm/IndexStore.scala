@@ -747,12 +747,27 @@ object IndexStore {
     * within the batch that brought it.
     *
     * Drift dial (dt07's calibration-split discipline, localized per
-    * batch): the store-vs-batch chi² must exceed BOTH an absolute floor
-    * (`minChi2` — tiny batches are noisy) and `calibFactor ×` the
-    * within-batch half-vs-half chi² (the batch split by id hash — a
-    * same-distribution yardstick measured on THIS batch, so the dial
-    * needs no external calibration table). Corpus-scale work is three
-    * grouped counts over the encoded batch + one over the store's codes.
+    * batch): the store-vs-batch chi² must exceed ALL of — an absolute
+    * floor (`minChi2`, tiny batches are noisy); `calibFactor ×` the
+    * within-batch half-vs-half chi² (the batch split by id hash — the
+    * iid yardstick); and `priorFactor ×` the LARGEST store-vs-batch
+    * statistic a previously ACCEPTED batch recorded (a tiny `guard/`
+    * stat file per append). The third leg is load-bearing on real
+    * corpora: duplicate clusters (the ~100-copy boilerplate)
+    * multiply between-batch sampling noise by the duplication factor —
+    * AutoRotateDialProbe measured the stale-batch statistic at 3.9 /
+    * 5.9 / 71 / 1880 across sf0.001→sf10 while the id-hash halves
+    * (which split every copy-cluster evenly) stayed ≈ dof, so an
+    * iid-only dial false-fires at scale; the prior-batch yardstick is
+    * subject to the SAME clustering and absorbs it (drifted/stale
+    * separation measured ≥ 39× at every scale — priorFactor 10 holds
+    * ≥ 1.6× margin up and ≥ 3.9× down). The guard therefore never
+    * fires before ONE accepted batch has recorded a yardstick — the
+    * warm-up batch a production rollout always has; until then a
+    * drifted batch appends with degraded recall (the graceful IVF
+    * failure mode) and the NEXT batch can fire. Corpus-scale work is
+    * three grouped counts over the encoded batch + one over the
+    * store's codes.
     *
     * Exactly-once ACROSS the cutover: the batch id is the commit token
     * in the live root's code segments. On rotate (and on bootstrap) the
@@ -775,7 +790,8 @@ object IndexStore {
       nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", minChi2: Double = 100.0,
-      calibFactor: Double = 20.0, fitSampleLimit: Int = 100000): Boolean = {
+      calibFactor: Double = 20.0, priorFactor: Double = 10.0,
+      fitSampleLimit: Int = 100000): Boolean = {
     require(batchId >= 0L,
       "ingestWithDriftGuard: stream batch ids are non-negative (the -1L " +
         "fold convention and the reserved compaction space are the store's)")
@@ -811,8 +827,12 @@ object IndexStore {
         // the yardstick needs both halves populated: a batch so small one
         // hash-half is empty cannot supply drift evidence (a single stray
         // vector in an unseen cell CAN push raw chi² past the floor) —
-        // insufficient evidence appends, it never rotates
-        val fire = vsStore > minChi2 &&
+        // insufficient evidence appends, it never rotates. Likewise a
+        // store with no recorded prior-batch statistic: the duplication
+        // level is unknowable without one (see the dial note above)
+        val prior = readGuardStats(spark, root)
+        val fire = prior.nonEmpty && vsStore > minChi2 &&
+          vsStore > priorFactor * prior.max &&
           halfA.limit(1).count() > 0 && halfB.limit(1).count() > 0 &&
           vsStore > calibFactor * math.max(chi2Of(halfA, halfB), 7.0)
         if (fire) {
@@ -833,9 +853,40 @@ object IndexStore {
           true
         } else {
           DedupStore.append(spark, codesRoot(root), batchId, codes)
+          writeGuardStat(spark, root, batchId, vsStore)
           false
         }
     }
+  }
+
+  /** The drift guard's per-root yardstick state: one tiny `stat-<batch>`
+    * file per ACCEPTED batch, holding that batch's store-vs-batch chi².
+    * Root-scoped — a rotation starts a fresh store whose first accepted
+    * batch re-seeds the yardstick. Kilobytes, one listing to read. */
+  private def guardDir(root: String) = new HPath(root, "guard")
+
+  private def readGuardStats(spark: SparkSession, root: String): Seq[Double] = {
+    val f = fs(spark, root)
+    val d = guardDir(root)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("stat-"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toDouble
+        finally in.close()
+      }
+  }
+
+  private def writeGuardStat(spark: SparkSession, root: String,
+      batchId: Long, v: Double): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(guardDir(root))
+    val tmp = new HPath(guardDir(root), s".stat-$batchId-tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new HPath(guardDir(root), s"stat-$batchId")))
+      f.delete(tmp, false) // a concurrent replay already recorded it
   }
 
   // ------------------------------------------------------------ store merge

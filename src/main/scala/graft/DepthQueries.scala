@@ -650,14 +650,20 @@ object DepthQueries {
     * UNCLUSTERED slabs whose footers span the full key range, so filtered
     * scans stop pruning and the table degrades monotonically with each
     * append. The maintenance op re-clusters the directory (one shuffle —
-    * the clustered write's own range exchange) and swaps it in with the
+    * the clustered write's own hash exchange) and swaps it in with the
     * trash-aside rename discipline. Self-measuring: per-file key spans
     * (input_file_name + one grouped aggregate — the relational form of
     * LayoutSpec's footer audit) must show ≥ 0.9 of the global span on some
-    * file BEFORE the compact (the degradation is real) and ≤ 0.65 on every
-    * file AFTER (fresh-write locality restored, LayoutSpec's bound); the
-    * row SET rides through untouched — n_rows/sum_qty/sum_okey value-match
-    * DuckDB over the same source rows. */
+    * file BEFORE the compact (the degradation is real; boolean, because
+    * slab FILE SPLITS are environment-shaped — but every slab file spans
+    * ~the full range, so the gate is robust), and the worst per-file span
+    * AFTER the compact is a VALUE column: zorderWrite's tile→file
+    * assignment is deterministic (exactly one file per aligned Morton
+    * tile), so DuckDB recomputes the same number from pure arithmetic —
+    * quantize → interleave → tile → per-tile spans — and the hash check
+    * verifies the MEASURED parquet layout equals the declared one. The
+    * row SET rides through untouched — n_rows/sum_qty/sum_okey
+    * value-match DuckDB over the same source rows. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import graft.exec.Layout
     val li = t(s, dir, "lineitem")
@@ -706,17 +712,52 @@ object DepthQueries {
       .crossJoin(broadcast(before)).crossJoin(broadcast(afterSpan))
       .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
         (col("__before") > 0.9).as("degraded_before"),
+        col("__after").as("after_worst_span"),
         (col("__after") <= 0.65).as("restored_ok"))
   }
 
   private val q36Invocation = new java.util.concurrent.atomic.AtomicLong()
 
-  private val q36Sql =
-    """SELECT COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  SUM(l_orderkey) AS sum_okey,
-      |  TRUE AS degraded_before, TRUE AS restored_ok
-      |FROM lineitem""".stripMargin
+  /** The after-compact worst per-file span is recomputed from PURE
+    * ARITHMETIC: the deterministic tile→file assignment means file K holds
+    * exactly the rows whose (quantize → Morton-interleave → div blocks)
+    * tile is K, so per-tile key spans computed relationally must equal the
+    * per-file spans Spark measured from the actual parquet layout. */
+  private val q36Sql = {
+    val terms = (0 until 8).map { i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i + 1)} + ((qy >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("\n      |        + ")
+    val blocks = graft.exec.Layout.tileBlocks(nFiles = 8, bits = 8)
+    s"""WITH s AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+       |             min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+       |           FROM lineitem),
+       |q AS (SELECT l_partkey, l_suppkey,
+       |        least(greatest(((l_partkey - xlo) * 256) // (xhi - xlo + 1),
+       |          0), 255) AS qx,
+       |        least(greatest(((l_suppkey - ylo) * 256) // (yhi - ylo + 1),
+       |          0), 255) AS qy
+       |      FROM lineitem, s),
+       |z AS (SELECT l_partkey, l_suppkey,
+       |        $terms AS z
+       |      FROM q),
+       |t AS (SELECT z // $blocks AS tile,
+       |        min(l_partkey) AS fxlo, max(l_partkey) AS fxhi,
+       |        min(l_suppkey) AS fylo, max(l_suppkey) AS fyhi
+       |      FROM z GROUP BY 1),
+       |w AS (SELECT max(greatest(
+       |        CAST(fxhi - fxlo AS DOUBLE)
+       |          / CAST(greatest(xhi - xlo, 1) AS DOUBLE),
+       |        CAST(fyhi - fylo AS DOUBLE)
+       |          / CAST(greatest(yhi - ylo, 1) AS DOUBLE))) AS ws
+       |      FROM t, s)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  SUM(l_orderkey) AS sum_okey,
+       |  TRUE AS degraded_before,
+       |  (SELECT ws FROM w) AS after_worst_span,
+       |  TRUE AS restored_ok
+       |FROM lineitem""".stripMargin
+  }
 
   // ------------------------------------------------- dt01 generic data tests
 

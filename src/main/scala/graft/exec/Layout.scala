@@ -85,14 +85,24 @@ object Layout {
       .drop("__xlo", "__xhi", "__ylo", "__yhi")
   }
 
-  /** Write `df` z-ordered on (`xCol`, `yCol`) into ~`nFiles` files: range
-    * partition by the z-TILE (z div blockSize, boundaries aligned to
-    * power-of-two Morton blocks) and sort within each partition by raw z so
-    * row groups inherit the locality too. Tile alignment matters: a file
-    * whose z-run straddles an unaligned quadrant boundary covers up to the
-    * FULL key range in one dimension (Morton jumps quadrants), wrecking its
-    * footer min/max; aligned blocks are square-ish tiles with ~√(1/nFiles)
-    * of each key's span. One shuffle, same cost as any clustered write.
+  /** Write `df` z-ordered on (`xCol`, `yCol`) into ~`nFiles` files: one
+    * file per z-TILE (z div blockSize, boundaries aligned to power-of-two
+    * Morton blocks), rows sorted within each file by raw z so row groups
+    * inherit the locality too. Tile alignment matters: a file whose z-run
+    * straddles an unaligned quadrant boundary covers up to the FULL key
+    * range in one dimension (Morton jumps quadrants), wrecking its footer
+    * min/max; aligned blocks are square-ish tiles with ~√(1/nFiles) of
+    * each key's span.
+    *
+    * The tile→file assignment is EXACT, not sampled: rows hash-repartition
+    * on the tile id (each tile wholly in one task) and the write is
+    * `partitionBy` the tile, so every tile becomes exactly one file whose
+    * contents are a pure function of the data — `repartitionByRange` here
+    * would ride RangePartitioner's SAMPLED boundaries, and a sampling miss
+    * merges two Morton quadrants into one file that then spans a full key
+    * range (the q36 r15 flake). The staged per-tile directories are
+    * flattened into `path` with metadata renames. Still one shuffle, same
+    * cost shape as any clustered write.
     *
     * The tile size is rounded UP to the next power of FOUR: `4^bits /
     * nFiles` is only Morton-block-aligned when `nFiles` is itself a power
@@ -102,14 +112,61 @@ object Layout {
     * 4 aligned tiles) — locality is never sacrificed to hit a file count. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, nFiles: Int,
                   path: String, bits: Int = 8): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val blocks = tileBlocks(nFiles, bits)
+    val tiles = (1L << (2 * bits)) / blocks
+    val nParts = math.max(1L, math.min(tiles, 4096L)).toInt
+    val spark = df.sparkSession
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val stamp = f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+    val staged = new HPath(target.getParent,
+      s".${target.getName}_zw_$stamp")
+    // sort carries (__tile, z); dropping z afterwards leaves the writer's
+    // required ordering (the partition column prefix) provably satisfied,
+    // so no re-sort is inserted and the within-tile z order survives
+    withZValue(df, xCol, yCol, bits)
+      .withColumn("__tile", expr(s"z div $blocks"))
+      .repartition(nParts, col("__tile"))
+      .sortWithinPartitions(col("__tile"), col("z"))
+      .drop("z")
+      .write.mode("overwrite").partitionBy("__tile").parquet(staged.toString)
+    // flatten __tile=K dirs into a plain parquet directory: file K IS tile K
+    fs.delete(target, true)
+    if (!fs.mkdirs(target))
+      throw new java.io.IOException(s"zorderWrite: cannot create $path")
+    var moved = 0
+    fs.listStatus(staged).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          // strip the leading underscores: _-prefixed files are hidden
+          // from Spark/parquet readers
+          val dst = new HPath(target,
+            s"${d.getPath.getName.stripPrefix("__").replace('=', '-')}-${
+              f.getPath.getName}")
+          if (!fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"zorderWrite: cannot publish ${f.getPath} -> $dst")
+          moved += 1
+        }
+    }
+    fs.delete(staged, true)
+    // empty input writes no per-tile files; keep the read contract (a
+    // schema-bearing empty parquet directory) that a plain write provides
+    if (moved == 0)
+      withZValue(df, xCol, yCol, bits).drop("z").limit(0)
+        .write.mode("overwrite").parquet(path)
+  }
+
+  /** Aligned Morton tile size (cells per file) for `nFiles` at `bits`:
+    * `4^bits / nFiles` rounded UP to the next power of four. */
+  def tileBlocks(nFiles: Int, bits: Int = 8): Long = {
     val raw = math.max(1L, (1L << (2 * bits)) / nFiles)
     var blocks = 1L
     while (blocks < raw) blocks <<= 2
-    withZValue(df, xCol, yCol, bits)
-      .repartitionByRange(nFiles, expr(s"z div $blocks"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
-      .write.mode("overwrite").parquet(path)
+    blocks
   }
 
   /** INCREMENTAL Z-order maintenance: restore a z-ordered directory whose

@@ -180,4 +180,65 @@ class LayoutSpec extends SparkSpec {
     assert(zOnSupp <= 0.6, s"z-layout should prune suppkey bands: $zOnSupp")
     assert(zOnPart <= 0.6, s"z-layout should prune partkey bands: $zOnPart")
   }
+
+  test("zorderWrite file assignment is deterministic across runs and " +
+    "shuffle-partition settings; files are z-sorted within") {
+    // the q36 r15 flake: repartitionByRange's SAMPLED boundaries could
+    // merge two Morton quadrants into one file depending on environment-
+    // shaped input splits. The exact tile→file assignment makes per-file
+    // contents a pure function of the data — pin it by comparing the full
+    // per-file (count, key-span) profile across four writes under two
+    // spark.sql.shuffle.partitions settings
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zdet")
+    def profile(path: String): Seq[(Long, Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).cast("long").as("pl"),
+          max(col("l_partkey")).cast("long").as("ph"),
+          min(col("l_suppkey")).cast("long").as("sl"),
+          max(col("l_suppkey")).cast("long").as("sh"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSeq.sorted
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val profiles = try {
+      Seq("7", "32").flatMap { sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        (1 to 2).map { run =>
+          val p = s"$base/z_${sp}_$run"
+          Layout.zorderWrite(li, "l_partkey", "l_suppkey", 8, p)
+          profile(p)
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert(profiles.distinct.size == 1,
+      s"file assignment varied across runs/settings:\n${profiles.mkString("\n")}")
+    // exactly one file per nonempty aligned tile, and rows inside each
+    // file are sorted by z (row-group locality — the writer must not have
+    // re-sorted unstably on the partition column alone)
+    val blocks = Layout.tileBlocks(8)
+    // input_file_name() forbids a second source in the plan, so pass the
+    // z-value stats as literals instead of withZValue's broadcast stats row
+    val st = spark.read.parquet(s"$base/z_32_1")
+      .agg(min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+        min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long"))
+      .collect().head
+    val zed = spark.read.parquet(s"$base/z_32_1")
+      .select(input_file_name().as("f"),
+        Layout.zValue(col("l_partkey"), lit(st.getLong(0)), lit(st.getLong(1)),
+          col("l_suppkey"), lit(st.getLong(2)), lit(st.getLong(3)), 8).as("z"))
+      .withColumn("rid", monotonically_increasing_id())
+    val tilesPerFile = zed.groupBy(col("f"))
+      .agg(countDistinct(expr(s"z div $blocks")).as("tiles")).collect()
+    assert(tilesPerFile.forall(_.getLong(1) == 1L),
+      s"a file holds more than one tile: ${tilesPerFile.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("f")).orderBy(col("rid"))
+    val unsorted = zed.withColumn("prev", lag(col("z"), 1).over(w))
+      .filter(col("prev").isNotNull && col("z") < col("prev")).count()
+    assert(unsorted == 0L, s"$unsorted rows out of z order within files")
+  }
 }

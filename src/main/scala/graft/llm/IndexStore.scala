@@ -654,6 +654,25 @@ object IndexStore {
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", carryCols: Seq[String] = Nil,
       fitSampleLimit: Int = 100000, foldBatchId: Long = 0L): String = {
+    val newRoot = buildRoot(spark, alias, corpus, dim, nlist, m,
+      codebookSize, seed, idCol, vecCol, carryCols, fitSampleLimit,
+      foldBatchId)
+    publishRoot(spark, alias, newRoot)
+    newRoot
+  }
+
+  /** The build half of [[rotate]]: fit + fold-encode a complete store at
+    * a fresh root under the alias WITHOUT publishing the pointer. Exposed
+    * (package-private) so callers that must land state on the new root
+    * before readers can resolve it — the guarded streaming ingest's
+    * exactly-once replay markers — can order build → seed → publish; a
+    * crash anywhere before publish leaves the old pointer live and the
+    * half-built root as unreferenced, sweepable debris. */
+  private[llm] def buildRoot(spark: SparkSession, alias: String,
+      corpus: DataFrame, dim: Int, nlist: Int = 16, m: Int = 8,
+      codebookSize: Int = 16, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", carryCols: Seq[String] = Nil,
+      fitSampleLimit: Int = 100000, foldBatchId: Long = 0L): String = {
     val newRoot = s"$alias/store-${newStamp()}"
     train(spark, newRoot, corpus, dim, nlist, m, codebookSize, seed,
       vecCol, fitSampleLimit)
@@ -662,7 +681,6 @@ object IndexStore {
     // pass the -1L seed convention so the fold never shadows a real batch
     appendCodes(spark, newRoot, foldBatchId, corpus, idCol, vecCol,
       carryCols)
-    publishRoot(spark, alias, newRoot)
     newRoot
   }
 
@@ -774,9 +792,12 @@ object IndexStore {
     * re-encoded corpus lands as the `-1L` fold segment — the seed
     * convention, so it can never shadow a real stream batch id — and
     * every previously-committed id (plus the firing one) is re-committed
-    * as an EMPTY segment: a replayed batch no-ops whichever side of the
-    * rotation it lands on, and a restarted stream cannot double-index
-    * through a cutover. (A replayed id at or below the rotation point
+    * as an EMPTY segment on the new root BEFORE the alias pointer
+    * publishes (build → mark → publish): a replayed batch no-ops
+    * whichever side of the rotation it lands on, a restarted stream
+    * cannot double-index through a cutover, and a crash mid-rotation
+    * leaves the old pointer live — never a published root missing its
+    * replay markers. (A replayed id at or below the rotation point
     * maps to "content already inside the fold", the same skip semantics
     * as [[DedupStore.append]]'s.)
     *
@@ -802,9 +823,15 @@ object IndexStore {
           idCol, vecCol))
     currentRoot(spark, alias) match {
       case None =>
-        val r = rotate(spark, alias, slim, dim, nlist, m, codebookSize,
+        // markers land on the new root BEFORE the pointer flips: a crash
+        // in the window leaves the old state live and the built root as
+        // sweepable debris — the replayed batch re-runs the whole step.
+        // (Publishing first would open a window where the live root lacks
+        // the firing batch's marker and a restart double-indexes it.)
+        val r = buildRoot(spark, alias, slim, dim, nlist, m, codebookSize,
           seed, idCol, vecCol, Nil, fitSampleLimit, foldBatchId = -1L)
         markCommitted(r, Seq(batchId))
+        publishRoot(spark, alias, r)
         true
       case Some(root) =>
         val committed = DedupStore.committedBatches(spark, codesRoot(root))
@@ -831,29 +858,44 @@ object IndexStore {
         // store with no recorded prior-batch statistic: the duplication
         // level is unknowable without one (see the dial note above)
         val prior = readGuardStats(spark, root)
-        val fire = prior.nonEmpty && vsStore > minChi2 &&
-          vsStore > priorFactor * prior.max &&
+        lazy val within = math.max(chi2Of(halfA, halfB), 7.0)
+        // drift evidence independent of the prior yardstick: the raw floor
+        // plus the within-batch calibration bound
+        val suspicious = vsStore > minChi2 &&
           halfA.limit(1).count() > 0 && halfB.limit(1).count() > 0 &&
-          vsStore > calibFactor * math.max(chi2Of(halfA, halfB), 7.0)
+          vsStore > calibFactor * within
+        val fire = prior.nonEmpty && vsStore > priorFactor * prior.max &&
+          suspicious
         if (fire) {
           val indexedIds = readCodes(spark, root)
             .select(col("corpus_id").cast("long").as(idCol))
           val history = corpus.select(col(idCol), col(vecCol))
             .join(indexedIds, Seq(idCol), "left_semi")
-          val r2 = rotate(spark, alias, history.unionByName(slim), dim,
+          val r2 = buildRoot(spark, alias, history.unionByName(slim), dim,
             nlist, m, codebookSize, seed, idCol, vecCol, Nil,
             fitSampleLimit, foldBatchId = -1L)
           // exactly-once across the cutover: every batch the OLD store had
           // committed (its content now lives in the fold), plus the firing
-          // batch, re-commits as an empty segment — replays no-op on
-          // either side of the rotation. (Compacted-code folds cannot be
-          // carried — don't compact a store under active streaming ingest,
-          // the m29 discipline.)
+          // batch, re-commits as an empty segment on the new root BEFORE
+          // the pointer publish — replays no-op on either side of the
+          // rotation, and a crash mid-cutover leaves the old pointer live
+          // with the new root as sweepable debris, never a published root
+          // missing its markers. (Compacted-code folds cannot be carried —
+          // don't compact a store under active streaming ingest, the m29
+          // discipline.)
           markCommitted(r2, committed :+ batchId)
+          publishRoot(spark, alias, r2)
           true
         } else {
           DedupStore.append(spark, codesRoot(root), batchId, codes)
-          writeGuardStat(spark, root, batchId, vsStore)
+          // warm-up clamp: a batch carrying prior-independent drift
+          // evidence that was accepted ONLY for lack of a yardstick must
+          // not BECOME the yardstick — recording its inflated chi² would
+          // raise the priorFactor bar ~vsStore/within-fold and could
+          // permanently disable the guard on this root. Record the
+          // same-distribution within-batch statistic instead.
+          writeGuardStat(spark, root, batchId,
+            if (suspicious && prior.isEmpty) within else vsStore)
           false
         }
     }

@@ -512,6 +512,85 @@ class IndexStoreSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("a crashed guarded rotation (store built + markers seeded, pointer " +
+    "never published) replays to exactly-once") {
+    // the r15 ADVICE window: markers must land on the new root BEFORE the
+    // pointer flips. Simulate the crash mid-cutover — a complete store
+    // built under the alias with replay markers seeded, pointer untouched
+    // — and verify the replayed firing batch re-runs the whole step and
+    // converges to exactly-once (no double-indexed batch, old root intact)
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    val b0 = e.filter($"vec_id" % 4 === 0)
+    val b1 = e.filter($"vec_id" % 4 === 1)
+    val drift = e.filter($"vec_id" % 4 === 2).select($"vec_id",
+      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
+    val corpus = b0.unionByName(b1).unionByName(drift)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    assert(ingest(0L, b0))                   // bootstrap
+    assert(!ingest(1L, b1))                  // seeds the yardstick
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    // --- crash simulation: the fire path minus publishRoot ---
+    val debris = s"$alias/store-crashed-manual"
+    IndexStore.train(spark, debris, corpus, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, seed = 42L)
+    IndexStore.appendCodes(spark, debris, -1L, corpus)      // the fold
+    Seq(0L, 1L, 2L).foreach(id =>                           // the markers
+      IndexStore.appendCodes(spark, debris, id, corpus.limit(0)))
+    // pointer never flipped: readers still resolve the old root, and the
+    // old root has NO marker for the firing batch
+    assert(IndexStore.currentRoot(spark, alias).contains(root0),
+      "a crash before publish must leave the old pointer live")
+    // --- restart: the replayed firing batch must re-fire and publish ---
+    assert(ingest(2L, drift), "replayed firing batch must re-run the rotation")
+    val root1 = IndexStore.currentRoot(spark, alias).get
+    assert(root1 != root0 && root1 != debris)
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count(),
+      "exactly-once: every vector in the new store exactly once")
+    Seq(0L, 1L, 2L).foreach(id => assert(!ingest(id, corpus.limit(5)),
+      s"batch $id must no-op after the recovered rotation"))
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count(),
+      "replays after recovery must not append")
+  }
+
+  test("a drifted batch accepted on a warm-up root records a CLAMPED " +
+    "yardstick, so the guard still fires on the next drifted batch") {
+    // the r15 ADVICE low: recording the warm-up batch's inflated
+    // store-vs-batch chi² as the yardstick raises the priorFactor bar by
+    // ~vsStore/within and can permanently disable the guard on the root
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    val b0 = e.filter($"vec_id" % 4 < 2)
+    val d1 = e.filter($"vec_id" % 4 === 2).select($"vec_id",
+      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
+    val d2 = e.filter($"vec_id" % 4 === 3).select($"vec_id",
+      transform($"embedding", x => x - lit(0.5f)).as("embedding"))
+    val corpus = b0.unionByName(d1).unionByName(d2)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    assert(ingest(0L, b0))                   // bootstrap — guard dir empty
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    // drifted batch on the yardstick-less root: accepted (insufficient
+    // evidence — the documented warm-up behavior), but its recorded stat
+    // must be the within-batch chi², NOT the inflated store-vs-batch one
+    assert(!ingest(1L, d1), "warm-up drifted batch must append, not rotate")
+    val statFile = new java.io.File(s"$root0/guard/stat-1")
+    assert(statFile.exists, "accepted batch must record a yardstick")
+    val recorded = scala.io.Source.fromFile(statFile).mkString.trim.toDouble
+    assert(recorded < 100.0,
+      s"warm-up yardstick must be clamped to the within-batch chi² " +
+        s"(got $recorded — recording the drift-inflated statistic would " +
+        "disable the guard)")
+    // the NEXT drifted batch must clear the clamped yardstick and fire
+    assert(ingest(2L, d2),
+      "guard must fire on the second drifted batch — an unclamped " +
+        "warm-up yardstick would have absorbed it")
+    assert(IndexStore.currentRoot(spark, alias).get != root0)
+  }
+
   test("searchTopK asOfBatch: dated slices search exactly; compaction refuses honestly") {
     val root = freshRoot()
     val q = emb.filter($"vec_id" < 6)

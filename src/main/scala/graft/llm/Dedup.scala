@@ -194,26 +194,78 @@ object Dedup {
     * [[minhashNearDupPairs]] and the scale path for the pair-listing API
     * itself. The full listing's output grows QUADRATICALLY per duplicate
     * cluster (a 100-copy cluster is 4,950 pairs; at 10⁴ copies — real
-    * boilerplate on a crawl — 5×10⁷ rows for ONE document), and at sf10
-    * that output was the whole suite's heaviest query. Here every scored
-    * pair feeds connected components ([[connectedComponents]] — the same
-    * labels the d05 cluster API returns, so cluster MEMBERSHIP is
-    * identical by construction) and each member is emitted ONCE, paired
-    * with its cluster REPRESENTATIVE (the minimum id): exactly
-    * `cluster_size − 1` rows per cluster. The representative pair is a
-    * CLUSTER link, not necessarily a directly-scored pair (two members
-    * can both be near the rep without being near each other — standard
-    * single-link semantics); callers needing every raw pair keep the
-    * uncapped form and its cost. Returns (id_a = representative, id_b =
-    * member). */
+    * boilerplate on a crawl — 5×10⁷ rows for ONE document). Cluster
+    * membership is single-link over the SAME scored-pair relation the
+    * full listing emits, but each member appears ONCE, paired with its
+    * cluster REPRESENTATIVE (the minimum id): exactly `cluster_size − 1`
+    * rows per cluster. The representative pair is a CLUSTER link, not
+    * necessarily a directly-scored pair (two members can both be near
+    * the rep without being near each other — standard single-link
+    * semantics); callers needing every raw pair keep the uncapped form
+    * and its cost.
+    *
+    * The INTERMEDIATE is linear in the copy count too (r16 — the r15
+    * version computed the full scored pair set before capping, so a
+    * 10⁴-copy boilerplate cluster still pushed 5×10⁷ candidate pairs
+    * through the LSH join): identical signatures are collapsed to one
+    * GROUP node before any banding, and the LSH join + scoring run over
+    * distinct signatures only. The collapse is EXACT, not a heuristic —
+    * members of a signature group share every band hash (so the full
+    * listing always bucketed them together) and estimate Jaccard k/k =
+    * 1.0 ≥ threshold against each other (so the full listing always
+    * connected them), and any cross-group pair scores identically
+    * whichever members represent it (the estimate is a function of the
+    * two signatures alone) — single-link components over groups expand
+    * to exactly the doc-level components. What stays quadratic is only
+    * the DISTINCT-variant bucket density, which is the irreducible LSH
+    * candidate set. Returns (id_a = representative, id_b = member). */
   def minhashNearDupPairsCapped(docs: DataFrame, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, threshold, k, bands, idCol,
-      textCol).select(col("id_a"), col("id_b"))
-    connectedComponents(pairs)
-      .filter(col("node") =!= col("comp"))
-      .select(col("comp").as("id_a"), col("node").as("id_b"))
+    require(k % bands == 0, "bands must divide k")
+    require(threshold <= 1.0,
+      "threshold > 1.0 can never match (estimates are fractions of k)")
+    val sig = minhashSignatures(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    // one node per DISTINCT signature; gid = the group's minimum doc id.
+    // The join back is on the full k-long signature (exact), not a hash
+    // of it — a hash collision would silently merge distinct groups
+    val groups = sig.groupBy(col("sig")).agg(min(col(idCol)).as("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    groups.count()
+    val gmap = sig.join(groups, Seq("sig")).select(col(idCol), col("gid"))
+    // LSH + pair scoring over group reps only (the minhashNearDupPairs
+    // shape: narrow band rows, candidates deduplicated across bands
+    // before any k-wide work)
+    val banded = groups.select(col("gid"),
+        posexplode(graft.functions.BandHashes(col("sig"), bands)))
+      .select(col("pos").as("band"), col("col").as("bh"), col("gid"))
+    val a = banded.select(col("band"), col("bh"), col("gid").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("gid").as("id_b"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val edges = cand
+      .join(groups.select(col("gid").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(groups.select(col("gid").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("e"))
+      .filter(col("e") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // components over group nodes; a group absent from the edge list is
+    // its own component (internally connected at estimate 1.0), so its
+    // members attach to gid directly. Doc-level expansion: every member
+    // of every group in a component, labeled by the component minimum
+    // (= min gid = min doc id, since each gid is its group's minimum)
+    val comp = connectedComponents(edges).withColumnRenamed("node", "gid")
+    gmap.join(comp, Seq("gid"), "left")
+      .select(coalesce(col("comp"), col("gid")).as("id_a"),
+        col(idCol).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
   }
 
   /** Near-dup store of a corpus — the approximate sibling of

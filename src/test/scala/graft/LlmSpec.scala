@@ -111,6 +111,39 @@ class LlmSpec extends SparkSpec {
     assert(!out(12L)._1, "zero vector scores cos 0 everywhere — kept")
   }
 
+  test("capped pair listing == CC over the full listing (identical-sig " +
+    "collapse is exact), on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // a 40-copy identical boilerplate cluster (the case whose candidate
+    // pairs the r16 collapse keeps linear), a 3-variant near-dup cluster,
+    // singletons, and an empty doc
+    val boiler = (0 until 40).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog " * 4))
+    val vars = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta mu kappa"))
+    val lone = Seq(
+      (1L, "completely different text about something else entirely unrelated"),
+      (2L, ""),
+      (3L, "yet another singleton document with distinct content words here"))
+    val corpus = (boiler ++ vars ++ lone).toDF("doc_id", "text")
+    val (thr, k, bands) = (0.5, 64, 16)
+    val expected = Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(corpus, thr, k, bands)
+          .select($"id_a", $"id_b"))
+      .filter($"node" =!= $"comp")
+      .select($"comp".as("id_a"), $"node".as("id_b"))
+      .localCheckpoint()
+    val capped = Dedup.minhashNearDupPairsCapped(corpus, thr, k, bands)
+      .localCheckpoint()
+    assert(capped.except(expected).count() == 0 &&
+      expected.except(capped).count() == 0,
+      "capped listing must equal CC over the full scored-pair relation")
+    // the boilerplate cluster contributes exactly size-1 rows
+    assert(capped.filter($"id_a" === 100L).count() == 39)
+  }
+
   test("minhash LSH finds the near-dup pair and not the distinct pair") {
     // bands=32 (r=2): band-match probability 1-(1-J²)³² ≈ 1 for J ≈ 0.6
     val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.4, k = 64, bands = 32)

@@ -188,6 +188,12 @@ object DedupStore {
     spark.read.parquet(keep.map(id => segDir(root, id).toString): _*)
   }
 
+  /** The parquet path of one committed segment — for callers that must
+    * audit a specific segment's content (e.g. [[IndexStore.mergeStores]]'s
+    * replay verification) without widening to the whole-store read. */
+  def segmentPath(root: String, batchId: Long): String =
+    segDir(root, batchId).toString
+
   /** Committed batch ids, ascending — the audit view ("which ingests are
     * in this store?") and the input to an offline compaction. */
   def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
@@ -270,12 +276,17 @@ object DedupStore {
       // this fold contains (carried forward through re-compactions). The
       // underscore prefix keeps it invisible to the parquet reader; written
       // AFTER the data (overwrite-mode cleared the dir) and BEFORE the
-      // marker, so a marked fold always carries its provenance. Skipped
-      // only when every folded input is a legacy fold without one —
-      // unknown provenance must stay unknown, never guessed.
-      val upto = ids.filter(_ < CompactBase) ++
-        ids.filter(_ >= CompactBase).flatMap(id => foldUpto(f, root, id))
-      if (upto.nonEmpty)
+      // marker, so a marked fold always carries its provenance. Written
+      // only when EVERY folded fold carries its own `_upto` — folding a
+      // provenance-less legacy fold together with new ingests and stamping
+      // max(new ids) would let readAsOf silently include unprovable
+      // history (wrong slice under non-monotone batch ids); unknown
+      // provenance must stay unknown, never guessed, so such a fold stays
+      // sidecar-less and readAsOf keeps refusing.
+      val foldProvenance = ids.filter(_ >= CompactBase)
+        .map(id => foldUpto(f, root, id))
+      val upto = ids.filter(_ < CompactBase) ++ foldProvenance.flatten
+      if (upto.nonEmpty && foldProvenance.forall(_.isDefined))
         f.create(new HPath(segDir(root, newId), s"_upto-${upto.max}"),
           true).close()
       val tmp = new HPath(root, s".done-$newId.tmp")

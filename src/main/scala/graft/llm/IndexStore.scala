@@ -999,8 +999,14 @@ object IndexStore {
     *
     * Idempotent by the [[DedupStore.append]] replay contract: the dst
     * segment id for source i is `idBase + i`, so a crashed merge re-run
-    * no-ops the already-copied sources and finishes the rest. Returns
-    * one Boolean per source — true when THIS call committed it. */
+    * no-ops the already-copied sources and finishes the rest. A replay
+    * is VERIFIED, not assumed (r15 ADVICE): an already-committed dst
+    * segment must carry the same row count and the same order-free
+    * corpus-id fingerprint as the source — a later merge of DIFFERENT
+    * or reordered sources at a reused idBase fails loud instead of
+    * silently leaving the new sources unmerged behind a false "already
+    * copied". Returns one Boolean per source — true when THIS call
+    * committed it. */
   def mergeStores(spark: SparkSession, dstRoot: String,
       srcRoots: Seq[String], idBase: Long = 0L): Seq[Boolean] = {
     require(srcRoots.nonEmpty, "mergeStores: no sources")
@@ -1032,8 +1038,32 @@ object IndexStore {
         s"artifact ($dstFam/$dstFp vs $family/$fp) — refusing to append " +
         "foreign codes into it")
     srcRoots.zipWithIndex.map { case (src, i) =>
-      DedupStore.append(spark, codesRoot(dstRoot), idBase + i,
-        readCodes(spark, src))
+      val srcCodes = readCodes(spark, src)
+      val appended = DedupStore.append(spark, codesRoot(dstRoot),
+        idBase + i, srcCodes)
+      if (!appended) {
+        // replay verification: the committed segment at this id must BE
+        // this source's codes. Count + an order-free id fingerprint (one
+        // narrow column scan per side) — identical ids under the shared
+        // bit-identical artifact encode to identical codes, so id-set
+        // equality is content equality here
+        def sig(df: DataFrame): (Long, Long) = {
+          // bit_xor: order-free and overflow-free (ANSI-safe; segment ids
+          // are distinct, so XOR cancellation cannot occur)
+          val r = df.agg(count(lit(1)),
+            expr("bit_xor(xxhash64(corpus_id))")).collect()(0)
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        val seg = spark.read.parquet(
+          DedupStore.segmentPath(codesRoot(dstRoot), idBase + i))
+        require(sig(seg) == sig(srcCodes),
+          s"mergeStores: dst segment ${idBase + i} is committed but does " +
+            s"NOT match source $src — a previous merge used this idBase " +
+            "for a different source set; pick an idBase unique per source " +
+            "set (the replay no-op is only valid for the same sources in " +
+            "the same order)")
+      }
+      appended
     }
   }
 }

@@ -717,4 +717,33 @@ class IndexStoreSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("no committed artifact"), e5.getMessage)
   }
+
+  test("mergeStores replay is verified: same sources no-op, a DIFFERENT " +
+    "source set at a reused idBase fails loud") {
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val base = freshRoot()
+    val rqRoot = s"$base/fit"
+    val rq = IndexStore.train(spark, rqRoot, emb, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 42L)
+    val (a, b) = (s"$base/a", s"$base/b")
+    Seq(a, b).foreach(r => assert(IndexStore.saveQuantizer(spark, r, rq)))
+    IndexStore.appendCodes(spark, a, 0L, even)
+    IndexStore.appendCodes(spark, b, 0L, odd)
+    val dst = s"$base/dst"
+    assert(IndexStore.mergeStores(spark, dst, Seq(a, b)) == Seq(true, true))
+    // a crashed-merge re-run of the SAME sources in the same order is the
+    // valid replay: every segment no-ops, store unchanged
+    assert(IndexStore.mergeStores(spark, dst, Seq(a, b)) == Seq(false, false))
+    // REORDERED sources at the same idBase: position i's committed segment
+    // is a different source's codes — the old behavior silently returned
+    // false ("already copied") and left the swap unmerged
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.mergeStores(spark, dst, Seq(b, a))
+    }
+    assert(e.getMessage.contains("does NOT match source"), e.getMessage)
+    // a genuinely new source at a FRESH idBase still merges
+    assert(IndexStore.mergeStores(spark, dst, Seq(b), idBase = 2L)
+      == Seq(true))
+  }
 }

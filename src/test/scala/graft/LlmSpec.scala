@@ -951,6 +951,21 @@ class LlmSpec extends SparkSpec {
     assert(fps(DedupStore.readAsOf(spark, root, fold2))
       == fps(DedupStore.readFingerprints(spark, root)),
       "as-of at the fold id itself stays readable even without provenance")
+    // folding a provenance-less legacy fold together with NEW ingests must
+    // NOT stamp a sidecar from the new ids alone: the legacy fold holds
+    // unprovable history, so the result stays provenance-less and readAsOf
+    // keeps refusing below the new fold id instead of serving a wrong slice
+    assert(DedupStore.appendFingerprints(spark, root, 9L,
+      Seq("fp_after_legacy").toDF("fp")))
+    val fold3 = DedupStore.compact(spark, root)
+    assert(f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/segments/$fold3"))
+      .forall(!_.getPath.getName.startsWith("_upto-")),
+      "a fold containing a provenance-less legacy fold must not claim provenance")
+    val e4 = intercept[IllegalStateException] {
+      DedupStore.readAsOf(spark, root, 9L)
+    }
+    assert(e4.getMessage.contains("predates provenance"), e4.getMessage)
   }
 
   test("DedupStore: compact/append exclusion — lease fails appends loud, stale lease reclaimed") {

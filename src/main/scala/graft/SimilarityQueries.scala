@@ -526,15 +526,24 @@ private[graft] object SimilarityQueries {
       .select(col("query_id"), col("corpus_id"))
     val approx = IndexStore.searchTopKFlat(s, root, q, k = 5, nprobe = 3)
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    // store-content anchors VALUE-matched by DuckDB (the dt07/m29
+    // pattern): the committed segments must hold exactly the corpus rows
+    // — count and id-sum read back from the store, not asserted
+    val stored = IndexStore.readCodes(s, root)
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(col("corpus_id")).as("sum_ids"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
           >= 0.5).as("recall_ok"),
         lit(indexed && replayNoop).as("store_ok"))
+      .crossJoin(broadcast(stored))
   }
 
   private val s19Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** Persisted IVF-INT8 store (FAISS IndexIVFScalarQuantizer —
@@ -559,15 +568,24 @@ private[graft] object SimilarityQueries {
     val approx = IndexStore.searchTopKInt8(s, root, emb, q, k = 5,
         nprobe = 3, rerank = 4)
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    // store-content anchors VALUE-matched by DuckDB (the dt07/m29
+    // pattern): the committed segments must hold exactly the corpus rows
+    // — count and id-sum read back from the store, not asserted
+    val stored = IndexStore.readCodes(s, root)
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(col("corpus_id")).as("sum_ids"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
           >= 0.5).as("recall_ok"),
         lit(indexed && replayNoop).as("store_ok"))
+      .crossJoin(broadcast(stored))
   }
 
   private val s20Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** Persisted IMI store ([[graft.llm.IndexStore.trainImi]]/appendImi/
@@ -590,15 +608,24 @@ private[graft] object SimilarityQueries {
       .select(col("query_id"), col("corpus_id"))
     val approx = IndexStore.searchTopKImi(s, root, q, k = 5, nprobe = 16)
       .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    // store-content anchors VALUE-matched by DuckDB (the dt07/m29
+    // pattern): the committed segments must hold exactly the corpus rows
+    // — count and id-sum read back from the store, not asserted
+    val stored = IndexStore.readCodes(s, root)
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(col("corpus_id")).as("sum_ids"))
     exact.join(approx, Seq("query_id", "corpus_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
           >= 0.5).as("recall_ok"),
         lit(indexed && replayNoop).as("store_ok"))
+      .crossJoin(broadcast(stored))
   }
 
   private val s21Sql =
-    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok
+    """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** JL random-projection prefilter + exact re-rank

@@ -384,6 +384,18 @@ object Maintenance {
     spark.read.parquet(outDir)
   }
 
+  /** ONE scheduled call that keeps an ANN index alias bounded on disk:
+    * superseded-store GC + crashed-trainer staging sweep + drift-guard
+    * yardstick pruning + horizon-bounded code compaction, composed in
+    * the safe order. Delegates to [[graft.llm.IndexStore.maintain]] —
+    * see there for the step contract and the as-of-horizon dial. */
+  def maintainIndexStore(spark: SparkSession, alias: String,
+      keepPointers: Int = 2, minAgeMs: Long = 30L * 60 * 1000,
+      keepGuardStats: Int = 8, compactMinSegments: Int = 16,
+      asOfHorizonSegments: Int = 8): graft.llm.IndexStore.MaintainReport =
+    graft.llm.IndexStore.maintain(spark, alias, keepPointers, minAgeMs,
+      keepGuardStats, compactMinSegments, asOfHorizonSegments)
+
   /** Count data files under a directory tree (hidden `_`/`.` entries
     * excluded) — the before/after measurement for [[compactExport]].
     * Driver-side metadata walk, bounded by the export's file count. */

@@ -194,6 +194,18 @@ object DedupStore {
   def segmentPath(root: String, batchId: Long): String =
     segDir(root, batchId).toString
 
+  /** The largest ingest id PROVABLY folded into this store's compaction
+    * segments — max `_upto` over committed folds, None when no fold
+    * carries provenance. The compaction-cadence observable: ingest
+    * segments at or below it are already collapsed (only their replay
+    * markers remain), ones above still hold their own rows. */
+  def foldedThrough(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val us = committedBatches(spark, root).filter(_ >= CompactBase)
+      .flatMap(id => foldUpto(f, root, id))
+    if (us.isEmpty) None else Some(us.max)
+  }
+
   /** Committed batch ids, ascending — the audit view ("which ingests are
     * in this store?") and the input to an offline compaction. */
   def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
@@ -239,7 +251,18 @@ object DedupStore {
     * ingest pipeline's maintenance window; the lease turns a scheduling
     * bug into an error, and the id-space split turns the residual race
     * into at-worst deferred folding, never data loss. */
-  def compact(spark: SparkSession, root: String): Long = {
+  def compact(spark: SparkSession, root: String): Long =
+    compact(spark, root, None)
+
+  /** [[compact]] bounded to an as-of horizon: folds only the ingest
+    * segments with id ≤ `upToIngest` (plus every existing fold — compacted
+    * history is already collapsed), leaving newer segments intact, so
+    * [[readAsOf]] keeps working for every point ≥ the fold's `_upto` —
+    * the cadence dial that preserves a configured audit window while
+    * still bounding segment count ([[graft.exec.Maintenance]]'s
+    * maintainIndexStore uses it). `None` folds everything. */
+  def compact(spark: SparkSession, root: String,
+      upToIngest: Option[Long]): Long = {
     val f = fs(spark, root)
     leaseAge(f, root) match {
       case Some(age) if age <= leaseMaxAgeMs(spark) =>
@@ -258,9 +281,13 @@ object DedupStore {
         s"DedupStore at $root: lost the compaction-lease race"))
     try {
       // ids snapshot AFTER the lease: an append that saw the lease cannot
-      // commit a marker between this listing and the retire pass below
-      val ids = committedBatches(spark, root)
-      require(ids.nonEmpty, s"DedupStore at $root has no committed segments")
+      // commit a marker between this listing and the retire pass below.
+      // Under a horizon bound, the snapshot keeps only in-horizon ingest
+      // segments and every existing fold; newer segments survive untouched
+      val ids = committedBatches(spark, root).filter(id =>
+        id >= CompactBase || upToIngest.forall(id <= _))
+      require(ids.nonEmpty, s"DedupStore at $root has no committed segments" +
+        upToIngest.fold("")(u => s" at or below ingest id $u"))
       if (ids.size == 1) return ids.head
       // Build the merged segment from the SNAPSHOT, not a re-listing read():
       // an append whose marker lands between two listings would otherwise be

@@ -270,14 +270,41 @@ object IndexStore {
       .map { st => f.delete(st.getPath, true); st.getPath.toString }
   }
 
-  /** Fold all committed code segments into one ([[DedupStore.compact]]
-    * verbatim — same lease, same crash contract): a long-running ingest
-    * accumulates one segment per batch, and scan cost grows with file
-    * count even when total rows don't. Search results are unchanged by
-    * construction (the scan is a union of segments either way —
-    * IndexStoreSpec pins it). Returns the merged segment's id. */
-  def compactCodes(spark: SparkSession, root: String): Long =
-    DedupStore.compact(spark, codesRoot(root))
+  /** Fold all committed code segments into one ([[DedupStore.compact]] —
+    * same lease, same crash contract): a long-running ingest accumulates
+    * one segment per batch, and scan cost grows with file count even when
+    * total rows don't. Search results are unchanged by construction (the
+    * scan is a union of segments either way — IndexStoreSpec pins it).
+    * Returns the merged segment's id.
+    *
+    * SAFE UNDER STREAMING INGEST (r16 — machinery, not convention):
+    * [[DedupStore.compact]] retires the folded segments' commit markers,
+    * which would make a replayed stream batch re-append its content on
+    * top of the fold (double-indexing) and strand a guard-fire rotation
+    * without the history ids its cutover markers must carry. So after
+    * the fold commits, every folded ingest-space id is re-committed as
+    * an EMPTY segment — the same marker trick [[ingestWithDriftGuard]]
+    * uses across a rotation. Replays no-op, [[readAsOf]] semantics are
+    * unchanged (the empty segments carry no rows; the fold still refuses
+    * below its `_upto`), and the concurrent-ingest exclusion is the
+    * DedupStore lease (an append during the fold fails loud; one that
+    * raced past it lands in the disjoint id space and folds next time).
+    * A crash between the fold and the re-marks is healed by re-running
+    * compact — until then replayed batches may re-append (duplicate
+    * candidates, the duplicate-tolerant probe shape), never lose rows. */
+  def compactCodes(spark: SparkSession, root: String,
+      upToIngest: Option[Long] = None): Long = {
+    val cr = codesRoot(root)
+    val before = DedupStore.committedBatches(spark, cr)
+    val fold = DedupStore.compact(spark, cr, upToIngest)
+    val ingestIds = before.filter(id =>
+      id < DedupStore.CompactBase && upToIngest.forall(id <= _))
+    if (ingestIds.nonEmpty) {
+      val empty = DedupStore.read(spark, cr).limit(0)
+      ingestIds.foreach(id => DedupStore.append(spark, cr, id, empty))
+    }
+    fold
+  }
 
   /** Per-cell occupancy of the stored index — the denominator of the
     * staleness question this store's train-once contract raises: coarse
@@ -835,6 +862,17 @@ object IndexStore {
         true
       case Some(root) =>
         val committed = DedupStore.committedBatches(spark, codesRoot(root))
+        // a store whose EVERY ingest marker was collapsed into compaction
+        // folds lost its replay record — a raw DedupStore.compact on the
+        // codes dir, not [[compactCodes]], which re-commits the folded
+        // ingest ids as empty segments. Refuse loudly: this step cannot
+        // prove the batch isn't a replay of folded history
+        require(committed.isEmpty ||
+            committed.exists(_ < DedupStore.CompactBase),
+          s"IndexStore under $alias: store $root holds only compaction " +
+            "folds with no ingest markers — replay idempotency is " +
+            "unprovable; compact streamed stores via compactCodes (which " +
+            "preserves markers), never DedupStore.compact directly")
         if (committed.contains(batchId)) return false // replay: skip
         val rq = loadQuantizer(spark, root)
         val codes = Similarity.encodeResidual(slim, rq, idCol, vecCol)
@@ -880,9 +918,10 @@ object IndexStore {
           // the pointer publish — replays no-op on either side of the
           // rotation, and a crash mid-cutover leaves the old pointer live
           // with the new root as sweepable debris, never a published root
-          // missing its markers. (Compacted-code folds cannot be carried —
-          // don't compact a store under active streaming ingest, the m29
-          // discipline.)
+          // missing its markers. A [[compactCodes]]-folded store carries
+          // its ingest ids as empty segments, so they ride along here too;
+          // the fold id itself (content, not a replay token) is filtered
+          // by markCommitted.
           markCommitted(r2, committed :+ batchId)
           publishRoot(spark, alias, r2)
           true
@@ -929,6 +968,84 @@ object IndexStore {
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     if (!f.rename(tmp, new HPath(guardDir(root), s"stat-$batchId")))
       f.delete(tmp, false) // a concurrent replay already recorded it
+  }
+
+  /** Bound the drift guard's per-root yardstick state: keep the newest
+    * `keep` accepted-batch statistics (by batch id), delete the rest.
+    * The dial compares against `max` over recorded stats, so pruning to
+    * recent batches keeps the yardstick tracking the CURRENT corpus
+    * shape (duplication level drifts too) while stopping the one-file-
+    * per-accepted-batch growth. Returns the number deleted. */
+  def pruneGuardStats(spark: SparkSession, root: String,
+      keep: Int = 8): Int = {
+    require(keep >= 1, "keep >= 1 — never delete the entire yardstick")
+    val f = fs(spark, root)
+    val d = guardDir(root)
+    if (!f.exists(d)) return 0
+    val old = f.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("stat-"))
+      .sortBy(_.getPath.getName.stripPrefix("stat-").toLong)
+      .dropRight(keep)
+    old.foreach(st => f.delete(st.getPath, false))
+    old.size
+  }
+
+  /** What one [[maintain]] pass did — the operational audit record. */
+  case class MaintainReport(sweptStores: Seq[String],
+      sweptStaging: Seq[String], prunedGuardStats: Int,
+      compactedFold: Option[Long])
+
+  /** ONE scheduled entry point for alias lifecycle hygiene (r15 VERDICT
+    * #4 — previously three separate sweeps plus an unbounded guard dir
+    * that an operator had to remember individually):
+    *
+    *  1. [[sweepSuperseded]] — GC stores and pointers older than the
+    *     rollback window, keeping the newest `keepPointers`.
+    *  2. [[recoverStaging]] on every surviving store root — crashed
+    *     trainers' staging debris.
+    *  3. [[pruneGuardStats]] on every surviving root — bound the drift
+    *     guard's yardstick files to the newest `keepGuardStats`.
+    *  4. Horizon-bounded code compaction on the LIVE root: when more
+    *     than `max(compactMinSegments, asOfHorizonSegments)` ingest
+    *     segments hold unfolded rows, fold all but the newest
+    *     `asOfHorizonSegments` ([[compactCodes]] with its replay-marker
+    *     preservation) — segment count stays bounded while
+    *     [[DedupStore.readAsOf]]/[[searchTopK]]'s asOfBatch keep working
+    *     across the configured audit horizon. The cadence counts only
+    *     segments NOT yet folded (via [[DedupStore.foldedThrough]]), so
+    *     a quiet store is never re-folded.
+    *
+    * Everything here is metadata-sized except the fold itself, which is
+    * one read+write of the code rows (m bytes + id per vector) at most
+    * once per cadence trigger. Safe to schedule against live searches
+    * (immutable roots, atomic pointers) and against the guarded ingest
+    * (the compaction lease + marker preservation — the machinery pinned
+    * by IndexStoreSpec's mid-stream compaction race). */
+  def maintain(spark: SparkSession, alias: String, keepPointers: Int = 2,
+      minAgeMs: Long = 30L * 60 * 1000, keepGuardStats: Int = 8,
+      compactMinSegments: Int = 16,
+      asOfHorizonSegments: Int = 8): MaintainReport = {
+    val sweptStores = sweepSuperseded(spark, alias, keepPointers, minAgeMs)
+    val f = fs(spark, alias)
+    val a = new HPath(alias)
+    val roots = if (!f.exists(a)) Seq.empty[String]
+      else f.listStatus(a).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("store-"))
+        .map(_.getPath.toString)
+    val staging = roots.flatMap(r => recoverStaging(spark, r, minAgeMs))
+    val pruned = roots.map(r => pruneGuardStats(spark, r, keepGuardStats)).sum
+    val fold = currentRoot(spark, alias).flatMap { live =>
+      val cr = codesRoot(live)
+      val foldedThrough = DedupStore.foldedThrough(spark, cr)
+      val unfolded = DedupStore.committedBatches(spark, cr)
+        .filter(id => id < DedupStore.CompactBase &&
+          foldedThrough.forall(id > _))
+      if (unfolded.size <= math.max(compactMinSegments, asOfHorizonSegments))
+        None
+      else unfolded.sorted.dropRight(asOfHorizonSegments).lastOption
+        .map(u => compactCodes(spark, live, Some(u)))
+    }
+    MaintainReport(sweptStores, staging, pruned, fold)
   }
 
   // ------------------------------------------------------------ store merge

@@ -174,8 +174,16 @@ class IndexStoreSpec extends SparkSpec {
     val merged = IndexStore.compactCodes(spark, root)
     assert(merged >= graft.llm.DedupStore.CompactBase,
       s"merged id $merged must live in the reserved compact id space")
+    // all rows fold into the merged segment; the folded ingest ids stay
+    // committed as EMPTY segments — the replay record a streamed store
+    // needs (r16) — so a re-append of any folded id is a no-op
     assert(graft.llm.DedupStore.committedBatches(spark, s"$root/codes")
-      == Seq(merged), "three segments must fold into exactly the merged one")
+      == Seq(0L, 1L, 2L, merged),
+      "folded ingest ids must stay committed as empty segments")
+    assert(IndexStore.readCodes(spark, root).count() == preRows)
+    assert(!IndexStore.appendCodes(spark, root, 1L,
+      emb.filter($"vec_id" % 3 === 1)),
+      "a replayed folded batch must no-op after compaction")
     assert(IndexStore.readCodes(spark, root).count() == preRows)
     assert(rows() == before, "compaction changed search results")
   }
@@ -555,6 +563,52 @@ class IndexStoreSpec extends SparkSpec {
       "replays after recovery must not append")
   }
 
+  test("compactCodes mid-stream preserves replay markers: replays no-op, " +
+    "a later guard-fire rotation carries folded history, raw compact refuses") {
+    // the r15 'don't compact a store under active streaming ingest'
+    // convention, replaced with machinery: DedupStore.compact retires the
+    // folded segments' markers, so a replayed stream batch would
+    // re-append its content on top of the fold; compactCodes re-commits
+    // the folded ingest ids as empty segments, keeping the replay record
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    val b0 = e.filter($"vec_id" % 4 === 0)
+    val b1 = e.filter($"vec_id" % 4 === 1)
+    val b2 = e.filter($"vec_id" % 4 === 2)
+    val drift = e.filter($"vec_id" % 4 === 3).select($"vec_id",
+      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
+    val corpus = b0.unionByName(b1).unionByName(b2).unionByName(drift)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    assert(ingest(0L, b0))
+    assert(!ingest(1L, b1))
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    val n = IndexStore.readCodes(spark, root0).count()
+    // compact the LIVE streamed store; content unchanged
+    IndexStore.compactCodes(spark, root0)
+    assert(IndexStore.readCodes(spark, root0).count() == n)
+    // replayed pre-compact batches still no-op (without marker
+    // preservation they would re-append on top of the fold)
+    assert(!ingest(0L, b0) && !ingest(1L, b1),
+      "replays after compactCodes must no-op")
+    assert(IndexStore.readCodes(spark, root0).count() == n,
+      "a replayed batch re-appended over the fold — markers were lost")
+    // the stream continues; drift fires; the rotation's cutover markers
+    // carry the folded history ids
+    assert(!ingest(2L, b2))
+    assert(ingest(3L, drift), "drifted batch must rotate")
+    val root1 = IndexStore.currentRoot(spark, alias).get
+    Seq(0L, 1L, 2L, 3L).foreach(id => assert(!ingest(id, corpus.limit(5)),
+      s"batch $id must no-op across the post-compaction rotation"))
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count())
+    // a RAW DedupStore.compact (markers collapsed, no empty re-commits):
+    // the guarded ingest refuses loudly instead of risking a double-index
+    graft.llm.DedupStore.compact(spark, s"$root1/codes")
+    val err = intercept[IllegalArgumentException] { ingest(9L, b1) }
+    assert(err.getMessage.contains("replay idempotency"), err.getMessage)
+  }
+
   test("a drifted batch accepted on a warm-up root records a CLAMPED " +
     "yardstick, so the guard still fires on the next drifted batch") {
     // the r15 ADVICE low: recording the warm-up batch's inflated
@@ -589,6 +643,66 @@ class IndexStoreSpec extends SparkSpec {
       "guard must fire on the second drifted batch — an unclamped " +
         "warm-up yardstick would have absorbed it")
     assert(IndexStore.currentRoot(spark, alias).get != root0)
+  }
+
+  test("maintain: one call GCs superseded stores, sweeps staging, prunes " +
+    "guard stats, folds history beyond the as-of horizon") {
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, e,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    // bootstrap, then rotate so a superseded store exists for the GC leg
+    assert(ingest(0L, e.filter($"vec_id" % 12 === 0)))
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    val root1 = IndexStore.rotate(spark, alias, e, dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 43L, foldBatchId = -1L)
+    // a stream of accepted batches on the live store (yardstick files too)
+    (1 to 12).foreach(i =>
+      assert(!ingest(i.toLong, e.filter($"vec_id" % 12 === i % 12))))
+    val preRows = IndexStore.readCodes(spark, root1).count()
+    // crashed-trainer staging debris on the live root
+    val f = new org.apache.hadoop.fs.Path(root1)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(root1, ".quantizer-tmp-zz"))
+    val rep = IndexStore.maintain(spark, alias, keepPointers = 1,
+      minAgeMs = 0L, keepGuardStats = 3, compactMinSegments = 4,
+      asOfHorizonSegments = 4)
+    // superseded store GC'd, live store intact
+    assert(rep.sweptStores.exists(_.contains(root0.split('/').last)),
+      s"superseded $root0 must be swept: ${rep.sweptStores}")
+    assert(IndexStore.currentRoot(spark, alias).contains(root1))
+    assert(IndexStore.quantizerCommitted(spark, root1))
+    // staging debris swept
+    assert(rep.sweptStaging.exists(_.contains("quantizer-tmp-zz")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root1, ".quantizer-tmp-zz")))
+    // guard stats bounded to the newest 3
+    assert(rep.prunedGuardStats == 9, s"pruned ${rep.prunedGuardStats}")
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$root1/guard"))
+      .count(_.getPath.getName.startsWith("stat-")) == 3)
+    // codes folded up to the horizon: rows intact, replay record intact
+    val fold = rep.compactedFold.get
+    assert(fold >= graft.llm.DedupStore.CompactBase)
+    assert(IndexStore.readCodes(spark, root1).count() == preRows)
+    assert(!ingest(5L, e.limit(3)), "folded batch must still no-op")
+    assert(IndexStore.readCodes(spark, root1).count() == preRows)
+    // as-of preserved across the configured horizon, refused below it
+    val q = e.filter($"vec_id" < 5)
+    assert(IndexStore.searchTopK(spark, root1, e, q, k = 3, nprobe = 3,
+      rerank = 8, asOfBatch = 10L).count() > 0)
+    val below = intercept[IllegalStateException] {
+      IndexStore.searchTopK(spark, root1, e, q, k = 3, nprobe = 3,
+        rerank = 8, asOfBatch = 5L).count()
+    }
+    assert(below.getMessage.contains("cannot be reconstructed"),
+      below.getMessage)
+    // a second maintain is quiet: nothing unfolded beyond the horizon
+    val rep2 = IndexStore.maintain(spark, alias, keepPointers = 1,
+      minAgeMs = 0L, keepGuardStats = 3, compactMinSegments = 4,
+      asOfHorizonSegments = 4)
+    assert(rep2.compactedFold.isEmpty,
+      "a quiet store must not be re-folded every maintenance pass")
+    assert(rep2.sweptStores.isEmpty && rep2.sweptStaging.isEmpty)
   }
 
   test("searchTopK asOfBatch: dated slices search exactly; compaction refuses honestly") {

@@ -759,6 +759,128 @@ object DepthQueries {
        |FROM lineitem""".stripMargin
   }
 
+  // --------------------------------- q37 INCREMENTAL (touched-tile) z-order
+
+  /** Incremental z-order maintenance with cost ∝ APPENDED data
+    * ([[graft.exec.Layout.zorderCompactIncremental]]) — the 100 TB form
+    * of q36: instead of re-clustering the whole directory, appended slab
+    * rows are routed to tiles with the ORIGINAL write's persisted
+    * `_zstats` quantization and only the touched tiles are rewritten.
+    * Appends are confined to the left half of the partkey domain, so the
+    * right-half tiles must ride through BYTE-STABLE (same file, same
+    * length, same mtime — `untouched_intact`, the claim that makes this
+    * incremental). Everything else is VALUE-matched by DuckDB from pure
+    * arithmetic: the final row set (count/qty/okey over "initial subset ∪
+    * bounded appends"), `n_touched` (count of distinct tiles over the
+    * append rows under the subset stats), and `after_worst_span` (per-
+    * tile spans over the final rows — which must equal the per-FILE spans
+    * Spark measures from the actual parquet layout, tile determinism
+    * again). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Layout
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val root = graft.LlmShared.staging("zincr", dir) + "/" +
+      q36Invocation.incrementAndGet()
+    val path = s"$root/t"
+    Layout.zorderWrite(li.filter(col("l_orderkey") % 4 === 0),
+      "l_partkey", "l_suppkey", nFiles = 8, path)
+    val st = Layout.readStats(s, path).get
+    val mid = st.xlo + (st.xhi - st.xlo) / 2
+    (1 to 3).foreach { r =>
+      li.filter(col("l_orderkey") % 4 === r && col("l_partkey") <= mid)
+        .write.mode("append").parquet(path)
+    }
+    def files(): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(p).toSeq.filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+        .toMap
+    }
+    val before = files()
+    val touched = Layout.zorderCompactIncremental(s, path,
+      "l_partkey", "l_suppkey")
+    val after = files()
+    val untouchedIntact = after.keys.forall(_.startsWith("tile-")) &&
+      before.keySet.filter(n => n.startsWith("tile-") &&
+          !touched.exists(tid => n.startsWith(s"tile-$tid-")))
+        .forall(n => after.get(n).contains(before(n)))
+    // per-FILE spans measured from the actual layout (q36's worstSpan)
+    val fin = s.read.parquet(path)
+    val per = fin.select(input_file_name().as("f"), col("l_partkey"),
+        col("l_suppkey"))
+      .groupBy(col("f"))
+      .agg(min(col("l_partkey")).as("fxlo"), max(col("l_partkey")).as("fxhi"),
+        min(col("l_suppkey")).as("fylo"), max(col("l_suppkey")).as("fyhi"))
+    val g = fin.agg(min(col("l_partkey")).as("xlo"),
+      max(col("l_partkey")).as("xhi"),
+      min(col("l_suppkey")).as("ylo"), max(col("l_suppkey")).as("yhi"))
+    val span = per.crossJoin(broadcast(g))
+      .select(greatest(
+        (col("fxhi") - col("fxlo")).cast("double") /
+          greatest(col("xhi") - col("xlo"), lit(1L)).cast("double"),
+        (col("fyhi") - col("fylo")).cast("double") /
+          greatest(col("yhi") - col("ylo"), lit(1L)).cast("double")).as("r"))
+      .agg(max(col("r")).as("__span"))
+    fin.agg(count(lit(1)).as("n_rows"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+          .as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+      .crossJoin(broadcast(span))
+      .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
+        lit(touched.size.toLong).as("n_touched"),
+        col("__span").as("after_worst_span"),
+        lit(untouchedIntact).as("untouched_intact"))
+  }
+
+  private val q37Sql = {
+    val terms = (0 until 8).map { i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i + 1)} + ((qy >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("\n      |        + ")
+    val blocks = graft.exec.Layout.tileBlocks(nFiles = 8, bits = 8)
+    s"""WITH s AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+       |             min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+       |           FROM lineitem WHERE l_orderkey % 4 = 0),
+       |r AS (SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_quantity
+       |      FROM lineitem l, s
+       |      WHERE l.l_orderkey % 4 = 0
+       |         OR l.l_partkey <= s.xlo + (s.xhi - s.xlo) // 2),
+       |q AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |        least(greatest(((l_partkey - xlo) * 256) // (xhi - xlo + 1),
+       |          0), 255) AS qx,
+       |        least(greatest(((l_suppkey - ylo) * 256) // (yhi - ylo + 1),
+       |          0), 255) AS qy
+       |      FROM r, s),
+       |z AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |        $terms AS z
+       |      FROM q),
+       |touched AS (SELECT COUNT(DISTINCT z // $blocks) AS n_touched
+       |            FROM z WHERE l_orderkey % 4 <> 0),
+       |t AS (SELECT z // $blocks AS tile,
+       |        min(l_partkey) AS fxlo, max(l_partkey) AS fxhi,
+       |        min(l_suppkey) AS fylo, max(l_suppkey) AS fyhi
+       |      FROM z GROUP BY 1),
+       |gs AS (SELECT min(l_partkey) AS gxlo, max(l_partkey) AS gxhi,
+       |         min(l_suppkey) AS gylo, max(l_suppkey) AS gyhi FROM r),
+       |w AS (SELECT max(greatest(
+       |        CAST(fxhi - fxlo AS DOUBLE)
+       |          / CAST(greatest(gxhi - gxlo, 1) AS DOUBLE),
+       |        CAST(fyhi - fylo AS DOUBLE)
+       |          / CAST(greatest(gyhi - gylo, 1) AS DOUBLE))) AS ws
+       |      FROM t, gs)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  SUM(l_orderkey) AS sum_okey,
+       |  (SELECT n_touched FROM touched) AS n_touched,
+       |  (SELECT ws FROM w) AS after_worst_span,
+       |  TRUE AS untouched_intact
+       |FROM r""".stripMargin
+  }
+
   // ------------------------------------------------- dt01 generic data tests
 
   /** The dbt `dbt test` surface (unique / not_null / accepted_values /
@@ -1196,6 +1318,7 @@ object DepthQueries {
     "q34_zorder_layout" -> (q34 _),
     "q35_kmv_intersection" -> (q35 _),
     "q36_zorder_maintenance" -> (q36 _),
+    "q37_zorder_incremental" -> (q37 _),
     "dt01_data_tests" -> (dt01 _),
     "dt02_profile" -> (dt02 _),
     "dt03_profile_hll" -> (dt03 _),
@@ -1227,6 +1350,7 @@ object DepthQueries {
     "q34_zorder_layout" -> q34Sql,
     "q35_kmv_intersection" -> q35Sql,
     "q36_zorder_maintenance" -> q36Sql,
+    "q37_zorder_incremental" -> q37Sql,
     "dt01_data_tests" -> dt01Sql,
     "dt02_profile" -> dt02Sql,
     "dt03_profile_hll" -> dt03Sql,

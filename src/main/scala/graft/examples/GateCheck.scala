@@ -106,7 +106,10 @@ object GateCheck {
     "dt07_quantizer_drift",
     // incremental z-order maintenance: appends measurably degrade
     // per-file spans, the compact measurably restores them
-    "q36_zorder_maintenance")
+    "q36_zorder_maintenance",
+    // touched-tile incremental maintenance: untouched tile files must be
+    // byte-stable through the compact (cost ∝ appends, not table size)
+    "q37_zorder_incremental")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

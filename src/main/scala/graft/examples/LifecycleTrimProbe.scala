@@ -10,11 +10,12 @@ object LifecycleTrimProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val names: Set[String] =
+      if (args.length > 2) args.drop(2).toSet
+      else Set("s18_cosine_topk_rotate", "s23_cosine_topk_asof")
     val spark = Verify.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    val qs = graft.SimilarityQueries.queries
-      .filter(k => Set("s18_cosine_topk_rotate", "s23_cosine_topk_asof")
-        .contains(k._1))
+    val qs = graft.SparkEntry.queries.filter(k => names.contains(k._1))
     // warmup: one full pass unmeasured
     qs.foreach { case (_, fn) => fn(spark, dir).collect() }
     qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -123,10 +123,24 @@ object Layout {
       new java.security.SecureRandom().nextInt(1000000)}%06d"
     val staged = new HPath(target.getParent,
       s".${target.getName}_zw_$stamp")
+    // the layout stats are COLLECTED once (4 longs — the one bounded
+    // driver read this module makes): they parameterize the row-side
+    // quantization as literals AND persist as the `_zstats` sidecar that
+    // anchors incremental maintenance (`zorderCompactIncremental` must
+    // tile appended rows with the ORIGINAL write's quantization, or tile
+    // boundaries would shift under the existing files)
+    val st = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).collect()(0)
+    val hasRows = !st.isNullAt(0)
+    val (xlo, xhi, ylo, yhi) =
+      if (hasRows) (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      else (0L, 0L, 0L, 0L)
     // sort carries (__tile, z); dropping z afterwards leaves the writer's
     // required ordering (the partition column prefix) provably satisfied,
     // so no re-sort is inserted and the within-tile z order survives
-    withZValue(df, xCol, yCol, bits)
+    df.withColumn("z", zValue(col(xCol), lit(xlo), lit(xhi),
+        col(yCol), lit(ylo), lit(yhi), bits))
       .withColumn("__tile", expr(s"z div $blocks"))
       .repartition(nParts, col("__tile"))
       .sortWithinPartitions(col("__tile"), col("z"))
@@ -156,8 +170,40 @@ object Layout {
     // empty input writes no per-tile files; keep the read contract (a
     // schema-bearing empty parquet directory) that a plain write provides
     if (moved == 0)
-      withZValue(df, xCol, yCol, bits).drop("z").limit(0)
-        .write.mode("overwrite").parquet(path)
+      df.limit(0).write.mode("overwrite").parquet(path)
+    if (hasRows) writeStats(fs, target, ZStats(xlo, xhi, ylo, yhi, bits, blocks))
+  }
+
+  /** The persisted layout parameters of a z-ordered directory — the
+    * `_zstats` sidecar [[zorderWrite]] leaves beside the tile files. */
+  case class ZStats(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      bits: Int, blocks: Long)
+
+  private def statsPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_zstats")
+
+  private def writeStats(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, s: ZStats): Unit = {
+    val out = fs.create(statsPath(dir), true)
+    try out.write(
+      s"${s.xlo},${s.xhi},${s.ylo},${s.yhi},${s.bits},${s.blocks}"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a layout's `_zstats` sidecar, None when the directory predates
+    * it (or was never zorderWrite-laid). */
+  def readStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[ZStats] = {
+    val p = statsPath(new org.apache.hadoop.fs.Path(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val a = txt.split(',')
+    Some(ZStats(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong,
+      a(4).toInt, a(5).toLong))
   }
 
   /** Aligned Morton tile size (cells per file) for `nFiles` at `bits`:
@@ -185,6 +231,97 @@ object Layout {
     * row set through the compact. Path-based layouts only (q34's shape);
     * CATALOG tables get the same machinery through
     * [[Maintenance.compact]] + the committer seam. */
+  /** INCREMENTAL z-order maintenance with cost ∝ APPENDED DATA, not
+    * table size — the 100 TB form of [[zorderCompact]], which rewrites
+    * the whole directory. Appended slab files (anything not named
+    * `tile-…` by [[zorderWrite]]'s flatten) are read, their rows routed
+    * to tiles with the ORIGINAL write's persisted quantization
+    * (`_zstats` — re-deriving stats from current data would shift tile
+    * boundaries under every existing file), and ONLY the touched tiles
+    * are rewritten (old tile rows ∪ routed slab rows, re-sorted by z);
+    * untouched tile files are not rewritten, not moved, not read. Rows
+    * outside the original stats range clamp into edge tiles
+    * ([[quantize]]'s contract) — a corpus whose domain has genuinely
+    * outgrown the layout should take a full [[zorderCompact]], which
+    * re-anchors the stats.
+    *
+    * Swap discipline: staged tiles are written completely first; then
+    * old touched-tile files and the slabs move aside to a trash dir, the
+    * staged files move in, and the trash is deleted — any failure is
+    * loud and the trash holds the only-copy rows until resolved.
+    * Returns the touched tile ids (empty = nothing to do). */
+  def zorderCompactIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, xCol: String, yCol: String): Seq[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = readStats(spark, path).getOrElse(throw new IllegalStateException(
+      s"zorderCompactIncremental: $path has no _zstats sidecar (not a " +
+        "zorderWrite layout, or one predating r16) — run the full " +
+        "zorderCompact, which re-anchors the layout stats"))
+    val data = fs.listStatus(target).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val (tileFiles, slabs) = data.partition(_.getPath.getName.startsWith("tile-"))
+    if (slabs.isEmpty) return Nil
+    def withTile(df: DataFrame): DataFrame =
+      df.withColumn("__tile",
+        GraftColumnBridge.column(IntegralDivide(
+          GraftColumnBridge.expression(
+            zValue(col(xCol), lit(st.xlo), lit(st.xhi),
+              col(yCol), lit(st.ylo), lit(st.yhi), st.bits)),
+          GraftColumnBridge.expression(lit(st.blocks)),
+          evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)))
+    val slabRows = withTile(
+      spark.read.parquet(slabs.map(_.getPath.toString): _*))
+    // touched tiles: a bounded driver read (≤ the tile count — a dense
+    // small-cardinality id space by construction)
+    val touched = slabRows.select(col("__tile")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val tileIdOf: org.apache.hadoop.fs.FileStatus => Long =
+      s => s.getPath.getName.stripPrefix("tile-").takeWhile(_.isDigit).toLong
+    val oldTouched = tileFiles.filter(s => touched.contains(tileIdOf(s)))
+    val oldRows = if (oldTouched.isEmpty) None
+      else Some(withTile(
+        spark.read.parquet(oldTouched.map(_.getPath.toString): _*)))
+    val union = oldRows.fold(slabRows)(_.unionByName(slabRows))
+    val stamp = f"${System.currentTimeMillis()}%013d_${
+      new java.security.SecureRandom().nextInt(1000000)}%06d"
+    val staged = new HPath(target.getParent, s".${target.getName}_zi_$stamp")
+    union
+      .withColumn("z", zValue(col(xCol), lit(st.xlo), lit(st.xhi),
+        col(yCol), lit(st.ylo), lit(st.yhi), st.bits))
+      .repartition(math.max(1, math.min(touched.size, 4096)), col("__tile"))
+      .sortWithinPartitions(col("__tile"), col("z"))
+      .drop("z")
+      .write.mode("overwrite").partitionBy("__tile").parquet(staged.toString)
+    // swap: retire old touched tiles + slabs, publish staged tiles
+    val trash = new HPath(target.getParent, s".${target.getName}_zitrash_$stamp")
+    if (!fs.mkdirs(trash))
+      throw new java.io.IOException(s"zorderCompactIncremental: cannot " +
+        s"create $trash")
+    (oldTouched ++ slabs).foreach { s =>
+      if (!fs.rename(s.getPath, new HPath(trash, s.getPath.getName)))
+        throw new java.io.IOException(
+          s"zorderCompactIncremental: cannot set aside ${s.getPath}")
+    }
+    fs.listStatus(staged).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          val dst = new HPath(target,
+            s"${d.getPath.getName.stripPrefix("__").replace('=', '-')}-${
+              f.getPath.getName}")
+          if (!fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"zorderCompactIncremental: cannot publish ${f.getPath} " +
+                s"-> $dst (old rows preserved in $trash)")
+        }
+    }
+    fs.delete(staged, true)
+    fs.delete(trash, true)
+    touched
+  }
+
   def zorderCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       xCol: String, yCol: String, nFiles: Int, bits: Int = 8): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}

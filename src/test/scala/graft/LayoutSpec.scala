@@ -181,6 +181,77 @@ class LayoutSpec extends SparkSpec {
     assert(zOnPart <= 0.6, s"z-layout should prune partkey bands: $zOnPart")
   }
 
+  test("zorderCompactIncremental rewrites only touched tiles: untouched " +
+    "files byte-stable, slabs absorbed, rows exact, second pass a no-op") {
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zincr")
+    val path = s"$base/z"
+    Layout.zorderWrite(li.filter(col("l_orderkey") % 4 === 0),
+      "l_partkey", "l_suppkey", 8, path)
+    val st = Layout.readStats(spark, path).get
+    // appends confined to the left half of the x domain: only the qx<128
+    // tiles receive rows, the right-half tiles must ride through untouched
+    val mid = st.xlo + (st.xhi - st.xlo) / 2
+    (1 to 2).foreach { r =>
+      li.filter(col("l_orderkey") % 4 === r && col("l_partkey") <= mid)
+        .write.mode("append").parquet(path)
+    }
+    def files(): Map[String, (Long, Long)] =
+      new java.io.File(path).listFiles.toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val before = files()
+    def checksum() = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    val sumBefore = checksum()
+    val touched = Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey")
+    assert(touched.nonEmpty, "slab rows must touch some tiles")
+    val after = files()
+    // every surviving file is a tile file — the slabs were absorbed
+    assert(after.keys.forall(_.startsWith("tile-")), after.keys.toSeq)
+    // untouched tiles: same file, same bytes, same mtime — never rewritten
+    val untouchedNames = before.keySet.filter(n => n.startsWith("tile-") &&
+      !touched.exists(t => n.startsWith(s"tile-$t-")))
+    assert(untouchedNames.nonEmpty,
+      "the left-half append must leave some right-half tile untouched")
+    untouchedNames.foreach { n =>
+      assert(after.get(n).contains(before(n)),
+        s"untouched tile $n was rewritten: ${before(n)} -> ${after.get(n)}")
+    }
+    // touched old tile files are gone (replaced by fresh ones)
+    assert(before.keySet.filter(n => touched.exists(t =>
+      n.startsWith(s"tile-$t-"))).forall(n => !after.contains(n)))
+    // the row set rode through exactly
+    assert(checksum() == sumBefore, "incremental compact changed the rows")
+    // locality restored: every file's span bounded like a fresh write
+    val rs = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_partkey")).cast("long").as("lo"),
+        max(col("l_partkey")).cast("long").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val (glo, ghi) = (rs.map(_._1).min, rs.map(_._2).max)
+    val worst = rs.map { case (lo, hi) =>
+      (hi - lo + 1).toDouble / (ghi - glo + 1) }.max
+    assert(worst <= 0.65, s"incremental compact left a straddling file: $worst")
+    // idempotent: with no slabs left, a second pass is a no-op
+    assert(Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey").isEmpty)
+    assert(files() == after, "a no-op pass must not rewrite anything")
+    // the stats sidecar anchors future increments
+    assert(Layout.readStats(spark, path).contains(st))
+    // a layout without the sidecar refuses loudly
+    val bare = s"$base/bare"
+    li.limit(100).write.parquet(bare)
+    val e = intercept[IllegalStateException] {
+      Layout.zorderCompactIncremental(spark, bare, "l_partkey", "l_suppkey")
+    }
+    assert(e.getMessage.contains("_zstats"), e.getMessage)
+  }
+
   test("zorderWrite file assignment is deterministic across runs and " +
     "shuffle-partition settings; files are z-sorted within") {
     // the q36 r15 flake: repartitionByRange's SAMPLED boundaries could

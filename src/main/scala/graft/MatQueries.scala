@@ -1771,6 +1771,102 @@ object MatQueries {
       |  TRUE AS recall_ok, TRUE AS rotated_once, TRUE AS replay_stable
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  // -------------------------------- m33 index-store maintenance lifecycle
+
+  /** ONE scheduled maintenance call on a long-lived index alias
+    * ([[graft.llm.IndexStore.maintain]], r16): a store with a superseded
+    * rotation epoch, a stream of committed ingest segments, drift-guard
+    * yardstick files and crashed-trainer staging debris goes through one
+    * `maintain` pass that must (a) GC the superseded store while the live
+    * root keeps serving, (b) sweep the staging debris, (c) bound the
+    * yardstick files, (d) fold history beyond the as-of horizon with the
+    * replay record preserved — and a second pass must be quiet. Store
+    * CONTENT is value-matched by DuckDB (count + id-sum of what the
+    * folded segments hold vs the corpus — the m29/dt07 anchor
+    * discipline), search recall re-gated through the maintained store,
+    * as-of proven both ways at the horizon (works at it, refuses loudly
+    * below it), and a replayed folded batch must still no-op. */
+  private def m33(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{DedupStore, IndexStore, Similarity}
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val alias = tempDir("g_m33")
+    def b(i: Int) = emb.filter(col("vec_id") % 10 === i)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(s, alias, id, batch, emb,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    // epoch 0 bootstraps; an immediate re-fit rotation leaves a
+    // superseded store for the GC leg (the live fold still holds b0 only)
+    ingest(0L, b(0))
+    val root0 = IndexStore.currentRoot(s, alias).get
+    val root1 = IndexStore.rotate(s, alias, b(0), dim = 64, nlist = 8,
+      m = 8, codebookSize = 16, seed = 43L, foldBatchId = -1L)
+    // carry epoch-0's replay marker across the manual rotation (the
+    // guarded ingest's own rotations do this internally — batch 0's
+    // content is the fold, so its id re-commits as an empty segment)
+    IndexStore.appendCodes(s, root1, 0L, emb.limit(0))
+    // three guarded batches (each records a yardstick stat), then six
+    // plain appends — nine ingest segments + the fold on the live root
+    (1 to 3).foreach(i => ingest(i.toLong, b(i)))
+    (4 to 9).foreach(i => IndexStore.appendCodes(s, root1, i.toLong, b(i)))
+    // crashed-trainer staging debris (aged; minAgeMs=0 below)
+    val fsys = new org.apache.hadoop.fs.Path(root1)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(root1, ".quantizer-tmp-m33"))
+    val rep = IndexStore.maintain(s, alias, keepPointers = 1, minAgeMs = 0L,
+      keepGuardStats = 2, compactMinSegments = 3, asOfHorizonSegments = 3)
+    val rep2 = IndexStore.maintain(s, alias, keepPointers = 1, minAgeMs = 0L,
+      keepGuardStats = 2, compactMinSegments = 3, asOfHorizonSegments = 3)
+    val sweptOk = rep.sweptStores.nonEmpty &&
+      IndexStore.currentRoot(s, alias).contains(root1) &&
+      IndexStore.quantizerCommitted(s, root1) &&
+      !fsys.exists(new org.apache.hadoop.fs.Path(root0))
+    val stagingOk = rep.sweptStaging.exists(_.contains("quantizer-tmp-m33")) &&
+      !fsys.exists(new org.apache.hadoop.fs.Path(root1, ".quantizer-tmp-m33"))
+    val committed = DedupStore.committedBatches(s, s"$root1/codes")
+    val foldOk = rep.compactedFold.exists(_ >= DedupStore.CompactBase) &&
+      (-1L to 9L).forall(committed.contains) // replay record preserved
+    val preReplay = IndexStore.readCodes(s, root1).count()
+    val replayOk = !ingest(5L, emb.limit(3)) &&
+      IndexStore.readCodes(s, root1).count() == preReplay
+    val q = emb.filter(col("vec_id") < 10)
+    val asofOk = IndexStore.searchTopK(s, root1, emb, q, k = 5, nprobe = 3,
+        rerank = 32, asOfBatch = 7L).count() > 0 &&
+      (try {
+        IndexStore.searchTopK(s, root1, emb, q, k = 5, nprobe = 3,
+          rerank = 32, asOfBatch = 3L).count(); false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("cannot be reconstructed") })
+    val quietOk = rep2.compactedFold.isEmpty && rep2.sweptStores.isEmpty &&
+      rep2.sweptStaging.isEmpty && rep2.prunedGuardStats == 0
+    // store-content anchors: what the maintained store actually holds
+    val stored = IndexStore.readCodes(s, root1)
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(col("corpus_id")).as("sum_ids"))
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = IndexStore.searchCurrent(s, alias, emb, q, k = 5,
+        nprobe = 3, rerank = 32)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+          >= 0.5).as("recall_ok"),
+        lit(rep.prunedGuardStats == 1).as("pruned_ok"),
+        lit(sweptOk).as("swept_ok"), lit(stagingOk).as("staging_ok"),
+        lit(foldOk).as("fold_ok"), lit(asofOk).as("asof_ok"),
+        lit(replayOk).as("replay_ok"), lit(quietOk).as("quiet_ok"))
+      .crossJoin(broadcast(stored))
+  }
+
+  private val m33Sql =
+    """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact,
+      |  TRUE AS recall_ok, TRUE AS pruned_ok, TRUE AS swept_ok,
+      |  TRUE AS staging_ok, TRUE AS fold_ok, TRUE AS asof_ok,
+      |  TRUE AS replay_ok, TRUE AS quiet_ok,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
+      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1805,7 +1901,8 @@ object MatQueries {
     "m29_streaming_index_ingest" -> (m29 _),
     "m30_streaming_video_dedup" -> (m30 _),
     "m31_streaming_audio_dedup" -> (m31 _),
-    "m32_streaming_autorotate" -> (m32 _))
+    "m32_streaming_autorotate" -> (m32 _),
+    "m33_index_maintenance" -> (m33 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1839,5 +1936,6 @@ object MatQueries {
     "m29_streaming_index_ingest" -> m29Sql,
     "m30_streaming_video_dedup" -> m30Sql,
     "m31_streaming_audio_dedup" -> m31Sql,
-    "m32_streaming_autorotate" -> m32Sql)
+    "m32_streaming_autorotate" -> m32Sql,
+    "m33_index_maintenance" -> m33Sql)
 }

@@ -109,7 +109,10 @@ object GateCheck {
     "q36_zorder_maintenance",
     // touched-tile incremental maintenance: untouched tile files must be
     // byte-stable through the compact (cost ∝ appends, not table size)
-    "q37_zorder_incremental")
+    "q37_zorder_incremental",
+    // one-call alias maintenance: GC + staging sweep + yardstick bound +
+    // horizon fold, with as-of/replay/search proven through it
+    "m33_index_maintenance")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

@@ -820,12 +820,23 @@ object DepthQueries {
       max(col("l_partkey")).as("xhi"),
       min(col("l_suppkey")).as("ylo"), max(col("l_suppkey")).as("yhi"))
     val span = per.crossJoin(broadcast(g))
-      .select(greatest(
-        (col("fxhi") - col("fxlo")).cast("double") /
-          greatest(col("xhi") - col("xlo"), lit(1L)).cast("double"),
-        (col("fyhi") - col("fylo")).cast("double") /
-          greatest(col("yhi") - col("ylo"), lit(1L)).cast("double")).as("r"))
-      .agg(max(col("r")).as("__span"))
+      .agg(max(greatest(
+          (col("fxhi") - col("fxlo")).cast("double") /
+            greatest(col("xhi") - col("xlo"), lit(1L)).cast("double"),
+          (col("fyhi") - col("fylo")).cast("double") /
+            greatest(col("yhi") - col("ylo"), lit(1L)).cast("double")))
+          .as("__span"),
+        // the PRUNING claim as a VALUE: how many files a central-10%-band
+        // predicate on each key must touch, judged from the same footer
+        // ranges a reader prunes on — deterministic tile→file assignment
+        // makes this a pure function of the data, so DuckDB recomputes it
+        // from tile arithmetic
+        sum(when(expr("fxhi >= xlo + ((xhi - xlo) * 45) div 100 AND " +
+          "fxlo <= xlo + ((xhi - xlo) * 55) div 100"), 1L).otherwise(0L))
+          .as("__nx"),
+        sum(when(expr("fyhi >= ylo + ((yhi - ylo) * 45) div 100 AND " +
+          "fylo <= ylo + ((yhi - ylo) * 55) div 100"), 1L).otherwise(0L))
+          .as("__ny"))
     fin.agg(count(lit(1)).as("n_rows"),
         (sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
           .as("sum_qty"),
@@ -834,6 +845,8 @@ object DepthQueries {
       .select(col("n_rows"), col("sum_qty"), col("sum_okey"),
         lit(touched.size.toLong).as("n_touched"),
         col("__span").as("after_worst_span"),
+        col("__nx").as("n_files_x_band"),
+        col("__ny").as("n_files_y_band"),
         lit(untouchedIntact).as("untouched_intact"))
   }
 
@@ -870,13 +883,21 @@ object DepthQueries {
        |        CAST(fxhi - fxlo AS DOUBLE)
        |          / CAST(greatest(gxhi - gxlo, 1) AS DOUBLE),
        |        CAST(fyhi - fylo AS DOUBLE)
-       |          / CAST(greatest(gyhi - gylo, 1) AS DOUBLE))) AS ws
+       |          / CAST(greatest(gyhi - gylo, 1) AS DOUBLE))) AS ws,
+       |      sum(CASE WHEN fxhi >= gxlo + ((gxhi - gxlo) * 45) // 100
+       |            AND fxlo <= gxlo + ((gxhi - gxlo) * 55) // 100
+       |          THEN 1 ELSE 0 END) AS nx,
+       |      sum(CASE WHEN fyhi >= gylo + ((gyhi - gylo) * 45) // 100
+       |            AND fylo <= gylo + ((gyhi - gylo) * 55) // 100
+       |          THEN 1 ELSE 0 END) AS ny
        |      FROM t, gs)
        |SELECT COUNT(*) AS n_rows,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        |  SUM(l_orderkey) AS sum_okey,
        |  (SELECT n_touched FROM touched) AS n_touched,
        |  (SELECT ws FROM w) AS after_worst_span,
+       |  (SELECT nx FROM w) AS n_files_x_band,
+       |  (SELECT ny FROM w) AS n_files_y_band,
        |  TRUE AS untouched_intact
        |FROM r""".stripMargin
   }

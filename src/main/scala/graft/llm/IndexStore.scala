@@ -927,14 +927,21 @@ object IndexStore {
           true
         } else {
           DedupStore.append(spark, codesRoot(root), batchId, codes)
-          // warm-up clamp: a batch carrying prior-independent drift
-          // evidence that was accepted ONLY for lack of a yardstick must
-          // not BECOME the yardstick — recording its inflated chi² would
-          // raise the priorFactor bar ~vsStore/within-fold and could
-          // permanently disable the guard on this root. Record the
-          // same-distribution within-batch statistic instead.
-          writeGuardStat(spark, root, batchId,
-            if (suspicious && prior.isEmpty) within else vsStore)
+          // the warm-up yardstick records the OBSERVED store-vs-batch
+          // statistic, even when it carries prior-independent drift
+          // evidence. The alternative — clamping a suspicious warm-up
+          // batch's record to its within-batch chi² so a later drifted
+          // batch can still fire — was tried in r16 and MEASURED to
+          // false-fire at sf10: on a duplicated corpus (the m32 physics)
+          // every same-distribution batch's vs-store chi² is inflated by
+          // the duplication factor while the within-batch split stays
+          // low, so the clamp seeds a tiny yardstick and the very next
+          // normal batch exceeds priorFactor×it and spuriously rotates.
+          // Duplication and drift are indistinguishable from ONE batch;
+          // the dial errs toward never-false-rotating — a true-drift
+          // warm-up costs degraded recall until the yardstick reflects
+          // the mix, the documented graceful IVF failure mode.
+          writeGuardStat(spark, root, batchId, vsStore)
           false
         }
     }

@@ -1314,6 +1314,50 @@ object DepthQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_batch,
       |  TRUE AS no_drift_ok, TRUE AS drift_detected""".stripMargin
 
+  // --------------------------- dt08 total-variation drift (moved mass)
+
+  /** Total-variation distance over a categorical column
+    * ([[graft.exec.DataTests.driftTv]]) — the scale-free companion dt06's
+    * chi² needs on duplicated corpora (chi² inflates ∝ copy factor; TV
+    * measures the moved mass itself, and is what
+    * [[graft.llm.IndexStore.ingestWithDriftGuard]]'s warm-up path fires
+    * on). The planted drift: the current snapshot drops 3/4 of 'en'
+    * documents, so 'en' share falls and every other share rises — every
+    * count, share, per-category TV term, and the statistic itself are
+    * pure relational arithmetic, VALUE-matched by DuckDB end to end
+    * (unlike dt07's fitted-cell categories, nothing here is a fit
+    * product). */
+  private def dt08(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val base = docs.select(col("lang"))
+    val cur = docs.filter(!(col("lang") <=> lit("en"))
+        || col("doc_id") % 4 === 0)
+      .select(col("lang"))
+    graft.exec.DataTests.driftTv(base, cur, "lang")
+      .orderBy(col("category"))
+  }
+
+  private val dt08Sql =
+    """WITH b AS (SELECT COALESCE(lang, '__null') AS category
+      |  FROM documents),
+      |c AS (SELECT COALESCE(lang, '__null') AS category FROM documents
+      |  WHERE lang IS DISTINCT FROM 'en' OR doc_id % 4 = 0),
+      |bb AS (SELECT category, COUNT(*) AS n_base FROM b GROUP BY 1),
+      |cb AS (SELECT category, COUNT(*) AS n_cur FROM c GROUP BY 1),
+      |j AS (SELECT COALESCE(bb.category, cb.category) AS category,
+      |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM bb FULL JOIN cb ON bb.category = cb.category),
+      |tt AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+      |terms AS (SELECT category, n_base, n_cur,
+      |    round(CAST(n_base AS DOUBLE) / tb, 6) AS share_base,
+      |    round(CAST(n_cur AS DOUBLE) / tc, 6) AS share_cur,
+      |    round(abs(CAST(n_base AS DOUBLE) / tb
+      |      - CAST(n_cur AS DOUBLE) / tc) / 2, 6) AS tv_term
+      |  FROM j, tt)
+      |SELECT category, n_base, n_cur, share_base, share_cur, tv_term,
+      |  (SELECT round(SUM(tv_term), 6) FROM terms) AS tv_stat
+      |FROM terms ORDER BY category""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1346,7 +1390,8 @@ object DepthQueries {
     "dt04_drift_psi" -> (dt04 _),
     "dt05_drift_ks" -> (dt05 _),
     "dt06_drift_chi2" -> (dt06 _),
-    "dt07_quantizer_drift" -> (dt07 _))
+    "dt07_quantizer_drift" -> (dt07 _),
+    "dt08_drift_tv" -> (dt08 _))
 
   def oracleSql: Map[String, String] = Map(
     "q19_grouping_sets" -> q19Sql,
@@ -1378,5 +1423,6 @@ object DepthQueries {
     "dt04_drift_psi" -> dt04Sql,
     "dt05_drift_ks" -> dt05Sql,
     "dt06_drift_chi2" -> dt06Sql,
-    "dt07_quantizer_drift" -> dt07Sql)
+    "dt07_quantizer_drift" -> dt07Sql,
+    "dt08_drift_tv" -> dt08Sql)
 }

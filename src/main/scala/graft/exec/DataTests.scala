@@ -385,4 +385,72 @@ object DataTests {
     val stat = full.agg(round(sum(col("chi2_term")), 6).as("chi2_stat"))
     full.crossJoin(broadcast(stat))
   }
+
+  /** Total-variation distance between two CATEGORICAL distributions —
+    * the SCALE-FREE companion to [[driftChi2]]. Chi-squared grows ∝ n
+    * and its sampling variance is multiplied by any duplication factor
+    * in the data (the m32 lesson: a 100-copy corpus inflates a
+    * same-distribution batch's chi² by ~100× while the distribution
+    * itself is unchanged), so a chi² THRESHOLD cannot distinguish
+    * "statistically certain but tiny shift" from "the mass actually
+    * moved". TV = ½ Σ_c |share_base(c) − share_cur(c)| ∈ [0, 1] measures
+    * the moved mass itself: duplication widens its NOISE floor by
+    * √dup-factor but leaves its value centered on the true
+    * distributional distance, so a large-sample same-distribution batch
+    * stays near 0 at any duplication level while genuine drift holds a
+    * constant gap. [[graft.llm.IndexStore.ingestWithDriftGuard]] uses
+    * exactly this split: chi² says "not noise", TV says "and the mass
+    * moved" (measured across four scales in BENCH_LOCAL_r16.md).
+    *
+    * Per-category output: counts, both shares, the TV term
+    * ½|Δshare|, plus the total `tv_stat` on every row (the
+    * [[driftChi2]] layout). NULL is its own category; an empty snapshot
+    * on either side raises loudly (same guard discipline as chi² — a
+    * share against an empty sample is undefined). Scale shape: two
+    * map-side-combined grouped counts; everything after is
+    * categories-sized. */
+  def driftTv(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String): DataFrame =
+      df.select(coalesce(col(valueCol).cast("string"), lit("__null"))
+          .as("category"))
+        .groupBy(col("category")).agg(count(lit(1)).as(as))
+    val joined = counted(base, "n_base")
+      .join(counted(cur, "n_cur"), Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"))
+    val guarded = totals.select(
+      when(coalesce(col("__tb"), lit(0L)) > 0, col("__tb")).otherwise(
+        raise_error(lit("driftTv: base snapshot is empty — a share " +
+          "against an empty sample is undefined")))
+        .as("__tb"),
+      when(coalesce(col("__tc"), lit(0L)) > 0, col("__tc")).otherwise(
+        raise_error(lit("driftTv: current snapshot is empty — a share " +
+          "against an empty sample is undefined")))
+        .as("__tc"))
+    // both-empty: joined is empty, so the crossJoin emits nothing and the
+    // broadcast side may never evaluate — the guard row rides an
+    // always-false filter REFERENCING the guarded totals, exactly the
+    // driftChi2 device
+    val guardRows = guarded
+      .select((col("__tb") + col("__tc")).cast("string").as("category"))
+      .filter(col("category").isNull)
+      .select(col("category"), lit(0L).as("n_base"), lit(0L).as("n_cur"),
+        lit(0.0).as("share_base"), lit(0.0).as("share_cur"),
+        lit(0.0).as("tv_term"))
+    val terms = joined.crossJoin(broadcast(guarded))
+      .withColumn("__sb",
+        col("n_base").cast("double") / col("__tb").cast("double"))
+      .withColumn("__sc",
+        col("n_cur").cast("double") / col("__tc").cast("double"))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        round(col("__sb"), 6).as("share_base"),
+        round(col("__sc"), 6).as("share_cur"),
+        round(abs(col("__sb") - col("__sc")) / 2, 6).as("tv_term"))
+      .unionByName(guardRows)
+    val stat = terms.agg(round(sum(col("tv_term")), 6).as("tv_stat"))
+    terms.crossJoin(broadcast(stat))
+  }
 }

@@ -623,9 +623,19 @@ object IndexStore {
     * applied to the ANN index artifact. */
   private def ptrPrefix = "ptr-"
 
-  private def newStamp(): String =
-    f"${System.currentTimeMillis()}%013d-${
-      java.util.UUID.randomUUID().toString}"
+  /** Stamp clock: per-JVM MONOTONIC millis (`max(now, last+1)`), so two
+    * publishes from one process order by publish order even inside the
+    * same wall-clock millisecond — pointer ordering is a total order by
+    * construction, not by uuid luck. Cross-JVM same-millis publishes
+    * still tie-break by uuid; they are unreachable in practice (a rotate
+    * carries a full fit, seconds apart at minimum). */
+  private val stampClock = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def newStamp(): String = {
+    val t = stampClock.updateAndGet(last =>
+      math.max(System.currentTimeMillis(), last + 1))
+    f"$t%013d-${java.util.UUID.randomUUID().toString}"
+  }
 
   /** The store root the alias currently serves, None before the first
     * publish. One directory listing + one kilobyte read. */
@@ -806,13 +816,20 @@ object IndexStore {
     * iid-only dial false-fires at scale; the prior-batch yardstick is
     * subject to the SAME clustering and absorbs it (drifted/stale
     * separation measured ≥ 39× at every scale — priorFactor 10 holds
-    * ≥ 1.6× margin up and ≥ 3.9× down). The guard therefore never
-    * fires before ONE accepted batch has recorded a yardstick — the
-    * warm-up batch a production rollout always has; until then a
-    * drifted batch appends with degraded recall (the graceful IVF
-    * failure mode) and the NEXT batch can fire. Corpus-scale work is
-    * three grouped counts over the encoded batch + one over the
-    * store's codes.
+    * ≥ 1.6× margin up and ≥ 3.9× down). Before ONE accepted batch has
+    * recorded a yardstick (the warm-up window), chi² magnitude alone
+    * cannot tell duplication from drift — there the guard consults the
+    * TOTAL-VARIATION distance over cell shares instead
+    * ([[graft.exec.DataTests.driftTv]], `warmupTvFloor`): TV measures
+    * the moved mass itself and duplication widens only its noise floor,
+    * so a genuinely drifted warm-up batch (TV ≥ 0.507 measured across
+    * five scales) rotates immediately while a duplication-inflated
+    * same-distribution one (TV ≤ 0.136 at up to 100× duplication) waits
+    * for the yardstick path — a mild drift below the TV floor appends
+    * with degraded recall (the graceful IVF failure mode) and the NEXT
+    * batch can fire. Corpus-scale work is three grouped counts over the
+    * encoded batch + one over the store's codes (the TV pass runs only
+    * on warm-up batches).
     *
     * Exactly-once ACROSS the cutover: the batch id is the commit token
     * in the live root's code segments. On rotate (and on bootstrap) the
@@ -839,6 +856,7 @@ object IndexStore {
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", minChi2: Double = 100.0,
       calibFactor: Double = 20.0, priorFactor: Double = 10.0,
+      warmupTvFloor: Double = 0.3,
       fitSampleLimit: Int = 100000): Boolean = {
     require(batchId >= 0L,
       "ingestWithDriftGuard: stream batch ids are non-negative (the -1L " +
@@ -887,8 +905,9 @@ object IndexStore {
           .select(col("centroid_id"))
         val halfB = codes.filter(pmod(xxhash64(col("corpus_id")), lit(2)) === 1)
           .select(col("centroid_id"))
-        val vsStore = chi2Of(readCodes(spark, root).select(col("centroid_id")),
-          codes.select(col("centroid_id")))
+        val storeCells = readCodes(spark, root).select(col("centroid_id"))
+        val batchCells = codes.select(col("centroid_id"))
+        val vsStore = chi2Of(storeCells, batchCells)
         // the yardstick needs both halves populated: a batch so small one
         // hash-half is empty cannot supply drift evidence (a single stray
         // vector in an unseen cell CAN push raw chi² past the floor) —
@@ -902,8 +921,25 @@ object IndexStore {
         val suspicious = vsStore > minChi2 &&
           halfA.limit(1).count() > 0 && halfB.limit(1).count() > 0 &&
           vsStore > calibFactor * within
-        val fire = prior.nonEmpty && vsStore > priorFactor * prior.max &&
-          suspicious
+        // WARM-UP path (no recorded yardstick yet): chi² magnitude alone
+        // cannot break the duplication-vs-drift ambiguity (duplication
+        // multiplies a same-distribution batch's chi² by the copy factor
+        // — the r16 clamp false-fired at sf10 on exactly this), but the
+        // total-variation distance over cell SHARES can: TV is scale-free,
+        // centered on the true distributional distance at any duplication
+        // level (duplication widens only its noise floor, by √copies).
+        // DriftSeparatorProbe measured same-dist TV ≤ 0.136 and drifted
+        // TV ≥ 0.507 across sf0.001→sf10 (1×→100× duplication) — floor
+        // 0.3 holds ≥ 2.2× margin against a false warm-up rotation and
+        // ≥ 1.69× against a missed one (which appends gracefully and
+        // fires next batch via the yardstick path). Evaluated lazily:
+        // steady-state batches (yardstick present) never pay the pass.
+        lazy val movedMass = graft.exec.DataTests
+          .driftTv(storeCells, batchCells, "centroid_id")
+          .agg(max(col("tv_stat"))).collect()(0).getDouble(0)
+        val fire = suspicious &&
+          ((prior.nonEmpty && vsStore > priorFactor * prior.max) ||
+            (prior.isEmpty && movedMass > warmupTvFloor))
         if (fire) {
           val indexedIds = readCodes(spark, root)
             .select(col("corpus_id").cast("long").as(idCol))
@@ -927,20 +963,20 @@ object IndexStore {
           true
         } else {
           DedupStore.append(spark, codesRoot(root), batchId, codes)
-          // the warm-up yardstick records the OBSERVED store-vs-batch
-          // statistic, even when it carries prior-independent drift
-          // evidence. The alternative — clamping a suspicious warm-up
-          // batch's record to its within-batch chi² so a later drifted
-          // batch can still fire — was tried in r16 and MEASURED to
-          // false-fire at sf10: on a duplicated corpus (the m32 physics)
-          // every same-distribution batch's vs-store chi² is inflated by
-          // the duplication factor while the within-batch split stays
-          // low, so the clamp seeds a tiny yardstick and the very next
-          // normal batch exceeds priorFactor×it and spuriously rotates.
-          // Duplication and drift are indistinguishable from ONE batch;
-          // the dial errs toward never-false-rotating — a true-drift
-          // warm-up costs degraded recall until the yardstick reflects
-          // the mix, the documented graceful IVF failure mode.
+          // the yardstick records the OBSERVED store-vs-batch statistic,
+          // even when the batch carried prior-independent drift evidence.
+          // The alternative — clamping a suspicious warm-up batch's
+          // record to its within-batch chi² so a later drifted batch
+          // could still fire — was tried in r16 and MEASURED to
+          // false-fire at sf10: chi² magnitude cannot tell duplication
+          // from drift (a duplicated corpus inflates every
+          // same-distribution batch's vs-store chi² by the copy factor
+          // while the within-batch split stays low), so the clamp seeded
+          // a tiny yardstick and the very next normal batch spuriously
+          // rotated. The honest discriminator is the TV-over-shares
+          // warm-up path above, which fires BEFORE this append on a
+          // batch whose mass actually moved; a batch that reaches here
+          // records what it saw, inflation and all.
           writeGuardStat(spark, root, batchId, vsStore)
           false
         }

@@ -439,8 +439,8 @@ object Streaming {
       dim: Int, nlist: Int = 16, m: Int = 8, codebookSize: Int = 16,
       seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", minChi2: Double = 100.0,
-      calibFactor: Double = 20.0,
-      priorFactor: Double = 10.0): StreamingQuery =
+      calibFactor: Double = 20.0, priorFactor: Double = 10.0,
+      warmupTvFloor: Double = 0.3): StreamingQuery =
     src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -448,7 +448,7 @@ object Streaming {
         if (!batch.isEmpty) {
           graft.llm.IndexStore.ingestWithDriftGuard(spark, alias, id,
             batch, corpus, dim, nlist, m, codebookSize, seed, idCol,
-            vecCol, minChi2, calibFactor, priorFactor)
+            vecCol, minChi2, calibFactor, priorFactor, warmupTvFloor)
           ()
         }
       }

@@ -225,6 +225,66 @@ class DataTestsSpec extends SparkSpec {
     ()
   }
 
+  test("driftTv: identical → 0, moved mass measured exactly, DUPLICATION " +
+    "leaves it unchanged while chi² inflates, empty sides fail loud") {
+    import graft.exec.DataTests
+    val base = ((1 to 400).map(_ => "a") ++ (1 to 400).map(_ => "b")
+      ++ (1 to 200).map(_ => "c")).toDF("v")
+    val same = DataTests.driftTv(base, base, "v")
+      .select($"tv_stat").as[Double].collect().head
+    assert(same == 0.0)
+    // 2:2:1 → 1:3:1 moves exactly 0.2 of the mass (a: 0.4→0.2 gives
+    // |Δ|/2 = 0.1, b: 0.4→0.6 gives 0.1, c unchanged)
+    val cur = ((1 to 200).map(_ => "a") ++ (1 to 600).map(_ => "b")
+      ++ (1 to 200).map(_ => "c")).toDF("v")
+    val tv = DataTests.driftTv(base, cur, "v")
+      .select($"tv_stat").as[Double].collect().head
+    assert(math.abs(tv - 0.2) < 1e-9, s"tv $tv should be exactly 0.2")
+    // the property the warm-up drift guard rides: duplicating BOTH sides
+    // k× is a fixed point of TV (shares unchanged) while the same
+    // duplication multiplies chi² by k — TV separates "more confident"
+    // from "more moved"
+    val base50 = (1 to 50).flatMap(_ => Seq.fill(8)("a") ++ Seq.fill(2)("b"))
+      .toDF("v")
+    val cur50 = (1 to 50).flatMap(_ => Seq.fill(7)("a") ++ Seq.fill(3)("b"))
+      .toDF("v")
+    val tvDup = DataTests.driftTv(base50, cur50, "v")
+      .select($"tv_stat").as[Double].collect().head
+    val tvOrig = DataTests.driftTv(
+        (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("v"),
+        (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("v"), "v")
+      .select($"tv_stat").as[Double].collect().head
+    assert(tvDup == tvOrig, s"duplication must not move TV ($tvDup vs $tvOrig)")
+    val chiDup = DataTests.driftChi2(base50, cur50, "v")
+      .select($"chi2_stat").as[Double].collect().head
+    val chiOrig = DataTests.driftChi2(
+        (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("v"),
+        (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("v"), "v")
+      .select($"chi2_stat").as[Double].collect().head
+    assert(chiDup > 40 * chiOrig,
+      s"chi² must inflate ~50× under 50× duplication ($chiOrig → $chiDup)")
+    // NULL is its own category; share columns stay finite
+    val withNull = ((1 to 500).map(_ => "a")
+      ++ (1 to 500).map(_ => null: String)).toDF("v")
+    val nul = DataTests.driftTv(base, withNull, "v")
+      .select($"category", $"tv_term").as[(String, Double)].collect()
+    assert(nul.map(_._1).toSet == Set("a", "b", "c", "__null"))
+    assert(nul.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    // empty sides fail loud, both-empty included (the chi² discipline)
+    val empty = base.filter(org.apache.spark.sql.functions.lit(false))
+    def rootMsg(t: Throwable): String =
+      (t.getMessage +: Option(t.getCause).toSeq.map(rootMsg)).mkString(" | ")
+    val boom = intercept[Exception] {
+      DataTests.driftTv(base, empty, "v").collect()
+    }
+    assert(rootMsg(boom).contains("snapshot is empty"), rootMsg(boom))
+    val boom2 = intercept[Exception] {
+      DataTests.driftTv(empty, empty, "v").collect()
+    }
+    assert(rootMsg(boom2).contains("snapshot is empty"), rootMsg(boom2))
+    ()
+  }
+
   test("unit-test fixtures shadow and then RESTORE a pre-existing temp view") {
     Seq((99L, "prior")).toDF("id", "v").createOrReplaceTempView("ut_shadowed")
     val fixture = Seq((1L, "fix")).toDF("id", "v")

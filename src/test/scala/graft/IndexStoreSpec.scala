@@ -377,6 +377,26 @@ class IndexStoreSpec extends SparkSpec {
     assert(rolledBack.length == 50)
   }
 
+  test("pointer stamps are a TOTAL order: rapid alternating publishes " +
+    "always resolve to the most recent, same-millisecond included") {
+    // newStamp is per-JVM monotonic (max(now, last+1)) — before r16 two
+    // publishes inside one wall-clock millisecond ordered by uuid, i.e.
+    // randomly. 40 publishes in a tight loop land many same-millis pairs;
+    // every resolve must follow publish order.
+    val alias = freshRoot()
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rootA = IndexStore.rotate(spark, alias, half, dim = 64, nlist = 4,
+      m = 4, codebookSize = 8, seed = 1L)
+    val rootB = IndexStore.rotate(spark, alias, half, dim = 64, nlist = 4,
+      m = 4, codebookSize = 8, seed = 2L)
+    (1 to 40).foreach { i =>
+      val want = if (i % 2 == 0) rootA else rootB
+      IndexStore.publishRoot(spark, alias, want)
+      assert(IndexStore.currentRoot(spark, alias).contains(want),
+        s"publish #$i must win the pointer race deterministically")
+    }
+  }
+
   test("searches racing a rotate see a complete store — zero failures") {
     val alias = freshRoot()
     val half = emb.filter($"vec_id" % 2 === 0)
@@ -609,34 +629,50 @@ class IndexStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("replay idempotency"), err.getMessage)
   }
 
-  test("a suspicious warm-up batch records the OBSERVED yardstick, so a " +
-    "same-magnitude second batch cannot false-fire (the sf10 duplication " +
-    "lesson)") {
+  test("warm-up discrimination: a duplication-inflated same-distribution " +
+    "batch appends and records the observed yardstick; a second " +
+    "same-magnitude batch cannot false-fire (the sf10 duplication lesson)") {
     // On a duplicated corpus every same-distribution batch's vs-store
-    // chi² is inflated while the within-batch split stays low — the very
-    // signature a truly drifted batch shows. Clamping the warm-up record
-    // to the within-batch chi² (tried in r16) seeded a tiny yardstick
-    // and the next NORMAL batch false-fired at sf10. Pin the chosen
-    // dial: the warm-up record is the observed statistic, and a second
-    // batch of the same inflated magnitude appends instead of rotating.
+    // chi² is inflated by the copy factor while the within-batch split
+    // stays low — the very chi² signature a truly drifted batch shows.
+    // Clamping the warm-up record to the within-batch chi² (tried and
+    // reverted in r16) seeded a tiny yardstick and the next NORMAL batch
+    // false-fired at sf10. The shipped dial breaks the ambiguity with
+    // the MOVED-MASS statistic instead: this batch's chi² is hugely
+    // suspicious (~100× a clean batch's) but its cell SHARES match the
+    // store's, so the TV warm-up path must hold its fire, the batch
+    // appends recording the observed (inflated) statistic, and a second
+    // batch of the same magnitude sits inside priorFactor× of it.
     val alias = freshRoot()
     val e = emb.select($"vec_id", $"embedding")
     val b0 = e.filter($"vec_id" % 4 < 2)
-    // two slices with the SAME shifted distribution — stand-ins for two
-    // duplication-inflated (or equally-drifted) batches of one stream
-    val d1 = e.filter($"vec_id" % 4 === 2).select($"vec_id",
-      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
-    val d2 = e.filter($"vec_id" % 4 === 3).select($"vec_id",
-      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
-    val corpus = b0.unionByName(d1).unionByName(d2)
+    // 100 id-distinct copies of every slice — STORE side included: the
+    // m32 sf10 amplification physics at spec scale. Both empirical
+    // distributions carry their ORIGINAL sample's noise while the test
+    // sees 100× the rows, so chi² inflates ∝ copies; the shares (and so
+    // TV) are fixed points of duplication. (Duplicating only the batch
+    // would NOT inflate chi² — the two-sample statistic is bounded by
+    // the smaller side's size.)
+    def dup(slice: org.apache.spark.sql.DataFrame, copies: Int,
+        shift: Long): org.apache.spark.sql.DataFrame =
+      (0 until copies).map(i => slice.select(
+        ($"vec_id" + lit(shift * (i + 1))).as("vec_id"), $"embedding"))
+        .reduce(_ unionByName _)
+    val dupB0 = dup(b0, 100, 100000L)
+    val s1 = e.filter($"vec_id" % 4 === 2)
+    val dup1 = dup(s1, 100, 100000L)
+    val dup2 = dup(e.filter($"vec_id" % 4 === 3), 100, 100000000L)
+    val corpus = dupB0.unionByName(dup1).unionByName(dup2)
     def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
       IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
         dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
-    assert(ingest(0L, b0))                   // bootstrap — guard dir empty
+    assert(ingest(0L, dupB0))                // bootstrap — guard dir empty
     val root0 = IndexStore.currentRoot(spark, alias).get
-    // suspicious batch on the yardstick-less root: accepted (the guard
-    // never fires without one accepted batch), recording what it SAW
-    assert(!ingest(1L, d1), "warm-up batch must append, not rotate")
+    // duplication-inflated same-dist batch on the yardstick-less root:
+    // must append (TV stays at the share-noise floor), recording what it SAW
+    assert(!ingest(1L, dup1),
+      "a duplication-inflated same-distribution warm-up batch must " +
+        "append, not rotate — firing here is the r16 clamp's false-fire")
     val statFile = new java.io.File(s"$root0/guard/stat-1")
     assert(statFile.exists, "accepted batch must record a yardstick")
     val recorded = scala.io.Source.fromFile(statFile).mkString.trim.toDouble
@@ -646,10 +682,39 @@ class IndexStoreSpec extends SparkSpec {
         "same-magnitude batch false-fire")
     // the second same-magnitude batch must NOT fire: its chi² is inside
     // priorFactor× the recorded yardstick
-    assert(!ingest(2L, d2),
+    assert(!ingest(2L, dup2),
       "a same-magnitude second batch must append — firing here is the " +
         "sf10 duplicated-corpus false-rotation")
     assert(IndexStore.currentRoot(spark, alias).contains(root0))
+  }
+
+  test("warm-up discrimination: a genuinely drifted batch rotates " +
+    "IMMEDIATELY via the moved-mass path — no yardstick required") {
+    // The capability the reverted r16 chi²-clamp tried to buy: drift in
+    // the very first post-bootstrap batch. Chi² alone cannot fire here
+    // (no yardstick, and its magnitude is duplication-ambiguous); the
+    // TV-over-shares statistic can, because this batch's mass actually
+    // MOVED (DriftSeparatorProbe: TV ≥ 0.507 across five scales vs
+    // ≤ 0.136 for same-dist at up to 100× duplication).
+    val alias = freshRoot()
+    val e = emb.select($"vec_id", $"embedding")
+    val b0 = e.filter($"vec_id" % 4 < 2)
+    val drift = e.filter($"vec_id" % 4 >= 2).select($"vec_id",
+      transform($"embedding", x => x + lit(0.5f)).as("embedding"))
+    val corpus = b0.unionByName(drift)
+    def ingest(id: Long, batch: org.apache.spark.sql.DataFrame): Boolean =
+      IndexStore.ingestWithDriftGuard(spark, alias, id, batch, corpus,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16, seed = 42L)
+    assert(ingest(0L, b0))                   // bootstrap — guard dir empty
+    val root0 = IndexStore.currentRoot(spark, alias).get
+    assert(ingest(1L, drift),
+      "a drifted warm-up batch must rotate via the moved-mass path")
+    val root1 = IndexStore.currentRoot(spark, alias).get
+    assert(root1 != root0, "rotation must publish a fresh root")
+    // exactly-once across the warm-up cutover: both ids re-committed
+    assert(!ingest(0L, b0), "replayed bootstrap batch must no-op")
+    assert(!ingest(1L, drift), "replayed firing batch must no-op")
+    assert(IndexStore.readCodes(spark, root1).count() == corpus.count())
   }
 
   test("maintain: one call GCs superseded stores, sweeps staging, prunes " +

@@ -1514,6 +1514,81 @@ private[graft] object DedupQueries {
       |  CAST((SELECT COUNT(*) FROM a2) AS BIGINT) AS n_kept_asof2,
       |  TRUE AS head_ok""".stripMargin
 
+  // ------------------------------------ d31 token-budget mixture sampling
+
+  /** Training-corpus MIXTURE to a token budget
+    * ([[graft.llm.Sampling.mixtureByTokens]]): 30/45/25 relative weights
+    * over en/de/fr with the budget set to 55% of those strata's total
+    * tokens — 'de' holds only ~20% of the tokens, so its water-fill share
+    * CLAMPS to availability and the freed budget re-fills en/fr at 30:25.
+    * Every number in the row — availability, the exact-integer quotas,
+    * kept docs/tokens per stratum, the budget itself — is deterministic
+    * arithmetic over md5-ordered prefixes, VALUE-matched by DuckDB
+    * (quota fill is Long floor-division, the kept set is a hash-order
+    * cumulative-sum prefix; nothing is sampled at random). */
+  private def d31(s: SparkSession, dir: String): DataFrame = {
+    // token counting runs once: feeds the budget, availability, and the
+    // kept-set cumulative
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .localCheckpoint()
+    val weights = Map("en" -> 3000L, "de" -> 4500L, "fr" -> 2500L)
+    val weighted = docs.filter(col("lang").isin(weights.keys.toSeq: _*))
+    val total = weighted.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val budget = total * 55L / 100L
+    val kept = Sampling.mixtureByTokens(docs, col("lang"),
+      col("n_tokens"), col("doc_id"), weights, budget, salt = "g7")
+    val avail = weighted.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+    val wDf = s.createDataFrame(weights.toSeq).toDF("lang", "wt")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        max(col("mix_quota")).as("quota"))
+      .join(avail, Seq("lang")).join(broadcast(wDf), Seq("lang"))
+      .select(col("lang"), col("wt"), col("avail_tokens"), col("quota"),
+        col("n_kept"), col("tokens_kept"), lit(budget).as("budget"))
+      .orderBy(col("lang"))
+  }
+
+  private val d31Sql =
+    """WITH base AS (SELECT doc_id, lang,
+      |    CAST(len(CASE WHEN length(trim(text)) = 0
+      |        THEN CAST([] AS VARCHAR[])
+      |        ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+      |      END) AS BIGINT) AS t,
+      |    substring(md5('g7' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+      |w AS (SELECT * FROM (VALUES ('en', CAST(3000 AS BIGINT)),
+      |    ('de', CAST(4500 AS BIGINT)), ('fr', CAST(2500 AS BIGINT)))
+      |  AS w(lang, wt)),
+      |b AS (SELECT SUM(t) * 55 // 100 AS budget FROM base),
+      |av AS (SELECT lang, SUM(t) AS avail FROM base GROUP BY 1),
+      |r1 AS (SELECT av.lang, wt, avail,
+      |    wt * (SELECT budget FROM b) // (SELECT SUM(wt) FROM w) AS share1
+      |  FROM av JOIN w USING (lang)),
+      |cl AS (SELECT lang, avail FROM r1 WHERE avail <= share1),
+      |q AS (SELECT r1.lang, wt, avail,
+      |    CASE WHEN avail <= share1 THEN avail
+      |    ELSE wt * ((SELECT budget FROM b)
+      |        - COALESCE((SELECT SUM(avail) FROM cl), 0))
+      |      // (SELECT SUM(wt) FROM r1 WHERE avail > share1) END AS quota
+      |  FROM r1),
+      |cum AS (SELECT doc_id, lang, t,
+      |    SUM(t) OVER (PARTITION BY lang
+      |      ORDER BY h, CAST(doc_id AS VARCHAR)
+      |      ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM base),
+      |kept AS (SELECT cum.lang, COUNT(*) AS n_kept,
+      |    SUM(t) AS tokens_kept
+      |  FROM cum JOIN q ON cum.lang = q.lang AND c <= quota
+      |  GROUP BY 1)
+      |SELECT q.lang, wt, avail AS avail_tokens, quota, n_kept,
+      |  tokens_kept, (SELECT budget FROM b) AS budget
+      |FROM q JOIN kept ON q.lang = kept.lang
+      |ORDER BY q.lang""".stripMargin
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh_pairs" -> (d02 _),
@@ -1544,7 +1619,8 @@ private[graft] object DedupQueries {
     "d27_shard_manifest" -> (d27 _),
     "d28_capped_pairs" -> (d28 _),
     "d29_export_audit" -> (d29 _),
-    "d30_store_asof" -> (d30 _))
+    "d30_store_asof" -> (d30 _),
+    "d31_token_mixture" -> (d31 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1576,5 +1652,6 @@ private[graft] object DedupQueries {
     "d27_shard_manifest" -> d27Sql,
     "d28_capped_pairs" -> d28Sql,
     "d29_export_audit" -> d29Sql,
-    "d30_store_asof" -> d30Sql)
+    "d30_store_asof" -> d30Sql,
+    "d31_token_mixture" -> d31Sql)
 }

@@ -443,6 +443,104 @@ object Sampling {
     * when nShards divides 65536, ±1/65536 otherwise). The fingerprint
     * terms stay below 10^15, so the per-shard sum fits a long up to
     * ~10^4 billion rows per shard — far past any real shard. */
+  /** Deterministic MIXTURE sampling to a global TOKEN budget — the data-
+    * mixing step of a training-corpus build: "give me `budget` tokens at
+    * these relative per-source proportions", e.g. 30% web / 45% code /
+    * 25% books. [[temperatureMix]] rebalances ROW counts by a power law
+    * and [[tokenBudget]] fills a PER-STRATUM budget by a score; this
+    * operator fills ONE global budget across strata to TARGET weights,
+    * honestly clamping to what each source actually has.
+    *
+    * Quotas are EXACT-integer water-filling (every step is Long
+    * arithmetic — floor-divided proportional shares — so any engine
+    * reproduces them bit-for-bit; no float weight normalization):
+    * repeatedly give each active stratum `w_s·R / ΣW_active` (floored)
+    * of the remaining budget R; a stratum whose availability is at or
+    * under its share is CLAMPED to its availability (it contributes
+    * everything it has), its tokens leave R, and the rest of the budget
+    * re-fills the remaining strata at their relative weights — at most
+    * |weights| rounds, on a per-stratum aggregate collected to the
+    * driver (bounded by the weight map the caller wrote, never by data).
+    *
+    * Within a stratum the kept set is the PREFIX of the salted-md5 hash
+    * order (unbiased, engine-reproducible — the [[hexPrefix]] contract)
+    * whose inclusive token sum stays ≤ the quota: greedy-to-the-boundary,
+    * so achieved tokens land within one document of the quota. Strata
+    * absent from `weights` are excluded.
+    *
+    * Scale shape: one per-stratum aggregate, then the prefix rule as a
+    * BUCKET-DECOMPOSED cumulative sum — per-(stratum, 256-bucket) token
+    * totals roll up to bucket offsets (a broadcast-sized table), and the
+    * in-bucket cumulative window partitions by (stratum, bucket), so no
+    * stratum ever funnels through one task (the naive per-stratum window
+    * would — a 40%-weight stratum of a 100 TB corpus is 40 TB in one
+    * partition). Returns the kept rows with their `mix_quota`. */
+  def mixtureByTokens(df: DataFrame, stratum: Column, tokens: Column,
+      key: Column, weights: Map[String, Long], budget: Long,
+      salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(weights.values.sum <= 1000000L,
+      "relative weights must sum to <= 1e6 (quota arithmetic stays exact in Long)")
+    require(budget <= 1000000000000L,
+      "budget must be <= 1e12 tokens (quota arithmetic stays exact in Long)")
+    val reserved = Seq("__mx_g", "__mx_t", "__mx_h", "__mx_k", "__mx_b",
+      "__mx_off", "__mx_cum", "mix_quota")
+    require(!df.columns.exists(reserved.contains),
+      s"mixtureByTokens uses ${reserved.mkString(", ")} internally")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__mx_g", stratum.cast("string"))
+      .withColumn("__mx_t", tokens.cast("long"))
+      .withColumn("__mx_h", hexPrefix(key, salt, 8))
+      .withColumn("__mx_k", key.cast("string"))
+      .filter(col("__mx_g").isin(weights.keys.toSeq: _*))
+      .withColumn("__mx_b", substring(col("__mx_h"), 1, 2))
+    // availability per stratum: ≤ |weights| rows — a bounded collect
+    val avail: Map[String, Long] = keyed.groupBy(col("__mx_g"))
+      .agg(sum(col("__mx_t")).as("av"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact-integer water-fill (strata with no rows clamp at 0 trivially)
+    val quotas = scala.collection.mutable.Map[String, Long]()
+    var active = weights.view.filterKeys(avail.contains).toMap
+    var remaining = budget
+    var done = false
+    while (!done && active.nonEmpty) {
+      val sw = active.values.sum
+      val share = active.map { case (s, w) => s -> (w * remaining) / sw }
+      val clamped = active.keys.filter(s => avail(s) <= share(s)).toSeq
+      if (clamped.isEmpty) { share.foreach(quotas += _); done = true }
+      else {
+        clamped.foreach { s => quotas(s) = avail(s); remaining -= avail(s) }
+        active = active -- clamped
+      }
+    }
+    val quotaDf = broadcast(keyed.sparkSession
+      .createDataFrame(quotas.toSeq.map(kv => (kv._1, kv._2)))
+      .toDF("__mx_g", "mix_quota"))
+    // bucket offsets: full-bucket token sums before each (stratum, bucket)
+    // — strata×256 rows, broadcast back onto the rows
+    val wOff = Window.partitionBy(col("__mx_g")).orderBy(col("__mx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = broadcast(keyed.groupBy(col("__mx_g"), col("__mx_b"))
+      .agg(sum(col("__mx_t")).as("__bt"))
+      .withColumn("__mx_off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .select(col("__mx_g"), col("__mx_b"), col("__mx_off")))
+    // in-bucket cumulative (≤ 1/256 of a stratum per task) + bucket offset
+    // = the global hash-order inclusive cumulative
+    val wCum = Window.partitionBy(col("__mx_g"), col("__mx_b"))
+      .orderBy(col("__mx_h"), col("__mx_k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed
+      .join(offsets, Seq("__mx_g", "__mx_b"))
+      .join(quotaDf, Seq("__mx_g"))
+      .withColumn("__mx_cum", col("__mx_off") + sum(col("__mx_t")).over(wCum))
+      .filter(col("__mx_cum") <= col("mix_quota"))
+      .drop("__mx_g", "__mx_t", "__mx_h", "__mx_k", "__mx_b", "__mx_off",
+        "__mx_cum")
+  }
+
   def shardManifest(df: DataFrame, key: Column, id: Column, nShards: Int,
       salt: String = ""): DataFrame = {
     require(nShards >= 1 && nShards <= 65536,

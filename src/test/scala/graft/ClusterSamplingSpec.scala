@@ -302,4 +302,54 @@ class ClusterSamplingSpec extends SparkSpec {
       && !s0.getBoolean(4) && !s0.getBoolean(5),
       s"missing shard must fail every flag: $s0")
   }
+
+  test("mixtureByTokens: cascading water-fill quotas, hash-prefix kept " +
+    "set, budget respected, layout-independent") {
+    // strata: a tiny (forces the FIRST clamp), b small (clamps in round
+    // 2 after a's tokens redistribute), c deep (absorbs the rest) — a
+    // three-round fill the two-round oracle shape never reaches.
+    // avail: a=10, b=5, c=1000; weights 8:1:1, budget 500 →
+    //   r1: a share 400 → clamp 10; r2 (rem 490): b 245 → clamp 5;
+    //   r3 (rem 485): c 485. Σ = 500 = budget exactly.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "a", 1L)) ++
+      (11 to 15).map(i => (i.toLong, "b", 1L)) ++
+      (16 to 1015).map(i => (i.toLong, "c", 1L)) ++
+      (2000 to 2005).map(i => (i.toLong, "zz", 7L)) // not in weights
+    ).toDF("id", "src", "t")
+    val weights = Map("a" -> 8L, "b" -> 1L, "c" -> 1L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureByTokens(df, $"src", $"t", $"id", weights,
+        budget = 500L, salt = "mx1")
+    val kept = run(docs).select($"id", $"src", $"mix_quota")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // quotas are the cascading fill; unweighted strata are excluded
+    val bySrc = kept.groupBy(_._2)
+    assert(!bySrc.contains("zz"), "strata outside the weight map are excluded")
+    assert(bySrc("a").size == 10 && bySrc("a").forall(_._3 == 10L),
+      "clamped stratum keeps everything at quota = availability")
+    assert(bySrc("b").size == 5 && bySrc("b").forall(_._3 == 5L))
+    assert(bySrc("c").size == 485 && bySrc("c").forall(_._3 == 485L),
+      s"round-3 quota must be the remaining budget (got ${bySrc("c").size})")
+    assert(kept.size == 500, "unit tokens: kept rows == spent budget")
+    // the kept set is the exact salted-md5-order prefix of stratum c
+    val cOrder = (16 to 1015).map(_.toLong).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mx1$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), i.toString))
+    assert(bySrc("c").map(_._1).toSet == cOrder.take(485).toSet,
+      "kept set must be the hash-order prefix, not an arbitrary subset")
+    // layout-independence: the kept set is a pure function of the data
+    val re = run(docs.repartition(7)).select($"id", $"src", $"mix_quota")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(re == kept)
+    // uneven token sizes: the prefix stops AT the boundary document
+    val fat = Seq((1L, "x", 40L), (2L, "x", 40L), (3L, "x", 40L),
+      (4L, "x", 40L)).toDF("id", "src", "t")
+    val keptFat = Sampling.mixtureByTokens(fat, $"src", $"t", $"id",
+        Map("x" -> 1L), budget = 100L, salt = "mx2")
+      .select($"id").as[Long].collect().toSeq
+    assert(keptFat.size == 2, s"100-token budget holds two 40-token docs " +
+      s"(got ${keptFat.size}) — greedy stops at the boundary")
+  }
 }

@@ -238,23 +238,50 @@ object Layout {
     * to tiles with the ORIGINAL write's persisted quantization
     * (`_zstats` — re-deriving stats from current data would shift tile
     * boundaries under every existing file), and ONLY the touched tiles
-    * are rewritten (old tile rows ∪ routed slab rows, re-sorted by z);
-    * untouched tile files are not rewritten, not moved, not read. Rows
-    * outside the original stats range clamp into edge tiles
+    * change; untouched tile files are not rewritten, not moved, not read.
+    * Rows outside the original stats range clamp into edge tiles
     * ([[quantize]]'s contract) — a corpus whose domain has genuinely
     * outgrown the layout should take a full [[zorderCompact]], which
     * re-anchors the stats.
     *
-    * Swap discipline: staged tiles are written completely first; then
-    * old touched-tile files and the slabs move aside to a trash dir, the
-    * staged files move in, and the trash is deleted — any failure is
-    * loud and the trash holds the only-copy rows until resolved.
+    * A touched tile is ROW-GROUP-MERGED, not rewritten (r16): the new
+    * rows land as a z-sorted parquet file per tile, and the tile's
+    * replacement is stitched with `ParquetFileWriter.appendFile` — the
+    * old file's row groups COPY byte-for-byte (no decode, no re-encode,
+    * no shuffle of stored rows) and the new rows' row group appends
+    * after them, so the touched-tile cost is a sequential byte copy +
+    * the appended rows' encode, ∝ appended data + touched bytes
+    * streamed, never a distributed rewrite of stored rows. Per-file
+    * footer min/max — the pruning contract — is the union over row
+    * groups and is preserved exactly; WITHIN the merged file each row
+    * group stays z-sorted but the file is no longer globally z-sorted
+    * (the Delta/Iceberg merge-on-write tradeoff — file-level pruning,
+    * which is what the layout exists for, is unaffected). Row groups
+    * accumulate one per compact, so a tile at `maxRowGroupsPerTile`
+    * blocks takes the full read-union-rewrite for that tile instead,
+    * which re-sorts it and resets the bound — read amplification is
+    * capped by construction. A tile whose old/new parquet schemas
+    * differ (e.g. a slab appended with reordered columns) also falls
+    * back to the rewrite path — `appendFile` under a mismatched writer
+    * schema would mis-stitch, so equality is REQUIRED, checked per
+    * tile from the footers. Merges are independent per tile and run
+    * DISTRIBUTED (one task per touched tile).
+    *
+    * Swap discipline: every replacement file is built completely in
+    * private staging first; then old touched-tile files and the slabs
+    * move aside to a trash dir, the staged files move in, and the
+    * trash is deleted — any failure is loud and the trash holds the
+    * only-copy rows until resolved.
     * Returns the touched tile ids (empty = nothing to do). */
   def zorderCompactIncremental(spark: org.apache.spark.sql.SparkSession,
-      path: String, xCol: String, yCol: String): Seq[Long] = {
+      path: String, xCol: String, yCol: String,
+      maxRowGroupsPerTile: Int = 8): Seq[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
+    require(maxRowGroupsPerTile >= 2,
+      "maxRowGroupsPerTile >= 2 — a merge always yields at least two row groups")
     val target = new HPath(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = target.getFileSystem(conf)
     val st = readStats(spark, path).getOrElse(throw new IllegalStateException(
       s"zorderCompactIncremental: $path has no _zstats sidecar (not a " +
         "zorderWrite layout, or one predating r16) — run the full " +
@@ -279,45 +306,156 @@ object Layout {
       .collect().map(_.getLong(0)).sorted.toSeq
     val tileIdOf: org.apache.hadoop.fs.FileStatus => Long =
       s => s.getPath.getName.stripPrefix("tile-").takeWhile(_.isDigit).toLong
-    val oldTouched = tileFiles.filter(s => touched.contains(tileIdOf(s)))
-    val oldRows = if (oldTouched.isEmpty) None
-      else Some(withTile(
-        spark.read.parquet(oldTouched.map(_.getPath.toString): _*)))
-    val union = oldRows.fold(slabRows)(_.unionByName(slabRows))
+    val oldByTile = tileFiles.filter(s => touched.contains(tileIdOf(s)))
+      .groupBy(tileIdOf)
     val stamp = f"${System.currentTimeMillis()}%013d_${
       new java.security.SecureRandom().nextInt(1000000)}%06d"
-    val staged = new HPath(target.getParent, s".${target.getName}_zi_$stamp")
-    union
+    // stage ONLY the slab rows, z-sorted, one file per touched tile —
+    // stored tile rows never enter a Spark plan on the merge path
+    val stagedNew = new HPath(target.getParent, s".${target.getName}_zi_$stamp")
+    slabRows
       .withColumn("z", zValue(col(xCol), lit(st.xlo), lit(st.xhi),
         col(yCol), lit(st.ylo), lit(st.yhi), st.bits))
       .repartition(math.max(1, math.min(touched.size, 4096)), col("__tile"))
       .sortWithinPartitions(col("__tile"), col("z"))
       .drop("z")
-      .write.mode("overwrite").partitionBy("__tile").parquet(staged.toString)
-    // swap: retire old touched tiles + slabs, publish staged tiles
+      .write.mode("overwrite").partitionBy("__tile").parquet(stagedNew.toString)
+    val stagedFiles: Map[Long, Seq[HPath]] = fs.listStatus(stagedNew).toSeq
+      .filter(_.isDirectory).map { d =>
+        d.getPath.getName.stripPrefix("__tile=").toLong ->
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(_.getPath)
+      }.toMap
+    import org.apache.parquet.hadoop.ParquetFileReader
+    def footer(pp: HPath) = ParquetFileReader.readFooter(conf, pp)
+    // classify: MERGE stitches row groups; PUBLISH is a brand-new tile;
+    // REWRITE is the read-union-rewrite fallback (row-group bound hit,
+    // schema drift, or a legacy multi-file tile)
+    val MERGE = 0; val PUBLISH = 1; val REWRITE = 2
+    val acts: Map[Long, Int] = touched.map { t =>
+      val olds = oldByTile.getOrElse(t, Nil)
+      val news = stagedFiles.getOrElse(t, Nil)
+      val act =
+        if (olds.isEmpty && news.size == 1) PUBLISH
+        else if (olds.size == 1 && news.size == 1) {
+          val fo = footer(olds.head.getPath)
+          if (fo.getBlocks.size < maxRowGroupsPerTile &&
+              fo.getFileMetaData.getSchema ==
+                footer(news.head).getFileMetaData.getSchema) MERGE
+          else REWRITE
+        } else REWRITE
+      t -> act
+    }.toMap
+    // rewrite subset: old rows ∪ staged rows of those tiles, re-sorted
+    val rwTiles = acts.collect { case (t, REWRITE) => t }.toSeq.sorted
+    val stagedRw = new HPath(target.getParent, s".${target.getName}_zirw_$stamp")
+    if (rwTiles.nonEmpty) {
+      val oldPaths = rwTiles.flatMap(t =>
+        oldByTile.getOrElse(t, Nil).map(_.getPath.toString))
+      val newPaths = rwTiles.flatMap(t =>
+        stagedFiles.getOrElse(t, Nil).map(_.toString))
+      // old and staged files may disagree on column ORDER (a reordered
+      // slab is one of the reasons a tile lands here) — read separately,
+      // union by name
+      val union = Seq(oldPaths, newPaths).filter(_.nonEmpty)
+        .map(ps => spark.read.parquet(ps: _*))
+        .reduce(_ unionByName _)
+      withTile(union)
+        .withColumn("z", zValue(col(xCol), lit(st.xlo), lit(st.xhi),
+          col(yCol), lit(st.ylo), lit(st.yhi), st.bits))
+        .repartition(math.max(1, math.min(rwTiles.size, 4096)), col("__tile"))
+        .sortWithinPartitions(col("__tile"), col("z"))
+        .drop("z")
+        .write.mode("overwrite").partitionBy("__tile").parquet(stagedRw.toString)
+    }
+    // row-group merges: independent per tile, distributed one task per
+    // tile; each task is a sequential byte copy of two files' row groups
+    // plus a footer write, verified against the source footers' row count
+    val stagedMg = new HPath(target.getParent, s".${target.getName}_zimg_$stamp")
+    val merges = acts.collect { case (t, MERGE) =>
+      (t, oldByTile(t).head.getPath.toString, stagedFiles(t).head.toString)
+    }.toSeq.sortBy(_._1)
+    if (merges.nonEmpty) {
+      if (!fs.mkdirs(stagedMg))
+        throw new java.io.IOException(
+          s"zorderCompactIncremental: cannot create $stagedMg")
+      val confMap: Map[String, String] = {
+        val b = Map.newBuilder[String, String]
+        val it = conf.iterator()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }
+      val dstDir = stagedMg.toString
+      spark.sparkContext.parallelize(merges, math.min(merges.size, 64))
+        .foreach { case (t, oldP, newP) =>
+          val c = new org.apache.hadoop.conf.Configuration()
+          confMap.foreach { case (k, v) => c.set(k, v) }
+          import org.apache.parquet.hadoop.{ParquetFileReader => PFR, ParquetFileWriter => PFW}
+          import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+          import scala.jdk.CollectionConverters._
+          val op = new HPath(oldP)
+          val np = new HPath(newP)
+          val fo = PFR.readFooter(c, op)
+          val fn = PFR.readFooter(c, np)
+          val dst = new HPath(dstDir, s"tile-$t-rg.parquet")
+          val w = new PFW(HadoopOutputFile.fromPath(dst, c),
+            fo.getFileMetaData.getSchema, PFW.Mode.CREATE,
+            134217728L, 8388608)
+          w.start()
+          w.appendFile(HadoopInputFile.fromPath(op, c))
+          w.appendFile(HadoopInputFile.fromPath(np, c))
+          w.end(fo.getFileMetaData.getKeyValueMetaData)
+          val want = fo.getBlocks.asScala.map(_.getRowCount).sum +
+            fn.getBlocks.asScala.map(_.getRowCount).sum
+          val got = PFR.readFooter(c, dst).getBlocks.asScala
+            .map(_.getRowCount).sum
+          if (got != want)
+            throw new IllegalStateException(
+              s"zorderCompactIncremental: stitched tile $t holds $got " +
+                s"rows, sources hold $want — refusing to publish")
+        }
+    }
+    // swap: every replacement exists in staging; set aside old touched
+    // tiles + slabs, publish, clean up
     val trash = new HPath(target.getParent, s".${target.getName}_zitrash_$stamp")
     if (!fs.mkdirs(trash))
       throw new java.io.IOException(s"zorderCompactIncremental: cannot " +
         s"create $trash")
-    (oldTouched ++ slabs).foreach { s =>
+    (oldByTile.values.flatten ++ slabs).foreach { s =>
       if (!fs.rename(s.getPath, new HPath(trash, s.getPath.getName)))
         throw new java.io.IOException(
           s"zorderCompactIncremental: cannot set aside ${s.getPath}")
     }
-    fs.listStatus(staged).filter(_.isDirectory).foreach { d =>
-      fs.listStatus(d.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        .foreach { f =>
-          val dst = new HPath(target,
-            s"${d.getPath.getName.stripPrefix("__").replace('=', '-')}-${
-              f.getPath.getName}")
-          if (!fs.rename(f.getPath, dst))
-            throw new java.io.IOException(
-              s"zorderCompactIncremental: cannot publish ${f.getPath} " +
-                s"-> $dst (old rows preserved in $trash)")
-        }
+    def publish(src: HPath, dstName: String): Unit = {
+      val dst = new HPath(target, dstName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"zorderCompactIncremental: cannot publish $src -> $dst " +
+            s"(old rows preserved in $trash)")
     }
-    fs.delete(staged, true)
+    acts.toSeq.sortBy(_._1).foreach {
+      case (t, MERGE) =>
+        publish(new HPath(stagedMg, s"tile-$t-rg.parquet"),
+          s"tile-$t-rg-$stamp.parquet")
+      case (t, PUBLISH) =>
+        val f0 = stagedFiles(t).head
+        publish(f0, s"tile-$t-${f0.getName}")
+      case _ => () // REWRITE tiles flatten below
+    }
+    if (rwTiles.nonEmpty)
+      fs.listStatus(stagedRw).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            publish(f.getPath,
+              s"${d.getPath.getName.stripPrefix("__").replace('=', '-')}-${
+                f.getPath.getName}")
+          }
+      }
+    fs.delete(stagedNew, true)
+    if (rwTiles.nonEmpty) fs.delete(stagedRw, true)
+    if (merges.nonEmpty) fs.delete(stagedMg, true)
     fs.delete(trash, true)
     touched
   }

@@ -252,6 +252,84 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("_zstats"), e.getMessage)
   }
 
+  test("zorderCompactIncremental row-group merge: stored rows are stitched " +
+    "(never re-encoded), the block bound forces a re-sort, schema drift " +
+    "falls back to rewrite") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import scala.jdk.CollectionConverters._
+    val li = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("zrgm")
+    val path = s"$base/z"
+    Layout.zorderWrite(li.filter(col("l_orderkey") % 8 === 0),
+      "l_partkey", "l_suppkey", 8, path)
+    val conf = spark.sessionState.newHadoopConf()
+    def blocksOf(): Map[Long, Int] =
+      new java.io.File(path).listFiles.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("tile-"))
+        .map { f =>
+          val id = f.getName.stripPrefix("tile-").takeWhile(_.isDigit).toLong
+          id -> ParquetFileReader.readFooter(conf,
+            new org.apache.hadoop.fs.Path(f.getPath)).getBlocks.size()
+        }.toMap
+    def checksum() = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    assert(blocksOf().values.forall(_ == 1), "fresh tiles are single-block")
+    // round 1: append + compact — touched tiles gain exactly one row
+    // group ON TOP of their old ones (the old bytes were copied, the new
+    // rows appended; a rewrite would collapse back to one block)
+    li.filter(col("l_orderkey") % 8 === 1)
+      .write.mode("append").parquet(path)
+    val sum1 = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    val touched1 = Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey", maxRowGroupsPerTile = 3)
+    assert(touched1.nonEmpty)
+    val b1 = blocksOf()
+    assert(touched1.forall(t => b1(t) == 2),
+      s"touched tiles must hold old+new row groups (got ${b1.view
+        .filterKeys(touched1.contains).toMap})")
+    assert(checksum() == sum1, "merge changed the row set")
+    // round 2: another merge → 3 blocks touches the bound; round 3 must
+    // REWRITE those tiles back to a single sorted block
+    li.filter(col("l_orderkey") % 8 === 2)
+      .write.mode("append").parquet(path)
+    val touched2 = Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey", maxRowGroupsPerTile = 3)
+    val b2 = blocksOf()
+    assert(touched2.forall(t => b2(t) == 3))
+    li.filter(col("l_orderkey") % 8 === 3)
+      .write.mode("append").parquet(path)
+    val sum3 = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    val touched3 = Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey", maxRowGroupsPerTile = 3)
+    val b3 = blocksOf()
+    assert(touched3.forall(t => b3(t) == 1),
+      s"at the block bound the tile must re-sort to one row group " +
+        s"(got ${b3.view.filterKeys(touched3.contains).toMap})")
+    assert(checksum() == sum3, "bound-triggered rewrite changed the row set")
+    // schema drift: a slab with REORDERED columns cannot be stitched —
+    // the tile falls back to the rewrite path, rows still exact
+    li.filter(col("l_orderkey") % 8 === 4)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_partkey"))
+      .write.mode("append").parquet(path)
+    val sum4 = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("l_orderkey")), sum(col("l_partkey")))
+      .collect().head
+    val touched4 = Layout.zorderCompactIncremental(spark, path,
+      "l_partkey", "l_suppkey", maxRowGroupsPerTile = 3)
+    assert(touched4.nonEmpty)
+    val b4 = blocksOf()
+    assert(touched4.forall(t => b4(t) == 1),
+      "a reordered-column slab must take the rewrite path (schema equality " +
+        "is required to stitch)")
+    assert(checksum() == sum4, "schema-fallback rewrite changed the row set")
+  }
+
   test("zorderWrite file assignment is deterministic across runs and " +
     "shuffle-partition settings; files are z-sorted within") {
     // the q36 r15 flake: repartitionByRange's SAMPLED boundaries could

@@ -380,41 +380,9 @@ object Layout {
       if (!fs.mkdirs(stagedMg))
         throw new java.io.IOException(
           s"zorderCompactIncremental: cannot create $stagedMg")
-      val confMap: Map[String, String] = {
-        val b = Map.newBuilder[String, String]
-        val it = conf.iterator()
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-        b.result()
-      }
-      val dstDir = stagedMg.toString
-      spark.sparkContext.parallelize(merges, math.min(merges.size, 64))
-        .foreach { case (t, oldP, newP) =>
-          val c = new org.apache.hadoop.conf.Configuration()
-          confMap.foreach { case (k, v) => c.set(k, v) }
-          import org.apache.parquet.hadoop.{ParquetFileReader => PFR, ParquetFileWriter => PFW}
-          import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
-          import scala.jdk.CollectionConverters._
-          val op = new HPath(oldP)
-          val np = new HPath(newP)
-          val fo = PFR.readFooter(c, op)
-          val fn = PFR.readFooter(c, np)
-          val dst = new HPath(dstDir, s"tile-$t-rg.parquet")
-          val w = new PFW(HadoopOutputFile.fromPath(dst, c),
-            fo.getFileMetaData.getSchema, PFW.Mode.CREATE,
-            134217728L, 8388608)
-          w.start()
-          w.appendFile(HadoopInputFile.fromPath(op, c))
-          w.appendFile(HadoopInputFile.fromPath(np, c))
-          w.end(fo.getFileMetaData.getKeyValueMetaData)
-          val want = fo.getBlocks.asScala.map(_.getRowCount).sum +
-            fn.getBlocks.asScala.map(_.getRowCount).sum
-          val got = PFR.readFooter(c, dst).getBlocks.asScala
-            .map(_.getRowCount).sum
-          if (got != want)
-            throw new IllegalStateException(
-              s"zorderCompactIncremental: stitched tile $t holds $got " +
-                s"rows, sources hold $want — refusing to publish")
-        }
+      ParquetStitch.run(spark, merges.map { case (t, oldP, newP) =>
+        (Seq(oldP, newP), new HPath(stagedMg, s"tile-$t-rg.parquet").toString)
+      })
     }
     // swap: every replacement exists in staging; set aside old touched
     // tiles + slabs, publish, clean up

@@ -367,20 +367,70 @@ object Maintenance {
     * shard: each micro-batch write lands its own small files per shard,
     * and after N batches a consumer opens O(N·shards) files — the classic
     * small-files tax that dominates scan cost at 100 TB long before
-    * bytes do. One shuffle on (shard) — every shard is routed wholly to
-    * one task, so `partitionBy` emits exactly one file per shard — and
-    * the batch provenance column is dropped (membership, not lineage, is
-    * the compacted artifact's contract; the batched original remains the
-    * lineage record). Row membership is bit-preserved: the caller proves
-    * it by auditing the compacted dir against the pre-compact manifest
-    * ([[graft.llm.Sampling.auditShardExport]]). Returns the compacted
-    * frame. */
+    * bytes do. The consolidation is ROW-GROUP-STITCHED when it can be
+    * ([[ParquetStitch]], r16): each shard's per-batch files copy
+    * byte-for-byte into one file, one distributed task per shard, zero
+    * decode and zero shuffle of exported rows; past the stitch gate
+    * (schema drift, fragmentation bounds) it falls back to one shuffle
+    * on (shard) with `partitionBy` emitting one file per shard — either
+    * way the batch provenance column is dropped (membership, not
+    * lineage, is the compacted artifact's contract; the batched original
+    * remains the lineage record). Row membership is bit-preserved: the
+    * caller proves it by auditing the compacted dir against the
+    * pre-compact manifest ([[graft.llm.Sampling.auditShardExport]]).
+    * Returns the compacted frame. */
   def compactExport(spark: SparkSession, exportDir: String, outDir: String,
       nShards: Int): org.apache.spark.sql.DataFrame = {
-    spark.read.parquet(exportDir)
-      .drop("batch")
-      .repartition(nShards, col("shard"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HPath(exportDir)
+    val fs = root.getFileSystem(conf)
+    // STITCH path (r16): the per-batch shard files' row groups copy
+    // byte-for-byte into one file per shard ([[ParquetStitch]]) — no
+    // decode, no re-encode, no shuffle of exported rows; one distributed
+    // task per shard. Falls back to the classic shuffle-and-rewrite when
+    // any shard fails the stitch gate (schema drift across batches, or
+    // enough accumulated batches that row-group fragmentation would
+    // defeat the point — the re-encode also resets that).
+    val byShard: Map[String, Seq[HPath]] =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap(b => fs.listStatus(b.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard=")))
+        .flatMap(sh => fs.listStatus(sh.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => sh.getPath.getName -> f.getPath))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = new HPath(outDir)
+    def classic(): Unit = {
+      spark.read.parquet(exportDir)
+        .drop("batch")
+        .repartition(nShards, col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    }
+    // the gate is FileStatus-only (a wide export pays more for driver
+    // footer reads than for the copy); schema equality is verified inside
+    // the distributed stitch, and a mismatch falls back to the re-encode
+    if (byShard.nonEmpty &&
+        byShard.values.forall(ParquetStitch.stitchableCheap(fs, _))) {
+      fs.delete(out, true)
+      byShard.keys.foreach { sh =>
+        if (!fs.mkdirs(new HPath(out, sh)))
+          throw new java.io.IOException(s"compactExport: cannot create " +
+            s"$out/$sh")
+      }
+      def mentionsStitch(t: Throwable): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+          .exists(x => Option(x.getMessage).exists(_.contains("ParquetStitch")))
+      try ParquetStitch.run(spark, byShard.toSeq.sortBy(_._1).map {
+        case (sh, files) => (files.map(_.toString),
+          new HPath(new HPath(out, sh), "part-stitched.parquet").toString)
+      }) catch {
+        case e: Exception if mentionsStitch(e) =>
+          classic() // schema drift across batches: re-encode instead
+      }
+    } else classic()
     spark.read.parquet(outDir)
   }
 

@@ -295,10 +295,41 @@ object DedupStore {
       // snapshotted ids) — permanent duplication. Reading exactly `ids` makes
       // the folded set and the retired set identical by construction; the
       // racing append's segment simply folds next time (deferred, never dup).
-      val merged = spark.read.parquet(ids.map(id => segDir(root, id).toString): _*)
-      // merged segments live in the reserved id space (append-collision-free)
+      //
+      // The fold is ROW-GROUP-STITCHED when it can be (r16): the
+      // snapshotted segments' row groups copy byte-for-byte into one file
+      // (`ParquetFileWriter.appendFile` — no decode, no re-encode; empty
+      // replay-marker segments contribute zero blocks), verified against
+      // the source footers' row counts. Bounds keep the shape honest:
+      // schema drift across segments, a cumulative row-group count past
+      // 64 (stitching never merges row groups, so re-folds would fragment
+      // without bound), or a fold past 1 GiB (one stitched file is a
+      // sequential single-writer copy — past that, the distributed
+      // re-encode is the right shape anyway) all take the classic
+      // read-and-rewrite, which also resets the row-group count.
       val newId = math.max(ids.max + 1, CompactBase)
-      merged.write.mode("overwrite").parquet(segDir(root, newId).toString)
+      val dstDir = segDir(root, newId)
+      val segFiles = ids.flatMap { id =>
+        val d = segDir(root, id)
+        if (!f.exists(d)) Nil
+        else f.listStatus(d).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      }
+      val conf = spark.sessionState.newHadoopConf()
+      if (graft.exec.ParquetStitch.stitchable(conf, f, segFiles)) {
+        f.delete(dstDir, true)
+        if (!f.mkdirs(dstDir))
+          throw new java.io.IOException(s"DedupStore: cannot create $dstDir")
+        graft.exec.ParquetStitch.stitch(conf, segFiles,
+          new HPath(dstDir, "part-stitched.parquet"))
+        ()
+      } else {
+        val merged = spark.read.parquet(
+          ids.map(id => segDir(root, id).toString): _*)
+        merged.write.mode("overwrite").parquet(dstDir.toString)
+      }
       // provenance sidecar for [[readAsOf]]: the largest INGEST batch id
       // this fold contains (carried forward through re-compactions). The
       // underscore prefix keeps it invisible to the parquet reader; written

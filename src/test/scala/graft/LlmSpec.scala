@@ -888,6 +888,63 @@ class LlmSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq == (before :+ "fp_a0").sorted)
   }
 
+  test("DedupStore.compact row-group stitch: one fold file with the " +
+    "sources' blocks copied verbatim, empty replay markers contribute " +
+    "nothing, schema drift falls back to rewrite") {
+    import graft.llm.DedupStore
+    import org.apache.parquet.hadoop.ParquetFileReader
+    val root = java.nio.file.Files.createTempDirectory("fpstitch").toString
+    val conf = spark.sessionState.newHadoopConf()
+    def segFilesOf(r: String): Seq[java.io.File] = {
+      val segRoot = new java.io.File(r, "segments")
+      val segs = Option(segRoot.listFiles).map(_.toSeq).getOrElse(Nil)
+        .filter(_.isDirectory)
+      segs.flatMap(d => Option(d.listFiles).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+    }
+    def foldFiles(): Seq[java.io.File] = segFilesOf(root)
+    def blocksOf(f: java.io.File): Int =
+      ParquetFileReader.readFooter(conf,
+        new org.apache.hadoop.fs.Path(f.getPath)).getBlocks.size()
+    val rows = Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1)
+    assert(DedupStore.append(spark, root, 0L, rows))
+    assert(DedupStore.append(spark, root, 1L, rows.limit(0))) // empty marker
+    assert(DedupStore.append(spark, root, 2L,
+      Seq((3L, "z")).toDF("id", "v").coalesce(1)))
+    val before = DedupStore.read(spark, root).as[(Long, String)]
+      .collect().sorted.toSeq
+    DedupStore.compact(spark, root)
+    val fold1 = foldFiles()
+    assert(fold1.size == 1 && fold1.head.getName == "part-stitched.parquet",
+      s"the fold must be ONE stitched file (got ${fold1.map(_.getName)})")
+    // nonempty source files contribute their row groups verbatim; the
+    // empty marker segment's file holds zero blocks
+    assert(blocksOf(fold1.head) == 2,
+      s"stitched fold must hold the two nonempty sources' row groups " +
+        s"(got ${blocksOf(fold1.head)})")
+    assert(DedupStore.read(spark, root).as[(Long, String)]
+      .collect().sorted.toSeq == before)
+    // a re-compact with a new segment stitches the fold's blocks forward
+    assert(DedupStore.append(spark, root, 5L,
+      Seq((9L, "w")).toDF("id", "v").coalesce(1)))
+    DedupStore.compact(spark, root)
+    val fold2 = foldFiles()
+    assert(fold2.size == 1 && blocksOf(fold2.head) == 3)
+    assert(DedupStore.read(spark, root).count() == 4)
+    // schema drift (reordered columns) cannot stitch — rewrite, rows exact
+    val root2 = java.nio.file.Files.createTempDirectory("fpstitch2").toString
+    assert(DedupStore.append(spark, root2, 0L, rows))
+    assert(DedupStore.append(spark, root2, 1L,
+      Seq(("z", 3L)).toDF("v", "id").coalesce(1)))
+    DedupStore.compact(spark, root2)
+    val fold3 = segFilesOf(root2)
+    assert(!fold3.exists(_.getName == "part-stitched.parquet"),
+      "reordered-column segments must take the rewrite path")
+    assert(DedupStore.read(spark, root2).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("DedupStore.readAsOf: exact history slices; compaction folds carry provenance or refuse") {
     import graft.llm.DedupStore
     val root = java.nio.file.Files.createTempDirectory("fpasof").toString

@@ -850,6 +850,7 @@ private[graft] object DedupQueries {
       .withColumn("wkey", wkey)
     Sampling.clusterBalancedSample(scored, perCluster = 3,
         clusterCol = "centroid_id", scoreCol = "wkey", idCol = "vec_id")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("centroid_id"), col("rank"))
   }
 
@@ -1525,7 +1526,15 @@ private[graft] object DedupQueries {
     * kept docs/tokens per stratum, the budget itself — is deterministic
     * arithmetic over md5-ordered prefixes, VALUE-matched by DuckDB
     * (quota fill is Long floor-division, the kept set is a hash-order
-    * cumulative-sum prefix; nothing is sampled at random). */
+    * cumulative-sum prefix; nothing is sampled at random).
+    *
+    * ORACLE SCOPE: the DuckDB twin hard-codes exactly TWO water-fill
+    * rounds (one clamp pass, one re-fill with no further clamp check),
+    * while [[graft.llm.Sampling.mixtureByTokens]] cascades arbitrarily
+    * many. The builder REPLAYS the fill on the per-stratum availabilities
+    * (|weights| rows) and throws before running the query if the fixture
+    * would need a third round — so a data/scale change can never make the
+    * two sides silently diverge on a value-matched row. */
   private def d31(s: SparkSession, dir: String): DataFrame = {
     // token counting runs once: feeds the budget, availability, and the
     // kept-set cumulative
@@ -1541,6 +1550,22 @@ private[graft] object DedupQueries {
       col("n_tokens"), col("doc_id"), weights, budget, salt = "g7")
     val avail = weighted.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("avail_tokens"))
+    // Guard the oracle's 2-round shape (see Scaladoc): replay the fill on
+    // the |weights|-row availability aggregate and fail loudly if a stratum
+    // would clamp again on the round-2 re-fill.
+    val availMap = avail.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = weights.values.sum
+    val clamped1 = weights.filter { case (l, wt) =>
+      availMap(l) <= wt * budget / w1 }
+    val b2 = budget - clamped1.keys.map(availMap).sum
+    val rest = weights -- clamped1.keys
+    val w2 = rest.values.sum max 1L
+    val clamped2 = rest.filter { case (l, wt) => availMap(l) <= wt * b2 / w2 }
+    require(clamped2.isEmpty,
+      s"d31 oracle expresses exactly 2 water-fill rounds but strata " +
+        s"${clamped2.keys.mkString(",")} clamp again on the round-2 " +
+        "re-fill; rewrite d31Sql as a recursive fill before value-matching")
     val wDf = s.createDataFrame(weights.toSeq).toDF("lang", "wt")
     kept.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
@@ -1584,8 +1609,10 @@ private[graft] object DedupQueries {
       |    SUM(t) AS tokens_kept
       |  FROM cum JOIN q ON cum.lang = q.lang AND c <= quota
       |  GROUP BY 1)
-      |SELECT q.lang, wt, avail AS avail_tokens, quota, n_kept,
-      |  tokens_kept, (SELECT budget FROM b) AS budget
+      |SELECT q.lang, wt, CAST(avail AS BIGINT) AS avail_tokens,
+      |  CAST(quota AS BIGINT) AS quota, n_kept,
+      |  CAST(tokens_kept AS BIGINT) AS tokens_kept,
+      |  CAST((SELECT budget FROM b) AS BIGINT) AS budget
       |FROM q JOIN kept ON q.lang = kept.lang
       |ORDER BY q.lang""".stripMargin
 

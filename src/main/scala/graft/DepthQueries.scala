@@ -174,7 +174,7 @@ object DepthQueries {
         ascii(col("o_orderstatus")).as("asc_c"),
         translate(col("o_orderpriority"), "-AEIOU", "_aeiou").as("tr"),
         repeat(col("o_orderstatus"), 3).as("rep"),
-        locate("URGENT", col("o_orderpriority")).as("sp"),
+        locate("URGENT", col("o_orderpriority")).cast("long").as("sp"),
         initcap(lower(col("o_orderpriority"))).as("ic"))
       .orderBy(col("o_orderkey"))
 
@@ -199,9 +199,12 @@ object DepthQueries {
   private def f10(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_custkey") <= 500)
       .select(col("c_custkey"),
-        levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
-        levenshtein(col("c_name"), lit("Customer#000000001"), 3).as("lev_t3"),
-        levenshtein(col("c_mktsegment"), col("c_name")).as("lev_cols"))
+        levenshtein(col("c_name"), lit("Customer#000000001"))
+          .cast("long").as("lev"),
+        levenshtein(col("c_name"), lit("Customer#000000001"), 3)
+          .cast("long").as("lev_t3"),
+        levenshtein(col("c_mktsegment"), col("c_name"))
+          .cast("long").as("lev_cols"))
       .orderBy(col("c_custkey"))
 
   private val f10Sql =
@@ -752,7 +755,7 @@ object DepthQueries {
        |      FROM t, s)
        |SELECT COUNT(*) AS n_rows,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       |  SUM(l_orderkey) AS sum_okey,
+       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
        |  TRUE AS degraded_before,
        |  (SELECT ws FROM w) AS after_worst_span,
        |  TRUE AS restored_ok
@@ -884,16 +887,16 @@ object DepthQueries {
        |          / CAST(greatest(gxhi - gxlo, 1) AS DOUBLE),
        |        CAST(fyhi - fylo AS DOUBLE)
        |          / CAST(greatest(gyhi - gylo, 1) AS DOUBLE))) AS ws,
-       |      sum(CASE WHEN fxhi >= gxlo + ((gxhi - gxlo) * 45) // 100
+       |      CAST(sum(CASE WHEN fxhi >= gxlo + ((gxhi - gxlo) * 45) // 100
        |            AND fxlo <= gxlo + ((gxhi - gxlo) * 55) // 100
-       |          THEN 1 ELSE 0 END) AS nx,
-       |      sum(CASE WHEN fyhi >= gylo + ((gyhi - gylo) * 45) // 100
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+       |      CAST(sum(CASE WHEN fyhi >= gylo + ((gyhi - gylo) * 45) // 100
        |            AND fylo <= gylo + ((gyhi - gylo) * 55) // 100
-       |          THEN 1 ELSE 0 END) AS ny
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS ny
        |      FROM t, gs)
        |SELECT COUNT(*) AS n_rows,
        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       |  SUM(l_orderkey) AS sum_okey,
+       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
        |  (SELECT n_touched FROM touched) AS n_touched,
        |  (SELECT ws FROM w) AS after_worst_span,
        |  (SELECT nx FROM w) AS n_files_x_band,

@@ -1868,8 +1868,188 @@ object MatQueries {
       |  TRUE AS staging_ok, TRUE AS fold_ok, TRUE AS asof_ok,
       |  TRUE AS replay_ok, TRUE AS quiet_ok,
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_indexed,
-      |  (SELECT SUM(vec_id) FROM embeddings WHERE vec_id % 2 = 0) AS sum_ids
+      |  CAST((SELECT SUM(vec_id) FROM embeddings WHERE vec_id % 2 = 0)
+      |    AS BIGINT) AS sum_ids
       |FROM embeddings WHERE vec_id < 10 AND vec_id % 2 = 0""".stripMargin
+
+  // ----------------------- m34 z-order compaction on a CATALOG table
+
+  /** [[graft.exec.Maintenance.zorderCompact]] — the Layout degradation→
+    * maintenance story (q34/q36/q37 prove it on path directories) carried
+    * to CATALOG tables through the committer seam. Fixture: lineitem
+    * partitioned by l_returnflag; a CTAS plus three appends leave flags
+    * A/R with 4 unclustered files each while flag N (excluded from the
+    * appends) keeps its single CTAS file. One `zorderCompact` call
+    * rewrites ONLY the offending partitions, z-clustered on
+    * (l_partkey, l_suppkey) with `maxRecordsPerFile` sized to ⌈n/3⌉ of
+    * the largest offending partition — so each compacted partition rolls
+    * into ≤3 files, each covering one contiguous z-range.
+    *
+    * Evidence, all VALUE-matched: measured file counts before (4/1/4)
+    * and after (⌈n/m⌉ per flag, arithmetic DuckDB reproduces); row
+    * count / quantity / orderkey checksums unchanged by the rewrite; the
+    * untouched partition's files BYTE-STABLE (name+length+mtime set
+    * compared across the swap — it was never staged); the measured worst
+    * per-file key-span ratio per partition equals DuckDB's recomputation
+    * from pure arithmetic (file k of a partition holds exactly z-ranks
+    * [k·m,(k+1)·m) — the tiebreak makes the order total, so chunk→file
+    * is a function of the data, the q36 determinism discipline); and a
+    * second maintenance call is QUIET (≤3 ≤ maxFiles: nothing offending,
+    * Nil, no file touched). Quantization stats persist as table
+    * properties on first use — the second call proves the path that
+    * reads them back. */
+  private def m34(s: SparkSession, dir: String): DataFrame = {
+    freshDb(s, "g_m34")
+    val part = PartitionSpec.Static(Seq("l_returnflag" -> "string"))
+    val tgt = TableRef("g_m34.lineitem_z")
+    def quarter(q: Int): DataFrame = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === q)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+        col("l_returnflag"))
+    Materializer.table(s, tgt, quarter(0), part)
+    (1 to 3).foreach(q => Materializer.incremental(s, tgt,
+      quarter(q).filter(col("l_returnflag") =!= "N"),
+      IncrementalStrategy.Append, partition = part))
+    import graft.exec.Maintenance
+    def fileCounts(name: String): DataFrame = {
+      import s.implicits._
+      Maintenance.partitionFileCounts(s, tgt, part).toSeq
+        .map { case (rel, n) => (rel.split("=", 2)(1), n) }
+        .toDF("l_returnflag", name)
+    }
+    // the untouched partition's file inventory (name, length, mtime):
+    // byte-stability evidence — a swapped dir would change all three
+    def untouchedFiles(): Seq[(String, Long, Long)] = {
+      val ident = s.sessionState.sqlParser
+        .parseTableIdentifier("g_m34.lineitem_z")
+      val meta = s.sessionState.catalog.getTableMetadata(ident)
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(meta.location), "l_returnflag=N")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(p).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+        .sortBy(_._1)
+    }
+    val before = fileCounts("files_before")
+    val nBefore = untouchedFiles()
+    // m = ⌈nmax/3⌉ over the offending partitions — ≤3 files after, so the
+    // compacted state is itself quiet under maxFiles=3 at ANY scale
+    // (a |flags|-row bounded aggregate)
+    val nmax = s.table(tgt.render).filter(col("l_returnflag") =!= "N")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).max
+    val m = (nmax + 2L) / 3L
+    val compacted = Maintenance.zorderCompact(s, tgt, part,
+      "l_partkey", "l_suppkey", maxFiles = 3, bits = 8,
+      maxRecordsPerFile = m, tiebreak = Seq("l_orderkey", "l_linenumber"))
+    val after = fileCounts("files_after")
+    val untouchedIntact = untouchedFiles() == nBefore
+    val quiet = Maintenance.zorderCompact(s, tgt, part,
+      "l_partkey", "l_suppkey", maxFiles = 3, bits = 8,
+      maxRecordsPerFile = m, tiebreak = Seq("l_orderkey", "l_linenumber"))
+    val rows = s.table(tgt.render)
+    // measured per-FILE key spans vs the partition's own span — the
+    // pruning quality a partition-pruned, key-filtered scan actually sees
+    val perFile = rows
+      .select(col("l_returnflag"), input_file_name().as("f"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("l_returnflag"), col("f"))
+      .agg(min(col("l_partkey")).as("fxlo"), max(col("l_partkey")).as("fxhi"),
+        min(col("l_suppkey")).as("fylo"), max(col("l_suppkey")).as("fyhi"))
+    val pSpan = rows.groupBy(col("l_returnflag"))
+      .agg(min(col("l_partkey")).as("pxlo"), max(col("l_partkey")).as("pxhi"),
+        min(col("l_suppkey")).as("pylo"), max(col("l_suppkey")).as("pyhi"))
+    val ws = perFile.join(broadcast(pSpan), Seq("l_returnflag"))
+      .select(col("l_returnflag"), greatest(
+        (col("fxhi") - col("fxlo")).cast("double") /
+          greatest(col("pxhi") - col("pxlo"), lit(1L)).cast("double"),
+        (col("fyhi") - col("fylo")).cast("double") /
+          greatest(col("pyhi") - col("pylo"), lit(1L)).cast("double"))
+        .as("r"))
+      .groupBy(col("l_returnflag")).agg(max(col("r")).as("after_worst_span"))
+    rows.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+      .join(broadcast(before), Seq("l_returnflag"))
+      .join(broadcast(after), Seq("l_returnflag"))
+      .join(broadcast(ws), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("files_before").cast("int"),
+        col("files_after").cast("int"), col("n_rows"), col("sum_qty"),
+        col("sum_okey"), col("after_worst_span"),
+        lit(untouchedIntact).as("untouched_intact"),
+        lit(compacted.size).cast("int").as("n_compacted"),
+        lit(quiet.isEmpty).as("quiet_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The after-compact per-file spans are recomputed from PURE ARITHMETIC:
+    * within each compacted partition, rows sort by (z, l_orderkey,
+    * l_linenumber) — a TOTAL order — and the writer rolls a new file every
+    * m rows, so file k holds exactly z-ranks [k·m, (k+1)·m) and DuckDB's
+    * chunked window reproduces the measured parquet layout; the untouched
+    * partition's single CTAS file spans its partition exactly (ratio 1). */
+  private val m34Sql = {
+    val terms = (0 until 8).map { i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i + 1)} + ((qy >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("\n      |        + ")
+    s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |        CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity, l_returnflag
+       |      FROM lineitem
+       |      WHERE l_returnflag <> 'N' OR l_orderkey % 4 = 0),
+       |s AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+       |        min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM li),
+       |nm AS (SELECT max(n) AS nmax FROM (
+       |        SELECT COUNT(*) AS n FROM li WHERE l_returnflag <> 'N'
+       |        GROUP BY l_returnflag)),
+       |mm AS (SELECT (nmax + 2) // 3 AS m FROM nm),
+       |q AS (SELECT li.*,
+       |        least(greatest(((l_partkey - xlo) * 256)
+       |          // (xhi - xlo + 1), 0), 255) AS qx,
+       |        least(greatest(((l_suppkey - ylo) * 256)
+       |          // (yhi - ylo + 1), 0), 255) AS qy
+       |      FROM li, s),
+       |z AS (SELECT *,
+       |        $terms AS z
+       |      FROM q),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+       |        ORDER BY z, l_orderkey, l_linenumber) AS rn FROM z),
+       |c AS (SELECT l_returnflag, (rn - 1) // (SELECT m FROM mm) AS chunk,
+       |        min(l_partkey) AS cxlo, max(l_partkey) AS cxhi,
+       |        min(l_suppkey) AS cylo, max(l_suppkey) AS cyhi
+       |      FROM r WHERE l_returnflag <> 'N' GROUP BY 1, 2),
+       |ps AS (SELECT l_returnflag,
+       |        min(l_partkey) AS pxlo, max(l_partkey) AS pxhi,
+       |        min(l_suppkey) AS pylo, max(l_suppkey) AS pyhi
+       |      FROM li GROUP BY 1),
+       |w AS (SELECT c.l_returnflag, max(greatest(
+       |        CAST(cxhi - cxlo AS DOUBLE)
+       |          / CAST(greatest(pxhi - pxlo, 1) AS DOUBLE),
+       |        CAST(cyhi - cylo AS DOUBLE)
+       |          / CAST(greatest(pyhi - pylo, 1) AS DOUBLE))) AS ws
+       |      FROM c JOIN ps USING (l_returnflag) GROUP BY 1),
+       |agg AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+       |        CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       |        CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+       |      FROM li GROUP BY 1)
+       |SELECT agg.l_returnflag,
+       |  CAST(CASE WHEN agg.l_returnflag = 'N' THEN 1 ELSE 4 END AS INT)
+       |    AS files_before,
+       |  CAST(CASE WHEN agg.l_returnflag = 'N' THEN 1
+       |    ELSE (n_rows + (SELECT m FROM mm) - 1) // (SELECT m FROM mm)
+       |    END AS INT) AS files_after,
+       |  n_rows, sum_qty, sum_okey,
+       |  CASE WHEN agg.l_returnflag = 'N' THEN CAST(1 AS DOUBLE)
+       |    ELSE w.ws END AS after_worst_span,
+       |  TRUE AS untouched_intact, CAST(2 AS INT) AS n_compacted,
+       |  TRUE AS quiet_ok
+       |FROM agg LEFT JOIN w ON agg.l_returnflag = w.l_returnflag
+       |ORDER BY 1""".stripMargin
+  }
 
   // ---------------------------------------------------------------- export
 
@@ -1906,7 +2086,8 @@ object MatQueries {
     "m30_streaming_video_dedup" -> (m30 _),
     "m31_streaming_audio_dedup" -> (m31 _),
     "m32_streaming_autorotate" -> (m32 _),
-    "m33_index_maintenance" -> (m33 _))
+    "m33_index_maintenance" -> (m33 _),
+    "m34_zorder_table" -> (m34 _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_table_ctas" -> m01Sql,
@@ -1941,5 +2122,6 @@ object MatQueries {
     "m30_streaming_video_dedup" -> m30Sql,
     "m31_streaming_audio_dedup" -> m31Sql,
     "m32_streaming_autorotate" -> m32Sql,
-    "m33_index_maintenance" -> m33Sql)
+    "m33_index_maintenance" -> m33Sql,
+    "m34_zorder_table" -> m34Sql)
 }

@@ -17,6 +17,7 @@ private[graft] object SimilarityQueries {
   private def s01(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -289,6 +290,7 @@ private[graft] object SimilarityQueries {
   private def s14(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -543,7 +545,7 @@ private[graft] object SimilarityQueries {
   private val s19Sql =
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
       |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
-      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
+      |  CAST((SELECT SUM(vec_id) FROM embeddings) AS BIGINT) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** Persisted IVF-INT8 store (FAISS IndexIVFScalarQuantizer —
@@ -585,7 +587,7 @@ private[graft] object SimilarityQueries {
   private val s20Sql =
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
       |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
-      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
+      |  CAST((SELECT SUM(vec_id) FROM embeddings) AS BIGINT) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** Persisted IMI store ([[graft.llm.IndexStore.trainImi]]/appendImi/
@@ -625,7 +627,7 @@ private[graft] object SimilarityQueries {
   private val s21Sql =
     """SELECT 5 * COUNT(*) AS n_exact, TRUE AS recall_ok, TRUE AS store_ok,
       |  (SELECT COUNT(*) FROM embeddings) AS n_indexed,
-      |  (SELECT SUM(vec_id) FROM embeddings) AS sum_ids
+      |  CAST((SELECT SUM(vec_id) FROM embeddings) AS BIGINT) AS sum_ids
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** JL random-projection prefilter + exact re-rank

@@ -201,7 +201,8 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("date").as("order_date"), col("rn"))
+        col("o_orderdate").cast("date").as("order_date"),
+        col("rn").cast("long").as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -484,9 +485,9 @@ object SparkEntry {
     t(s, dir, "orders").filter(col("o_custkey") <= 100)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("d"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"),
         lag(col("o_orderkey"), 1).over(w).as("prev_key"),

@@ -112,7 +112,10 @@ object GateCheck {
     "q37_zorder_incremental",
     // one-call alias maintenance: GC + staging sweep + yardstick bound +
     // horizon fold, with as-of/replay/search proven through it
-    "m33_index_maintenance")
+    "m33_index_maintenance",
+    // catalog-table z-order compaction through the committer seam:
+    // untouched partition byte-stable across the swap, second pass quiet
+    "m34_zorder_table")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

@@ -75,12 +75,20 @@ object AtomicWriter {
   /** Create-or-replace the table with `df` (CTAS path — target not read). */
   def createOrReplace(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None,
-      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
+      bucketBy: Option[(Int, Seq[String])] = None,
+      clusterBy: Seq[Column] = Nil): Unit = {
+    require(bucketBy.isEmpty || clusterBy.isEmpty,
+      "createOrReplace: bucketBy carries its own sortBy — clusterBy would fight it")
     val pcols = partition.partitionColumns
     var out = withPartitionCols(df, partition)
     // one writing task per partition value → one file per partition
     if (pcols.nonEmpty && bucketBy.isEmpty)
       out = out.repartition(pcols.map(col): _*)
+    // in-file clustering (see Committer.stageAndCommit): the sort leads
+    // with the partition columns, so the dynamic-partition writer's own
+    // required ordering is already satisfied — no second sort is inserted
+    if (clusterBy.nonEmpty)
+      out = out.sortWithinPartitions((pcols.map(col) ++ clusterBy): _*)
     spark.sql(s"DROP TABLE IF EXISTS ${target.render}")
     var w = out.write.mode(SaveMode.Overwrite).format("parquet")
     if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
@@ -204,7 +212,8 @@ object AtomicWriter {
     * nothing for it and silently leave the old files in place. */
   def overwritePartitions(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec,
-      touched: Option[Set[String]] = None): Unit = {
+      touched: Option[Set[String]] = None,
+      clusterBy: Seq[Column] = Nil): Unit = {
     require(partition.partitionColumns.nonEmpty, "overwritePartitions needs partition columns")
     val pcols = partition.partitionColumns
     // Align to the target layout; the plan may scan the target itself, so
@@ -219,7 +228,8 @@ object AtomicWriter {
     // keeps its hands off this table's stamped staging/trash artifacts
     val commit = WriterLease.holding(spark, target, Committer.newStamp()) {
       Committer.forSession(spark)
-        .stageAndCommit(spark, aligned, target, partition, tgtDir, fs)
+        .stageAndCommit(spark, aligned, target, partition, tgtDir, fs,
+          clusterBy = clusterBy)
     }
     // REFRESH TABLE is needed only when a path Spark may have LISTED
     // before changed underneath it (replaced or deleted partition dirs —

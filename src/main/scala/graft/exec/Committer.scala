@@ -29,9 +29,18 @@ sealed trait Committer {
     * staged relative partition paths (`k=v[/k=v…]`) and whether any
     * EXISTING partition's content was replaced (⇒ cached file listings are
     * stale). Must be all-or-nothing: on failure the target's previous
-    * content is still what readers see. */
+    * content is still what readers see.
+    *
+    * `clusterBy`: optional in-file ordering expressions (over the target's
+    * columns) applied WITHIN each staged partition after the committer's
+    * own partition-column repartition — the seam through which a z-order
+    * (or any clustered) rewrite reaches catalog tables
+    * ([[Maintenance.zorderCompact]]); rows land in every staged file
+    * sorted by them, so row-group/file footer min-max stay tight. Empty =
+    * today's behavior, byte-for-byte. */
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
-      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result
 }
 
 object Committer {
@@ -84,11 +93,13 @@ object Committer {
 object RenameCommitter extends Committer {
 
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
-      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result = {
     val pcols = partition.partitionColumns
     val stamp = Committer.newStamp()
     val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
-    AtomicWriter.createOrReplace(spark, aligned, stg, partition)
+    AtomicWriter.createOrReplace(spark, aligned, stg, partition,
+      clusterBy = clusterBy)
     try {
       val stgDir = AtomicWriter.tableDir(spark, stg)
       val staged = AtomicWriter.partitionDirs(fs, stgDir, pcols.size)
@@ -246,7 +257,8 @@ object VersionedCommitter extends Committer {
       Committer.ident(spark, target)))
 
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
-      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem): Committer.Result = {
+      partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result = {
     val pcols = partition.partitionColumns
     val shell = shellDir(spark, target)
     val stamp = Committer.newStamp()
@@ -254,6 +266,9 @@ object VersionedCommitter extends Committer {
     var out = aligned
     if (pcols.nonEmpty)
       out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+    if (clusterBy.nonEmpty)
+      out = out.sortWithinPartitions(
+        (pcols.map(org.apache.spark.sql.functions.col) ++ clusterBy): _*)
     val pending = new HPath(shell, PendingPrefix + stamp)
     var committed = false
     try {

@@ -324,7 +324,8 @@ object Layout {
       .filter(_.isDirectory).map { d =>
         d.getPath.getName.stripPrefix("__tile=").toLong ->
           fs.listStatus(d.getPath).toSeq
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
             .map(_.getPath)
       }.toMap
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -340,9 +341,13 @@ object Layout {
         if (olds.isEmpty && news.size == 1) PUBLISH
         else if (olds.size == 1 && news.size == 1) {
           val fo = footer(olds.head.getPath)
-          if (fo.getBlocks.size < maxRowGroupsPerTile &&
+          val fn = footer(news.head)
+          // gate on the MERGED block count (a hot tile's staged slab can
+          // itself carry several row groups) so the documented read-
+          // amplification cap holds by construction, not just usually
+          if (fo.getBlocks.size + fn.getBlocks.size <= maxRowGroupsPerTile &&
               fo.getFileMetaData.getSchema ==
-                footer(news.head).getFileMetaData.getSchema) MERGE
+                fn.getFileMetaData.getSchema) MERGE
           else REWRITE
         } else REWRITE
       t -> act

@@ -21,31 +21,58 @@ import graft.catalog.{PartitionSpec, TableRef}
   */
 object Maintenance {
 
-  /** File count per partition (relative partition path → #data files). */
+  /** File count per partition (relative partition path → #data files).
+    *
+    * Counts where the LIVE partition actually is: the root-directory walk
+    * (rename-committer layout, where partitions live under the table
+    * location) is overlaid with every catalog-REGISTERED partition's own
+    * location — under the versioned committer an overwritten partition's
+    * files live in a version directory and its old root dir is garbage-
+    * collected, so a root-only walk would count the live partition as
+    * empty (or a stale leftover). Rename-committer partitions register
+    * the standard root locations, so the overlay is a no-op there. */
   def partitionFileCounts(spark: SparkSession, target: TableRef,
       partition: PartitionSpec): Map[String, Int] = {
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(target.render.replace("`", ""))
-    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
     val root = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val depth = partition.partitionColumns.size
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val pcols = partition.partitionColumns
+    // exclude "_" AND "." prefixed files (Spark's hidden-file filter):
+    // _SUCCESS and the committer's ._graft_swap_* ownership markers are
+    // not data files and must not trigger compaction
+    def dataFiles(stats: Seq[org.apache.hadoop.fs.FileStatus]): Int =
+      stats.count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    def ls(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try p.getFileSystem(conf).listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
     def walk(p: org.apache.hadoop.fs.Path, d: Int, rel: String): Seq[(String, Int)] = {
-      val stats =
-        try fs.listStatus(p).toSeq
-        catch { case _: java.io.FileNotFoundException => Nil }
-      if (d == 0)
-        // exclude "_" AND "." prefixed files (Spark's hidden-file filter):
-        // _SUCCESS and the committer's ._graft_swap_* ownership markers are
-        // not data files and must not trigger compaction
-        Seq(rel -> stats.count(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")))
+      val stats = ls(p)
+      if (d == 0) Seq(rel -> dataFiles(stats))
       else stats.filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .flatMap(s => walk(s.getPath, d - 1,
           if (rel.isEmpty) s.getPath.getName else rel + "/" + s.getPath.getName))
     }
-    walk(root, depth, "").toMap
+    val walked = walk(root, pcols.size, "").toMap
+    // registered partitions (maintenance is O(|partitions|) by nature —
+    // this listing is the same order as the directory walk above)
+    val registered =
+      (try cat.listPartitions(ident) catch { case _: Exception => Nil })
+        .flatMap { p =>
+          val rel = pcols.map(c =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c,
+                p.spec.getOrElse(c, HiveDefaultPartition)))
+            .mkString("/")
+          p.storage.locationUri.map(u =>
+            rel -> dataFiles(ls(new org.apache.hadoop.fs.Path(u))))
+        }.toMap
+    walked ++ registered
   }
 
   private val HiveDefaultPartition = AtomicWriter.HiveDefaultPartition
@@ -64,20 +91,7 @@ object Maintenance {
     val offending = partitionFileCounts(spark, target, partition)
       .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (offending.nonEmpty) {
-      // k1=v1/k2=v2 → row filter on the partition columns
-      val conds = offending.map { rel =>
-        rel.split("/").map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          val uv = AtomicWriter.unescapePathName(v)
-          // Spark routes BOTH null and '' partition values into the
-          // default-partition dir — compacting it must pick up both, or the
-          // swap discards the ''-valued rows
-          if (uv == HiveDefaultPartition)
-            col(k).isNull || col(k).cast("string") === ""
-          else col(k).cast("string") === uv
-        }.reduce(_ && _)
-      }.reduce(_ || _)
-      val rows = spark.table(target.render).filter(conds)
+      val rows = spark.table(target.render).filter(partitionConds(offending))
       val confKey = "spark.sql.files.maxRecordsPerFile"
       val prev = spark.conf.get(confKey, "0")
       try {
@@ -86,6 +100,113 @@ object Maintenance {
       } finally spark.conf.set(confKey, prev)
     }
     offending
+  }
+
+  /** `k1=v1/k2=v2` relative partition paths → a row filter on the partition
+    * columns. Spark routes BOTH null and '' partition values into the
+    * default-partition dir — a rewrite must pick up both, or the swap
+    * discards the ''-valued rows. */
+  private def partitionConds(offending: Seq[String]): org.apache.spark.sql.Column =
+    offending.map { rel =>
+      rel.split("/").map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        val uv = AtomicWriter.unescapePathName(v)
+        if (uv == HiveDefaultPartition)
+          col(k).isNull || col(k).cast("string") === ""
+        else col(k).cast("string") === uv
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Z-ORDER compaction for CATALOG tables — the [[Layout]] degradation→
+    * maintenance story (q34/q36/q37 prove it on path-based directories)
+    * carried through the committer seam: partitions whose file count
+    * exceeds `maxFiles` (incremental appends land one unclustered file per
+    * partition per run) are rewritten CLUSTERED on the Morton z-value of
+    * (`xCol`, `yCol`) and swapped in atomically by whichever committer the
+    * session selected (rename or versioned — the `clusterBy` ordering
+    * travels through [[Committer.stageAndCommit]]). Untouched partitions
+    * are never staged, so their files stay byte-identical.
+    *
+    * The quantization stats persist as TABLE PROPERTIES
+    * (`graft.zorder.{cols,xlo,xhi,ylo,yhi,bits}`) on first use — the
+    * catalog-table analog of the path layout's `_zstats` sidecar — so
+    * every later maintenance pass costs ∝ the offending partitions only
+    * (re-deriving stats from current data would both rescan the table AND
+    * shift every tile boundary). A second call on a compacted table finds
+    * nothing offending and returns Nil without touching a file.
+    *
+    * `maxRecordsPerFile` bounds rows per output file (0 = one file per
+    * partition): rows land z-SORTED, so each rolled file covers a narrow
+    * contiguous z-range and file/row-group footer min-max prune filtered
+    * scans on BOTH keys — file k of a partition holds exactly z-ranks
+    * [k·m, (k+1)·m), a pure function of the data when `tiebreak` makes
+    * the order total (m34 value-matches the measured spans against DuckDB
+    * recomputing them from that arithmetic). Parallelism is one writing
+    * task per offending partition — the same shape as [[compact]]; at
+    * 1000 partitions that is 1000 independent tasks, and the untouched
+    * tail of a 100 TB table is never read. Returns the compacted relative
+    * partition paths. */
+  def zorderCompact(spark: SparkSession, target: TableRef,
+      partition: PartitionSpec, xCol: String, yCol: String,
+      maxFiles: Int = 8, bits: Int = 8, maxRecordsPerFile: Long = 0L,
+      tiebreak: Seq[String] = Nil): Seq[String] = {
+    require(partition.partitionColumns.nonEmpty,
+      "zorderCompact needs a partitioned table")
+    val offending = partitionFileCounts(spark, target, partition)
+      .filter(_._2 > maxFiles).keys.toSeq.sorted
+    if (offending.isEmpty) return Nil
+    val st = zorderTableStats(spark, target, xCol, yCol, bits)
+    val rows = spark.table(target.render).filter(partitionConds(offending))
+    val z = graft.exec.Layout.zValue(
+      col(xCol), lit(st.xlo), lit(st.xhi),
+      col(yCol), lit(st.ylo), lit(st.yhi), st.bits)
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.get(confKey, "0")
+    try {
+      spark.conf.set(confKey, maxRecordsPerFile.toString)
+      AtomicWriter.overwritePartitions(spark, rows, target, partition,
+        clusterBy = z +: tiebreak.map(col))
+    } finally spark.conf.set(confKey, prev)
+    offending
+  }
+
+  private val ZProp = "graft.zorder."
+
+  /** The table's persisted z-layout parameters, established on first use:
+    * read from table properties when present (a later compact must quantize
+    * with the ORIGINAL boundaries or every already-clustered file shifts
+    * tiles), else one narrow min/max aggregate over the table, persisted
+    * via ALTER TABLE. Loud on a column mismatch — one table has one
+    * layout. */
+  private def zorderTableStats(spark: SparkSession, target: TableRef,
+      xCol: String, yCol: String, bits: Int): Layout.ZStats = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(target.render.replace("`", ""))
+    val props = spark.sessionState.catalog.getTableMetadata(ident).properties
+    props.get(ZProp + "cols") match {
+      case Some(cs) =>
+        require(cs == s"$xCol,$yCol",
+          s"zorderCompact: ${target.render} is laid out on ($cs), not " +
+            s"($xCol,$yCol) — one table has one z layout")
+        Layout.ZStats(
+          props(ZProp + "xlo").toLong, props(ZProp + "xhi").toLong,
+          props(ZProp + "ylo").toLong, props(ZProp + "yhi").toLong,
+          props(ZProp + "bits").toInt, blocks = 0L)
+      case None =>
+        val r = spark.table(target.render).agg(
+          min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+          min(col(yCol)).cast("long"), max(col(yCol)).cast("long"))
+          .collect()(0) // one row — layout establishment, never per-pass
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"zorderCompact: ${target.render} has no non-null ($xCol,$yCol) rows")
+        val st = Layout.ZStats(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), bits, blocks = 0L)
+        spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES (" +
+          s"'${ZProp}cols'='$xCol,$yCol', '${ZProp}xlo'='${st.xlo}', " +
+          s"'${ZProp}xhi'='${st.xhi}', '${ZProp}ylo'='${st.ylo}', " +
+          s"'${ZProp}yhi'='${st.yhi}', '${ZProp}bits'='${st.bits}')")
+        st
+    }
   }
 
   /** ANALYZE TABLE (+ all columns): feeds the cost-based optimizer. */
@@ -420,14 +541,22 @@ object Maintenance {
           throw new java.io.IOException(s"compactExport: cannot create " +
             s"$out/$sh")
       }
-      def mentionsStitch(t: Throwable): Boolean =
+      // Only a SCHEMA mismatch is a legitimate fallback trigger (sources
+      // are intact; the re-encode is the right tool for drifted batches).
+      // Matched by TYPE through the Spark task-failure wrapping, with the
+      // class NAME as a net for paths that flatten the cause chain to
+      // text; any other stitch failure (row-count verification, IO)
+      // signals a bug or corruption and propagates loudly.
+      def isSchemaMismatch(t: Throwable): Boolean =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
-          .exists(x => Option(x.getMessage).exists(_.contains("ParquetStitch")))
+          .exists(x => x.isInstanceOf[StitchSchemaMismatch] ||
+            Option(x.getMessage)
+              .exists(_.contains("StitchSchemaMismatch")))
       try ParquetStitch.run(spark, byShard.toSeq.sortBy(_._1).map {
         case (sh, files) => (files.map(_.toString),
           new HPath(new HPath(out, sh), "part-stitched.parquet").toString)
       }) catch {
-        case e: Exception if mentionsStitch(e) =>
+        case e: Exception if isSchemaMismatch(e) =>
           classic() // schema drift across batches: re-encode instead
       }
     } else classic()

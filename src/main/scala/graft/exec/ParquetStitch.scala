@@ -6,6 +6,15 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import scala.jdk.CollectionConverters._
 
+/** The one stitch failure a caller may CATCH and fall back on: source
+  * footers disagree on the writer schema, so a byte-copy would mis-stitch
+  * silently and the caller's re-encode path is the correct tool. Typed
+  * (rather than message-matched) so fallback dispatch survives JVM/Spark
+  * exception wrapping — every other stitch failure (row-count verification,
+  * IO) signals a bug or corruption and must propagate loudly. */
+final class StitchSchemaMismatch(msg: String)
+  extends IllegalStateException(msg)
+
 /** Row-group-level parquet consolidation — the decode-free primitive under
   * every "small files → one file" maintenance step (z-order touched-tile
   * merge, dedup/index-store segment folds, export compaction): source
@@ -73,38 +82,60 @@ object ParquetStitch {
     sources.nonEmpty && sources.size <= maxFiles &&
       sources.map(p => fs.getFileStatus(p).getLen).sum <= maxBytes
 
-  /** Copy every source's row groups into `dst` (created; parent must
-    * exist), verifying ONE exact footer schema across sources (loud
-    * [[IllegalStateException]] otherwise — appending under a mismatched
+  /** Copy every source's row groups into `dst` (parent must exist),
+    * verifying ONE exact footer schema across sources (loud
+    * [[StitchSchemaMismatch]] otherwise — appending under a mismatched
     * writer schema would mis-stitch silently) and that the stitched
-    * footer accounts for every source row. Each source's footer is read
-    * once. Returns the stitched row count. */
+    * footer accounts for every source row BEFORE the file becomes
+    * visible. Each source's footer is read once. Returns the stitched
+    * row count.
+    *
+    * RETRY-SAFE: the copy lands at an attempt-unique dot-prefixed temp
+    * name and renames into place after verification (replacing any
+    * partial `dst` a previous dead attempt left behind) — so a retried
+    * or speculative Spark task re-running the same job is idempotent,
+    * never fails on its predecessor's leftovers, and `dst` is only ever
+    * absent or complete-and-verified. */
   def stitch(conf: Configuration, sources: Seq[HPath], dst: HPath): Long = {
     require(sources.nonEmpty, "ParquetStitch.stitch: no sources")
     val foots = sources.map(footer(conf, _))
     val schema = foots.head.getFileMetaData.getSchema
     foots.zip(sources).foreach { case (ft, src) =>
       if (ft.getFileMetaData.getSchema != schema)
-        throw new IllegalStateException(s"ParquetStitch: $src schema " +
+        throw new StitchSchemaMismatch(s"ParquetStitch: $src schema " +
           s"differs from ${sources.head} — cannot stitch (caller should " +
           "fall back to a re-encode)")
     }
-    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(dst, conf),
-      schema, ParquetFileWriter.Mode.CREATE, 134217728L, 8388608)
-    w.start()
-    foots.zip(sources).foreach { case (ft, src) =>
-      if (!ft.getBlocks.isEmpty) {
-        val in = HadoopInputFile.fromPath(src, conf).newStream()
-        try w.appendRowGroups(in, ft.getBlocks, false)
-        finally in.close()
+    val fs = dst.getFileSystem(conf)
+    val tmp = new HPath(dst.getParent,
+      s".${dst.getName}.stitch-${java.util.UUID.randomUUID()}")
+    val got = try {
+      val w = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf),
+        schema, ParquetFileWriter.Mode.CREATE, 134217728L, 8388608)
+      w.start()
+      foots.zip(sources).foreach { case (ft, src) =>
+        if (!ft.getBlocks.isEmpty) {
+          val in = HadoopInputFile.fromPath(src, conf).newStream()
+          try w.appendRowGroups(in, ft.getBlocks, false)
+          finally in.close()
+        }
       }
+      w.end(foots.head.getFileMetaData.getKeyValueMetaData)
+      val want = foots.map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
+      val n = footer(conf, tmp).getBlocks.asScala.map(_.getRowCount).sum
+      if (n != want)
+        throw new IllegalStateException(s"ParquetStitch: $tmp holds $n " +
+          s"rows, sources hold $want — refusing to publish")
+      n
+    } catch {
+      case t: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw t
     }
-    w.end(foots.head.getFileMetaData.getKeyValueMetaData)
-    val want = foots.map(_.getBlocks.asScala.map(_.getRowCount).sum).sum
-    val got = footer(conf, dst).getBlocks.asScala.map(_.getRowCount).sum
-    if (got != want)
-      throw new IllegalStateException(s"ParquetStitch: $dst holds $got " +
-        s"rows, sources hold $want — refusing to publish")
+    fs.delete(dst, false) // a previous attempt's partial file, if any
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"ParquetStitch: cannot rename $tmp to $dst")
     got
   }
 

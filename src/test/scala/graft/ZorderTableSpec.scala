@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{PartitionSpec, TableRef}
+import graft.exec.{AtomicWriter, Maintenance, ParquetStitch, StitchSchemaMismatch}
+import graft.mat.Materializer
+import graft.mat.Materializer.IncrementalStrategy
+
+/** Z-order compaction for CATALOG tables ([[Maintenance.zorderCompact]]):
+  * the Layout degradation→maintenance story carried through the committer
+  * seam, exercised under BOTH committers — only offending partitions are
+  * rewritten (clustered, multi-file, tight per-file spans), the untouched
+  * partition's files stay byte-stable, the quantization stats persist as
+  * table properties, and a second pass is quiet. Plus the ParquetStitch
+  * retry-hygiene contract: a predecessor attempt's partial destination
+  * never wedges a retry, and ONLY the typed schema mismatch routes
+  * [[Maintenance.compactExport]] to its re-encode fallback. */
+class ZorderTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withCommitter[T](name: String)(f: => T): T = {
+    spark.conf.set("spark.graft.committer", name)
+    try f finally spark.conf.unset("spark.graft.committer")
+  }
+
+  // pt(i): "c" rows live entirely in quarter 0 (i%16==0 ⇒ i%4==0), so the
+  // quarter-1..3 appends (which exclude "c") leave pt=c at its single CTAS
+  // file, while a/b — decoupled from the quarter residue via (i/4)%2 —
+  // receive rows from EVERY quarter and accumulate 4 unclustered files
+  private def fixture(n: Int) = (0 until n).map { i =>
+    val pt = if (i % 16 == 0) "c" else if ((i / 4) % 2 == 0) "a" else "b"
+    (i.toLong, (i % 64).toLong, ((i * 37 / 64) % 64).toLong, pt)
+  }.toDF("id", "x", "y", "pt")
+
+  /** Measured pruning: #distinct files holding pt=`flag` rows of Morton
+    * quadrant 0 (x<32 ∧ y<32 — with bits=6 exactly the z-prefix [0,1024)).
+    * Degraded appends spread the quadrant over every file; the z-sorted
+    * rewrite packs it into the FIRST rolled file. */
+  private def quadrantFiles(ref: TableRef, flag: String): Long =
+    spark.table(ref.render)
+      .filter(col("pt") === flag && col("x") < 32 && col("y") < 32)
+      .select(input_file_name()).distinct().count()
+
+  private def untouchedFiles(ref: TableRef, rel: String): Seq[(String, Long, Long)] = {
+    val names = spark.table(ref.render).filter(col("pt") === "c")
+      .select(input_file_name()).distinct().as[String].collect().toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    names.map { u =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      (p.getName, st.getLen, st.getModificationTime)
+    }.sortBy(_._1)
+  }
+
+  for (committer <- Seq("rename", "versioned")) {
+    test(s"[$committer] zorderCompact: only offending partitions rewritten " +
+        "clustered; untouched byte-stable; stats persisted; quiet second pass") {
+      withCommitter(committer) {
+        val db = s"zt_$committer"
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        spark.sql(s"CREATE DATABASE $db")
+        val ref = TableRef(s"$db.events_z")
+        val part = PartitionSpec.Static(Seq("pt" -> "string"))
+        val all = fixture(4096)
+        def quarter(q: Int) = all.filter(col("id") % 4 === q)
+        Materializer.table(spark, ref, quarter(0), part)
+        (1 to 3).foreach(q => Materializer.incremental(spark, ref,
+          quarter(q).filter(col("pt") =!= "c"),
+          IncrementalStrategy.Append, partition = part))
+        val before = Maintenance.partitionFileCounts(spark, ref, part)
+        assert(before == Map("pt=a" -> 4, "pt=b" -> 4, "pt=c" -> 1), before)
+        // degraded: the quadrant-0 rows are smeared over every slab
+        assert(quadrantFiles(ref, "a") == 4)
+        val cBefore = untouchedFiles(ref, "pt=c")
+        assert(cBefore.size == 1)
+        // fixture sanity: quadrant 0 must FIT the first rolled file, so the
+        // post-compact probe count of 1 is a guarantee, not luck
+        val nmax = spark.table(ref.render).filter(col("pt") =!= "c")
+          .groupBy("pt").count().as[(String, Long)].collect().map(_._2).max
+        val m = (nmax + 2) / 3
+        val nQuad = spark.table(ref.render)
+          .filter(col("pt") === "a" && col("x") < 32 && col("y") < 32).count()
+        assert(nQuad > 0 && nQuad <= m, s"fixture: quadrant $nQuad vs file $m")
+        val compacted = Maintenance.zorderCompact(spark, ref, part,
+          "x", "y", maxFiles = 3, bits = 6, maxRecordsPerFile = m,
+          tiebreak = Seq("id"))
+        assert(compacted == Seq("pt=a", "pt=b"), compacted)
+        val after = Maintenance.partitionFileCounts(spark, ref, part)
+        assert(after == Map("pt=a" -> 3, "pt=b" -> 3, "pt=c" -> 1),
+          s"compacted partitions must roll into exactly ⌈n/m⌉ files: $after")
+        // untouched partition: same file names, lengths, mtimes
+        assert(untouchedFiles(ref, "pt=c") == cBefore,
+          "untouched partition must stay byte-stable across the swap")
+        // rows ride through exactly
+        assert(spark.table(ref.render).select("id").as[Long].collect().sorted
+          .toSeq == (0 until 4096).map(_.toLong))
+        // clustering is MEASURED: quadrant 0 is a z-prefix, so the z-sorted
+        // rewrite packs it into one file (it fit m, asserted above)
+        assert(quadrantFiles(ref, "a") == 1,
+          "quadrant-0 probe must touch exactly one clustered file")
+        // stats persisted for ∝-offending later passes
+        val props = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(ref.render))
+          .properties
+        assert(props.get("graft.zorder.cols").contains("x,y"), props)
+        // quiet second pass: nothing offending, nothing touched
+        assert(Maintenance.zorderCompact(spark, ref, part, "x", "y",
+          maxFiles = 3, bits = 6, maxRecordsPerFile = m,
+          tiebreak = Seq("id")).isEmpty)
+        // one table, one layout: a different column pair is refused loudly
+        // (fresh degraded table carrying the persisted layout properties —
+        // append-after-compact file placement is committer-specific and not
+        // what this assertion is about)
+        val ref2 = TableRef(s"$db.events_z2")
+        Materializer.table(spark, ref2, quarter(0), part)
+        (1 to 3).foreach(q => Materializer.incremental(spark, ref2,
+          quarter(q).filter(col("pt") =!= "c"),
+          IncrementalStrategy.Append, partition = part))
+        spark.sql(s"ALTER TABLE ${ref2.render} SET TBLPROPERTIES (" +
+          "'graft.zorder.cols'='x,y', 'graft.zorder.xlo'='0', " +
+          "'graft.zorder.xhi'='63', 'graft.zorder.ylo'='0', " +
+          "'graft.zorder.yhi'='63', 'graft.zorder.bits'='6')")
+        val boom = intercept[IllegalArgumentException] {
+          Maintenance.zorderCompact(spark, ref2, part, "y", "x", maxFiles = 3)
+        }
+        assert(boom.getMessage.contains("one z layout"), boom.getMessage)
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      }
+    }
+  }
+
+  test("ParquetStitch.stitch: a predecessor attempt's partial destination " +
+      "file never wedges a retry (temp-write + rename, exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("stitchretry").toString
+    val conf = spark.sessionState.newHadoopConf()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/s1")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/s2")
+    def dataFile(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles
+        .filter(f => f.getName.endsWith(".parquet")).head.getPath
+    val srcs = Seq(dataFile("s1"), dataFile("s2"))
+      .map(new org.apache.hadoop.fs.Path(_))
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/out.parquet")
+    // simulate a task that died mid-write: a partial (garbage) file at dst
+    val fw = new java.io.FileOutputStream(s"$dir/out.parquet")
+    fw.write("PAR1 partial garbage from a dead attempt".getBytes("UTF-8"))
+    fw.close()
+    val got = ParquetStitch.stitch(conf, srcs, dst)
+    assert(got == 3L)
+    assert(spark.read.parquet(dst.toString).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // and no temp leftovers
+    val leftovers = new java.io.File(dir).listFiles
+      .filter(_.getName.contains(".stitch-"))
+    assert(leftovers.isEmpty, leftovers.map(_.getName).toSeq)
+  }
+
+  test("stitch schema mismatch is the TYPED StitchSchemaMismatch; " +
+      "compactExport falls back to re-encode on it (and only it)") {
+    val dir = java.nio.file.Files.createTempDirectory("stitchtyped").toString
+    val conf = spark.sessionState.newHadoopConf()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/s1")
+    Seq(("b", 2L)).toDF("v", "id").coalesce(1).write.parquet(s"$dir/s2")
+    def dataFile(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles
+        .filter(f => f.getName.endsWith(".parquet")).head
+    intercept[StitchSchemaMismatch] {
+      ParquetStitch.stitch(conf,
+        Seq(dataFile("s1"), dataFile("s2"))
+          .map(f => new org.apache.hadoop.fs.Path(f.getPath)),
+        new org.apache.hadoop.fs.Path(s"$dir/out.parquet"))
+    }
+    // compactExport: reordered-column batches trip the in-stitch schema
+    // check inside a distributed task; the typed match routes to the
+    // classic re-encode and the export still compacts correctly
+    val ex = s"$dir/export"
+    new java.io.File(s"$ex/batch=1/shard=0").mkdirs()
+    new java.io.File(s"$ex/batch=2/shard=0").mkdirs()
+    java.nio.file.Files.copy(dataFile("s1").toPath,
+      new java.io.File(s"$ex/batch=1/shard=0/part-0.parquet").toPath)
+    java.nio.file.Files.copy(dataFile("s2").toPath,
+      new java.io.File(s"$ex/batch=2/shard=0/part-0.parquet").toPath)
+    val out = s"$dir/compacted"
+    val df = Maintenance.compactExport(spark, ex, out, nShards = 1)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val outFiles = new java.io.File(s"$out/shard=0").listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName)
+    assert(!outFiles.contains("part-stitched.parquet"),
+      s"schema drift must take the re-encode path, got ${outFiles.toSeq}")
+  }
+}

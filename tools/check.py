@@ -31,6 +31,48 @@ def norm(v):
     except Exception: pass
     return v
 
+# -- dtype parity (round-17): the driver's hash is dtype-sensitive in ways
+# norm() cannot see — DuckDB types SUM(BIGINT) and `//` as HUGEINT (int128),
+# which pandas renders as float, breaking the driver's hash against Spark's
+# int64 even when every value is equal (r15 q36, r16's seven rows). Compare
+# the DuckDB result's logical column types against the Spark parquet arrow
+# schema and fail on any kind/width divergence BEFORE comparing values.
+import pyarrow as pa
+
+def duck_kind(t):
+    s = str(t).upper().strip()
+    if s.endswith("[]"): return "list<" + duck_kind(s[:-2]) + ">"
+    if s.startswith("DECIMAL"):
+        digits = [x for x in s.replace("(", ",").replace(")", ",").split(",") if x.strip().isdigit()]
+        return f"decimal(s={digits[1]})" if len(digits) == 2 else "decimal"
+    if s.startswith("TIMESTAMP"): return "timestamp"
+    m = {"BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+         "TINYINT": "int8", "HUGEINT": "int128", "UHUGEINT": "uint128",
+         "UBIGINT": "uint64", "UINTEGER": "uint32", "USMALLINT": "uint16",
+         "UTINYINT": "uint8", "DOUBLE": "float64", "FLOAT": "float32",
+         "REAL": "float32", "VARCHAR": "string", "BOOLEAN": "bool",
+         "DATE": "date", "BLOB": "binary"}
+    return m.get(s, s.lower())
+
+def arrow_kind(t):
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return "list<" + arrow_kind(t.value_type) + ">"
+    if pa.types.is_decimal(t): return f"decimal(s={t.scale})"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_large_string(t) or pa.types.is_string(t): return "string"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "binary"
+    if pa.types.is_float64(t): return "float64"
+    if pa.types.is_float32(t): return "float32"
+    return str(t)
+
+def dtype_diffs(spark_schema, duck_names, duck_types):
+    sk = {f.name: arrow_kind(f.type) for f in spark_schema}
+    dk = {n: duck_kind(t) for n, t in zip(duck_names, duck_types)}
+    return [(c, sk[c], dk[c]) for c in sorted(set(sk) & set(dk))
+            if sk[c] != dk[c]]
+
 def rows_of(cols, table):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in idx]
@@ -69,11 +111,17 @@ for name in sorted(os.listdir(out_dir)):
         skipped += 1
         continue
     try:
-        res = con.execute(oracles[name])
-        duck_cols = [c[0] for c in res.description]
-        duck_rows = res.fetchall()
+        rel = con.sql(oracles[name])
+        duck_cols = list(rel.columns)
+        duck_types = list(rel.types)
+        duck_rows = rel.fetchall()
     except Exception as e:
         print(f"ORAFAIL {name}: {str(e).splitlines()[0][:160]}")
+        failed += 1; continue
+    dt = dtype_diffs(t.schema, duck_cols, duck_types)
+    if dt:
+        print(f"DTYPE  {name}: " + "; ".join(
+            f"{c} spark={s} duck={d}" for c, s, d in dt))
         failed += 1; continue
     sn, sr = rows_of(spark_cols, spark_rows)
     dn, dr = rows_of(duck_cols, duck_rows)

@@ -130,6 +130,41 @@ class ZorderTableSpec extends SparkSpec {
     }
   }
 
+  test("zorderCompact rewrite frame: partition-pruned scan, ONE exchange, " +
+      "in-partition sort (the 100 TB plan shape)") {
+    spark.sql("DROP DATABASE IF EXISTS ztp CASCADE")
+    spark.sql("CREATE DATABASE ztp")
+    val ref = TableRef("ztp.events_z")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    Materializer.table(spark, ref, fixture(1024), part)
+    // the exact frame the committer seam builds for an offending set of
+    // {a}: partition-filtered table scan → hash exchange on the partition
+    // columns → sortWithinPartitions(pcols, z) — mirrored here because
+    // the committers consume it internally
+    val z = graft.exec.Layout.zValue(
+      col("x"), lit(0L), lit(63L), col("y"), lit(0L), lit(63L), 6)
+    val frame = spark.table(ref.render)
+      .filter(col("pt").cast("string") === "a")
+      .repartition(col("pt"))
+      .sortWithinPartitions(col("pt"), z)
+    val p = frame.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // partition pruning: the filter must land on the scan's partition
+    // dimension, never as a post-scan row filter over all partitions
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("pt")), s"partition filter not pruned:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the rewrite must cost exactly one shuffle:\n$p")
+    // the z sort is in-partition (global=false) — a global sort would be
+    // a second, range-partitioning exchange
+    assert(p.linesIterator.exists(l => l.contains("Sort") &&
+      l.contains("false")), s"no in-partition sort:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort leaked a range exchange:\n$p")
+    spark.sql("DROP DATABASE IF EXISTS ztp CASCADE")
+  }
+
   test("ParquetStitch.stitch: a predecessor attempt's partial destination " +
       "file never wedges a retry (temp-write + rename, exactly-once)") {
     val dir = java.nio.file.Files.createTempDirectory("stitchretry").toString

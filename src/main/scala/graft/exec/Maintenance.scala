@@ -155,7 +155,7 @@ object Maintenance {
     val offending = partitionFileCounts(spark, target, partition)
       .filter(_._2 > maxFiles).keys.toSeq.sorted
     if (offending.isEmpty) return Nil
-    val st = zorderTableStats(spark, target, xCol, yCol, bits)
+    val (st, tb) = zorderTableStats(spark, target, xCol, yCol, bits, tiebreak)
     val rows = spark.table(target.render).filter(partitionConds(offending))
     val z = graft.exec.Layout.zValue(
       col(xCol), lit(st.xlo), lit(st.xhi),
@@ -165,33 +165,43 @@ object Maintenance {
     try {
       spark.conf.set(confKey, maxRecordsPerFile.toString)
       AtomicWriter.overwritePartitions(spark, rows, target, partition,
-        clusterBy = z +: tiebreak.map(col))
+        clusterBy = z +: tb.map(col))
     } finally spark.conf.set(confKey, prev)
     offending
   }
 
   private val ZProp = "graft.zorder."
 
+  private[exec] def tableProps(spark: SparkSession,
+      target: TableRef): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser
+        .parseTableIdentifier(target.render.replace("`", ""))).properties
+
   /** The table's persisted z-layout parameters, established on first use:
     * read from table properties when present (a later compact must quantize
     * with the ORIGINAL boundaries or every already-clustered file shifts
-    * tiles), else one narrow min/max aggregate over the table, persisted
-    * via ALTER TABLE. Loud on a column mismatch — one table has one
-    * layout. */
+    * tiles; the tiebreak travels too, so the deterministic file contents
+    * survive across maintenance passes AND callers — [[maintainTable]]
+    * passes none), else one narrow min/max aggregate over the table,
+    * persisted via ALTER TABLE. Loud on a column mismatch — one table has
+    * one layout. */
   private def zorderTableStats(spark: SparkSession, target: TableRef,
-      xCol: String, yCol: String, bits: Int): Layout.ZStats = {
-    val ident = spark.sessionState.sqlParser
-      .parseTableIdentifier(target.render.replace("`", ""))
-    val props = spark.sessionState.catalog.getTableMetadata(ident).properties
+      xCol: String, yCol: String, bits: Int,
+      tiebreak: Seq[String]): (Layout.ZStats, Seq[String]) = {
+    val props = tableProps(spark, target)
     props.get(ZProp + "cols") match {
       case Some(cs) =>
         require(cs == s"$xCol,$yCol",
           s"zorderCompact: ${target.render} is laid out on ($cs), not " +
             s"($xCol,$yCol) — one table has one z layout")
-        Layout.ZStats(
+        val persisted = props.getOrElse(ZProp + "tiebreak", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (Layout.ZStats(
           props(ZProp + "xlo").toLong, props(ZProp + "xhi").toLong,
           props(ZProp + "ylo").toLong, props(ZProp + "yhi").toLong,
-          props(ZProp + "bits").toInt, blocks = 0L)
+          props(ZProp + "bits").toInt, blocks = 0L),
+          if (tiebreak.nonEmpty) tiebreak else persisted)
       case None =>
         val r = spark.table(target.render).agg(
           min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
@@ -204,9 +214,49 @@ object Maintenance {
         spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES (" +
           s"'${ZProp}cols'='$xCol,$yCol', '${ZProp}xlo'='${st.xlo}', " +
           s"'${ZProp}xhi'='${st.xhi}', '${ZProp}ylo'='${st.ylo}', " +
-          s"'${ZProp}yhi'='${st.yhi}', '${ZProp}bits'='${st.bits}')")
-        st
+          s"'${ZProp}yhi'='${st.yhi}', '${ZProp}bits'='${st.bits}', " +
+          s"'${ZProp}tiebreak'='${tiebreak.mkString(",")}')")
+        (st, tiebreak)
     }
+  }
+
+  /** A [[maintainTable]] pass's actions, for audit. */
+  final case class TableMaintainReport(recovered: Seq[String],
+    compacted: Seq[String], zordered: Boolean, analyzed: Boolean)
+
+  /** ONE scheduled call that keeps a partitioned TABLE healthy on disk —
+    * the table-side sibling of [[maintainIndexStore]], composed in the
+    * safe order:
+    *
+    *  1. [[recover]] — sweep crash leftovers FIRST (a crashed swap's
+    *     trash dir may hold the only copy of a partition; compacting a
+    *     torn table would bake the tear in);
+    *  2. compaction of offending partitions — [[zorderCompact]] when the
+    *     table carries a persisted z layout (`graft.zorder.*` table
+    *     properties; the columns, quantization boundaries and tiebreak
+    *     all travel with the table, so the scheduler needs no per-table
+    *     knowledge), plain [[compact]] otherwise;
+    *  3. [[analyze]] — the CBO should see the post-compact state, and
+    *     statistics are exactly as stale as the data that just moved.
+    *
+    * Each step is ∝ its own work (leftovers, offending partitions,
+    * stats), never ∝ table size; a quiet table costs one directory walk
+    * and a no-op. */
+  def maintainTable(spark: SparkSession, target: TableRef,
+      partition: PartitionSpec, maxFiles: Int = 8,
+      maxRecordsPerFile: Long = 0L,
+      runAnalyze: Boolean = true): TableMaintainReport = {
+    val recovered = recover(spark, target)
+    val zCols = tableProps(spark, target).get(ZProp + "cols")
+      .map(_.split(",", 2)).collect { case Array(x, y) => (x, y) }
+    val compacted = zCols match {
+      case Some((x, y)) => zorderCompact(spark, target, partition, x, y,
+        maxFiles = maxFiles, maxRecordsPerFile = maxRecordsPerFile)
+      case None => compact(spark, target, partition, maxFiles,
+        maxRecordsPerFile)
+    }
+    if (runAnalyze) analyze(spark, target)
+    TableMaintainReport(recovered, compacted, zCols.nonEmpty, runAnalyze)
   }
 
   /** ANALYZE TABLE (+ all columns): feeds the cost-based optimizer. */

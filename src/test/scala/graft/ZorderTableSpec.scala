@@ -130,6 +130,53 @@ class ZorderTableSpec extends SparkSpec {
     }
   }
 
+  test("maintainTable: recover, then z-aware compact (layout read from " +
+      "table properties incl. tiebreak), then analyze — one call") {
+    spark.sql("DROP DATABASE IF EXISTS ztm CASCADE")
+    spark.sql("CREATE DATABASE ztm")
+    val ref = TableRef("ztm.events_z")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val all = fixture(4096)
+    def quarter(q: Int) = all.filter(col("id") % 4 === q)
+    Materializer.table(spark, ref, quarter(0), part)
+    (1 to 3).foreach(q => Materializer.incremental(spark, ref,
+      quarter(q).filter(col("pt") =!= "c"),
+      IncrementalStrategy.Append, partition = part))
+    // first pass establishes the persisted layout (cols, stats, TIEBREAK)
+    assert(Maintenance.zorderCompact(spark, ref, part, "x", "y",
+      maxFiles = 2, bits = 6, tiebreak = Seq("id")).nonEmpty)
+    // re-degrade + plant a crash leftover; from here the scheduler knows
+    // NOTHING about the layout — maintainTable reads it from the table
+    (1 to 2).foreach(_ => Materializer.incremental(spark, ref,
+      all.filter(col("pt") =!= "c").limit(200),
+      IncrementalStrategy.Append, partition = part))
+    spark.sql("CREATE TABLE ztm.events_z__dbt_tmp AS SELECT 1 AS x")
+    val r = Maintenance.maintainTable(spark, ref, part, maxFiles = 2)
+    assert(r.recovered.size == 1 && r.zordered && r.analyzed, r)
+    assert(r.compacted == Seq("pt=a", "pt=b"), r)
+    assert(!spark.catalog.tableExists("ztm.events_z__dbt_tmp"))
+    val counts = Maintenance.partitionFileCounts(spark, ref, part)
+    assert(counts == Map("pt=a" -> 1, "pt=b" -> 1, "pt=c" -> 1), counts)
+    // tiebreak persisted: the property round-trips
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(ref.render))
+      .properties
+    assert(props.get("graft.zorder.tiebreak").contains("id"), props)
+    // analyze fed the catalog statistics
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(ref.render))
+      .stats.flatMap(_.rowCount).isDefined,
+      "ANALYZE should leave a catalog row count")
+    // a table with NO persisted layout takes the plain compact path
+    val ref2 = TableRef("ztm.plain")
+    Materializer.table(spark, ref2, quarter(0), part)
+    (1 to 3).foreach(q => Materializer.incremental(spark, ref2,
+      quarter(q), IncrementalStrategy.Append, partition = part))
+    val r2 = Maintenance.maintainTable(spark, ref2, part, maxFiles = 2)
+    assert(!r2.zordered && r2.compacted.nonEmpty, r2)
+    spark.sql("DROP DATABASE IF EXISTS ztm CASCADE")
+  }
+
   test("zorderCompact rewrite frame: partition-pruned scan, ONE exchange, " +
       "in-partition sort (the 100 TB plan shape)") {
     spark.sql("DROP DATABASE IF EXISTS ztp CASCADE")

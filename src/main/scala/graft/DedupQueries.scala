@@ -1616,6 +1616,68 @@ private[graft] object DedupQueries {
       |FROM q JOIN kept ON q.lang = kept.lang
       |ORDER BY q.lang""".stripMargin
 
+  // --------------------------------- d32 leakage-safe cluster-aware split
+
+  /** LEAKAGE-SAFE train/valid/test split
+    * ([[graft.llm.Sampling.clusterAwareSplit]]): the d05 near-dup
+    * clusters (3-gram Jaccard pairs → connected components, planted
+    * `graftmarker` variants included) feed a split whose decision hashes
+    * each cluster's min-id REPRESENTATIVE — so a near-duplicate of a
+    * training document can never land in valid/test, the eval-hygiene
+    * property a per-document content hash (d06) cannot give. Singletons
+    * (docs in no pair, NULL after the left join) represent themselves.
+    * Everything is deterministic md5 arithmetic: the oracle reproduces
+    * the clusters (the shared d05 recursive CTE), the representatives,
+    * the bucket rule, and the per-split doc/cluster/id-sum counts, and
+    * both sides COMPUTE the no-straddle contract rather than asserting
+    * it. */
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir).localCheckpoint()
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      maxDf = 1000)
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val assigned = Sampling.clusterAwareSplit(
+      docs.join(labels, Seq("doc_id"), "left"),
+      col("doc_id"), col("cluster_id"), salt = "g9")
+    def eff = coalesce(col("cluster_id"), col("doc_id"))
+    // the contract, MEASURED: max distinct splits over any cluster (one
+    // row, broadcast back — in-plan, no driver action)
+    val straddle = assigned.groupBy(eff.as("c"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k")).as("maxk"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(eff).as("n_clusters"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"))
+      .crossJoin(broadcast(straddle))
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("id_sum"),
+        (col("maxk") === 1).as("no_straddle"))
+      .orderBy(col("split"))
+  }
+
+  private val d32Sql =
+    s"""$clusterCte,
+       |alld AS (SELECT doc_id FROM docs2),
+       |eff AS (SELECT a.doc_id, COALESCE(l.cluster_id, a.doc_id) AS c
+       |  FROM alld a LEFT JOIN labels l ON a.doc_id = l.doc_id),
+       |reps AS (SELECT c, MIN(doc_id) AS rep FROM eff GROUP BY 1),
+       |sp AS (SELECT c,
+       |    CASE WHEN substring(md5('g9' || CAST(rep AS VARCHAR)), 1, 2)
+       |        < 'cc' THEN 'train'
+       |      WHEN substring(md5('g9' || CAST(rep AS VARCHAR)), 1, 2)
+       |        < 'e6' THEN 'valid'
+       |      ELSE 'test' END AS split
+       |  FROM reps),
+       |m AS (SELECT doc_id, eff.c, split FROM eff JOIN sp ON eff.c = sp.c),
+       |st AS (SELECT COALESCE(MAX(k), 0) AS maxk FROM (
+       |    SELECT COUNT(DISTINCT split) AS k FROM m GROUP BY c))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  (SELECT maxk FROM st) = 1 AS no_straddle
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_minhash_lsh_pairs" -> (d02 _),
@@ -1647,7 +1709,8 @@ private[graft] object DedupQueries {
     "d28_capped_pairs" -> (d28 _),
     "d29_export_audit" -> (d29 _),
     "d30_store_asof" -> (d30 _),
-    "d31_token_mixture" -> (d31 _))
+    "d31_token_mixture" -> (d31 _),
+    "d32_cluster_split" -> (d32 _))
 
   private[graft] val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -1680,5 +1743,6 @@ private[graft] object DedupQueries {
     "d28_capped_pairs" -> d28Sql,
     "d29_export_audit" -> d29Sql,
     "d30_store_asof" -> d30Sql,
-    "d31_token_mixture" -> d31Sql)
+    "d31_token_mixture" -> d31Sql,
+    "d32_cluster_split" -> d32Sql)
 }

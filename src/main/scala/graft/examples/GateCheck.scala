@@ -115,7 +115,10 @@ object GateCheck {
     "m33_index_maintenance",
     // catalog-table z-order compaction through the committer seam:
     // untouched partition byte-stable across the swap, second pass quiet
-    "m34_zorder_table")
+    "m34_zorder_table",
+    // leakage-safe cluster-aware split: no near-dup cluster may straddle
+    // train/valid/test, at any scale (exact contract, like d17)
+    "d32_cluster_split")
 
   /** Queries whose output carries PER-ROW boolean DATA alongside the
     * gate: only the listed columns are gates there (t24's `keep` is the

@@ -50,6 +50,38 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** LEAKAGE-SAFE train/valid/test split: every member of a (near-)dup
+    * CLUSTER lands in the same split, so near-duplicates of a training
+    * document can never contaminate the held-out sets — the standard
+    * eval-hygiene control a plain per-document [[hashSplit]] cannot give
+    * (a content hash splits near-identical docs independently).
+    *
+    * The split decision hashes the cluster's deterministic REPRESENTATIVE
+    * (min `id` over the cluster) through the same salted-md5 bucket rule
+    * as [[hashSplit]] — engine-free, parallelism-free, reproducible. Rows
+    * with a NULL `cluster` are singletons and represent themselves, so the
+    * input composes directly with a connected-components labeling that
+    * only covers paired docs. Cost shape: one map-side-combined aggregate
+    * to |clusters| rows plus one join back on the cluster key — the rep
+    * table is cluster-sized and AQE broadcasts it when small; no window,
+    * no driver collect. */
+  def clusterAwareSplit(df: DataFrame, id: Column, cluster: Column,
+      salt: String = "",
+      thresholds: Seq[(String, Int)] =
+        Seq("train" -> 204, "valid" -> 230, "test" -> 256),
+      splitCol: String = "split"): DataFrame = {
+    val reserved = Seq("__cs_c", "__cs_rep")
+    require(!df.columns.exists(reserved.contains),
+      s"clusterAwareSplit uses ${reserved.mkString(", ")} internally")
+    val keyed = df.withColumn("__cs_c",
+      coalesce(cluster.cast("long"), id.cast("long")))
+    val reps = keyed.groupBy(col("__cs_c"))
+      .agg(min(id.cast("long")).as("__cs_rep"))
+    val assigned = hashSplit(reps, col("__cs_rep"), salt, thresholds,
+      splitCol).drop("__cs_rep")
+    keyed.join(assigned, Seq("__cs_c")).drop("__cs_c")
+  }
+
   /** Deterministic Bernoulli sample: keeps ~`num/65536` of rows, decided by
     * the first four hex chars of the salted content hash. Same row → same
     * decision, on any engine, at any parallelism. */

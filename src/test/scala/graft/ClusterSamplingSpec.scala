@@ -90,6 +90,42 @@ class ClusterSamplingSpec extends SparkSpec {
     }
   }
 
+  test("clusterAwareSplit: cluster members co-assigned, singletons = " +
+      "own representative, decision = hashSplit of the min-id rep") {
+    // clusters: {1,2,3} labeled 1; {10,11} labeled 10; 20/21 singletons
+    // (NULL cluster); 30 labeled by itself
+    val rows = Seq((1L, Some(1L)), (2L, Some(1L)), (3L, Some(1L)),
+      (10L, Some(10L)), (11L, Some(10L)), (20L, None), (21L, None),
+      (30L, Some(30L))).toDF("doc_id", "cluster_id")
+    val got = Sampling.clusterAwareSplit(rows, col("doc_id"),
+      col("cluster_id"), salt = "cs").as[(Long, Option[Long], String)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got.size == 8)
+    // co-assignment within clusters
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L))
+    // the decision is EXACTLY hashSplit of the representative id — the
+    // oracle-parity contract (d32 reproduces it in SQL)
+    val repOf = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L, 30L -> 30L)
+    val expect = Sampling.hashSplit(
+        repOf.values.toSeq.distinct.toDF("rep"), col("rep"), salt = "cs")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, sp) => assert(sp == expect(repOf(id)),
+      s"doc $id: got $sp want ${expect(repOf(id))}") }
+    // determinism across partitionings
+    val again = Sampling.clusterAwareSplit(rows.repartition(7),
+      col("doc_id"), col("cluster_id"), salt = "cs")
+      .as[(Long, Option[Long], String)].collect().map(r => r._1 -> r._3).toMap
+    assert(again == got)
+    // reserved-column collision is loud
+    val boom = intercept[IllegalArgumentException] {
+      Sampling.clusterAwareSplit(rows.withColumn("__cs_c", lit(1)),
+        col("doc_id"), col("cluster_id"))
+    }
+    assert(boom.getMessage.contains("__cs_c"))
+  }
+
   test("deterministicSample: rate, determinism, boundary nums") {
     val docs = (1 to 5000).map(i => (i.toLong, s"doc $i body")).toDF("doc_id", "text")
     val n = Sampling.deterministicSample(docs, col("text"), 6554, "z").count()

@@ -1548,13 +1548,26 @@ private[graft] object DedupQueries {
     val budget = total * 55L / 100L
     val kept = Sampling.mixtureByTokens(docs, col("lang"),
       col("n_tokens"), col("doc_id"), weights, budget, salt = "g7")
-    val avail = weighted.groupBy(col("lang"))
-      .agg(sum(col("n_tokens")).as("avail_tokens"))
-    // Guard the oracle's 2-round shape (see Scaladoc): replay the fill on
-    // the |weights|-row availability aggregate and fail loudly if a stratum
-    // would clamp again on the round-2 re-fill.
-    val availMap = avail.collect()
+    // ONE bounded collect of the |weights|-row availability: it feeds the
+    // oracle-shape guard below AND (as a small created frame) the output
+    // join — never recomputed as a second aggregation over the corpus
+    val availMap = weighted.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("avail_tokens")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = s.createDataFrame(availMap.toSeq)
+      .toDF("lang", "avail_tokens")
+    // Guard the oracle's shape (see Scaladoc), mirroring the operator's
+    // ACTIVE-set arithmetic exactly (mixtureByTokens filters weights to
+    // strata with rows and divides by the active weight sum): (a) every
+    // weighted stratum must have rows — the oracle's round-1 share
+    // divides by SUM over ALL weights and would silently diverge from
+    // the operator's active-sum on an absent stratum; (b) no stratum may
+    // clamp again on the round-2 re-fill the oracle cannot express.
+    require(weights.keySet.subsetOf(availMap.keySet),
+      s"d31 oracle divides by the FULL weight sum but strata " +
+        s"${(weights.keySet -- availMap.keySet).mkString(",")} have no " +
+        "rows (the operator would drop them from its active set); fix " +
+        "the fixture or rewrite d31Sql before value-matching")
     val w1 = weights.values.sum
     val clamped1 = weights.filter { case (l, wt) =>
       availMap(l) <= wt * budget / w1 }

@@ -419,7 +419,11 @@ object Layout {
     if (rwTiles.nonEmpty)
       fs.listStatus(stagedRw).filter(_.isDirectory).foreach { d =>
         fs.listStatus(d.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          // "."-filtered like the stagedNew listing: a hidden sidecar
+          // published here would become a live "tile" file the NEXT
+          // maintenance pass feeds to readFooter
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
           .foreach { f =>
             publish(f.getPath,
               s"${d.getPath.getName.stripPrefix("__").replace('=', '-')}-${

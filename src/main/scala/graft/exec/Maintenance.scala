@@ -60,7 +60,11 @@ object Maintenance {
     }
     val walked = walk(root, pcols.size, "").toMap
     // registered partitions (maintenance is O(|partitions|) by nature —
-    // this listing is the same order as the directory walk above)
+    // this listing is the same order as the directory walk above). A
+    // partition registered at its STANDARD root-layout location was just
+    // counted by the walk — re-listing it would double the metadata I/O
+    // on rename-committer tables for a guaranteed-identical answer, so
+    // only locations that actually diverge (version dirs) are listed.
     val registered =
       (try cat.listPartitions(ident) catch { case _: Exception => Nil })
         .flatMap { p =>
@@ -69,8 +73,12 @@ object Maintenance {
               .getPartitionPathString(c,
                 p.spec.getOrElse(c, HiveDefaultPartition)))
             .mkString("/")
-          p.storage.locationUri.map(u =>
-            rel -> dataFiles(ls(new org.apache.hadoop.fs.Path(u))))
+          p.storage.locationUri.flatMap { u =>
+            val loc = new org.apache.hadoop.fs.Path(u)
+            val std = new org.apache.hadoop.fs.Path(root, rel)
+            if (loc.toUri.getPath == std.toUri.getPath) None
+            else Some(rel -> dataFiles(ls(loc)))
+          }
         }.toMap
     walked ++ registered
   }
@@ -197,6 +205,15 @@ object Maintenance {
             s"($xCol,$yCol) — one table has one z layout")
         val persisted = props.getOrElse(ZProp + "tiebreak", "")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // the tiebreak is part of the layout: a silently-honored different
+        // order would change which rows roll into which file — the exact
+        // determinism m34 value-matches — so a conflicting request is as
+        // loud as a cols mismatch (pass Nil to use the persisted one)
+        require(tiebreak.isEmpty || persisted.isEmpty ||
+            tiebreak == persisted,
+          s"zorderCompact: ${target.render} persisted tiebreak " +
+            s"(${persisted.mkString(",")}) differs from the requested " +
+            s"(${tiebreak.mkString(",")}) — one table has one z layout")
         (Layout.ZStats(
           props(ZProp + "xlo").toLong, props(ZProp + "xhi").toLong,
           props(ZProp + "ylo").toLong, props(ZProp + "yhi").toLong,

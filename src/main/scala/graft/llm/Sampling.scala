@@ -61,25 +61,33 @@ object Sampling {
     * as [[hashSplit]] — engine-free, parallelism-free, reproducible. Rows
     * with a NULL `cluster` are singletons and represent themselves, so the
     * input composes directly with a connected-components labeling that
-    * only covers paired docs. Cost shape: one map-side-combined aggregate
-    * to |clusters| rows plus one join back on the cluster key — the rep
-    * table is cluster-sized and AQE broadcasts it when small; no window,
-    * no driver collect. */
+    * only covers paired docs. Cluster labels may come from ANY domain
+    * (CC min-ids, dense k-means ids, LSH band ids): the grouping key is a
+    * (isSingleton, value) pair, so a label that numerically equals an
+    * unrelated singleton's doc id can never merge the two groups. Cost
+    * shape: one map-side-combined aggregate to |clusters| rows plus one
+    * join back on the cluster key — the rep table is cluster-sized and
+    * AQE broadcasts it when small; no window, no driver collect. */
   def clusterAwareSplit(df: DataFrame, id: Column, cluster: Column,
       salt: String = "",
       thresholds: Seq[(String, Int)] =
         Seq("train" -> 204, "valid" -> 230, "test" -> 256),
       splitCol: String = "split"): DataFrame = {
-    val reserved = Seq("__cs_c", "__cs_rep")
+    val reserved = Seq("__cs_s", "__cs_c", "__cs_rep")
     require(!df.columns.exists(reserved.contains),
       s"clusterAwareSplit uses ${reserved.mkString(", ")} internally")
-    val keyed = df.withColumn("__cs_c",
-      coalesce(cluster.cast("long"), id.cast("long")))
-    val reps = keyed.groupBy(col("__cs_c"))
+    require(!df.columns.contains(splitCol),
+      s"clusterAwareSplit: input already has a '$splitCol' column — " +
+        "rename or drop it (the join-back cannot replace it in place)")
+    val keyed = df
+      .withColumn("__cs_s", cluster.isNull)
+      .withColumn("__cs_c",
+        coalesce(cluster.cast("long"), id.cast("long")))
+    val reps = keyed.groupBy(col("__cs_s"), col("__cs_c"))
       .agg(min(id.cast("long")).as("__cs_rep"))
     val assigned = hashSplit(reps, col("__cs_rep"), salt, thresholds,
       splitCol).drop("__cs_rep")
-    keyed.join(assigned, Seq("__cs_c")).drop("__cs_c")
+    keyed.join(assigned, Seq("__cs_s", "__cs_c")).drop("__cs_s", "__cs_c")
   }
 
   /** Deterministic Bernoulli sample: keeps ~`num/65536` of rows, decided by

@@ -124,6 +124,25 @@ class ClusterSamplingSpec extends SparkSpec {
         col("doc_id"), col("cluster_id"))
     }
     assert(boom.getMessage.contains("__cs_c"))
+    // a pre-existing split column is loud (join-back cannot replace it)
+    val boom2 = intercept[IllegalArgumentException] {
+      Sampling.clusterAwareSplit(rows.withColumn("split", lit("x")),
+        col("doc_id"), col("cluster_id"))
+    }
+    assert(boom2.getMessage.contains("split"))
+    // cluster labels from a FOREIGN domain never merge with a singleton
+    // whose doc id equals the label: cluster "20" (dense k-means style)
+    // groups docs 40/41 by THEIR min id, independent of singleton doc 20
+    val foreign = Seq((20L, None), (40L, Some(20L)), (41L, Some(20L)))
+      .toDF("doc_id", "cluster_id")
+    val fgot = Sampling.clusterAwareSplit(foreign, col("doc_id"),
+      col("cluster_id"), salt = "cs").as[(Long, Option[Long], String)]
+      .collect().map(r => r._1 -> r._3).toMap
+    val fexpect = Sampling.hashSplit(Seq(20L, 40L).toDF("rep"),
+      col("rep"), salt = "cs").as[(Long, String)].collect().toMap
+    assert(fgot(40L) == fgot(41L) && fgot(40L) == fexpect(40L)
+      && fgot(20L) == fexpect(20L),
+      s"foreign-domain labels must group by their own min id: $fgot")
   }
 
   test("deterministicSample: rate, determinism, boundary nums") {

@@ -42,7 +42,7 @@ class ZorderTableSpec extends SparkSpec {
       .filter(col("pt") === flag && col("x") < 32 && col("y") < 32)
       .select(input_file_name()).distinct().count()
 
-  private def untouchedFiles(ref: TableRef, rel: String): Seq[(String, Long, Long)] = {
+  private def untouchedFiles(ref: TableRef): Seq[(String, Long, Long)] = {
     val names = spark.table(ref.render).filter(col("pt") === "c")
       .select(input_file_name()).distinct().as[String].collect().toSeq
     val conf = spark.sessionState.newHadoopConf()
@@ -72,7 +72,7 @@ class ZorderTableSpec extends SparkSpec {
         assert(before == Map("pt=a" -> 4, "pt=b" -> 4, "pt=c" -> 1), before)
         // degraded: the quadrant-0 rows are smeared over every slab
         assert(quadrantFiles(ref, "a") == 4)
-        val cBefore = untouchedFiles(ref, "pt=c")
+        val cBefore = untouchedFiles(ref)
         assert(cBefore.size == 1)
         // fixture sanity: quadrant 0 must FIT the first rolled file, so the
         // post-compact probe count of 1 is a guarantee, not luck
@@ -90,7 +90,7 @@ class ZorderTableSpec extends SparkSpec {
         assert(after == Map("pt=a" -> 3, "pt=b" -> 3, "pt=c" -> 1),
           s"compacted partitions must roll into exactly ⌈n/m⌉ files: $after")
         // untouched partition: same file names, lengths, mtimes
-        assert(untouchedFiles(ref, "pt=c") == cBefore,
+        assert(untouchedFiles(ref) == cBefore,
           "untouched partition must stay byte-stable across the swap")
         // rows ride through exactly
         assert(spark.table(ref.render).select("id").as[Long].collect().sorted

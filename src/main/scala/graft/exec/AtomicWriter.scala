@@ -76,19 +76,24 @@ object AtomicWriter {
   def createOrReplace(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec = PartitionSpec.None,
       bucketBy: Option[(Int, Seq[String])] = None,
-      clusterBy: Seq[Column] = Nil): Unit = {
+      clusterBy: Seq[Column] = Nil,
+      distributeOn: Seq[String] = Nil): Unit = {
     require(bucketBy.isEmpty || clusterBy.isEmpty,
       "createOrReplace: bucketBy carries its own sortBy — clusterBy would fight it")
     val pcols = partition.partitionColumns
     var out = withPartitionCols(df, partition)
-    // one writing task per partition value → one file per partition
+    // one writing task per partition value → one file per partition —
+    // unless the caller split a hot partition's write across tasks via
+    // distribution-only helper columns (Committer.stageAndCommit)
     if (pcols.nonEmpty && bucketBy.isEmpty)
-      out = out.repartition(pcols.map(col): _*)
+      out = out.repartition((pcols ++ distributeOn).map(col): _*)
     // in-file clustering (see Committer.stageAndCommit): the sort leads
     // with the partition columns, so the dynamic-partition writer's own
     // required ordering is already satisfied — no second sort is inserted
     if (clusterBy.nonEmpty)
       out = out.sortWithinPartitions((pcols.map(col) ++ clusterBy): _*)
+    // helpers never reach the table (drop = projection; order survives)
+    if (distributeOn.nonEmpty) out = out.drop(distributeOn: _*)
     spark.sql(s"DROP TABLE IF EXISTS ${target.render}")
     var w = out.write.mode(SaveMode.Overwrite).format("parquet")
     if (pcols.nonEmpty) w = w.partitionBy(pcols: _*)
@@ -213,15 +218,24 @@ object AtomicWriter {
   def overwritePartitions(spark: SparkSession, df: DataFrame, target: TableRef,
       partition: PartitionSpec,
       touched: Option[Set[String]] = None,
-      clusterBy: Seq[Column] = Nil): Unit = {
+      clusterBy: Seq[Column] = Nil,
+      distributeOn: Seq[String] = Nil): Unit = {
     require(partition.partitionColumns.nonEmpty, "overwritePartitions needs partition columns")
+    require(distributeOn.forall(df.columns.contains),
+      s"overwritePartitions: distributeOn ${distributeOn.mkString(",")} " +
+        "must be columns of the input frame")
     val pcols = partition.partitionColumns
     // Align to the target layout; the plan may scan the target itself, so
     // every committer stages to a location outside the target's live dirs
     // before any content becomes visible (breaking lineage before the swap).
+    // Distribution-only helpers ride along and are dropped by the committer
+    // after its repartition.
     val tgtCols = spark.table(target.render).columns
+    require(!distributeOn.exists(tgtCols.contains),
+      s"overwritePartitions: distributeOn ${distributeOn.mkString(",")} " +
+        "collides with target columns")
     val aligned = withPartitionCols(df, partition)
-      .select(tgtCols.map(col).toIndexedSeq: _*)
+      .select((tgtCols ++ distributeOn).map(col).toIndexedSeq: _*)
     val tgtDir = tableDir(spark, target)
     val fs = fsOf(spark, tgtDir)
     // writer-presence marker (see overwriteTable): fresh marker = recover
@@ -229,7 +243,7 @@ object AtomicWriter {
     val commit = WriterLease.holding(spark, target, Committer.newStamp()) {
       Committer.forSession(spark)
         .stageAndCommit(spark, aligned, target, partition, tgtDir, fs,
-          clusterBy = clusterBy)
+          clusterBy = clusterBy, distributeOn = distributeOn)
     }
     // REFRESH TABLE is needed only when a path Spark may have LISTED
     // before changed underneath it (replaced or deleted partition dirs —

@@ -37,10 +37,19 @@ sealed trait Committer {
     * (or any clustered) rewrite reaches catalog tables
     * ([[Maintenance.zorderCompact]]); rows land in every staged file
     * sorted by them, so row-group/file footer min-max stay tight. Empty =
-    * today's behavior, byte-for-byte. */
+    * today's behavior, byte-for-byte.
+    *
+    * `distributeOn`: optional names of distribution-only HELPER columns
+    * present in `aligned` but NOT in the target schema: the committer's
+    * repartition keys become (partition cols ++ distributeOn) — so one
+    * partition value can be written by MANY tasks (the tile-parallel
+    * z-rewrite of a hot partition, [[Maintenance.zorderCompact]]) — and
+    * the helpers are dropped again before the write. Empty = one task per
+    * partition value, byte-for-byte today's behavior. */
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      distributeOn: Seq[String] = Nil): Committer.Result
 }
 
 object Committer {
@@ -94,12 +103,13 @@ object RenameCommitter extends Committer {
 
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      distributeOn: Seq[String] = Nil): Committer.Result = {
     val pcols = partition.partitionColumns
     val stamp = Committer.newStamp()
     val stg = target.copy(name = target.name + "__graft_stg_" + stamp)
     AtomicWriter.createOrReplace(spark, aligned, stg, partition,
-      clusterBy = clusterBy)
+      clusterBy = clusterBy, distributeOn = distributeOn)
     try {
       val stgDir = AtomicWriter.tableDir(spark, stg)
       val staged = AtomicWriter.partitionDirs(fs, stgDir, pcols.size)
@@ -258,17 +268,22 @@ object VersionedCommitter extends Committer {
 
   def stageAndCommit(spark: SparkSession, aligned: DataFrame, target: TableRef,
       partition: PartitionSpec, tgtDir: HPath, fs: HFileSystem,
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Committer.Result = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      distributeOn: Seq[String] = Nil): Committer.Result = {
     val pcols = partition.partitionColumns
     val shell = shellDir(spark, target)
     val stamp = Committer.newStamp()
     val vroot = new HPath(new HPath(shell, VersionsDir), stamp)
     var out = aligned
     if (pcols.nonEmpty)
-      out = out.repartition(pcols.map(org.apache.spark.sql.functions.col): _*)
+      out = out.repartition(
+        (pcols ++ distributeOn).map(org.apache.spark.sql.functions.col): _*)
     if (clusterBy.nonEmpty)
       out = out.sortWithinPartitions(
         (pcols.map(org.apache.spark.sql.functions.col) ++ clusterBy): _*)
+    // distribution-only helpers never reach the files (drop is a
+    // projection: intra-task order and the partitioning both survive)
+    if (distributeOn.nonEmpty) out = out.drop(distributeOn: _*)
     val pending = new HPath(shell, PendingPrefix + stamp)
     var committed = false
     try {

@@ -153,7 +153,8 @@ object Layout {
     var moved = 0
     fs.listStatus(staged).filter(_.isDirectory).foreach { d =>
       fs.listStatus(d.getPath)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
         .foreach { f =>
           // strip the leading underscores: _-prefixed files are hidden
           // from Spark/parquet readers

@@ -32,7 +32,16 @@ object Maintenance {
     * empty (or a stale leftover). Rename-committer partitions register
     * the standard root locations, so the overlay is a no-op there. */
   def partitionFileCounts(spark: SparkSession, target: TableRef,
-      partition: PartitionSpec): Map[String, Int] = {
+      partition: PartitionSpec): Map[String, Int] =
+    partitionFileStats(spark, target, partition)
+      .map { case (rel, (n, _)) => rel -> n }
+
+  /** [[partitionFileCounts]] plus total data bytes per partition — the
+    * same single metadata listing (FileStatus already carries lengths), so
+    * size-aware decisions (e.g. the tile-parallel rewrite gate in
+    * [[zorderCompact]]) cost no extra I/O. */
+  def partitionFileStats(spark: SparkSession, target: TableRef,
+      partition: PartitionSpec): Map[String, (Int, Long)] = {
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(target.render.replace("`", ""))
     val cat = spark.sessionState.catalog
@@ -44,14 +53,17 @@ object Maintenance {
     // exclude "_" AND "." prefixed files (Spark's hidden-file filter):
     // _SUCCESS and the committer's ._graft_swap_* ownership markers are
     // not data files and must not trigger compaction
-    def dataFiles(stats: Seq[org.apache.hadoop.fs.FileStatus]): Int =
-      stats.count(s => s.isFile &&
+    def dataFiles(stats: Seq[org.apache.hadoop.fs.FileStatus]): (Int, Long) = {
+      val data = stats.filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
+      (data.size, data.map(_.getLen).sum)
+    }
     def ls(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       try p.getFileSystem(conf).listStatus(p).toSeq
       catch { case _: java.io.FileNotFoundException => Nil }
-    def walk(p: org.apache.hadoop.fs.Path, d: Int, rel: String): Seq[(String, Int)] = {
+    def walk(p: org.apache.hadoop.fs.Path, d: Int,
+        rel: String): Seq[(String, (Int, Long))] = {
       val stats = ls(p)
       if (d == 0) Seq(rel -> dataFiles(stats))
       else stats.filter(s => s.isDirectory && s.getPath.getName.contains("="))
@@ -65,8 +77,13 @@ object Maintenance {
     // counted by the walk — re-listing it would double the metadata I/O
     // on rename-committer tables for a guaranteed-identical answer, so
     // only locations that actually diverge (version dirs) are listed.
+    // The catch is NARROW (ADVICE r17): only the "not partitioned in the
+    // catalog" analysis failure degrades to the root walk; a transient
+    // metastore failure must propagate, not silently read versioned
+    // partitions as 0 files and skip them from maintenance.
     val registered =
-      (try cat.listPartitions(ident) catch { case _: Exception => Nil })
+      (try cat.listPartitions(ident)
+       catch { case _: org.apache.spark.sql.AnalysisException => Nil })
         .flatMap { p =>
           val rel = pcols.map(c =>
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -149,34 +166,99 @@ object Maintenance {
     * scans on BOTH keys — file k of a partition holds exactly z-ranks
     * [k·m, (k+1)·m), a pure function of the data when `tiebreak` makes
     * the order total (m34 value-matches the measured spans against DuckDB
-    * recomputing them from that arithmetic). Parallelism is one writing
-    * task per offending partition — the same shape as [[compact]]; at
-    * 1000 partitions that is 1000 independent tasks, and the untouched
-    * tail of a 100 TB table is never read. Returns the compacted relative
-    * partition paths. */
+    * recomputing them from that arithmetic).
+    *
+    * Parallelism is SIZE-ADAPTIVE (r18 — guide §2.5 stragglers): small
+    * offending partitions keep the one-writing-task-per-partition shape of
+    * [[compact]] (at 1000 small partitions that is 1000 independent
+    * tasks), but a partition whose data bytes exceed
+    * `spark.graft.zorder.parallelMinBytes` (default 512 MB) would make
+    * that one task sort and rewrite hundreds of GB alone — a straggler/OOM
+    * at the 100 TB grade. Such rewrites take the TILE-PARALLEL path: the
+    * exact z-rank of every row is computed distributively (per-(partition,
+    * z-cell) counts → prefix-sum offsets over the ≤4^bits cells → intra-
+    * cell row_number over the tiebreak — every window is cell-sized, never
+    * partition-sized), each row's target file is `rank div m`, and the
+    * write repartitions on (partition cols, file) so MANY tasks write one
+    * partition concurrently. File CONTENTS are identical to the
+    * single-task path — file k still holds exactly z-ranks [k·m,(k+1)·m),
+    * because every whole-file group sorts (z, tiebreak)-contiguously
+    * within its task and the roll lands exactly on group boundaries — so
+    * the m34 value-match and the determinism contract are unchanged
+    * (ZorderTableSpec proves per-file content equality of the two paths).
+    * The parallel path needs `maxRecordsPerFile > 0` (one file per
+    * partition is inherently one writer) and a non-empty tiebreak (the
+    * rank is only defined under a total order). It costs one extra narrow
+    * aggregate pass over the offending rows — noise next to the sort+write
+    * it parallelizes. `bits`, once persisted, is part of the layout: a
+    * conflicting explicit value is refused loudly (omit it to use the
+    * persisted one). The untouched tail of a 100 TB table is never read.
+    * Returns the compacted relative partition paths. */
   def zorderCompact(spark: SparkSession, target: TableRef,
       partition: PartitionSpec, xCol: String, yCol: String,
-      maxFiles: Int = 8, bits: Int = 8, maxRecordsPerFile: Long = 0L,
+      maxFiles: Int = 8, bits: Int = UnspecifiedBits,
+      maxRecordsPerFile: Long = 0L,
       tiebreak: Seq[String] = Nil): Seq[String] = {
     require(partition.partitionColumns.nonEmpty,
       "zorderCompact needs a partitioned table")
-    val offending = partitionFileCounts(spark, target, partition)
-      .filter(_._2 > maxFiles).keys.toSeq.sorted
+    val stats = partitionFileStats(spark, target, partition)
+      .filter(_._2._1 > maxFiles)
+    val offending = stats.keys.toSeq.sorted
     if (offending.isEmpty) return Nil
     val (st, tb) = zorderTableStats(spark, target, xCol, yCol, bits, tiebreak)
     val rows = spark.table(target.render).filter(partitionConds(offending))
     val z = graft.exec.Layout.zValue(
       col(xCol), lit(st.xlo), lit(st.xhi),
       col(yCol), lit(st.ylo), lit(st.yhi), st.bits)
+    val minBytes = spark.conf
+      .getOption("spark.graft.zorder.parallelMinBytes")
+      .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val parallel = maxRecordsPerFile > 0 && tb.nonEmpty &&
+      stats.values.exists(_._2 >= minBytes)
+    val (outRows, distOn) =
+      if (!parallel) (rows, Seq.empty[String])
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val pc = partition.partitionColumns
+        val zc = "__graft_zcell"; val nc = "__graft_zn"
+        val oc = "__graft_zoff"; val fc = "__graft_zfile"
+        val rowsZ = rows.withColumn(zc, z)
+        // exact per-cell counts: map-side combined to ≤ 4^bits rows per
+        // offending partition
+        val cells = rowsZ.groupBy((pc :+ zc).map(col): _*)
+          .agg(count(lit(1)).as(nc))
+        // each cell's global rank offset within its partition: a window
+        // over the CELL TABLE (≤ 4^bits rows/partition), never the data
+        val wOff = Window.partitionBy(pc.map(col): _*).orderBy(col(zc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = cells
+          .withColumn(oc, coalesce(sum(col(nc)).over(wOff), lit(0L)))
+          .drop(nc)
+        // intra-cell rank over the tiebreak: windows are cell-sized, so
+        // no task ever sorts a whole hot partition
+        val wCell = Window.partitionBy((pc :+ zc).map(col): _*)
+          .orderBy(tb.map(col): _*)
+        val withFile = rowsZ.join(offsets, pc :+ zc)
+          .withColumn(fc, col(oc) + row_number().over(wCell) - lit(1L))
+          .withColumn(fc, expr(s"$fc DIV ${maxRecordsPerFile}L"))
+          .drop(zc, oc)
+        (withFile, Seq(fc))
+      }
     val confKey = "spark.sql.files.maxRecordsPerFile"
     val prev = spark.conf.get(confKey, "0")
     try {
       spark.conf.set(confKey, maxRecordsPerFile.toString)
-      AtomicWriter.overwritePartitions(spark, rows, target, partition,
-        clusterBy = z +: tb.map(col))
+      AtomicWriter.overwritePartitions(spark, outRows, target, partition,
+        clusterBy = z +: tb.map(col), distributeOn = distOn)
     } finally spark.conf.set(confKey, prev)
     offending
   }
+
+  /** Sentinel default for `bits`: "use the persisted layout's value (or 8
+    * on first use)". An explicit value conflicting with a persisted layout
+    * is refused loudly (ADVICE r17) — bits shift every tile boundary, so a
+    * table has one bits the way it has one column pair. */
+  val UnspecifiedBits: Int = -1
 
   private val ZProp = "graft.zorder."
 
@@ -214,12 +296,21 @@ object Maintenance {
           s"zorderCompact: ${target.render} persisted tiebreak " +
             s"(${persisted.mkString(",")}) differs from the requested " +
             s"(${tiebreak.mkString(",")}) — one table has one z layout")
+        // bits is part of the layout exactly like cols and tiebreak (it
+        // shifts every tile boundary) — an explicit conflicting value is
+        // as loud as a cols mismatch, not silently overridden (ADVICE r17)
+        require(bits == UnspecifiedBits ||
+            bits == props(ZProp + "bits").toInt,
+          s"zorderCompact: ${target.render} is laid out at bits=" +
+            s"${props(ZProp + "bits")}, not bits=$bits — one table has " +
+            "one z layout (omit bits to use the persisted value)")
         (Layout.ZStats(
           props(ZProp + "xlo").toLong, props(ZProp + "xhi").toLong,
           props(ZProp + "ylo").toLong, props(ZProp + "yhi").toLong,
           props(ZProp + "bits").toInt, blocks = 0L),
           if (tiebreak.nonEmpty) tiebreak else persisted)
       case None =>
+        val effBits = if (bits == UnspecifiedBits) 8 else bits
         val r = spark.table(target.render).agg(
           min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
           min(col(yCol)).cast("long"), max(col(yCol)).cast("long"))
@@ -227,7 +318,7 @@ object Maintenance {
         require(!r.isNullAt(0) && !r.isNullAt(2),
           s"zorderCompact: ${target.render} has no non-null ($xCol,$yCol) rows")
         val st = Layout.ZStats(r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), bits, blocks = 0L)
+          r.getLong(3), effBits, blocks = 0L)
         spark.sql(s"ALTER TABLE ${target.render} SET TBLPROPERTIES (" +
           s"'${ZProp}cols'='$xCol,$yCol', '${ZProp}xlo'='${st.xlo}', " +
           s"'${ZProp}xhi'='${st.xhi}', '${ZProp}ylo'='${st.ylo}', " +

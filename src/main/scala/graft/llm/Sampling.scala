@@ -79,12 +79,33 @@ object Sampling {
     require(!df.columns.contains(splitCol),
       s"clusterAwareSplit: input already has a '$splitCol' column — " +
         "rename or drop it (the join-back cannot replace it in place)")
+    // LOUD type guard (ADVICE r17): a non-integral cluster label would
+    // cast("long") to NULL while isNull stays false — every clustered doc
+    // silently becomes its own singleton, the exact leak this operator
+    // exists to prevent. Same for id (the representative hash domain).
+    // Hash non-integral label domains to long first (e.g. xxhash64).
+    import org.apache.spark.sql.types._
+    def requireIntegral(c: Column, what: String): Unit = {
+      val dt = df.select(c).schema.head.dataType
+      require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+          dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType] ||
+          (what == "cluster" && dt.isInstanceOf[NullType]),
+        s"clusterAwareSplit: $what must be an integral column (got $dt) — " +
+          "a silent cast-to-NULL would break the co-assignment guarantee; " +
+          "hash other domains to long first")
+    }
+    requireIntegral(id, "id")
+    requireIntegral(cluster, "cluster")
+    // a NULL id on a singleton row would silently vanish in the USING
+    // join (null keys never match) — fail at execution, not silently
+    val idSafe = when(id.isNull, raise_error(lit(
+      "clusterAwareSplit: NULL id — the representative needs a total " +
+        "non-null id domain")).cast("long")).otherwise(id.cast("long"))
     val keyed = df
       .withColumn("__cs_s", cluster.isNull)
-      .withColumn("__cs_c",
-        coalesce(cluster.cast("long"), id.cast("long")))
+      .withColumn("__cs_c", coalesce(cluster.cast("long"), idSafe))
     val reps = keyed.groupBy(col("__cs_s"), col("__cs_c"))
-      .agg(min(id.cast("long")).as("__cs_rep"))
+      .agg(min(idSafe).as("__cs_rep"))
     val assigned = hashSplit(reps, col("__cs_rep"), salt, thresholds,
       splitCol).drop("__cs_rep")
     keyed.join(assigned, Seq("__cs_s", "__cs_c")).drop("__cs_s", "__cs_c")

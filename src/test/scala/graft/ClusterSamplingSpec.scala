@@ -145,6 +145,43 @@ class ClusterSamplingSpec extends SparkSpec {
       s"foreign-domain labels must group by their own min id: $fgot")
   }
 
+  test("clusterAwareSplit guards: non-integral cluster/id are refused " +
+      "LOUDLY (silent cast-to-NULL would break co-assignment); NULL id " +
+      "fails at execution instead of silently dropping the row") {
+    val rows = Seq((1L, Some(1L)), (2L, Some(1L)))
+      .toDF("doc_id", "cluster_id")
+    // a STRING cluster label would cast("long") to NULL while isNull stays
+    // false — every clustered doc its own singleton, the exact leak the
+    // operator prevents (ADVICE r17) — refuse at plan time
+    val strCluster = rows.withColumn("lbl", concat(lit("band-"),
+      col("cluster_id")))
+    val b1 = intercept[IllegalArgumentException] {
+      Sampling.clusterAwareSplit(strCluster, col("doc_id"), col("lbl"))
+    }
+    assert(b1.getMessage.contains("integral"), b1.getMessage)
+    val b2 = intercept[IllegalArgumentException] {
+      Sampling.clusterAwareSplit(
+        rows.withColumn("sid", col("doc_id").cast("string")),
+        col("sid"), col("cluster_id"))
+    }
+    assert(b2.getMessage.contains("integral"), b2.getMessage)
+    // an all-singleton frame with a NullType cluster column stays legal
+    val nullCluster = Seq(5L, 6L).toDF("doc_id")
+      .withColumn("cluster_id", lit(null))
+    assert(Sampling.clusterAwareSplit(nullCluster, col("doc_id"),
+      col("cluster_id"), salt = "cs").count() == 2)
+    // NULL id: the row would vanish in the USING join — raise instead
+    val nullId = Seq((Some(1L), Some(1L)), (None, None))
+      .toDF("doc_id", "cluster_id")
+    val b3 = intercept[Exception] { // SparkRuntimeException (USER_RAISED)
+      Sampling.clusterAwareSplit(nullId, col("doc_id"),
+        col("cluster_id"), salt = "cs").count()
+    }
+    assert(Iterator.iterate[Throwable](b3)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => Option(t.getMessage).exists(_.contains("NULL id"))),
+      b3.getMessage)
+  }
+
   test("deterministicSample: rate, determinism, boundary nums") {
     val docs = (1 to 5000).map(i => (i.toLong, s"doc $i body")).toDF("doc_id", "text")
     val n = Sampling.deterministicSample(docs, col("text"), 6554, "z").count()

@@ -177,6 +177,84 @@ class ZorderTableSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS ztm CASCADE")
   }
 
+  test("zorderCompact tile-parallel path (partition over the byte gate): " +
+      ">1 writing task per hot partition, file CONTENTS identical to the " +
+      "single-task path, quiet second pass, loud bits mismatch") {
+    spark.sql("DROP DATABASE IF EXISTS ztpar CASCADE")
+    spark.sql("CREATE DATABASE ztpar")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    val all = fixture(4096)
+    def degrade(ref: TableRef): Unit = {
+      def quarter(q: Int) = all.filter(col("id") % 4 === q)
+      Materializer.table(spark, ref, quarter(0), part)
+      (1 to 3).foreach(q => Materializer.incremental(spark, ref,
+        quarter(q).filter(col("pt") =!= "c"),
+        IncrementalStrategy.Append, partition = part))
+    }
+    val single = TableRef("ztpar.events_s")
+    val par = TableRef("ztpar.events_p")
+    degrade(single); degrade(par)
+    val nmax = spark.table(single.render).filter(col("pt") =!= "c")
+      .groupBy("pt").count().as[(String, Long)].collect().map(_._2).max
+    val m = (nmax + 2) / 3
+    // identical call; only the parallelism gate differs
+    Maintenance.zorderCompact(spark, single, part, "x", "y",
+      maxFiles = 3, bits = 6, maxRecordsPerFile = m, tiebreak = Seq("id"))
+    spark.conf.set("spark.graft.zorder.parallelMinBytes", "1")
+    // at spec scale the ~25 KB file groups would be AQE-coalesced into one
+    // task (at the 100 TB grade each group is file-sized — far above the
+    // advisory size — so coalescing never merges them); disable coalescing
+    // here so the task-count assertion reflects the at-scale behavior
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Maintenance.zorderCompact(spark, par, part, "x", "y",
+        maxFiles = 3, bits = 6, maxRecordsPerFile = m, tiebreak = Seq("id"))
+      // quiet second pass holds on the parallel path too
+      assert(Maintenance.zorderCompact(spark, par, part, "x", "y",
+        maxFiles = 3, bits = 6, maxRecordsPerFile = m,
+        tiebreak = Seq("id")).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.zorder.parallelMinBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+    // same ⌈n/m⌉ roll counts
+    assert(Maintenance.partitionFileCounts(spark, par, part) ==
+      Maintenance.partitionFileCounts(spark, single, part))
+    // file CONTENTS are the determinism contract (file k = z-ranks
+    // [k·m,(k+1)·m)): the per-file id-sets must match EXACTLY across the
+    // two paths — ids are unique, so the set of per-file sorted id lists
+    // identifies the chunking
+    def fileSets(ref: TableRef): Set[Seq[Long]] =
+      spark.table(ref.render).filter(col("pt") =!= "c")
+        .select(input_file_name().as("f"), col("id"))
+        .as[(String, Long)].collect().groupBy(_._1)
+        .values.map(_.map(_._2).sorted.toSeq).toSet
+    assert(fileSets(par) == fileSets(single),
+      "tile-parallel rewrite must produce byte-equivalent file chunking")
+    // and the hot partitions were actually written by >1 task: distinct
+    // part-<taskId> prefixes in the partition dir (the single-task path
+    // rolls c000/c001/... under ONE task prefix)
+    def taskPrefixes(ref: TableRef, flag: String): Set[String] =
+      spark.table(ref.render).filter(col("pt") === flag)
+        .select(input_file_name()).distinct().as[String].collect()
+        .map(u => u.split("/").last.split("-").take(2).mkString("-")).toSet
+    assert(taskPrefixes(single, "a").size == 1,
+      s"single-task path: ${taskPrefixes(single, "a")}")
+    assert(taskPrefixes(par, "a").size > 1,
+      s"parallel path must spread a hot partition over >1 writing task: " +
+        s"${taskPrefixes(par, "a")}")
+    // bits is part of the persisted layout — a conflicting explicit value
+    // is refused loudly (ADVICE r17)
+    // (maxFiles=0 makes the compacted partitions count as offending so the
+    // call reaches the layout check instead of early-returning Nil)
+    val boom = intercept[IllegalArgumentException] {
+      Maintenance.zorderCompact(spark, par, part, "x", "y",
+        maxFiles = 0, bits = 8, maxRecordsPerFile = m, tiebreak = Seq("id"))
+    }
+    assert(boom.getMessage.contains("one z layout"), boom.getMessage)
+    spark.sql("DROP DATABASE IF EXISTS ztpar CASCADE")
+  }
+
   test("zorderCompact rewrite frame: partition-pruned scan, ONE exchange, " +
       "in-partition sort (the 100 TB plan shape)") {
     spark.sql("DROP DATABASE IF EXISTS ztp CASCADE")

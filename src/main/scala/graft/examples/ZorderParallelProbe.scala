@@ -12,27 +12,33 @@ import graft.mat.Materializer.IncrementalStrategy
   * r17 flagged: a date-partitioned table where one partition holds most
   * of the bytes, rewritten by ONE sorting+writing task).
   *
-  * Usage: runMain graft.examples.ZorderParallelProbe [rowsPerHot] [cpus]
-  * Builds two identical tables — 2 hot partitions of `rowsPerHot` rows
-  * (default 8M) + 1 small untouched — degraded by 3 appends; compacts one
-  * with the byte gate at its default (single-task) and one with the gate
-  * forced low (tile-parallel), and prints wall seconds + the per-file
-  * chunk-equality check. */
+  * Usage: runMain graft.examples.ZorderParallelProbe
+  *          [rowsPerHot] [cpus] [hotParts]
+  * Builds two identical tables — `hotParts` hot partitions of `rowsPerHot`
+  * rows (default 8M × 2) + 1 small untouched — degraded by 3 appends;
+  * compacts one with the byte gate at its default (single-task) and one
+  * with the gate forced low (tile-parallel), and prints wall seconds + the
+  * per-file chunk-equality check. hotParts=1 is the VERDICT r17 straggler
+  * shape exactly: the whole rewrite in ONE task vs many. */
 object ZorderParallelProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 8000000L
     val spark = Verify.session(
       if (args.length > 1) args(1) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val hot = if (args.length > 2) args(2).toInt else 2
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val part = PartitionSpec.Static(Seq("pt" -> "string"))
 
-    def fixture = spark.range(3 * n).select(
+    def fixture = spark.range((hot + 1L) * n).select(
       col("id"),
       (col("id") % 8191).as("x"),
       ((col("id") * 37) % 8191).as("y"),
-      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
-        .otherwise(lit("c")).as("pt"))
+      // (id/4) decouples the partition residue from the okey-quarter
+      // append structure, so every quarter feeds every hot partition
+      when((col("id") / 4).cast("long") % (hot + 1) === hot, "c")
+        .otherwise(concat(lit("p"),
+          (col("id") / 4).cast("long") % (hot + 1))).as("pt"))
       // the "c" partition is thinned to stay small and untouched
       .filter(col("pt") =!= "c" || col("id") % 1024 === 2)
 

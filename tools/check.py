@@ -39,9 +39,33 @@ def norm(v):
 # schema and fail on any kind/width divergence BEFORE comparing values.
 import pyarrow as pa
 
+def _split_top(s):
+    # split on commas at nesting depth 0 (struct/list/decimal payloads)
+    parts, depth, cur = [], 0, ""
+    for ch in s:
+        if ch in "(<[": depth += 1
+        elif ch in ")>]": depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur); cur = ""
+        else:
+            cur += ch
+    if cur.strip(): parts.append(cur)
+    return [p.strip() for p in parts]
+
 def duck_kind(t):
-    s = str(t).upper().strip()
+    raw = str(t).strip()
+    s = raw.upper()
     if s.endswith("[]"): return "list<" + duck_kind(s[:-2]) + ">"
+    # STRUCT(a INTEGER, b VARCHAR) -> struct<a:int32,b:string> — nested
+    # field KINDS must compare like top-level columns (r18, verdict #6:
+    # the str(t) fallthrough compared raw engine spellings, which can
+    # neither match nor catch a width divergence meaningfully)
+    if s.startswith("STRUCT(") and raw.endswith(")"):
+        fields = []
+        for f in _split_top(raw[len("STRUCT("):-1]):
+            n, ft = f.split(" ", 1)
+            fields.append(n.strip('"').lower() + ":" + duck_kind(ft))
+        return "struct<" + ",".join(fields) + ">"
     if s.startswith("DECIMAL"):
         digits = [x for x in s.replace("(", ",").replace(")", ",").split(",") if x.strip().isdigit()]
         return f"decimal(s={digits[1]})" if len(digits) == 2 else "decimal"
@@ -57,6 +81,10 @@ def duck_kind(t):
 def arrow_kind(t):
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         return "list<" + arrow_kind(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            t.field(i).name.lower() + ":" + arrow_kind(t.field(i).type)
+            for i in range(t.num_fields)) + ">"
     if pa.types.is_decimal(t): return f"decimal(s={t.scale})"
     if pa.types.is_timestamp(t): return "timestamp"
     if pa.types.is_date(t): return "date"

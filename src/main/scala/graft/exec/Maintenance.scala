@@ -222,6 +222,16 @@ object Maintenance {
         val pc = partition.partitionColumns
         val zc = "__graft_zcell"; val nc = "__graft_zn"
         val oc = "__graft_zoff"; val fc = "__graft_zfile"
+        // withColumn REPLACES an existing column of the same name — a
+        // table that happens to carry one of the helper names would be
+        // silently corrupted, so refuse loudly (reserved, like
+        // clusterAwareSplit's __cs_* columns)
+        val clash = rows.columns.toSet & Set(zc, nc, oc, fc)
+        require(clash.isEmpty,
+          s"zorderCompact: table carries reserved helper column(s) " +
+            s"${clash.mkString(", ")} — rename them (or raise " +
+            "spark.graft.zorder.parallelMinBytes to keep the " +
+            "single-task path, which uses no helpers)")
         val rowsZ = rows.withColumn(zc, z)
         // exact per-cell counts: map-side combined to ≤ 4^bits rows per
         // offending partition

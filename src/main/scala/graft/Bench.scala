@@ -276,6 +276,30 @@ object Bench {
           }
         }
       }
+    // ---- canary-normalized per-query seconds (VERDICT r17 #5 / r18 #2) --
+    // The raw "queries" numbers above are the contract and stay untouched;
+    // this ADDITIVE view divides each query's seconds by the host-load
+    // factor its measurement window observed, so two runs on differently
+    // loaded hosts compare flat where the raw deltas swing. Factor =
+    // max(1, cooler-bounding-canary / cool-median): the canary's plan is
+    // constant, so its ratio to the run's cool median measures the host,
+    // not the engine. The MIN of the two bounding samples is deliberate —
+    // dividing by the hotter one would overcorrect a query that ran
+    // between a burst and a calm stretch. Values the steady pass already
+    // re-measured under a confirmed-cool canary (driftRaw) ship factor 1
+    // (normalizing them by the original hot window would double-correct).
+    def normFactor(name: String): Double = {
+      if (driftRaw.contains(name) || coolMed <= 0) 1.0
+      else {
+        val lo = epochOf.getOrElse(name, 0)
+        val bounding = Seq(canarySeries.lift(lo), canarySeries.lift(lo + 1),
+          outlierCanary.get(name)).flatten
+        if (bounding.isEmpty) 1.0
+        else math.max(1.0, bounding.min / coolMed)
+      }
+    }
+    val normed = steadied.map { case (k, v) => k -> v / normFactor(k) }
+    val totalNorm = normed.map(_._2).sum
     // JSON-valid compact number: 1-decimal, trailing zeros stripped
     // ("0.20"->"0.2", "3.00"->"3") — the driver's tail capture is 2000
     // bytes and the full 80-query line must fit inside it WHOLE (the
@@ -311,13 +335,17 @@ object Bench {
       if (steadied.map(r => r._1.takeWhile(_ != '_')).distinct.size
         == steadied.size) short else k
     }
-    val line1 = mkLine(identity, fmt)
-    val line2 = mkLine(prefix, fmt, ""","qkeys":"family-prefix"""")
+    // the compact line carries only the normalized TOTAL (the per-query
+    // normalized map lives in the full artifact — the 2000-byte tail
+    // window cannot fit two query maps)
+    val normExtra = s""","value_norm":${fmt(totalNorm)}"""
+    val line1 = mkLine(identity, fmt, normExtra)
+    val line2 = mkLine(prefix, fmt, normExtra + ""","qkeys":"family-prefix"""")
     val line =
       if (line1.length <= 1950) line1
       else if (line2.length <= 1950) line2
       else mkLine(prefix, v => math.round(v).toString,
-        ""","qkeys":"family-prefix"""")
+        normExtra + ""","qkeys":"family-prefix"""")
     // Full-precision copy for the judge (repo file survives the tail window).
     val fullQs = steadied.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
@@ -354,8 +382,15 @@ object Bench {
     val canaryJson = canarySeries.map(v => f"$v%.4f").mkString(
       s""","canary":{"query":"$canaryName","series":[""", ",",
       s"""],"host_drift":$hostDrift}""")
+    // canary-normalized per-query view (additive; the raw "queries" map is
+    // the contract) + the cool median the factors divide by — see
+    // BASELINE.md "Comparing runs" for the rule
+    val normQs = normed.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString(""","queries_norm":{""", ",", "}")
+    val normJson =
+      f"""$normQs,"value_norm":$totalNorm%.4f,"canary_cool_median":$coolMed%.4f"""
     val full =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$outlierCanaryQs$driftRawQs$steadyRawQs$warmRawQs$canaryJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$fullQs$outlierQs$outlierCanaryQs$driftRawQs$steadyRawQs$warmRawQs$normJson$canaryJson,"sf":"$sfDir"}"""
     for (f <- Seq("BENCH_FULL_latest.json", sfTagged))
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(f),

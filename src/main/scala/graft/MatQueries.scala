@@ -1807,11 +1807,21 @@ object MatQueries {
     // carry epoch-0's replay marker across the manual rotation (the
     // guarded ingest's own rotations do this internally — batch 0's
     // content is the fold, so its id re-commits as an empty segment)
-    IndexStore.appendCodes(s, root1, 0L, emb.limit(0))
+    IndexStore.markBatchCommitted(s, root1, 0L)
     // three guarded batches (each records a yardstick stat), then six
     // plain appends — nine ingest segments + the fold on the live root
     (1 to 3).foreach(i => ingest(i.toLong, b(i)))
-    (4 to 9).foreach(i => IndexStore.appendCodes(s, root1, i.toLong, b(i)))
+    // encode-once slab for the plain appends (r19, guide §1): ONE encode
+    // of batches 4–9's union against root1's quantizer, each segment a
+    // filtered slice — encode is row-wise, so slice-then-encode ≡
+    // encode-then-slice and the written segments are identical to the
+    // r18 per-batch encodes (which each re-planned the literal-heavy
+    // encode expression tree)
+    val codes1 = graft.llm.Similarity.encodeResidual(
+      emb.filter(col("vec_id") % 20 >= 8),
+      IndexStore.loadQuantizer(s, root1)).localCheckpoint()
+    (4 to 9).foreach(i => IndexStore.appendEncoded(s, root1, i.toLong,
+      codes1.filter(col("corpus_id") % 20 === 2 * i)))
     // crashed-trainer staging debris (aged; minAgeMs=0 below)
     val fsys = new org.apache.hadoop.fs.Path(root1)
       .getFileSystem(s.sessionState.newHadoopConf())

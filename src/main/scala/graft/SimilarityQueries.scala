@@ -754,10 +754,17 @@ private[graft] object SimilarityQueries {
     val (root, twin) = (s"$base/live", s"$base/twin")
     val rq = IndexStore.train(s, root, emb, dim = 64, nlist = 8, m = 8,
       codebookSize = 16, seed = 42L)
-    IndexStore.appendCodes(s, root, 0L, even)
+    // the epoch-0 batch lands in BOTH stores (live + its as-of twin, same
+    // artifact by construction): encode it ONCE and append the slab twice
+    // (r19, the appendEncoded encode-once seam) — the twin's segment was
+    // always the same rows under the same codebooks; now it is literally
+    // the same encoded frame
+    val evenCodes = graft.llm.Similarity.encodeResidual(even, rq)
+      .localCheckpoint()
+    IndexStore.appendEncoded(s, root, 0L, evenCodes)
     IndexStore.appendCodes(s, root, 1L, odd)
     IndexStore.saveQuantizer(s, twin, rq) // epoch-0 store, same artifact
-    IndexStore.appendCodes(s, twin, 0L, even)
+    IndexStore.appendEncoded(s, twin, 0L, evenCodes)
     def keyed(df: DataFrame): DataFrame =
       df.select(col("query_id"), col("corpus_id"), col("rank"))
     val asOf0 = IndexStore.searchTopK(s, root, emb, q, k = 5, nprobe = 3,

@@ -1,22 +1,22 @@
 package graft.examples
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Verify
 import graft.catalog.{PartitionSpec, TableRef}
 import graft.mat.Materializer
 import graft.mat.Materializer.IncrementalStrategy
 
 /** Dump the `.explain("formatted")` of the zorderCompact WRITE FRAMES —
-  * the single-task-per-partition shape (pre-r18, still the small-partition
-  * path) and the r18 tile-parallel shape — mirrored exactly as
-  * `Maintenance.zorderCompact` + `Committer.stageAndCommit` build them
-  * (the same mirroring discipline as ZorderTableSpec's plan-pin test; the
-  * spec additionally pins the REAL path's task counts and per-file
+  * the single-task-per-partition shape (the small-partition path) and the
+  * tile-parallel hot-partition shape. The single-task frame is mirrored
+  * exactly as `Maintenance.zorderCompact` + `Committer.stageAndCommit`
+  * build it; the tile frame calls the REAL
+  * [[graft.exec.Maintenance.tileParallelFrame]] (r19 — no mirror drift;
+  * ZorderTableSpec additionally pins the path's task counts and per-file
   * contents). Usage: runMain graft.examples.ZorderFrameDump <outDir>. */
 object ZorderFrameDump {
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.nonEmpty) args(0) else "plans/r18"
+    val outDir = if (args.nonEmpty) args(0) else "plans/r19"
     val spark = Verify.session("8")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -54,21 +54,12 @@ object ZorderFrameDump {
       rows.repartition(col("pt")).sortWithinPartitions(col("pt"), z, col("id")))
 
     // AFTER (hot partitions over the byte gate): exact z-rank computed
-    // distributively, repartition on (pt, file) -> MANY tasks per partition
-    val rowsZ = rows.withColumn("__graft_zcell", z)
-    val cells = rowsZ.groupBy(col("pt"), col("__graft_zcell"))
-      .agg(count(lit(1)).as("__graft_zn"))
-    val wOff = Window.partitionBy(col("pt")).orderBy(col("__graft_zcell"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = cells.withColumn("__graft_zoff",
-      coalesce(sum(col("__graft_zn")).over(wOff), lit(0L))).drop("__graft_zn")
-    val wCell = Window.partitionBy(col("pt"), col("__graft_zcell"))
-      .orderBy(col("id"))
-    val withFile = rowsZ.join(offsets, Seq("pt", "__graft_zcell"))
-      .withColumn("__graft_zfile",
-        col("__graft_zoff") + row_number().over(wCell) - lit(1L))
-      .withColumn("__graft_zfile", expr(s"__graft_zfile DIV ${m}L"))
-      .drop("__graft_zcell", "__graft_zoff")
+    // distributively, repartition on (pt, file) -> MANY tasks per partition.
+    // The REAL frame builder (r19): pinned-broadcast offsets join +
+    // boundary-cell split — only cells straddling a file boundary pay the
+    // (pt, cell) window exchange.
+    val withFile = graft.exec.Maintenance.tileParallelFrame(
+      rows, Seq("pt"), z, Seq("id"), m)
     dump("zorder_rewrite_frame_after.txt",
       withFile.repartition(col("pt"), col("__graft_zfile"))
         .sortWithinPartitions(col("pt"), z, col("id"))

@@ -213,46 +213,47 @@ object Maintenance {
     val minBytes = spark.conf
       .getOption("spark.graft.zorder.parallelMinBytes")
       .map(_.toLong).getOrElse(512L * 1024 * 1024)
-    val parallel = maxRecordsPerFile > 0 && tb.nonEmpty &&
-      stats.values.exists(_._2 >= minBytes)
+    // PER-PARTITION routing (r19; ADVICE r18): only partitions whose bytes
+    // cross the gate take the tile-parallel frame. The r18 form routed
+    // EVERY offending partition through it as soon as one crossed — 1000
+    // cold offenders paid the extra aggregate + window + join for one hot
+    // neighbor. Cold offenders keep the one-task-per-partition shape.
+    val hotPaths = stats.collect {
+      case (rel, (_, bytes)) if bytes >= minBytes => rel
+    }.toSeq.sorted
+    val parallel = maxRecordsPerFile > 0 && tb.nonEmpty && hotPaths.nonEmpty
     val (outRows, distOn) =
       if (!parallel) (rows, Seq.empty[String])
       else {
-        import org.apache.spark.sql.expressions.Window
         val pc = partition.partitionColumns
-        val zc = "__graft_zcell"; val nc = "__graft_zn"
-        val oc = "__graft_zoff"; val fc = "__graft_zfile"
+        val fc = ZFileCol
         // withColumn REPLACES an existing column of the same name — a
         // table that happens to carry one of the helper names would be
         // silently corrupted, so refuse loudly (reserved, like
         // clusterAwareSplit's __cs_* columns)
-        val clash = rows.columns.toSet & Set(zc, nc, oc, fc)
+        val clash = rows.columns.toSet & ZHelperCols
         require(clash.isEmpty,
           s"zorderCompact: table carries reserved helper column(s) " +
             s"${clash.mkString(", ")} — rename them (or raise " +
             "spark.graft.zorder.parallelMinBytes to keep the " +
             "single-task path, which uses no helpers)")
-        val rowsZ = rows.withColumn(zc, z)
-        // exact per-cell counts: map-side combined to ≤ 4^bits rows per
-        // offending partition
-        val cells = rowsZ.groupBy((pc :+ zc).map(col): _*)
-          .agg(count(lit(1)).as(nc))
-        // each cell's global rank offset within its partition: a window
-        // over the CELL TABLE (≤ 4^bits rows/partition), never the data
-        val wOff = Window.partitionBy(pc.map(col): _*).orderBy(col(zc))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = cells
-          .withColumn(oc, coalesce(sum(col(nc)).over(wOff), lit(0L)))
-          .drop(nc)
-        // intra-cell rank over the tiebreak: windows are cell-sized, so
-        // no task ever sorts a whole hot partition
-        val wCell = Window.partitionBy((pc :+ zc).map(col): _*)
-          .orderBy(tb.map(col): _*)
-        val withFile = rowsZ.join(offsets, pc :+ zc)
-          .withColumn(fc, col(oc) + row_number().over(wCell) - lit(1L))
-          .withColumn(fc, expr(s"$fc DIV ${maxRecordsPerFile}L"))
-          .drop(zc, oc)
-        (withFile, Seq(fc))
+        val hotFrame = tileParallelFrame(
+          spark.table(target.render).filter(partitionConds(hotPaths)),
+          pc, z, tb, maxRecordsPerFile)
+        val coldPaths = offending.filterNot(hotPaths.toSet)
+        val out =
+          if (coldPaths.isEmpty) hotFrame
+          else {
+            // cold offenders ride along with a CONSTANT file 0: the
+            // (pcols, file) repartition then routes each cold partition
+            // whole into ONE sorting+writing task — the same shape (and
+            // by the clusterBy sort the same file contents) as the
+            // distributeOn-free single-task path, with none of the tile
+            // frame's aggregate/window/join cost.
+            hotFrame.unionByName(spark.table(target.render)
+              .filter(partitionConds(coldPaths)).withColumn(fc, lit(0L)))
+          }
+        (out, Seq(fc))
       }
     val confKey = "spark.sql.files.maxRecordsPerFile"
     val prev = spark.conf.get(confKey, "0")
@@ -262,6 +263,84 @@ object Maintenance {
         clusterBy = z +: tb.map(col), distributeOn = distOn)
     } finally spark.conf.set(confKey, prev)
     offending
+  }
+
+  /** The tile-parallel rewrite's reserved helper column names (a user
+    * column colliding with one is refused loudly). */
+  private[graft] val ZFileCol = "__graft_zfile"
+  private[graft] val ZHelperCols =
+    Set("__graft_zcell", "__graft_zn", "__graft_zoff", ZFileCol)
+
+  /** The tile-parallel rewrite frame for HOT partitions (r18, fused r19):
+    * the exact z-rank of every row computed distributively — per-(partition,
+    * z-cell) counts (map-side combined, ≤ 4^bits rows per partition) →
+    * prefix-sum offsets over the cell table (a window over CELLS, never
+    * data) → `file = rank DIV maxRecordsPerFile` — returning the input rows
+    * plus the [[ZFileCol]] helper the committer repartitions on.
+    *
+    * Two r19 changes over the r18 shape, both cost-only (the fc values are
+    * identical by arithmetic, so file contents cannot move):
+    *
+    *  - **The offsets join is PINNED broadcast** (VERDICT r18): the cell
+    *    table is ≤ hot-partitions × 4^bits narrow rows; relying on the
+    *    auto-broadcast threshold risks a silent sort-merge join that adds
+    *    a data-side sort at the 100 TB grade. With very many hot
+    *    partitions × bits ≥ 13 the pinned build side can grow to ~100s of
+    *    MB — split the maintenance call before that point.
+    *  - **Only BOUNDARY cells pay the intra-cell window** (VERDICT r18
+    *    "fuse the two shuffles"): a cell whose whole rank range
+    *    [off, off+n) lands inside one file needs no intra-cell rank — its
+    *    file is `off DIV m` for every row, assigned map-side with ZERO
+    *    extra exchange. Only cells STRADDLING a file boundary (at most
+    *    ⌈n/m⌉ of the ≤4^bits cells per partition — typically a sliver of
+    *    the rows) are shuffled through the (pcols, cell) window; the r18
+    *    form shuffled every hot row through it. The hot data now crosses
+    *    ONE full exchange — the (pcols, file) write routing — plus the
+    *    boundary sliver. A single giant cell is its own boundary cell and
+    *    still serializes (the degenerate-(x,y) caveat from r18 stands);
+    *    real z-order candidates spread over many cells by construction.
+    *
+    * File-content contract unchanged from r18: file k of a partition holds
+    * exactly z-ranks [k·m,(k+1)·m) — every whole-file group sorts
+    * (z, tiebreak)-contiguously within its writing task and the
+    * `maxRecordsPerFile` roll lands exactly on group boundaries
+    * (ZorderTableSpec proves per-file content equality vs the single-task
+    * path). Requires a TOTAL order: `tb` must be a unique tiebreak within
+    * (partition, x, y) — with duplicate (z, tiebreak) tuples row_number
+    * breaks ties arbitrarily and reruns may chunk files differently. */
+  private[graft] def tileParallelFrame(rows: org.apache.spark.sql.DataFrame,
+      pc: Seq[String], z: org.apache.spark.sql.Column, tb: Seq[String],
+      maxRecordsPerFile: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Seq(zc, nc, oc, fc) =
+      Seq("__graft_zcell", "__graft_zn", "__graft_zoff", ZFileCol)
+    val m = maxRecordsPerFile
+    val rowsZ = rows.withColumn(zc, z)
+    // exact per-cell counts: map-side combined to ≤ 4^bits rows per
+    // offending partition
+    val cells = rowsZ.groupBy((pc :+ zc).map(col): _*)
+      .agg(count(lit(1)).as(nc))
+    // each cell's global rank offset within its partition: a window over
+    // the CELL TABLE (≤ 4^bits rows/partition), never the data
+    val wOff = Window.partitionBy(pc.map(col): _*).orderBy(col(zc))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn(oc, coalesce(sum(col(nc)).over(wOff), lit(0L)))
+    val joined = rowsZ.join(broadcast(offsets), pc :+ zc)
+    // WHOLE cells ([off, off+n) inside one file): file assigned map-side
+    val whole = expr(s"($oc DIV ${m}L) = (($oc + $nc - 1) DIV ${m}L)")
+    val direct = joined.filter(whole)
+      .withColumn(fc, expr(s"$oc DIV ${m}L"))
+      .drop(zc, nc, oc)
+    // BOUNDARY cells: intra-cell rank over the tiebreak — windows are
+    // cell-sized, so no task ever sorts a whole hot partition
+    val wCell = Window.partitionBy((pc :+ zc).map(col): _*)
+      .orderBy(tb.map(col): _*)
+    val split = joined.filter(not(whole))
+      .withColumn(fc, col(oc) + row_number().over(wCell) - lit(1L))
+      .withColumn(fc, expr(s"$fc DIV ${m}L"))
+      .drop(zc, nc, oc)
+    direct.unionByName(split)
   }
 
   /** Sentinel default for `bits`: "use the persisted layout's value (or 8

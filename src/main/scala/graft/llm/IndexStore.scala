@@ -99,19 +99,24 @@ object IndexStore {
       rq: ResidualQuantizer): Boolean =
     commitArtifact(spark, root, "quantizer") { base =>
       import spark.implicits._
-      Seq((rq.dim, rq.nlist, rq.m, rq.codebookSize))
-        .toDF("dim", "nlist", "m", "codebook_size")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-      rq.centroids.map { case (i, v) => (i, v) }
-        .toDF("centroid_id", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
-      rq.cellMeans.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("centroid_id", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/cellmeans")
-      rq.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
-        cb.zipWithIndex.map { case (c, j) => (mi, j, c.toSeq) }
-      }.toSeq.toDF("subspace", "code", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
+      // ONE tagged frame, ONE write job (r19): the r18 layout wrote
+      // meta/centroids/cellmeans/codebooks as four parquet dirs — four
+      // driver-materialized write jobs per train, four read+collect jobs
+      // per cold load, each paying full action overhead for kilobytes.
+      // Rows: (kind, i, j, vec); meta rides as ("meta", dim, nlist,
+      // [m, codebookSize]). Old-layout stores still load (legacy read).
+      val rows: Seq[(String, Int, Int, Seq[Double])] =
+        Seq(("meta", rq.dim, rq.nlist,
+          Seq(rq.m.toDouble, rq.codebookSize.toDouble))) ++
+        rq.centroids.map { case (i, v) => ("centroid", i, 0, v) } ++
+        rq.cellMeans.toSeq.zipWithIndex.map { case (v, i) =>
+          ("cellmean", i, 0, v.toSeq) } ++
+        rq.codebooks.toSeq.zipWithIndex.flatMap { case (cb, mi) =>
+          cb.toSeq.zipWithIndex.map { case (c, j) =>
+            ("codebook", mi, j, c.toSeq) }
+        }
+      rows.toDF("kind", "i", "j", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/artifact")
     }
 
   /** The rename-as-commit protocol shared by every artifact kind under a
@@ -180,6 +185,35 @@ object IndexStore {
   private def loadQuantizerUncached(spark: SparkSession,
       root: String): ResidualQuantizer = {
     val base = qDir(root).toString
+    // single-frame layout (r19): one read+collect for the whole artifact
+    if (fs(spark, root).exists(new HPath(qDir(root), "artifact"))) {
+      val rows = spark.read.parquet(s"$base/artifact")
+        .select(col("kind"), col("i"), col("j"), col("vec")).collect()
+      def of(kind: String) = rows.filter(_.getString(0) == kind)
+      val meta = of("meta").headOption.getOrElse(throw new IllegalStateException(
+        s"IndexStore at $root: quantizer artifact is corrupt — no meta row"))
+      val (dim, nlist) = (meta.getInt(1), meta.getInt(2))
+      val mv = meta.getSeq[Double](3)
+      val (m, cbs) = (mv(0).toInt, mv(1).toInt)
+      val cents = of("centroid")
+        .map(r => (r.getInt(1), r.getSeq[Double](3).toArray)).sortBy(_._1)
+      val means = of("cellmean")
+        .map(r => (r.getInt(1), r.getSeq[Double](3).toArray)).sortBy(_._1)
+      require(cents.length == nlist && means.length == nlist,
+        s"IndexStore at $root: quantizer artifact is corrupt — " +
+          s"${cents.length} centroids / ${means.length} cell means vs nlist=$nlist")
+      val cbRows = of("codebook")
+        .map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Double](3).toArray))
+        .toMap
+      require(cbRows.size == m * cbs,
+        s"IndexStore at $root: quantizer artifact is corrupt — " +
+          s"${cbRows.size} codebook rows vs m·codebookSize=${m * cbs}")
+      return ResidualQuantizer(dim, nlist, m, cbs,
+        cents.map { case (i, v) => (i, v.toSeq) }.toSeq,
+        means.map(_._2),
+        Array.tabulate(m)(mi => Array.tabulate(cbs)(j => cbRows((mi, j)))))
+    }
+    // legacy four-dir layout (pre-r19 stores)
     val meta = spark.read.parquet(s"$base/meta").collect()(0)
     val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
     val (m, cbs) = (meta.getInt(2), meta.getInt(3))
@@ -235,6 +269,42 @@ object IndexStore {
     val rq = loadQuantizer(spark, root)
     DedupStore.append(spark, codesRoot(root), batchId,
       Similarity.encodeResidual(batch, rq, idCol, vecCol, carryCols))
+  }
+
+  /** Append rows ALREADY encoded against this store's committed quantizer
+    * — the encode-once seam (r19, guide §1: "share the encode slab across
+    * legs"): a lifecycle that lands the same encoded batch in several
+    * sibling stores (a live store and its as-of twin, a shard and its
+    * merge source) or splits one encoded corpus into per-batch segments
+    * pays the quantizer's literal-heavy encode plan ONCE and reuses the
+    * slab. The caller owns the contract that `codes` really is
+    * [[Similarity.encodeResidual]] output under THIS root's artifact —
+    * same schema, same codebooks (sibling stores created via
+    * [[saveQuantizer]] of one fit qualify by construction). Replay
+    * contract = [[DedupStore.append]]'s. */
+  def appendEncoded(spark: SparkSession, root: String, batchId: Long,
+      codes: DataFrame): Boolean = {
+    require(quantizerCommitted(spark, root),
+      s"IndexStore at $root has no committed quantizer — appendEncoded " +
+        "needs the artifact the codes were encoded against")
+    DedupStore.append(spark, codesRoot(root), batchId, codes)
+  }
+
+  /** Commit `batchId` as an EMPTY segment — the replay-marker move the
+    * rotation/compaction lifecycles use (a batch whose content lives in a
+    * fold must still no-op on replay). Cheap by construction (r19): the
+    * empty frame is a LOCAL relation with the store's committed segment
+    * schema — no quantizer load, no literal-heavy encode plan, no store
+    * scan; planning is microseconds and the write one empty task. The
+    * r18 form (`appendCodes(root, id, batch.limit(0))`) re-planned the
+    * full encode expression tree per marker — ~0.3 s each, ×10 markers
+    * per rotation/fold at the bench grade. Returns false on replay. */
+  def markBatchCommitted(spark: SparkSession, root: String,
+      batchId: Long): Boolean = {
+    val cr = codesRoot(root)
+    val schema = DedupStore.read(spark, cr).schema
+    DedupStore.append(spark, cr, batchId, spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
   }
 
   /** All committed inverted-list segments as one (centroid_id, corpus_id,
@@ -300,7 +370,12 @@ object IndexStore {
     val ingestIds = before.filter(id =>
       id < DedupStore.CompactBase && upToIngest.forall(id <= _))
     if (ingestIds.nonEmpty) {
-      val empty = DedupStore.read(spark, cr).limit(0)
+      // LOCAL empty frame (r19): `read(cr).limit(0)` re-planned the whole
+      // multi-segment scan per re-mark — a local relation with the same
+      // schema writes identical empty segments at no planning cost
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        DedupStore.read(spark, cr).schema)
       ingestIds.foreach(id => DedupStore.append(spark, cr, id, empty))
     }
     fold
@@ -410,10 +485,11 @@ object IndexStore {
   def saveIvf(spark: SparkSession, root: String, art: IvfArtifact): Boolean =
     commitArtifact(spark, root, "ivf") { base =>
       import spark.implicits._
-      Seq((art.dim, art.nlist)).toDF("dim", "nlist")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-      art.centroids.map { case (i, v) => (i, v) }.toDF("centroid_id", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      // one tagged frame, one write job (r19 — see saveQuantizer)
+      (Seq(("meta", art.dim, art.nlist, Seq.empty[Double])) ++
+        art.centroids.map { case (i, v) => ("centroid", i, 0, v) })
+        .toDF("kind", "i", "j", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/artifact")
     }
 
   def loadIvf(spark: SparkSession, root: String): IvfArtifact = {
@@ -421,15 +497,30 @@ object IndexStore {
       s"IndexStore at $root has no committed IVF artifact — run trainIvf")
     cached(spark, root, "ivf") {
       val base = new HPath(root, "ivf").toString
-      val meta = spark.read.parquet(s"$base/meta").collect()(0)
-      val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
-      val cents = spark.read.parquet(s"$base/centroids")
-        .select(col("centroid_id"), col("vec")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      require(cents.length == nlist,
-        s"IndexStore at $root: IVF artifact is corrupt — " +
-          s"${cents.length} centroids vs nlist=$nlist")
-      IvfArtifact(dim, nlist, cents)
+      if (fs(spark, root).exists(new HPath(base, "artifact"))) {
+        val rows = spark.read.parquet(s"$base/artifact")
+          .select(col("kind"), col("i"), col("j"), col("vec")).collect()
+        val meta = rows.find(_.getString(0) == "meta")
+          .getOrElse(throw new IllegalStateException(
+            s"IndexStore at $root: IVF artifact is corrupt — no meta row"))
+        val (dim, nlist) = (meta.getInt(1), meta.getInt(2))
+        val cents = rows.filter(_.getString(0) == "centroid")
+          .map(r => (r.getInt(1), r.getSeq[Double](3))).sortBy(_._1).toSeq
+        require(cents.length == nlist,
+          s"IndexStore at $root: IVF artifact is corrupt — " +
+            s"${cents.length} centroids vs nlist=$nlist")
+        IvfArtifact(dim, nlist, cents)
+      } else { // legacy two-dir layout (pre-r19 stores)
+        val meta = spark.read.parquet(s"$base/meta").collect()(0)
+        val (dim, nlist) = (meta.getInt(0), meta.getInt(1))
+        val cents = spark.read.parquet(s"$base/centroids")
+          .select(col("centroid_id"), col("vec")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        require(cents.length == nlist,
+          s"IndexStore at $root: IVF artifact is corrupt — " +
+            s"${cents.length} centroids vs nlist=$nlist")
+        IvfArtifact(dim, nlist, cents)
+      }
     }
   }
 
@@ -531,13 +622,13 @@ object IndexStore {
   def saveImi(spark: SparkSession, root: String, art: ImiArtifact): Boolean =
     commitArtifact(spark, root, "imi") { base =>
       import spark.implicits._
-      Seq((art.dim, art.cbA.length, art.cbB.length))
-        .toDF("dim", "ka", "kb")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-      (art.cbA.zipWithIndex.map { case (v, j) => (0, j, v.toSeq) } ++
-        art.cbB.zipWithIndex.map { case (v, j) => (1, j, v.toSeq) }).toSeq
-        .toDF("half", "code", "vec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/codebooks")
+      // one tagged frame, one write job (r19 — see saveQuantizer)
+      (Seq(("meta", art.dim, art.cbA.length + art.cbB.length,
+        Seq(art.cbA.length.toDouble, art.cbB.length.toDouble))) ++
+        art.cbA.zipWithIndex.map { case (v, j) => ("codebook", 0, j, v.toSeq) } ++
+        art.cbB.zipWithIndex.map { case (v, j) => ("codebook", 1, j, v.toSeq) })
+        .toDF("kind", "i", "j", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/artifact")
     }
 
   def loadImi(spark: SparkSession, root: String): ImiArtifact = {
@@ -545,17 +636,36 @@ object IndexStore {
       s"IndexStore at $root has no committed IMI artifact — run trainImi")
     cached(spark, root, "imi") {
       val base = new HPath(root, "imi").toString
-      val meta = spark.read.parquet(s"$base/meta").collect()(0)
-      val (dim, ka, kb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-      val rows = spark.read.parquet(s"$base/codebooks")
-        .select(col("half"), col("code"), col("vec")).collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-        .toMap
-      require(rows.size == ka + kb,
-        s"IndexStore at $root: IMI artifact is corrupt — " +
-          s"${rows.size} codebook rows vs kA+kB=${ka + kb}")
-      ImiArtifact(dim, Array.tabulate(ka)(j => rows((0, j))),
-        Array.tabulate(kb)(j => rows((1, j))))
+      if (fs(spark, root).exists(new HPath(base, "artifact"))) {
+        val all = spark.read.parquet(s"$base/artifact")
+          .select(col("kind"), col("i"), col("j"), col("vec")).collect()
+        val meta = all.find(_.getString(0) == "meta")
+          .getOrElse(throw new IllegalStateException(
+            s"IndexStore at $root: IMI artifact is corrupt — no meta row"))
+        val dim = meta.getInt(1)
+        val kk = meta.getSeq[Double](3)
+        val (ka, kb) = (kk(0).toInt, kk(1).toInt)
+        val rows = all.filter(_.getString(0) == "codebook")
+          .map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Double](3).toArray))
+          .toMap
+        require(rows.size == ka + kb,
+          s"IndexStore at $root: IMI artifact is corrupt — " +
+            s"${rows.size} codebook rows vs kA+kB=${ka + kb}")
+        ImiArtifact(dim, Array.tabulate(ka)(j => rows((0, j))),
+          Array.tabulate(kb)(j => rows((1, j))))
+      } else { // legacy two-dir layout (pre-r19 stores)
+        val meta = spark.read.parquet(s"$base/meta").collect()(0)
+        val (dim, ka, kb) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+        val rows = spark.read.parquet(s"$base/codebooks")
+          .select(col("half"), col("code"), col("vec")).collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+          .toMap
+        require(rows.size == ka + kb,
+          s"IndexStore at $root: IMI artifact is corrupt — " +
+            s"${rows.size} codebook rows vs kA+kB=${ka + kb}")
+        ImiArtifact(dim, Array.tabulate(ka)(j => rows((0, j))),
+          Array.tabulate(kb)(j => rows((1, j))))
+      }
     }
   }
 
@@ -862,10 +972,12 @@ object IndexStore {
       "ingestWithDriftGuard: stream batch ids are non-negative (the -1L " +
         "fold convention and the reserved compaction space are the store's)")
     val slim = batch.select(col(idCol), col(vecCol))
+    // empty replay markers ride the store-schema local relation (r19) —
+    // both call sites run AFTER buildRoot committed the -1L fold, so the
+    // segment schema is always derivable
     def markCommitted(root: String, ids: Seq[Long]): Unit =
       ids.filter(id => id >= 0L && id < DedupStore.CompactBase).distinct
-        .foreach(id => appendCodes(spark, root, id, slim.limit(0),
-          idCol, vecCol))
+        .foreach(id => markBatchCommitted(spark, root, id))
     currentRoot(spark, alias) match {
       case None =>
         // markers land on the new root BEFORE the pointer flips: a crash

@@ -67,7 +67,15 @@ object Sampling {
     * unrelated singleton's doc id can never merge the two groups. Cost
     * shape: one map-side-combined aggregate to |clusters| rows plus one
     * join back on the cluster key — the rep table is cluster-sized and
-    * AQE broadcasts it when small; no window, no driver collect. */
+    * AQE broadcasts it when small; no window, no driver collect.
+    *
+    * `id` must be TOTALLY non-null — a NULL id raises at execution on
+    * EVERY row, including clustered rows (which would otherwise still
+    * join via their cluster key): the representative is `min(id)` over
+    * the cluster, and a null contributing nothing to the min means the
+    * split assignment silently depends on which rows happen to carry
+    * ids — an irreproducible split is worse than a loud failure
+    * (deliberate; ADVICE r18 asked for the contract to be explicit). */
   def clusterAwareSplit(df: DataFrame, id: Column, cluster: Column,
       salt: String = "",
       thresholds: Seq[(String, Int)] =

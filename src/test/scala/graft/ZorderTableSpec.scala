@@ -255,6 +255,85 @@ class ZorderTableSpec extends SparkSpec {
     spark.sql("DROP DATABASE IF EXISTS ztpar CASCADE")
   }
 
+  test("zorderCompact per-partition gate (r19): hot offender tile-parallel " +
+      "(>1 writer task), cold offender single-task, contents equal on both; " +
+      "offsets join pinned broadcast") {
+    spark.sql("DROP DATABASE IF EXISTS ztmix CASCADE")
+    spark.sql("CREATE DATABASE ztmix")
+    val part = PartitionSpec.Static(Seq("pt" -> "string"))
+    // asymmetric fixture: a holds ~11/16 of the rows, b ~4/16 — the byte
+    // gate can sit strictly between them. (i*13 % 16) decouples the a/b
+    // split from the quarter residue, so every append feeds both.
+    val all = (0 until 4096).map { i =>
+      val pt = if (i % 16 == 0) "c" else if ((i * 13) % 16 < 12) "a" else "b"
+      (i.toLong, (i % 64).toLong, ((i * 37 / 64) % 64).toLong, pt)
+    }.toDF("id", "x", "y", "pt")
+    def degrade(ref: TableRef): Unit = {
+      def quarter(q: Int) = all.filter(col("id") % 4 === q)
+      Materializer.table(spark, ref, quarter(0), part)
+      (1 to 3).foreach(q => Materializer.incremental(spark, ref,
+        quarter(q).filter(col("pt") =!= "c"),
+        IncrementalStrategy.Append, partition = part))
+    }
+    val single = TableRef("ztmix.events_s")
+    val par = TableRef("ztmix.events_p")
+    degrade(single); degrade(par)
+    val stats = Maintenance.partitionFileStats(spark, par, part)
+    val (bytesA, bytesB) = (stats("pt=a")._2, stats("pt=b")._2)
+    assert(bytesA > bytesB, s"fixture must be byte-asymmetric: $stats")
+    val nmax = spark.table(single.render).filter(col("pt") =!= "c")
+      .groupBy("pt").count().as[(String, Long)].collect().map(_._2).max
+    val m = (nmax + 2) / 3
+    Maintenance.zorderCompact(spark, single, part, "x", "y",
+      maxFiles = 3, bits = 6, maxRecordsPerFile = m, tiebreak = Seq("id"))
+    // gate strictly between the two offenders: a is hot, b is cold
+    spark.conf.set("spark.graft.zorder.parallelMinBytes",
+      ((bytesA + bytesB) / 2).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Maintenance.zorderCompact(spark, par, part, "x", "y",
+        maxFiles = 3, bits = 6, maxRecordsPerFile = m, tiebreak = Seq("id"))
+    } finally {
+      spark.conf.unset("spark.graft.zorder.parallelMinBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+    assert(Maintenance.partitionFileCounts(spark, par, part) ==
+      Maintenance.partitionFileCounts(spark, single, part))
+    // contents identical across routing decisions (file k = z-ranks
+    // [k·m,(k+1)·m) regardless of path)
+    def fileSets(ref: TableRef, flag: String): Set[Seq[Long]] =
+      spark.table(ref.render).filter(col("pt") === flag)
+        .select(input_file_name().as("f"), col("id"))
+        .as[(String, Long)].collect().groupBy(_._1)
+        .values.map(_.map(_._2).sorted.toSeq).toSet
+    assert(fileSets(par, "a") == fileSets(single, "a"),
+      "hot partition: tile-parallel contents must match single-task")
+    assert(fileSets(par, "b") == fileSets(single, "b"),
+      "cold partition: contents must match the single-task twin")
+    def taskPrefixes(ref: TableRef, flag: String): Set[String] =
+      spark.table(ref.render).filter(col("pt") === flag)
+        .select(input_file_name()).distinct().as[String].collect()
+        .map(u => u.split("/").last.split("-").take(2).mkString("-")).toSet
+    assert(taskPrefixes(par, "a").size > 1,
+      s"hot offender must spread over >1 writer task: ${taskPrefixes(par, "a")}")
+    assert(taskPrefixes(par, "b").size == 1,
+      s"cold offender must keep ONE writer task: ${taskPrefixes(par, "b")}")
+    // the offsets join is PINNED broadcast (VERDICT r18): the frame's plan
+    // must carry a BroadcastHashJoin, never a sort-merge join of the data
+    val z6 = graft.exec.Layout.zValue(
+      col("x"), lit(0L), lit(63L), col("y"), lit(0L), lit(63L), 6)
+    val frame = Maintenance.tileParallelFrame(
+      spark.table(par.render).filter(col("pt").cast("string") === "a"),
+      Seq("pt"), z6, Seq("id"), m)
+    val fp = frame.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(fp.contains("BroadcastHashJoin"),
+      s"offsets join must be broadcast-pinned:\n$fp")
+    assert(!fp.contains("SortMergeJoin"),
+      s"a sort-merge offsets join re-sorts the hot data side:\n$fp")
+    spark.sql("DROP DATABASE IF EXISTS ztmix CASCADE")
+  }
+
   test("zorderCompact rewrite frame: partition-pruned scan, ONE exchange, " +
       "in-partition sort (the 100 TB plan shape)") {
     spark.sql("DROP DATABASE IF EXISTS ztp CASCADE")

@@ -40,22 +40,48 @@ def norm(v):
 import pyarrow as pa
 
 def _split_top(s):
-    # split on commas at nesting depth 0 (struct/list/decimal payloads)
-    parts, depth, cur = [], 0, ""
-    for ch in s:
-        if ch in "(<[": depth += 1
-        elif ch in ")>]": depth -= 1
-        if ch == "," and depth == 0:
-            parts.append(cur); cur = ""
-        else:
-            cur += ch
+    # split on commas at nesting depth 0, OUTSIDE double quotes (r19,
+    # advice r18: DuckDB quotes struct field names that need it — a space
+    # or comma inside "a b,c" must not split the field; embedded quotes
+    # are doubled)
+    parts, depth, cur, inq, i = [], 0, "", False, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == '"':
+            if inq and i + 1 < len(s) and s[i + 1] == '"':
+                cur += '""'; i += 2; continue
+            inq = not inq
+        elif not inq:
+            if ch in "(<[": depth += 1
+            elif ch in ")>]": depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur); cur = ""; i += 1; continue
+        cur += ch; i += 1
     if cur.strip(): parts.append(cur)
     return [p.strip() for p in parts]
+
+def _field_split(f):
+    # one struct field -> (name, type). A quoted name may hold spaces or
+    # commas (embedded quotes doubled): split at the space AFTER the
+    # closing quote, never at the first space (r19, advice r18).
+    f = f.strip()
+    if f.startswith('"'):
+        i = 1
+        while i < len(f):
+            if f[i] == '"':
+                if i + 1 < len(f) and f[i + 1] == '"': i += 2; continue
+                break
+            i += 1
+        return f[1:i].replace('""', '"'), f[i + 1:].strip()
+    n, ft = f.split(" ", 1)
+    return n, ft
 
 def duck_kind(t):
     raw = str(t).strip()
     s = raw.upper()
-    if s.endswith("[]"): return "list<" + duck_kind(s[:-2]) + ">"
+    # recurse on the RAW spelling, not the uppercased copy: nested struct
+    # field names must reach _field_split with their original case/quoting
+    if s.endswith("[]"): return "list<" + duck_kind(raw[:-2]) + ">"
     # STRUCT(a INTEGER, b VARCHAR) -> struct<a:int32,b:string> — nested
     # field KINDS must compare like top-level columns (r18, verdict #6:
     # the str(t) fallthrough compared raw engine spellings, which can
@@ -63,8 +89,8 @@ def duck_kind(t):
     if s.startswith("STRUCT(") and raw.endswith(")"):
         fields = []
         for f in _split_top(raw[len("STRUCT("):-1]):
-            n, ft = f.split(" ", 1)
-            fields.append(n.strip('"').lower() + ":" + duck_kind(ft))
+            n, ft = _field_split(f)
+            fields.append(n.lower() + ":" + duck_kind(ft))
         return "struct<" + ",".join(fields) + ">"
     if s.startswith("DECIMAL"):
         digits = [x for x in s.replace("(", ",").replace(")", ",").split(",") if x.strip().isdigit()]

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 here = os.path.dirname(os.path.abspath(__file__))
 check = os.path.join(here, "check.py")
 
-def run_case(name, spark_field_type, oracle_sql):
+def run_case(name, spark_field_type, oracle_sql, a_name="a"):
     tmp = tempfile.mkdtemp(prefix="gate_selftest_")
     sf = os.path.join(tmp, "sf"); out = os.path.join(tmp, "out")
     os.makedirs(sf); os.makedirs(os.path.join(out, "x01_struct"))
@@ -21,8 +21,8 @@ def run_case(name, spark_field_type, oracle_sql):
     pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
                    os.path.join(sf, "base.parquet"))
     # the "Spark result": one struct column s{a, b}
-    t = pa.table({"s": pa.array([{"a": 1, "b": "x"}], pa.struct(
-        [("a", spark_field_type), ("b", pa.string())]))})
+    t = pa.table({"s": pa.array([{a_name: 1, "b": "x"}], pa.struct(
+        [(a_name, spark_field_type), ("b", pa.string())]))})
     pq.write_table(t, os.path.join(out, "x01_struct", "part-0.parquet"))
     with open(os.path.join(out, "oracle_sql.json"), "w") as f:
         json.dump({"x01_struct": oracle_sql}, f)
@@ -44,4 +44,13 @@ bad = run_case("diverging struct (int32 vs BIGINT)", pa.int32(),
 assert "DTYPE  x01_struct" in bad, "struct width divergence must be DTYPE"
 assert "int32" in bad and "int64" in bad, "diff must name the widths"
 
-print("[selftest] struct dtype gate: both cases behaved — PASS")
+# 3. a QUOTED field name holding a space and a comma (r19, advice r18):
+#    DuckDB renders the type as STRUCT("a b,c" BIGINT, b VARCHAR) — the
+#    parser must not split inside the quotes or mis-pair name/type
+quoted = run_case("quoted struct field name with space+comma", pa.int64(),
+                  "SELECT {'a b,c': CAST(1 AS BIGINT), 'b': 'x'} AS s",
+                  a_name="a b,c")
+assert "OK     x01_struct" in quoted, \
+    "quoted field name with space/comma must parse and pass"
+
+print("[selftest] struct dtype gate: all cases behaved — PASS")

@@ -4,7 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def session(cpus: String): SparkSession = SparkSession.builder()
+  /** The one session every driver surface (Verify/Bench/probes) builds.
+    * `extraConfs` (r19) is the config A/B seam — session-level settings
+    * like the shuffle codec must be set BEFORE the context starts, so
+    * probes measuring a config change pass overrides here; the default is
+    * empty and the driver contract unchanged. */
+  def session(cpus: String,
+      extraConfs: Map[String, String] = Map.empty): SparkSession =
+    extraConfs.foldLeft(baseBuilder(cpus)) { case (b, (k, v)) =>
+      b.config(k, v)
+    }.getOrCreate()
+
+  private def baseBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
@@ -45,7 +57,6 @@ object Verify {
       wh.toString
     })
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 
   /** Run one query and dump it under `outDir/<name>`. A THROWN query must
     * stay visible: it leaves an (otherwise parquet-less) output dir holding

@@ -278,7 +278,7 @@ object Maintenance {
     * data) → `file = rank DIV maxRecordsPerFile` — returning the input rows
     * plus the [[ZFileCol]] helper the committer repartitions on.
     *
-    * Two r19 changes over the r18 shape, both cost-only (the fc values are
+    * One r19 change over the r18 shape, cost-only (the fc values are
     * identical by arithmetic, so file contents cannot move):
     *
     *  - **The offsets join is PINNED broadcast** (VERDICT r18): the cell
@@ -287,18 +287,17 @@ object Maintenance {
     *    a data-side sort at the 100 TB grade. With very many hot
     *    partitions × bits ≥ 13 the pinned build side can grow to ~100s of
     *    MB — split the maintenance call before that point.
-    *  - **Only BOUNDARY cells pay the intra-cell window** (VERDICT r18
-    *    "fuse the two shuffles"): a cell whose whole rank range
-    *    [off, off+n) lands inside one file needs no intra-cell rank — its
-    *    file is `off DIV m` for every row, assigned map-side with ZERO
-    *    extra exchange. Only cells STRADDLING a file boundary (at most
-    *    ⌈n/m⌉ of the ≤4^bits cells per partition — typically a sliver of
-    *    the rows) are shuffled through the (pcols, cell) window; the r18
-    *    form shuffled every hot row through it. The hot data now crosses
-    *    ONE full exchange — the (pcols, file) write routing — plus the
-    *    boundary sliver. A single giant cell is its own boundary cell and
-    *    still serializes (the degenerate-(x,y) caveat from r18 stands);
-    *    real z-order candidates spread over many cells by construction.
+    *
+    * A boundary-cell split (route whole-file cells map-side, window only
+    * the cells straddling a file boundary — VERDICT r18's "fuse the two
+    * shuffles") was BUILT AND MEASURED in r19 and rejected: Catalyst
+    * cannot share the scan between the two branches, so the hot rows were
+    * scanned (and the cell aggregate rebuilt) once per branch — 8 scans
+    * in the plan, 27.1 s vs 9.0 s same-window for this full-window form
+    * on the 8M-row one-hot-partition probe. The (pcols, cell) exchange of
+    * narrow rows is cheaper than a second full scan+join at every scale
+    * we can measure; a single giant cell still serializes its window (the
+    * degenerate-(x,y) caveat from r18 stands).
     *
     * File-content contract unchanged from r18: file k of a partition holds
     * exactly z-ranks [k·m,(k+1)·m) — every whole-file group sorts
@@ -326,21 +325,15 @@ object Maintenance {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = cells
       .withColumn(oc, coalesce(sum(col(nc)).over(wOff), lit(0L)))
-    val joined = rowsZ.join(broadcast(offsets), pc :+ zc)
-    // WHOLE cells ([off, off+n) inside one file): file assigned map-side
-    val whole = expr(s"($oc DIV ${m}L) = (($oc + $nc - 1) DIV ${m}L)")
-    val direct = joined.filter(whole)
-      .withColumn(fc, expr(s"$oc DIV ${m}L"))
-      .drop(zc, nc, oc)
-    // BOUNDARY cells: intra-cell rank over the tiebreak — windows are
-    // cell-sized, so no task ever sorts a whole hot partition
+      .drop(nc)
+    // intra-cell rank over the tiebreak: windows are cell-sized, so no
+    // task ever sorts a whole hot partition
     val wCell = Window.partitionBy((pc :+ zc).map(col): _*)
       .orderBy(tb.map(col): _*)
-    val split = joined.filter(not(whole))
+    rowsZ.join(broadcast(offsets), pc :+ zc)
       .withColumn(fc, col(oc) + row_number().over(wCell) - lit(1L))
       .withColumn(fc, expr(s"$fc DIV ${m}L"))
-      .drop(zc, nc, oc)
-    direct.unionByName(split)
+      .drop(zc, oc)
   }
 
   /** Sentinel default for `bits`: "use the persisted layout's value (or 8

@@ -391,13 +391,52 @@ class JobCountSpec extends SparkSpec {
         Seq(s"$base/a", s"$base/b")) == Seq(true, true))
     }
     info(s"store merge jobs = $jobs")
-    // measured 18, every one metadata- or code-sized: two uncached
-    // artifact loads (4 kilobyte-parquet collects each — source b and the
-    // dst fingerprint re-check), the dst artifact commit's 4 kilobyte
-    // writes, per-source codes-footer reads, and the two segment-copy
-    // writes. A fit (corpus count + sample collect + kmeans passes) or an
-    // encode (corpus-scale projection) creeping in lands well past this
-    // bound — merge must move the index, never the data
-    assert(jobs <= 22, s"store merge job count regressed: $jobs")
+    // r18 measured 18 (4-dir artifact layout: 4 kilobyte-parquet collects
+    // per uncached load, 4 writes per commit); the r19 single-frame
+    // layout cuts each to ONE read+collect / ONE write — measured 9. A
+    // fit (corpus count + sample collect + kmeans passes) or an encode
+    // (corpus-scale projection) creeping in lands well past this bound —
+    // merge must move the index, never the data
+    assert(jobs <= 12, s"store merge job count regressed: $jobs")
+  }
+
+  test("index-store lifecycle job diet (r19): one-write artifact commit, " +
+      "one-collect cold load, local-relation replay markers") {
+    import graft.llm.IndexStore
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("jcdiet")
+    val trainJobs = countJobs {
+      IndexStore.train(spark, s"$base/a", emb, dim = 64, nlist = 8,
+        m = 8, codebookSize = 16, seed = 42L)
+    }
+    info(s"train jobs = $trainJobs")
+    // fit sample count + sample collect + ONE artifact write (the r18
+    // four-dir layout wrote four) — k-means itself is driver-local
+    assert(trainJobs <= 4, s"train job count regressed: $trainJobs")
+    IndexStore.appendCodes(spark, s"$base/a", 0L, emb)
+    // cold load: copy the committed artifact to a fresh root (the per-root
+    // cache keys by path, so the copy loads cold) — one read+collect pair
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$base/a/quantizer"),
+      fs, new org.apache.hadoop.fs.Path(s"$base/cold/quantizer"),
+      false, conf)
+    val loadJobs = countJobs {
+      IndexStore.loadQuantizer(spark, s"$base/cold")
+    }
+    info(s"cold load jobs = $loadJobs")
+    assert(loadJobs <= 2, s"cold artifact load job count regressed: $loadJobs")
+    // replay marker: a LOCAL empty relation with the segment schema — the
+    // r18 form re-planned the literal-heavy encode per marker
+    val markJobs = countJobs {
+      assert(IndexStore.markBatchCommitted(spark, s"$base/a", 7L))
+    }
+    info(s"replay marker jobs = $markJobs")
+    assert(markJobs <= 2, s"replay marker job count regressed: $markJobs")
+    // and the marker really is an empty committed segment: replay no-ops,
+    // content unchanged
+    assert(!IndexStore.markBatchCommitted(spark, s"$base/a", 7L))
+    assert(IndexStore.readCodes(spark, s"$base/a").count() == emb.count())
   }
 }
